@@ -1,0 +1,8 @@
+# Importing these modules registers their queries in plans.registry.
+from . import indexing  # noqa: F401
+from . import search  # noqa: F401
+from . import relational  # noqa: F401
+from . import dedup  # noqa: F401
+from . import similarity  # noqa: F401
+from . import textstats  # noqa: F401
+from . import multimodal  # noqa: F401

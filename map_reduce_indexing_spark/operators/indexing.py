@@ -1,0 +1,154 @@
+"""The inverted-index pipeline — the reference's entire reason to exist.
+
+Reference topology (SURVEY.md §3.1): client -> master -> worker splits the
+file -> k mappers tokenize+count (helper_map.c:166) -> alphabetic range
+shuffle (helper_map.c:175-188, 343-364) -> k reducers merge counts
+(helper_reduce.c:153) -> 26 letter-bucketed master-index files
+(helper_reduce.c:238-257).
+
+Spark expression: ONE declarative chain. Catalyst compiles it to exactly
+the same physical topology — scan + partial hash agg (map-side combine,
+the reference's `sort | uniq -c`) | shuffle on the group key | final hash
+agg (the reference's awk sum) — and the letter-bucketed index is a
+Hive-partitioned Parquet write whose commit protocol also fixes the
+reference's unlocked concurrent-append race (helper_reduce.c:241-257,
+SURVEY.md §2.12).
+
+Scale posture (100 TB): the shuffle key is natural-language words, which
+are Zipfian — "the" alone can be ~5% of all tokens. The partial
+aggregation collapses each map partition to at most |vocab| rows BEFORE
+the shuffle, so the shuffle volume is bounded by vocab x partitions, not
+token count; AQE skew handling covers the residual imbalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.text import duckdb_tokens_sql, tokenize
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+
+def build_postings(docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """documents(doc_id, text) -> postings(word, doc_id, cnt).
+
+    Logical semantics of helper_map.c:166 + helper_reduce.c:153 (and of
+    the Hadoop oracle WordCount.java:43-67): COUNT(*) GROUP BY word, doc.
+    """
+    tokens = tokenize(docs.select(doc_col, text_col), text_col=text_col, out_col="word")
+    return tokens.groupBy("word", doc_col).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def with_letter(postings: DataFrame) -> DataFrame:
+    """Attach the first-letter routing key (helper_reduce.c:255)."""
+    return postings.withColumn("letter", F.substring("word", 1, 1))
+
+
+def write_index(postings: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist the master index, partitioned by first letter.
+
+    The reference's 26 append-only files ./index/a..z
+    (helper_reduce.c:238-257) become Hive partitions `letter=a/..`;
+    term lookups then prune 25/26 of the data (partition pruning is
+    automatic on a `letter = 'x'` predicate).
+    """
+    with_letter(postings).write.mode(mode).partitionBy("letter").parquet(path)
+
+
+def read_index(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def postings_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postings over the driver's `documents` fixture table."""
+    return build_postings(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Registered queries (driver-verified vs DuckDB at sf0.01)
+# ---------------------------------------------------------------------------
+
+# Shared oracle fragment: one row per (doc_id, word) token occurrence.
+TOKENS_SQL = (
+    "SELECT doc_id, word FROM ("
+    f"SELECT doc_id, {duckdb_tokens_sql('text')} AS word FROM documents"
+    ") WHERE word <> ''"
+)
+
+POSTINGS_SQL = (
+    "SELECT word, doc_id, CAST(COUNT(*) AS BIGINT) AS cnt "
+    f"FROM ({TOKENS_SQL}) GROUP BY word, doc_id"
+)
+
+
+@register(
+    "index_postings",
+    oracle=POSTINGS_SQL,
+    tier="ref",
+    doc="Full inverted-index build: normalize (helper_map.c:166) + "
+    "COUNT(*) GROUP BY word, doc (helper_reduce.c:153).",
+)
+def q_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return postings_for(spark, sf_dir).select("word", "doc_id", "cnt")
+
+
+@register(
+    "index_corpus_stats",
+    oracle=(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_postings, "
+        "CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words, "
+        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+        f"CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM ({POSTINGS_SQL})"
+    ),
+    tier="implied",
+    doc="Corpus statistics over the index (SURVEY.md §2.4 A5/A6).",
+)
+def q_index_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = postings_for(spark, sf_dir)
+    return p.agg(
+        F.count(F.lit(1)).alias("n_postings"),
+        F.countDistinct("word").alias("n_words"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("cnt").alias("n_tokens"),
+    )
+
+
+@register(
+    "index_letter_histogram",
+    oracle=(
+        "SELECT substr(word, 1, 1) AS letter, CAST(COUNT(*) AS BIGINT) AS n_postings, "
+        f"CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM ({POSTINGS_SQL}) GROUP BY 1"
+    ),
+    tier="ref",
+    doc="Postings per index partition — the reference's 26-way letter "
+    "routing (helper_reduce.c:238-257) as an aggregation.",
+)
+def q_index_letter_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        with_letter(postings_for(spark, sf_dir))
+        .groupBy("letter")
+        .agg(F.count(F.lit(1)).alias("n_postings"), F.sum("cnt").alias("n_tokens"))
+    )
+
+
+@register(
+    "index_vocabulary_topk",
+    oracle=(
+        "SELECT word, CAST(SUM(cnt) AS BIGINT) AS total, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs "
+        f"FROM ({POSTINGS_SQL}) GROUP BY word "
+        "ORDER BY total DESC, word LIMIT 25"
+    ),
+    tier="implied",
+    doc="Global top-k words by corpus frequency (SURVEY.md §2.6 O4); "
+    "deterministic tie-break on word.",
+)
+def q_index_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        postings_for(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("total"), "word")
+        .limit(25)
+    )

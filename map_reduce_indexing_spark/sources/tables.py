@@ -1,0 +1,28 @@
+"""Parquet fixture-table sources (SURVEY.md §2.1 S7).
+
+Columnar scans with Catalyst predicate pushdown and column pruning — the
+engine's default source. The reference's text-file scan (worker.c:188-195)
+maps to `corpus.py`; everything tabular comes through here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import FIXTURE_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in FIXTURE_TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; expected one of {FIXTURE_TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = FIXTURE_TABLES) -> None:
+    """Register fixture tables as temp views so operators can use spark.sql."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

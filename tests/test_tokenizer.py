@@ -1,0 +1,75 @@
+"""Differential tokenizer tests: Spark expression chain vs the reference's
+exact shell pipeline (helper_map.c:166) on adversarial strings.
+
+Validates the SURVEY.md §0.1 rules: space/newline-only splitting (tabs do
+NOT split), lowercasing, [^a-z] stripping inside tokens, empty-token drop.
+"""
+
+from __future__ import annotations
+
+import collections
+import subprocess
+
+import pytest
+
+from map_reduce_indexing_spark.functions.text import normalize_tokens_expr
+
+MAP_PIPELINE = (
+    "tr ' ' '\\n' | tr '[:upper:]' '[:lower:]' | sed -e 's/[^a-z]//g' "
+    "| sort | uniq -c | awk '{print $2\" \"$1}'"
+)
+
+
+def shell_counts(text: str) -> dict[str, int]:
+    """Run the reference map pipeline; drop the blank key the alphabetic
+    partitioner drops (helper_map.c:357-360)."""
+    out = subprocess.run(
+        MAP_PIPELINE, shell=True, input=text.encode(), capture_output=True, check=True
+    ).stdout.decode()
+    counts: dict[str, int] = {}
+    for line in out.splitlines():
+        parts = line.split(" ")
+        if parts[0]:
+            counts[parts[0]] = int(parts[1])
+    return counts
+
+
+def python_tokens(text: str) -> list[str]:
+    """Pure-python rendering of the §0.1 rules (second oracle)."""
+    toks = text.replace("\n", " ").lower().split(" ")
+    toks = ["".join(c for c in t if "a" <= c <= "z") for t in toks]
+    return [t for t in toks if t]
+
+
+CASES = [
+    "Don'T stop! 42 times\tcat-dog cat",
+    "Hello, World!  double  space",
+    "tabs\tdo\tnot\tsplit but spaces do",
+    "line one\nline TWO\n\npunct-only: !!! ...",
+    "42 1234 ---",
+    "",
+    "   ",
+    "MiXeD CaSe WoRdS",
+    "apostrophe's and hyphen-ated under_scored",
+    "trailing space \nand newline\n",
+]
+
+
+@pytest.mark.parametrize("text", CASES)
+def test_spark_matches_shell_pipeline(spark, text):
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(normalize_tokens_expr("text").alias("toks")).head()[0]
+    assert collections.Counter(got) == shell_counts(text)
+    assert got == python_tokens(text)  # order-preserving check too
+
+
+def test_property_random_ascii(spark):
+    import random
+
+    rng = random.Random(42)
+    alphabet = "abcDEF '-.!42\t\n xyz"
+    texts = ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 80))) for _ in range(60)]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select("text", normalize_tokens_expr("text").alias("toks")).collect()
+    for r in rows:
+        assert collections.Counter(r.toks) == shell_counts(r.text), repr(r.text)
