@@ -1,1 +1,578 @@
-"""Placeholder — filled in a later milestone."""
+"""Relational breadth over the TPC-H-ish fixtures (SURVEY.md §2 EXT tier;
+§2.3 J1-J5, §2.4 A6-A7, §2.5 W1-W3, §2.6, §2.7, §2.8).
+
+The reference implements no joins, windows, or set ops — its only
+relational computation is COUNT GROUP BY (helper_reduce.c:153). This
+module supplies the query surface a user of an analytics engine needs,
+expressed declaratively so Catalyst does join selection (broadcast for
+dims under the threshold, sort-merge above), pushdown, and AQE re-planning.
+
+FP determinism discipline for oracle hashing: never SUM raw doubles —
+Spark's partial-agg addition order differs run to run and from DuckDB's.
+Instead cast inputs to DECIMAL(18,2) (exact, associative), SUM exactly,
+and cast the final decimal to DOUBLE once. Averages are exact-decimal
+sums divided as doubles. Both engines then produce bit-identical values.
+
+Scale notes (100 TB posture) are on each query's docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_table, register_views
+
+
+def dec(col: str) -> F.Column:
+    """Exact money/quantity arithmetic: double -> DECIMAL(18,2)."""
+    return F.col(col).cast("decimal(18,2)")
+
+
+def dsum(expr, alias: str) -> F.Column:
+    """Exact decimal SUM surfaced as a deterministic double."""
+    return F.sum(expr).cast("double").alias(alias)
+
+
+# DuckDB-side fragments for the same discipline.
+def sql_dec(col: str) -> str:
+    return f"CAST({col} AS DECIMAL(18,2))"
+
+
+def sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM({expr}) AS DOUBLE) AS {alias}"
+
+
+# ---------------------------------------------------------------------------
+# Aggregation queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_q1_pricing_summary",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum(sql_dec('l_quantity'), 'sum_qty')},
+               {sql_dsum(sql_dec('l_extendedprice'), 'sum_base_price')},
+               {sql_dsum(f"{sql_dec('l_extendedprice')} * (1 - {sql_dec('l_discount')})", 'sum_disc_price')},
+               {sql_dsum(f"{sql_dec('l_extendedprice')} * (1 - {sql_dec('l_discount')}) * (1 + {sql_dec('l_tax')})", 'sum_charge')},
+               CAST(SUM({sql_dec('l_quantity')}) AS DOUBLE) / COUNT(*) AS avg_qty,
+               CAST(SUM({sql_dec('l_extendedprice')}) AS DOUBLE) / COUNT(*) AS avg_price,
+               CAST(SUM({sql_dec('l_discount')}) AS DOUBLE) / COUNT(*) AS avg_disc,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tier="relational",
+    doc="TPC-H Q1-style pricing summary: wide multi-aggregate groupBy; "
+    "map-side partial agg bounds shuffle volume at any scale.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(dec("l_quantity"), "sum_qty"),
+        dsum(dec("l_extendedprice"), "sum_base_price"),
+        dsum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), "sum_disc_price"),
+        dsum(
+            dec("l_extendedprice") * (F.lit(1) - dec("l_discount")) * (F.lit(1) + dec("l_tax")),
+            "sum_charge",
+        ),
+        (F.sum(dec("l_quantity")).cast("double") / n).alias("avg_qty"),
+        (F.sum(dec("l_extendedprice")).cast("double") / n).alias("avg_price"),
+        (F.sum(dec("l_discount")).cast("double") / n).alias("avg_disc"),
+        n.cast("long").alias("count_order"),
+    )
+
+
+@register(
+    "rel_distinct_counts",
+    oracle="""
+        SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+    """,
+    tier="relational",
+    doc="Exact multi-column COUNT DISTINCT (SURVEY.md §2.4 A6). At 100 TB "
+    "prefer approx_count_distinct (see rel_approx_distinct).",
+)
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "rel_approx_distinct",
+    oracle=None,  # HLL sketches differ across engines by design -> rows-only
+    tier="relational",
+    doc="approx_count_distinct (HyperLogLog++): the 100 TB-tier form of A6; "
+    "sketch values are engine-specific so no cross-engine oracle.",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+    )
+
+
+@register(
+    "rel_rollup_orders",
+    oracle="""
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    tier="relational",
+    doc="Hierarchical rollup (SURVEY.md §2.4 A7); NULL subtotal markers "
+    "coalesced to 'ALL' for oracle comparability.",
+)
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(dec("o_totalprice"), "total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "rel_cube_lineitem",
+    oracle="""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tier="relational",
+    doc="Full cube over two dimensions (SURVEY.md §2.4 A7).",
+)
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(dec("l_quantity"), "qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "qty",
+        )
+    )
+
+
+@register(
+    "rel_grouping_sets",
+    oracle="""
+        SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+               COALESCE(CAST(n_name AS VARCHAR), 'ALL') AS nation,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
+    """,
+    tier="relational",
+    doc="Explicit GROUPING SETS via the SQL API (same Catalyst plan as the "
+    "DataFrame form).",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer", "nation"))
+    return spark.sql(
+        """
+        SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+               COALESCE(n_name, 'ALL') AS nation,
+               COUNT(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
+        """
+    )
+
+
+@register(
+    "rel_pivot_status",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+               CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F"
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tier="relational",
+    doc="Pivot (wide conditional aggregation) — SURVEY.md §2.8 EXT.",
+)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_q3_shipping_priority",
+    oracle=f"""
+        SELECT l_orderkey,
+               {sql_dsum(f"{sql_dec('l_extendedprice')} * (1 - {sql_dec('l_discount')})", 'revenue')},
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    tier="relational",
+    doc="TPC-H Q3-style 3-way join + agg + top-k. customer is the small "
+    "side: Catalyst/AQE broadcasts it; lineitem never shuffles twice.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "rel_q5_local_supplier",
+    oracle=f"""
+        SELECT n_name,
+               {sql_dsum(f"{sql_dec('l_extendedprice')} * (1 - {sql_dec('l_discount')})", 'revenue')}
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+    tier="relational",
+    doc="TPC-H Q5-style 6-way star join. region/nation/supplier/customer "
+    "are broadcast dims; only orders-lineitem is a big-big join.",
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), "revenue"))
+    )
+
+
+@register(
+    "rel_join_outer_counts",
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+               CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS spend
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_mktsegment
+    """,
+    tier="relational",
+    doc="Left outer join preserving order-less customers (SURVEY.md §2.3 J4).",
+)
+def q_join_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dec("o_totalprice")), F.lit(0)).cast("double").alias("spend"),
+        )
+    )
+
+
+@register(
+    "rel_join_semi",
+    oracle="""
+        SELECT c_custkey FROM customer
+        WHERE c_custkey IN (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+    tier="relational",
+    doc="Left-semi join (EXISTS) — SURVEY.md §2.3 J3.",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select("c_custkey")
+
+
+@register(
+    "rel_join_anti",
+    oracle="""
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    tier="relational",
+    doc="Left-anti join (NOT EXISTS) — SURVEY.md §2.3 J3.",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select("c_custkey")
+
+
+@register(
+    "rel_theta_join_bands",
+    oracle="""
+        SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders o
+        JOIN (VALUES ('small', 0, 100000), ('medium', 100000, 300000),
+                     ('large', 300000, 1000000)) AS b(band, lo, hi)
+          ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        GROUP BY b.band
+    """,
+    tier="relational",
+    doc="Theta/range join against a tiny banding dim (SURVEY.md §2.3 J5): "
+    "broadcast nested-loop — the right physical plan when one side is rows.",
+)
+def q_theta_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("small", 0, 100000), ("medium", 100000, 300000), ("large", 300000, 1000000)],
+        "band string, lo long, hi long",
+    )
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(dec("o_totalprice"), "total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_window_running_total",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS running_spend
+        FROM orders WHERE o_custkey < 100
+    """,
+    tier="relational",
+    doc="Running total per customer (SURVEY.md §2.5 W2/W3); exact-decimal "
+    "accumulation keeps the window deterministic.",
+)
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "rel_window_lag_gap",
+    oracle="""
+        SELECT user_id, event_id,
+               CAST(date_diff('second',
+                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    ts) AS BIGINT) AS gap_s
+        FROM events WHERE user_id < 20
+    """,
+    tier="relational",
+    doc="lag() inter-event gap per user (SURVEY.md §2.5 W2) — the building "
+    "block of batch sessionization (see streaming module).",
+)
+def q_window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = (F.unix_timestamp("ts") - F.unix_timestamp(prev)).cast("long")
+    return e.select("user_id", "event_id", gap.alias("gap_s"))
+
+
+@register(
+    "rel_window_rank_parts",
+    oracle="""
+        SELECT p_brand, p_partkey, p_retailprice, CAST(rnk AS BIGINT) AS rnk FROM (
+            SELECT p_brand, p_partkey, p_retailprice,
+                   RANK() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rnk
+            FROM part)
+        WHERE rnk <= 3
+    """,
+    tier="relational",
+    doc="Top-k per group via ranking window (SURVEY.md §2.5 W1, §2.6 O4).",
+)
+def q_window_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    return (
+        p.withColumn("rnk", F.rank().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations & scalar-function coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_set_ops",
+    oracle="""
+        SELECT 'building_or_machinery' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            UNION
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+        UNION ALL
+        SELECT 'open_and_closed' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        UNION ALL
+        SELECT 'open_not_closed' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+    tier="relational",
+    doc="UNION / INTERSECT / EXCEPT (SURVEY.md §2.7) summarized as counts.",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    machinery = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    open_ = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    closed = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+
+    def one(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return (
+        one("building_or_machinery", building.union(machinery).distinct())
+        .unionAll(one("open_and_closed", open_.intersect(closed)))
+        .unionAll(one("open_not_closed", open_.subtract(closed)))
+    )
+
+
+@register(
+    "rel_scalar_functions",
+    oracle="""
+        SELECT event_id,
+               upper(event_type) AS kind_u,
+               substr(event_type, 1, 3) AS kind3,
+               CAST(length(props) AS BIGINT) AS props_len,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+               date_trunc('hour', ts) AS ts_hour,
+               CAST(year(ts) AS BIGINT) AS y,
+               CAST(hour(ts) AS BIGINT) AS h,
+               concat(event_type, '#', CAST(user_id AS VARCHAR)) AS tag,
+               CAST(abs(value) AS DOUBLE) AS absval
+        FROM events WHERE event_id < 500
+    """,
+    tier="relational",
+    doc="Scalar-function coverage (SURVEY.md §2.8): string, JSON "
+    "(the reference's positional get_value_by_index parsing, "
+    "worker.c:231-249, generalized), date/time, math.",
+)
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return e.select(
+        "event_id",
+        F.upper("event_type").alias("kind_u"),
+        F.substring("event_type", 1, 3).alias("kind3"),
+        F.length("props").cast("long").alias("props_len"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        F.date_trunc("hour", "ts").alias("ts_hour"),
+        F.year("ts").cast("long").alias("y"),
+        F.hour("ts").cast("long").alias("h"),
+        F.concat(F.col("event_type"), F.lit("#"), F.col("user_id").cast("string")).alias("tag"),
+        F.abs("value").cast("double").alias("absval"),
+    )
+
+
+@register(
+    "rel_topk_orders",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    tier="relational",
+    doc="Global top-k (SURVEY.md §2.6 O4): TakeOrderedAndProject — "
+    "per-partition heaps, no full sort at scale.",
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
