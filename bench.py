@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver-side collect). Run `python bench.py --explain` to dump the
+formatted physical plan of every headline query instead of timing it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from map_reduce_indexing_spark.plans import registry  # noqa: E402
+from map_reduce_indexing_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per tier, heaviest representatives.
+HEADLINE = [
+    "index_postings",          # the reference's entire pipeline
+    "index_vocabulary_topk",   # index + global ranking
+    "search_and",              # boolean search join
+    "rel_q1_pricing_summary",  # wide agg
+    "rel_q3_shipping_priority",  # 3-way join + topk
+    "rel_q5_local_supplier",   # 6-way star join
+    "rel_window_running_total",  # window
+    "dedup_exact_kept",        # content-hash dedup
+    "dedup_minhash_signatures",  # sketch build (array-expr pipeline)
+    "dedup_minhash_lsh_pairs",  # LSH band join
+    "dedup_simhash",           # simhash build
+    "ann_knn_bruteforce",      # dense similarity
+    "ann_lsh_topk",            # bucketed ANN
+    "text_quality",            # quality metrics pass
+    "text_token_counts",       # token accounting
+    "multimodal_image_meta",   # Arrow mapInPandas pass
+    "stream_tumbling_counts",  # structured streaming run
+]
+
+
+def main() -> None:
+    explain = "--explain" in sys.argv
+    spark = get_spark(app_name="mri-bench")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry.get(name)
+        if explain:
+            print(f"===== {name} =====")
+            q.fn(spark, SF_DIR).explain("formatted")
+            continue
+        t0 = time.perf_counter()
+        q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+    if not explain:
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_total",
+                    "value": round(sum(times.values()), 3),
+                    "unit": "sec",
+                    "queries": times,
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                }
+            )
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -39,8 +39,19 @@ def tokenize(df: DataFrame, text_col: str = "text", out_col: str = "word") -> Da
     """Explode a document DataFrame into one row per token occurrence.
 
     Keeps all other columns; the exploded column is `out_col`.
+
+    Physical shape: explode the raw split FIRST, then normalize each
+    token as a plain row-level expression — everything stays in
+    whole-stage codegen. (Normalizing inside the array via
+    transform/filter HOFs is semantically identical but interpreted,
+    ~5x slower on the hot path, measured at sf0.1.)
     """
-    return df.withColumn(out_col, F.explode(normalize_tokens_expr(text_col)))
+    raw = df.withColumn(
+        out_col, F.explode(F.split(F.lower(F.col(text_col)), "[ \n]", -1))
+    )
+    return raw.withColumn(out_col, F.regexp_replace(out_col, "[^a-z]", "")).filter(
+        F.col(out_col) != ""
+    )
 
 
 # DuckDB-side rendering of the same rules, used by oracle SQL strings.

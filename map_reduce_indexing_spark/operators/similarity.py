@@ -1,1 +1,220 @@
-"""Placeholder — filled in a later milestone."""
+"""Similarity search over embeddings (EXT tier, BASELINE.json north star).
+
+Three tiers over the `embeddings` fixture (vec_id, embedding float[64]):
+
+- brute-force cosine top-k: the exactness baseline; one pass, no index.
+- LSH (random-hyperplane signs): the scale path — bucket on an 8-bit
+  signature, search only the query's bucket. Hyperplanes are integer
+  vectors from a fixed deterministic formula so Spark and DuckDB build
+  identical buckets.
+- IVF (coarse quantization): assign each vector to its nearest of 8
+  fixed centroids, search only the query's cell.
+
+Scale posture (100 TB): brute force is a full scan per query — fine for
+batch scoring (it is embarrassingly parallel and shuffle-free), wrong
+for interactive lookup. The LSH/IVF variants turn a lookup into a
+partition-prunable equality predicate (`bucket = q_bucket`), the same
+trick the reference uses with its 26 letter files (helper_reduce.c:238).
+Persist bucketed/partitioned by `bucket` and a query touches one cell.
+
+All dot products fold left-to-right in double on both engines, so
+cosine values compare bit-exact against the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_table
+from .dedup import SPARK_DOT, duck_cosine, spark_cosine
+
+DIM = 64
+QUERY_VEC_ID = 0
+N_PLANES = 8  # LSH hyperplanes -> 256 buckets
+N_CENTROIDS = 8  # IVF cells
+
+# Deterministic integer hyperplanes / centroids, inlined into both engines.
+HYPERPLANES = [
+    [((j * 31 + d * 17) % 13) - 6 for d in range(DIM)] for j in range(N_PLANES)
+]
+CENTROIDS = [
+    [((j * 37 + d * 11) % 9) - 4 for d in range(DIM)] for j in range(N_CENTROIDS)
+]
+
+
+def _spark_arr(v: list[int]) -> str:
+    return "array(" + ", ".join(f"{x}.0d" for x in v) + ")"
+
+
+def _duck_arr(v: list[int]) -> str:
+    return "[" + ", ".join(f"{x}.0" for x in v) + "]::DOUBLE[]"
+
+
+def spark_lsh_bucket(vec: str) -> str:
+    """8-bit bucket id: bit j = sign(dot(vec, plane_j))."""
+    terms = [
+        f"(case when {SPARK_DOT.format(a=vec, b=_spark_arr(p))} > 0 then {1 << j}L else 0L end)"
+        for j, p in enumerate(HYPERPLANES)
+    ]
+    return " + ".join(terms)
+
+
+def duck_lsh_bucket(vec: str) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product({vec}, {_duck_arr(p)}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(HYPERPLANES)
+    ]
+    return " + ".join(terms)
+
+
+def spark_ivf_cell(vec: str) -> str:
+    """1-based index of the nearest centroid (first-min tie-break).
+
+    d2(v, c) = |v|^2 - 2 v.c + |c|^2; |v|^2 is common -> argmin over
+    (|c|^2 - 2 v.c), exact in double for integer centroids.
+    """
+    dists = ", ".join(
+        f"({sum(x * x for x in c)}.0d - 2.0d * {SPARK_DOT.format(a=vec, b=_spark_arr(c))})"
+        for c in CENTROIDS
+    )
+    return f"array_position(array({dists}), array_min(array({dists})))"
+
+
+def duck_ivf_cell(vec: str) -> str:
+    dists = ", ".join(
+        f"({sum(x * x for x in c)}.0 - 2.0 * list_dot_product({vec}, {_duck_arr(c)}))"
+        for c in CENTROIDS
+    )
+    return f"list_indexof([{dists}], list_min([{dists}]))"
+
+
+def embeddings_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+
+
+DUCK_EMB = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings"
+DUCK_QVEC = f"SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}"
+
+
+@register(
+    "ann_knn_bruteforce",
+    oracle=f"""
+        SELECT vec_id, {duck_cosine('v', 'qv')} AS cosine
+        FROM ({DUCK_EMB}) CROSS JOIN ({DUCK_QVEC})
+        WHERE vec_id <> {QUERY_VEC_ID}
+        ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+    tier="llm",
+    doc="Exact cosine top-k for one query vector: broadcast the query, "
+    "scan once, TakeOrdered — the ANN correctness baseline.",
+)
+def q_ann_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = embeddings_double(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.expr(spark_cosine("v", "qv")).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "ann_lsh_bucket_histogram",
+    oracle=f"""
+        SELECT {duck_lsh_bucket('v')} AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ({DUCK_EMB}) GROUP BY 1
+    """,
+    tier="llm",
+    doc=f"LSH bucket assignment ({N_PLANES} hyperplanes, {2**N_PLANES} "
+    "buckets): per-row arithmetic, zero shuffle before the final count.",
+)
+def q_ann_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = embeddings_double(spark, sf_dir)
+    return (
+        e.withColumn("bucket", F.expr(spark_lsh_bucket("v")))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, v, {duck_lsh_bucket('v')} AS bucket FROM ({DUCK_EMB})),
+        q AS (SELECT v AS qv, bucket AS qbucket FROM e WHERE vec_id = {QUERY_VEC_ID})
+        SELECT vec_id, {duck_cosine('v', 'qv')} AS cosine
+        FROM e CROSS JOIN q
+        WHERE e.bucket = q.qbucket AND vec_id <> {QUERY_VEC_ID}
+        ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+    tier="llm",
+    doc="LSH-bucketed ANN top-k: search only the query's bucket. At scale "
+    "the table is stored partitioned by bucket, so this is a pruned scan "
+    "of ~1/256 of the data.",
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = embeddings_double(spark, sf_dir).withColumn("bucket", F.expr(spark_lsh_bucket("v")))
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != QUERY_VEC_ID))
+        .select("vec_id", F.expr(spark_cosine("v", "qv")).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "ann_ivf_cells",
+    oracle=f"""
+        SELECT CAST({duck_ivf_cell('v')} AS BIGINT) AS cell,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ({DUCK_EMB}) GROUP BY 1
+    """,
+    tier="llm",
+    doc=f"IVF coarse quantization: nearest of {N_CENTROIDS} fixed centroids "
+    "per vector (argmin over exact squared distances).",
+)
+def q_ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = embeddings_double(spark, sf_dir)
+    return (
+        e.withColumn("cell", F.expr(spark_ivf_cell("v")).cast("long"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, v, {duck_ivf_cell('v')} AS cell FROM ({DUCK_EMB})),
+        q AS (SELECT v AS qv, cell AS qcell FROM e WHERE vec_id = {QUERY_VEC_ID})
+        SELECT vec_id, {duck_cosine('v', 'qv')} AS cosine
+        FROM e CROSS JOIN q
+        WHERE e.cell = q.qcell AND vec_id <> {QUERY_VEC_ID}
+        ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+    tier="llm",
+    doc="IVF ANN top-k: probe only the query's cell (nprobe=1).",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = embeddings_double(spark, sf_dir).withColumn(
+        "cell", F.expr(spark_ivf_cell("v")).cast("long")
+    )
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("cell").alias("qcell")
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter((F.col("cell") == F.col("qcell")) & (F.col("vec_id") != QUERY_VEC_ID))
+        .select("vec_id", F.expr(spark_cosine("v", "qv")).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )

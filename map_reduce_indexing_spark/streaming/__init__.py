@@ -1,1 +1,1 @@
-"""Placeholder — filled in a later milestone."""
+from . import events  # noqa: F401  (registers streaming queries)

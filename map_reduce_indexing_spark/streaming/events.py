@@ -1,0 +1,227 @@
+"""Structured Streaming over the `events` fixture (SURVEY.md §2.9 EXT).
+
+The reference is strictly batch (one job per client request,
+worker.c:61-157); its only streaming-adjacent behavior is the
+append-mode master index (helper_reduce.c:241 `fopen(.., "a+")`).
+This module supplies the streaming tier:
+
+- tumbling-window aggregation with watermark (real readStream ->
+  memory sink, driven to completion synchronously for verification);
+- session windows (built-in `session_window`, oracle-checked against
+  a gaps-and-islands SQL formulation);
+- watermarked streaming dedup (`dropDuplicates`);
+- a custom stateful operator via applyInPandasWithState;
+- incremental index maintenance via foreachBatch append (the
+  streaming analogue of the reference's S4 sink) — see
+  `incremental_index_append` (exercised in tests; side-effecting,
+  so not a registered query).
+
+At scale the same code runs against Kafka/files with real triggers;
+watermarks bound state, and the partitioned-parquet append commits
+atomically per microbatch — fixing the reference's unlocked
+concurrent-append race (SURVEY.md §2.12).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+# Parquet-level schema: ts arrives as epoch-nanos long (nanosAsLong).
+EVENTS_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+SESSION_GAP = "5 minutes"
+WINDOW = "5 minutes"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet, ts normalized to
+    microsecond timestamps (same floor semantics as the batch source)."""
+    # The file source requires a directory; glob-filter to the one table.
+    raw = (
+        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def run_to_completion(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Drive a streaming aggregation over the (finite) file source to
+    completion via a memory sink; returns the result as a batch DF."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle=f"""
+        SELECT time_bucket(INTERVAL '{WINDOW}', ts) AS bucket_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    tier="streaming",
+    doc=f"Real Structured Streaming: watermarked {WINDOW} tumbling-window "
+    "counts per event_type, file source -> memory sink, driven to "
+    "completion synchronously. Complete mode over a finite source "
+    "equals the batch answer, which is what the oracle checks.",
+)
+def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", WINDOW), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    out = run_to_completion(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("bucket_start"), "event_type", "n", "total_value"
+    )
+
+
+@register(
+    "stream_session_windows",
+    oracle=f"""
+        WITH marked AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w > INTERVAL '{SESSION_GAP}'
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marked)
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, session_id
+    """,
+    tier="streaming",
+    doc=f"Session windows ({SESSION_GAP} gap) via the built-in "
+    "session_window, oracle-checked against a gaps-and-islands SQL "
+    "formulation. (Boundary note: an inter-event gap exactly equal to "
+    "the threshold closes the session in both formulations only for "
+    "strict inequality — microsecond data makes exact ties moot.)",
+)
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", SESSION_GAP), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
+        FROM events
+    """,
+    tier="streaming",
+    doc="Watermarked streaming dedup (dropDuplicates on event_id): state "
+    "is bounded by the watermark horizon; over the finite source the "
+    "surviving count equals COUNT(DISTINCT event_id).",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])
+    counted = deduped.groupBy().agg(F.count(F.lit(1)).alias("n_unique"))
+    out = run_to_completion(counted, "complete")
+    total = load_table(spark, sf_dir, "events").count()
+    return out.select(F.lit(total).cast("long").alias("n_events"), "n_unique")
+
+
+@register(
+    "stream_stateful_user_stats",
+    oracle=None,  # custom stateful operator: rows-only check
+    tier="streaming",
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+    "per-user running event count + max value kept in GroupState, "
+    "emitted in update mode. The non-SQL-expressible tier of §2.9.",
+)
+def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "value")
+
+    def update(key, pdfs, state: GroupState):
+        n, vmax = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                vmax = max(vmax, float(pdf["value"].max()))
+        state.update((n, vmax))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "max_value": [vmax]})
+
+    stats = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, max_value double",
+        stateStructType="n long, vmax double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_completion(stats, "update")
+
+
+def incremental_index_append(spark: SparkSession, sf_dir: str, index_path: str) -> None:
+    """Streaming incremental index maintenance (the reference's append
+    sink, helper_reduce.c:241, as a foreachBatch): each microbatch of
+    documents is normalized, aggregated, and appended to the
+    letter-partitioned parquet index with an atomic per-batch commit."""
+    from ..operators.indexing import build_postings, with_letter
+    from ..schemas import DOCUMENT
+
+    docs = (
+        spark.readStream.schema(DOCUMENT)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        postings = with_letter(build_postings(batch_df))
+        postings.write.mode("append").partitionBy("letter").parquet(index_path)
+
+    q = docs.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -1,0 +1,64 @@
+"""Dedup-tier queries vs the DuckDB oracle, plus semantic sanity checks."""
+
+from __future__ import annotations
+
+import pytest
+
+from map_reduce_indexing_spark.plans import registry
+
+from .conftest import SF_DIR, assert_df_matches_oracle
+
+ORACLE_QUERIES = [
+    "dedup_exact",
+    "dedup_exact_kept",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_embedding_pairs",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_dedup_query_matches_oracle(spark, duck, name):
+    q = registry.get(name)
+    assert_df_matches_oracle(q.fn(spark, SF_DIR), duck, q.oracle)
+
+
+def test_minhash_signatures_match_oracle(spark, duck):
+    q = registry.get("dedup_minhash_signatures")
+    sp = q.fn(spark, SF_DIR).toPandas()
+    du = duck.execute(q.oracle).fetchdf()
+    sp["sig"] = sp["sig"].map(list)
+    du["sig"] = du["sig"].map(list)
+    sp = sp.sort_values("doc_id", ignore_index=True)
+    du = du.sort_values("doc_id", ignore_index=True)
+    assert sp["doc_id"].tolist() == du["doc_id"].tolist()
+    assert sp["sig"].tolist() == du["sig"].tolist()
+
+
+def test_lsh_pairs_match_oracle(spark, duck):
+    q = registry.get("dedup_minhash_lsh_pairs")
+    assert_df_matches_oracle(q.fn(spark, SF_DIR), duck, q.oracle)
+
+
+def test_exact_dedup_finds_injected_dups(spark):
+    rows = registry.get("dedup_exact").fn(spark, SF_DIR).collect()
+    # the dup-injected corpus copies every doc_id % 3 == 0
+    assert all(r.n_copies >= 2 for r in rows)
+    assert len(rows) > 0
+
+
+def test_lsh_recall_against_exact_jaccard(spark):
+    """Every high-Jaccard pair should be an LSH candidate (recall check);
+    with 4x4 bands at J>=0.8 collision prob is ~1-(1-0.8^4)^4 ~ 0.88,
+    and near-identical pairs (J~1) collide with certainty."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in registry.get("dedup_ngram_jaccard").fn(spark, SF_DIR).collect()
+        if r.jaccard >= 0.95
+    }
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in registry.get("dedup_minhash_lsh_pairs").fn(spark, SF_DIR).collect()
+    }
+    assert exact <= cand, f"missed near-identical pairs: {exact - cand}"

@@ -1,0 +1,61 @@
+"""Similarity, text-analysis, and multimodal tiers vs the DuckDB oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from map_reduce_indexing_spark.operators.multimodal import decode_image_real
+from map_reduce_indexing_spark.plans import registry
+
+from .conftest import SF_DIR, assert_df_matches_oracle
+
+ORACLE_QUERIES = [
+    "ann_knn_bruteforce",
+    "ann_lsh_bucket_histogram",
+    "ann_lsh_topk",
+    "ann_ivf_cells",
+    "ann_ivf_topk",
+    "text_quality",
+    "text_langid",
+    "text_token_counts",
+    "multimodal_image_meta",
+    "multimodal_frame_sample",
+    "multimodal_corpus_bytes",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_llm_query_matches_oracle(spark, duck, name):
+    q = registry.get(name)
+    assert_df_matches_oracle(q.fn(spark, SF_DIR), duck, q.oracle)
+
+
+def test_fingerprint_matches_oracle(spark, duck):
+    q = registry.get("text_fingerprint")
+    sp = q.fn(spark, SF_DIR).toPandas()
+    du = duck.execute(q.oracle).fetchdf()
+    sp["fp"] = sp["fp"].map(list)
+    du["fp"] = du["fp"].map(list)
+    sp = sp.sort_values("doc_id", ignore_index=True)
+    du = du.sort_values("doc_id", ignore_index=True)
+    assert sp["doc_id"].tolist() == du["doc_id"].tolist()
+    assert sp["fp"].tolist() == du["fp"].tolist()
+
+
+def test_lsh_topk_is_subset_of_bruteforce_space(spark):
+    """LSH returns true neighbors from its bucket: its cosines must all
+    appear in the brute-force ranking's value set for those ids."""
+    brute = {
+        r.vec_id: r.cosine
+        for r in registry.get("ann_knn_bruteforce").fn(spark, SF_DIR).collect()
+    }
+    lsh = registry.get("ann_lsh_topk").fn(spark, SF_DIR).collect()
+    assert len(lsh) > 0
+    for r in lsh:
+        if r.vec_id in brute:
+            assert abs(brute[r.vec_id] - r.cosine) < 1e-12
+
+
+def test_real_decode_is_gated(spark):
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG....")

@@ -1,0 +1,54 @@
+"""Streaming tier: real Structured Streaming runs vs batch oracles."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from map_reduce_indexing_spark.plans import registry
+from map_reduce_indexing_spark.streaming.events import incremental_index_append
+
+from .conftest import SF_DIR, assert_df_matches_oracle
+
+ORACLE_QUERIES = [
+    "stream_tumbling_counts",
+    "stream_session_windows",
+    "stream_dedup",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_streaming_query_matches_oracle(spark, duck, name):
+    q = registry.get(name)
+    assert_df_matches_oracle(q.fn(spark, SF_DIR), duck, q.oracle)
+
+
+def test_stateful_user_stats(spark):
+    rows = registry.get("stream_stateful_user_stats").fn(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    # cross-check against the batch answer
+    batch = {
+        (r.user_id): (r.n, r.mx)
+        for r in __import__("map_reduce_indexing_spark.sources.tables", fromlist=["load_table"])
+        .load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    for r in rows:
+        n, mx = batch[r.user_id]
+        assert r.n_events == n
+        assert abs(r.max_value - mx) < 1e-9
+
+
+def test_incremental_index_append(spark, tmp_path):
+    path = str(tmp_path / "stream_index")
+    incremental_index_append(spark, SF_DIR, path)
+    idx = spark.read.parquet(path)
+    n = idx.count()
+    assert n > 0
+    # appending a second run doubles the postings (append semantics,
+    # the reference's fopen-a+ behavior)
+    incremental_index_append(spark, SF_DIR, path)
+    assert spark.read.parquet(path).count() == 2 * n
