@@ -1,0 +1,136 @@
+"""As-of (backward temporal) join — SURVEY.md §2.3 J6.
+
+The reference has no joins at all (SURVEY.md §2.3); this is part of the
+EXT tier: stream/event enrichment ("attach the latest right-side row at
+or before each left-side timestamp"), the classic attribution /
+point-in-time-correctness operator.
+
+Spark has no built-in as-of join, so it is composed from existing
+DataFrame ops (the SURVEY §2 "custom operator, option (a)" path):
+
+    union(tagged left, tagged right)
+      -> window over (key) ordered by (ts, side, tiebreak)
+      -> last(payload, ignorenulls) over rows UNBOUNDED PRECEDING..CURRENT
+      -> keep left rows whose carried payload is non-null
+
+This is the scalable formulation: ONE hash shuffle on the equality key
+(both inputs together), one sort within partitions — identical cost
+shape to a sort-merge join, with no per-left-row candidate explosion.
+The naive alternative (equi-join on key + range filter + row_number)
+materializes |left| x |matching right| intermediate rows, which at 100 TB
+with years of history per key is quadratic blow-up; this one is linear.
+Skewed keys are handled by AQE the same way any single-key shuffle is.
+
+Tie semantics: right rows sort BEFORE left rows at an equal timestamp,
+so a right row with right_ts == left_ts is visible (<= semantics, the
+DuckDB/pandas `ASOF JOIN` default). Among right rows with the same
+timestamp the largest tiebreak column wins, deterministically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+_SIDE = "__asof_side"
+_T = "__asof_t"
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+    tiebreak: str,
+) -> DataFrame:
+    """For every left row, attach `payload_cols` of the latest right row
+    with ``right[right_ts] <= left[left_ts]`` and equal `key` (inner:
+    left rows with no prior right row are dropped).
+
+    `payload_cols` must exist on `right` only (rename before calling for
+    self-joins); `tiebreak` must be one of them and orderable — among
+    right rows sharing a timestamp, the max-tiebreak row wins.
+    """
+    lt = left.withColumn(_SIDE, F.lit(1)).withColumn(_T, F.col(left_ts))
+    rt = right.select(
+        F.col(key),
+        F.col(right_ts).alias(_T),
+        F.lit(0).alias(_SIDE),
+        *[F.col(c) for c in payload_cols],
+    )
+    u = lt.unionByName(rt, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(_T), F.col(_SIDE), F.col(tiebreak))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        *[c for c in left.columns],
+        F.col(_SIDE),
+        *[F.last(c, ignorenulls=True).over(w).alias(f"__p_{c}") for c in payload_cols],
+    )
+    out = carried.filter((F.col(_SIDE) == 1) & F.col(f"__p_{tiebreak}").isNotNull())
+    for c in payload_cols:
+        out = out.withColumn(c, F.col(f"__p_{c}")).drop(f"__p_{c}")
+    return out.drop(_SIDE)
+
+
+@register(
+    "rel_join_asof",
+    oracle="""
+        SELECT event_id, user_id, ts, click_id, click_ts,
+               epoch_us(ts) - epoch_us(click_ts) AS lag_us
+        FROM (
+            SELECT p.event_id, p.user_id, p.ts,
+                   c.event_id AS click_id, c.ts AS click_ts,
+                   ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                      ORDER BY c.ts DESC, c.event_id DESC) AS rn
+            FROM events p
+            JOIN events c
+              ON c.user_id = p.user_id
+             AND c.ts <= p.ts
+             AND c.event_type = 'click'
+            WHERE p.event_type = 'purchase'
+        ) WHERE rn = 1
+    """,
+    tier="relational",
+    doc="As-of join (SURVEY.md §2.3 J6): attribute each purchase event to "
+    "the same user's latest preceding click. Union+window formulation — "
+    "one shuffle, no candidate-pair blow-up; the oracle uses the "
+    "quadratic join+row_number formulation, fine at sf0.01.",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_src_ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = asof_join_backward(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="click_src_ts",
+        payload_cols=["click_id", "click_ts"],
+        tiebreak="click_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "click_id",
+        "click_ts",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )

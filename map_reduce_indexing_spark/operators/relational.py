@@ -560,6 +560,69 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_q6_revenue",
+    oracle=f"""
+        SELECT {sql_dsum(f"{sql_dec('l_extendedprice')} * {sql_dec('l_discount')}", 'revenue')},
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """,
+    tier="relational",
+    doc="TPC-H Q6-style forecast-revenue: pure filter+aggregate. The "
+    "point at scale is pushdown — all four predicates reach the parquet "
+    "scan (PushedFilters) and only 4 of 11 columns are read (ReadSchema); "
+    "no shuffle beyond the single-row final agg.",
+)
+def q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum(dec("l_extendedprice") * dec("l_discount"), "revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+@register(
+    "rel_json_parse",
+    oracle=f"""
+        SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_decile,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum(sql_dec('value'), 'total_value')},
+               CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+               CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+        FROM events
+        GROUP BY 1
+    """,
+    tier="relational",
+    doc="Schema-on-read JSON (SURVEY.md §2.8 EXT): from_json the `props` "
+    "column into a typed struct (the generalization of the reference's "
+    "positional get_value_by_index text parsing, worker.c:231-249), then "
+    "aggregate on the parsed field. At scale from_json is JVM-side "
+    "(Jackson) inside codegen — no Python in the loop.",
+)
+def q_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k BIGINT"))
+    return (
+        parsed.withColumn("k_decile", F.col("p.k") % 10)
+        .groupBy("k_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(dec("value"), "total_value"),
+            F.min("p.k").alias("k_min"),
+            F.max("p.k").alias("k_max"),
+        )
+    )
+
+
+@register(
     "rel_topk_orders",
     oracle="""
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders

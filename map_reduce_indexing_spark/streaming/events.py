@@ -202,6 +202,126 @@ def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(stats, "update")
 
 
+@register(
+    "stream_interval_join",
+    oracle="""
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+               p.ts AS purchase_ts, c.ts AS click_ts
+        FROM events p JOIN events c
+          ON c.user_id = p.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL '10 minutes' AND c.ts <= p.ts
+    """,
+    tier="streaming",
+    doc="Stream-stream interval join (SURVEY.md §2.3 J6 streaming / §2.9): "
+    "every click within 10 minutes before a purchase by the same user, "
+    "two watermarked file-source streams, append mode. Watermarks + the "
+    "two-sided time bound let Spark expire join state, so state stays "
+    "bounded on an unbounded stream; over the finite fixture the result "
+    "equals the batch range join the oracle computes.",
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    c = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    )
+    out = run_to_completion(
+        joined.select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts"),
+        "append",
+    )
+    return out
+
+
+def _postings_oracle() -> str:
+    from ..operators.indexing import POSTINGS_SQL
+
+    return POSTINGS_SQL
+
+
+@register(
+    "stream_incremental_index",
+    # Same oracle as the batch index build: the incrementally-maintained
+    # index must converge to the batch answer.
+    oracle=_postings_oracle(),
+    tier="streaming",
+    doc="Incremental index maintenance (streaming S4, the reference's "
+    "append-mode master index helper_reduce.c:241): documents staged as "
+    "many files, streamed one file per microbatch, each batch's postings "
+    "appended to the letter-partitioned parquet index via foreachBatch; "
+    "the final index is then re-aggregated to per-(word,doc) counts and "
+    "must hash-match the batch oracle. Per-batch append commits are "
+    "atomic, fixing the reference's unlocked concurrent-append race.",
+)
+def q_stream_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.indexing import build_postings, with_letter
+    from ..schemas import DOCUMENT
+
+    workdir = tempfile.mkdtemp(prefix="mri_stream_index_")
+    staging = os.path.join(workdir, "staging")
+    index_path = os.path.join(workdir, "index")
+
+    # Stage the documents table as several files so the file source
+    # produces several microbatches (one per file).
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs.repartition(4).write.mode("overwrite").parquet(staging)
+
+    stream = (
+        spark.readStream.schema(DOCUMENT)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        postings = with_letter(build_postings(batch_df))
+        postings.write.mode("append").partitionBy("letter").parquet(index_path)
+
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+    # Each microbatch appended its own partial counts; the index read
+    # re-aggregates them (the streaming analogue of the reference's
+    # reduce-side merge). Materialize before returning so the caller's
+    # DataFrame doesn't dangle on the temp dir.
+    final = (
+        spark.read.parquet(index_path)
+        .groupBy("word", "doc_id")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select("word", "doc_id", "cnt")
+    )
+    rows = final.collect()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema=final.schema)
+
+
 def incremental_index_append(spark: SparkSession, sf_dir: str, index_path: str) -> None:
     """Streaming incremental index maintenance (the reference's append
     sink, helper_reduce.c:241, as a foreachBatch): each microbatch of

@@ -27,6 +27,9 @@ RELATIONAL_QUERIES = [
     "rel_set_ops",
     "rel_scalar_functions",
     "rel_topk_orders",
+    "rel_q6_revenue",
+    "rel_json_parse",
+    "rel_join_asof",
 ]
 
 
@@ -41,6 +44,41 @@ def test_approx_distinct_close_to_exact(spark):
     exact = registry.get("rel_distinct_counts").fn(spark, SF_DIR).head()
     assert abs(approx.approx_parts - exact.n_parts) / exact.n_parts < 0.05
     assert abs(approx.approx_orders - exact.n_orders) / exact.n_orders < 0.05
+
+
+def test_asof_join_semantics(spark):
+    """Pin as-of tie/boundary semantics on a hand-built frame:
+    equal timestamps match (<=), latest-at-or-before wins, max-tiebreak
+    wins among same-timestamp right rows, unmatched left rows drop."""
+    from datetime import datetime
+
+    from map_reduce_indexing_spark.operators.asof import asof_join_backward
+
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            (1, t("2024-01-01T00:10:00"), 100),  # after r2 -> picks rid 21
+            (1, t("2024-01-01T00:05:00"), 101),  # ties r2 exactly -> rid 21
+            (1, t("2024-01-01T00:01:00"), 102),  # only r1 before -> rid 10
+            (2, t("2024-01-01T00:00:30"), 103),  # no right row before -> drop
+        ],
+        "k long, ts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t("2024-01-01T00:00:00"), 10),
+            (1, t("2024-01-01T00:05:00"), 20),  # same ts as next: max rid wins
+            (1, t("2024-01-01T00:05:00"), 21),
+            (2, t("2024-01-01T00:01:00"), 30),
+        ],
+        "k long, rts timestamp, rid long",
+    )
+    out = asof_join_backward(
+        left, right, key="k", left_ts="ts", right_ts="rts",
+        payload_cols=["rid"], tiebreak="rid",
+    )
+    got = {r.lid: r.rid for r in out.collect()}
+    assert got == {100: 21, 101: 21, 102: 10}
 
 
 def test_q5_broadcasts_dims(spark):

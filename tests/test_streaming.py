@@ -15,6 +15,8 @@ ORACLE_QUERIES = [
     "stream_tumbling_counts",
     "stream_session_windows",
     "stream_dedup",
+    "stream_interval_join",
+    "stream_incremental_index",
 ]
 
 

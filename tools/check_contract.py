@@ -4,7 +4,9 @@ Runs entry(spark) as a smoke check, then every queries() entry at the
 given sf dir and compares row-count + column set + order-insensitive
 value frame against oracle_sql() via DuckDB. Usage:
 
-    python tools/check_contract.py [sf_dir]
+    python tools/check_contract.py [sf_dir] [query_name ...]
+
+With query names given, checks only those (fast iteration loop).
 """
 
 from __future__ import annotations
@@ -43,11 +45,16 @@ def main() -> int:
     for t in FIXTURE_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    rows = entrymod.entry(spark).collect()
-    print(f"entry(): {len(rows)} rows  schema ok" if rows else "entry(): EMPTY", flush=True)
-    status = 0 if rows else 1
+    only = set(sys.argv[2:])
+    status = 0
+    if not only:
+        rows = entrymod.entry(spark).collect()
+        print(f"entry(): {len(rows)} rows  schema ok" if rows else "entry(): EMPTY", flush=True)
+        status = 0 if rows else 1
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if only:
+        qs = {n: f for n, f in qs.items() if n in only}
     for name, fn in qs.items():
         try:
             if name in oracles:
