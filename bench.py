@@ -50,6 +50,15 @@ def main() -> None:
     spark = get_spark(app_name="mri-bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     times: dict[str, float] = {}
+    if not explain:
+        # Unmeasured warmup pass: JIT/codegen compilation, parquet footer
+        # cache, Python-worker (Arrow) spin-up. The reference baseline was
+        # measured warm (BASELINE.md: "warm page cache"), so the timed pass
+        # below is the comparable steady-state figure.
+        for name in HEADLINE:
+            registry.get(name).fn(spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
     for name in HEADLINE:
         q = registry.get(name)
         if explain:

@@ -40,18 +40,19 @@ def tokenize(df: DataFrame, text_col: str = "text", out_col: str = "word") -> Da
 
     Keeps all other columns; the exploded column is `out_col`.
 
-    Physical shape: explode the raw split FIRST, then normalize each
-    token as a plain row-level expression — everything stays in
-    whole-stage codegen. (Normalizing inside the array via
-    transform/filter HOFs is semantically identical but interpreted,
-    ~5x slower on the hot path, measured at sf0.1.)
+    Physical shape: run the character-strip regex ONCE over the whole
+    lowered document, then split/explode. Deleting characters that are
+    not separators can neither create nor destroy a space/newline
+    boundary, so this is exactly equivalent to stripping within each
+    token after the split (rule 3) — but it is one regex pass per
+    document instead of one per token: measured 3-5x faster than the
+    per-token formulation on a 95 MB corpus (2s vs 7-11s, local[32]),
+    and ~10x faster than transform/filter array HOFs (interpreted, not
+    codegen). Equivalence is property-tested in test_tokenizer.py.
     """
-    raw = df.withColumn(
-        out_col, F.explode(F.split(F.lower(F.col(text_col)), "[ \n]", -1))
-    )
-    return raw.withColumn(out_col, F.regexp_replace(out_col, "[^a-z]", "")).filter(
-        F.col(out_col) != ""
-    )
+    cleaned = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z \n]", "")
+    raw = df.withColumn(out_col, F.explode(F.split(cleaned, "[ \n]", -1)))
+    return raw.filter(F.col(out_col) != "")
 
 
 # DuckDB-side rendering of the same rules, used by oracle SQL strings.

@@ -85,3 +85,16 @@ def test_q5_broadcasts_dims(spark):
     df = registry.get("rel_q5_local_supplier").fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_q6_pushdown_and_pruning(spark):
+    """Predicates reach the parquet scan and only the 4 referenced
+    columns (of 11) are read — the scan-efficiency contract that makes
+    this query IO-bound-only at 100 TB."""
+    df = registry.get("rel_q6_revenue").fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull" in plan
+    scan_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_quantity" in scan_schema and "l_shipdate" in scan_schema
+    for unused in ("l_orderkey", "l_returnflag", "l_tax", "l_partkey"):
+        assert unused not in scan_schema

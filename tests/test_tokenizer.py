@@ -12,7 +12,7 @@ import subprocess
 
 import pytest
 
-from map_reduce_indexing_spark.functions.text import normalize_tokens_expr
+from map_reduce_indexing_spark.functions.text import normalize_tokens_expr, tokenize
 
 MAP_PIPELINE = (
     "tr ' ' '\\n' | tr '[:upper:]' '[:lower:]' | sed -e 's/[^a-z]//g' "
@@ -63,6 +63,15 @@ def test_spark_matches_shell_pipeline(spark, text):
     assert got == python_tokens(text)  # order-preserving check too
 
 
+@pytest.mark.parametrize("text", CASES)
+def test_tokenize_hot_path_matches_shell_pipeline(spark, text):
+    """The production explode path (per-document regex formulation,
+    functions/text.py:tokenize) against the same shell oracle."""
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    words = [r.word for r in tokenize(df).select("word").collect()]
+    assert collections.Counter(words) == shell_counts(text)
+
+
 def test_property_random_ascii(spark):
     import random
 
@@ -73,3 +82,28 @@ def test_property_random_ascii(spark):
     rows = df.select("text", normalize_tokens_expr("text").alias("toks")).collect()
     for r in rows:
         assert collections.Counter(r.toks) == shell_counts(r.text), repr(r.text)
+
+
+def test_property_tokenize_equals_array_path(spark):
+    """The per-document-regex explode path and the per-token array path
+    are provably equivalent (deleting non-separator chars cannot move a
+    token boundary); property-check it on random strings."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abcDEF '-.!42\t\n xyz"
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120)))
+        for _ in range(80)
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    via_tokenize = {
+        (r.doc_id, r.word): r.cnt
+        for r in tokenize(df).groupBy("doc_id", "word").count().withColumnRenamed("count", "cnt").collect()
+    }
+    rows = df.select("doc_id", normalize_tokens_expr("text").alias("toks")).collect()
+    via_array: dict[tuple[int, str], int] = {}
+    for r in rows:
+        for w, n in collections.Counter(r.toks).items():
+            via_array[(r.doc_id, w)] = n
+    assert via_tokenize == via_array
