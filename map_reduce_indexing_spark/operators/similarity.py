@@ -171,6 +171,79 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_BATCH_QUERIES = 8
+BATCH_K = 10
+
+
+@register(
+    "ann_knn_batch_numpy",
+    # No SQL oracle: BLAS reorders the double summation, so cosines differ
+    # from a left-to-right SQL fold in the last ulp and would break the
+    # driver's stringified-value hash. Correctness is instead pinned by
+    # tests/test_llm_ops.py::test_knn_batch_numpy_matches_sql, which
+    # checks this path against the SQL brute-force query within 1e-9.
+    oracle=None,
+    tier="llm",
+    doc="Batch multi-query exact KNN (SURVEY.md §2.10 applyInPandas "
+    "surface): score all vectors against 8 query vectors at once with "
+    "one numpy/BLAS matmul per IVF cell (grouped map, Arrow-batched), "
+    "keep a per-cell partial top-k per query, then merge with a window. "
+    "This is the batch-scoring shape for 100 TB: per-partition dense "
+    "matmul amortizes Python/Arrow overhead over the whole cell, and "
+    "the partial top-k bounds the shuffle to cells x queries x k rows.",
+)
+def q_ann_knn_batch_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    e = embeddings_double(spark, sf_dir).withColumn(
+        "cell", F.expr(spark_ivf_cell("v")).cast("long")
+    )
+    qrows = (
+        e.filter(F.col("vec_id") < N_BATCH_QUERIES)
+        .select("vec_id", "v")
+        .collect()
+    )
+    q_ids = np.array([r.vec_id for r in qrows])
+    Q = np.array([r.v for r in qrows], dtype=np.float64)  # (q, dim)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack(pdf["v"].values).astype(np.float64)  # (n, dim)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        C = Mn @ Qn.T  # (n, q) cosines
+        out = []
+        vec_ids = pdf["vec_id"].values
+        for qi, q_id in enumerate(q_ids):
+            col = C[:, qi]
+            mask = vec_ids != q_id
+            cand_ids, cand_cos = vec_ids[mask], col[mask]
+            take = min(BATCH_K, len(cand_ids))
+            if take == 0:
+                continue
+            part = np.argpartition(-cand_cos, take - 1)[:take]
+            out.append(
+                pd.DataFrame(
+                    {"q_id": q_id, "vec_id": cand_ids[part], "cosine": cand_cos[part]}
+                )
+            )
+        if not out:
+            return pd.DataFrame({"q_id": [], "vec_id": [], "cosine": []})
+        return pd.concat(out, ignore_index=True)
+
+    partial = e.groupBy("cell").applyInPandas(
+        score_cell, schema="q_id long, vec_id long, cosine double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BATCH_K)
+        .select("q_id", "vec_id", "cosine", "rn")
+    )
+
+
 @register(
     "ann_ivf_cells",
     oracle=f"""

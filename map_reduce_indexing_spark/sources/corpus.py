@@ -19,7 +19,9 @@ def read_corpus_dir(spark: SparkSession, glob_path: str) -> DataFrame:
     One row per document (`wholetext`), mirroring the reference's
     one-file-one-job model but scanned in parallel.
     """
-    raw = spark.read.option("wholetext", True).text(glob_path)
+    # NB: must pass wholetext as the .text() kwarg — PySpark's .text()
+    # sets the option itself and would override .option("wholetext").
+    raw = spark.read.text(glob_path, wholetext=True)
     fname = F.input_file_name()
     return raw.select(
         F.regexp_extract(fname, r"([^/]+?)(\.[^./]*)?$", 1).alias("doc_id"),

@@ -58,6 +58,38 @@ def test_index_write_and_pruned_lookup(spark, tmp_path):
     assert read_index(spark, path).count() == 2 * postings.count()
 
 
+def test_corpus_dir_roundtrip(spark, tmp_path):
+    """S1/S2/P7 (SURVEY.md §2.1-2.2): read a `<collection>/<doc>` text
+    tree wholetext, derive doc_id by stripping dirs+extension
+    (worker.c:285-302 semantics), and index it end-to-end."""
+    from map_reduce_indexing_spark.sources.corpus import read_corpus_dir
+
+    files = {
+        ("tragedies", "hamlet.txt"): "To be or not to be\nthat is the Question",
+        ("tragedies", "macbeth.txt"): "Double, double toil and trouble!",
+        ("comedies", "tempest.txt"): "We are such stuff\nas dreams are made on",
+    }
+    for (coll, name), text in files.items():
+        d = tmp_path / "data" / coll
+        d.mkdir(parents=True, exist_ok=True)
+        (d / name).write_text(text)
+
+    corpus = read_corpus_dir(spark, str(tmp_path / "data" / "*" / "*"))
+    rows = {r.doc_id: (r.collection, r.text) for r in corpus.collect()}
+    assert set(rows) == {"hamlet", "macbeth", "tempest"}
+    assert rows["hamlet"] == ("tragedies", files[("tragedies", "hamlet.txt")])
+
+    postings = build_postings(corpus, doc_col="doc_id")
+    got = {(r.word, r.doc_id): r.cnt for r in postings.collect()}
+    expected: dict[tuple[str, str], int] = collections.Counter()
+    for (coll, name), text in files.items():
+        for t in python_tokens(text):
+            expected[(t, name.rsplit(".", 1)[0])] += 1
+    assert got == dict(expected)
+    assert got[("question", "hamlet")] == 1  # lowercased
+    assert got[("double", "macbeth")] == 2  # punctuation stripped
+
+
 def test_registered_index_queries_match_oracle(spark, duck):
     for name in (
         "index_postings",

@@ -56,6 +56,26 @@ def test_lsh_topk_is_subset_of_bruteforce_space(spark):
             assert abs(brute[r.vec_id] - r.cosine) < 1e-12
 
 
+def test_knn_batch_numpy_matches_sql(spark):
+    """The applyInPandas/numpy batch-KNN path must reproduce the SQL
+    brute-force top-k for the shared query vector (BLAS summation order
+    differs, hence the tolerance instead of a DuckDB hash oracle)."""
+    brute = registry.get("ann_knn_bruteforce").fn(spark, SF_DIR).collect()
+    batch = registry.get("ann_knn_batch_numpy").fn(spark, SF_DIR).collect()
+    q0 = sorted(
+        ((r.vec_id, r.cosine) for r in batch if r.q_id == 0),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert [v for v, _ in q0] == [r.vec_id for r in brute]
+    for (_, got), want in zip(q0, brute):
+        assert abs(got - want.cosine) < 1e-9
+    # every query id produced a full top-k
+    qids = {r.q_id for r in batch}
+    assert len(qids) == 8
+    for q in qids:
+        assert sum(1 for r in batch if r.q_id == q) == 10
+
+
 def test_real_decode_is_gated(spark):
     with pytest.raises(NotImplementedError):
         decode_image_real(b"\x89PNG....")
