@@ -52,8 +52,20 @@ def write_index(postings: DataFrame, path: str, mode: str = "overwrite") -> None
     (helper_reduce.c:238-257) become Hive partitions `letter=a/..`;
     term lookups then prune 25/26 of the data (partition pruning is
     automatic on a `letter = 'x'` predicate).
+
+    Rows are sorted by word within each written file — the reference's
+    reduce-side `| sort` (helper_reduce.c:153, SURVEY.md §2.6 O1/O2).
+    Beyond parity, sorted parquet gives word min/max zone maps per row
+    group, so a `word = 'x'` lookup skips row groups inside the letter
+    partition too.
     """
-    with_letter(postings).write.mode(mode).partitionBy("letter").parquet(path)
+    (
+        with_letter(postings)
+        .sortWithinPartitions("letter", "word")
+        .write.mode(mode)
+        .partitionBy("letter")
+        .parquet(path)
+    )
 
 
 def read_index(spark: SparkSession, path: str) -> DataFrame:

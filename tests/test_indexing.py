@@ -53,6 +53,13 @@ def test_index_write_and_pruned_lookup(spark, tmp_path):
     assert sorted((r.doc_id, r.cnt) for r in hit.select("doc_id", "cnt").collect()) == sorted(
         (r.doc_id, r.cnt) for r in direct.collect()
     )
+    # rows inside each written file are word-sorted (the reference's
+    # reduce-side `| sort`, helper_reduce.c:153) -> parquet zone maps
+    import glob
+
+    part_file = sorted(glob.glob(f"{path}/letter=*/*.parquet"))[0]
+    words = [r.word for r in spark.read.parquet(part_file).collect()]
+    assert words == sorted(words)
     # append mode works (the reference's fopen(.., "a+") helper_reduce.c:241)
     write_index(postings, path, mode="append")
     assert read_index(spark, path).count() == 2 * postings.count()
