@@ -31,6 +31,8 @@ HEADLINE = [
     "rel_q1_pricing_summary",  # wide agg
     "rel_q3_shipping_priority",  # 3-way join + topk
     "rel_q5_local_supplier",   # 6-way star join
+    "rel_q18_large_orders",    # join + agg + having + topk
+    "rel_join_asof",           # as-of join (union+window)
     "rel_window_running_total",  # window
     "dedup_exact_kept",        # content-hash dedup
     "dedup_minhash_signatures",  # sketch build (array-expr pipeline)

@@ -623,6 +623,66 @@ def q_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_q17_small_quantity",
+    oracle=f"""
+        SELECT {sql_dsum(sql_dec('l_extendedprice'), 'total_price')},
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        WHERE l_quantity < (
+            SELECT 0.5 * AVG(l_quantity) FROM lineitem i
+            WHERE i.l_partkey = lineitem.l_partkey)
+    """,
+    tier="relational",
+    doc="TPC-H Q17-style correlated aggregate subquery: lineitems below "
+    "half their part's average quantity. Catalyst decorrelates into an "
+    "aggregate + equi-join — no per-row re-execution; at scale this is "
+    "one extra shuffle on l_partkey, not O(rows) subquery probes.",
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("v_lineitem_q17")
+    return spark.sql(
+        f"""
+        SELECT CAST(SUM({sql_dec('l_extendedprice')}) AS DOUBLE) AS total_price,
+               COUNT(*) AS n_items
+        FROM v_lineitem_q17
+        WHERE l_quantity < (
+            SELECT 0.5 * AVG(l_quantity) FROM v_lineitem_q17 i
+            WHERE i.l_partkey = v_lineitem_q17.l_partkey)
+        """
+    )
+
+
+@register(
+    "rel_q18_large_orders",
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_custkey
+        HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 150
+        ORDER BY total_qty DESC, o_orderkey LIMIT 50
+    """,
+    tier="relational",
+    doc="TPC-H Q18-style large-volume orders: join + groupBy + HAVING + "
+    "top-k. The HAVING filter runs post-aggregation where cardinality "
+    "has already collapsed to |orders|; top-k is TakeOrderedAndProject.",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.sum(dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("o_orderkey", "o_custkey", F.col("q").cast("double").alias("total_qty"))
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(50)
+    )
+
+
+@register(
     "rel_topk_orders",
     oracle="""
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders

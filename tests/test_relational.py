@@ -30,6 +30,8 @@ RELATIONAL_QUERIES = [
     "rel_q6_revenue",
     "rel_json_parse",
     "rel_join_asof",
+    "rel_q17_small_quantity",
+    "rel_q18_large_orders",
 ]
 
 
