@@ -23,6 +23,8 @@ token count; AQE skew handling covers the residual imbalance.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.text import duckdb_tokens_sql, tokenize
@@ -70,6 +72,33 @@ def write_index(postings: DataFrame, path: str, mode: str = "overwrite") -> None
 
 def read_index(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def compact_index(spark: SparkSession, path: str) -> None:
+    """Merge appended partial postings: re-aggregate to one row per
+    (word, doc) and rewrite the index.
+
+    Append-mode maintenance (batch re-index of changed docs, streaming
+    foreachBatch) accumulates one partial-count row per (word, doc)
+    PER APPEND — reads stay correct only if they re-aggregate, and file
+    counts grow without bound. Compaction is the standard log-structured
+    fix. The rewrite stages to a sibling directory and swaps via rename
+    (read-then-overwrite of the same path would corrupt the source
+    mid-scan); on a production filesystem the swap is the same atomic
+    namespace rename every commit protocol relies on.
+    """
+    import shutil
+    import tempfile
+
+    merged = (
+        read_index(spark, path)
+        .groupBy("word", "doc_id")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    staging = tempfile.mkdtemp(prefix="mri_compact_", dir=os.path.dirname(path) or ".")
+    write_index(merged, staging, mode="overwrite")
+    shutil.rmtree(path)
+    os.replace(staging, path)
 
 
 def postings_for(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,6 +170,42 @@ def q_index_letter_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_letter(postings_for(spark, sf_dir))
         .groupBy("letter")
         .agg(F.count(F.lit(1)).alias("n_postings"), F.sum("cnt").alias("n_tokens"))
+    )
+
+
+N_SALT = 16
+
+
+@register(
+    "index_vocabulary_topk_salted",
+    oracle=(
+        "SELECT word, CAST(SUM(cnt) AS BIGINT) AS total, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs "
+        f"FROM ({POSTINGS_SQL}) GROUP BY word "
+        "ORDER BY total DESC, word LIMIT 25"
+    ),
+    tier="implied",
+    doc="Salted two-phase variant of index_vocabulary_topk, same oracle: "
+    f"phase 1 aggregates (word, salt=hash(doc) % {N_SALT}) so a Zipf-hot "
+    "word ('the' ~5% of all tokens) spreads over 16 reducers; phase 2 "
+    "merges the 16 partials per word. For plain sums Spark's map-side "
+    "partial agg already flattens skew; the salt is the pattern for "
+    "aggregates with heavy per-key state (exact distinct sets, "
+    "collect_list, percentile buffers) where one reducer would "
+    "otherwise hold the hot key's entire state alone.",
+)
+def q_index_vocabulary_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = postings_for(spark, sf_dir)
+    phase1 = (
+        p.withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(N_SALT)))
+        .groupBy("word", "salt")
+        .agg(F.sum("cnt").alias("pt"), F.count(F.lit(1)).alias("pd"))
+    )
+    return (
+        phase1.groupBy("word")
+        .agg(F.sum("pt").alias("total"), F.sum("pd").alias("n_docs"))
+        .orderBy(F.desc("total"), "word")
+        .limit(25)
     )
 
 

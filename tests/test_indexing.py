@@ -63,6 +63,22 @@ def test_index_write_and_pruned_lookup(spark, tmp_path):
     # append mode works (the reference's fopen(.., "a+") helper_reduce.c:241)
     write_index(postings, path, mode="append")
     assert read_index(spark, path).count() == 2 * postings.count()
+    # compaction merges the appended partials back to one row per
+    # (word, doc) with summed counts
+    from map_reduce_indexing_spark.operators.indexing import compact_index
+
+    compact_index(spark, path)
+    compacted = read_index(spark, path)
+    assert compacted.count() == postings.count()
+    doubled = {
+        (r.word, r.doc_id): r.cnt
+        for r in compacted.filter(F.col("word") == "spark").collect()
+    }
+    original = {
+        (r.word, r.doc_id): r.cnt
+        for r in postings.filter(F.col("word") == "spark").collect()
+    }
+    assert doubled == {k: 2 * v for k, v in original.items()}
 
 
 def test_corpus_dir_roundtrip(spark, tmp_path):

@@ -84,6 +84,26 @@ def test_property_random_ascii(spark):
         assert collections.Counter(r.toks) == shell_counts(r.text), repr(r.text)
 
 
+def test_differential_vs_python_oracle_full_ascii(spark):
+    """Differential test over the full control+printable ASCII range:
+    the Spark expression chain must equal the pure-python rendering of
+    the §0.1 rules (seeded generation so the corpus is reproducible;
+    one Spark job over the whole batch keeps this fast)."""
+    import random
+
+    rng = random.Random(123)
+    alphabet = "".join(chr(c) for c in range(0x09, 0x7F))
+    examples = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60)))
+        for _ in range(50)
+    ] + ["a\tb", "A  B", "''", "\n\n", "x-y z"]
+    df = spark.createDataFrame(list(enumerate(examples)), "i long, text string")
+    rows = df.select("i", normalize_tokens_expr("text").alias("toks")).collect()
+    by_i = {r.i: r.toks for r in rows}
+    for i, text in enumerate(examples):
+        assert by_i[i] == python_tokens(text), repr(text)
+
+
 def test_property_tokenize_equals_array_path(spark):
     """The per-document-regex explode path and the per-token array path
     are provably equivalent (deleting non-separator chars cannot move a
