@@ -160,6 +160,108 @@ def q_search_topk_per_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHRASE = ("table", "hash")  # adjacent in the fixture vocabulary at every sf
+
+# One row per token occurrence with its ordinal position (0-based) in the
+# normalized token sequence: posexplode over the already-filtered token
+# array, so positions are dense ordinals.
+POSITIONAL_TOKENS = (
+    "posexplode(filter(split(regexp_replace(lower(text), '[^a-z \\n]', ''), "
+    "'[ \\n]', -1), t -> t != ''))"
+)
+
+DUCK_TOKENS_LIST_POS = (
+    "list_filter(list_transform(string_split(lower(replace(text, chr(10), ' ')), ' '), "
+    "t -> regexp_replace(t, '[^a-z]', '', 'g')), t -> t <> '')"
+)
+
+
+def positional_postings(docs: DataFrame) -> DataFrame:
+    """(word, doc_id, pos): the positional index the phrase query needs.
+
+    The reference's index keeps only counts (helper_reduce.c:149-155);
+    positions are the standard extension that unlocks phrase/proximity
+    search. Storage doubles per occurrence (pos column) but the layout,
+    partitioning, and lookup path are identical to the count index.
+    """
+    return docs.select(
+        "doc_id", F.expr(POSITIONAL_TOKENS).alias("pos", "word")
+    ).select("word", "doc_id", "pos")
+
+
+@register(
+    "search_phrase",
+    oracle=f"""
+        SELECT doc_id FROM (
+            SELECT doc_id, {DUCK_TOKENS_LIST_POS} AS tl FROM documents)
+        WHERE len(list_filter(range(1, len(tl)),
+                  i -> tl[i] = '{PHRASE[0]}' AND tl[i+1] = '{PHRASE[1]}')) > 0
+    """,
+    tier="implied",
+    doc=f"Phrase search '{PHRASE[0]} {PHRASE[1]}' over a positional index: "
+    "per-term position lists equi-join on doc with pos_b = pos_a + 1. "
+    "At scale each side is a partition-pruned, word-pushed-down scan of "
+    "the positional index; the join keys on doc_id.",
+)
+def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    pp = positional_postings(load_table(spark, sf_dir, "documents"))
+    a = pp.filter(F.col("word") == PHRASE[0]).select("doc_id", F.col("pos").alias("pa"))
+    b = pp.filter(F.col("word") == PHRASE[1]).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
+    )
+    return (
+        a.join(b, (a.doc_id == b.doc_b) & (b.pb == a.pa + 1))
+        .select("doc_id")
+        .distinct()
+    )
+
+
+@register(
+    "search_tfidf_rank",
+    oracle=f"""
+        WITH p AS ({POSTINGS_SQL}),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM p),
+        df AS (SELECT word, COUNT(*) AS df FROM p
+               WHERE word IN ('{TERM_A}', '{TERM_B}') GROUP BY word)
+        SELECT doc_id,
+               ROUND(SUM(p.cnt * ln(CAST(n.n_docs AS DOUBLE) / df.df)), 6) AS score
+        FROM p JOIN df ON p.word = df.word CROSS JOIN n
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    tier="implied",
+    doc="TF-IDF ranked multi-term search: score(d) = sum_t tf * ln(N/df). "
+    "df and N are tiny aggregates (broadcast); the score is one pass "
+    "over the matching posting lists. Score rounded to 6 dp on both "
+    "engines so the libm ln folding compares exactly.",
+)
+def q_search_tfidf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = postings_for(spark, sf_dir)
+    n = p.agg(F.countDistinct("doc_id").alias("n_docs"))
+    df = (
+        p.filter(F.col("word").isin([TERM_A, TERM_B]))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        p.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("cnt") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                ),
+                6,
+            ).alias("score")
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+    )
+
+
 @register(
     "search_doc_tf_vector",
     oracle=(

@@ -15,7 +15,40 @@ SEARCH_QUERIES = [
     "search_not",
     "search_term_topk",
     "search_topk_per_term",
+    "search_phrase",
+    "search_tfidf_rank",
 ]
+
+
+def test_phrase_search_positional_semantics(spark):
+    """Pin adjacency semantics on a hand-built corpus: phrase matches
+    only consecutive normalized tokens, across punctuation but not
+    across an intervening word."""
+    from map_reduce_indexing_spark.operators.search import positional_postings
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the table hash join"),  # match
+            (2, "table of hash"),  # no: intervening token
+            (3, "TABLE! hash."),  # match: normalization first
+            (4, "hash table"),  # no: wrong order
+        ],
+        "doc_id long, text string",
+    )
+    pp = positional_postings(docs)
+    a = pp.filter(F.col("word") == "table").select("doc_id", F.col("pos").alias("pa"))
+    b = pp.filter(F.col("word") == "hash").select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
+    )
+    hits = sorted(
+        r.doc_id
+        for r in a.join(b, (a.doc_id == b.doc_b) & (b.pb == a.pa + 1))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    assert hits == [1, 3]
 
 
 @pytest.mark.parametrize("name", SEARCH_QUERIES)
