@@ -112,7 +112,109 @@ def sample_frames(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(op, schema="doc_id long, frame_idx long, frame_len long")
 
 
+RESIZE_BOX = (64, 48)  # target (width, height) bounding box
+EMBED_DIM = 16
+
+
+def resize_images(blobs: DataFrame) -> DataFrame:
+    """(doc_id, blob) -> (doc_id, width, height, new_w, new_h, out_bytes):
+    scale-to-fit resize. The pixel resample is part of the stubbed decode
+    (out payload = new_w * new_h fake bytes); the dimension arithmetic,
+    Arrow plumbing, and binary-out schema are real."""
+    bw, bh = RESIZE_BOX
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_cols = ("doc_id", "width", "height", "new_w", "new_h", "out_bytes")
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in out_cols}
+            for doc_id, data in zip(pdf["doc_id"], pdf["blob"]):
+                _, _, w, h = _fake_decode_meta(data)
+                scale = min(bw / w, bh / h)
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                for c, v in zip(out_cols, (doc_id, w, h, nw, nh, nw * nh)):
+                    out[c].append(v)
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(
+        op,
+        schema="doc_id long, width long, height long, new_w long, new_h long, out_bytes long",
+    )
+
+
+def embed_blobs(blobs: DataFrame) -> DataFrame:
+    """(doc_id, blob) -> (doc_id, emb array<double>[EMBED_DIM]): the
+    feature-extraction stage. The 'model' is a deterministic md5-based
+    stub (v[i] = (digest_byte_i - 128) / 128, exact dyadic doubles);
+    the output schema/partitioning feed the ANN operators unchanged."""
+    import hashlib
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = [
+                [
+                    (b - 128) / 128.0
+                    for b in hashlib.md5(data.hex().upper().encode()).digest()
+                ]
+                for data in pdf["blob"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "emb": embs})
+
+    return blobs.mapInPandas(op, schema="doc_id long, emb array<double>")
+
+
 # ---- registered queries ---------------------------------------------------
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+        SELECT doc_id, width, height,
+               CAST(greatest(1, CAST(trunc(width * scale) AS BIGINT)) AS BIGINT) AS new_w,
+               CAST(greatest(1, CAST(trunc(height * scale) AS BIGINT)) AS BIGINT) AS new_h,
+               CAST(greatest(1, CAST(trunc(width * scale) AS BIGINT))
+                    * greatest(1, CAST(trunc(height * scale) AS BIGINT)) AS BIGINT) AS out_bytes
+        FROM (
+            SELECT doc_id, width, height,
+                   least({RESIZE_BOX[0]}.0 / width, {RESIZE_BOX[1]}.0 / height) AS scale
+            FROM (
+                SELECT doc_id,
+                       octet_length(blob) % 640 + 1 AS width,
+                       (octet_length(blob) * 7) % 480 + 1 AS height
+                FROM ({DUCK_BLOB_DOCS})))
+    """,
+    tier="llm",
+    doc=f"Scale-to-fit resize into a {RESIZE_BOX[0]}x{RESIZE_BOX[1]} box "
+    "over the binary column (mapInPandas; resample inside the stubbed "
+    "decode). Dimension arithmetic oracle-checked exactly — the "
+    "double scale factor is a single division on both engines.",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return resize_images(with_blob(docs).select("doc_id", "blob"))
+
+
+@register(
+    "multimodal_embed",
+    oracle=f"""
+        SELECT doc_id,
+               [ (CAST('0x' || substr(md5(upper(hex(blob))), i * 2 + 1, 2) AS BIGINT)
+                  - 128) / 128.0
+                 FOR i IN range({EMBED_DIM}) ] AS emb
+        FROM ({DUCK_BLOB_DOCS}) WHERE doc_id < 200
+    """,
+    tier="llm",
+    doc="Feature extraction: binary column -> fixed-dim embedding vector "
+    "(md5-stubbed 'model' behind the same mapInPandas plumbing a real "
+    "encoder uses). Values are exact dyadic doubles, so the vector "
+    "hash-compares bit-exactly; output feeds the ANN operators.",
+)
+def q_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 200)
+    )
+    return embed_blobs(with_blob(docs).select("doc_id", "blob"))
 
 
 @register(

@@ -21,7 +21,22 @@ ORACLE_QUERIES = [
     "multimodal_image_meta",
     "multimodal_frame_sample",
     "multimodal_corpus_bytes",
+    "multimodal_resize",
 ]
+
+
+def test_multimodal_embed_matches_oracle(spark, duck):
+    """Element-wise embedding comparison (array column needs list
+    coercion before frame equality, same as the fingerprint test)."""
+    q = registry.get("multimodal_embed")
+    sp = q.fn(spark, SF_DIR).toPandas()
+    du = duck.execute(q.oracle).fetchdf()
+    sp["emb"] = sp["emb"].map(list)
+    du["emb"] = du["emb"].map(list)
+    sp = sp.sort_values("doc_id", ignore_index=True)
+    du = du.sort_values("doc_id", ignore_index=True)
+    assert sp["doc_id"].tolist() == du["doc_id"].tolist()
+    assert sp["emb"].tolist() == du["emb"].tolist()
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
