@@ -109,6 +109,46 @@ def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SLIDE = "5 minutes"
+SLIDING_WINDOW = "10 minutes"
+
+
+@register(
+    "stream_sliding_counts",
+    oracle=f"""
+        SELECT bucket_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM (
+            SELECT unnest([time_bucket(INTERVAL '{SLIDE}', ts),
+                           time_bucket(INTERVAL '{SLIDE}', ts) - INTERVAL '{SLIDE}'])
+                     AS bucket_start,
+                   event_type, value
+            FROM events)
+        GROUP BY 1, 2
+    """,
+    tier="streaming",
+    doc=f"Sliding windows ({SLIDING_WINDOW} length, {SLIDE} slide): each "
+    "event lands in length/slide = 2 overlapping windows. The oracle "
+    "unnests the two candidate window starts per event — the relational "
+    "rendering of window() with a slide.",
+)
+def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", SLIDING_WINDOW, SLIDE), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    out = run_to_completion(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("bucket_start"), "event_type", "n", "total_value"
+    )
+
+
 @register(
     "stream_session_windows",
     oracle=f"""

@@ -17,6 +17,7 @@ ORACLE_QUERIES = [
     "stream_dedup",
     "stream_interval_join",
     "stream_incremental_index",
+    "stream_sliding_counts",
 ]
 
 
