@@ -16,9 +16,27 @@ from ..schemas import FIXTURE_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Queries may run inside a session the engine didn't build (the
+    driver's verify harness passes its own). Pin the runtime-settable
+    confs correctness depends on: UTC so timestamps compare cleanly
+    against the UTC-naive DuckDB oracle, and nanos-as-long so the
+    events table's TIMESTAMP(NANOS) parquet column is readable."""
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable in this session; reads fall back below
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in FIXTURE_TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {FIXTURE_TABLES}")
+    _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong on it
     # arrives as a long of epoch-nanos. Truncate to micros (integer DIV —

@@ -50,14 +50,34 @@ WINDOW = "5 minutes"
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet, ts normalized to
-    microsecond timestamps (same floor semantics as the batch source)."""
+    microsecond timestamps (same floor semantics as the batch source).
+
+    The ts parquet type is TIMESTAMP(NANOS): with nanosAsLong (our
+    session default) it reads as epoch-nanos long; in a foreign session
+    without that conf it may arrive as a timestamp already. Probe the
+    batch reader's view and build the matching stream schema."""
+    from ..sources.tables import _ensure_session_confs
+
+    _ensure_session_confs(spark)
+    raw_batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    batch_ts_type = dict(raw_batch.dtypes).get("ts")
+    if batch_ts_type == "bigint":
+        schema, needs_convert = EVENTS_FILE_SCHEMA, True
+    else:
+        fields = [
+            f if f.name != "ts" else T.StructField("ts", T.TimestampType())
+            for f in EVENTS_FILE_SCHEMA.fields
+        ]
+        schema, needs_convert = T.StructType(fields), False
     # The file source requires a directory; glob-filter to the one table.
     raw = (
-        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if needs_convert:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw
 
 
 def run_to_completion(stream_df: DataFrame, output_mode: str) -> DataFrame:
