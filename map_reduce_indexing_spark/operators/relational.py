@@ -683,6 +683,74 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_array_map_functions",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_toks,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+               list_sort(list_distinct(toks))[1:3] AS first3,
+               CAST(len(list_filter(toks, t -> length(t) > 4)) AS BIGINT) AS n_long,
+               list_sort(list_transform(list_distinct(toks), t -> upper(t)))[1] AS first_upper
+        FROM (
+            SELECT doc_id,
+                   list_filter(list_transform(
+                       string_split(lower(replace(text, chr(10), ' ')), ' '),
+                       t -> regexp_replace(t, '[^a-z]', '', 'g')), t -> t <> '') AS toks
+            FROM documents) WHERE doc_id < 100
+    """,
+    tier="relational",
+    doc="Array-function breadth (SURVEY.md §2.8 EXT): size, distinct, "
+    "sort+slice, filter-by-predicate, transform — all JVM-side array "
+    "expressions over the tokenized documents.",
+)
+def q_array_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import normalize_tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    t = docs.select("doc_id", normalize_tokens_expr("text").alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_toks"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        F.slice(F.array_sort(F.array_distinct("toks")), 1, 3).alias("first3"),
+        F.size(F.filter("toks", lambda x: F.length(x) > 4)).cast("long").alias("n_long"),
+        F.element_at(
+            F.array_sort(F.transform(F.array_distinct("toks"), F.upper)), 1
+        ).alias("first_upper"),
+    )
+
+
+@register(
+    "rel_window_ntile",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               round(percent_rank() OVER w, 9) AS pr,
+               round(cume_dist() OVER w, 9) AS cd
+        FROM orders
+        WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+        QUALIFY o_orderkey < 500
+    """,
+    tier="relational",
+    doc="Distribution windows (SURVEY.md §2.5): ntile quartiles, "
+    "percent_rank, cume_dist over the global price order (rounded to "
+    "9 dp so the rank-ratio division folds identically).",
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.round(F.percent_rank().over(w), 9).alias("pr"),
+            F.round(F.cume_dist().over(w), 9).alias("cd"),
+        )
+        .filter(F.col("o_orderkey") < 500)
+    )
+
+
+@register(
     "rel_topk_orders",
     oracle="""
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -61,8 +61,10 @@ def assert_df_matches_oracle(spark_df, duck_con, sql: str, *, float_tol: float =
     du = du[sorted(du.columns)]
     assert len(sp) == len(du), f"row count {len(sp)} != {len(du)}"
     key = list(sp.columns)
-    sp_sorted = sp.sort_values(key, ignore_index=True).astype(str)
-    du_sorted = du.sort_values(key, ignore_index=True).astype(str)
+    # Stringify BEFORE sorting (the driver does the same): array columns
+    # come back as ndarray/list objects, which sort_values can't order.
+    sp_sorted = sp.astype(str).sort_values(key, ignore_index=True)
+    du_sorted = du.astype(str).sort_values(key, ignore_index=True)
     if float_tol == 0.0:
         mism = (sp_sorted != du_sorted)
         assert not mism.any().any(), sp_sorted[mism.any(axis=1)].head(5).to_string()

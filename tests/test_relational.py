@@ -32,7 +32,36 @@ RELATIONAL_QUERIES = [
     "rel_join_asof",
     "rel_q17_small_quantity",
     "rel_q18_large_orders",
+    "rel_array_map_functions",
+    "rel_window_ntile",
 ]
+
+
+def test_operators_tolerate_empty_inputs(spark):
+    """Edge robustness: core composable operators must return empty
+    results (same schema), not throw, on empty inputs."""
+    from map_reduce_indexing_spark.operators.asof import asof_join_backward
+    from map_reduce_indexing_spark.operators.indexing import build_postings
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert build_postings(empty_docs).count() == 0
+
+    left = spark.createDataFrame([], "k long, ts timestamp, lid long")
+    right = spark.createDataFrame([], "k long, rts timestamp, rid long")
+    out = asof_join_backward(
+        left, right, key="k", left_ts="ts", right_ts="rts",
+        payload_cols=["rid"], tiebreak="rid",
+    )
+    assert out.count() == 0
+    # non-empty left, empty right -> no matches survive (inner semantics)
+    left2 = spark.createDataFrame(
+        [(1, __import__("datetime").datetime(2024, 1, 1), 9)],
+        "k long, ts timestamp, lid long",
+    )
+    assert asof_join_backward(
+        left2, right, key="k", left_ts="ts", right_ts="rts",
+        payload_cols=["rid"], tiebreak="rid",
+    ).count() == 0
 
 
 @pytest.mark.parametrize("name", RELATIONAL_QUERIES)
