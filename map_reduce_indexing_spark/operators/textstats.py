@@ -167,6 +167,56 @@ def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_PCT = (80, 10, 10)  # train / val / test
+
+
+@register(
+    "text_train_val_test_split",
+    oracle=f"""
+        SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM (
+            SELECT n_chars,
+                   CASE WHEN bucket < {SPLIT_PCT[0]} THEN 'train'
+                        WHEN bucket < {SPLIT_PCT[0] + SPLIT_PCT[1]} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT n_chars,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                         % 100 AS bucket
+                FROM documents))
+        GROUP BY split
+    """,
+    tier="llm",
+    doc=f"Deterministic {SPLIT_PCT[0]}/{SPLIT_PCT[1]}/{SPLIT_PCT[2]} "
+    "train/val/test split by md5(doc_id) bucket — the eval-split "
+    "operator every training-data pipeline needs. Hash-based (not "
+    "rand(seed)) so the assignment is stable across engines, runs, "
+    "partitionings, and appends: a doc's split never changes when the "
+    "corpus grows, which rand-based splits cannot guarantee.",
+)
+def q_text_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_PCT[0], "train")
+        .when(bucket < SPLIT_PCT[0] + SPLIT_PCT[1], "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(F.col("n_chars"), split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 @register(
     "text_fingerprint",
     oracle=f"""

@@ -18,6 +18,7 @@ ORACLE_QUERIES = [
     "text_quality",
     "text_langid",
     "text_token_counts",
+    "text_train_val_test_split",
     "multimodal_image_meta",
     "multimodal_frame_sample",
     "multimodal_corpus_bytes",
