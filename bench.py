@@ -67,9 +67,14 @@ def main() -> None:
             print(f"===== {name} =====")
             q.fn(spark, SF_DIR).explain("formatted")
             continue
-        t0 = time.perf_counter()
-        q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        # Best of 2 timed passes: the box is shared, so single samples
+        # swing 2x on scheduler noise; the min is the steady-state cost.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
     if not explain:
         print(
             json.dumps(

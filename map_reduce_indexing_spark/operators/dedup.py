@@ -379,15 +379,10 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash): weighted per-bit votes as SIMHASH_BITS plain agg
     columns over exploded token hashes — whole-stage codegen end to end,
     one doc_id shuffle (vs interpreted array lambdas: ~5x slower)."""
+    from ..functions.text import tokenize
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    e = (
-        docs.select(
-            "doc_id", F.explode(F.split(F.lower("text"), "[ \n]", -1)).alias("raw")
-        )
-        .withColumn("t", F.regexp_replace("raw", "[^a-z]", ""))
-        .filter(F.col("t") != "")
-        .withColumn("h", F.expr(spark_hash("t")))
-    )
+    e = tokenize(docs, out_col="t").withColumn("h", F.expr(spark_hash("t")))
     votes = [
         F.sum(F.expr(f"(shiftright(h, {j}) & 1) * 2 - 1")).alias(f"s{j}")
         for j in range(SIMHASH_BITS)
