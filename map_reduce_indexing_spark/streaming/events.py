@@ -382,17 +382,29 @@ def q_stream_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema=final.schema)
 
 
-def incremental_index_append(spark: SparkSession, sf_dir: str, index_path: str) -> None:
+def incremental_index_append(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    checkpoint: str | None = None,
+    glob: str = "documents.parquet",
+) -> None:
     """Streaming incremental index maintenance (the reference's append
     sink, helper_reduce.c:241, as a foreachBatch): each microbatch of
     documents is normalized, aggregated, and appended to the
-    letter-partitioned parquet index with an atomic per-batch commit."""
+    letter-partitioned parquet index with an atomic per-batch commit.
+
+    With `checkpoint` set, the file-source offsets survive restarts:
+    re-running against a directory that gained new files processes ONLY
+    the new files — the exactly-once incremental behavior the
+    reference's append-only master index cannot provide (any retry
+    re-appends everything; SURVEY.md §2.12)."""
     from ..operators.indexing import build_postings, with_letter
     from ..schemas import DOCUMENT
 
     docs = (
         spark.readStream.schema(DOCUMENT)
-        .option("pathGlobFilter", "documents.parquet")
+        .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
 
@@ -400,8 +412,11 @@ def incremental_index_append(spark: SparkSession, sf_dir: str, index_path: str) 
         postings = with_letter(build_postings(batch_df))
         postings.write.mode("append").partitionBy("letter").parquet(index_path)
 
-    q = docs.writeStream.foreachBatch(sink).start()
+    writer = docs.writeStream.foreachBatch(sink)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.trigger(availableNow=True).start()
     try:
-        q.processAllAvailable()
+        q.awaitTermination()
     finally:
         q.stop()

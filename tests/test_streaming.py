@@ -45,6 +45,43 @@ def test_stateful_user_stats(spark):
         assert abs(r.max_value - mx) < 1e-9
 
 
+def test_incremental_index_checkpoint_recovery(spark, tmp_path):
+    """Exactly-once restart semantics: with a checkpoint, a re-run after
+    new files arrive appends ONLY the new files' postings (the
+    reference's append-only index re-appends everything on any retry,
+    SURVEY.md §2.12)."""
+    from pyspark.sql import functions as F2
+
+    from map_reduce_indexing_spark.sources.tables import load_table
+
+    src = tmp_path / "src"
+    src.mkdir()
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+    batch1 = docs.filter(F2.col("doc_id") < 100)
+    batch2 = docs.filter(F2.col("doc_id") >= 100)
+    batch1.coalesce(1).write.mode("append").parquet(str(src))
+
+    incremental_index_append(spark, str(src), index, checkpoint=ckpt, glob="*.parquet")
+    n1 = spark.read.parquet(index).count()
+    assert n1 > 0
+
+    # second run with no new files: nothing appended
+    incremental_index_append(spark, str(src), index, checkpoint=ckpt, glob="*.parquet")
+    assert spark.read.parquet(index).count() == n1
+
+    # new files arrive: only their postings are appended
+    batch2.coalesce(1).write.mode("append").parquet(str(src))
+    incremental_index_append(spark, str(src), index, checkpoint=ckpt, glob="*.parquet")
+    total = spark.read.parquet(index).count()
+    from map_reduce_indexing_spark.operators.indexing import build_postings
+
+    expected = build_postings(batch1).count() + build_postings(batch2).count()
+    assert total == expected
+
+
 def test_incremental_index_append(spark, tmp_path):
     path = str(tmp_path / "stream_index")
     incremental_index_append(spark, SF_DIR, path)
