@@ -37,6 +37,43 @@ RELATIONAL_QUERIES = [
 ]
 
 
+def test_asof_join_randomized_differential(spark):
+    """Randomized differential test for the union+window as-of join vs
+    a brute-force python reference (seeded; includes timestamp ties on
+    and across sides)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from map_reduce_indexing_spark.operators.asof import asof_join_backward
+
+    rng = random.Random(99)
+    base = datetime(2024, 1, 1)
+    # coarse second granularity forces plenty of exact-tie cases
+    lefts = [
+        (rng.randrange(5), base + timedelta(seconds=rng.randrange(30)), i)
+        for i in range(120)
+    ]
+    rights = [
+        (rng.randrange(5), base + timedelta(seconds=rng.randrange(30)), 1000 + i)
+        for i in range(120)
+    ]
+
+    expected = {}
+    for k, t, lid in lefts:
+        cands = [(rt, rid) for rk, rt, rid in rights if rk == k and rt <= t]
+        if cands:
+            expected[lid] = max(cands)[1]  # latest ts, then max rid
+
+    left = spark.createDataFrame(lefts, "k long, ts timestamp, lid long")
+    right = spark.createDataFrame(rights, "k long, rts timestamp, rid long")
+    out = asof_join_backward(
+        left, right, key="k", left_ts="ts", right_ts="rts",
+        payload_cols=["rid"], tiebreak="rid",
+    )
+    got = {r.lid: r.rid for r in out.collect()}
+    assert got == expected
+
+
 def test_operators_tolerate_empty_inputs(spark):
     """Edge robustness: core composable operators must return empty
     results (same schema), not throw, on empty inputs."""
