@@ -767,3 +767,218 @@ def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Subquery patterns (decorrelated by Catalyst) and distribution stats
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_q4_order_priority",
+    oracle="""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+    tier="relational",
+    doc="TPC-H q4 shape (correlated EXISTS, worker has nothing like it): "
+    "orders with at least one lineitem shipped after the order date, "
+    "counted by priority. Catalyst decorrelates the EXISTS into a left-"
+    "semi join with the non-equi clause as a join filter, so at 100 TB "
+    "this is one shuffle on orderkey (both sides co-partitioned), never "
+    "a per-row subquery probe.",
+)
+def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "rel_q13_custdist",
+    oracle="""
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+            FROM customer LEFT JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey)
+        GROUP BY c_count
+    """,
+    tier="relational",
+    doc="TPC-H q13 shape: customer order-count distribution including "
+    "zero-order customers (outer join preserved through two aggregation "
+    "levels). The filter rides in the join condition, not a WHERE — a "
+    "WHERE would turn the outer join inner and drop the zero bucket. "
+    "Scale: first agg shares the join's custkey partitioning (no extra "
+    "exchange); second agg's key space (distinct counts) is tiny.",
+)
+def q_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "rel_q14_promo_revenue",
+    oracle=f"""
+        SELECT CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+               CAST(100.0 AS DOUBLE)
+                 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                            THEN {sql_dec('l_extendedprice')} * (1 - {sql_dec('l_discount')})
+                            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM({sql_dec('l_extendedprice')} * (1 - {sql_dec('l_discount')})) AS DOUBLE)
+                 AS promo_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY month(l_shipdate)
+    """,
+    tier="relational",
+    doc="TPC-H q14 shape (conditional-aggregate ratio): share of revenue "
+    "from PROMO parts per ship month. Both sums are exact decimals; the "
+    "one double division happens after aggregation, so the ratio is "
+    "bit-stable across engines and partitionings. Scale: part is the "
+    "small side -> broadcast join, single shuffle on the group key.",
+)
+def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.month("l_shipdate").cast("long").alias("ship_month"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "rel_q19_disjunctive",
+    oracle=f"""
+        SELECT {sql_dsum(f"{sql_dec('l_extendedprice')} * (1 - {sql_dec('l_discount')})", 'revenue')},
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+    """,
+    tier="relational",
+    doc="TPC-H q19 shape (disjunctive multi-table predicate): revenue "
+    "under an OR of brand/size/quantity conjunctions. Catalyst keeps "
+    "the join equi (l_partkey = p_partkey), evaluates the disjunction "
+    "as a post-join filter, and pushes the derivable per-table bounds "
+    "(p_size >= 1, quantity range union) down to the scans — the "
+    "pattern that defeats naive engines into cross products.",
+)
+def q_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 21))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & q.between(20, 40))
+    )
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return joined.filter(cond).agg(
+        dsum(rev, "revenue"), F.count(F.lit(1)).alias("n_lines")
+    )
+
+
+@register(
+    "rel_q22_dormant_customers",
+    oracle=f"""
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust,
+               {sql_dsum(sql_dec('c_acctbal'), 'total_bal')}
+        FROM customer
+        WHERE c_acctbal > (SELECT CAST(SUM({sql_dec('c_acctbal')}) AS DOUBLE) / COUNT(*)
+                           FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+    """,
+    tier="relational",
+    doc="TPC-H q22 shape (scalar subquery + NOT EXISTS): above-average-"
+    "balance customers who never ordered, by segment. The threshold is "
+    "an exact-decimal sum divided once as a double (bit-stable), "
+    "broadcast to every partition; the NOT EXISTS is a left-anti join "
+    "on custkey. Scale: scalar agg is one tiny job; the anti join "
+    "shuffles on custkey or broadcasts the distinct o_custkey set.",
+)
+def q_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    avg_pos = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("thresh"))
+    )
+    return (
+        cust.join(F.broadcast(avg_pos))  # 1-row scalar, broadcast everywhere
+        .filter(F.col("c_acctbal") > F.col("thresh"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum(dec("c_acctbal"), "total_bal"),
+        )
+    )
+
+
+@register(
+    "rel_percentiles",
+    oracle="""
+        SELECT l_returnflag,
+               list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
+                              x -> round(x, 6)) AS qty_quartiles,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+               round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tier="relational",
+    doc="Distribution statistics (SURVEY.md §2.4 A6 extension): exact "
+    "interpolated percentiles per group — quartiles, median, p99. Both "
+    "engines sort the group and linearly interpolate the same two order "
+    "statistics; results rounded to 6 dp to absorb last-ulp FMA "
+    "differences. Scale note: exact percentiles materialize each "
+    "group's values — at 100 TB swap in approx_percentile (t-digest), "
+    "same call shape.",
+)
+def q_rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.transform(
+            F.percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))),
+            lambda x: F.round(x, 6),
+        ).alias("qty_quartiles"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99_price"),
+    )

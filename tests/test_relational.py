@@ -34,6 +34,12 @@ RELATIONAL_QUERIES = [
     "rel_q18_large_orders",
     "rel_array_map_functions",
     "rel_window_ntile",
+    "rel_q4_order_priority",
+    "rel_q13_custdist",
+    "rel_q14_promo_revenue",
+    "rel_q19_disjunctive",
+    "rel_q22_dormant_customers",
+    "rel_percentiles",
 ]
 
 
@@ -153,6 +159,23 @@ def test_q5_broadcasts_dims(spark):
     df = registry.get("rel_q5_local_supplier").fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_q4_decorrelates_to_semi_join(spark):
+    """The EXISTS subquery must execute as one left-semi join with the
+    non-equi clause as a join filter — no per-row subquery probe."""
+    df = registry.get("rel_q4_order_priority").fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+
+
+def test_q22_anti_join_and_broadcast_scalar(spark):
+    """NOT EXISTS runs as a left-anti join; the scalar-average threshold
+    is broadcast (a 1-row build side), never a shuffle."""
+    df = registry.get("rel_q22_dormant_customers").fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
 def test_q6_pushdown_and_pruning(spark):
