@@ -240,3 +240,209 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"slice(array_sort(collect_set(md5(s))), 1, {FINGERPRINT_K})").alias("fp")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction, repetition signals, eval-set decontamination
+# ---------------------------------------------------------------------------
+
+# Patterns kept to the Java-regex / RE2 common subset (no lookaround,
+# no backrefs) so Spark and DuckDB match identically.
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]+"
+IPV4_RE = "(\\d{1,3}\\.){3}\\d{1,3}"
+
+# The fixture text is clean synthetic prose, so each doc is augmented
+# with deterministic doc_id-derived PII — identical string construction
+# on both engines — making the redaction genuinely load-bearing.
+_PII_SUFFIX_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or "
+    "admin@mail' || CAST(doc_id % 10 AS VARCHAR) || '.org at 10.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 7 AS VARCHAR)"
+)
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(aug, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(aug, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+               CAST(length(clean) AS BIGINT) AS clean_len,
+               md5(clean) AS clean_md5
+        FROM (
+            SELECT doc_id, aug,
+                   regexp_replace(regexp_replace(aug, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{IPV4_RE}', '<IP>', 'g') AS clean
+            FROM (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS aug FROM documents))
+    """,
+    tier="llm",
+    doc="PII scrubbing: count and redact emails and IPv4 addresses with "
+    "engine-portable regexes (Java-regex/RE2 common subset). A pure "
+    "per-row map — zero shuffle, runs at scan speed over 100 TB. The "
+    "redacted text is verified cross-engine by md5.",
+)
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did, F.lit("@example.com or admin@mail"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(".org at 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 7).cast("string"),
+    )
+    clean = F.regexp_replace(F.regexp_replace(aug, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(IPV4_RE), 0)).cast("long").alias("n_ips"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+def _duck_k_grams(tokens: str, k: int) -> str:
+    """DuckDB list of (non-distinct) word k-grams, in order."""
+    parts = " || ' ' || ".join(f"{tokens}[i + {j}]" for j in range(k))
+    return (
+        f"CASE WHEN len({tokens}) >= {k} THEN "
+        f"list_transform(range(1, len({tokens}) - {k - 2}), i -> {parts}) "
+        f"ELSE [] END"
+    )
+
+
+def _gram_occurrences(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """(doc_id, g): every k-gram occurrence (NOT distinct — counts matter).
+
+    Same posexplode + lead() shape as dedup.shingle_rows (see its
+    docstring for why this beats array-lambda HOFs ~8x), minus the
+    final distinct.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    e = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), "[ \n]", -1)).alias("pos", "raw"),
+        )
+        .withColumn("w0", F.regexp_replace("raw", "[^a-z]", ""))
+        .filter(F.col("w0") != "")
+        .drop("raw")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    for j in range(1, k):
+        e = e.withColumn(f"w{j}", F.lead("w0", j).over(w))
+    return e.filter(F.col(f"w{k - 1}").isNotNull()).select(
+        "doc_id",
+        F.concat_ws(" ", *[f"w{j}" for j in range(k)]).alias("g"),
+    )
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {DUCK_TOKENS_LIST} AS t FROM documents),
+             bgc AS (SELECT doc_id, g, COUNT(*) AS c
+                     FROM (SELECT doc_id, unnest({_duck_k_grams('t', 2)}) AS g FROM toks)
+                     GROUP BY doc_id, g),
+             tgc AS (SELECT doc_id, g, COUNT(*) AS c
+                     FROM (SELECT doc_id, unnest({_duck_k_grams('t', 3)}) AS g FROM toks)
+                     GROUP BY doc_id, g),
+             bga AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                       AS top_bigram_frac FROM bgc GROUP BY doc_id),
+             tga AS (SELECT doc_id, CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                       / CAST(SUM(c) AS DOUBLE) AS dup_trigram_frac
+                     FROM tgc GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(bga.top_bigram_frac, 0.0) AS top_bigram_frac,
+               COALESCE(tga.dup_trigram_frac, 0.0) AS dup_trigram_frac
+        FROM documents d
+        LEFT JOIN bga ON d.doc_id = bga.doc_id
+        LEFT JOIN tga ON d.doc_id = tga.doc_id
+    """,
+    tier="llm",
+    doc="Gopher-style repetition signals: fraction of bigram occurrences "
+    "taken by the single most frequent bigram, and fraction of trigram "
+    "occurrences whose trigram repeats within the doc — the standard "
+    "boilerplate/repetition quality filters. Scale: both aggregations "
+    "are keyed by doc_id, so after one shuffle the per-doc work is "
+    "local; ratios are exact-integer divisions done once.",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    bga = (
+        _gram_occurrences(spark, sf_dir, 2)
+        .groupBy("doc_id", "g").count()
+        .groupBy("doc_id")
+        .agg((F.max("count").cast("double") / F.sum("count").cast("double")).alias("top_bigram_frac"))
+    )
+    tga = (
+        _gram_occurrences(spark, sf_dir, 3)
+        .groupBy("doc_id", "g").count()
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0)).cast("double")
+                / F.sum("count").cast("double")
+            ).alias("dup_trigram_frac")
+        )
+    )
+    return (
+        docs.join(bga, "doc_id", "left")
+        .join(tga, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
+        )
+    )
+
+
+_BUCKET_SQL = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+        WITH sh AS (SELECT doc_id, bucket, unnest(list_distinct({duck_shingles('toks')})) AS s
+                    FROM (SELECT doc_id, {_BUCKET_SQL} AS bucket,
+                                 {DUCK_TOKENS_LIST} AS toks FROM documents)),
+             train AS (SELECT doc_id, s FROM sh WHERE bucket < {SPLIT_PCT[0]}),
+             eval AS (SELECT doc_id AS eval_doc_id, s FROM sh
+                      WHERE bucket >= {SPLIT_PCT[0] + SPLIT_PCT[1]})
+        SELECT train.doc_id,
+               CAST(COUNT(DISTINCT train.s) AS BIGINT) AS n_shared_shingles,
+               CAST(COUNT(DISTINCT eval.eval_doc_id) AS BIGINT) AS n_eval_docs
+        FROM train JOIN eval ON train.s = eval.s
+        GROUP BY train.doc_id
+    """,
+    tier="llm",
+    doc="Train/eval decontamination: flag train-split documents sharing "
+    "any word 3-shingle with a test-split document (the n-gram-overlap "
+    "contamination check run before every training run). Uses the same "
+    "md5 hash buckets as text_train_val_test_split, so the splits are "
+    "consistent across operators. Scale: the eval side is a tiny "
+    "fraction of the corpus — broadcast its distinct-shingle set and "
+    "this is a map-side semi-join over 100 TB; here it runs as a "
+    "shuffled equi-join on the uniform high-cardinality shingle key.",
+)
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingle_rows(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    sh = sh.withColumn("bucket", bucket)
+    train = sh.filter(F.col("bucket") < SPLIT_PCT[0]).select("doc_id", "s")
+    ev = sh.filter(F.col("bucket") >= SPLIT_PCT[0] + SPLIT_PCT[1]).select(
+        F.col("doc_id").alias("eval_doc_id"), "s"
+    )
+    return (
+        train.join(ev, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_shared_shingles"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+        )
+    )

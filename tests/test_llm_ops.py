@@ -19,6 +19,9 @@ ORACLE_QUERIES = [
     "text_langid",
     "text_token_counts",
     "text_train_val_test_split",
+    "text_pii_redact",
+    "text_repetition",
+    "text_decontaminate",
     "multimodal_image_meta",
     "multimodal_frame_sample",
     "multimodal_corpus_bytes",
@@ -95,3 +98,61 @@ def test_knn_batch_numpy_matches_sql(spark):
 def test_real_decode_is_gated(spark):
     with pytest.raises(NotImplementedError):
         decode_image_real(b"\x89PNG....")
+
+
+def test_pii_regexes_on_crafted_text(spark):
+    """The portable EMAIL/IPV4 regexes must hit known PII and leave
+    clean text alone (guards against a shared-bug passing the oracle)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_indexing_spark.operators.textstats import EMAIL_RE, IPV4_RE
+
+    rows = [
+        ("mail me at a.b-c_1@sub.example.org now", 1, 0),
+        ("two: x@y.com and z.z@w.io plus 1.2.3.4 and 10.0.0.255", 2, 2),
+        ("no pii here just words", 0, 0),
+        ("version 1.2 is not an ip, 1.2.3 neither", 0, 0),
+    ]
+    df = spark.createDataFrame([(t,) for t, _, _ in rows], "text string").select(
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0)).alias("e"),
+        F.size(F.regexp_extract_all("text", F.lit(IPV4_RE), 0)).alias("i"),
+        F.regexp_replace(
+            F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ).alias("clean"),
+    )
+    got = df.collect()
+    for (text, n_e, n_i), r in zip(rows, got):
+        assert (r.e, r.i) == (n_e, n_i), text
+        if n_e or n_i:
+            assert "@" not in r.clean
+        else:
+            assert r.clean == text
+
+
+def test_repetition_signals_bounds_and_extremes(spark):
+    """Repetition fractions are in [0,1]; the fixture's synthetic docs
+    (small vocab) must show real trigram repetition somewhere."""
+    rows = registry.get("text_repetition").fn(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r.top_bigram_frac <= 1.0
+        assert 0.0 <= r.dup_trigram_frac <= 1.0
+    assert any(r.dup_trigram_frac > 0 for r in rows)
+
+
+def test_decontaminate_flags_only_train_docs(spark):
+    """Every flagged doc must be in the train split (bucket < 80) and
+    overlap counts must be positive."""
+    from pyspark.sql import functions as F
+
+    out = registry.get("text_decontaminate").fn(spark, SF_DIR)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    rows = out.withColumn("bucket", bucket).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.bucket < 80
+        assert r.n_shared_shingles >= 1
+        assert r.n_eval_docs >= 1
