@@ -499,3 +499,86 @@ def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= COSINE_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters: connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE
+        s AS ({DUCK_SHINGLE_SETS}),
+        e AS (SELECT doc_id, n_sh, unnest(shingles) AS sh FROM s),
+        p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS inter,
+                   any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+            FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id),
+        pairs AS (
+            SELECT doc_a, doc_b FROM p
+            WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(node, lab) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e2.src, r.lab FROM edges e2 JOIN reach r ON e2.dst = r.node)
+        SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node
+    """,
+    tier="llm",
+    doc=f"Duplicate clusters: connected components over the exact-Jaccard "
+    f"(>= {JACCARD_THRESHOLD}) near-dup pair graph, labelling every "
+    "clustered doc with the min doc_id of its component — the step that "
+    "turns pairwise near-dup hits into keep-one-per-cluster decisions. "
+    "Spark side is iterative min-label propagation (converges in "
+    "graph-diameter rounds; localCheckpoint per round keeps lineage "
+    "flat); the oracle is a DuckDB recursive CTE over the same edges. "
+    "Scale: near-dup components are tiny and shallow (dup clusters, not "
+    "social graphs), so diameter-bound propagation beats the O(log n) "
+    "large-star/small-star alternative in practice; every round is one "
+    "shuffle on node id.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst")
+    edges = edges.localCheckpoint(eager=True)  # pair mining runs once, not per round
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(50):
+        neigh = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new = (
+            labels.alias("l")
+            .join(neigh.alias("n"), F.col("l.node") == F.col("n.src"), "left")
+            .select(
+                F.col("l.node").alias("node"),
+                F.least(F.col("l.lab"), F.coalesce(F.col("n.nlab"), F.col("l.lab"))).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new.alias("a")
+            .join(labels.alias("b"), "node")
+            .filter(F.col("a.lab") != F.col("b.lab"))
+            .limit(1)
+            .count()
+            == 0
+        )
+        labels = new
+        if converged:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
+    )

@@ -446,3 +446,108 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("eval_doc_id").alias("n_eval_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture sampling and sequence packing
+# ---------------------------------------------------------------------------
+
+# Per-source sampling rate in basis points, derived from the numeric
+# source suffix: src0 -> 1000 (10%), src1 -> 3000, ... src4 -> 9000,
+# then cycling. Derived (not a literal map) so it works at any source
+# cardinality, identically in both engines.
+_RATE_BPS_SQL = "1000 + (CAST(substr(source, 4) AS INTEGER) % 5) * 2000"
+_MIX_BUCKET_SQL = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8) AS BIGINT) % 10000"
+)
+
+
+@register(
+    "text_sample_mixture",
+    oracle=f"""
+        SELECT source,
+               CAST(any_value({_RATE_BPS_SQL}) AS BIGINT) AS rate_bps,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+               CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS chars_sampled
+        FROM (SELECT source, n_chars,
+                     {_MIX_BUCKET_SQL} < {_RATE_BPS_SQL} AS keep
+              FROM documents)
+        GROUP BY source
+    """,
+    tier="llm",
+    doc="Deterministic mixture sampling: each source is downsampled at "
+    "its own rate (derived from the source id) by a salted md5 bucket "
+    "on doc_id — the data-mixture weighting step of a training "
+    "pipeline. Hash-based, so membership is stable across runs, "
+    "engines, partitionings, and corpus appends (rand(seed) is none of "
+    "those). Pure per-row map + one small agg; at 100 TB the filter "
+    "runs at scan speed and the output is one row per source.",
+)
+def q_text_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    rate = 1000 + (F.substring("source", 4, 10).cast("int") % 5) * 2000
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))), 1, 8), 16, 10)
+        .cast("long") % 10000
+    )
+    keep = bucket < rate
+    return docs.groupBy("source").agg(
+        F.any_value(rate).cast("long").alias("rate_bps"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(keep.cast("int")).alias("n_sampled"),
+        F.sum(F.when(keep, F.col("n_chars")).otherwise(0)).alias("chars_sampled"),
+    )
+
+
+PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+@register(
+    "text_pack_sequences",
+    oracle=f"""
+        SELECT doc_id, source, n_tokens,
+               CAST(cum_excl // {PACK_BUDGET} AS BIGINT) AS pack_id,
+               CAST(cum_excl % {PACK_BUDGET} AS BIGINT) AS start_offset,
+               cum_excl % {PACK_BUDGET} + n_tokens > {PACK_BUDGET} AS spans_boundary
+        FROM (
+            SELECT doc_id, source, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                     AS cum_excl
+            FROM (SELECT doc_id, source,
+                         CAST(len({DUCK_TOKENS_LIST}) AS BIGINT) AS n_tokens
+                  FROM documents))
+    """,
+    tier="llm",
+    doc=f"Concat-and-chunk sequence packing: within each source, docs "
+    "are concatenated in doc_id order and chunked into "
+    f"{PACK_BUDGET}-token training sequences; each doc gets its pack id "
+    "and offset (LLM pretraining's standard packing). All integer "
+    "arithmetic on an exclusive running sum — bit-identical across "
+    "engines. Scale: the window partitions by source, so packing "
+    "parallelizes across sources/shards; no global total order is "
+    "required.",
+)
+def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = docs.select(
+        "doc_id", "source",
+        F.size(F.expr(spark_tokens_expr("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    packed = toks.withColumn("cum_excl", cum)
+    return packed.select(
+        "doc_id", "source", "n_tokens",
+        F.expr(f"cum_excl div {PACK_BUDGET}").cast("long").alias("pack_id"),
+        (F.col("cum_excl") % PACK_BUDGET).cast("long").alias("start_offset"),
+        (F.col("cum_excl") % PACK_BUDGET + F.col("n_tokens") > PACK_BUDGET).alias("spans_boundary"),
+    )

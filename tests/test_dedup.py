@@ -15,6 +15,7 @@ ORACLE_QUERIES = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_embedding_pairs",
+    "dedup_clusters",
 ]
 
 
@@ -62,3 +63,24 @@ def test_lsh_recall_against_exact_jaccard(spark):
         for r in registry.get("dedup_minhash_lsh_pairs").fn(spark, SF_DIR).collect()
     }
     assert exact <= cand, f"missed near-identical pairs: {exact - cand}"
+
+
+def test_clusters_are_consistent_with_pairs(spark):
+    """Cluster labels must respect the pair graph: both ends of every
+    near-dup pair share a label, and each label is the min doc_id of
+    its member set (canonical component representative)."""
+    from map_reduce_indexing_spark.plans import registry
+
+    pairs = registry.get("dedup_ngram_jaccard").fn(spark, SF_DIR).collect()
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in registry.get("dedup_clusters").fn(spark, SF_DIR).collect()
+    }
+    assert len(labels) > 0
+    for p in pairs:
+        assert labels[p.doc_a] == labels[p.doc_b]
+    members: dict[int, list[int]] = {}
+    for doc, lab in labels.items():
+        members.setdefault(lab, []).append(doc)
+    for lab, docs in members.items():
+        assert lab == min(docs)

