@@ -42,6 +42,10 @@ HEADLINE = [
     "ann_lsh_topk",            # bucketed ANN
     "text_quality",            # quality metrics pass
     "text_token_counts",       # token accounting
+    "text_repetition",         # n-gram repetition signals (2 agg chains)
+    "text_pack_sequences",     # per-source windowed packing
+    "rel_q14_promo_revenue",   # broadcast join + conditional-agg ratio
+    "dedup_clusters",          # iterative connected components
     "multimodal_image_meta",   # Arrow mapInPandas pass
     "stream_tumbling_counts",  # structured streaming run
 ]

@@ -510,17 +510,25 @@ def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_clusters",
     oracle=f"""
         WITH RECURSIVE
+        sig AS ({DUCK_MINHASH_SIG}),
+        bands AS (
+            {' UNION ALL '.join(
+                f"SELECT doc_id, {b} AS band_idx, {h} AS band_hash FROM sig"
+                for b, h in _band_exprs('sig', 'duck')
+            )}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id),
         s AS ({DUCK_SHINGLE_SETS}),
-        e AS (SELECT doc_id, n_sh, unnest(shingles) AS sh FROM s),
-        p AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   CAST(COUNT(*) AS BIGINT) AS inter,
-                   any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
-            FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id),
         pairs AS (
-            SELECT doc_a, doc_b FROM p
-            WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}),
+            SELECT doc_a, doc_b FROM cand
+            JOIN s sa ON sa.doc_id = cand.doc_a
+            JOIN s sb ON sb.doc_id = cand.doc_b
+            WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                  / (sa.n_sh + sb.n_sh - len(list_intersect(sa.shingles, sb.shingles)))
+                  >= {JACCARD_THRESHOLD}),
         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
                   UNION SELECT doc_b, doc_a FROM pairs),
         reach(node, lab) AS (
@@ -531,20 +539,36 @@ def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM reach GROUP BY node
     """,
     tier="llm",
-    doc=f"Duplicate clusters: connected components over the exact-Jaccard "
-    f"(>= {JACCARD_THRESHOLD}) near-dup pair graph, labelling every "
-    "clustered doc with the min doc_id of its component — the step that "
-    "turns pairwise near-dup hits into keep-one-per-cluster decisions. "
-    "Spark side is iterative min-label propagation (converges in "
-    "graph-diameter rounds; localCheckpoint per round keeps lineage "
-    "flat); the oracle is a DuckDB recursive CTE over the same edges. "
-    "Scale: near-dup components are tiny and shallow (dup clusters, not "
-    "social graphs), so diameter-bound propagation beats the O(log n) "
-    "large-star/small-star alternative in practice; every round is one "
-    "shuffle on node id.",
+    doc=f"Duplicate clusters — the full production near-dedup pipeline "
+    "composed end-to-end: MinHash-LSH candidate pairs, exact-Jaccard "
+    f"verification (>= {JACCARD_THRESHOLD}) on just those candidates "
+    "(array_intersect of per-doc shingle sets, never the quadratic "
+    "all-pairs shingle join), then connected components labelling every "
+    "clustered doc with its component's min doc_id — the keep-one-per-"
+    "cluster decision. Spark side is iterative min-label propagation "
+    "(converges in graph-diameter rounds; localCheckpoint per round "
+    "keeps lineage flat); the oracle is a DuckDB recursive CTE over the "
+    "identical edge set. Scale: verification cost is O(candidates), "
+    "and dup components are tiny and shallow, so diameter-bound "
+    "propagation beats the O(log n) large-star/small-star alternative "
+    "in practice; every round is one shuffle on node id.",
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cand = q_dedup_minhash_lsh_pairs(spark, sf_dir)
+    sets = (
+        shingle_rows(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("sh"), F.count(F.lit(1)).alias("n_sh"))
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"), F.col("n_sh").alias("na"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"), F.col("n_sh").alias("nb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    pairs = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(inter.cast("double") / (F.col("na") + F.col("nb") - inter) >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
     edges = pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst")
     edges = edges.localCheckpoint(eager=True)  # pair mining runs once, not per round
     labels = (
@@ -559,24 +583,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("lab").alias("nlab"))
         )
+        # carry the previous label through the propagation select so the
+        # convergence test is a filter over the checkpointed rows (no
+        # recompute, no extra join job per round)
         new = (
             labels.alias("l")
             .join(neigh.alias("n"), F.col("l.node") == F.col("n.src"), "left")
             .select(
                 F.col("l.node").alias("node"),
                 F.least(F.col("l.lab"), F.coalesce(F.col("n.nlab"), F.col("l.lab"))).alias("lab"),
+                F.col("l.lab").alias("old"),
             )
             .localCheckpoint(eager=True)
         )
-        converged = (
-            new.alias("a")
-            .join(labels.alias("b"), "node")
-            .filter(F.col("a.lab") != F.col("b.lab"))
-            .limit(1)
-            .count()
-            == 0
-        )
-        labels = new
+        converged = new.filter(F.col("lab") != F.col("old")).limit(1).count() == 0
+        labels = new.select("node", "lab")
         if converged:
             break
     return labels.select(

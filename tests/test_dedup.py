@@ -66,19 +66,29 @@ def test_lsh_recall_against_exact_jaccard(spark):
 
 
 def test_clusters_are_consistent_with_pairs(spark):
-    """Cluster labels must respect the pair graph: both ends of every
-    near-dup pair share a label, and each label is the min doc_id of
-    its member set (canonical component representative)."""
-    from map_reduce_indexing_spark.plans import registry
-
-    pairs = registry.get("dedup_ngram_jaccard").fn(spark, SF_DIR).collect()
+    """Cluster labels must respect the verified-pair graph: the edge set
+    is LSH candidates that pass exact Jaccard, so every Jaccard pair
+    that is ALSO an LSH candidate must share a label, and each label is
+    the min doc_id of its member set (canonical representative)."""
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in registry.get("dedup_ngram_jaccard").fn(spark, SF_DIR).collect()
+    }
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in registry.get("dedup_minhash_lsh_pairs").fn(spark, SF_DIR).collect()
+    }
     labels = {
         r.doc_id: r.cluster_id
         for r in registry.get("dedup_clusters").fn(spark, SF_DIR).collect()
     }
-    assert len(labels) > 0
-    for p in pairs:
-        assert labels[p.doc_a] == labels[p.doc_b]
+    verified = jac & cand
+    assert len(verified) > 0 and len(labels) > 0
+    for a, b in verified:
+        assert labels[a] == labels[b]
+    # every clustered doc appears in at least one verified edge
+    edge_nodes = {d for p in verified for d in p}
+    assert set(labels) == edge_nodes
     members: dict[int, list[int]] = {}
     for doc, lab in labels.items():
         members.setdefault(lab, []).append(doc)
