@@ -420,3 +420,44 @@ def incremental_index_append(
         q.awaitTermination()
     finally:
         q.stop()
+
+
+@register(
+    "stream_static_join",
+    oracle=f"""
+        SELECT time_bucket(INTERVAL '{WINDOW}', ts) AS bucket_start,
+               c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY 1, 2
+    """,
+    tier="streaming",
+    doc="Stream-static enrichment join (SURVEY.md §2.9 + §2.3): the "
+    "event stream joins a static broadcast customer dimension, then a "
+    f"watermarked {WINDOW} tumbling aggregation rolls up per market "
+    "segment. The static side is planned as a broadcast hash join "
+    "inside every micro-batch — no stream-side state for the join, the "
+    "canonical dimension-enrichment topology. Complete mode over the "
+    "finite source equals the batch join+agg, which the oracle checks.",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    ev = read_events_stream(spark, sf_dir)
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    agg = (
+        ev.join(dim, ev.user_id == dim.c_custkey)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", WINDOW), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    out = run_to_completion(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("bucket_start"), "c_mktsegment", "n", "total_value"
+    )

@@ -18,6 +18,7 @@ ORACLE_QUERIES = [
     "stream_interval_join",
     "stream_incremental_index",
     "stream_sliding_counts",
+    "stream_static_join",
 ]
 
 
