@@ -283,3 +283,66 @@ def q_search_doc_tf_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tf")
         )
     )
+
+
+# BM25 constants (Robertson/Spärck Jones defaults)
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@register(
+    "search_bm25_rank",
+    oracle=f"""
+        WITH p AS ({POSTINGS_SQL}),
+        stats AS (SELECT COUNT(DISTINCT doc_id) AS n_docs,
+                         CAST(SUM(cnt) AS DOUBLE) / COUNT(DISTINCT doc_id) AS avgdl
+                  FROM p),
+        dl AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS dl FROM p GROUP BY doc_id),
+        df AS (SELECT word, COUNT(*) AS df FROM p
+               WHERE word IN ('{TERM_A}', '{TERM_B}') GROUP BY word)
+        SELECT p.doc_id,
+               ROUND(SUM(
+                   ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (cnt * ({BM25_K1} + 1))
+                   / (cnt + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+               ), 6) AS score
+        FROM p JOIN df ON p.word = df.word
+               JOIN dl ON p.doc_id = dl.doc_id
+               CROSS JOIN stats
+        GROUP BY p.doc_id
+        ORDER BY score DESC, p.doc_id LIMIT 10
+    """,
+    tier="implied",
+    doc=f"BM25-ranked multi-term search (k1={BM25_K1}, b={BM25_B}): "
+    "tf saturation + length normalization over the posting lists — the "
+    "standard retrieval scorer TF-IDF graduates to. df/N/avgdl are tiny "
+    "broadcast aggregates; doc length comes from one groupBy over the "
+    "postings that shares the scoring join's doc_id partitioning. With "
+    "a two-term query each doc's score sums two doubles (commutative, "
+    "order-safe); rounded to 6 dp so libm ln folds compare exactly.",
+)
+def q_search_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = postings_for(spark, sf_dir)
+    stats = p.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        (F.sum("cnt").cast("double") / F.countDistinct("doc_id")).alias("avgdl"),
+    )
+    dl = p.groupBy("doc_id").agg(F.sum("cnt").cast("long").alias("dl"))
+    df = (
+        p.filter(F.col("word").isin([TERM_A, TERM_B]))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(F.lit(1) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = (F.col("cnt") * (BM25_K1 + 1)) / (
+        F.col("cnt") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        p.join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+    )

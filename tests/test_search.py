@@ -17,6 +17,7 @@ SEARCH_QUERIES = [
     "search_topk_per_term",
     "search_phrase",
     "search_tfidf_rank",
+    "search_bm25_rank",
 ]
 
 
