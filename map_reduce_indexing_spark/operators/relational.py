@@ -982,3 +982,70 @@ def q_rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("median_price"),
         F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99_price"),
     )
+
+
+@register(
+    "rel_approx_percentiles",
+    oracle=None,  # t-digest internals are engine-specific; closeness is
+    # asserted against rel_percentiles in tests/test_relational.py
+    tier="relational",
+    doc="approx_percentile (t-digest) — the scale path rel_percentiles "
+    "swaps to at 100 TB: mergeable sketches, no per-group value "
+    "materialization, same call shape. Accuracy 1/10000; the in-repo "
+    "test bounds its error against the exact interpolated quantiles.",
+)
+def q_rel_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000)
+        .alias("qty_quartiles"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), 10000).alias("median_price"),
+    )
+
+
+@register(
+    "rel_corr_covar",
+    oracle=f"""
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+               round((n * sxy - sx * sy)
+                     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS corr,
+               round((sxy - sx * sy / n) / n, 9) AS covar_pop
+        FROM (
+            SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+                   {sql_dsum(sql_dec('l_quantity'), 'sx')},
+                   {sql_dsum(sql_dec('l_extendedprice'), 'sy')},
+                   {sql_dsum(f"{sql_dec('l_quantity')} * {sql_dec('l_quantity')}", 'sxx')},
+                   {sql_dsum(f"{sql_dec('l_extendedprice')} * {sql_dec('l_extendedprice')}", 'syy')},
+                   {sql_dsum(f"{sql_dec('l_quantity')} * {sql_dec('l_extendedprice')}", 'sxy')}
+            FROM lineitem GROUP BY l_returnflag)
+    """,
+    tier="relational",
+    doc="Statistical aggregates (corr / covar_pop / regression slope of "
+    "price on quantity) computed from exact-decimal moment sums, not "
+    "the built-in corr()/covar_pop() whose double accumulation is "
+    "partition-order-dependent. The five moments sum exactly, the "
+    "closed-form combination runs once per group as identical IEEE "
+    "arithmetic in both engines, rounded at 9 dp. Scale: one shuffle, "
+    "five mergeable partial sums — same cost as any grouped agg.",
+)
+def q_rel_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    moments = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec("l_quantity")).cast("double").alias("sx"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sy"),
+        F.sum(dec("l_quantity") * dec("l_quantity")).cast("double").alias("sxx"),
+        F.sum(dec("l_extendedprice") * dec("l_extendedprice")).cast("double").alias("syy"),
+        F.sum(dec("l_quantity") * dec("l_extendedprice")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return moments.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9).alias("slope"),
+        F.round((n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9).alias("corr"),
+        F.round((sxy - sx * sy / n) / n, 9).alias("covar_pop"),
+    )

@@ -40,6 +40,7 @@ RELATIONAL_QUERIES = [
     "rel_q19_disjunctive",
     "rel_q22_dormant_customers",
     "rel_percentiles",
+    "rel_corr_covar",
 ]
 
 
@@ -189,3 +190,20 @@ def test_q6_pushdown_and_pruning(spark):
     assert "l_quantity" in scan_schema and "l_shipdate" in scan_schema
     for unused in ("l_orderkey", "l_returnflag", "l_tax", "l_partkey"):
         assert unused not in scan_schema
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    """The t-digest scale path must land within 2% relative error of
+    the exact interpolated quantiles (accuracy=10000 is far tighter;
+    the loose bound keeps the test robust to sketch evolution)."""
+    exact = {
+        r.l_returnflag: (list(r.qty_quartiles), r.median_price)
+        for r in registry.get("rel_percentiles").fn(spark, SF_DIR).collect()
+    }
+    approx = registry.get("rel_approx_percentiles").fn(spark, SF_DIR).collect()
+    assert len(approx) == len(exact) > 0
+    for r in approx:
+        eq, ep = exact[r.l_returnflag]
+        for got, want in zip(r.qty_quartiles, eq):
+            assert abs(got - want) <= max(0.02 * abs(want), 1e-9)
+        assert abs(r.median_price - ep) <= 0.02 * abs(ep)
