@@ -2,6 +2,7 @@
 from . import indexing  # noqa: F401
 from . import search  # noqa: F401
 from . import relational  # noqa: F401
+from . import relational_extra  # noqa: F401
 from . import asof  # noqa: F401
 from . import dedup  # noqa: F401
 from . import similarity  # noqa: F401

@@ -41,6 +41,17 @@ RELATIONAL_QUERIES = [
     "rel_q22_dormant_customers",
     "rel_percentiles",
     "rel_corr_covar",
+    "rel_q2_min_balance_supplier",
+    "rel_q7_nation_volume",
+    "rel_q8_market_share",
+    "rel_q9_product_type_revenue",
+    "rel_q10_returned_items",
+    "rel_q11_important_parts",
+    "rel_q12_priority_lines",
+    "rel_q15_top_supplier",
+    "rel_q16_supplier_part_count",
+    "rel_q20_excess_suppliers",
+    "rel_q21_waiting_suppliers",
 ]
 
 
