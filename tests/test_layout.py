@@ -1,0 +1,71 @@
+"""Range-clustered sorted layout (sources/layout.py): footer-level
+data-skipping evidence plus read-back correctness.
+
+The claim under test: after ``write_range_clustered(key=l_shipdate)``,
+parquet min/max statistics partition the key space so a range
+predicate touches only the overlapping subset of files — the layout
+that makes time-range scans sublinear at 100 TB.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+
+from map_reduce_indexing_spark.sources.layout import write_lineitem_by_shipdate
+from map_reduce_indexing_spark.sources.tables import load_table
+
+from .conftest import SF_DIR_MID
+
+N_FILES = 8
+
+
+def _file_key_ranges(path: str) -> list[tuple]:
+    """(min, max) of l_shipdate per data file, from footer statistics."""
+    ranges = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("l_shipdate")
+        rg_stats = [md.row_group(i).column(idx).statistics for i in range(md.num_row_groups)]
+        assert all(s is not None and s.has_min_max for s in rg_stats)
+        ranges.append((min(s.min for s in rg_stats), max(s.max for s in rg_stats)))
+    return ranges
+
+
+def test_range_clustered_files_are_disjoint_and_skippable(spark, tmp_path):
+    out = str(tmp_path / "li_by_shipdate")
+    write_lineitem_by_shipdate(spark, SF_DIR_MID, out, n_files=N_FILES)
+
+    ranges = _file_key_ranges(out)
+    assert len(ranges) == N_FILES
+
+    # Range partitioning ⇒ file key ranges are pairwise disjoint:
+    # sorted by min, every file starts after the previous one ends.
+    ordered = sorted(ranges)
+    for (_, prev_max), (next_min, _) in zip(ordered, ordered[1:]):
+        assert next_min >= prev_max
+
+    # Data-skipping evidence: a one-year predicate overlaps a strict
+    # subset of files — any min/max-aware reader skips the rest.
+    import datetime
+
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1997, 1, 1)
+    overlapping = [r for r in ranges if r[0] < hi and r[1] >= lo]
+    assert 0 < len(overlapping) < N_FILES
+
+
+def test_range_clustered_readback_matches_source(spark, tmp_path):
+    out = str(tmp_path / "li_by_shipdate_rb")
+    write_lineitem_by_shipdate(spark, SF_DIR_MID, out, n_files=N_FILES)
+
+    pred = "l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'"
+    back = spark.read.parquet(out).filter(pred)
+    src = load_table(spark, SF_DIR_MID, "lineitem").filter(pred)
+    assert back.count() == src.count() > 0
+
+    # The predicate reaches the scan (PushedFilters), so footer stats
+    # are actually consulted at read time.
+    scan_plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in scan_plan
+    assert "l_shipdate" in scan_plan.split("PushedFilters:")[1][:200]
