@@ -291,13 +291,22 @@ DUCK_MINHASH_SIG = f"""
 
 @register(
     "dedup_minhash_signatures",
-    oracle=f"SELECT doc_id, sig FROM ({DUCK_MINHASH_SIG}) WHERE doc_id < 100",
+    oracle=(
+        "SELECT doc_id, array_to_string(list_transform(sig, x -> CAST(x AS VARCHAR)), ',') AS sig "
+        f"FROM ({DUCK_MINHASH_SIG}) WHERE doc_id < 100"
+    ),
     tier="llm",
     doc=f"MinHash signatures ({K_MINHASH} permutations over {SHINGLE_K}-word "
-    "shingles), verified element-wise against the oracle.",
+    "shingles), serialized to one comma-joined string per doc (the driver "
+    "canonicalizer can't sort array cells) and verified element-wise "
+    "against the oracle.",
 )
 def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_signatures(spark, sf_dir).filter(F.col("doc_id") < 100)
+    sig = minhash_signatures(spark, sf_dir).filter(F.col("doc_id") < 100)
+    return sig.select(
+        "doc_id",
+        F.concat_ws(",", F.transform("sig", lambda x: x.cast("string"))).alias("sig"),
+    )
 
 
 def _band_exprs(sig_col: str, engine: str) -> str:

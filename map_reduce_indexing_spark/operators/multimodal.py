@@ -197,16 +197,18 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_embed",
     oracle=f"""
         SELECT doc_id,
-               [ (CAST('0x' || substr(md5(upper(hex(blob))), i * 2 + 1, 2) AS BIGINT)
-                  - 128) / 128.0
-                 FOR i IN range({EMBED_DIM}) ] AS emb
+               array_to_string(
+                 [ CAST(CAST((CAST('0x' || substr(md5(upper(hex(blob))), i * 2 + 1, 2) AS BIGINT)
+                      - 128) / 128.0 AS DECIMAL(10,7)) AS VARCHAR)
+                   FOR i IN range({EMBED_DIM}) ], ',') AS emb
         FROM ({DUCK_BLOB_DOCS}) WHERE doc_id < 200
     """,
     tier="llm",
     doc="Feature extraction: binary column -> fixed-dim embedding vector "
     "(md5-stubbed 'model' behind the same mapInPandas plumbing a real "
-    "encoder uses). Values are exact dyadic doubles, so the vector "
-    "hash-compares bit-exactly; output feeds the ANN operators.",
+    "encoder uses). Values are exact dyadic multiples of 1/128, so the "
+    "DECIMAL(10,7) serialization (scalar string output for the driver "
+    "canonicalizer) is lossless and bit-comparable across engines.",
 )
 def q_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
@@ -214,7 +216,13 @@ def q_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .filter(F.col("doc_id") < 200)
     )
-    return embed_blobs(with_blob(docs).select("doc_id", "blob"))
+    emb = embed_blobs(with_blob(docs).select("doc_id", "blob"))
+    return emb.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform("emb", lambda x: x.cast("decimal(10,7)").cast("string"))
+        ).alias("emb"),
+    )
 
 
 @register(

@@ -113,16 +113,37 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rel_approx_distinct",
-    oracle=None,  # HLL sketches differ across engines by design -> rows-only
+    # Tolerance-verdict oracle: HLL sketch values are engine-specific, so
+    # the query emits the EXACT distinct counts plus booleans asserting the
+    # HLL++ estimate (rsd=1%) lands within 5%; the oracle emits the same
+    # exact counts and literal TRUE. Hash-checkable, and a broken sketch
+    # flips the boolean.
+    oracle="""
+        SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+               TRUE AS parts_within_5pct,
+               TRUE AS orders_within_5pct
+        FROM lineitem
+    """,
     tier="relational",
-    doc="approx_count_distinct (HyperLogLog++): the 100 TB-tier form of A6; "
-    "sketch values are engine-specific so no cross-engine oracle.",
+    doc="approx_count_distinct (HyperLogLog++): the 100 TB-tier form of A6. "
+    "Verified via the tolerance-verdict pattern: the query asserts "
+    "|approx-exact|/exact <= 5% as booleans the oracle hash-matches.",
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+    agg = li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("_ap_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("_ap_orders"),
+    )
+    within = lambda ap, ex: F.abs(ap - ex) / ex <= F.lit(0.05)  # noqa: E731
+    return agg.select(
+        "exact_parts",
+        "exact_orders",
+        within(F.col("_ap_parts"), F.col("exact_parts")).alias("parts_within_5pct"),
+        within(F.col("_ap_orders"), F.col("exact_orders")).alias("orders_within_5pct"),
     )
 
 
@@ -688,7 +709,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                CAST(len(toks) AS BIGINT) AS n_toks,
                CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-               list_sort(list_distinct(toks))[1:3] AS first3,
+               array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3,
                CAST(len(list_filter(toks, t -> length(t) > 4)) AS BIGINT) AS n_long,
                list_sort(list_transform(list_distinct(toks), t -> upper(t)))[1] AS first_upper
         FROM (
@@ -712,7 +733,7 @@ def q_array_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("toks").cast("long").alias("n_toks"),
         F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
-        F.slice(F.array_sort(F.array_distinct("toks")), 1, 3).alias("first3"),
+        F.concat_ws(",", F.slice(F.array_sort(F.array_distinct("toks")), 1, 3)).alias("first3"),
         F.size(F.filter("toks", lambda x: F.length(x) > 4)).cast("long").alias("n_long"),
         F.element_at(
             F.array_sort(F.transform(F.array_distinct("toks"), F.upper)), 1
@@ -956,8 +977,9 @@ def q_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_percentiles",
     oracle="""
         SELECT l_returnflag,
-               list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
-                              x -> round(x, 6)) AS qty_quartiles,
+               round(quantile_cont(l_quantity, 0.25), 6) AS qty_q25,
+               round(quantile_cont(l_quantity, 0.5), 6) AS qty_q50,
+               round(quantile_cont(l_quantity, 0.75), 6) AS qty_q75,
                round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
                round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
         FROM lineitem
@@ -965,9 +987,10 @@ def q_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tier="relational",
     doc="Distribution statistics (SURVEY.md §2.4 A6 extension): exact "
-    "interpolated percentiles per group — quartiles, median, p99. Both "
-    "engines sort the group and linearly interpolate the same two order "
-    "statistics; results rounded to 6 dp to absorb last-ulp FMA "
+    "interpolated percentiles per group — quartiles, median, p99, as "
+    "scalar columns (the driver canonicalizer can't sort array cells). "
+    "Both engines sort the group and linearly interpolate the same two "
+    "order statistics; rounded to 6 dp to absorb last-ulp FMA "
     "differences. Scale note: exact percentiles materialize each "
     "group's values — at 100 TB swap in approx_percentile (t-digest), "
     "same call shape.",
@@ -975,10 +998,9 @@ def q_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.transform(
-            F.percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))),
-            lambda x: F.round(x, 6),
-        ).alias("qty_quartiles"),
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("qty_q25"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("qty_q50"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("qty_q75"),
         F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("median_price"),
         F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99_price"),
     )
@@ -986,20 +1008,47 @@ def q_rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rel_approx_percentiles",
-    oracle=None,  # t-digest internals are engine-specific; closeness is
-    # asserted against rel_percentiles in tests/test_relational.py
+    # Tolerance-verdict oracle: Spark emits the EXACT interpolated quantile
+    # plus a boolean asserting the t-digest estimate is within 2% of it;
+    # the oracle emits the same exact values and literal TRUE. The sketch's
+    # engine-specific value never reaches the hash, but a broken sketch
+    # flips the boolean and fails the row.
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.5), 6) AS exact_q50,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_median_price,
+               TRUE AS q50_within_2pct,
+               TRUE AS median_within_2pct
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
     tier="relational",
     doc="approx_percentile (t-digest) — the scale path rel_percentiles "
     "swaps to at 100 TB: mergeable sketches, no per-group value "
-    "materialization, same call shape. Accuracy 1/10000; the in-repo "
-    "test bounds its error against the exact interpolated quantiles.",
+    "materialization. Verified via the tolerance-verdict pattern: the "
+    "query itself asserts |approx-exact|/exact <= 2% as a boolean the "
+    "oracle can hash-match.",
 )
 def q_rel_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000)
-        .alias("qty_quartiles"),
-        F.percentile_approx("l_extendedprice", F.lit(0.5), 10000).alias("median_price"),
+
+    def within(approx, exact):
+        return (F.abs(approx - exact) / F.abs(exact) <= F.lit(0.02)) | (
+            approx == exact
+        )
+
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("_ex_q50"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("_ex_med"),
+        F.percentile_approx("l_quantity", F.lit(0.5), 10000).alias("_ap_q50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), 10000).alias("_ap_med"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round("_ex_q50", 6).alias("exact_q50"),
+        F.round("_ex_med", 6).alias("exact_median_price"),
+        within(F.col("_ap_q50"), F.col("_ex_q50")).alias("q50_within_2pct"),
+        within(F.col("_ap_med"), F.col("_ex_med")).alias("median_within_2pct"),
     )
 
 

@@ -265,12 +265,13 @@ def q_search_tfidf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "search_doc_tf_vector",
     oracle=(
-        "SELECT doc_id, list(word || ':' || cnt ORDER BY word) AS tf "
+        "SELECT doc_id, array_to_string(list(word || ':' || cnt ORDER BY word), ' ') AS tf "
         f"FROM ({POSTINGS_SQL}) WHERE doc_id < 50 GROUP BY doc_id"
     ),
     tier="implied",
     doc="Per-doc term-frequency vector (SURVEY.md §2.4 A8), encoded as a "
-    "sorted array of word:count strings for oracle comparability.",
+    "single space-joined 'word:count' string: the driver canonicalizer "
+    "sorts raw pandas cells, so array-typed outputs are unhashable there.",
 )
 def q_search_doc_tf_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -278,8 +279,9 @@ def q_search_doc_tf_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 50)
         .groupBy("doc_id")
         .agg(
-            F.sort_array(
-                F.collect_list(F.concat_ws(":", "word", "cnt"))
+            F.concat_ws(
+                " ",
+                F.sort_array(F.collect_list(F.concat_ws(":", "word", "cnt"))),
             ).alias("tf")
         )
     )

@@ -177,12 +177,31 @@ BATCH_K = 10
 
 @register(
     "ann_knn_batch_numpy",
-    # No SQL oracle: BLAS reorders the double summation, so cosines differ
-    # from a left-to-right SQL fold in the last ulp and would break the
-    # driver's stringified-value hash. Correctness is instead pinned by
-    # tests/test_llm_ops.py::test_knn_batch_numpy_matches_sql, which
-    # checks this path against the SQL brute-force query within 1e-9.
-    oracle=None,
+    # Tolerance-verdict oracle: BLAS reorders the double summation, so raw
+    # BLAS cosines differ from a left-to-right SQL fold in the last ulp.
+    # The query therefore uses BLAS only to PRUNE (per-cell top-(k+5)),
+    # re-ranks the surviving ~cells*q*(k+5) candidates with the exact
+    # left-to-right fold (bit-identical on both engines), and emits a
+    # boolean asserting |blas - fold| <= 1e-9. The oracle ranks by the
+    # same fold and emits literal TRUE.
+    oracle=f"""
+        WITH e AS ({DUCK_EMB}),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {N_BATCH_QUERIES}),
+        scored AS (
+            SELECT q_id, e.vec_id, {duck_cosine('e.v', 'q.qv')} AS cosine
+            FROM e CROSS JOIN q
+            WHERE e.vec_id <> q.q_id
+        ),
+        ranked AS (
+            SELECT q_id, vec_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, vec_id) AS rn
+            FROM scored
+        )
+        SELECT q_id, vec_id, cosine, CAST(rn AS BIGINT) AS rn,
+               TRUE AS blas_within_1e9
+        FROM ranked WHERE rn <= {BATCH_K}
+    """,
     tier="llm",
     doc="Batch multi-query exact KNN (SURVEY.md §2.10 applyInPandas "
     "surface): score all vectors against 8 query vectors at once with "
@@ -210,6 +229,10 @@ def q_ann_knn_batch_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Q = np.array([r.v for r in qrows], dtype=np.float64)  # (q, dim)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
+    # Per-cell margin over k so the final fold-ordered top-k set cannot be
+    # changed by last-ulp BLAS-vs-fold differences at the cut boundary.
+    PRUNE_K = BATCH_K + 5
+
     def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         M = np.stack(pdf["v"].values).astype(np.float64)  # (n, dim)
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
@@ -220,27 +243,53 @@ def q_ann_knn_batch_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
             col = C[:, qi]
             mask = vec_ids != q_id
             cand_ids, cand_cos = vec_ids[mask], col[mask]
-            take = min(BATCH_K, len(cand_ids))
+            take = min(PRUNE_K, len(cand_ids))
             if take == 0:
                 continue
             part = np.argpartition(-cand_cos, take - 1)[:take]
             out.append(
                 pd.DataFrame(
-                    {"q_id": q_id, "vec_id": cand_ids[part], "cosine": cand_cos[part]}
+                    {"q_id": q_id, "vec_id": cand_ids[part], "blas_cosine": cand_cos[part]}
                 )
             )
         if not out:
-            return pd.DataFrame({"q_id": [], "vec_id": [], "cosine": []})
+            return pd.DataFrame({"q_id": [], "vec_id": [], "blas_cosine": []})
         return pd.concat(out, ignore_index=True)
 
     partial = e.groupBy("cell").applyInPandas(
-        score_cell, schema="q_id long, vec_id long, cosine double"
+        score_cell, schema="q_id long, vec_id long, blas_cosine double"
+    )
+    # Re-rank the pruned candidates (~cells * q * PRUNE_K rows) with the
+    # exact left-to-right fold so ordering and values are bit-identical to
+    # the oracle; the BLAS score survives only as a tolerance verdict.
+    cand = partial.join(
+        e.select("vec_id", "v"), "vec_id"
+    ).join(
+        F.broadcast(
+            e.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
+                F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+            )
+        ),
+        "q_id",
+    ).select(
+        "q_id",
+        "vec_id",
+        "blas_cosine",
+        F.expr(spark_cosine("v", "qv")).alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
     return (
-        partial.withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= BATCH_K)
-        .select("q_id", "vec_id", "cosine", "rn")
+        .select(
+            "q_id",
+            "vec_id",
+            "cosine",
+            "rn",
+            (F.abs(F.col("blas_cosine") - F.col("cosine")) <= F.lit(1e-9)).alias(
+                "blas_within_1e9"
+            ),
+        )
     )
 
 

@@ -221,15 +221,16 @@ def q_text_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     oracle=f"""
         SELECT doc_id,
-               list_sort(list_distinct(list_transform({duck_shingles('toks')},
-                   s -> md5(s))))[1:{FINGERPRINT_K}] AS fp
+               array_to_string(list_sort(list_distinct(list_transform({duck_shingles('toks')},
+                   s -> md5(s))))[1:{FINGERPRINT_K}], ' ') AS fp
         FROM (SELECT doc_id, {DUCK_TOKENS_LIST} AS toks FROM documents)
         WHERE len(toks) >= 3
     """,
     tier="llm",
     doc=f"Document fingerprint: the {FINGERPRINT_K} lexicographically "
-    "smallest md5s of word shingles (min-k sketch) — order-stable, "
-    "cross-engine-identical, usable as a compact near-dup key.",
+    "smallest md5s of word shingles (min-k sketch), space-joined into "
+    "one string (scalar output for the driver canonicalizer) — "
+    "order-stable, cross-engine-identical, a compact near-dup key.",
 )
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle_rows is already distinct per doc; min-k = sort + slice
@@ -237,7 +238,9 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_rows(spark, sf_dir)
         .groupBy("doc_id")
         .agg(
-            F.expr(f"slice(array_sort(collect_set(md5(s))), 1, {FINGERPRINT_K})").alias("fp")
+            F.expr(
+                f"concat_ws(' ', slice(array_sort(collect_set(md5(s))), 1, {FINGERPRINT_K}))"
+            ).alias("fp")
         )
     )
 

@@ -191,9 +191,10 @@ def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier="streaming",
     doc=f"Session windows ({SESSION_GAP} gap) via the built-in "
     "session_window, oracle-checked against a gaps-and-islands SQL "
-    "formulation. (Boundary note: an inter-event gap exactly equal to "
-    "the threshold closes the session in both formulations only for "
-    "strict inequality — microsecond data makes exact ties moot.)",
+    "formulation. Boundary semantics verified empirically (Spark 4.1): "
+    "session_window MERGES an event exactly gap after the previous one "
+    "(adjacent ranges coalesce), so the oracle splits only on strict "
+    "'>' — a tie cannot mismatch by construction.",
 )
 def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -231,11 +232,22 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_stateful_user_stats",
-    oracle=None,  # custom stateful operator: rows-only check
+    # The memory sink accumulates one update row per (user, microbatch);
+    # n_events and max_value are monotone over a user's updates, so the
+    # final state is the per-user max of both — which equals the batch
+    # group-by, giving an exact oracle for the stateful operator.
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(value) AS max_value
+        FROM events GROUP BY user_id
+    """,
     tier="streaming",
     doc="Custom stateful streaming operator (applyInPandasWithState): "
     "per-user running event count + max value kept in GroupState, "
-    "emitted in update mode. The non-SQL-expressible tier of §2.9.",
+    "emitted in update mode; final per-user state folded out of the "
+    "update log and oracle-checked against the batch recompute. The "
+    "non-SQL-expressible tier of §2.9.",
 )
 def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -259,7 +271,13 @@ def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_to_completion(stats, "update")
+    updates = run_to_completion(stats, "update")
+    # Fold the update log to final state: both stats are monotone
+    # non-decreasing per user, so max == last == the converged value.
+    return updates.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("max_value").alias("max_value"),
+    )
 
 
 @register(
@@ -369,17 +387,22 @@ def q_stream_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Each microbatch appended its own partial counts; the index read
     # re-aggregates them (the streaming analogue of the reference's
-    # reduce-side merge). Materialize before returning so the caller's
-    # DataFrame doesn't dangle on the temp dir.
-    final = (
+    # reduce-side merge). Write the merged result to a compacted parquet
+    # and return a scan of it: data stays on executors end-to-end (no
+    # driver collect), and the returned DataFrame doesn't dangle on the
+    # appended temp index. The session cleans the dir at JVM exit.
+    merged_path = os.path.join(workdir, "merged")
+    (
         spark.read.parquet(index_path)
         .groupBy("word", "doc_id")
         .agg(F.sum("cnt").alias("cnt"))
         .select("word", "doc_id", "cnt")
+        .write.mode("overwrite")
+        .parquet(merged_path)
     )
-    rows = final.collect()
-    shutil.rmtree(workdir, ignore_errors=True)
-    return spark.createDataFrame(rows, schema=final.schema)
+    shutil.rmtree(index_path, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    return spark.read.parquet(merged_path)
 
 
 def incremental_index_append(

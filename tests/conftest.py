@@ -61,10 +61,11 @@ def assert_df_matches_oracle(spark_df, duck_con, sql: str, *, float_tol: float =
     du = du[sorted(du.columns)]
     assert len(sp) == len(du), f"row count {len(sp)} != {len(du)}"
     key = list(sp.columns)
-    # Stringify BEFORE sorting (the driver does the same): array columns
-    # come back as ndarray/list objects, which sort_values can't order.
-    sp_sorted = sp.astype(str).sort_values(key, ignore_index=True)
-    du_sorted = du.astype(str).sort_values(key, ignore_index=True)
+    # Driver order: sort_values on the RAW frame first (list/ndarray cells
+    # raise "unhashable type: 'list'" — exactly as the driver errs, per
+    # CORRECTNESS_r01), THEN stringify for comparison.
+    sp_sorted = sp.sort_values(key, ignore_index=True).astype(str)
+    du_sorted = du.sort_values(key, ignore_index=True).astype(str)
     if float_tol == 0.0:
         mism = (sp_sorted != du_sorted)
         assert not mism.any().any(), sp_sorted[mism.any(axis=1)].head(5).to_string()

@@ -26,15 +26,10 @@ def test_dedup_query_matches_oracle(spark, duck, name):
 
 
 def test_minhash_signatures_match_oracle(spark, duck):
+    # sig is a comma-joined string of K permutation minima (scalar,
+    # driver-sortable)
     q = registry.get("dedup_minhash_signatures")
-    sp = q.fn(spark, SF_DIR).toPandas()
-    du = duck.execute(q.oracle).fetchdf()
-    sp["sig"] = sp["sig"].map(list)
-    du["sig"] = du["sig"].map(list)
-    sp = sp.sort_values("doc_id", ignore_index=True)
-    du = du.sort_values("doc_id", ignore_index=True)
-    assert sp["doc_id"].tolist() == du["doc_id"].tolist()
-    assert sp["sig"].tolist() == du["sig"].tolist()
+    assert_df_matches_oracle(q.fn(spark, SF_DIR), duck, q.oracle)
 
 
 def test_lsh_pairs_match_oracle(spark, duck):

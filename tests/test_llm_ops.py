@@ -11,6 +11,7 @@ from .conftest import SF_DIR, assert_df_matches_oracle
 
 ORACLE_QUERIES = [
     "ann_knn_bruteforce",
+    "ann_knn_batch_numpy",
     "ann_lsh_bucket_histogram",
     "ann_lsh_topk",
     "ann_ivf_cells",
@@ -32,17 +33,11 @@ ORACLE_QUERIES = [
 
 
 def test_multimodal_embed_matches_oracle(spark, duck):
-    """Element-wise embedding comparison (array column needs list
-    coercion before frame equality, same as the fingerprint test)."""
+    # emb is a comma-joined DECIMAL(10,7) string (scalar, driver-sortable)
     q = registry.get("multimodal_embed")
-    sp = q.fn(spark, SF_DIR).toPandas()
-    du = duck.execute(q.oracle).fetchdf()
-    sp["emb"] = sp["emb"].map(list)
-    du["emb"] = du["emb"].map(list)
-    sp = sp.sort_values("doc_id", ignore_index=True)
-    du = du.sort_values("doc_id", ignore_index=True)
-    assert sp["doc_id"].tolist() == du["doc_id"].tolist()
-    assert sp["emb"].tolist() == du["emb"].tolist()
+    assert_df_matches_oracle(q.fn(spark, SF_DIR), duck, q.oracle)
+    sample = q.fn(spark, SF_DIR).head()
+    assert len(sample.emb.split(",")) == 16
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
@@ -52,15 +47,9 @@ def test_llm_query_matches_oracle(spark, duck, name):
 
 
 def test_fingerprint_matches_oracle(spark, duck):
+    # fp is a space-joined min-k md5 string (scalar, driver-sortable)
     q = registry.get("text_fingerprint")
-    sp = q.fn(spark, SF_DIR).toPandas()
-    du = duck.execute(q.oracle).fetchdf()
-    sp["fp"] = sp["fp"].map(list)
-    du["fp"] = du["fp"].map(list)
-    sp = sp.sort_values("doc_id", ignore_index=True)
-    du = du.sort_values("doc_id", ignore_index=True)
-    assert sp["doc_id"].tolist() == du["doc_id"].tolist()
-    assert sp["fp"].tolist() == du["fp"].tolist()
+    assert_df_matches_oracle(q.fn(spark, SF_DIR), duck, q.oracle)
 
 
 def test_lsh_topk_is_subset_of_bruteforce_space(spark):
@@ -79,17 +68,16 @@ def test_lsh_topk_is_subset_of_bruteforce_space(spark):
 
 def test_knn_batch_numpy_matches_sql(spark):
     """The applyInPandas/numpy batch-KNN path must reproduce the SQL
-    brute-force top-k for the shared query vector (BLAS summation order
-    differs, hence the tolerance instead of a DuckDB hash oracle)."""
+    brute-force top-k for the shared query vector: the final ranking is
+    by the exact left-to-right fold, so cosines match bit-for-bit, and
+    the per-row boolean certifies BLAS agreed within 1e-9."""
     brute = registry.get("ann_knn_bruteforce").fn(spark, SF_DIR).collect()
     batch = registry.get("ann_knn_batch_numpy").fn(spark, SF_DIR).collect()
-    q0 = sorted(
-        ((r.vec_id, r.cosine) for r in batch if r.q_id == 0),
-        key=lambda t: (-t[1], t[0]),
-    )
-    assert [v for v, _ in q0] == [r.vec_id for r in brute]
-    for (_, got), want in zip(q0, brute):
-        assert abs(got - want.cosine) < 1e-9
+    q0 = sorted((r for r in batch if r.q_id == 0), key=lambda r: r.rn)
+    assert [r.vec_id for r in q0] == [r.vec_id for r in brute]
+    for got, want in zip(q0, brute):
+        assert got.cosine == want.cosine  # identical fold -> bit-exact
+    assert all(r.blas_within_1e9 for r in batch)
     # every query id produced a full top-k
     qids = {r.q_id for r in batch}
     assert len(qids) == 8

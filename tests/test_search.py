@@ -59,15 +59,11 @@ def test_search_query_matches_oracle(spark, duck, name):
 
 
 def test_doc_tf_vector(spark, duck):
+    # tf is a space-joined word:count string (scalar, driver-sortable)
     q = registry.get("search_doc_tf_vector")
-    sp = q.fn(spark, SF_DIR).toPandas()
-    du = duck.execute(q.oracle).fetchdf()
-    sp["tf"] = sp["tf"].map(list)
-    du["tf"] = du["tf"].map(list)
-    sp = sp.sort_values("doc_id", ignore_index=True)
-    du = du.sort_values("doc_id", ignore_index=True)
-    assert sp["doc_id"].tolist() == du["doc_id"].tolist()
-    assert sp["tf"].tolist() == du["tf"].tolist()
+    assert_df_matches_oracle(q.fn(spark, SF_DIR), duck, q.oracle)
+    sample = q.fn(spark, SF_DIR).filter("doc_id = 1").head()
+    assert sample is not None and ":" in sample.tf
 
 
 def test_entry_smoke(spark):

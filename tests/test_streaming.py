@@ -19,6 +19,7 @@ ORACLE_QUERIES = [
     "stream_incremental_index",
     "stream_sliding_counts",
     "stream_static_join",
+    "stream_stateful_user_stats",
 ]
 
 

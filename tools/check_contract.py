@@ -30,8 +30,10 @@ def compare(sp_df, con, sql: str) -> str:
     if len(sp) != len(du):
         return f"ROWCOUNT MISMATCH spark={len(sp)} oracle={len(du)}"
     cols = sorted(sp.columns)
-    sp = sp[cols].astype(str).sort_values(cols, ignore_index=True)
-    du = du[cols].astype(str).sort_values(cols, ignore_index=True)
+    # Driver order: sort_values on RAW columns first (list cells raise
+    # "unhashable type: 'list'" there, as in CORRECTNESS_r01), then stringify.
+    sp = sp[cols].sort_values(cols, ignore_index=True).astype(str)
+    du = du[cols].sort_values(cols, ignore_index=True).astype(str)
     if not sp.equals(du):
         diff = sp.compare(du) if hasattr(sp, "compare") else None
         return f"VALUE MISMATCH\n{diff.head(5) if diff is not None else ''}"
