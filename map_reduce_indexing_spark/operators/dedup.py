@@ -47,6 +47,40 @@ SIMHASH_BITS = 32
 HAMMING_MAX = 3
 COSINE_THRESHOLD = 0.95
 
+# Random-hyperplane LSH for embeddings (shared with operators/similarity.py):
+# deterministic integer hyperplanes inlined into both engines so Spark and
+# DuckDB assign identical buckets.
+EMB_DIM = 64
+N_PLANES = 8  # -> 256 buckets
+HYPERPLANES = [
+    [((j * 31 + d * 17) % 13) - 6 for d in range(EMB_DIM)] for j in range(N_PLANES)
+]
+
+
+def _spark_arr(v: list[int]) -> str:
+    return "array(" + ", ".join(f"{x}.0d" for x in v) + ")"
+
+
+def _duck_arr(v: list[int]) -> str:
+    return "[" + ", ".join(f"{x}.0" for x in v) + "]::DOUBLE[]"
+
+
+def spark_lsh_bucket(vec: str) -> str:
+    """8-bit bucket id: bit j = sign(dot(vec, plane_j))."""
+    terms = [
+        f"(case when {SPARK_DOT.format(a=vec, b=_spark_arr(p))} > 0 then {1 << j}L else 0L end)"
+        for j, p in enumerate(HYPERPLANES)
+    ]
+    return " + ".join(terms)
+
+
+def duck_lsh_bucket(vec: str) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product({vec}, {_duck_arr(p)}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(HYPERPLANES)
+    ]
+    return " + ".join(terms)
+
 
 # ---- shared expression builders -------------------------------------------
 # Spark-side SQL expressions (strings, used via F.expr) and DuckDB-side SQL
@@ -425,33 +459,72 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_docs(spark, sf_dir)
 
 
+N_SIMHASH_BLOCKS = HAMMING_MAX + 1  # pigeonhole: <=3 flipped bits can't touch all 4 blocks
+SIMHASH_BLOCK_BITS = SIMHASH_BITS // N_SIMHASH_BLOCKS
+
+
 @register(
     "dedup_simhash_pairs",
+    # Oracle stays the (quadratic) ground-truth formulation over the FULL
+    # fixture: equality proves the blocked search has perfect recall.
     oracle=f"""
         WITH s AS ({DUCK_SIMHASH})
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         FROM s a JOIN s b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
-          AND a.doc_id < 200 AND b.doc_id < 200
     """,
     tier="llm",
-    doc=f"SimHash near-dup pairs (Hamming <= {HAMMING_MAX}) on a bounded "
-    "slice. At scale: block on simhash prefixes (pigeonhole) instead of "
-    "the all-pairs join shown here.",
+    doc=f"SimHash near-dup pairs (Hamming <= {HAMMING_MAX}) via pigeonhole "
+    f"blocking: the {SIMHASH_BITS}-bit hash splits into "
+    f"{N_SIMHASH_BLOCKS} blocks of {SIMHASH_BLOCK_BITS} bits, and any "
+    f"pair within Hamming {HAMMING_MAX} must agree EXACTLY on at least "
+    "one block — so candidates come from an equi-keyed groupBy on "
+    "(block_idx, block_value) with in-bucket pair expansion, then an "
+    "exact bit_count verify. No theta join anywhere; shuffle key space "
+    "is uniform. Same physical shape as dedup_minhash_lsh_pairs.",
 )
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = simhash_docs(spark, sf_dir).filter(F.col("doc_id") < 200)
-    a, b = s.alias("a"), s.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long")
+    s = simhash_docs(spark, sf_dir)
+    block_vals = F.array(
+        *[
+            F.expr(
+                f"shiftright(simhash, {b * SIMHASH_BLOCK_BITS}) & {(1 << SIMHASH_BLOCK_BITS) - 1}"
+            )
+            for b in range(N_SIMHASH_BLOCKS)
+        ]
+    )
+    blocks = s.select(
+        "doc_id", "simhash", F.posexplode(block_vals).alias("block_idx", "block_val")
+    )
+    # Carry (doc_id, simhash) into the bucket so the Hamming verify needs
+    # no join back; array_sort orders by doc_id (first struct field), so
+    # the i<j expansion yields doc_a < doc_b.
+    buckets = (
+        blocks.groupBy("block_idx", "block_val")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds)), y -> struct("
+                "x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                "x.simhash AS sh_a, y.simhash AS sh_b))))"
+            )
+        ).alias("p")
+    )
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
+        pairs.select(
+            "p.doc_a",
+            "p.doc_b",
+            F.bit_count(F.col("p.sh_a").bitwiseXOR(F.col("p.sh_b")))
+            .cast("long")
+            .alias("hamming"),
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()  # a pair may agree on several blocks
     )
 
 
@@ -478,33 +551,53 @@ def duck_cosine(a: str, b: str) -> str:
 
 @register(
     "dedup_embedding_pairs",
+    # Both engines restrict to same-LSH-bucket pairs with an identical
+    # deterministic bucket function, so the oracle hash-matches exactly;
+    # bucketed-vs-exhaustive recall is measured separately in
+    # tests/test_dedup.py on a bounded slice.
     oracle=f"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                   FROM embeddings WHERE vec_id < 300)
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               {duck_cosine('a.v', 'b.v')} AS cosine
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE {duck_cosine('a.v', 'b.v')} >= {COSINE_THRESHOLD}
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {duck_lsh_bucket('v')} AS bucket FROM e)
+        SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+               {duck_cosine('a.v', 'b2.v')} AS cosine
+        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        WHERE {duck_cosine('a.v', 'b2.v')} >= {COSINE_THRESHOLD}
     """,
     tier="llm",
     doc=f"Embedding near-dup pairs (cosine >= {COSINE_THRESHOLD}) — dense "
-    "complement to MinHash. Bounded slice; the scale path is the LSH "
-    "bucketing in operators/similarity.py.",
+    "complement to MinHash, run at FULL fixture scale: candidates come "
+    f"from the {2**N_PLANES}-bucket random-hyperplane LSH (equi-keyed "
+    "groupBy + in-bucket pair expansion, the same physical shape as the "
+    "MinHash band join — no unbounded theta join), then the exact "
+    "left-to-right fold cosine verifies each candidate. At 100 TB the "
+    "bucket column is also the storage partition key, so this is a "
+    "partition-local, uniformly-keyed pipeline.",
 )
 def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 300)
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    a, b = e.alias("a"), e.alias("b")
-    cos = F.expr(spark_cosine("a.v", "b.v"))
+    bucketed = e.withColumn("bucket", F.expr(spark_lsh_bucket("v")))
+    buckets = (
+        bucketed.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("vs"))
+        .filter(F.size("vs") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(vs, (x, i) -> "
+                "transform(slice(vs, i + 2, size(vs)), y -> struct("
+                "x.vec_id AS vec_a, y.vec_id AS vec_b, "
+                "x.v AS va, y.v AS vb))))"
+            )
+        ).alias("p")
+    )
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cosine"),
+        pairs.select(
+            "p.vec_a",
+            "p.vec_b",
+            F.expr(spark_cosine("p.va", "p.vb")).alias("cosine"),
         )
         .filter(F.col("cosine") >= COSINE_THRESHOLD)
     )
@@ -586,7 +679,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lab", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(50):
+    max_rounds, converged = 50, False
+    for _ in range(max_rounds):
         neigh = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
@@ -609,6 +703,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new.select("node", "lab")
         if converged:
             break
+    if not converged:
+        # An unconverged result would silently mislabel any component with
+        # diameter > max_rounds; fail loudly instead.
+        raise RuntimeError(
+            f"dedup_clusters: min-label propagation did not converge in "
+            f"{max_rounds} rounds (component diameter too large — switch "
+            "to the large-star/small-star variant)"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
     )

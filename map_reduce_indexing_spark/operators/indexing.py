@@ -82,10 +82,11 @@ def compact_index(spark: SparkSession, path: str) -> None:
     foreachBatch) accumulates one partial-count row per (word, doc)
     PER APPEND — reads stay correct only if they re-aggregate, and file
     counts grow without bound. Compaction is the standard log-structured
-    fix. The rewrite stages to a sibling directory and swaps via rename
-    (read-then-overwrite of the same path would corrupt the source
-    mid-scan); on a production filesystem the swap is the same atomic
-    namespace rename every commit protocol relies on.
+    fix. The rewrite stages to a sibling directory, renames the live
+    index ASIDE, moves staging into place, then deletes the old copy —
+    a crash at any point leaves a complete readable index (either the
+    old one, possibly under the .old name, or the new one); rmtree
+    before rename would leave a window with no index at all.
     """
     import shutil
     import tempfile
@@ -97,8 +98,11 @@ def compact_index(spark: SparkSession, path: str) -> None:
     )
     staging = tempfile.mkdtemp(prefix="mri_compact_", dir=os.path.dirname(path) or ".")
     write_index(merged, staging, mode="overwrite")
-    shutil.rmtree(path)
+    old = path + ".old"
+    shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+    os.replace(path, old)
     os.replace(staging, path)
+    shutil.rmtree(old)
 
 
 def postings_for(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -27,45 +27,27 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..plans.registry import register
 from ..sources.tables import load_table
-from .dedup import SPARK_DOT, duck_cosine, spark_cosine
+from .dedup import (
+    N_PLANES,
+    SPARK_DOT,
+    _duck_arr,
+    _spark_arr,
+    duck_cosine,
+    duck_lsh_bucket,
+    spark_cosine,
+    spark_lsh_bucket,
+)
 
 DIM = 64
 QUERY_VEC_ID = 0
-N_PLANES = 8  # LSH hyperplanes -> 256 buckets
 N_CENTROIDS = 8  # IVF cells
 
-# Deterministic integer hyperplanes / centroids, inlined into both engines.
-HYPERPLANES = [
-    [((j * 31 + d * 17) % 13) - 6 for d in range(DIM)] for j in range(N_PLANES)
-]
+# Deterministic integer centroids, inlined into both engines. (The LSH
+# hyperplanes/bucket builders live in operators/dedup.py, shared with the
+# embedding near-dup operator.)
 CENTROIDS = [
     [((j * 37 + d * 11) % 9) - 4 for d in range(DIM)] for j in range(N_CENTROIDS)
 ]
-
-
-def _spark_arr(v: list[int]) -> str:
-    return "array(" + ", ".join(f"{x}.0d" for x in v) + ")"
-
-
-def _duck_arr(v: list[int]) -> str:
-    return "[" + ", ".join(f"{x}.0" for x in v) + "]::DOUBLE[]"
-
-
-def spark_lsh_bucket(vec: str) -> str:
-    """8-bit bucket id: bit j = sign(dot(vec, plane_j))."""
-    terms = [
-        f"(case when {SPARK_DOT.format(a=vec, b=_spark_arr(p))} > 0 then {1 << j}L else 0L end)"
-        for j, p in enumerate(HYPERPLANES)
-    ]
-    return " + ".join(terms)
-
-
-def duck_lsh_bucket(vec: str) -> str:
-    terms = [
-        f"(CASE WHEN list_dot_product({vec}, {_duck_arr(p)}) > 0 THEN {1 << j} ELSE 0 END)"
-        for j, p in enumerate(HYPERPLANES)
-    ]
-    return " + ".join(terms)
 
 
 def spark_ivf_cell(vec: str) -> str:

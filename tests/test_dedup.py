@@ -89,3 +89,86 @@ def test_clusters_are_consistent_with_pairs(spark):
         members.setdefault(lab, []).append(doc)
     for lab, docs in members.items():
         assert lab == min(docs)
+
+
+def test_simhash_pairs_plan_has_no_theta_join(spark):
+    """The pigeonhole-blocked pair search must compile to equi-keyed
+    aggregation only — no nested-loop/cartesian theta join anywhere."""
+    df = registry.get("dedup_simhash_pairs").fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_pairs_plan_has_no_theta_join(spark):
+    df = registry.get("dedup_embedding_pairs").fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_blocking_has_perfect_recall_vs_allpairs(spark):
+    """Pigeonhole guarantee: Hamming <= 3 with 4 blocks means at least
+    one block matches exactly, so the blocked search must find EVERY
+    all-pairs match on a bounded slice (brute force here, in python)."""
+    from map_reduce_indexing_spark.operators.dedup import (
+        HAMMING_MAX,
+        simhash_docs,
+    )
+
+    sh = {
+        r.doc_id: r.simhash
+        for r in simhash_docs(spark, SF_DIR).filter("doc_id < 150").collect()
+    }
+    ids = sorted(sh)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sh[a] ^ sh[b]).count("1") <= HAMMING_MAX
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in registry.get("dedup_simhash_pairs").fn(spark, SF_DIR).collect()
+        if r.doc_a < 150 and r.doc_b < 150
+    }
+    assert want <= got
+    assert got == want  # slice-restricted: no extras either
+
+
+def test_embedding_bucket_recall_on_slice(spark):
+    """LSH-bucketed near-dup pairs vs exhaustive all-pairs on a bounded
+    slice: everything found must be a true pair (precision 1 by the
+    exact verify), and recall on the fixture's near-dup pairs must be
+    substantial (buckets split some pairs across hyperplanes)."""
+    from map_reduce_indexing_spark.operators.dedup import (
+        COSINE_THRESHOLD,
+        spark_cosine,
+    )
+    from pyspark.sql import functions as F
+
+    e = (
+        registry.get("dedup_embedding_pairs")
+        .fn(spark, SF_DIR)
+        .filter("vec_a < 300 and vec_b < 300")
+    )
+    got = {(r.vec_a, r.vec_b) for r in e.collect()}
+    ev = (
+        spark.read.parquet(SF_DIR + "/embeddings.parquet")
+        .filter("vec_id < 300")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    allp = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.expr(spark_cosine("a.v", "b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+    )
+    want = {(r.vec_a, r.vec_b) for r in allp.collect()}
+    assert got <= want  # precision 1
+    if want:
+        assert len(got) / len(want) >= 0.5  # recall floor on fixture
