@@ -182,6 +182,7 @@ N_SALT = 16
 
 @register(
     "index_vocabulary_topk_salted",
+    export=False,  # pytest-verified variant; kept out of the external window
     oracle=(
         "SELECT word, CAST(SUM(cnt) AS BIGINT) AS total, "
         "CAST(COUNT(*) AS BIGINT) AS n_docs "

@@ -267,6 +267,7 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_corpus_bytes",
+    export=False,  # pytest-verified variant; kept out of the external window
     oracle=f"""
         SELECT CAST(COUNT(*) AS BIGINT) AS n_blobs,
                CAST(SUM(octet_length(blob)) AS BIGINT) AS total_bytes,

@@ -90,6 +90,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rel_distinct_counts",
+    export=False,  # pytest-verified variant; kept out of the external window
     oracle="""
         SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
                CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
@@ -149,6 +150,7 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rel_rollup_orders",
+    export=False,  # pytest-verified variant; kept out of the external window
     oracle="""
         SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
                COALESCE(o_orderstatus, 'ALL') AS status,
@@ -180,6 +182,7 @@ def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rel_cube_lineitem",
+    export=False,  # pytest-verified variant; kept out of the external window
     oracle="""
         SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
                COALESCE(l_linestatus, 'ALL') AS linestatus,
@@ -430,6 +433,7 @@ def q_theta_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rel_window_running_total",
+    export=False,  # pytest-verified variant; kept out of the external window
     oracle="""
         SELECT o_custkey, o_orderkey,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
@@ -773,6 +777,7 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rel_topk_orders",
+    export=False,  # pytest-verified variant; kept out of the external window
     oracle="""
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20

@@ -107,6 +107,7 @@ def q_ann_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_bucket_histogram",
+    export=False,  # pytest-verified variant; kept out of the external window
     oracle=f"""
         SELECT {duck_lsh_bucket('v')} AS bucket, CAST(COUNT(*) AS BIGINT) AS n
         FROM ({DUCK_EMB}) GROUP BY 1
@@ -277,6 +278,7 @@ def q_ann_knn_batch_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_cells",
+    export=False,  # pytest-verified variant; kept out of the external window
     oracle=f"""
         SELECT CAST({duck_ivf_cell('v')} AS BIGINT) AS cell,
                CAST(COUNT(*) AS BIGINT) AS n

@@ -135,6 +135,7 @@ SLIDING_WINDOW = "10 minutes"
 
 @register(
     "stream_sliding_counts",
+    export=False,  # pytest-verified variant; kept out of the external window
     oracle=f"""
         SELECT bucket_start, event_type,
                CAST(COUNT(*) AS BIGINT) AS n,

@@ -1,0 +1,58 @@
+"""Guard the external verifier's 50-query window.
+
+The driver checks only the FIRST 50 entries of __spark_entry__.queries()
+(registration order), so the priority window must stay exactly 50 long,
+reference every tier, and contain only oracle-backed queries. A failure
+here means a whole tier would silently lose its external correctness
+signal.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from map_reduce_indexing_spark.plans import registry
+from map_reduce_indexing_spark.plans.registry import PRIORITY_WINDOW
+
+WINDOW = 50
+
+
+def test_priority_window_is_exactly_the_driver_window():
+    assert len(PRIORITY_WINDOW) == WINDOW
+    assert len(set(PRIORITY_WINDOW)) == WINDOW
+    names = list(entrymod.queries())
+    assert names[:WINDOW] == PRIORITY_WINDOW
+
+
+def test_window_covers_every_tier():
+    tiers = {registry.get(n).tier for n in PRIORITY_WINDOW}
+    assert tiers == {"ref", "implied", "relational", "llm", "streaming"}
+
+
+def test_window_covers_every_operator_family():
+    families = {n.split("_", 1)[0] for n in PRIORITY_WINDOW}
+    assert {"index", "search", "rel", "dedup", "ann", "text", "multimodal", "stream"} <= families
+
+
+def test_every_exported_query_has_an_oracle():
+    oracles = entrymod.oracle_sql()
+    for name in entrymod.queries():
+        assert name in oracles, f"{name} would get only a rows-only check"
+
+
+def test_unexported_variants_still_resolvable_for_tests():
+    for name in (
+        "index_vocabulary_topk_salted",
+        "rel_rollup_orders",
+        "rel_cube_lineitem",
+        "rel_distinct_counts",
+        "rel_topk_orders",
+        "rel_window_running_total",
+        "stream_sliding_counts",
+        "multimodal_corpus_bytes",
+        "ann_lsh_bucket_histogram",
+        "ann_ivf_cells",
+    ):
+        q = registry.get(name)
+        assert q.export is False
+        assert q.oracle is not None
+        assert name not in entrymod.queries()
