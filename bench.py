@@ -71,14 +71,15 @@ def main() -> None:
             print(f"===== {name} =====")
             q.fn(spark, SF_DIR).explain("formatted")
             continue
-        # Best of 2 timed passes: the box is shared, so single samples
-        # swing 2x on scheduler noise; the min is the steady-state cost.
-        best = float("inf")
-        for _ in range(2):
+        # Median of 3 timed passes: the box is shared, so single samples
+        # swing 2x on scheduler noise; the median is robust to one outlier
+        # in either direction, making round-over-round deltas signal.
+        samples = []
+        for _ in range(3):
             t0 = time.perf_counter()
             q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(sorted(samples)[1], 3)
     if not explain:
         print(
             json.dumps(
