@@ -608,54 +608,43 @@ def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "dedup_clusters",
-    oracle=f"""
-        WITH RECURSIVE
-        sig AS ({DUCK_MINHASH_SIG}),
-        bands AS (
-            {' UNION ALL '.join(
-                f"SELECT doc_id, {b} AS band_idx, {h} AS band_hash FROM sig"
-                for b, h in _band_exprs('sig', 'duck')
-            )}),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
-              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-             AND a.doc_id < b.doc_id),
-        s AS ({DUCK_SHINGLE_SETS}),
-        pairs AS (
-            SELECT doc_a, doc_b FROM cand
-            JOIN s sa ON sa.doc_id = cand.doc_a
-            JOIN s sb ON sb.doc_id = cand.doc_b
-            WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-                  / (sa.n_sh + sb.n_sh - len(list_intersect(sa.shingles, sb.shingles)))
-                  >= {JACCARD_THRESHOLD}),
-        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                  UNION SELECT doc_b, doc_a FROM pairs),
-        reach(node, lab) AS (
-            SELECT src, src FROM edges
-            UNION
-            SELECT e2.src, r.lab FROM edges e2 JOIN reach r ON e2.dst = r.node)
-        SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
-        FROM reach GROUP BY node
-    """,
-    tier="llm",
-    doc=f"Duplicate clusters — the full production near-dedup pipeline "
-    "composed end-to-end: MinHash-LSH candidate pairs, exact-Jaccard "
-    f"verification (>= {JACCARD_THRESHOLD}) on just those candidates "
-    "(array_intersect of per-doc shingle sets, never the quadratic "
-    "all-pairs shingle join), then connected components labelling every "
-    "clustered doc with its component's min doc_id — the keep-one-per-"
-    "cluster decision. Spark side is iterative min-label propagation "
-    "(converges in graph-diameter rounds; localCheckpoint per round "
-    "keeps lineage flat); the oracle is a DuckDB recursive CTE over the "
-    "identical edge set. Scale: verification cost is O(candidates), "
-    "and dup components are tiny and shallow, so diameter-bound "
-    "propagation beats the O(log n) large-star/small-star alternative "
-    "in practice; every round is one shuffle on node id.",
-)
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+DUCK_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE
+    sig AS ({DUCK_MINHASH_SIG}),
+    bands AS (
+        {' UNION ALL '.join(
+            f"SELECT doc_id, {b} AS band_idx, {h} AS band_hash FROM sig"
+            for b, h in _band_exprs('sig', 'duck')
+        )}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id),
+    s AS ({DUCK_SHINGLE_SETS}),
+    pairs AS (
+        SELECT doc_a, doc_b FROM cand
+        JOIN s sa ON sa.doc_id = cand.doc_a
+        JOIN s sb ON sb.doc_id = cand.doc_b
+        WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+              / (sa.n_sh + sb.n_sh - len(list_intersect(sa.shingles, sb.shingles)))
+              >= {JACCARD_THRESHOLD}),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, lab) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e2.src, r.lab FROM edges e2 JOIN reach r ON e2.dst = r.node)
+    SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+"""
+
+
+def _verified_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric (src, dst) edges of the verified near-dup graph:
+    MinHash-LSH candidates filtered by exact Jaccard on just those
+    candidates. localCheckpointed so iterative CC reuses it per round
+    instead of re-mining."""
     cand = q_dedup_minhash_lsh_pairs(spark, sf_dir)
     sets = (
         shingle_rows(spark, sf_dir)
@@ -672,7 +661,30 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     edges = pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst")
-    edges = edges.localCheckpoint(eager=True)  # pair mining runs once, not per round
+    return edges.localCheckpoint(eager=True)  # pair mining runs once, not per round
+
+
+@register(
+    "dedup_clusters",
+    oracle=DUCK_CLUSTERS_ORACLE,
+    tier="llm",
+    doc=f"Duplicate clusters — the full production near-dedup pipeline "
+    "composed end-to-end: MinHash-LSH candidate pairs, exact-Jaccard "
+    f"verification (>= {JACCARD_THRESHOLD}) on just those candidates "
+    "(array_intersect of per-doc shingle sets, never the quadratic "
+    "all-pairs shingle join), then connected components labelling every "
+    "clustered doc with its component's min doc_id — the keep-one-per-"
+    "cluster decision. Spark side is iterative min-label propagation "
+    "(converges in graph-diameter rounds; localCheckpoint per round "
+    "keeps lineage flat); the oracle is a DuckDB recursive CTE over the "
+    "identical edge set. Scale: verification cost is O(candidates), "
+    "and dup components are tiny and shallow, so diameter-bound "
+    "propagation beats the O(log n) large-star/small-star alternative "
+    "in practice; for adversarially deep chains the registered "
+    "dedup_clusters_star variant converges in O(log n) rounds.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _verified_dup_edges(spark, sf_dir)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -714,3 +726,95 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
     )
+
+
+def connected_components_star(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): O(log n) rounds regardless of component diameter, vs the
+    diameter-bound rounds of min-label propagation.
+
+    large-star: every node u links each STRICTLY LARGER neighbor to the
+    minimum of its closed neighborhood; small-star: u links its smaller-
+    or-equal neighbors (and itself) to that minimum. Each phase is one
+    groupBy(u) + join — the same shuffle shape as a round of min-label —
+    but the tree contracts geometrically, so adversarially deep dup
+    chains (diameter >> log n) converge where min-label would exhaust
+    its round budget.
+
+    `edges` is the symmetric (src, dst) edge list; returns
+    (doc_id, cluster_id = component min).
+    """
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    # Undirected canonical edge set (u > v ordering), self-loops dropped.
+    e = (
+        edges.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        n = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            n.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        if large:
+            linked = n.filter(F.col("v") > F.col("u")).join(m, "u").select("v", "m")
+        else:
+            linked = (
+                n.filter(F.col("v") <= F.col("u"))
+                .join(m, "u")
+                .select("v", "m")
+                .union(m.select(F.col("u").alias("v"), "m"))
+            )
+        return (
+            linked.select(
+                F.greatest("v", "m").alias("u"), F.least("v", "m").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    converged = False
+    for _ in range(max_rounds):
+        new = star(star(e, large=True), large=False).localCheckpoint(eager=True)
+        changed = (
+            new.exceptAll(e).limit(1).count() + e.exceptAll(new).limit(1).count()
+        ) > 0
+        e = new
+        if not changed:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} rounds"
+        )
+    # Fixed point is a forest of stars: every edge is (child u, root v).
+    labels = (
+        nodes.join(e, nodes.node == e.u, "left")
+        .groupBy("node")
+        .agg(F.min("v").alias("mv"))
+        .select("node", F.least("mv", F.col("node")).alias("lab"))
+    )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
+    )
+
+
+@register(
+    "dedup_clusters_star",
+    export=False,  # pytest-verified variant; kept out of the external window
+    oracle=DUCK_CLUSTERS_ORACLE,
+    tier="llm",
+    doc="dedup_clusters with large-star/small-star connected components "
+    "instead of min-label propagation: same verified-pair edge set, same "
+    "oracle, O(log n) rounds independent of component diameter — the "
+    "variant to reach for when dup chains are adversarially deep.",
+)
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return connected_components_star(_verified_dup_edges(spark, sf_dir))

@@ -93,6 +93,41 @@ def extract_image_meta(blobs: DataFrame) -> DataFrame:
     )
 
 
+def extract_image_meta_real(blobs: DataFrame) -> DataFrame:
+    """(doc_id, blob) -> (doc_id, byte_len, magic, width, height) with a
+    GENUINE pillow decode inside the Arrow-batched mapInPandas worker —
+    the same plumbing as extract_image_meta, real pixels instead of the
+    deterministic fake. Import happens in the worker function so the
+    driver can build the plan anywhere; executing without pillow raises
+    the same NotImplementedError as decode_image_real.
+
+    Exercised by tests/test_llm_ops.py::test_real_decode_roundtrip,
+    which is skipped when the environment lacks pillow (as this
+    container does) and runs genuine decode wherever it is present."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "byte_len": [],
+                "magic": [],
+                "width": [],
+                "height": [],
+            }
+            for doc_id, data in zip(pdf["doc_id"], pdf["blob"]):
+                img = decode_image_real(bytes(data))
+                out["doc_id"].append(doc_id)
+                out["byte_len"].append(len(data))
+                out["magic"].append(bytes(data)[:4].hex().upper())
+                out["width"].append(img.width)
+                out["height"].append(img.height)
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(
+        op, schema="doc_id long, byte_len long, magic string, width long, height long"
+    )
+
+
 def sample_frames(blobs: DataFrame) -> DataFrame:
     """Treat each blob as a fake video: split into FRAME_BYTES chunks and
     emit every FRAME_STRIDE-th frame as its own row (exploding mapInPandas)."""

@@ -172,3 +172,31 @@ def test_embedding_bucket_recall_on_slice(spark):
     assert got <= want  # precision 1
     if want:
         assert len(got) / len(want) >= 0.5  # recall floor on fixture
+
+
+def test_star_cc_matches_minlabel_on_fixture(spark, duck):
+    """large-star/small-star CC must produce the identical labeling and
+    hash-match the same recursive-CTE oracle as min-label."""
+    q = registry.get("dedup_clusters_star")
+    assert_df_matches_oracle(q.fn(spark, SF_DIR), duck, q.oracle)
+    a = {
+        (r.doc_id, r.cluster_id)
+        for r in registry.get("dedup_clusters").fn(spark, SF_DIR).collect()
+    }
+    b = {(r.doc_id, r.cluster_id) for r in q.fn(spark, SF_DIR).collect()}
+    assert a == b
+
+
+def test_star_cc_handles_deep_chains(spark):
+    """A diameter-400 path would exhaust min-label's 50-round budget;
+    the star variant must converge in O(log n) rounds."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_indexing_spark.operators.dedup import connected_components_star
+
+    edges = [(i, i + 1) for i in range(400)] + [(500, 501), (501, 502), (500, 502)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sym = df.union(df.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    out = {r.doc_id: r.cluster_id for r in connected_components_star(sym).collect()}
+    assert all(out[i] == 0 for i in range(401))
+    assert all(out[i] == 500 for i in (500, 501, 502))
