@@ -324,3 +324,118 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Recall-improving probe strategies (the production knobs for LSH / IVF)
+# ---------------------------------------------------------------------------
+
+# Multi-probe LSH: the query's bucket plus every bucket at Hamming
+# distance 1 in signature space (flip one hyperplane sign) — 9 probes of
+# 256 buckets. Vectors near a hyperplane land one bit away; probing the
+# adjacent buckets recovers most of the recall lost to that boundary
+# effect without adding hash tables.
+PROBE_MASKS = [0] + [1 << j for j in range(N_PLANES)]
+
+
+@register(
+    "ann_lsh_multiprobe",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, v, {duck_lsh_bucket('v')} AS bucket FROM ({DUCK_EMB})),
+        q AS (SELECT v AS qv, bucket AS qbucket FROM e WHERE vec_id = {QUERY_VEC_ID}),
+        probes AS (
+            SELECT qv, xor(qbucket, m.m) AS pbucket
+            FROM q, (VALUES {', '.join(f'({m})' for m in PROBE_MASKS)}) AS m(m))
+        SELECT vec_id, {duck_cosine('v', 'qv')} AS cosine
+        FROM e JOIN probes ON e.bucket = probes.pbucket
+        WHERE vec_id <> {QUERY_VEC_ID}
+        ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+    tier="llm",
+    doc=f"Multi-probe LSH ANN: search the query's bucket plus its "
+    f"{N_PLANES} Hamming-1 neighbors ({len(PROBE_MASKS)}/{2**N_PLANES} "
+    "buckets). Still an equality join on the bucket key — each probe is "
+    "a pruned partition read at scale — recovering boundary-effect "
+    "recall without extra hash tables or a wider scan.",
+)
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = embeddings_double(spark, sf_dir).withColumn(
+        "bucket", F.expr(spark_lsh_bucket("v"))
+    )
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    probes = q.select(
+        "qv",
+        F.explode(
+            F.array(*[F.col("qbucket").bitwiseXOR(F.lit(m)) for m in PROBE_MASKS])
+        ).alias("pbucket"),
+    )
+    return (
+        e.join(F.broadcast(probes), e.bucket == probes.pbucket)
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", F.expr(spark_cosine("v", "qv")).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
+N_PROBE = 2  # IVF cells probed
+
+
+def _duck_ivf_cell_dists(qv: str) -> str:
+    """UNION ALL of (cell, d) rows: squared-distance surrogate per centroid."""
+    return " UNION ALL ".join(
+        f"SELECT {j + 1} AS cell, "
+        f"({sum(x * x for x in c)}.0 - 2.0 * list_dot_product({qv}, {_duck_arr(c)})) AS d FROM q"
+        for j, c in enumerate(CENTROIDS)
+    )
+
+
+def spark_ivf_probe_cells(vec: str, nprobe: int) -> str:
+    """Spark expr: the nprobe nearest centroid indices, tie-broken by
+    centroid index (== ORDER BY d, cell in the oracle)."""
+    structs = ", ".join(
+        f"struct(({sum(x * x for x in c)}.0d - 2.0d * {SPARK_DOT.format(a=vec, b=_spark_arr(c))}) AS d, {j + 1} AS i)"
+        for j, c in enumerate(CENTROIDS)
+    )
+    return f"transform(slice(array_sort(array({structs})), 1, {nprobe}), s -> s.i)"
+
+
+@register(
+    "ann_ivf_topk_nprobe",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, v, {duck_ivf_cell('v')} AS cell FROM ({DUCK_EMB})),
+        q AS (SELECT v AS qv FROM ({DUCK_EMB}) WHERE vec_id = {QUERY_VEC_ID}),
+        cand AS ({_duck_ivf_cell_dists('qv')}),
+        probecells AS (SELECT cell, qv FROM cand, q ORDER BY d, cell LIMIT {N_PROBE})
+        SELECT vec_id, {duck_cosine('v', 'qv')} AS cosine
+        FROM e JOIN probecells ON e.cell = probecells.cell
+        WHERE vec_id <> {QUERY_VEC_ID}
+        ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+    tier="llm",
+    doc=f"IVF ANN with nprobe={N_PROBE}: search the {N_PROBE} nearest "
+    "cells instead of one. The query's probe list explodes to rows and "
+    "equi-joins the cell key, so each extra probe is one more pruned "
+    "partition read — the standard recall/latency knob for "
+    "quantization-based indexes.",
+)
+def q_ann_ivf_topk_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = embeddings_double(spark, sf_dir).withColumn(
+        "cell", F.expr(spark_ivf_cell("v")).cast("long")
+    )
+    q = embeddings_double(spark, sf_dir).filter(
+        F.col("vec_id") == QUERY_VEC_ID
+    ).select(F.col("v").alias("qv"))
+    probes = q.select(
+        "qv",
+        F.explode(F.expr(spark_ivf_probe_cells("qv", N_PROBE))).alias("pcell"),
+    ).withColumn("pcell", F.col("pcell").cast("long"))
+    return (
+        e.join(F.broadcast(probes), e.cell == probes.pcell)
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", F.expr(spark_cosine("v", "qv")).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )

@@ -14,8 +14,10 @@ ORACLE_QUERIES = [
     "ann_knn_batch_numpy",
     "ann_lsh_bucket_histogram",
     "ann_lsh_topk",
+    "ann_lsh_multiprobe",
     "ann_ivf_cells",
     "ann_ivf_topk",
+    "ann_ivf_topk_nprobe",
     "text_quality",
     "text_langid",
     "text_token_counts",
@@ -211,3 +213,16 @@ def test_sample_mixture_rates_are_respected(spark):
         assert 0 <= r.n_sampled <= r.n_docs
         seen_rates.add(r.rate_bps)
     assert len(seen_rates) == 5  # all five mixture weights exercised
+
+
+def test_probe_strategies_never_lose_recall(spark):
+    """Multi-probe LSH and nprobe=2 IVF search supersets of their
+    single-probe variants' candidate sets, so their overlap with the
+    brute-force top-10 cannot be smaller."""
+    brute = {r.vec_id for r in registry.get("ann_knn_bruteforce").fn(spark, SF_DIR).collect()}
+
+    def top(name):
+        return {r.vec_id for r in registry.get(name).fn(spark, SF_DIR).collect()}
+
+    assert len(top("ann_lsh_multiprobe") & brute) >= len(top("ann_lsh_topk") & brute)
+    assert len(top("ann_ivf_topk_nprobe") & brute) >= len(top("ann_ivf_topk") & brute)
