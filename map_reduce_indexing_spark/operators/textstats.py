@@ -554,3 +554,68 @@ def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum_excl") % PACK_BUDGET).cast("long").alias("start_offset"),
         (F.col("cum_excl") % PACK_BUDGET + F.col("n_tokens") > PACK_BUDGET).alias("spans_boundary"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-relative quality filtering
+# ---------------------------------------------------------------------------
+
+QUALITY_MIN_TOKENS = 10
+QUALITY_PCTL = 0.25
+
+
+@register(
+    "text_quality_filter",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CASE WHEN len(toks) > 0
+                        THEN CAST(len(list_filter(toks, t -> t IN ({', '.join(f"'{w}'" for w in EN_STOP)}))) AS DOUBLE)
+                             / len(toks)
+                        ELSE 0.0 END AS score
+            FROM (SELECT doc_id, {DUCK_TOKENS_LIST} AS toks FROM documents)
+        ),
+        t AS (SELECT round(quantile_cont(score, {QUALITY_PCTL}), 6) AS thr FROM s)
+        SELECT doc_id, n_tokens, round(score, 9) AS score
+        FROM s, t WHERE score >= thr AND n_tokens >= {QUALITY_MIN_TOKENS}
+    """,
+    tier="llm",
+    doc="Corpus-relative quality filter — the 'drop the bottom quartile' "
+    "pre-training stage: per-doc stopword-ratio score, threshold = the "
+    f"corpus's exact P{int(QUALITY_PCTL * 100)} of that score (1-row "
+    "broadcast), keep docs at/above it with a minimum length guard. "
+    "Two passes over per-doc scores, one 1-row shuffle for the "
+    "threshold; at 100 TB swap the exact percentile for "
+    "approx_percentile — same shape. Scores are exact integer ratios, "
+    "so both engines compare identical doubles.",
+)
+def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stop = ", ".join(f"'{w}'" for w in EN_STOP)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.lower("text").alias("text"))
+        .withColumn("toks", F.expr(spark_tokens_expr("text")))
+    )
+    n_tok = F.size("toks")
+    scored = docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.when(
+            n_tok > 0,
+            F.expr(f"size(filter(toks, t -> t in ({stop})))").cast("double") / n_tok,
+        )
+        .otherwise(0.0)
+        .alias("score"),
+    )
+    thr = scored.agg(
+        F.round(F.percentile("score", F.lit(QUALITY_PCTL)), 6).alias("thr")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(
+            (F.col("score") >= F.col("thr"))
+            & (F.col("n_tokens") >= QUALITY_MIN_TOKENS)
+        )
+        .select("doc_id", "n_tokens", F.round("score", 9).alias("score"))
+    )

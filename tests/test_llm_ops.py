@@ -19,6 +19,7 @@ ORACLE_QUERIES = [
     "ann_ivf_topk",
     "ann_ivf_topk_nprobe",
     "text_quality",
+    "text_quality_filter",
     "text_langid",
     "text_token_counts",
     "text_train_val_test_split",
