@@ -348,3 +348,85 @@ def q_search_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(10)
     )
+
+
+PREFIX = "qu"
+
+
+@register(
+    "search_prefix",
+    oracle=(
+        f"SELECT word, CAST(SUM(cnt) AS BIGINT) AS total, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_docs "
+        f"FROM ({POSTINGS_SQL}) WHERE word LIKE '{PREFIX}%' GROUP BY word"
+    ),
+    tier="implied",
+    doc=f"Prefix search ('{PREFIX}*'): the sorted letter-bucketed index "
+    "makes this a one-partition scan — `substring(word,1,1) = prefix[0]` "
+    "prunes 25/26 letter partitions, and the within-file word sort "
+    "(SURVEY.md §2.6 O1/O2) gives parquet min/max zone maps that skip "
+    "row groups outside the prefix range. The reference's index layout "
+    "implies exactly this access path (helper_reduce.c:238-257: scan "
+    "./index/<first-letter>).",
+)
+def q_search_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = postings_for(spark, sf_dir)
+    # The explicit first-letter equality is the partition-pruning predicate
+    # when running over the persisted letter-partitioned index.
+    return (
+        p.filter(
+            (F.substring("word", 1, 1) == PREFIX[0])
+            & F.col("word").startswith(PREFIX)
+        )
+        .groupBy("word")
+        .agg(F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "index_bigram_postings",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, word, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+            FROM (
+                SELECT doc_id, unnest(words) AS word,
+                       generate_subscripts(words, 1) AS pos
+                FROM (
+                    SELECT doc_id,
+                           list_filter(list_transform(
+                               string_split(replace(lower(text), chr(10), ' '), ' '),
+                               t -> regexp_replace(t, '[^a-z]', '', 'g')), t -> t <> '') AS words
+                    FROM documents)
+            )
+        )
+        SELECT a.word || ' ' || b.word AS bigram,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+        GROUP BY 1
+        HAVING COUNT(*) >= 5
+    """,
+    tier="implied",
+    doc="Corpus bigram counts (>= 5 occurrences): the classic n-gram "
+    "language-model MapReduce workload over the reference's token "
+    "stream. posexplode keeps token order; the adjacent pair comes from "
+    "a lead window per doc — one shuffle on doc_id, then the same "
+    "map-side-combined groupBy as the unigram index.",
+)
+def q_index_bigram_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import normalize_tokens_expr
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(normalize_tokens_expr("text")).alias("pos", "word"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks.withColumn("nxt", F.lead("word").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.concat_ws(" ", "word", "nxt").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+    )

@@ -18,6 +18,8 @@ SEARCH_QUERIES = [
     "search_phrase",
     "search_tfidf_rank",
     "search_bm25_rank",
+    "search_prefix",
+    "index_bigram_postings",
 ]
 
 
