@@ -53,6 +53,14 @@ def main() -> None:
             with open(os.path.join(root, coll, name), "w") as f:
                 f.write(text)
         corpus_dir, index_path = root, tempfile.mkdtemp(prefix="mri_demo_index_")
+    elif len(sys.argv) < 2:
+        print(
+            "usage: python examples/index_and_search.py <corpus_dir> [index_path]\n"
+            "       (corpus layout: <corpus_dir>/<collection>/<file>.txt)\n"
+            "       or: python examples/index_and_search.py --demo",
+            file=sys.stderr,
+        )
+        sys.exit(2)
     else:
         corpus_dir = sys.argv[1]
         index_path = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="mri_index_")
