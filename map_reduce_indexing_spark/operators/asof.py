@@ -82,6 +82,49 @@ def asof_join_backward(
     return out.drop(_SIDE)
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+    tiebreak: str,
+) -> DataFrame:
+    """Mirror of asof_join_backward: attach the EARLIEST right row with
+    ``right[right_ts] >= left[left_ts]`` and equal `key` (inner).
+
+    Same one-shuffle union+window shape, scanned forward: left rows sort
+    BEFORE right rows at an equal timestamp (>= semantics, the right row
+    at the exact instant is visible) and `first(..., ignorenulls)` over
+    [CURRENT ROW, UNBOUNDED FOLLOWING] carries the next payload back.
+    Among right rows sharing a timestamp the MIN tiebreak wins.
+    """
+    lt = left.withColumn(_SIDE, F.lit(0)).withColumn(_T, F.col(left_ts))
+    rt = right.select(
+        F.col(key),
+        F.col(right_ts).alias(_T),
+        F.lit(1).alias(_SIDE),
+        *[F.col(c) for c in payload_cols],
+    )
+    u = lt.unionByName(rt, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(_T), F.col(_SIDE), F.col(tiebreak))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = u.select(
+        *[c for c in left.columns],
+        F.col(_SIDE),
+        *[F.first(c, ignorenulls=True).over(w).alias(f"__p_{c}") for c in payload_cols],
+    )
+    out = carried.filter((F.col(_SIDE) == 0) & F.col(f"__p_{tiebreak}").isNotNull())
+    for c in payload_cols:
+        out = out.withColumn(c, F.col(f"__p_{c}")).drop(f"__p_{c}")
+    return out.drop(_SIDE)
+
+
 @register(
     "rel_join_asof",
     oracle="""
@@ -133,4 +176,58 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         "click_ts",
         (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+
+
+@register(
+    "rel_join_asof_forward",
+    oracle="""
+        SELECT click_id, user_id, click_ts, purchase_id, purchase_ts,
+               epoch_us(purchase_ts) - epoch_us(click_ts) AS wait_us
+        FROM (
+            SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+                   p.event_id AS purchase_id, p.ts AS purchase_ts,
+                   ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                      ORDER BY p.ts ASC, p.event_id ASC) AS rn
+            FROM events c
+            JOIN events p
+              ON p.user_id = c.user_id
+             AND p.ts >= c.ts
+             AND p.event_type = 'purchase'
+            WHERE c.event_type = 'click'
+        ) WHERE rn = 1
+    """,
+    tier="relational",
+    doc="Forward as-of join (SURVEY.md §2.3 J6): for each click, the same "
+    "user's NEXT purchase — time-to-conversion. Same union+window shape "
+    "as the backward direction, scanned forward; the oracle uses the "
+    "quadratic join+row_number formulation, fine at sf0.01.",
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_src_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = asof_join_forward(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="click_ts",
+        right_ts="purchase_src_ts",
+        payload_cols=["purchase_id", "purchase_ts"],
+        tiebreak="purchase_id",
+    )
+    return joined.select(
+        "click_id",
+        "user_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("wait_us"),
     )

@@ -234,3 +234,44 @@ def q_index_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total"), "word")
         .limit(25)
     )
+
+
+MIN_DF = 3  # drop hapax-ish noise
+MAX_DF_FRAC = 0.5  # drop corpus-wide stopwords
+
+
+@register(
+    "index_vocabulary_prune",
+    oracle=f"""
+        WITH v AS (
+            SELECT word, CAST(SUM(cnt) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM ({POSTINGS_SQL}) GROUP BY word),
+        d AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS total_docs
+              FROM ({POSTINGS_SQL}))
+        SELECT word, total, n_docs
+        FROM v, d
+        WHERE n_docs >= {MIN_DF} AND n_docs <= {MAX_DF_FRAC} * total_docs
+    """,
+    tier="implied",
+    doc=f"Document-frequency vocabulary pruning (the CountVectorizer "
+    f"minDF/maxDF stage): keep words appearing in >= {MIN_DF} docs and "
+    f"<= {int(MAX_DF_FRAC * 100)}% of the corpus — drops OCR noise at "
+    "one end and corpus-wide stopwords at the other. One groupBy(word) "
+    "over the postings plus a 1-row doc-count broadcast; output is the "
+    "working vocabulary for downstream TF-IDF / n-gram models.",
+)
+def q_index_vocabulary_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = postings_for(spark, sf_dir)
+    vocab = p.groupBy("word").agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_docs")
+    )
+    total_docs = p.agg(F.countDistinct("doc_id").alias("total_docs"))
+    return (
+        vocab.crossJoin(F.broadcast(total_docs))
+        .filter(
+            (F.col("n_docs") >= MIN_DF)
+            & (F.col("n_docs") <= MAX_DF_FRAC * F.col("total_docs"))
+        )
+        .select("word", "total", "n_docs")
+    )

@@ -119,6 +119,7 @@ def test_registered_index_queries_match_oracle(spark, duck):
         "index_corpus_stats",
         "index_letter_histogram",
         "index_vocabulary_topk",
+        "index_vocabulary_prune",
     ):
         q = registry.get(name)
         assert_df_matches_oracle(q.fn(spark, SF_DIR), duck, q.oracle)

@@ -30,6 +30,7 @@ RELATIONAL_QUERIES = [
     "rel_q6_revenue",
     "rel_json_parse",
     "rel_join_asof",
+    "rel_join_asof_forward",
     "rel_q17_small_quantity",
     "rel_q18_large_orders",
     "rel_array_map_functions",
@@ -87,6 +88,41 @@ def test_asof_join_randomized_differential(spark):
     left = spark.createDataFrame(lefts, "k long, ts timestamp, lid long")
     right = spark.createDataFrame(rights, "k long, rts timestamp, rid long")
     out = asof_join_backward(
+        left, right, key="k", left_ts="ts", right_ts="rts",
+        payload_cols=["rid"], tiebreak="rid",
+    )
+    got = {r.lid: r.rid for r in out.collect()}
+    assert got == expected
+
+
+def test_asof_forward_randomized_differential(spark):
+    """Forward direction of the same differential: earliest right row at
+    or after each left timestamp, MIN tiebreak on equal timestamps."""
+    import random
+    from datetime import datetime, timedelta
+
+    from map_reduce_indexing_spark.operators.asof import asof_join_forward
+
+    rng = random.Random(77)
+    base = datetime(2024, 1, 1)
+    lefts = [
+        (rng.randrange(5), base + timedelta(seconds=rng.randrange(30)), i)
+        for i in range(120)
+    ]
+    rights = [
+        (rng.randrange(5), base + timedelta(seconds=rng.randrange(30)), 1000 + i)
+        for i in range(120)
+    ]
+
+    expected = {}
+    for k, t, lid in lefts:
+        cands = [(rt, rid) for rk, rt, rid in rights if rk == k and rt >= t]
+        if cands:
+            expected[lid] = min(cands)[1]  # earliest ts, then min rid
+
+    left = spark.createDataFrame(lefts, "k long, ts timestamp, lid long")
+    right = spark.createDataFrame(rights, "k long, rts timestamp, rid long")
+    out = asof_join_forward(
         left, right, key="k", left_ts="ts", right_ts="rts",
         payload_cols=["rid"], tiebreak="rid",
     )
