@@ -29,6 +29,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from ..operators.dedup import duck_cosine, duck_lsh_bucket, spark_cosine, spark_lsh_bucket
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -485,3 +486,64 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("window.start").alias("bucket_start"), "c_mktsegment", "n", "total_value"
     )
+
+
+@register(
+    "stream_ann_lookup",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {duck_lsh_bucket('v')} AS bucket FROM e),
+        q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id < 8)
+        SELECT q_id,
+               CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               MAX({duck_cosine('b.v', 'q.qv')}) AS best_cosine
+        FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id <> q.q_id
+        GROUP BY q_id
+    """,
+    tier="streaming",
+    doc="Online similarity serving: a stream of query embeddings joins "
+    "the static LSH-bucketed vector table on the bucket key (stream-"
+    "static equi-join, broadcast static side per micro-batch, no "
+    "stream-side join state), scoring only same-bucket candidates with "
+    "the exact fold cosine and emitting per-query candidate count and "
+    "best score. At 100 TB the static side is the bucket-partitioned "
+    "embedding store, so each lookup reads one partition — the serving "
+    "topology for ANN over a continuously-arriving query stream.",
+)
+def q_stream_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.StringType()),
+        ]
+    )
+    qstream = (
+        spark.readStream.schema(emb_schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        .withColumn("qbucket", F.expr(spark_lsh_bucket("qv")))
+    )
+    static = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("bucket", F.expr(spark_lsh_bucket("v")))
+    )
+    joined = (
+        qstream.join(
+            F.broadcast(static),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", F.expr(spark_cosine("v", "qv")).alias("cosine"))
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.max("cosine").alias("best_cosine"),
+        )
+    )
+    return run_to_completion(joined, "complete")

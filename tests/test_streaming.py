@@ -20,6 +20,7 @@ ORACLE_QUERIES = [
     "stream_sliding_counts",
     "stream_static_join",
     "stream_stateful_user_stats",
+    "stream_ann_lookup",
 ]
 
 
