@@ -123,3 +123,34 @@ def test_registered_index_queries_match_oracle(spark, duck):
     ):
         q = registry.get(name)
         assert_df_matches_oracle(q.fn(spark, SF_DIR), duck, q.oracle)
+
+
+def test_prefix_search_prunes_persisted_index(spark, tmp_path):
+    """search_prefix's access-path claim, proven on the persisted index:
+    the first-letter equality becomes a partition filter (25/26 letter
+    partitions pruned) and the LIKE prefix is pushed to the scan."""
+    from map_reduce_indexing_spark.operators.search import PREFIX
+
+    path = str(tmp_path / "index_for_prefix")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    postings = build_postings(docs)
+    write_index(postings, path)
+
+    idx = read_index(spark, path)
+    hit = (
+        idx.filter(
+            (F.col("letter") == PREFIX[0]) & F.col("word").startswith(PREFIX)
+        )
+        .groupBy("word")
+        .agg(F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_docs"))
+    )
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "letter" in plan
+    assert "StartsWith" in plan or "PushedFilters" in plan
+    # same answer as recomputing from source
+    direct = (
+        postings.filter(F.col("word").startswith(PREFIX))
+        .groupBy("word")
+        .agg(F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_docs"))
+    )
+    assert sorted(map(tuple, hit.collect())) == sorted(map(tuple, direct.collect()))
