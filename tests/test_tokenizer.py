@@ -127,3 +127,23 @@ def test_property_tokenize_equals_array_path(spark):
         for w, n in collections.Counter(r.toks).items():
             via_array[(r.doc_id, w)] = n
     assert via_tokenize == via_array
+
+
+def test_hypothesis_python_oracle_matches_shell_pipeline():
+    """Property-based cross-validation of the two oracles themselves:
+    for ANY printable-ASCII string, the pure-python rendering of the
+    §0.1 rules must count-match the reference's actual shell pipeline.
+    Hypothesis shrinks any counterexample to a minimal failing string."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(min_codepoint=0x09, max_codepoint=0x7E),
+            max_size=80,
+        )
+    )
+    def check(text):
+        assert collections.Counter(python_tokens(text)) == shell_counts(text)
+
+    check()
