@@ -69,7 +69,7 @@ PRIORITY_WINDOW = [
     "search_and",
     "search_phrase",
     "search_topk_per_term",
-    "search_tfidf_rank",
+    "search_term_topk",
     "search_bm25_rank",
     "search_doc_tf_vector",
     # relational: agg + join family
