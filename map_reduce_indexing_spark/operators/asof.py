@@ -40,6 +40,67 @@ _SIDE = "__asof_side"
 _T = "__asof_t"
 
 
+def _asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+    tiebreak: str,
+    *,
+    forward: bool,
+) -> DataFrame:
+    """Shared body of the two as-of directions — one parameterized
+    implementation so tie and NULL semantics cannot drift between them.
+
+    NULL semantics match the SQL comparison (`ts <= t` / `ts >= t` is
+    NULL-falsy): rows with a NULL timestamp on either side are dropped
+    up front. Without the filter, a NULL-ts left row sorts at the
+    partition edge where its window frame sees every right row —
+    phantom matches.
+
+    backward: right rows sort BEFORE left at an equal timestamp and
+    `last(ignorenulls)` over (-inf, current] carries the latest prior
+    payload (max tiebreak wins among equal timestamps).
+    forward: left rows sort BEFORE right at an equal timestamp and
+    `first(ignorenulls)` over [current, +inf) carries the next payload
+    (min tiebreak wins).
+    """
+    left_side = 0 if forward else 1
+    lt = (
+        left.filter(F.col(left_ts).isNotNull())
+        .withColumn(_SIDE, F.lit(left_side))
+        .withColumn(_T, F.col(left_ts))
+    )
+    rt = right.filter(F.col(right_ts).isNotNull()).select(
+        F.col(key),
+        F.col(right_ts).alias(_T),
+        F.lit(1 - left_side).alias(_SIDE),
+        *[F.col(c) for c in payload_cols],
+    )
+    u = lt.unionByName(rt, allowMissingColumns=True)
+
+    base = Window.partitionBy(key).orderBy(F.col(_T), F.col(_SIDE), F.col(tiebreak))
+    if forward:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        carry = F.first
+    else:
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        carry = F.last
+    carried = u.select(
+        *[c for c in left.columns],
+        F.col(_SIDE),
+        *[carry(c, ignorenulls=True).over(w).alias(f"__p_{c}") for c in payload_cols],
+    )
+    out = carried.filter(
+        (F.col(_SIDE) == left_side) & F.col(f"__p_{tiebreak}").isNotNull()
+    )
+    for c in payload_cols:
+        out = out.withColumn(c, F.col(f"__p_{c}")).drop(f"__p_{c}")
+    return out.drop(_SIDE)
+
+
 def asof_join_backward(
     left: DataFrame,
     right: DataFrame,
@@ -51,35 +112,16 @@ def asof_join_backward(
 ) -> DataFrame:
     """For every left row, attach `payload_cols` of the latest right row
     with ``right[right_ts] <= left[left_ts]`` and equal `key` (inner:
-    left rows with no prior right row are dropped).
+    left rows with no prior right row — or a NULL timestamp — are
+    dropped, matching the SQL comparison's NULL-falsy semantics).
 
     `payload_cols` must exist on `right` only (rename before calling for
     self-joins); `tiebreak` must be one of them and orderable — among
     right rows sharing a timestamp, the max-tiebreak row wins.
     """
-    lt = left.withColumn(_SIDE, F.lit(1)).withColumn(_T, F.col(left_ts))
-    rt = right.select(
-        F.col(key),
-        F.col(right_ts).alias(_T),
-        F.lit(0).alias(_SIDE),
-        *[F.col(c) for c in payload_cols],
+    return _asof_join(
+        left, right, key, left_ts, right_ts, payload_cols, tiebreak, forward=False
     )
-    u = lt.unionByName(rt, allowMissingColumns=True)
-
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.col(_T), F.col(_SIDE), F.col(tiebreak))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = u.select(
-        *[c for c in left.columns],
-        F.col(_SIDE),
-        *[F.last(c, ignorenulls=True).over(w).alias(f"__p_{c}") for c in payload_cols],
-    )
-    out = carried.filter((F.col(_SIDE) == 1) & F.col(f"__p_{tiebreak}").isNotNull())
-    for c in payload_cols:
-        out = out.withColumn(c, F.col(f"__p_{c}")).drop(f"__p_{c}")
-    return out.drop(_SIDE)
 
 
 def asof_join_forward(
@@ -92,37 +134,13 @@ def asof_join_forward(
     tiebreak: str,
 ) -> DataFrame:
     """Mirror of asof_join_backward: attach the EARLIEST right row with
-    ``right[right_ts] >= left[left_ts]`` and equal `key` (inner).
-
-    Same one-shuffle union+window shape, scanned forward: left rows sort
-    BEFORE right rows at an equal timestamp (>= semantics, the right row
-    at the exact instant is visible) and `first(..., ignorenulls)` over
-    [CURRENT ROW, UNBOUNDED FOLLOWING] carries the next payload back.
-    Among right rows sharing a timestamp the MIN tiebreak wins.
+    ``right[right_ts] >= left[left_ts]`` and equal `key` (inner; NULL
+    timestamps dropped on both sides). Among right rows sharing a
+    timestamp the MIN tiebreak wins.
     """
-    lt = left.withColumn(_SIDE, F.lit(0)).withColumn(_T, F.col(left_ts))
-    rt = right.select(
-        F.col(key),
-        F.col(right_ts).alias(_T),
-        F.lit(1).alias(_SIDE),
-        *[F.col(c) for c in payload_cols],
+    return _asof_join(
+        left, right, key, left_ts, right_ts, payload_cols, tiebreak, forward=True
     )
-    u = lt.unionByName(rt, allowMissingColumns=True)
-
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.col(_T), F.col(_SIDE), F.col(tiebreak))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    carried = u.select(
-        *[c for c in left.columns],
-        F.col(_SIDE),
-        *[F.first(c, ignorenulls=True).over(w).alias(f"__p_{c}") for c in payload_cols],
-    )
-    out = carried.filter((F.col(_SIDE) == 0) & F.col(f"__p_{tiebreak}").isNotNull())
-    for c in payload_cols:
-        out = out.withColumn(c, F.col(f"__p_{c}")).drop(f"__p_{c}")
-    return out.drop(_SIDE)
 
 
 @register(

@@ -479,13 +479,15 @@ SIMHASH_BLOCK_BITS = SIMHASH_BITS // N_SIMHASH_BLOCKS
     f"blocking: the {SIMHASH_BITS}-bit hash splits into "
     f"{N_SIMHASH_BLOCKS} blocks of {SIMHASH_BLOCK_BITS} bits, and any "
     f"pair within Hamming {HAMMING_MAX} must agree EXACTLY on at least "
-    "one block — so candidates come from an equi-keyed groupBy on "
-    "(block_idx, block_value) with in-bucket pair expansion, then an "
-    "exact bit_count verify. No theta join anywhere; shuffle key space "
-    "is uniform. Same physical shape as dedup_minhash_lsh_pairs.",
+    "one block — candidates come from an equi SELF-JOIN on (block_idx, "
+    "block_value), then an exact bit_count verify. An equi join (not a "
+    "bucket collect_list) because block values are only 8-bit: a hot "
+    "block at corpus scale must be split across tasks by AQE skew "
+    "handling, not collected into one row's array. The signature frame "
+    "is localCheckpointed so both join sides reuse one computation.",
 )
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = simhash_docs(spark, sf_dir)
+    s = simhash_docs(spark, sf_dir).localCheckpoint(eager=True)
     block_vals = F.array(
         *[
             F.expr(
@@ -497,31 +499,19 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks = s.select(
         "doc_id", "simhash", F.posexplode(block_vals).alias("block_idx", "block_val")
     )
-    # Carry (doc_id, simhash) into the bucket so the Hamming verify needs
-    # no join back; array_sort orders by doc_id (first struct field), so
-    # the i<j expansion yields doc_a < doc_b.
-    buckets = (
-        blocks.groupBy("block_idx", "block_val")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
-        .filter(F.size("ds") > 1)
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ds, (x, i) -> "
-                "transform(slice(ds, i + 2, size(ds)), y -> struct("
-                "x.doc_id AS doc_a, y.doc_id AS doc_b, "
-                "x.simhash AS sh_a, y.simhash AS sh_b))))"
-            )
-        ).alias("p")
-    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long")
     return (
-        pairs.select(
-            "p.doc_a",
-            "p.doc_b",
-            F.bit_count(F.col("p.sh_a").bitwiseXOR(F.col("p.sh_b")))
-            .cast("long")
-            .alias("hamming"),
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
         .distinct()  # a pair may agree on several blocks
@@ -566,38 +556,29 @@ def duck_cosine(a: str, b: str) -> str:
     tier="llm",
     doc=f"Embedding near-dup pairs (cosine >= {COSINE_THRESHOLD}) — dense "
     "complement to MinHash, run at FULL fixture scale: candidates come "
-    f"from the {2**N_PLANES}-bucket random-hyperplane LSH (equi-keyed "
-    "groupBy + in-bucket pair expansion, the same physical shape as the "
-    "MinHash band join — no unbounded theta join), then the exact "
-    "left-to-right fold cosine verifies each candidate. At 100 TB the "
-    "bucket column is also the storage partition key, so this is a "
-    "partition-local, uniformly-keyed pipeline.",
+    f"from the {2**N_PLANES}-bucket random-hyperplane LSH via an equi "
+    "SELF-JOIN on the bucket key (no unbounded theta join; a hot bucket "
+    "is AQE-skew-splittable rather than collected into one row), then "
+    "the exact left-to-right fold cosine verifies each candidate. At "
+    "100 TB the bucket column is also the storage partition key, so the "
+    "join is partition-local.",
 )
 def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     bucketed = e.withColumn("bucket", F.expr(spark_lsh_bucket("v")))
-    buckets = (
-        bucketed.groupBy("bucket")
-        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("vs"))
-        .filter(F.size("vs") > 1)
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(vs, (x, i) -> "
-                "transform(slice(vs, i + 2, size(vs)), y -> struct("
-                "x.vec_id AS vec_a, y.vec_id AS vec_b, "
-                "x.v AS va, y.v AS vb))))"
-            )
-        ).alias("p")
-    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
-        pairs.select(
-            "p.vec_a",
-            "p.vec_b",
-            F.expr(spark_cosine("p.va", "p.vb")).alias("cosine"),
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.expr(spark_cosine("a.v", "b.v")).alias("cosine"),
         )
         .filter(F.col("cosine") >= COSINE_THRESHOLD)
     )

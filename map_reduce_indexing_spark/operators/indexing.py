@@ -71,6 +71,7 @@ def write_index(postings: DataFrame, path: str, mode: str = "overwrite") -> None
 
 
 def read_index(spark: SparkSession, path: str) -> DataFrame:
+    recover_index(path)
     return spark.read.parquet(path)
 
 
@@ -83,14 +84,20 @@ def compact_index(spark: SparkSession, path: str) -> None:
     PER APPEND — reads stay correct only if they re-aggregate, and file
     counts grow without bound. Compaction is the standard log-structured
     fix. The rewrite stages to a sibling directory, renames the live
-    index ASIDE, moves staging into place, then deletes the old copy —
-    a crash at any point leaves a complete readable index (either the
-    old one, possibly under the .old name, or the new one); rmtree
-    before rename would leave a window with no index at all.
+    index ASIDE, moves staging into place, then deletes the old copy.
+    A crash at any point leaves a complete copy ON DISK — the new one
+    at `path`, or the old one at `path` or `path + '.old'` — and
+    `recover_index` (called on entry here and by `read_index`) restores
+    a stranded `.old` copy, so the brief path-missing window between
+    the two renames self-heals on the next call. (POSIX rename gives
+    no two-directory atomic swap; on a production object store /
+    HDFS the same pattern runs under a metastore pointer swap, which
+    IS atomic.)
     """
     import shutil
     import tempfile
 
+    recover_index(path)
     merged = (
         read_index(spark, path)
         .groupBy("word", "doc_id")
@@ -103,6 +110,14 @@ def compact_index(spark: SparkSession, path: str) -> None:
     os.replace(path, old)
     os.replace(staging, path)
     shutil.rmtree(old)
+
+
+def recover_index(path: str) -> None:
+    """Heal a compact_index crash: if the live path is missing but the
+    renamed-aside copy exists, restore it."""
+    old = path + ".old"
+    if not os.path.exists(path) and os.path.isdir(old):
+        os.replace(old, path)
 
 
 def postings_for(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..plans.registry import register
 from ..sources.tables import load_table
 from .dedup import (
+    EMB_DIM,
     N_PLANES,
     SPARK_DOT,
     _duck_arr,
@@ -38,7 +39,10 @@ from .dedup import (
     spark_lsh_bucket,
 )
 
-DIM = 64
+# Single source of truth for the embedding dimension (shared with the
+# LSH hyperplanes in dedup.py): mismatched lengths would make zip_with
+# pad with nulls and silently collapse every bucket/cell to 0.
+DIM = EMB_DIM
 QUERY_VEC_ID = 0
 N_CENTROIDS = 8  # IVF cells
 
@@ -213,8 +217,12 @@ def q_ann_knn_batch_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
     # Per-cell margin over k so the final fold-ordered top-k set cannot be
-    # changed by last-ulp BLAS-vs-fold differences at the cut boundary.
-    PRUNE_K = BATCH_K + 5
+    # changed by last-ulp BLAS-vs-fold differences at the cut boundary;
+    # the in-cell selection tie-breaks on vec_id (same as the oracle's
+    # ROW_NUMBER ordering), so exact-duplicate cosines can never evict
+    # the fold-rank winner, and the margin covers near-ties within the
+    # 1e-9 BLAS band.
+    PRUNE_K = BATCH_K + 10
 
     def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         M = np.stack(pdf["v"].values).astype(np.float64)  # (n, dim)
@@ -229,7 +237,8 @@ def q_ann_knn_batch_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
             take = min(PRUNE_K, len(cand_ids))
             if take == 0:
                 continue
-            part = np.argpartition(-cand_cos, take - 1)[:take]
+            # lexsort: primary -cosine (desc), secondary vec_id (asc)
+            part = np.lexsort((cand_ids, -cand_cos))[:take]
             out.append(
                 pd.DataFrame(
                     {"q_id": q_id, "vec_id": cand_ids[part], "blas_cosine": cand_cos[part]}

@@ -356,15 +356,27 @@ def _postings_oracle() -> str:
     "atomic, fixing the reference's unlocked concurrent-append race.",
 )
 def q_stream_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
     import shutil
     import tempfile
 
     from ..operators.indexing import build_postings, with_letter
     from ..schemas import DOCUMENT
 
-    workdir = tempfile.mkdtemp(prefix="mri_stream_index_")
+    # One workdir per Spark application, reused (and overwritten) across
+    # invocations: the merged parquet must outlive this call because the
+    # returned DataFrame scans it, so it can't be deleted here — keying
+    # by applicationId bounds disk use to a single copy per app, and the
+    # atexit hook removes it when the driver process exits.
+    workdir = os.path.join(
+        tempfile.gettempdir(),
+        f"mri_stream_index_{spark.sparkContext.applicationId}",
+    )
     staging = os.path.join(workdir, "staging")
     index_path = os.path.join(workdir, "index")
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(index_path, ignore_errors=True)
+    atexit.register(shutil.rmtree, workdir, True)
 
     # Stage the documents table as several files so the file source
     # produces several microbatches (one per file).
@@ -392,7 +404,8 @@ def q_stream_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reduce-side merge). Write the merged result to a compacted parquet
     # and return a scan of it: data stays on executors end-to-end (no
     # driver collect), and the returned DataFrame doesn't dangle on the
-    # appended temp index. The session cleans the dir at JVM exit.
+    # appended temp index. The atexit hook above removes the workdir
+    # when the driver exits; until then the app reuses one copy.
     merged_path = os.path.join(workdir, "merged")
     (
         spark.read.parquet(index_path)

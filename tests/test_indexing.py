@@ -154,3 +154,24 @@ def test_prefix_search_prunes_persisted_index(spark, tmp_path):
         .agg(F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_docs"))
     )
     assert sorted(map(tuple, hit.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_compact_crash_recovery(spark, tmp_path):
+    """Simulate a crash between compact_index's two renames (live path
+    missing, .old present): the next read must self-heal."""
+    import os
+
+    from map_reduce_indexing_spark.operators.indexing import recover_index
+
+    path = str(tmp_path / "index_crash")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    postings = build_postings(docs)
+    write_index(postings, path)
+    n = read_index(spark, path).count()
+
+    os.replace(path, path + ".old")  # the mid-compaction crash state
+    assert not os.path.exists(path)
+    assert read_index(spark, path).count() == n  # read self-heals
+    assert os.path.exists(path) and not os.path.exists(path + ".old")
+    recover_index(path)  # idempotent on a healthy index
+    assert read_index(spark, path).count() == n

@@ -260,3 +260,33 @@ def test_approx_percentiles_close_to_exact(spark):
         assert r.exact_q50 == q50
         assert r.exact_median_price == med
         assert r.q50_within_2pct and r.median_within_2pct
+
+
+def test_asof_null_timestamps_dropped_both_directions(spark):
+    """SQL comparison semantics: a NULL timestamp can never satisfy
+    ts <= t or ts >= t, so NULL-ts rows on either side must be dropped,
+    not matched (regression: forward direction once phantom-matched a
+    NULL-ts left row against every right row)."""
+    from datetime import datetime
+
+    from map_reduce_indexing_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_forward,
+    )
+
+    t = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, None, 1), (1, t, 2)], "k long, ts timestamp, lid long"
+    )
+    right = spark.createDataFrame(
+        [(1, t, 100), (1, None, 999)], "k long, rts timestamp, rid long"
+    )
+    for fn in (asof_join_backward, asof_join_forward):
+        got = {
+            r.lid: r.rid
+            for r in fn(
+                left, right, key="k", left_ts="ts", right_ts="rts",
+                payload_cols=["rid"], tiebreak="rid",
+            ).collect()
+        }
+        assert got == {2: 100}, (fn.__name__, got)
