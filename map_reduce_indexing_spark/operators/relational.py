@@ -1103,3 +1103,39 @@ def q_rel_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9).alias("corr"),
         F.round((sxy - sx * sy / n) / n, 9).alias("covar_pop"),
     )
+
+
+@register(
+    "rel_window_range_frame",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_5min,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_5min
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING AND CURRENT ROW)
+    """,
+    tier="relational",
+    doc="Time-RANGE window frame (SURVEY.md §2.5 W3 extension): per "
+    "event, count and exact-decimal sum of the same user's events in "
+    "the trailing 5 minutes — a frame bounded by VALUE distance, not "
+    "row count, the sliding-metric shape rows-frames can't express. "
+    "Spark's rangeBetween needs a numeric ordering key, so ts is "
+    "ordered as epoch microseconds with a 300e6-us preceding bound "
+    "(identical semantics to the oracle's INTERVAL frame). One shuffle "
+    "on user_id; frames never cross partitions.",
+)
+def q_rel_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-300_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_5min"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("sum_5min"),
+    )
