@@ -4,9 +4,11 @@ Runs entry(spark) as a smoke check, then every queries() entry at the
 given sf dir and compares row-count + column set + order-insensitive
 value frame against oracle_sql() via DuckDB. Usage:
 
-    python tools/check_contract.py [sf_dir] [query_name ...]
+    python tools/check_contract.py [--all] [sf_dir] [query_name ...]
 
 With query names given, checks only those (fast iteration loop).
+--all additionally sweeps the export=False variants (pytest-only
+queries hidden from the external window) against their oracles.
 """
 
 from __future__ import annotations
@@ -41,13 +43,15 @@ def compare(sp_df, con, sql: str) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    include_unexported = "--all" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark(app_name="contract-check")
     con = duckdb.connect()
     for t in FIXTURE_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    only = set(sys.argv[2:])
+    only = set(args[1:])
     status = 0
     if not only:
         rows = entrymod.entry(spark).collect()
@@ -55,6 +59,14 @@ def main() -> int:
         status = 0 if rows else 1
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if include_unexported:
+        from map_reduce_indexing_spark.plans.registry import _REGISTRY
+
+        for n, q in _REGISTRY.items():
+            if not q.export:
+                qs[n] = q.fn
+                if q.oracle is not None:
+                    oracles[n] = q.oracle
     if only:
         qs = {n: f for n, f in qs.items() if n in only}
     for name, fn in qs.items():
