@@ -121,8 +121,54 @@ def recover_index(path: str) -> None:
 
 
 def postings_for(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Postings over the driver's `documents` fixture table."""
+    """Postings over the driver's `documents` fixture table, computed
+    from the corpus (the BUILD path — see `indexed_postings` for the
+    persisted-artifact READ path every other query uses)."""
     return build_postings(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Session-scoped persisted index: the reference's build-then-query lifecycle
+# ---------------------------------------------------------------------------
+
+_SESSION_INDEX: dict[tuple[str, str], str] = {}
+
+
+def session_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the persisted letter-partitioned index for this corpus,
+    built ONCE per (Spark application, corpus dir) and reused by every
+    subsequent index/search query in the session.
+
+    The reference's lifecycle is build-then-query: client.c:39 submits
+    an indexing job whose artifact is ./index/a..z, and every later
+    lookup scans those files (helper_reduce.c:238-257) — it does not
+    re-tokenize the corpus per query. This cache reproduces that: the
+    first index/search query in a session pays the one tokenize +
+    aggregate + write build; every later one is a partition-pruned scan
+    of the persisted artifact. At 100 TB this is the difference between
+    a full corpus pass per query and reading 1/26th of an index.
+    """
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    path = _SESSION_INDEX.get(key)
+    if path is None or not os.path.isdir(path):
+        import atexit
+        import shutil
+        import tempfile
+
+        workdir = tempfile.mkdtemp(prefix="mri_session_index_")
+        atexit.register(shutil.rmtree, workdir, True)
+        path = os.path.join(workdir, "index")
+        write_index(build_postings(load_table(spark, sf_dir, "documents")), path)
+        _SESSION_INDEX[key] = path
+    return path
+
+
+def indexed_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postings (word, doc_id, cnt, letter) served from the persisted
+    letter-partitioned index — the artifact-read path. `letter` is the
+    Hive partition column, so `letter = 'x'` predicates prune 25/26 of
+    the files before any row is read."""
+    return read_index(spark, session_index_path(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
