@@ -56,43 +56,61 @@ def main() -> None:
     spark = get_spark(app_name="mri-bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     if not explain:
         # Unmeasured warmup pass: JIT/codegen compilation, parquet footer
         # cache, Python-worker (Arrow) spin-up. The reference baseline was
         # measured warm (BASELINE.md: "warm page cache"), so the timed pass
         # below is the comparable steady-state figure.
+        # Per-query isolation: one broken query must NOT kill the whole
+        # bench (round 3 lost its entire perf signal to one
+        # AnalysisException) — record the failure and keep timing the rest.
         for name in HEADLINE:
-            registry.get(name).fn(spark, SF_DIR).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            try:
+                registry.get(name).fn(spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as e:  # noqa: BLE001 — recorded, not swallowed
+                errors[name] = f"{type(e).__name__}: {e}"[:500]
     for name in HEADLINE:
+        if name in errors:
+            continue
         q = registry.get(name)
         if explain:
             print(f"===== {name} =====")
-            q.fn(spark, SF_DIR).explain("formatted")
+            try:
+                q.fn(spark, SF_DIR).explain("formatted")
+            except Exception as e:  # noqa: BLE001
+                print(f"EXPLAIN FAILED: {type(e).__name__}: {e}")
             continue
         # Median of 3 timed passes: the box is shared, so single samples
         # swing 2x on scheduler noise; the median is robust to one outlier
         # in either direction, making round-over-round deltas signal.
         samples = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            continue
         times[name] = round(sorted(samples)[1], 3)
     if not explain:
-        print(
-            json.dumps(
-                {
-                    "metric": "headline_total",
-                    "value": round(sum(times.values()), 3),
-                    "unit": "sec",
-                    "queries": times,
-                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                }
-            )
-        )
+        out = {
+            "metric": "headline_total",
+            "value": round(sum(times.values()), 3),
+            "unit": "sec",
+            "queries": times,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
+        if errors:
+            out["errors"] = errors
+        print(json.dumps(out))
     spark.stop()
+    # Non-zero exit only if NOTHING ran; partial results are still signal.
+    if not explain and not times:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

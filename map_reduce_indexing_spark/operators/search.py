@@ -8,11 +8,14 @@ This module implements the search surface that index implies: term lookup
 OR = union, NOT = anti join — SURVEY.md §2.3 J1/J3, §2.7), ranking
 (window functions, §2.5 W1), and per-doc term-frequency vectors (§2.4 A8).
 
-Scale posture: term lookup against the persisted index is a partition-
-pruned scan (letter = word[0] prunes 25/26) plus a pushed-down `word =`
-filter — at 100 TB this touches only the matching partition's row groups.
-Boolean search joins are doc-keyed; the per-term posting lists are the
-small side and broadcast under AQE.
+Scale posture: every consumer query here executes against the PERSISTED
+session index (`indexed_postings` — built once per session, the
+reference's build-then-query lifecycle, client.c:39): term lookup is a
+partition-pruned scan (letter = word[0] prunes 25/26) plus a pushed-down
+`word =` filter — at 100 TB this touches only the matching partition's
+row groups, never re-tokenizing the corpus. Boolean search joins are
+doc-keyed; the per-term posting lists are the small side and broadcast
+under AQE.
 """
 
 from __future__ import annotations
@@ -20,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..plans.registry import register
-from .indexing import POSTINGS_SQL, postings_for, read_index
+from .indexing import POSTINGS_SQL, indexed_postings
 
 # Fixed probe terms for registered queries — present in the synthetic
 # documents fixture vocabulary at every sf.
@@ -29,32 +32,54 @@ TERM_B = "query"
 TERM_NOT = "slow"
 
 
+def _letter_aware(postings: DataFrame, word_pred, letters: list[str]):
+    """Conjoin the letter partition predicate when the postings frame
+    carries the partition column (the persisted index), so Catalyst
+    prunes letter directories before reading a row; on a raw postings
+    frame (no letter column) the word predicate alone applies."""
+    if "letter" in postings.columns:
+        lp = (
+            F.col("letter") == letters[0]
+            if len(letters) == 1
+            else F.col("letter").isin(letters)
+        )
+        return postings.filter(lp & word_pred)
+    return postings.filter(word_pred)
+
+
 def term_lookup(index: DataFrame, word: str) -> DataFrame:
-    """Lookup one term. Against a partitioned index this prunes on
+    """Lookup one term. Against the partitioned index this prunes on
     `letter` (the reference's open-one-letter-file, helper_reduce.c:241)
     and pushes the word equality into the Parquet scan."""
-    return index.filter((F.col("letter") == word[0]) & (F.col("word") == word))
+    return _letter_aware(index, F.col("word") == word, [word[0]])
+
+
+def terms_lookup(index: DataFrame, terms: list[str]) -> DataFrame:
+    """Posting lists for a term set, with letter-partition pruning."""
+    return _letter_aware(
+        index, F.col("word").isin(terms), sorted({t[0] for t in terms})
+    )
 
 
 def search_and(postings: DataFrame, terms: list[str]) -> DataFrame:
     """Docs containing ALL terms: iterated left-semi join on doc_id."""
-    docs = postings.filter(F.col("word") == terms[0]).select("doc_id")
+    docs = term_lookup(postings, terms[0]).select("doc_id")
     for t in terms[1:]:
         docs = docs.join(
-            postings.filter(F.col("word") == t).select("doc_id"), "doc_id", "left_semi"
+            term_lookup(postings, t).select("doc_id"), "doc_id", "left_semi"
         )
     return docs
 
 
 def search_or(postings: DataFrame, terms: list[str]) -> DataFrame:
     """Docs containing ANY term: IN-filter + distinct."""
-    return postings.filter(F.col("word").isin(terms)).select("doc_id").distinct()
+    return terms_lookup(postings, terms).select("doc_id").distinct()
 
 
 def search_not(postings: DataFrame, include: str, exclude: str) -> DataFrame:
     """Docs containing `include` but not `exclude`: left-anti join."""
-    inc = postings.filter(F.col("word") == include).select("doc_id")
-    exc = postings.filter(F.col("word") == exclude).select("doc_id")
+    inc = term_lookup(postings, include).select("doc_id")
+    exc = term_lookup(postings, exclude).select("doc_id")
     return inc.join(exc, "doc_id", "left_anti")
 
 
@@ -70,11 +95,13 @@ def search_not(postings: DataFrame, include: str, exclude: str) -> DataFrame:
     ),
     tier="implied",
     doc="Single-term lookup: the scan of ./index/<letter> the reference "
-    "implies (helper_reduce.c:238-257).",
+    "implies (helper_reduce.c:238-257) — a letter-partition-pruned, "
+    "word-pushed-down read of the persisted session index.",
 )
 def q_term_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = postings_for(spark, sf_dir)
-    return p.filter(F.col("word") == TERM_A).select("doc_id", "cnt")
+    return term_lookup(indexed_postings(spark, sf_dir), TERM_A).select(
+        "doc_id", "cnt"
+    )
 
 
 @register(
@@ -88,7 +115,7 @@ def q_term_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(SURVEY.md §2.3 J1/J3).",
 )
 def q_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return search_and(postings_for(spark, sf_dir), [TERM_A, TERM_B])
+    return search_and(indexed_postings(spark, sf_dir), [TERM_A, TERM_B])
 
 
 @register(
@@ -101,7 +128,7 @@ def q_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Multi-term OR search = union of posting lists (SURVEY.md §2.7).",
 )
 def q_search_or(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return search_or(postings_for(spark, sf_dir), [TERM_A, TERM_B])
+    return search_or(indexed_postings(spark, sf_dir), [TERM_A, TERM_B])
 
 
 @register(
@@ -114,7 +141,7 @@ def q_search_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="NOT search = left-anti join (SURVEY.md §2.3 J3).",
 )
 def q_search_not(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return search_not(postings_for(spark, sf_dir), TERM_A, TERM_NOT)
+    return search_not(indexed_postings(spark, sf_dir), TERM_A, TERM_NOT)
 
 
 @register(
@@ -129,8 +156,7 @@ def q_search_not(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_search_term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        postings_for(spark, sf_dir)
-        .filter(F.col("word") == TERM_A)
+        term_lookup(indexed_postings(spark, sf_dir), TERM_A)
         .select("doc_id", "cnt")
         .orderBy(F.desc("cnt"), "doc_id")
         .limit(10)
@@ -152,8 +178,7 @@ def q_search_term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_search_topk_per_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("word").orderBy(F.desc("cnt"), "doc_id")
     return (
-        postings_for(spark, sf_dir)
-        .filter(F.col("word").isin([TERM_A, TERM_B, TERM_NOT]))
+        terms_lookup(indexed_postings(spark, sf_dir), [TERM_A, TERM_B, TERM_NOT])
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("word", "doc_id", "cnt")
@@ -238,10 +263,10 @@ def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engines so the libm ln folding compares exactly.",
 )
 def q_search_tfidf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = postings_for(spark, sf_dir)
+    p = indexed_postings(spark, sf_dir)
     n = p.agg(F.countDistinct("doc_id").alias("n_docs"))
     df = (
-        p.filter(F.col("word").isin([TERM_A, TERM_B]))
+        terms_lookup(p, [TERM_A, TERM_B])
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("df"))
     )
@@ -275,7 +300,7 @@ def q_search_tfidf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_search_doc_tf_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        postings_for(spark, sf_dir)
+        indexed_postings(spark, sf_dir)
         .filter(F.col("doc_id") < 50)
         .groupBy("doc_id")
         .agg(
@@ -324,14 +349,14 @@ BM25_B = 0.75
     "order-safe); rounded to 6 dp so libm ln folds compare exactly.",
 )
 def q_search_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = postings_for(spark, sf_dir)
+    p = indexed_postings(spark, sf_dir)
     stats = p.agg(
         F.countDistinct("doc_id").alias("n_docs"),
         (F.sum("cnt").cast("double") / F.countDistinct("doc_id")).alias("avgdl"),
     )
     dl = p.groupBy("doc_id").agg(F.sum("cnt").cast("long").alias("dl"))
     df = (
-        p.filter(F.col("word").isin([TERM_A, TERM_B]))
+        terms_lookup(p, [TERM_A, TERM_B])
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("df"))
     )
@@ -370,14 +395,12 @@ PREFIX = "qu"
     "./index/<first-letter>).",
 )
 def q_search_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = postings_for(spark, sf_dir)
-    # The explicit first-letter equality is the partition-pruning predicate
-    # when running over the persisted letter-partitioned index.
+    p = indexed_postings(spark, sf_dir)
+    # `letter = prefix[0]` hits the Hive partition column -> Catalyst
+    # prunes 25/26 letter directories before any row is read; startswith
+    # pushes as a StringStartsWith parquet filter within the partition.
     return (
-        p.filter(
-            (F.substring("word", 1, 1) == PREFIX[0])
-            & F.col("word").startswith(PREFIX)
-        )
+        _letter_aware(p, F.col("word").startswith(PREFIX), [PREFIX[0]])
         .groupBy("word")
         .agg(F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_docs"))
     )

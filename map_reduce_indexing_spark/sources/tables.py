@@ -38,13 +38,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {FIXTURE_TABLES}")
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong on it
-    # arrives as a long of epoch-nanos. Truncate to micros (integer DIV —
-    # same floor semantics DuckDB applies when viewing nanos as TIMESTAMP).
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    # Normalize events.ts to TimestampType regardless of how the fixture
+    # generator encoded it — the rest of the engine (unix_micros, window
+    # range frames, streaming watermarks) assumes TIMESTAMP:
+    #   * TIMESTAMP(NANOS) + nanosAsLong -> long of epoch-nanos: truncate
+    #     to micros (integer DIV — same floor semantics DuckDB applies
+    #     when viewing nanos as TIMESTAMP).
+    #   * timestamp[us] with no timezone -> TIMESTAMP_NTZ: cast to
+    #     TIMESTAMP. The session timezone is pinned UTC (session.py and
+    #     _ensure_session_confs above), so the cast reinterprets the
+    #     naive value as UTC — value-identical to the UTC-naive DuckDB
+    #     oracle reading the same file.
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -1,0 +1,65 @@
+"""Fixture-drift tripwire.
+
+The driver regenerates /root/testdata between rounds and the encoding of
+events.ts has already flipped once (TIMESTAMP(NANOS) in rounds 1-2 ->
+timestamp[us]-no-tz in round 3, which Spark 4 reads as TIMESTAMP_NTZ and
+which broke every unix_micros() call site). `load_table` normalizes all
+known encodings to TimestampType; this test pins that contract for every
+sf dir so the NEXT regeneration fails one obvious test instead of three
+opaque queries.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql.types import TimestampType
+
+from map_reduce_indexing_spark.sources.tables import load_table
+
+SF_DIRS = [
+    d
+    for d in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    )
+    if os.path.isdir(d)
+]
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_events_ts_normalizes_to_timestamp(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    assert isinstance(ev.schema["ts"].dataType, TimestampType), (
+        f"{sf_dir}: events.ts loads as {ev.schema['ts'].dataType} — "
+        "fixture encoding drifted again; extend the normalization branch "
+        "in sources/tables.py:load_table"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_events_ts_values_survive_normalization(spark, sf_dir):
+    """The normalization must be value-identity vs the raw file read as
+    UTC-naive (what the DuckDB oracle sees): count and min/max epoch
+    micros must agree with pyarrow's view of the file."""
+    import pyarrow.parquet as pq
+
+    ev = load_table(spark, sf_dir, "events")
+    row = ev.selectExpr(
+        "count(*) AS n", "min(unix_micros(ts)) AS lo", "max(unix_micros(ts)) AS hi"
+    ).first()
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+    col = t.column("ts").combine_chunks()
+    # pyarrow timestamps compare as integers in their storage unit.
+    import pyarrow.compute as pc
+
+    unit = t.schema.field("ts").type.unit
+    scale = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 1 / 1000}[unit]
+    lo = int(pc.min(col).cast("int64").as_py() * scale)
+    hi = int(pc.max(col).cast("int64").as_py() * scale)
+    assert row.n == len(col)
+    assert row.lo == lo
+    assert row.hi == hi

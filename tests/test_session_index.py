@@ -1,0 +1,101 @@
+"""The persisted session index — the reference's build-then-query
+lifecycle (client.c:39 submits indexing once; every later lookup scans
+./index/<letter>, helper_reduce.c:238-257).
+
+Covers: build-once caching, content-fingerprint invalidation, value
+parity between the artifact-read path and the build path, and the plan
+property the artifact exists for — letter partition pruning on term
+lookup.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from map_reduce_indexing_spark.operators.indexing import (
+    build_postings,
+    indexed_postings,
+    postings_for,
+    session_index_path,
+)
+from map_reduce_indexing_spark.operators.search import TERM_A, term_lookup
+
+from .conftest import SF_DIR
+
+
+def test_session_index_builds_once(spark):
+    p1 = session_index_path(spark, SF_DIR)
+    mtime1 = os.stat(p1).st_mtime_ns
+    p2 = session_index_path(spark, SF_DIR)
+    assert p1 == p2
+    assert os.stat(p2).st_mtime_ns == mtime1, "second call rebuilt the index"
+
+
+def test_session_index_invalidates_on_corpus_change(spark, tmp_path):
+    def write_corpus(rows):
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(t, tmp_path / "documents.parquet")
+
+    write_corpus([(1, "alpha beta"), (2, "beta gamma")])
+    p1 = session_index_path(spark, str(tmp_path))
+    words1 = {r.word for r in indexed_postings(spark, str(tmp_path)).collect()}
+    assert words1 == {"alpha", "beta", "gamma"}
+
+    # Regenerate the corpus in place — the fingerprint (mtime+size) must
+    # change the cache key and trigger a rebuild, not serve stale data.
+    write_corpus([(1, "delta epsilon zeta")])
+    os.utime(tmp_path / "documents.parquet")  # force mtime tick
+    p2 = session_index_path(spark, str(tmp_path))
+    words2 = {r.word for r in indexed_postings(spark, str(tmp_path)).collect()}
+    assert p2 != p1
+    assert words2 == {"delta", "epsilon", "zeta"}
+
+
+def test_indexed_postings_match_build_postings(spark):
+    """The artifact-read path must be value-identical to the build path
+    (same oracle SQL keeps verifying the routed queries)."""
+    built = {
+        (r.word, r.doc_id, r.cnt)
+        for r in postings_for(spark, SF_DIR).collect()
+    }
+    read = {
+        (r.word, r.doc_id, r.cnt)
+        for r in indexed_postings(spark, SF_DIR).select(
+            "word", "doc_id", "cnt"
+        ).collect()
+    }
+    assert built == read
+
+
+def test_term_lookup_prunes_letter_partitions(spark):
+    """The point of the artifact: a term lookup reads 1/26th of the
+    index. The scan node must carry the letter partition filter (Hive
+    partition pruning) and the pushed word equality."""
+    df = term_lookup(indexed_postings(spark, SF_DIR), TERM_A).select(
+        "doc_id", "cnt"
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert f"letter" in plan.split("PartitionFilters", 1)[1][:200]
+    assert TERM_A in plan.split("PushedFilters", 1)[1][:300], (
+        "word equality not pushed to the parquet scan"
+    )
+
+
+def test_letter_histogram_uses_partition_column(spark):
+    """index_letter_histogram groups by the Hive partition column of the
+    persisted index — no tokenize stage in its plan."""
+    idx = indexed_postings(spark, SF_DIR)
+    hist = idx.groupBy("letter").agg(F.count(F.lit(1)).alias("n"))
+    plan = hist._jdf.queryExecution().executedPlan().toString()
+    assert "explode" not in plan.lower(), "histogram re-tokenized the corpus"
