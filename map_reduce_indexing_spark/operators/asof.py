@@ -19,7 +19,17 @@ shape to a sort-merge join, with no per-left-row candidate explosion.
 The naive alternative (equi-join on key + range filter + row_number)
 materializes |left| x |matching right| intermediate rows, which at 100 TB
 with years of history per key is quadratic blow-up; this one is linear.
-Skewed keys are handled by AQE the same way any single-key shuffle is.
+
+Skew caveat: AQE's skew mitigation splits oversized SHUFFLE JOIN
+partitions; it does NOT apply to window partitions — a window partition
+is atomic, so one pathologically hot key (a bot user with 10^8 events)
+lands on a single task. The mitigation when that matters is a salted
+two-phase pass: (1) window within (key, time-chunk) salt partitions,
+carrying each chunk's last payload; (2) a second, much smaller window
+over per-chunk boundaries to resolve rows whose match lies in an
+earlier chunk. For organic event data (max key cardinality << partition
+budget) the single-window form here is the right default — the salt
+adds a full extra shuffle that only pays off under real skew.
 
 Tie semantics: right rows sort BEFORE left rows at an equal timestamp,
 so a right row with right_ts == left_ts is visible (<= semantics, the

@@ -95,3 +95,33 @@ def test_incremental_index_append(spark, tmp_path):
     # the reference's fopen-a+ behavior)
     incremental_index_append(spark, SF_DIR, path)
     assert spark.read.parquet(path).count() == 2 * n
+
+
+def test_ann_lookup_never_broadcasts_the_store(spark):
+    """stream_ann_lookup's static side is the bucket-partitioned
+    embedding store — at 100 TB it cannot broadcast. The join must
+    broadcast the (small) QUERY side; the store is probe-side only.
+    Asserted on the batch-equivalent plan (same ann_lookup_plan the
+    streaming query's microbatches execute)."""
+    from map_reduce_indexing_spark.operators.dedup import spark_lsh_bucket
+    from map_reduce_indexing_spark.sources.tables import load_table
+    from map_reduce_indexing_spark.streaming.events import ann_lookup_plan
+
+    queries = (
+        load_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        .withColumn("qbucket", F.expr(spark_lsh_bucket("qv")))
+    )
+    df = ann_lookup_plan(spark, SF_DIR, queries)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    # Every broadcast subtree must be the query side (qv/qbucket cols),
+    # never the store (v/bucket partition scan of mri_emb_store_*).
+    for sub in plan.split("BroadcastExchange")[1:]:
+        head = sub[:600]
+        assert "mri_emb_store_" not in head, "embedding store was broadcast"
