@@ -134,6 +134,107 @@ def asof_join_backward(
     )
 
 
+def asof_join_backward_salted(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+    tiebreak: str,
+    chunk_seconds: int = 3600,
+) -> DataFrame:
+    """Backward as-of join for HOT keys: the salted two-phase form the
+    module docstring describes. Result-identical to `asof_join_backward`
+    (property-tested); use it when one key's row count exceeds a task's
+    comfortable partition size — window partitions are atomic, so the
+    single-window form puts a 10^8-event bot user on one task.
+
+    Phase 1 windows within (key, time-chunk): each chunk of a hot key is
+    its own partition, so parallelism = key x active-chunks. Phase 2
+    resolves rows whose match lies in an earlier chunk via a second
+    window over per-(key, chunk) summaries — ONE row per chunk, so the
+    phase-2 partition for a key holds #chunks rows, not #events.
+
+    Size `chunk_seconds` so a hot key's rows per chunk fit a task
+    (e.g. 3600 for hourly chunks at ~10^4 events/sec/key).
+    """
+    chunk_us = F.lit(int(chunk_seconds) * 1_000_000)
+    left_side, _CH = 1, "__asof_chunk"
+    lt = (
+        left.filter(F.col(left_ts).isNotNull())
+        .withColumn(_SIDE, F.lit(left_side))
+        .withColumn(_T, F.col(left_ts))
+    )
+    rt = right.filter(F.col(right_ts).isNotNull()).select(
+        F.col(key),
+        F.col(right_ts).alias(_T),
+        F.lit(0).alias(_SIDE),
+        *[F.col(c) for c in payload_cols],
+    )
+    u = lt.unionByName(rt, allowMissingColumns=True).withColumn(
+        _CH, F.floor(F.unix_micros(F.col(_T)) / chunk_us)
+    )
+
+    # Phase 1: in-chunk carry — same ordering semantics as the plain
+    # form, but the window partition is (key, chunk).
+    w1 = (
+        Window.partitionBy(key, _CH)
+        .orderBy(F.col(_T), F.col(_SIDE), F.col(tiebreak))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        *[c for c in left.columns],
+        F.col(_SIDE),
+        F.col(_CH),
+        *[F.last(c, ignorenulls=True).over(w1).alias(f"__p_{c}") for c in payload_cols],
+    )
+
+    # Per-(key, chunk) summary: the LAST right payload of the chunk.
+    # max(struct(t, tiebreak, payload...)) picks it without a window —
+    # struct comparison is lexicographic, matching the carry order.
+    summary = (
+        rt.withColumn(_CH, F.floor(F.unix_micros(F.col(_T)) / chunk_us))
+        .groupBy(key, _CH)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(_T).alias("t"),
+                    F.col(tiebreak).alias("tb"),
+                    F.struct(*[F.col(c) for c in payload_cols]).alias("p"),
+                )
+            ).alias("__last")
+        )
+    )
+    # Phase 2: carry each chunk's summary forward over the (tiny)
+    # chunk axis, shifted one chunk so a row sees only EARLIER chunks.
+    w2 = (
+        Window.partitionBy(key)
+        .orderBy(_CH)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # Left rows may sit in chunks with no right rows at all; union the
+    # distinct (key, chunk) frame so every populated chunk has a
+    # boundary row.
+    chunks = carried.select(key, _CH).distinct()
+    boundaries = (
+        chunks.join(summary, [key, _CH], "left")
+        .withColumn("__prior", F.last("__last", ignorenulls=True).over(w2))
+        .select(key, _CH, "__prior")
+    )
+
+    resolved = carried.filter(F.col(_SIDE) == left_side).join(
+        boundaries, [key, _CH], "left"
+    )
+    out = resolved
+    for c in payload_cols:
+        out = out.withColumn(
+            c, F.coalesce(F.col(f"__p_{c}"), F.col("__prior").getField("p").getField(c))
+        ).drop(f"__p_{c}")
+    out = out.filter(F.col(tiebreak).isNotNull())
+    return out.drop(_SIDE, _CH, "__prior")
+
+
 def asof_join_forward(
     left: DataFrame,
     right: DataFrame,
@@ -196,6 +297,63 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="click_src_ts",
         payload_cols=["click_id", "click_ts"],
         tiebreak="click_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "click_id",
+        "click_ts",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+
+
+@register(
+    "rel_join_asof_salted",
+    export=False,  # pytest-verified variant; kept out of the external window
+    oracle="""
+        SELECT event_id, user_id, ts, click_id, click_ts,
+               epoch_us(ts) - epoch_us(click_ts) AS lag_us
+        FROM (
+            SELECT p.event_id, p.user_id, p.ts,
+                   c.event_id AS click_id, c.ts AS click_ts,
+                   ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                      ORDER BY c.ts DESC, c.event_id DESC) AS rn
+            FROM events p
+            JOIN events c
+              ON c.user_id = p.user_id
+             AND c.ts <= p.ts
+             AND c.event_type = 'click'
+            WHERE p.event_type = 'purchase'
+        ) WHERE rn = 1
+    """,
+    tier="relational",
+    doc="Salted two-phase variant of rel_join_asof, same oracle: phase 1 "
+    "windows within (user, hour-chunk) so a hot key's events spread "
+    "across chunk partitions; phase 2 resolves cross-chunk matches over "
+    "per-chunk summaries (one row per chunk). The skew mitigation for "
+    "as-of joins that AQE cannot provide (window partitions are atomic).",
+)
+def q_join_asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_src_ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = asof_join_backward_salted(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="click_src_ts",
+        payload_cols=["click_id", "click_ts"],
+        tiebreak="click_id",
+        chunk_seconds=3600,
     )
     return joined.select(
         "event_id",

@@ -133,17 +133,52 @@ def postings_for(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Session-scoped persisted index: the reference's build-then-query lifecycle
 # ---------------------------------------------------------------------------
 
-_SESSION_INDEX: dict[tuple, str] = {}
-_SESSION_INDEX_LOCK = __import__("threading").Lock()
+_ARTIFACTS: dict[tuple, str] = {}
+_ARTIFACTS_LOCK = __import__("threading").Lock()
 
 
-def _corpus_fingerprint(sf_dir: str) -> tuple:
-    """Identity of the corpus content: path + mtime + size of the
-    documents file, so a regenerated fixture invalidates the cache
-    within the same Spark application instead of serving stale data."""
-    p = os.path.join(os.path.realpath(sf_dir), "documents.parquet")
-    st = os.stat(p)
-    return (p, st.st_mtime_ns, st.st_size)
+def session_artifact_path(
+    spark: SparkSession,
+    sf_dir: str,
+    kind: str,
+    source_file: str,
+    build,
+) -> str:
+    """Generic once-per-(Spark application, source content) persisted
+    artifact: the reference's build-then-query lifecycle for any derived
+    store (count index, positional index, bucketed embedding store).
+
+    The cache key includes a content fingerprint (path + mtime + size of
+    the source file), so a regenerated fixture triggers a rebuild rather
+    than serving stale data; the build is lock-guarded so concurrent
+    first calls build once. `build(path)` must write the artifact at
+    `path`.
+
+    Placement: `$SPARK_GRAFT_INDEX_DIR` if set (point it at shared
+    storage — HDFS mount / object-store fuse — on a real cluster, the
+    reference's shared ./index location), else a driver-local tempdir,
+    which is only readable by executors in local mode. Either way the
+    directory is removed at interpreter exit.
+    """
+    src = os.path.join(os.path.realpath(sf_dir), source_file)
+    st = os.stat(src)
+    key = (spark.sparkContext.applicationId, kind, src, st.st_mtime_ns, st.st_size)
+    with _ARTIFACTS_LOCK:
+        path = _ARTIFACTS.get(key)
+        if path is None or not os.path.isdir(path):
+            import atexit
+            import shutil
+            import tempfile
+
+            base = os.environ.get("SPARK_GRAFT_INDEX_DIR")
+            if base:
+                os.makedirs(base, exist_ok=True)
+            workdir = tempfile.mkdtemp(prefix=f"mri_{kind}_", dir=base)
+            atexit.register(shutil.rmtree, workdir, True)
+            path = os.path.join(workdir, kind)
+            build(path)
+            _ARTIFACTS[key] = path
+    return path
 
 
 def session_index_path(spark: SparkSession, sf_dir: str) -> str:
@@ -160,34 +195,17 @@ def session_index_path(spark: SparkSession, sf_dir: str) -> str:
     of the persisted artifact. At 100 TB this is the difference between
     a full corpus pass per query and reading 1/26th of an index.
 
-    The cache key includes a content fingerprint (mtime+size of
-    documents.parquet), so regenerating the corpus mid-application
-    triggers a rebuild rather than serving a stale index; the build is
-    lock-guarded so concurrent first calls build once.
-
-    Placement: `$SPARK_GRAFT_INDEX_DIR` if set (point it at shared
-    storage — HDFS mount / object-store fuse — on a real cluster, the
-    reference's shared ./index location), else a driver-local tempdir,
-    which is only readable by executors in local mode. Either way the
-    directory is cleaned up at interpreter exit.
+    Caching / invalidation / placement semantics: `session_artifact_path`.
     """
-    key = (spark.sparkContext.applicationId, *_corpus_fingerprint(sf_dir))
-    with _SESSION_INDEX_LOCK:
-        path = _SESSION_INDEX.get(key)
-        if path is None or not os.path.isdir(path):
-            import atexit
-            import shutil
-            import tempfile
-
-            base = os.environ.get("SPARK_GRAFT_INDEX_DIR")
-            if base:
-                os.makedirs(base, exist_ok=True)
-            workdir = tempfile.mkdtemp(prefix="mri_session_index_", dir=base)
-            atexit.register(shutil.rmtree, workdir, True)
-            path = os.path.join(workdir, "index")
-            write_index(build_postings(load_table(spark, sf_dir, "documents")), path)
-            _SESSION_INDEX[key] = path
-    return path
+    return session_artifact_path(
+        spark,
+        sf_dir,
+        "session_index",
+        "documents.parquet",
+        lambda path: write_index(
+            build_postings(load_table(spark, sf_dir, "documents")), path
+        ),
+    )
 
 
 def indexed_postings(spark: SparkSession, sf_dir: str) -> DataFrame:

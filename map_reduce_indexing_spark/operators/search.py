@@ -214,6 +214,28 @@ def positional_postings(docs: DataFrame) -> DataFrame:
     ).select("word", "doc_id", "pos")
 
 
+def indexed_positional_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional postings (word, doc_id, pos, letter) served from a
+    persisted letter-partitioned positional index — built once per
+    session alongside the count index, so phrase/proximity lookups are
+    partition-pruned scans instead of a corpus re-tokenize per query."""
+    from ..sources.tables import load_table
+    from .indexing import session_artifact_path
+
+    def build(path: str) -> None:
+        pp = positional_postings(load_table(spark, sf_dir, "documents"))
+        (
+            pp.withColumn("letter", F.substring("word", 1, 1))
+            .sortWithinPartitions("letter", "word", "doc_id", "pos")
+            .write.partitionBy("letter")
+            .parquet(path)
+        )
+
+    return spark.read.parquet(
+        session_artifact_path(spark, sf_dir, "pos_index", "documents.parquet", build)
+    )
+
+
 @register(
     "search_phrase",
     oracle=f"""
@@ -223,23 +245,72 @@ def positional_postings(docs: DataFrame) -> DataFrame:
                   i -> tl[i] = '{PHRASE[0]}' AND tl[i+1] = '{PHRASE[1]}')) > 0
     """,
     tier="implied",
-    doc=f"Phrase search '{PHRASE[0]} {PHRASE[1]}' over a positional index: "
-    "per-term position lists equi-join on doc with pos_b = pos_a + 1. "
-    "At scale each side is a partition-pruned, word-pushed-down scan of "
-    "the positional index; the join keys on doc_id.",
+    doc=f"Phrase search '{PHRASE[0]} {PHRASE[1]}' over the PERSISTED "
+    "positional index: per-term position lists equi-join on doc with "
+    "pos_b = pos_a + 1. Each side is a letter-partition-pruned, "
+    "word-pushed-down scan of the index artifact; the join keys on "
+    "doc_id — no corpus re-tokenize per query.",
 )
 def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.tables import load_table
-
-    pp = positional_postings(load_table(spark, sf_dir, "documents"))
-    a = pp.filter(F.col("word") == PHRASE[0]).select("doc_id", F.col("pos").alias("pa"))
-    b = pp.filter(F.col("word") == PHRASE[1]).select(
+    pp = indexed_positional_postings(spark, sf_dir)
+    a = term_lookup(pp, PHRASE[0]).select("doc_id", F.col("pos").alias("pa"))
+    b = term_lookup(pp, PHRASE[1]).select(
         F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
     )
     return (
         a.join(b, (a.doc_id == b.doc_b) & (b.pb == a.pa + 1))
         .select("doc_id")
         .distinct()
+    )
+
+
+PROX_K = 5  # max token distance for proximity search
+
+
+@register(
+    "search_proximity",
+    oracle=f"""
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(MIN(dist) AS BIGINT) AS min_dist
+        FROM (
+            SELECT a.doc_id, abs(a.pos - b.pos) AS dist
+            FROM (SELECT doc_id, pos FROM (
+                    SELECT doc_id, unnest({DUCK_TOKENS_LIST_POS}) AS word,
+                           generate_subscripts({DUCK_TOKENS_LIST_POS}, 1) - 1 AS pos
+                    FROM documents) WHERE word = '{TERM_A}') a
+            JOIN (SELECT doc_id, pos FROM (
+                    SELECT doc_id, unnest({DUCK_TOKENS_LIST_POS}) AS word,
+                           generate_subscripts({DUCK_TOKENS_LIST_POS}, 1) - 1 AS pos
+                    FROM documents) WHERE word = '{TERM_B}') b
+              ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) <= {PROX_K}
+        )
+        GROUP BY doc_id
+    """,
+    tier="implied",
+    doc=f"Proximity search: docs where '{TERM_A}' and '{TERM_B}' occur "
+    f"within {PROX_K} tokens, with pair count and closest distance. "
+    "Two letter-pruned scans of the persisted positional index, "
+    "equi-join on doc_id with a band predicate on position — the "
+    "phrase operator generalized to a window, same artifact, same "
+    "pruned access path.",
+)
+def q_search_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pp = indexed_positional_postings(spark, sf_dir)
+    a = term_lookup(pp, TERM_A).select("doc_id", F.col("pos").alias("pa"))
+    b = term_lookup(pp, TERM_B).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
+    )
+    return (
+        a.join(
+            b,
+            (a.doc_id == b.doc_b)
+            & (F.abs(F.col("pa") - F.col("pb")) <= PROX_K),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(F.abs(F.col("pa") - F.col("pb"))).cast("long").alias("min_dist"),
+        )
     )
 
 

@@ -528,10 +528,6 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bucket-partitioned embedding store: the ANN serving layout
 # ---------------------------------------------------------------------------
 
-_EMB_STORE: dict[tuple, str] = {}
-_EMB_STORE_LOCK = __import__("threading").Lock()
-
-
 def bucketed_embedding_store(spark: SparkSession, sf_dir: str) -> str:
     """Path of the LSH-bucket-partitioned embedding store, written once
     per (Spark application, corpus content) and reused by every lookup.
@@ -542,31 +538,22 @@ def bucketed_embedding_store(spark: SparkSession, sf_dir: str) -> str:
     scanning — or worse, broadcasting — the whole vector table. At
     100 TB the static side CANNOT broadcast; partition pruning on the
     bucket key is what keeps each lookup's read proportional to one
-    bucket (~1/256th of the store)."""
-    src = os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")
-    st = os.stat(src)
-    key = (spark.sparkContext.applicationId, src, st.st_mtime_ns, st.st_size)
-    with _EMB_STORE_LOCK:
-        path = _EMB_STORE.get(key)
-        if path is None or not os.path.isdir(path):
-            import atexit
-            import shutil
-            import tempfile
+    bucket (~1/256th of the store). Caching/placement semantics:
+    `operators.indexing.session_artifact_path`."""
+    from ..operators.indexing import session_artifact_path
 
-            workdir = tempfile.mkdtemp(prefix="mri_emb_store_")
-            atexit.register(shutil.rmtree, workdir, True)
-            path = os.path.join(workdir, "store")
-            (
-                load_table(spark, sf_dir, "embeddings")
-                .select(
-                    "vec_id", F.col("embedding").cast("array<double>").alias("v")
-                )
-                .withColumn("bucket", F.expr(spark_lsh_bucket("v")))
-                .write.partitionBy("bucket")
-                .parquet(path)
-            )
-            _EMB_STORE[key] = path
-    return path
+    def build(path: str) -> None:
+        (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+            .withColumn("bucket", F.expr(spark_lsh_bucket("v")))
+            .write.partitionBy("bucket")
+            .parquet(path)
+        )
+
+    return session_artifact_path(
+        spark, sf_dir, "emb_store", "embeddings.parquet", build
+    )
 
 
 @register(

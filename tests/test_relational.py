@@ -291,3 +291,40 @@ def test_asof_null_timestamps_dropped_both_directions(spark):
             ).collect()
         }
         assert got == {2: 100}, (fn.__name__, got)
+
+
+def test_asof_salted_matches_plain(spark):
+    """The salted two-phase as-of must be result-identical to the
+    single-window form, including ties; tiny chunks (2 s over a 30 s
+    span) force most matches through the cross-chunk phase-2 path."""
+    import random
+    from datetime import datetime, timedelta
+
+    from map_reduce_indexing_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_backward_salted,
+    )
+
+    rng = random.Random(42)
+    base = datetime(2024, 1, 1)
+    lefts = [
+        (rng.randrange(5), base + timedelta(seconds=rng.randrange(30)), i)
+        for i in range(150)
+    ]
+    rights = [
+        (rng.randrange(5), base + timedelta(seconds=rng.randrange(30)), 1000 + i)
+        for i in range(60)  # sparse right side -> many cross-chunk matches
+    ]
+    left = spark.createDataFrame(lefts, "k long, ts timestamp, lid long")
+    right = spark.createDataFrame(rights, "k long, rts timestamp, rid long")
+    kw = dict(key="k", left_ts="ts", right_ts="rts",
+              payload_cols=["rid"], tiebreak="rid")
+    plain = {(r.lid, r.rid) for r in asof_join_backward(left, right, **kw).collect()}
+    for chunk_s in (2, 7, 3600):
+        salted = {
+            (r.lid, r.rid)
+            for r in asof_join_backward_salted(
+                left, right, chunk_seconds=chunk_s, **kw
+            ).collect()
+        }
+        assert salted == plain, f"chunk_seconds={chunk_s}"
