@@ -528,34 +528,6 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bucket-partitioned embedding store: the ANN serving layout
 # ---------------------------------------------------------------------------
 
-def bucketed_embedding_store(spark: SparkSession, sf_dir: str) -> str:
-    """Path of the LSH-bucket-partitioned embedding store, written once
-    per (Spark application, corpus content) and reused by every lookup.
-
-    This is the serving layout for ANN over a query stream: vectors are
-    Hive-partitioned by their 8-bit hyperplane bucket, so a lookup's
-    bucket equality prunes to the matching partition(s) instead of
-    scanning — or worse, broadcasting — the whole vector table. At
-    100 TB the static side CANNOT broadcast; partition pruning on the
-    bucket key is what keeps each lookup's read proportional to one
-    bucket (~1/256th of the store). Caching/placement semantics:
-    `operators.indexing.session_artifact_path`."""
-    from ..operators.indexing import session_artifact_path
-
-    def build(path: str) -> None:
-        (
-            load_table(spark, sf_dir, "embeddings")
-            .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-            .withColumn("bucket", F.expr(spark_lsh_bucket("v")))
-            .write.partitionBy("bucket")
-            .parquet(path)
-        )
-
-    return session_artifact_path(
-        spark, sf_dir, "emb_store", "embeddings.parquet", build
-    )
-
-
 @register(
     "stream_ann_lookup",
     oracle=f"""
@@ -602,8 +574,12 @@ def q_stream_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_lookup_plan(spark: SparkSession, sf_dir: str, queries: DataFrame) -> DataFrame:
     """Join a query frame (streaming microbatch or batch) against the
-    partitioned store: broadcast the QUERY side, probe the store."""
-    static = spark.read.parquet(bucketed_embedding_store(spark, sf_dir))
+    bucket-partitioned store (`operators.similarity.lsh_store` — shared
+    with the batch ANN queries): broadcast the QUERY side, probe the
+    store. The store is never broadcast or shuffled."""
+    from ..operators.similarity import lsh_store
+
+    static = lsh_store(spark, sf_dir)
     return (
         static.join(
             queries.hint("broadcast"),

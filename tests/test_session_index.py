@@ -99,3 +99,21 @@ def test_letter_histogram_uses_partition_column(spark):
     hist = idx.groupBy("letter").agg(F.count(F.lit(1)).alias("n"))
     plan = hist._jdf.queryExecution().executedPlan().toString()
     assert "explode" not in plan.lower(), "histogram re-tokenized the corpus"
+
+
+def test_ann_lsh_topk_prunes_bucket_partitions(spark):
+    """The LSH top-k must read only the query's bucket partition of the
+    persisted store — a dynamic (DPP) or static partition filter on
+    `bucket`, never a full-store scan."""
+    from map_reduce_indexing_spark.plans import registry
+
+    df = registry.get("ann_lsh_topk").fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    store_scan = [
+        seg for seg in plan.split("FileScan parquet") if "mri_emb_store_" in seg
+    ]
+    assert store_scan, "store scan not found in plan"
+    assert "PartitionFilters: [" in store_scan[0]
+    pf = store_scan[0].split("PartitionFilters", 1)[1][:300]
+    assert "bucket" in pf and ("dynamicpruning" in pf or "= " in pf), pf
