@@ -60,9 +60,17 @@ def write_index(postings: DataFrame, path: str, mode: str = "overwrite") -> None
     Beyond parity, sorted parquet gives word min/max zone maps per row
     group, so a `word = 'x'` lookup skips row groups inside the letter
     partition too.
+
+    The repartition on letter routes each letter to one writing task, so
+    the artifact is one compact file per letter — exactly the
+    reference's 26-file layout, and the read path lists 26 files, not
+    26 x writer-parallelism fragments. At 100 TB widen each letter to
+    N size-bounded files (repartition(n, letter, word-range)) — same
+    layout, bounded file sizes.
     """
     (
         with_letter(postings)
+        .repartition("letter")
         .sortWithinPartitions("letter", "word")
         .write.mode(mode)
         .partitionBy("letter")
@@ -181,6 +189,28 @@ def session_artifact_path(
     return path
 
 
+_ARTIFACT_DFS: dict[tuple, DataFrame] = {}
+
+
+def session_artifact_df(
+    spark: SparkSession, sf_dir: str, kind: str, source_file: str, build
+) -> DataFrame:
+    """`session_artifact_path` + a cached partition-discovered read.
+
+    Hive partition discovery + schema inference over a many-partition
+    artifact costs ~0.5 s of driver time PER `spark.read.parquet` call;
+    since the artifact is immutable for the life of its cache key, the
+    discovered DataFrame (a logical plan) is reused across queries —
+    each lookup pays only its pruned scan."""
+    path = session_artifact_path(spark, sf_dir, kind, source_file, build)
+    key = (spark.sparkContext.applicationId, path)
+    df = _ARTIFACT_DFS.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _ARTIFACT_DFS[key] = df
+    return df
+
+
 def session_index_path(spark: SparkSession, sf_dir: str) -> str:
     """Path of the persisted letter-partitioned index for this corpus,
     built ONCE per (Spark application, corpus content) and reused by
@@ -215,7 +245,15 @@ def indexed_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     column, so `letter = 'x'` predicates prune 25/26 of the files before
     any row is read, and the within-file word sort gives min/max zone
     maps that skip row groups inside the partition."""
-    return read_index(spark, session_index_path(spark, sf_dir))
+    return session_artifact_df(
+        spark,
+        sf_dir,
+        "session_index",
+        "documents.parquet",
+        lambda path: write_index(
+            build_postings(load_table(spark, sf_dir, "documents")), path
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -220,19 +220,20 @@ def indexed_positional_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     session alongside the count index, so phrase/proximity lookups are
     partition-pruned scans instead of a corpus re-tokenize per query."""
     from ..sources.tables import load_table
-    from .indexing import session_artifact_path
+    from .indexing import session_artifact_df
 
     def build(path: str) -> None:
         pp = positional_postings(load_table(spark, sf_dir, "documents"))
         (
             pp.withColumn("letter", F.substring("word", 1, 1))
+            .repartition("letter")  # one compact file per letter partition
             .sortWithinPartitions("letter", "word", "doc_id", "pos")
             .write.partitionBy("letter")
             .parquet(path)
         )
 
-    return spark.read.parquet(
-        session_artifact_path(spark, sf_dir, "pos_index", "documents.parquet", build)
+    return session_artifact_df(
+        spark, sf_dir, "pos_index", "documents.parquet", build
     )
 
 

@@ -91,20 +91,21 @@ def lsh_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hive-partitioned by the 8-bit hyperplane bucket. A `bucket = q`
     predicate prunes to ~1/256th of the files — the 'persist partitioned
     by bucket' posture the module docstring promises, materialized.
-    Caching semantics: `operators.indexing.session_artifact_path`."""
-    from .indexing import session_artifact_path
+    Caching semantics: `operators.indexing.session_artifact_df`."""
+    from .indexing import session_artifact_df
 
     def build(path: str) -> None:
         (
             embeddings_double(spark, sf_dir)
             .select("vec_id", "v")
             .withColumn("bucket", F.expr(spark_lsh_bucket("v")))
+            .repartition("bucket")  # one compact file per bucket
             .write.partitionBy("bucket")
             .parquet(path)
         )
 
-    return spark.read.parquet(
-        session_artifact_path(spark, sf_dir, "emb_store", "embeddings.parquet", build)
+    return session_artifact_df(
+        spark, sf_dir, "emb_store", "embeddings.parquet", build
     )
 
 
@@ -112,19 +113,20 @@ def ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, v, cell) partitioned by the IVF coarse-quantization
     cell — one Hive partition per centroid, so probing n cells reads n
     partitions."""
-    from .indexing import session_artifact_path
+    from .indexing import session_artifact_df
 
     def build(path: str) -> None:
         (
             embeddings_double(spark, sf_dir)
             .select("vec_id", "v")
             .withColumn("cell", F.expr(spark_ivf_cell("v")).cast("long"))
+            .repartition("cell")  # one compact file per cell
             .write.partitionBy("cell")
             .parquet(path)
         )
 
-    return spark.read.parquet(
-        session_artifact_path(spark, sf_dir, "ivf_store", "embeddings.parquet", build)
+    return session_artifact_df(
+        spark, sf_dir, "ivf_store", "embeddings.parquet", build
     )
 
 
@@ -136,6 +138,13 @@ def query_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") == QUERY_VEC_ID)
         .select(F.col("v").alias("qv"))
     )
+
+
+def _qv_literal(qv) -> "F.Column":
+    """The probe vector inlined as an array literal — the serving-path
+    shape where the query arrives driver-side; keeps the pruned store
+    scan the ONLY distributed job in the lookup."""
+    return F.array(*[F.lit(float(x)) for x in qv])
 
 
 DUCK_EMB = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings"
@@ -198,19 +207,24 @@ def q_ann_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tier="llm",
     doc="LSH-bucketed ANN top-k against the PERSISTED bucket-partitioned "
-    "store: the query's bucket is computed on the probe vector and the "
-    "store scan prunes to that Hive partition (~1/256 of the files).",
+    "store — the serving shape: the probe vector is fetched driver-side "
+    "(1 bounded row, as a live query would arrive), its bucket becomes "
+    "a STATIC partition filter, and the only distributed job is the "
+    "pruned scan of that one Hive partition (~1/256 of the store).",
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = lsh_store(spark, sf_dir)
-    q = query_vector(spark, sf_dir).withColumn(
-        "qbucket", F.expr(spark_lsh_bucket("qv"))
+    qrow = (
+        query_vector(spark, sf_dir)
+        .withColumn("qbucket", F.expr(spark_lsh_bucket("qv")))
+        .first()
     )
     return (
-        e.join(
-            F.broadcast(q),
-            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != QUERY_VEC_ID),
+        lsh_store(spark, sf_dir)
+        .filter(
+            (F.col("bucket") == int(qrow.qbucket))
+            & (F.col("vec_id") != QUERY_VEC_ID)
         )
+        .withColumn("qv", _qv_literal(qrow.qv))
         .select("vec_id", F.expr(spark_cosine("v", "qv")).alias("cosine"))
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(10)
@@ -375,18 +389,21 @@ def q_ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tier="llm",
     doc="IVF ANN top-k against the persisted cell-partitioned store: "
-    "probe only the query's cell (nprobe=1), one partition read.",
+    "probe only the query's cell (nprobe=1) — a static partition "
+    "filter, one partition read (serving shape, 1-row driver fetch).",
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = ivf_store(spark, sf_dir)
-    q = query_vector(spark, sf_dir).withColumn(
-        "qcell", F.expr(spark_ivf_cell("qv")).cast("long")
+    qrow = (
+        query_vector(spark, sf_dir)
+        .withColumn("qcell", F.expr(spark_ivf_cell("qv")).cast("long"))
+        .first()
     )
     return (
-        e.join(
-            F.broadcast(q),
-            (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != QUERY_VEC_ID),
+        ivf_store(spark, sf_dir)
+        .filter(
+            (F.col("cell") == int(qrow.qcell)) & (F.col("vec_id") != QUERY_VEC_ID)
         )
+        .withColumn("qv", _qv_literal(qrow.qv))
         .select("vec_id", F.expr(spark_cosine("v", "qv")).alias("cosine"))
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(10)
@@ -426,19 +443,16 @@ PROBE_MASKS = [0] + [1 << j for j in range(N_PLANES)]
     "recall without extra hash tables or a wider scan.",
 )
 def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = lsh_store(spark, sf_dir)
-    q = query_vector(spark, sf_dir).withColumn(
-        "qbucket", F.expr(spark_lsh_bucket("qv"))
+    qrow = (
+        query_vector(spark, sf_dir)
+        .withColumn("qbucket", F.expr(spark_lsh_bucket("qv")))
+        .first()
     )
-    probes = q.select(
-        "qv",
-        F.explode(
-            F.array(*[F.col("qbucket").bitwiseXOR(F.lit(m)) for m in PROBE_MASKS])
-        ).alias("pbucket"),
-    )
+    probes = [int(qrow.qbucket) ^ m for m in PROBE_MASKS]
     return (
-        e.join(F.broadcast(probes), e.bucket == probes.pbucket)
-        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        lsh_store(spark, sf_dir)
+        .filter(F.col("bucket").isin(probes) & (F.col("vec_id") != QUERY_VEC_ID))
+        .withColumn("qv", _qv_literal(qrow.qv))
         .select("vec_id", F.expr(spark_cosine("v", "qv")).alias("cosine"))
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(10)
@@ -487,15 +501,16 @@ def spark_ivf_probe_cells(vec: str, nprobe: int) -> str:
     "quantization-based indexes.",
 )
 def q_ann_ivf_topk_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = ivf_store(spark, sf_dir)
-    q = query_vector(spark, sf_dir)
-    probes = q.select(
-        "qv",
-        F.explode(F.expr(spark_ivf_probe_cells("qv", N_PROBE))).alias("pcell"),
-    ).withColumn("pcell", F.col("pcell").cast("long"))
+    qrow = (
+        query_vector(spark, sf_dir)
+        .withColumn("pcells", F.expr(spark_ivf_probe_cells("qv", N_PROBE)))
+        .first()
+    )
+    probes = [int(c) for c in qrow.pcells]
     return (
-        e.join(F.broadcast(probes), e.cell == probes.pcell)
-        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        ivf_store(spark, sf_dir)
+        .filter(F.col("cell").isin(probes) & (F.col("vec_id") != QUERY_VEC_ID))
+        .withColumn("qv", _qv_literal(qrow.qv))
         .select("vec_id", F.expr(spark_cosine("v", "qv")).alias("cosine"))
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(10)

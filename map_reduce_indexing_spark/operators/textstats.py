@@ -619,3 +619,70 @@ def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_tokens", F.round("score", 9).alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model scoring (the KenLM-style perplexity quality filter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_lm_score",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {DUCK_TOKENS_LIST} AS t FROM documents),
+        occ AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        bg AS (SELECT doc_id, g, string_split(g, ' ')[1] AS w1
+               FROM (SELECT doc_id, unnest({_duck_k_grams('t', 2)}) AS g FROM toks)),
+        bgc AS (SELECT g, COUNT(*) AS cg FROM bg GROUP BY g),
+        ugc AS (SELECT w, COUNT(*) AS cw FROM occ GROUP BY w),
+        vocab AS (SELECT COUNT(DISTINCT w) AS v FROM occ)
+        SELECT bg.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(CAST(SUM(CAST(
+                   ln(CAST(cg + 1 AS DOUBLE) / CAST(cw + v AS DOUBLE))
+                   AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+        FROM bg
+        JOIN bgc ON bg.g = bgc.g
+        JOIN ugc ON bg.w1 = ugc.w
+        CROSS JOIN vocab
+        GROUP BY bg.doc_id
+    """,
+    tier="llm",
+    doc="Bigram language-model document scoring — the KenLM-style "
+    "perplexity quality filter: avg log P(w2|w1) over each doc's "
+    "bigrams under an add-one-smoothed corpus bigram model, "
+    "P = (C(w1 w2)+1) / (C(w1)+V). Low scores flag unnatural text "
+    "(boilerplate, shredded OCR, keyword stuffing). The corpus n-gram "
+    "tables are ordinary aggregations (map-side combined); per-doc "
+    "scoring joins occurrences to the count tables on the gram key; "
+    "each ln term is cast to DECIMAL(28,12) before the per-doc SUM so "
+    "the sum is order-independent and hash-stable across engines. "
+    "Scale: at 100 TB the bigram count table shards on its key "
+    "(shuffle join); a pruned 100k-word model would broadcast instead.",
+)
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    occ = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.expr(spark_tokens_expr("text"))).alias("w"))
+    )
+    bg = _gram_occurrences(spark, sf_dir, 2).select(
+        "doc_id", "g", F.split("g", " ")[0].alias("w1")
+    )
+    bgc = bg.groupBy("g").agg(F.count(F.lit(1)).alias("cg"))
+    ugc = occ.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    vocab = occ.agg(F.countDistinct("w").alias("v"))
+    logp = F.expr(
+        "CAST(ln(CAST(cg + 1 AS DOUBLE) / CAST(cw + v AS DOUBLE)) AS DECIMAL(28,12))"
+    )
+    return (
+        bg.join(bgc, "g")
+        .join(ugc, bg.w1 == ugc.w)
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(logp).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logp"),
+        )
+    )

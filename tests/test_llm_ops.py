@@ -25,6 +25,7 @@ ORACLE_QUERIES = [
     "text_train_val_test_split",
     "text_pii_redact",
     "text_repetition",
+    "text_lm_score",
     "text_decontaminate",
     "text_sample_mixture",
     "text_pack_sequences",
