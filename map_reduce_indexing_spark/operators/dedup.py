@@ -292,7 +292,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures(
+    spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, sig array<bigint>[K_MINHASH]).
 
     Physical shape: explode distinct shingles, hash each ONCE (md5 is the
@@ -302,8 +304,14 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst's projection collapse inlines the hash array into every
     permutation lambda, recomputing md5 K times in interpreted HOFs —
     ~20x slower, measured.) Shuffle volume: docs x K longs, minimal.
+
+    `shingles` lets a composed pipeline (dedup_clusters) pass an
+    already-checkpointed shingle frame so the tokenize+shingle lineage
+    runs once, not once per consumer.
     """
-    exploded = shingle_rows(spark, sf_dir).withColumn("h", F.expr(spark_hash("s")))
+    exploded = (
+        shingles if shingles is not None else shingle_rows(spark, sf_dir)
+    ).withColumn("h", F.expr(spark_hash("s")))
     mins = [
         F.min(F.expr(f"({a}L * h + {b}L) % {P}")).alias(f"m{i}")
         for i, (a, b) in enumerate(PERMS)
@@ -375,6 +383,10 @@ def _band_exprs(sig_col: str, engine: str) -> str:
     "shuffle — key space is (band_idx, 128-bit hash), uniform at any scale.",
 )
 def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidate_pairs(minhash_signatures(spark, sf_dir))
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     # One pass over the signatures: posexplode an array of band hashes
     # (a per-band union would recompute the whole signature lineage once
     # per band), then GROUP the bucket rows and expand i<j pairs inside
@@ -386,7 +398,6 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # generation — at scale a pathological bucket (thousands of mutual
     # near-dups) is capped upstream by signature distinctness, and the
     # groupBy key space (band_idx x 128-bit hash) stays uniform.
-    sig = minhash_signatures(spark, sf_dir)
     band_hashes = F.array(*[F.expr(h) for _, h in _band_exprs("sig", "spark")])
     bands = sig.select(
         "doc_id", F.posexplode(band_hashes).alias("band_idx", "band_hash")
@@ -625,7 +636,15 @@ def _verified_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric (src, dst) edges of the verified near-dup graph:
     MinHash-LSH candidates filtered by exact Jaccard on just those
     candidates. localCheckpointed so iterative CC reuses it per round
-    instead of re-mining."""
+    instead of re-mining.
+
+    The shingle lineage is deliberately RECOMPUTED by the signature
+    subtree and the verify-sets subtree rather than checkpointed and
+    shared: materializing the full occurrence-level shingle frame
+    (every (doc, shingle) row, pre-aggregation) costs ~3x more wall
+    than the second codegen'd compute pass, measured at sf0.1 — both
+    consumers aggregate it map-side before any shuffle, so the
+    recompute never hits the wire."""
     cand = q_dedup_minhash_lsh_pairs(spark, sf_dir)
     sets = (
         shingle_rows(spark, sf_dir)
