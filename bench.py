@@ -43,6 +43,7 @@ HEADLINE = [
     "text_quality",            # quality metrics pass
     "text_token_counts",       # token accounting
     "text_repetition",         # n-gram repetition signals (2 agg chains)
+    "text_lm_score",           # bigram LM scoring (n-gram count joins)
     "text_pack_sequences",     # per-source windowed packing
     "rel_q14_promo_revenue",   # broadcast join + conditional-agg ratio
     "dedup_clusters",          # iterative connected components

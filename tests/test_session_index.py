@@ -117,3 +117,37 @@ def test_ann_lsh_topk_prunes_bucket_partitions(spark):
     assert "PartitionFilters: [" in store_scan[0]
     pf = store_scan[0].split("PartitionFilters", 1)[1][:300]
     assert "bucket" in pf and ("dynamicpruning" in pf or "= " in pf), pf
+
+
+def test_session_artifact_df_is_cached(spark):
+    """Partition discovery costs ~0.5 s per spark.read.parquet on a
+    many-partition artifact; the artifact is immutable, so repeated
+    reads must return the SAME cached DataFrame object."""
+    a = indexed_postings(spark, SF_DIR)
+    b = indexed_postings(spark, SF_DIR)
+    assert a is b
+
+
+def test_artifact_honors_shared_index_dir(spark, tmp_path, monkeypatch):
+    """$SPARK_GRAFT_INDEX_DIR points artifacts at shared storage (the
+    cluster deployment path); the build must land under it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from map_reduce_indexing_spark.operators.indexing import session_index_path
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["shared storage", "storage path"], pa.string()),
+        }
+    )
+    pq.write_table(t, corpus / "documents.parquet")
+
+    shared = tmp_path / "warehouse"
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(shared))
+    path = session_index_path(spark, str(corpus))
+    assert path.startswith(str(shared)), path
+    assert os.path.isdir(path)
