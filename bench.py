@@ -52,65 +52,82 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    explain = "--explain" in sys.argv
-    spark = get_spark(app_name="mri-bench")
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+def run_headline(
+    spark,
+    names: list[str],
+    sf_dir: str,
+    n_samples: int = 3,
+    get=None,
+) -> tuple[dict[str, float], dict[str, str]]:
+    """Warm up then time each query (median of n_samples), with
+    per-query error isolation: one broken query must NOT kill the whole
+    bench (round 3 lost its entire perf signal to one
+    AnalysisException) — its failure is recorded in the errors dict and
+    the rest keep timing. `get` defaults to the registry lookup;
+    injectable for tests."""
+    if get is None:
+        get = registry.get
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
-    if not explain:
-        # Unmeasured warmup pass: JIT/codegen compilation, parquet footer
-        # cache, Python-worker (Arrow) spin-up. The reference baseline was
-        # measured warm (BASELINE.md: "warm page cache"), so the timed pass
-        # below is the comparable steady-state figure.
-        # Per-query isolation: one broken query must NOT kill the whole
-        # bench (round 3 lost its entire perf signal to one
-        # AnalysisException) — record the failure and keep timing the rest.
-        for name in HEADLINE:
-            try:
-                registry.get(name).fn(spark, SF_DIR).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-            except Exception as e:  # noqa: BLE001 — recorded, not swallowed
-                errors[name] = f"{type(e).__name__}: {e}"[:500]
-    for name in HEADLINE:
+    # Unmeasured warmup pass: JIT/codegen compilation, parquet footer
+    # cache, Python-worker (Arrow) spin-up. The reference baseline was
+    # measured warm (BASELINE.md: "warm page cache"), so the timed pass
+    # below is the comparable steady-state figure.
+    for name in names:
+        try:
+            get(name).fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as e:  # noqa: BLE001 — recorded, not swallowed
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+    for name in names:
         if name in errors:
             continue
-        q = registry.get(name)
-        if explain:
-            print(f"===== {name} =====")
-            try:
-                q.fn(spark, SF_DIR).explain("formatted")
-            except Exception as e:  # noqa: BLE001
-                print(f"EXPLAIN FAILED: {type(e).__name__}: {e}")
-            continue
-        # Median of 3 timed passes: the box is shared, so single samples
+        # Median of n timed passes: the box is shared, so single samples
         # swing 2x on scheduler noise; the median is robust to one outlier
         # in either direction, making round-over-round deltas signal.
         samples = []
         try:
-            for _ in range(3):
+            for _ in range(n_samples):
                 t0 = time.perf_counter()
-                q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                get(name).fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
                 samples.append(time.perf_counter() - t0)
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"[:500]
             continue
-        times[name] = round(sorted(samples)[1], 3)
-    if not explain:
-        out = {
-            "metric": "headline_total",
-            "value": round(sum(times.values()), 3),
-            "unit": "sec",
-            "queries": times,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        }
-        if errors:
-            out["errors"] = errors
-        print(json.dumps(out))
+        times[name] = round(sorted(samples)[len(samples) // 2], 3)
+    return times, errors
+
+
+def main() -> None:
+    explain = "--explain" in sys.argv
+    spark = get_spark(app_name="mri-bench")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    if explain:
+        for name in HEADLINE:
+            print(f"===== {name} =====")
+            try:
+                registry.get(name).fn(spark, SF_DIR).explain("formatted")
+            except Exception as e:  # noqa: BLE001
+                print(f"EXPLAIN FAILED: {type(e).__name__}: {e}")
+        spark.stop()
+        return
+    times, errors = run_headline(spark, HEADLINE, SF_DIR)
+    out = {
+        "metric": "headline_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
     # Non-zero exit only if NOTHING ran; partial results are still signal.
-    if not explain and not times:
+    if not times:
         sys.exit(1)
 
 
