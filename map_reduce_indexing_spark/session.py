@@ -50,6 +50,11 @@ def get_spark(
         # The events fixture stores TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long and normalize in sources/tables.py.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Write TIMESTAMP as INT64 micros, not the legacy INT96 default:
+        # INT96 carries no parquet min/max statistics, which silently
+        # disables footer-level data skipping on every timestamp-sorted
+        # layout (and is deprecated in the format).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )

@@ -25,6 +25,9 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     for k, v in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # INT64-micros timestamps on write: INT96 (the legacy default)
+        # has no parquet min/max stats -> no footer data skipping.
+        ("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"),
     ):
         try:
             if spark.conf.get(k, None) != v:
@@ -38,25 +41,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {FIXTURE_TABLES}")
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # Normalize events.ts to TimestampType regardless of how the fixture
-    # generator encoded it — the rest of the engine (unix_micros, window
-    # range frames, streaming watermarks) assumes TIMESTAMP:
-    #   * TIMESTAMP(NANOS) + nanosAsLong -> long of epoch-nanos: truncate
-    #     to micros (integer DIV — same floor semantics DuckDB applies
-    #     when viewing nanos as TIMESTAMP).
-    #   * timestamp[us] with no timezone -> TIMESTAMP_NTZ: cast to
-    #     TIMESTAMP. The session timezone is pinned UTC (session.py and
-    #     _ensure_session_confs above), so the cast reinterprets the
-    #     naive value as UTC — value-identical to the UTC-naive DuckDB
-    #     oracle reading the same file.
-    if name == "events":
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    # Normalize timestamp encodings to TimestampType regardless of how
+    # the fixture generator encoded them — the rest of the engine
+    # (unix_micros, window range frames, streaming watermarks) assumes
+    # TIMESTAMP:
+    #   * TIMESTAMP(NANOS) + nanosAsLong -> long of epoch-nanos
+    #     (events.ts only): truncate to micros (integer DIV — same floor
+    #     semantics DuckDB applies when viewing nanos as TIMESTAMP).
+    #   * timestamp[us] with no timezone -> TIMESTAMP_NTZ, ANY column of
+    #     ANY table (the round-3 fixture regeneration flipped every date
+    #     column this way): cast to TIMESTAMP. The session timezone is
+    #     pinned UTC (session.py and _ensure_session_confs above), so
+    #     the cast reinterprets the naive value as UTC — value-identical
+    #     to the UTC-naive DuckDB oracle reading the same file.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        df = df.withColumns(
+            {c: F.col(c).cast("timestamp") for c in ntz_cols}
+        )
     return df
 
 

@@ -39,6 +39,22 @@ def test_events_ts_normalizes_to_timestamp(spark, sf_dir):
     )
 
 
+def test_no_table_leaks_timestamp_ntz(spark):
+    """Every fixture table must load free of TIMESTAMP_NTZ columns —
+    the encoding that silently breaks unix_micros/watermark call sites
+    when the driver regenerates fixtures."""
+    from map_reduce_indexing_spark.schemas import FIXTURE_TABLES
+
+    for sf_dir in SF_DIRS:
+        for name in FIXTURE_TABLES:
+            bad = [
+                c
+                for c, t in load_table(spark, sf_dir, name).dtypes
+                if t == "timestamp_ntz"
+            ]
+            assert not bad, f"{sf_dir}/{name}: NTZ columns {bad}"
+
+
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
 def test_events_ts_values_survive_normalization(spark, sf_dir):
     """The normalization must be value-identity vs the raw file read as

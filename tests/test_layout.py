@@ -48,9 +48,12 @@ def test_range_clustered_files_are_disjoint_and_skippable(spark, tmp_path):
 
     # Data-skipping evidence: a one-year predicate overlaps a strict
     # subset of files — any min/max-aware reader skips the rest.
+    # (INT64-micros UTC timestamps -> pyarrow stats are tz-aware.)
     import datetime
 
-    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1997, 1, 1)
+    utc = datetime.timezone.utc
+    lo = datetime.datetime(1996, 1, 1, tzinfo=utc)
+    hi = datetime.datetime(1997, 1, 1, tzinfo=utc)
     overlapping = [r for r in ranges if r[0] < hi and r[1] >= lo]
     assert 0 < len(overlapping) < N_FILES
 
