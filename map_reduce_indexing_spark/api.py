@@ -1,0 +1,132 @@
+"""User-facing facade: the reference's client lifecycle as one object.
+
+The reference's end-user story (client.c:39; SURVEY.md §3.1) is:
+submit an indexing job for a corpus directory, then run lookups against
+the 26 letter files the job materialized (helper_reduce.c:238-257).
+`IndexSession` packages that lifecycle over the engine's operators:
+
+    from map_reduce_indexing_spark.api import IndexSession
+
+    idx = IndexSession.build(spark, "data/*/*", "/shared/index")
+    idx.lookup("spark")                # pruned scan of letter=s
+    idx.search_all(["spark", "query"]) # AND: semi joins on doc_id
+    idx.search_any(["spark", "query"]) # OR: union + distinct
+    idx.exclude("spark", "slow")       # NOT: anti join
+    idx.top_docs("spark", k=10)        # tf-ranked docs for a term
+    idx.vocabulary(k=25)               # corpus top-k words
+    idx.append(more_docs)              # incremental maintenance...
+    idx.compact()                      # ...then log-structured merge
+
+Everything returns a DataFrame (lazy); nothing collects. A corpus can
+be a text tree (the reference's `data/<collection>/<doc>` layout) or
+any (doc_id, text) DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators.indexing import (
+    build_postings,
+    compact_index,
+    read_index,
+    with_letter,
+    write_index,
+)
+from .operators.search import search_and, search_not, search_or, term_lookup
+from .sources.corpus import read_corpus_dir
+
+
+class IndexSession:
+    """A persisted letter-partitioned inverted index plus its query
+    surface — the engine's equivalent of the reference's ./index
+    artifact and the lookups it implies."""
+
+    def __init__(self, spark: SparkSession, index_path: str):
+        self.spark = spark
+        self.index_path = index_path
+
+    # -- build / maintain ---------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        corpus: str | DataFrame,
+        index_path: str,
+        mode: str = "overwrite",
+    ) -> "IndexSession":
+        """Index a corpus (glob of text files, reference layout, or a
+        (doc_id, text) DataFrame) into `index_path` and return the
+        queryable session. The write is the engine's committed
+        partitioned parquet — the reference's 26 append files without
+        the unlocked-append race (SURVEY.md §2.12)."""
+        docs = (
+            read_corpus_dir(spark, corpus) if isinstance(corpus, str) else corpus
+        )
+        write_index(build_postings(docs), index_path, mode=mode)
+        return cls(spark, index_path)
+
+    def append(self, corpus: str | DataFrame) -> None:
+        """Incrementally index more documents (the reference's append
+        lifecycle, helper_reduce.c:241): partial counts append
+        atomically; reads stay correct because `postings()`
+        re-aggregates; call `compact()` to fold them in."""
+        docs = (
+            read_corpus_dir(self.spark, corpus)
+            if isinstance(corpus, str)
+            else corpus
+        )
+        (
+            with_letter(build_postings(docs))
+            .write.mode("append")
+            .partitionBy("letter")
+            .parquet(self.index_path)
+        )
+
+    def compact(self) -> None:
+        """Merge appended partial postings back to one row per
+        (word, doc) — log-structured maintenance with crash recovery."""
+        compact_index(self.spark, self.index_path)
+
+    # -- query --------------------------------------------------------------
+
+    def postings(self) -> DataFrame:
+        """(word, doc_id, cnt, letter), re-aggregated so appended
+        partial counts read correctly even before compaction."""
+        raw = read_index(self.spark, self.index_path)
+        return raw.groupBy("word", "doc_id", "letter").agg(
+            F.sum("cnt").alias("cnt")
+        ).select("word", "doc_id", "cnt", "letter")
+
+    def lookup(self, term: str) -> DataFrame:
+        """Posting list of one term: letter-partition-pruned scan."""
+        return term_lookup(self.postings(), term).select("doc_id", "cnt")
+
+    def search_all(self, terms: list[str]) -> DataFrame:
+        """Docs containing ALL terms (AND)."""
+        return search_and(self.postings(), terms)
+
+    def search_any(self, terms: list[str]) -> DataFrame:
+        """Docs containing ANY term (OR)."""
+        return search_or(self.postings(), terms)
+
+    def exclude(self, include: str, exclude: str) -> DataFrame:
+        """Docs containing `include` but not `exclude` (NOT)."""
+        return search_not(self.postings(), include, exclude)
+
+    def top_docs(self, term: str, k: int = 10) -> DataFrame:
+        """Best documents for a term by term frequency."""
+        return (
+            self.lookup(term).orderBy(F.desc("cnt"), "doc_id").limit(k)
+        )
+
+    def vocabulary(self, k: int = 25) -> DataFrame:
+        """Corpus top-k words by total frequency."""
+        return (
+            self.postings()
+            .groupBy("word")
+            .agg(F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.desc("total"), "word")
+            .limit(k)
+        )

@@ -1,0 +1,69 @@
+"""IndexSession facade: the reference's client lifecycle end-to-end —
+build an index from a text tree, query it, append, compact, re-query."""
+
+from __future__ import annotations
+
+import os
+
+from map_reduce_indexing_spark.api import IndexSession
+
+
+def _write_corpus(root, docs: dict[str, dict[str, str]]) -> None:
+    for collection, files in docs.items():
+        d = root / collection
+        d.mkdir(parents=True, exist_ok=True)
+        for name, text in files.items():
+            (d / name).write_text(text)
+
+
+def test_build_query_append_compact(spark, tmp_path):
+    corpus = tmp_path / "data"
+    _write_corpus(
+        corpus,
+        {
+            "news": {
+                "a.txt": "Spark makes queries fast. spark QUERIES!",
+                "b.txt": "slow queries are slow",
+            },
+            "blog": {"c.txt": "spark streams events"},
+        },
+    )
+    index_path = str(tmp_path / "index")
+    idx = IndexSession.build(spark, f"{corpus}/*/*", index_path)
+
+    # lookup: letter-pruned posting list with reference tokenization
+    # (lowercase, strip non-letters)
+    got = {r.doc_id: r.cnt for r in idx.lookup("spark").collect()}
+    assert got == {"a": 2, "c": 1}
+
+    # boolean surface
+    assert {r.doc_id for r in idx.search_all(["spark", "queries"]).collect()} == {"a"}
+    assert {r.doc_id for r in idx.search_any(["spark", "slow"]).collect()} == {
+        "a",
+        "b",
+        "c",
+    }
+    assert {r.doc_id for r in idx.exclude("queries", "slow").collect()} == {"a"}
+
+    # ranking
+    top = idx.top_docs("queries", k=1).collect()
+    assert [(r.doc_id, r.cnt) for r in top] == [("a", 2)]
+
+    # the artifact is the reference's letter-partitioned layout
+    assert os.path.isdir(os.path.join(index_path, "letter=s"))
+
+    # append + pre-compaction correctness (re-aggregated reads)
+    more = spark.createDataFrame(
+        [("d", "spark spark everywhere")], "doc_id string, text string"
+    )
+    idx.append(more)
+    got = {r.doc_id: r.cnt for r in idx.lookup("spark").collect()}
+    assert got == {"a": 2, "c": 1, "d": 2}
+
+    # compact folds the appended partials; results unchanged
+    idx.compact()
+    got = {r.doc_id: r.cnt for r in idx.lookup("spark").collect()}
+    assert got == {"a": 2, "c": 1, "d": 2}
+
+    vocab = {r.word: r.total for r in idx.vocabulary(k=3).collect()}
+    assert vocab.get("spark") == 5
