@@ -686,3 +686,50 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logp"),
         )
     )
+
+
+@register(
+    "text_langid_eval",
+    oracle=f"""
+        WITH pred AS (
+            SELECT doc_id, lang AS lang_actual,
+                   CASE WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+                        WHEN es >= de AND es >= fr THEN 'es'
+                        WHEN de >= fr THEN 'de'
+                        ELSE 'fr' END AS lang_pred
+            FROM (
+                SELECT doc_id, lang,
+                       {_vote('duck', 'en')} AS en, {_vote('duck', 'es')} AS es,
+                       {_vote('duck', 'de')} AS de, {_vote('duck', 'fr')} AS fr
+                FROM (SELECT doc_id, lang, {DUCK_TOKENS_LIST} AS toks FROM documents)
+            ))
+        SELECT lang_actual, lang_pred,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER
+                     (PARTITION BY lang_actual) AS DOUBLE), 6) AS frac_of_actual
+        FROM pred GROUP BY lang_actual, lang_pred
+    """,
+    tier="llm",
+    doc="Language-ID confusion matrix vs the corpus's ground-truth lang "
+    "column: per (actual, predicted) cell counts and the row-normalized "
+    "fraction — the evaluation pass every classifier-based pipeline "
+    "filter runs before being trusted. One groupBy over the per-doc "
+    "votes plus a window for row totals; at 100 TB the matrix is "
+    "|langs|^2 rows regardless of corpus size.",
+)
+def q_text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pred = q_text_langid(spark, sf_dir)
+    cells = pred.groupBy("lang_actual", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("lang_actual")
+    return cells.select(
+        "lang_actual",
+        "lang_pred",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w).cast("double"), 6
+        ).alias("frac_of_actual"),
+    )

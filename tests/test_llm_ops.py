@@ -21,6 +21,7 @@ ORACLE_QUERIES = [
     "text_quality",
     "text_quality_filter",
     "text_langid",
+    "text_langid_eval",
     "text_token_counts",
     "text_train_val_test_split",
     "text_pii_redact",
