@@ -818,3 +818,81 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 30) -> DataFra
 )
 def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(_verified_dup_edges(spark, sf_dir))
+
+
+@register(
+    "dedup_minhash_estimate",
+    export=False,  # pytest-verified variant; kept out of the external window
+    oracle=f"""
+        WITH sig AS ({DUCK_MINHASH_SIG}),
+        bands AS (
+            {' UNION ALL '.join(
+                f"SELECT doc_id, {b} AS band_idx, {h} AS band_hash FROM sig"
+                for b, h in _band_exprs('sig', 'duck')
+            )}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id),
+        sets AS ({DUCK_SHINGLE_SETS})
+        SELECT doc_a, doc_b,
+               ROUND(CAST(len(list_filter(range(1, {K_MINHASH} + 1),
+                          i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / {K_MINHASH}, 6)
+                 AS est_jaccard,
+               ROUND(CAST(len(list_intersect(xa.shingles, xb.shingles)) AS DOUBLE)
+                     / (xa.n_sh + xb.n_sh - len(list_intersect(xa.shingles, xb.shingles))), 6)
+                 AS exact_jaccard
+        FROM cand
+        JOIN sig sa ON sa.doc_id = cand.doc_a
+        JOIN sig sb ON sb.doc_id = cand.doc_b
+        JOIN sets xa ON xa.doc_id = cand.doc_a
+        JOIN sets xb ON xb.doc_id = cand.doc_b
+    """,
+    tier="llm",
+    doc=f"Sketch-accuracy evaluation: for every LSH candidate pair, the "
+    f"MinHash Jaccard estimate (matching positions / {K_MINHASH}) next "
+    "to the exact shingle-set Jaccard — the calibration pass that tells "
+    "you whether the sketch's bias/variance justifies its threshold "
+    "before trusting it at scale. Estimate is per-pair arithmetic on "
+    "the signatures; exact runs only on the candidate set, never "
+    "all-pairs.",
+)
+def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signatures(spark, sf_dir)
+    cand = lsh_candidate_pairs(sig)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    sets = (
+        shingle_rows(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("sh"), F.count(F.lit(1)).alias("n_sh"))
+    )
+    xa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sha"),
+        F.col("n_sh").alias("na"),
+    )
+    xb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("shb"),
+        F.col("n_sh").alias("nb"),
+    )
+    matches = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda b: b)
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(xa, "doc_a")
+        .join(xb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches.cast("double") / K_MINHASH, 6).alias("est_jaccard"),
+            F.round(
+                inter.cast("double") / (F.col("na") + F.col("nb") - inter), 6
+            ).alias("exact_jaccard"),
+        )
+    )
