@@ -125,3 +125,63 @@ def test_ann_lookup_never_broadcasts_the_store(spark):
     for sub in plan.split("BroadcastExchange")[1:]:
         head = sub[:600]
         assert "mri_emb_store_" not in head, "embedding store was broadcast"
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """§2.9 watermark semantics, proven directly: with a 1-minute
+    watermark, an event arriving in a later microbatch whose timestamp
+    is far behind the advanced watermark must NOT create or update its
+    window; an on-time event in the same batch must."""
+    import datetime
+    import uuid
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("k", T.StringType()),
+        ]
+    )
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    late = datetime.datetime(2024, 1, 1, 9, 0, 0)
+    src = tmp_path / "src"
+    src.mkdir()
+
+    # batch 1 alone: events at 10:00 and 10:09 -> after this batch the
+    # watermark advances to 10:08
+    spark.createDataFrame(
+        [(base, "a"), (base + datetime.timedelta(minutes=9), "a")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(str(src))
+        .withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "5 minutes"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2, written only after batch 1 fully processed: one
+        # hopelessly late event at 9:00 and one on-time event at 10:10
+        spark.createDataFrame(
+            [(late, "late"), (base + datetime.timedelta(minutes=10), "ontime")],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name).select(
+        F.col("window.start").alias("w"), "k", "n"
+    ).collect()
+    keys = {r.k for r in out}
+    assert "ontime" in keys, out
+    assert "late" not in keys, f"late event leaked past the watermark: {out}"
