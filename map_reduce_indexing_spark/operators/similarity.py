@@ -140,7 +140,7 @@ def query_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _qv_literal(qv) -> "F.Column":
+def _qv_literal(qv):
     """The probe vector inlined as an array literal — the serving-path
     shape where the query arrives driver-side; keeps the pruned store
     scan the ONLY distributed job in the lookup."""
