@@ -515,3 +515,64 @@ def q_ann_ivf_topk_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "ann_recall_eval",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, v, {duck_lsh_bucket('v')} AS bucket,
+                          {duck_ivf_cell('v')} AS cell FROM ({DUCK_EMB})),
+        q AS (SELECT v AS qv, bucket AS qbucket, cell AS qcell
+              FROM e WHERE vec_id = {QUERY_VEC_ID}),
+        bf AS (SELECT vec_id FROM e CROSS JOIN q
+               WHERE vec_id <> {QUERY_VEC_ID}
+               ORDER BY {duck_cosine('v', 'qv')} DESC, vec_id LIMIT 10),
+        lsh AS (SELECT vec_id FROM e CROSS JOIN q
+                WHERE e.bucket = q.qbucket AND vec_id <> {QUERY_VEC_ID}
+                ORDER BY {duck_cosine('v', 'qv')} DESC, vec_id LIMIT 10),
+        ivf AS (SELECT vec_id FROM e CROSS JOIN q
+                WHERE e.cell = q.qcell AND vec_id <> {QUERY_VEC_ID}
+                ORDER BY {duck_cosine('v', 'qv')} DESC, vec_id LIMIT 10)
+        SELECT CAST((SELECT COUNT(*) FROM bf) AS BIGINT) AS k,
+               CAST((SELECT COUNT(*) FROM bf JOIN lsh USING (vec_id)) AS BIGINT)
+                 AS lsh_hits,
+               CAST((SELECT COUNT(*) FROM bf JOIN ivf USING (vec_id)) AS BIGINT)
+                 AS ivf_hits,
+               ROUND(CAST((SELECT COUNT(*) FROM bf JOIN lsh USING (vec_id)) AS DOUBLE)
+                     / (SELECT COUNT(*) FROM bf), 6) AS lsh_recall,
+               ROUND(CAST((SELECT COUNT(*) FROM bf JOIN ivf USING (vec_id)) AS DOUBLE)
+                     / (SELECT COUNT(*) FROM bf), 6) AS ivf_recall
+    """,
+    tier="llm",
+    doc="ANN recall@10 evaluation: how much of the exact brute-force "
+    "top-10 the LSH-bucketed and IVF-cell lookups recover — the "
+    "accuracy/latency trade every approximate index must report before "
+    "replacing an exact scan. Composes the three registered lookups "
+    "(shared stores, shared probe vector) into one 1-row metrics frame.",
+)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = q_ann_knn_bruteforce(spark, sf_dir).select("vec_id")
+    lsh = q_ann_lsh_topk(spark, sf_dir).select("vec_id")
+    ivf = q_ann_ivf_topk(spark, sf_dir).select("vec_id")
+    k = bf.agg(F.count(F.lit(1)).alias("k"))
+    lsh_hits = bf.join(lsh, "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("lsh_hits")
+    )
+    ivf_hits = bf.join(ivf, "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("ivf_hits")
+    )
+    return (
+        k.crossJoin(F.broadcast(lsh_hits))
+        .crossJoin(F.broadcast(ivf_hits))
+        .select(
+            "k",
+            "lsh_hits",
+            "ivf_hits",
+            F.round(F.col("lsh_hits").cast("double") / F.col("k"), 6).alias(
+                "lsh_recall"
+            ),
+            F.round(F.col("ivf_hits").cast("double") / F.col("k"), 6).alias(
+                "ivf_recall"
+            ),
+        )
+    )

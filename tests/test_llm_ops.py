@@ -18,6 +18,7 @@ ORACLE_QUERIES = [
     "ann_ivf_cells",
     "ann_ivf_topk",
     "ann_ivf_topk_nprobe",
+    "ann_recall_eval",
     "text_quality",
     "text_quality_filter",
     "text_langid",
