@@ -896,3 +896,65 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_jaccard"),
         )
     )
+
+
+@register(
+    "dedup_lsh_recall_eval",
+    oracle=f"""
+        WITH s AS ({DUCK_SHINGLE_SETS}),
+        e AS (SELECT doc_id, n_sh, unnest(shingles) AS sh FROM s),
+        truth AS (
+            SELECT doc_a, doc_b FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(COUNT(*) AS BIGINT) AS inter,
+                       any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+                FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+            WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}),
+        sig AS ({DUCK_MINHASH_SIG}),
+        bands AS (
+            {' UNION ALL '.join(
+                f"SELECT doc_id, {b} AS band_idx, {h} AS band_hash FROM sig"
+                for b, h in _band_exprs('sig', 'duck')
+            )}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id)
+        SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+               CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+               CAST((SELECT COUNT(*) FROM truth JOIN cand USING (doc_a, doc_b))
+                    AS BIGINT) AS hits,
+               ROUND(CAST((SELECT COUNT(*) FROM truth JOIN cand USING (doc_a, doc_b))
+                     AS DOUBLE) / (SELECT COUNT(*) FROM truth), 6) AS recall
+    """,
+    tier="llm",
+    doc=f"Dedup sketch evaluation: recall of the MinHash-LSH candidate "
+    f"set against the exact shingle-Jaccard >= {JACCARD_THRESHOLD} "
+    "ground truth, plus the candidate volume the banding admits — THE "
+    "two numbers that size an LSH configuration (bands x rows trades "
+    "recall against verify cost). Ground truth runs the quadratic "
+    "baseline, so this is an offline calibration pass on a sample, "
+    "never the production path.",
+)
+def q_dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cand = q_dedup_minhash_lsh_pairs(spark, sf_dir)
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(hits))
+        .select(
+            "n_true",
+            "n_candidates",
+            "hits",
+            F.round(
+                F.col("hits").cast("double") / F.col("n_true"), 6
+            ).alias("recall"),
+        )
+    )

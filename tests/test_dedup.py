@@ -13,6 +13,7 @@ ORACLE_QUERIES = [
     "dedup_exact_kept",
     "dedup_ngram_jaccard",
     "dedup_minhash_estimate",
+    "dedup_lsh_recall_eval",
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_embedding_pairs",
