@@ -321,3 +321,74 @@ def q_multimodal_corpus_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("octet_length(blob)")).alias("total_bytes"),
         F.max(F.expr("octet_length(blob)")).alias("max_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: typed header parsing on a binary column, no Python in the path
+# ---------------------------------------------------------------------------
+
+RIFF_MAGIC = "52494646"  # "RIFF"
+
+
+@register(
+    "multimodal_audio_meta",
+    oracle=f"""
+        WITH a AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 44100 END AS sr,
+                   doc_id % 2 + 1 AS ch, n_chars AS ns, text
+            FROM documents),
+        b AS (
+            SELECT doc_id,
+                   (from_hex('{RIFF_MAGIC}')
+                    || from_hex(lpad(to_hex(sr), 8, '0'))
+                    || from_hex(lpad(to_hex(ch), 4, '0'))
+                    || from_hex(lpad(to_hex(ns), 8, '0'))
+                    || encode(text)) AS blob
+            FROM a)
+        SELECT doc_id,
+               CAST('0x' || substr(hex(blob), 9, 8) AS BIGINT) AS sample_rate,
+               CAST('0x' || substr(hex(blob), 17, 4) AS BIGINT) AS n_channels,
+               CAST('0x' || substr(hex(blob), 21, 8) AS BIGINT) AS n_samples,
+               ROUND(CAST(CAST('0x' || substr(hex(blob), 21, 8) AS BIGINT) AS DOUBLE)
+                     / CAST('0x' || substr(hex(blob), 9, 8) AS BIGINT), 6)
+                 AS duration_sec
+        FROM b
+    """,
+    tier="llm",
+    doc="Audio modality: a RIFF-style synthetic header (magic, sample "
+    "rate, channels, sample count — big-endian fields, built identically "
+    "on both engines) prepended to the payload bytes, then parsed back "
+    "to typed metadata ENTIRELY in JVM expressions — substring on the "
+    "binary column + hex + base conversion, no Python decode in the "
+    "path. The pattern for cheap typed-metadata extraction (duration, "
+    "rate, channel layout) over 100 TB of audio blobs; full sample "
+    "decode would ride the same mapInPandas plumbing as the image tier.",
+)
+def q_multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    a = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, 16000).otherwise(44100).alias("sr"),
+        (F.col("doc_id") % 2 + 1).alias("ch"),
+        F.col("n_chars").alias("ns"),
+        "text",
+    )
+    blob = F.expr(
+        f"concat(X'{RIFF_MAGIC}', "
+        "unhex(lpad(hex(sr), 8, '0')), "
+        "unhex(lpad(hex(ch), 4, '0')), "
+        "unhex(lpad(hex(ns), 8, '0')), "
+        "encode(text, 'UTF-8'))"
+    )
+    b = a.select("doc_id", blob.alias("blob"))
+    sr = F.expr("conv(hex(substring(blob, 5, 4)), 16, 10)").cast("long")
+    ch = F.expr("conv(hex(substring(blob, 9, 2)), 16, 10)").cast("long")
+    ns = F.expr("conv(hex(substring(blob, 11, 4)), 16, 10)").cast("long")
+    return b.select(
+        "doc_id",
+        sr.alias("sample_rate"),
+        ch.alias("n_channels"),
+        ns.alias("n_samples"),
+        F.round(ns.cast("double") / sr, 6).alias("duration_sec"),
+    )

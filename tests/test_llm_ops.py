@@ -32,6 +32,7 @@ ORACLE_QUERIES = [
     "text_sample_mixture",
     "text_pack_sequences",
     "multimodal_image_meta",
+    "multimodal_audio_meta",
     "multimodal_frame_sample",
     "multimodal_corpus_bytes",
     "multimodal_resize",
