@@ -47,34 +47,69 @@ def with_letter(postings: DataFrame) -> DataFrame:
     return postings.withColumn("letter", F.substring("word", 1, 1))
 
 
-def write_index(postings: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Persist the master index, partitioned by first letter.
+def write_letter_partitioned(
+    df: DataFrame,
+    path: str,
+    sort_cols: tuple[str, ...],
+    mode: str = "overwrite",
+    num_files: int = 26,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Scale-bounded letter-partitioned sorted write — the shared layout
+    engine for the count index and the positional index.
 
     The reference's 26 append-only files ./index/a..z
-    (helper_reduce.c:238-257) become Hive partitions `letter=a/..`;
-    term lookups then prune 25/26 of the data (partition pruning is
-    automatic on a `letter = 'x'` predicate).
+    (helper_reduce.c:238-257) become Hive partitions `letter=a/..`. The
+    26-file layout is the reference's *partitioning*, not a
+    one-file-per-letter contract: here `repartitionByRange(num_files,
+    letter, word)` range-partitions rows over contiguous (letter, word)
+    spans, so a Zipf-hot letter ("s", "t") is written by SEVERAL
+    parallel tasks — each owning a disjoint word range — while rare
+    letters share a task (partitionBy still writes them to their own
+    directories). File count scales with data volume, not with the
+    alphabet, and no single writer task ever owns a whole hot letter.
 
-    Rows are sorted by word within each written file — the reference's
-    reduce-side `| sort` (helper_reduce.c:153, SURVEY.md §2.6 O1/O2).
-    Beyond parity, sorted parquet gives word min/max zone maps per row
-    group, so a `word = 'x'` lookup skips row groups inside the letter
-    partition too.
+    Rows stay sorted by `sort_cols` within every written file — the
+    reference's reduce-side `| sort` (helper_reduce.c:153, SURVEY.md
+    §2.6 O1/O2) — so parquet word min/max zone maps skip row groups,
+    AND the range partitioning makes whole FILES disjoint in word
+    range within each letter, so a `word = 'x'` lookup reads one file
+    of the letter partition, not all of them.
 
-    The repartition on letter routes each letter to one writing task, so
-    the artifact is one compact file per letter — exactly the
-    reference's 26-file layout, and the read path lists 26 files, not
-    26 x writer-parallelism fragments. At 100 TB widen each letter to
-    N size-bounded files (repartition(n, letter, word-range)) — same
-    layout, bounded file sizes.
+    `max_records_per_file` (or the session-level
+    `spark.sql.files.maxRecordsPerFile`) additionally splits a task's
+    sorted output into bounded-size files; the splits inherit the sort,
+    so their ranges stay disjoint. At 100 TB, set `num_files` to the
+    write parallelism you want and the per-file bound to your target
+    file size — same layout, bounded files.
     """
-    (
-        with_letter(postings)
-        .repartition("letter")
-        .sortWithinPartitions("letter", "word")
+    writer = (
+        df.repartitionByRange(num_files, "letter", "word")
+        .sortWithinPartitions(*sort_cols)
         .write.mode(mode)
-        .partitionBy("letter")
-        .parquet(path)
+    )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy("letter").parquet(path)
+
+
+def write_index(
+    postings: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    num_files: int = 26,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Persist the master index, partitioned by first letter; layout
+    semantics (range-partitioned parallel writers, in-file word sort,
+    bounded file sizes) in `write_letter_partitioned`."""
+    write_letter_partitioned(
+        with_letter(postings),
+        path,
+        sort_cols=("letter", "word"),
+        mode=mode,
+        num_files=num_files,
+        max_records_per_file=max_records_per_file,
     )
 
 

@@ -220,16 +220,16 @@ def indexed_positional_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     session alongside the count index, so phrase/proximity lookups are
     partition-pruned scans instead of a corpus re-tokenize per query."""
     from ..sources.tables import load_table
-    from .indexing import session_artifact_df
+    from .indexing import session_artifact_df, write_letter_partitioned
 
     def build(path: str) -> None:
         pp = positional_postings(load_table(spark, sf_dir, "documents"))
-        (
-            pp.withColumn("letter", F.substring("word", 1, 1))
-            .repartition("letter")  # one compact file per letter partition
-            .sortWithinPartitions("letter", "word", "doc_id", "pos")
-            .write.partitionBy("letter")
-            .parquet(path)
+        # Range-partitioned parallel writers + in-file sort + bounded
+        # file sizes — layout semantics in write_letter_partitioned.
+        write_letter_partitioned(
+            pp.withColumn("letter", F.substring("word", 1, 1)),
+            path,
+            sort_cols=("letter", "word", "doc_id", "pos"),
         )
 
     return session_artifact_df(

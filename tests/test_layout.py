@@ -99,3 +99,61 @@ def test_lsh_bucket_partitioned_embeddings_prune(spark, tmp_path):
     # semantic check: pruned read returns exactly that bucket's rows
     want = e.filter(F.col("bucket") == some_bucket).count()
     assert scan.count() == want > 0
+
+
+def test_index_write_is_scale_bounded(spark, tmp_path):
+    """The 100-TB layout claim of write_letter_partitioned: with a small
+    forced per-file record bound, a hot letter is written as SEVERAL
+    files (no single writer task / giant file per letter), the files of
+    each letter cover pairwise-disjoint word ranges (a word lookup reads
+    one file, not the whole partition), and rows stay word-sorted inside
+    every file (zone maps survive)."""
+    import collections
+    import os
+
+    from map_reduce_indexing_spark.operators.indexing import (
+        build_postings,
+        write_index,
+    )
+    from .conftest import SF_DIR
+
+    path = str(tmp_path / "bounded_index")
+    postings = build_postings(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    )
+    write_index(postings, path, max_records_per_file=150)
+
+    by_letter: dict[str, list[str]] = collections.defaultdict(list)
+    for letter_dir in sorted(glob.glob(f"{path}/letter=*")):
+        letter = os.path.basename(letter_dir).split("=", 1)[1]
+        by_letter[letter] = sorted(glob.glob(f"{letter_dir}/*.parquet"))
+
+    # A hot letter exceeds the record bound -> at least two files.
+    assert any(len(files) >= 2 for files in by_letter.values()), {
+        k: len(v) for k, v in by_letter.items()
+    }
+
+    for letter, files in by_letter.items():
+        ranges = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            assert md.num_rows <= 150  # the size bound held
+            idx = md.schema.to_arrow_schema().get_field_index("word")
+            stats = [
+                md.row_group(i).column(idx).statistics
+                for i in range(md.num_row_groups)
+            ]
+            assert all(s is not None and s.has_min_max for s in stats)
+            ranges.append(
+                (min(s.min for s in stats), max(s.max for s in stats))
+            )
+            # in-file word sort (zone maps stay monotone)
+            words = [r.word for r in spark.read.parquet(f).collect()]
+            assert words == sorted(words)
+        # files within the letter are pairwise disjoint in word range
+        ordered = sorted(ranges)
+        for (_, prev_max), (next_min, _) in zip(ordered, ordered[1:]):
+            assert next_min >= prev_max, (letter, ordered)
+
+    # lossless: the bounded layout reads back to the exact postings
+    assert spark.read.parquet(path).count() == postings.count()
