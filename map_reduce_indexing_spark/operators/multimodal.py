@@ -5,16 +5,18 @@ opaque `binary` column next to typed metadata, and run decode /
 feature-extraction / frame-sampling as Arrow-batched Pandas functions
 (`mapInPandas`) so bytes never round-trip through Python row by row.
 
-The container has no image/audio libraries, so the *decode* step is a
-deterministic fake (clearly marked; `decode_image_real` shows the
-gated real path). Everything Spark-side — the binary column build, the
-Arrow batch shapes, the mapInPandas schemas, the exploded frame rows —
-is real and oracle-verified via byte-length arithmetic.
+The container has no image libraries, so the image payload is an
+UNCOMPRESSED format a pure-numpy decoder can genuinely parse: each doc
+gets a binary-exact P6 PPM (ASCII header `P6\n<w> <h>\n255\n` + w*h*3
+raw RGB bytes, pixels derived from repeated md5(text) so both engines
+can reconstruct them). `decode_ppm` is a REAL parser — magic check,
+header tokenization, frombuffer + reshape — and the resize operator
+does a real nearest-neighbor resample on the decoded array; oracles
+recompute header arithmetic and pixel sums independently in SQL.
 
-The synthetic payload is built from the documents fixture: a 4-byte
-PNG magic header + the utf-8 text bytes. Both engines construct it
-identically, so metadata extracted in Python (len, magic) matches SQL
-(octet_length, hex) exactly.
+The frame/byte-accounting queries keep the simpler opaque payload
+(4-byte PNG magic + utf-8 text bytes): their semantics are byte
+arithmetic, not pixel decode.
 """
 
 from __future__ import annotations
@@ -45,65 +47,75 @@ DUCK_BLOB_DOCS = (
 )
 
 
-# ---- "decode" stubs -------------------------------------------------------
+# ---- real PPM image tier --------------------------------------------------
+#
+# Per-doc image dimensions (small on purpose: the oracle recomputes
+# per-pixel sums with SQL list comprehensions).
+PPM_W = "doc_id % 13 + 4"  # 4..16
+PPM_H = "doc_id % 9 + 3"  # 3..11
+
+# Pixel bytes = md5(text) hex, repeated to cover w*h*3 bytes, truncated.
+# /32.0 divides by a power of two, so the double is exact and ceil agrees
+# bit-for-bit across engines.
+_PPM_HEX = "substring(repeat(md5(encode(text, 'UTF-8')), cast(ceil(({w}) * ({h}) * 6 / 32.0) as int)), 1, ({w}) * ({h}) * 6)"
 
 
-def _fake_decode_meta(data: bytes) -> tuple[int, str, int, int]:
-    """Deterministic stand-in for an image decoder: derive (byte_len,
-    magic_hex, width, height) from the bytes alone."""
-    n = len(data)
-    return n, data[:4].hex().upper(), n % 640 + 1, (n * 7) % 480 + 1
-
-
-def decode_image_real(data: bytes):  # pragma: no cover - no PIL in container
-    """The real decode path, gated on the library being present."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "image decoding requires pillow, which is not installed in this "
-            "environment; the pipeline uses _fake_decode_meta instead"
-        ) from e
-    import io
-
-    from PIL import Image as _Image
-
-    return _Image.open(io.BytesIO(data))
-
-
-def extract_image_meta(blobs: DataFrame) -> DataFrame:
-    """(doc_id, blob) -> (doc_id, byte_len, magic, width, height) via
-    Arrow-batched mapInPandas — the bytes stay in columnar batches."""
-
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            meta = pdf["blob"].map(_fake_decode_meta)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "byte_len": meta.map(lambda m: m[0]),
-                    "magic": meta.map(lambda m: m[1]),
-                    "width": meta.map(lambda m: m[2]),
-                    "height": meta.map(lambda m: m[3]),
-                }
-            )
-
-    return blobs.mapInPandas(
-        op, schema="doc_id long, byte_len long, magic string, width long, height long"
+def with_ppm_blob(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, blob): a binary-exact P6 PPM image —
+    ASCII header `P6\\n<w> <h>\\n255\\n` followed by w*h*3 raw RGB bytes.
+    Built entirely in JVM expressions; `decode_ppm` parses it back."""
+    hexpx = _PPM_HEX.format(w=PPM_W, h=PPM_H)
+    return docs.withColumn(
+        "blob",
+        F.expr(
+            "concat("
+            f"encode(concat('P6\\n', cast({PPM_W} as string), ' ', "
+            f"cast({PPM_H} as string), '\\n255\\n'), 'UTF-8'), "
+            f"unhex({hexpx}))"
+        ),
     )
 
 
-def extract_image_meta_real(blobs: DataFrame) -> DataFrame:
-    """(doc_id, blob) -> (doc_id, byte_len, magic, width, height) with a
-    GENUINE pillow decode inside the Arrow-batched mapInPandas worker —
-    the same plumbing as extract_image_meta, real pixels instead of the
-    deterministic fake. Import happens in the worker function so the
-    driver can build the plan anywhere; executing without pillow raises
-    the same NotImplementedError as decode_image_real.
+DUCK_PPM_DIMS = (
+    f"SELECT doc_id, {PPM_W} AS w, {PPM_H} AS h, text FROM documents"
+)
 
-    Exercised by tests/test_llm_ops.py::test_real_decode_roundtrip,
-    which is skipped when the environment lacks pillow (as this
-    container does) and runs genuine decode wherever it is present."""
+# DuckDB list of pixel byte values (1-based list, length w*h*3).
+DUCK_PPM_PX = (
+    "[ CAST('0x' || substr(ph, i * 2 + 1, 2) AS INT) FOR i IN range(w * h * 3) ]"
+)
+DUCK_PPM_PH = (
+    "substr(repeat(md5(text), CAST(ceil(w * h * 6 / 32.0) AS INT)), 1, w * h * 6)"
+)
+
+
+def decode_ppm(data: bytes):
+    """REAL image decode: parse a binary P6 PPM into an (h, w, 3) uint8
+    numpy array. Magic check, ASCII header tokenization, frombuffer +
+    reshape — no image library required because the format is
+    uncompressed; this is the honest pure-numpy decoder the 100-TB
+    pipeline would swap for a turbojpeg/pillow call on real data."""
+    import numpy as np
+
+    if data[:2] != b"P6":
+        raise ValueError(f"not a P6 PPM (magic {data[:2]!r})")
+    # Exactly three header newlines precede the payload; pixel bytes may
+    # themselves contain 0x0A, so bound the split.
+    magic, dims, maxval, payload = data.split(b"\n", 3)
+    w, h = map(int, dims.split())
+    if int(maxval) != 255:
+        raise ValueError(f"unsupported maxval {maxval!r}")
+    px = np.frombuffer(payload, dtype=np.uint8)
+    if px.size != w * h * 3:
+        raise ValueError(f"payload {px.size} bytes != {w}x{h}x3")
+    return px.reshape(h, w, 3)
+
+
+def extract_image_meta(blobs: DataFrame) -> DataFrame:
+    """(doc_id, blob) -> (doc_id, byte_len, magic, width, height, px_sum)
+    via Arrow-batched mapInPandas with a GENUINE decode: dimensions come
+    from the parsed PPM header (not from the byte length) and px_sum
+    sums the decoded pixel array, proving the payload was read."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -113,18 +125,23 @@ def extract_image_meta_real(blobs: DataFrame) -> DataFrame:
                 "magic": [],
                 "width": [],
                 "height": [],
+                "px_sum": [],
             }
             for doc_id, data in zip(pdf["doc_id"], pdf["blob"]):
-                img = decode_image_real(bytes(data))
+                data = bytes(data)
+                arr = decode_ppm(data)
                 out["doc_id"].append(doc_id)
                 out["byte_len"].append(len(data))
-                out["magic"].append(bytes(data)[:4].hex().upper())
-                out["width"].append(img.width)
-                out["height"].append(img.height)
+                out["magic"].append(data[:2].decode("ascii"))
+                out["width"].append(arr.shape[1])
+                out["height"].append(arr.shape[0])
+                out["px_sum"].append(int(arr.sum()))
             yield pd.DataFrame(out)
 
     return blobs.mapInPandas(
-        op, schema="doc_id long, byte_len long, magic string, width long, height long"
+        op,
+        schema="doc_id long, byte_len long, magic string, width long, "
+        "height long, px_sum long",
     )
 
 
@@ -152,27 +169,39 @@ EMBED_DIM = 16
 
 
 def resize_images(blobs: DataFrame) -> DataFrame:
-    """(doc_id, blob) -> (doc_id, width, height, new_w, new_h, out_bytes):
-    scale-to-fit resize. The pixel resample is part of the stubbed decode
-    (out payload = new_w * new_h fake bytes); the dimension arithmetic,
-    Arrow plumbing, and binary-out schema are real."""
+    """(doc_id, blob) -> (doc_id, width, height, new_w, new_h, out_bytes,
+    out_px_sum): scale-to-fit into RESIZE_BOX with a REAL nearest-
+    neighbor resample on the decoded pixel array. Source row/col for out
+    pixel (y, x) is (y*h // nh, x*w // nw) — pure integer math, so the
+    SQL oracle reproduces the resampled pixel sum exactly."""
+    import numpy as np
+
     bw, bh = RESIZE_BOX
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        out_cols = ("doc_id", "width", "height", "new_w", "new_h", "out_bytes")
+        out_cols = (
+            "doc_id", "width", "height", "new_w", "new_h", "out_bytes",
+            "out_px_sum",
+        )
         for pdf in batches:
             out: dict[str, list] = {c: [] for c in out_cols}
             for doc_id, data in zip(pdf["doc_id"], pdf["blob"]):
-                _, _, w, h = _fake_decode_meta(data)
+                arr = decode_ppm(bytes(data))
+                h, w = arr.shape[:2]
                 scale = min(bw / w, bh / h)
                 nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
-                for c, v in zip(out_cols, (doc_id, w, h, nw, nh, nw * nh)):
+                src_y = (np.arange(nh) * h) // nh
+                src_x = (np.arange(nw) * w) // nw
+                resized = arr[src_y][:, src_x]  # (nh, nw, 3) gather
+                vals = (doc_id, w, h, nw, nh, nw * nh * 3, int(resized.sum()))
+                for c, v in zip(out_cols, vals):
                     out[c].append(v)
             yield pd.DataFrame(out)
 
     return blobs.mapInPandas(
         op,
-        schema="doc_id long, width long, height long, new_w long, new_h long, out_bytes long",
+        schema="doc_id long, width long, height long, new_w long, "
+        "new_h long, out_bytes long, out_px_sum long",
     )
 
 
@@ -203,29 +232,36 @@ def embed_blobs(blobs: DataFrame) -> DataFrame:
 @register(
     "multimodal_resize",
     oracle=f"""
-        SELECT doc_id, width, height,
-               CAST(greatest(1, CAST(trunc(width * scale) AS BIGINT)) AS BIGINT) AS new_w,
-               CAST(greatest(1, CAST(trunc(height * scale) AS BIGINT)) AS BIGINT) AS new_h,
-               CAST(greatest(1, CAST(trunc(width * scale) AS BIGINT))
-                    * greatest(1, CAST(trunc(height * scale) AS BIGINT)) AS BIGINT) AS out_bytes
-        FROM (
-            SELECT doc_id, width, height,
-                   least({RESIZE_BOX[0]}.0 / width, {RESIZE_BOX[1]}.0 / height) AS scale
-            FROM (
-                SELECT doc_id,
-                       octet_length(blob) % 640 + 1 AS width,
-                       (octet_length(blob) * 7) % 480 + 1 AS height
-                FROM ({DUCK_BLOB_DOCS})))
+        WITH dims AS ({DUCK_PPM_DIMS}),
+        px AS (
+            SELECT doc_id, w, h, {DUCK_PPM_PX} AS px
+            FROM (SELECT doc_id, w, h, {DUCK_PPM_PH} AS ph FROM dims)),
+        sz AS (
+            SELECT doc_id, w, h, px,
+                   greatest(1, CAST(trunc(w * scale) AS BIGINT)) AS nw,
+                   greatest(1, CAST(trunc(h * scale) AS BIGINT)) AS nh
+            FROM (SELECT *, least({RESIZE_BOX[0]}.0 / w, {RESIZE_BOX[1]}.0 / h) AS scale
+                  FROM px))
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+               CAST(nw AS BIGINT) AS new_w, CAST(nh AS BIGINT) AS new_h,
+               CAST(nw * nh * 3 AS BIGINT) AS out_bytes,
+               CAST(list_sum(
+                 [ px[((((i // (3 * nw)) * h) // nh) * w
+                       + (((i // 3) % nw) * w) // nw) * 3 + (i % 3) + 1]
+                   FOR i IN range(nh * nw * 3) ]) AS BIGINT) AS out_px_sum
+        FROM sz
     """,
     tier="llm",
-    doc=f"Scale-to-fit resize into a {RESIZE_BOX[0]}x{RESIZE_BOX[1]} box "
-    "over the binary column (mapInPandas; resample inside the stubbed "
-    "decode). Dimension arithmetic oracle-checked exactly — the "
-    "double scale factor is a single division on both engines.",
+    doc=f"Scale-to-fit resize into a {RESIZE_BOX[0]}x{RESIZE_BOX[1]} box: "
+    "REAL decode of the P6 PPM payload + nearest-neighbor resample on "
+    "the pixel array inside Arrow-batched mapInPandas. The oracle "
+    "recomputes the resampled pixel sum with integer index math in SQL, "
+    "so the gather itself — not just the dimensions — is verified.",
 )
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return resize_images(with_blob(docs).select("doc_id", "blob"))
+    return resize_images(with_ppm_blob(docs).select("doc_id", "blob"))
 
 
 @register(
@@ -263,20 +299,25 @@ def q_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_image_meta",
     oracle=f"""
+        WITH dims AS ({DUCK_PPM_DIMS})
         SELECT doc_id,
-               CAST(octet_length(blob) AS BIGINT) AS byte_len,
-               upper(substr(hex(blob), 1, 8)) AS magic,
-               CAST(octet_length(blob) % 640 + 1 AS BIGINT) AS width,
-               CAST((octet_length(blob) * 7) % 480 + 1 AS BIGINT) AS height
-        FROM ({DUCK_BLOB_DOCS})
+               CAST(length('P6' || chr(10) || w || ' ' || h || chr(10)
+                           || '255' || chr(10)) + w * h * 3 AS BIGINT) AS byte_len,
+               'P6' AS magic,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(list_sum({DUCK_PPM_PX}) AS BIGINT) AS px_sum
+        FROM (SELECT doc_id, w, h, {DUCK_PPM_PH} AS ph FROM dims)
     """,
     tier="llm",
     doc="Binary-column metadata extraction through Arrow-batched "
-    "mapInPandas (decode stubbed deterministically; plumbing real).",
+    "mapInPandas with a GENUINE pure-numpy P6 PPM decode: width/height "
+    "come from the parsed header and px_sum from the decoded pixel "
+    "array; the oracle rebuilds both from the payload formula in SQL.",
 )
 def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return extract_image_meta(with_blob(docs).select("doc_id", "blob"))
+    return extract_image_meta(with_ppm_blob(docs).select("doc_id", "blob"))
 
 
 @register(

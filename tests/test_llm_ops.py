@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import pytest
 
-from map_reduce_indexing_spark.operators.multimodal import decode_image_real
+from map_reduce_indexing_spark.operators.multimodal import decode_ppm
 from map_reduce_indexing_spark.plans import registry
 
 from .conftest import SF_DIR, assert_df_matches_oracle
@@ -92,41 +92,47 @@ def test_knn_batch_numpy_matches_sql(spark):
         assert sum(1 for r in batch if r.q_id == q) == 10
 
 
-def test_real_decode_is_gated(spark):
-    try:
-        import PIL  # noqa: F401
+def test_decode_ppm_parses_and_rejects(spark):
+    """The numpy PPM decoder is a real parser: known bytes decode to the
+    exact pixel array (including payload bytes that equal 0x0A), and
+    malformed inputs are rejected, not silently passed through."""
+    import numpy as np
 
-        pytest.skip("pillow present: gate inactive (covered by roundtrip test)")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError):
-        decode_image_real(b"\x89PNG....")
+    payload = bytes([0, 10, 255, 10, 10, 10])  # newline bytes inside pixels
+    data = b"P6\n2 1\n255\n" + payload
+    arr = decode_ppm(data)
+    assert arr.shape == (1, 2, 3)
+    assert arr.tobytes() == payload
+    assert int(arr.sum()) == sum(payload)
+
+    with pytest.raises(ValueError):
+        decode_ppm(b"\x89PNG....")  # wrong magic
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 1\n255\n\x00\x01")  # truncated payload
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 1\n15\n" + payload)  # unsupported maxval
 
 
 def test_real_decode_roundtrip(spark):
-    """Genuine pillow decode through the Arrow mapInPandas plumbing:
-    generate real PNGs, decode them distributed, check true dimensions.
-    Skipped where pillow is absent (this container); the fake-decode
-    path keeps the same schema and is oracle-verified either way."""
-    PIL = pytest.importorskip("PIL")  # noqa: F841
-    import io
-
-    from PIL import Image
-
-    from map_reduce_indexing_spark.operators.multimodal import extract_image_meta_real
+    """Genuine decode through the Arrow mapInPandas plumbing: hand-built
+    P6 PPMs of known dimensions and pixel content, decoded distributed;
+    dimensions come from the parsed header, px_sum from the pixels."""
+    from map_reduce_indexing_spark.operators.multimodal import extract_image_meta
 
     rows = []
     for doc_id, (w, h) in enumerate([(3, 5), (17, 11), (64, 2)]):
-        buf = io.BytesIO()
-        Image.new("RGB", (w, h), (doc_id, 0, 0)).save(buf, format="PNG")
-        rows.append((doc_id, bytearray(buf.getvalue()), w, h))
+        px = bytes((doc_id + i) % 256 for i in range(w * h * 3))
+        data = f"P6\n{w} {h}\n255\n".encode() + px
+        rows.append((doc_id, bytearray(data), w, h, sum(px)))
     df = spark.createDataFrame(
-        [(d, b) for d, b, _, _ in rows], "doc_id long, blob binary"
+        [(d, b) for d, b, _, _, _ in rows], "doc_id long, blob binary"
     )
-    got = {r.doc_id: (r.width, r.height, r.magic) for r in extract_image_meta_real(df).collect()}
-    for d, _, w, h in rows:
-        assert got[d][:2] == (w, h)
-        assert got[d][2] == "89504E47"
+    got = {
+        r.doc_id: (r.width, r.height, r.magic, r.px_sum)
+        for r in extract_image_meta(df).collect()
+    }
+    for d, _, w, h, s in rows:
+        assert got[d] == (w, h, "P6", s)
 
 
 def test_pii_regexes_on_crafted_text(spark):
