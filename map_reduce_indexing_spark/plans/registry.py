@@ -86,29 +86,29 @@ PRIORITY_WINDOW = [
     "rel_percentiles",
     "rel_approx_percentiles",
     "rel_grouping_sets",
-    "rel_pivot_status",
-    # relational: windows, sets, scalar/array/json surface
+    # relational: windows, sets, scalar/json surface
     "rel_window_rank_parts",
     "rel_window_lag_gap",
-    "rel_window_ntile",
+    "rel_window_range_frame",  # time-RANGE frame: the once-broken NTZ path
     "rel_set_ops",
     "rel_scalar_functions",
     "rel_json_parse",
-    "rel_array_map_functions",
-    # dedup (all nine)
+    # dedup (all nine) + LSH calibration eval
     "dedup_exact",
     "dedup_exact_kept",
     "dedup_ngram_jaccard",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
+    "dedup_lsh_recall_eval",
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_embedding_pairs",
     "dedup_clusters",
-    # similarity search
+    # similarity search + accuracy eval
     "ann_knn_bruteforce",
     "ann_lsh_topk",
     "ann_knn_batch_numpy",
+    "ann_recall_eval",
     # text analysis
     "text_quality",
     "text_langid",

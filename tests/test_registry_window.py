@@ -33,6 +33,17 @@ def test_window_covers_every_operator_family():
     assert {"index", "search", "rel", "dedup", "ann", "text", "multimodal", "stream"} <= families
 
 
+def test_window_exercises_eval_layer_and_ntz_path():
+    """Round-5 promotion: the externally-verified set must include the
+    sketch-calibration evals and the time-RANGE frame (the once-broken
+    TIMESTAMP_NTZ normalization path)."""
+    assert {
+        "dedup_lsh_recall_eval",
+        "ann_recall_eval",
+        "rel_window_range_frame",
+    } <= set(PRIORITY_WINDOW)
+
+
 def test_every_exported_query_has_an_oracle():
     oracles = entrymod.oracle_sql()
     for name in entrymod.queries():
