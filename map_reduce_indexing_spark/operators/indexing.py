@@ -180,6 +180,25 @@ _ARTIFACTS: dict[tuple, str] = {}
 _ARTIFACTS_LOCK = __import__("threading").Lock()
 
 
+def _content_fingerprint(src: str) -> str:
+    """Cheap content digest of a source file: md5 over (size, first KB,
+    last 64 KB). For parquet the tail covers the footer — schema, row
+    group boundaries, column min/max stats — which changes whenever the
+    data changes, so even a same-second, same-size rewrite (where an
+    (mtime, size) key would serve a stale artifact) fingerprints
+    differently. Reads at most 65 KB regardless of file size."""
+    import hashlib
+
+    size = os.path.getsize(src)
+    h = hashlib.md5(str(size).encode())
+    with open(src, "rb") as f:
+        h.update(f.read(1024))
+        tail = min(size, 65536)
+        f.seek(size - tail)
+        h.update(f.read())
+    return h.hexdigest()
+
+
 def session_artifact_path(
     spark: SparkSession,
     sf_dir: str,
@@ -191,10 +210,12 @@ def session_artifact_path(
     artifact: the reference's build-then-query lifecycle for any derived
     store (count index, positional index, bucketed embedding store).
 
-    The cache key includes a content fingerprint (path + mtime + size of
-    the source file), so a regenerated fixture triggers a rebuild rather
-    than serving stale data; the build is lock-guarded so concurrent
-    first calls build once. `build(path)` must write the artifact at
+    The cache key includes a content fingerprint (path + size + a digest
+    of the source file's head and parquet footer, `_content_fingerprint`),
+    so a regenerated fixture triggers a rebuild rather than serving stale
+    data — even when the rewrite lands in the same second with the same
+    byte size; the build is lock-guarded so concurrent first calls build
+    once. `build(path)` must write the artifact at
     `path`.
 
     Placement: `$SPARK_GRAFT_INDEX_DIR` if set (point it at shared
@@ -204,8 +225,7 @@ def session_artifact_path(
     directory is removed at interpreter exit.
     """
     src = os.path.join(os.path.realpath(sf_dir), source_file)
-    st = os.stat(src)
-    key = (spark.sparkContext.applicationId, kind, src, st.st_mtime_ns, st.st_size)
+    key = (spark.sparkContext.applicationId, kind, src, _content_fingerprint(src))
     with _ARTIFACTS_LOCK:
         path = _ARTIFACTS.get(key)
         if path is None or not os.path.isdir(path):

@@ -36,6 +36,8 @@ def test_session_index_builds_once(spark):
 
 
 def test_session_index_invalidates_on_corpus_change(spark, tmp_path):
+    src = tmp_path / "documents.parquet"
+
     def write_corpus(rows):
         t = pa.table(
             {
@@ -43,21 +45,29 @@ def test_session_index_invalidates_on_corpus_change(spark, tmp_path):
                 "text": pa.array([r[1] for r in rows], pa.string()),
             }
         )
-        pq.write_table(t, tmp_path / "documents.parquet")
+        # Fixed-layout write: equal-length texts yield byte-identical
+        # file sizes, so the adversarial case below is reachable.
+        pq.write_table(t, src, compression="NONE", use_dictionary=False)
 
     write_corpus([(1, "alpha beta"), (2, "beta gamma")])
     p1 = session_index_path(spark, str(tmp_path))
     words1 = {r.word for r in indexed_postings(spark, str(tmp_path)).collect()}
     assert words1 == {"alpha", "beta", "gamma"}
+    st1 = os.stat(src)
 
-    # Regenerate the corpus in place — the fingerprint (mtime+size) must
-    # change the cache key and trigger a rebuild, not serve stale data.
-    write_corpus([(1, "delta epsilon zeta")])
-    os.utime(tmp_path / "documents.parquet")  # force mtime tick
+    # Adversarial regenerate: same byte SIZE (equal-length texts, fixed
+    # layout) and mtime pinned back to the original — an (mtime, size)
+    # key would serve the stale artifact. The content fingerprint must
+    # still trigger a rebuild.
+    write_corpus([(1, "delta zeta"), (2, "zeta omega")])
+    os.utime(src, ns=(st1.st_atime_ns, st1.st_mtime_ns))
+    st2 = os.stat(src)
+    assert (st2.st_size, st2.st_mtime_ns) == (st1.st_size, st1.st_mtime_ns)
+
     p2 = session_index_path(spark, str(tmp_path))
     words2 = {r.word for r in indexed_postings(spark, str(tmp_path)).collect()}
     assert p2 != p1
-    assert words2 == {"delta", "epsilon", "zeta"}
+    assert words2 == {"delta", "zeta", "omega"}
 
 
 def test_indexed_postings_match_build_postings(spark):
