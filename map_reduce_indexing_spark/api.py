@@ -24,6 +24,8 @@ any (doc_id, text) DataFrame.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .operators.indexing import (
@@ -35,6 +37,22 @@ from .operators.indexing import (
 )
 from .operators.search import search_and, search_not, search_or, term_lookup
 from .sources.corpus import read_corpus_dir
+
+
+def _normalize_term(term: str) -> str:
+    """Apply the index tokenizer's normalization (functions/text.py
+    rules 2-3: lowercase, delete [^a-z]) to a QUERY term, so
+    `lookup("Spark")` matches the stored token 'spark' instead of
+    silently returning empty. Terms that normalize to nothing (e.g.
+    "42", "") can never match an indexed token — reject them loudly
+    rather than returning an empty frame or crashing on term[0]."""
+    norm = re.sub(r"[^a-z]", "", term.lower())
+    if not norm:
+        raise ValueError(
+            f"query term {term!r} normalizes to empty under the index "
+            "tokenizer (lowercase, strip non-[a-z]) and can never match"
+        )
+    return norm
 
 
 class IndexSession:
@@ -100,20 +118,25 @@ class IndexSession:
         ).select("word", "doc_id", "cnt", "letter")
 
     def lookup(self, term: str) -> DataFrame:
-        """Posting list of one term: letter-partition-pruned scan."""
-        return term_lookup(self.postings(), term).select("doc_id", "cnt")
+        """Posting list of one term: letter-partition-pruned scan.
+        The term is normalized with the index tokenizer's rules first."""
+        return term_lookup(self.postings(), _normalize_term(term)).select(
+            "doc_id", "cnt"
+        )
 
     def search_all(self, terms: list[str]) -> DataFrame:
         """Docs containing ALL terms (AND)."""
-        return search_and(self.postings(), terms)
+        return search_and(self.postings(), [_normalize_term(t) for t in terms])
 
     def search_any(self, terms: list[str]) -> DataFrame:
         """Docs containing ANY term (OR)."""
-        return search_or(self.postings(), terms)
+        return search_or(self.postings(), [_normalize_term(t) for t in terms])
 
     def exclude(self, include: str, exclude: str) -> DataFrame:
         """Docs containing `include` but not `exclude` (NOT)."""
-        return search_not(self.postings(), include, exclude)
+        return search_not(
+            self.postings(), _normalize_term(include), _normalize_term(exclude)
+        )
 
     def top_docs(self, term: str, k: int = 10) -> DataFrame:
         """Best documents for a term by term frequency."""

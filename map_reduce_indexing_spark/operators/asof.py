@@ -146,9 +146,12 @@ def asof_join_backward_salted(
 ) -> DataFrame:
     """Backward as-of join for HOT keys: the salted two-phase form the
     module docstring describes. Result-identical to `asof_join_backward`
-    (property-tested); use it when one key's row count exceeds a task's
-    comfortable partition size — window partitions are atomic, so the
-    single-window form puts a 10^8-event bot user on one task.
+    including NULL payload values (each payload column's cross-chunk
+    fallback is its own last-non-null summary, mirroring the plain
+    form's independent per-column carry; property-tested with NULLs).
+    Use it when one key's row count exceeds a task's comfortable
+    partition size — window partitions are atomic, so the single-window
+    form puts a 10^8-event bot user on one task.
 
     Phase 1 windows within (key, time-chunk): each chunk of a hot key is
     its own partition, so parallelism = key x active-chunks. Phase 2
@@ -190,20 +193,31 @@ def asof_join_backward_salted(
         *[F.last(c, ignorenulls=True).over(w1).alias(f"__p_{c}") for c in payload_cols],
     )
 
-    # Per-(key, chunk) summary: the LAST right payload of the chunk.
-    # max(struct(t, tiebreak, payload...)) picks it without a window —
-    # struct comparison is lexicographic, matching the carry order.
+    # Per-(key, chunk) summary: the last NON-NULL value of EACH payload
+    # column independently — `max(struct(t, tiebreak, value))` over the
+    # rows where that column is non-null (struct comparison is
+    # lexicographic, matching the carry order). Per-column, not one
+    # max-row struct: the plain form's `last(c, ignorenulls)` carries
+    # each column independently across full history, so a column that is
+    # NULL in a chunk's final row must still fall back to its latest
+    # earlier non-null value — a single last-row summary would lose it.
     summary = (
         rt.withColumn(_CH, F.floor(F.unix_micros(F.col(_T)) / chunk_us))
         .groupBy(key, _CH)
         .agg(
-            F.max(
-                F.struct(
-                    F.col(_T).alias("t"),
-                    F.col(tiebreak).alias("tb"),
-                    F.struct(*[F.col(c) for c in payload_cols]).alias("p"),
-                )
-            ).alias("__last")
+            *[
+                F.max(
+                    F.when(
+                        F.col(c).isNotNull(),
+                        F.struct(
+                            F.col(_T).alias("t"),
+                            F.col(tiebreak).alias("tb"),
+                            F.col(c).alias("v"),
+                        ),
+                    )
+                ).alias(f"__last_{c}")
+                for c in payload_cols
+            ]
         )
     )
     # Phase 2: carry each chunk's summary forward over the (tiny)
@@ -219,8 +233,16 @@ def asof_join_backward_salted(
     chunks = carried.select(key, _CH).distinct()
     boundaries = (
         chunks.join(summary, [key, _CH], "left")
-        .withColumn("__prior", F.last("__last", ignorenulls=True).over(w2))
-        .select(key, _CH, "__prior")
+        .select(
+            key,
+            _CH,
+            *[
+                F.last(f"__last_{c}", ignorenulls=True)
+                .over(w2)
+                .alias(f"__prior_{c}")
+                for c in payload_cols
+            ],
+        )
     )
 
     resolved = carried.filter(F.col(_SIDE) == left_side).join(
@@ -229,10 +251,10 @@ def asof_join_backward_salted(
     out = resolved
     for c in payload_cols:
         out = out.withColumn(
-            c, F.coalesce(F.col(f"__p_{c}"), F.col("__prior").getField("p").getField(c))
-        ).drop(f"__p_{c}")
+            c, F.coalesce(F.col(f"__p_{c}"), F.col(f"__prior_{c}").getField("v"))
+        ).drop(f"__p_{c}", f"__prior_{c}")
     out = out.filter(F.col(tiebreak).isNotNull())
-    return out.drop(_SIDE, _CH, "__prior")
+    return out.drop(_SIDE, _CH)
 
 
 def asof_join_forward(

@@ -147,6 +147,22 @@ def _qv_literal(qv):
     return F.array(*[F.lit(float(x)) for x in qv])
 
 
+def _probe_row(df: DataFrame):
+    """Eager 1-row driver fetch of the probe vector (the serving-path
+    contract: ANN lookup queries run a bounded job at PLAN-BUILD time to
+    fetch the probe — `bench --explain` therefore triggers it too). A
+    regenerated fixture without vec_id == QUERY_VEC_ID would make
+    first() return None and crash later with AttributeError; fail
+    loudly at the fetch instead."""
+    row = df.first()
+    if row is None:
+        raise ValueError(
+            f"probe vector vec_id={QUERY_VEC_ID} not found in the "
+            "embeddings fixture; ANN serving queries need it"
+        )
+    return row
+
+
 DUCK_EMB = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings"
 DUCK_QVEC = f"SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}"
 
@@ -213,10 +229,9 @@ def q_ann_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pruned scan of that one Hive partition (~1/256 of the store).",
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    qrow = (
+    qrow = _probe_row(
         query_vector(spark, sf_dir)
         .withColumn("qbucket", F.expr(spark_lsh_bucket("qv")))
-        .first()
     )
     return (
         lsh_store(spark, sf_dir)
@@ -393,10 +408,9 @@ def q_ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter, one partition read (serving shape, 1-row driver fetch).",
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    qrow = (
+    qrow = _probe_row(
         query_vector(spark, sf_dir)
         .withColumn("qcell", F.expr(spark_ivf_cell("qv")).cast("long"))
-        .first()
     )
     return (
         ivf_store(spark, sf_dir)
@@ -443,10 +457,9 @@ PROBE_MASKS = [0] + [1 << j for j in range(N_PLANES)]
     "recall without extra hash tables or a wider scan.",
 )
 def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    qrow = (
+    qrow = _probe_row(
         query_vector(spark, sf_dir)
         .withColumn("qbucket", F.expr(spark_lsh_bucket("qv")))
-        .first()
     )
     probes = [int(qrow.qbucket) ^ m for m in PROBE_MASKS]
     return (
@@ -501,10 +514,9 @@ def spark_ivf_probe_cells(vec: str, nprobe: int) -> str:
     "quantization-based indexes.",
 )
 def q_ann_ivf_topk_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    qrow = (
+    qrow = _probe_row(
         query_vector(spark, sf_dir)
         .withColumn("pcells", F.expr(spark_ivf_probe_cells("qv", N_PROBE)))
-        .first()
     )
     probes = [int(c) for c in qrow.pcells]
     return (

@@ -90,6 +90,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shuffle width.
 STREAM_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
 
+# spark.sql.shuffle.partitions is SESSION-global: narrowing it for a
+# streaming run would silently re-plan any batch query a concurrent
+# thread submits on the same SparkSession with the narrow width. The
+# lock serializes every run_to_completion caller; batch callers on other
+# threads are outside its reach, so the conf mutation is kept to the
+# shortest possible span and restored in finally. (Per-query isolation
+# would need separate SparkSessions — `spark.newSession()` — which the
+# single-session driver contract here doesn't allow.)
+_SHUFFLE_CONF_LOCK = __import__("threading").Lock()
+
 
 def run_to_completion(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Drive a streaming aggregation over the (finite) file source to
@@ -97,24 +107,28 @@ def run_to_completion(stream_df: DataFrame, output_mode: str) -> DataFrame:
 
     The shuffle-partition conf is narrowed to STREAM_SHUFFLE_PARTITIONS
     for the duration of the run (a streaming query pins its state layout
-    at start), then restored for batch work."""
+    at start), then restored for batch work. Runs are serialized by
+    `_SHUFFLE_CONF_LOCK` (see note above on the session-global conf)."""
     spark = stream_df.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
-    try:
-        q = (
-            stream_df.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(name)
-            .start()
+    with _SHUFFLE_CONF_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
         )
         try:
-            q.processAllAvailable()
+            q = (
+                stream_df.writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 

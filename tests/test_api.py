@@ -67,3 +67,27 @@ def test_build_query_append_compact(spark, tmp_path):
 
     vocab = {r.word: r.total for r in idx.vocabulary(k=3).collect()}
     assert vocab.get("spark") == 5
+
+
+def test_query_terms_are_normalized_like_the_tokenizer(spark, tmp_path):
+    """ADVICE r4: idx.lookup("Spark") must match the lowercased stored
+    token; punctuation is stripped like the indexer would; terms that
+    normalize to empty raise instead of returning empty or crashing."""
+    import pytest
+
+    corpus = tmp_path / "data"
+    _write_corpus(corpus, {"news": {"a.txt": "Spark makes queries fast"}})
+    idx = IndexSession.build(spark, f"{corpus}/*/*", str(tmp_path / "index"))
+
+    assert {r.doc_id for r in idx.lookup("Spark").collect()} == {"a"}
+    assert {r.doc_id for r in idx.lookup("quer-ies!").collect()} == {"a"}
+    assert {r.doc_id for r in idx.search_all(["SPARK", "Queries"]).collect()} == {"a"}
+    assert {r.doc_id for r in idx.search_any(["FAST", "absent"]).collect()} == {"a"}
+    assert {r.doc_id for r in idx.exclude("Spark", "Slow!").collect()} == {"a"}
+    assert [r.doc_id for r in idx.top_docs("FAST.", k=1).collect()] == ["a"]
+
+    for bad in ("", "42", "!!!"):
+        with pytest.raises(ValueError):
+            idx.lookup(bad)
+        with pytest.raises(ValueError):
+            idx.search_all(["spark", bad])

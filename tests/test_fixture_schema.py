@@ -72,10 +72,19 @@ def test_events_ts_values_survive_normalization(spark, sf_dir):
     # pyarrow timestamps compare as integers in their storage unit.
     import pyarrow.compute as pc
 
+    # Integer arithmetic only: epoch-nanos exceed 2^53, so a float scale
+    # factor (int * (1/1000)) rounds and can mis-assert by ~1us exactly
+    # when the fixture drifts back to TIMESTAMP(NANOS) — the scenario
+    # this tripwire exists to catch. Floor division matches load_table's
+    # DIV semantics.
     unit = t.schema.field("ts").type.unit
-    scale = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 1 / 1000}[unit]
-    lo = int(pc.min(col).cast("int64").as_py() * scale)
-    hi = int(pc.max(col).cast("int64").as_py() * scale)
+    to_us = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": None}[unit]
+
+    def as_micros(v: int) -> int:
+        return v // 1000 if to_us is None else v * to_us
+
+    lo = as_micros(pc.min(col).cast("int64").as_py())
+    hi = as_micros(pc.max(col).cast("int64").as_py())
     assert row.n == len(col)
     assert row.lo == lo
     assert row.hi == hi

@@ -311,18 +311,34 @@ def test_asof_salted_matches_plain(spark):
         (rng.randrange(5), base + timedelta(seconds=rng.randrange(30)), i)
         for i in range(150)
     ]
+    # extra payload column that is frequently NULL: the plain form
+    # carries each column's last non-null value INDEPENDENTLY, so the
+    # salted cross-chunk fallback must too (ADVICE r4) — a non-null
+    # value from an earlier chunk must survive a later all-NULL chunk.
     rights = [
-        (rng.randrange(5), base + timedelta(seconds=rng.randrange(30)), 1000 + i)
+        (
+            rng.randrange(5),
+            base + timedelta(seconds=rng.randrange(30)),
+            1000 + i,
+            rng.choice([None, None, rng.randrange(100)]),
+        )
         for i in range(60)  # sparse right side -> many cross-chunk matches
     ]
     left = spark.createDataFrame(lefts, "k long, ts timestamp, lid long")
-    right = spark.createDataFrame(rights, "k long, rts timestamp, rid long")
+    right = spark.createDataFrame(
+        rights, "k long, rts timestamp, rid long, extra long"
+    )
     kw = dict(key="k", left_ts="ts", right_ts="rts",
-              payload_cols=["rid"], tiebreak="rid")
-    plain = {(r.lid, r.rid) for r in asof_join_backward(left, right, **kw).collect()}
+              payload_cols=["rid", "extra"], tiebreak="rid")
+    plain = {
+        (r.lid, r.rid, r.extra)
+        for r in asof_join_backward(left, right, **kw).collect()
+    }
+    assert any(e is not None for (_, _, e) in plain)  # NULL path exercised
+    assert any(e is None for (_, _, e) in plain)
     for chunk_s in (2, 7, 3600):
         salted = {
-            (r.lid, r.rid)
+            (r.lid, r.rid, r.extra)
             for r in asof_join_backward_salted(
                 left, right, chunk_seconds=chunk_s, **kw
             ).collect()
