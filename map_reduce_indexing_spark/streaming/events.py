@@ -463,29 +463,45 @@ def incremental_index_append(
     index_path: str,
     checkpoint: str | None = None,
     glob: str = "documents.parquet",
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """Streaming incremental index maintenance (the reference's append
     sink, helper_reduce.c:241, as a foreachBatch): each microbatch of
-    documents is normalized, aggregated, and appended to the
-    letter-partitioned parquet index with an atomic per-batch commit.
+    documents is normalized, aggregated, and written to the
+    letter-partitioned parquet index.
 
-    With `checkpoint` set, the file-source offsets survive restarts:
-    re-running against a directory that gained new files processes ONLY
-    the new files — the exactly-once incremental behavior the
-    reference's append-only master index cannot provide (any retry
-    re-appends everything; SURVEY.md §2.12)."""
+    With `checkpoint` set this is EXACTLY-ONCE end to end, not just
+    at-least-once: the file-source offsets survive restarts (a directory
+    that gained new files processes only the new files), and the sink is
+    IDEMPOTENT — each microbatch writes `index_path/batch=<id>/letter=*`
+    with overwrite, so a batch REPLAYED after a crash between its data
+    write and its checkpoint offset commit (foreachBatch's at-least-once
+    window) overwrites its own output instead of double-appending.
+    Readers re-aggregate over the `batch` partition column like any
+    other partial-count append. Without `checkpoint` the sink is the
+    reference's raw append lifecycle (re-runs re-append; SURVEY.md
+    §2.12) — don't mix the two modes on one index path.
+
+    `max_files_per_trigger` bounds each microbatch (production knob for
+    commit granularity; tests use 1 to force multi-batch runs)."""
     from ..operators.indexing import build_postings, with_letter
     from ..schemas import DOCUMENT
 
-    docs = (
-        spark.readStream.schema(DOCUMENT)
-        .option("pathGlobFilter", glob)
-        .parquet(sf_dir)
-    )
+    reader = spark.readStream.schema(DOCUMENT).option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    docs = reader.parquet(sf_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         postings = with_letter(build_postings(batch_df))
-        postings.write.mode("append").partitionBy("letter").parquet(index_path)
+        if checkpoint is not None:
+            postings.write.mode("overwrite").partitionBy("letter").parquet(
+                os.path.join(index_path, f"batch={batch_id}")
+            )
+        else:
+            postings.write.mode("append").partitionBy("letter").parquet(
+                index_path
+            )
 
     writer = docs.writeStream.foreachBatch(sink)
     if checkpoint is not None:

@@ -85,6 +85,63 @@ def test_incremental_index_checkpoint_recovery(spark, tmp_path):
     assert total == expected
 
 
+def test_incremental_index_crash_replay_converges_exactly_once(spark, tmp_path):
+    """The exactly-once claim under a MID-STREAM crash, not just clean
+    restarts: foreachBatch's at-least-once window is a crash after a
+    batch's data write but before its checkpoint offset commit — on
+    restart Structured Streaming REPLAYS that batch. Simulate it by
+    deleting the final commit marker after a multi-batch run; the
+    replayed batch must overwrite its own per-batch output, leaving the
+    re-aggregated index exactly equal to the batch oracle (no dupes)."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from map_reduce_indexing_spark.operators.indexing import build_postings
+    from map_reduce_indexing_spark.sources.tables import load_table
+
+    src = tmp_path / "src"
+    src.mkdir()
+    index = str(tmp_path / "index")
+    ckpt = tmp_path / "ckpt"
+
+    docs = load_table(spark, SF_DIR, "documents").limit(120)
+    docs.repartition(3).write.mode("append").parquet(str(src))
+
+    kw = dict(checkpoint=str(ckpt), glob="*.parquet", max_files_per_trigger=1)
+    incremental_index_append(spark, str(src), index, **kw)
+    n_committed = spark.read.parquet(index).count()
+
+    commits = sorted(
+        f for f in os.listdir(ckpt / "commits") if not f.startswith(".")
+    )
+    assert len(commits) >= 3, "need a multi-batch run to crash mid-stream"
+    # the crash: batch N's data is on disk, its offset commit is not.
+    # (Remove the Hadoop checksum sidecar too — a real crash loses both,
+    # and a stale .crc makes the replay's commit rename fail.)
+    os.remove(ckpt / "commits" / commits[-1])
+    crc = ckpt / "commits" / f".{commits[-1]}.crc"
+    if crc.exists():
+        os.remove(crc)
+
+    incremental_index_append(spark, str(src), index, **kw)  # restart
+
+    # replay overwrote, not re-appended: same physical row count ...
+    assert spark.read.parquet(index).count() == n_committed
+    # ... and the re-aggregated index equals the batch oracle exactly
+    merged = {
+        (r.word, r.doc_id): r.cnt
+        for r in spark.read.parquet(index)
+        .groupBy("word", "doc_id")
+        .agg(F2.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    oracle = {
+        (r.word, r.doc_id): r.cnt for r in build_postings(docs).collect()
+    }
+    assert merged == oracle
+
+
 def test_incremental_index_append(spark, tmp_path):
     path = str(tmp_path / "stream_index")
     incremental_index_append(spark, SF_DIR, path)
