@@ -1,0 +1,223 @@
+"""Randomized differential fuzz: Spark vs DuckDB on generated pipelines.
+
+The engine's correctness story is anchored on ~116 hand-written
+query/oracle pairs. This property test hardens it beyond those shapes:
+hypothesis draws small filter -> groupBy -> agg pipelines over the
+`orders` / `lineitem` fixtures from a grammar rendered BOTH as a Spark
+DataFrame chain and as DuckDB SQL, and every example must pass the same
+order-insensitive row-count + schema + stringified-value comparison the
+driver applies (`assert_df_matches_oracle`).
+
+Aggregate dtype discipline mirrors the registered queries: COUNT ->
+BIGINT on both sides, SUM over integers CAST to BIGINT (DuckDB widens
+to HUGEINT), SUM over doubles through DECIMAL(18,2) (order-independent,
+exact on the 2-decimal fixture values), MIN/MAX untouched.
+
+Example count: $SPARK_GRAFT_FUZZ_EXAMPLES (default 200).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+
+from pyspark.sql import functions as F
+
+from map_reduce_indexing_spark.sources.tables import load_table
+
+from .conftest import SF_DIR, assert_df_matches_oracle
+
+MAX_EXAMPLES = int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "200"))
+
+# Column pools per table. Values drawn for predicates need not exist in
+# the fixture — empty and tiny results are valid differential cases.
+TABLES = {
+    "orders": {
+        "int": ["o_orderkey", "o_custkey"],
+        "double": ["o_totalprice"],
+        "cat": ["o_orderstatus", "o_orderpriority"],
+        "ts": ["o_orderdate"],
+        "cat_domain": {
+            "o_orderstatus": ["O", "F", "P"],
+            "o_orderpriority": [
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+            ],
+        },
+        "int_hi": 8000,
+        "double_hi": 400000,
+    },
+    "lineitem": {
+        "int": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "double": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "cat": ["l_returnflag", "l_linestatus"],
+        "ts": ["l_shipdate"],
+        "cat_domain": {
+            "l_returnflag": ["A", "N", "R"],
+            "l_linestatus": ["O", "F"],
+        },
+        "int_hi": 8000,
+        "double_hi": 80000,
+    },
+}
+
+CMP_OPS = ["<", "<=", ">", ">=", "=", "<>"]
+
+
+@dataclass(frozen=True)
+class Pred:
+    sql: str
+    col: str
+    op: str
+    val: object  # int | float | str (category or timestamp) | list[str]
+
+    def spark(self):
+        c = F.col(self.col)
+        if self.op == "in":
+            return c.isin(list(self.val))
+        v = (
+            F.lit(self.val).cast("timestamp")
+            if self.sql.endswith("/*ts*/")
+            else F.lit(self.val)
+        )
+        return {
+            "<": c < v, "<=": c <= v, ">": c > v, ">=": c >= v,
+            "=": c == v, "<>": c != v,
+        }[self.op]
+
+
+@dataclass(frozen=True)
+class Agg:
+    kind: str  # count | count_distinct | min | max | sum_int | sum_dec
+    col: str | None
+    alias: str
+
+    def spark(self):
+        if self.kind == "count":
+            e = F.count(F.lit(1))
+        elif self.kind == "count_distinct":
+            e = F.countDistinct(self.col)
+        elif self.kind == "min":
+            e = F.min(self.col)
+        elif self.kind == "max":
+            e = F.max(self.col)
+        elif self.kind == "sum_int":
+            e = F.sum(self.col).cast("bigint")
+        else:  # sum_dec: order-independent exact decimal fold
+            e = F.sum(F.col(self.col).cast("decimal(18,2)")).cast("double")
+        return e.alias(self.alias)
+
+    def sql(self):
+        if self.kind == "count":
+            e = "CAST(COUNT(*) AS BIGINT)"
+        elif self.kind == "count_distinct":
+            e = f"CAST(COUNT(DISTINCT {self.col}) AS BIGINT)"
+        elif self.kind == "min":
+            e = f"MIN({self.col})"
+        elif self.kind == "max":
+            e = f"MAX({self.col})"
+        elif self.kind == "sum_int":
+            e = f"CAST(SUM({self.col}) AS BIGINT)"
+        else:
+            e = f"CAST(SUM(CAST({self.col} AS DECIMAL(18,2))) AS DOUBLE)"
+        return f"{e} AS {self.alias}"
+
+
+@st.composite
+def pipelines(draw):
+    table = draw(st.sampled_from(sorted(TABLES)))
+    spec = TABLES[table]
+
+    preds = []
+    for _ in range(draw(st.integers(0, 2))):
+        family = draw(st.sampled_from(["int", "double", "cat", "cat_in", "ts"]))
+        if family == "int":
+            col = draw(st.sampled_from(spec["int"]))
+            op = draw(st.sampled_from(CMP_OPS))
+            v = draw(st.integers(0, spec["int_hi"]))
+            preds.append(Pred(f"{col} {op} {v}", col, op, v))
+        elif family == "double":
+            col = draw(st.sampled_from(spec["double"]))
+            op = draw(st.sampled_from(["<", "<=", ">", ">="]))
+            v = draw(st.integers(0, spec["double_hi"])) / 100.0
+            preds.append(Pred(f"{col} {op} {v!r}", col, op, v))
+        elif family == "cat":
+            col = draw(st.sampled_from(spec["cat"]))
+            op = draw(st.sampled_from(["=", "<>"]))
+            v = draw(st.sampled_from(spec["cat_domain"][col]))
+            preds.append(Pred(f"{col} {op} '{v}'", col, op, v))
+        elif family == "cat_in":
+            col = draw(st.sampled_from(spec["cat"]))
+            vals = draw(
+                st.lists(
+                    st.sampled_from(spec["cat_domain"][col]),
+                    min_size=1, max_size=3, unique=True,
+                )
+            )
+            quoted = ", ".join(f"'{v}'" for v in vals)
+            preds.append(Pred(f"{col} IN ({quoted})", col, "in", tuple(vals)))
+        else:
+            col = draw(st.sampled_from(spec["ts"]))
+            op = draw(st.sampled_from(["<", ">="]))
+            day = draw(st.integers(0, 2555))  # 1992-01-01 .. ~1998-12
+            import datetime
+
+            d = datetime.date(1992, 1, 1) + datetime.timedelta(days=day)
+            v = f"{d} 00:00:00"
+            preds.append(
+                Pred(f"{col} {op} TIMESTAMP '{v}'/*ts*/", col, op, v)
+            )
+
+    keys = draw(
+        st.lists(
+            st.sampled_from(spec["cat"] + (["l_linenumber"] if table == "lineitem" else [])),
+            min_size=0, max_size=2, unique=True,
+        )
+    )
+
+    agg_pool = (
+        [("count", None)]
+        + [("count_distinct", c) for c in spec["int"] + spec["cat"]]
+        + [("min", c) for c in spec["int"] + spec["cat"] + spec["double"] + spec["ts"]]
+        + [("max", c) for c in spec["int"] + spec["cat"] + spec["double"] + spec["ts"]]
+        + [("sum_int", c) for c in spec["int"]]
+        + [("sum_dec", c) for c in spec["double"]]
+    )
+    picks = draw(
+        st.lists(
+            st.sampled_from(agg_pool), min_size=1, max_size=3, unique=True
+        )
+    )
+    aggs = [Agg(kind, col, f"a{i}") for i, (kind, col) in enumerate(picks)]
+    return table, tuple(preds), tuple(keys), tuple(aggs)
+
+
+def _render_sql(table, preds, keys, aggs) -> str:
+    sel = ", ".join([*keys, *(a.sql() for a in aggs)])
+    q = f"SELECT {sel} FROM {table}"
+    if preds:
+        q += " WHERE " + " AND ".join(p.sql.replace("/*ts*/", "") for p in preds)
+    if keys:
+        q += " GROUP BY " + ", ".join(keys)
+    return q
+
+
+@settings(
+    max_examples=MAX_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(spec=pipelines())
+def test_random_pipeline_matches_duckdb(spark, duck, spec):
+    table, preds, keys, aggs = spec
+    df = load_table(spark, SF_DIR, table)
+    for p in preds:
+        df = df.filter(p.spark())
+    exprs = [a.spark() for a in aggs]
+    out = df.groupBy(*keys).agg(*exprs) if keys else df.agg(*exprs)
+    assert_df_matches_oracle(out, duck, _render_sql(table, preds, keys, aggs))
