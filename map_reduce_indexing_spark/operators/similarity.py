@@ -588,3 +588,321 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized compression tier
+# ---------------------------------------------------------------------------
+#
+# At 100 TB the float vectors dominate storage (64 x float64 = 512 B per
+# row). Product quantization stores an 8-byte code instead: split the
+# vector into PQ_M subspaces, quantize each against its own PQ_K-entry
+# codebook, keep only the code indices. Lookup uses ASYMMETRIC distance:
+# the query stays exact, and per subspace a 16-entry lookup table of
+# query-to-centroid partial distances is built once, so scoring a
+# candidate is PQ_M table lookups + adds — no decompression.
+#
+# Codebooks are deterministic centroids like CENTROIDS above, but scaled
+# to the DATA: the fixture embeddings are unit-norm with per-dim std
+# ~0.125, so entries are dyadic multiples of 1/64 in [-0.125, 0.125] —
+# exactly representable doubles whose repr() round-trips, so Spark,
+# DuckDB, and the Python LUT all see bit-identical values. (Unscaled
+# integer centroids make |c|^2 dominate the argmin, collapsing every
+# vector to one code.) Within a subspace, centroids are pairwise
+# distinct: two codes k1 != k2 would need k1*(d+2) == k2*(d+2) (mod 17)
+# for every d, impossible mod a prime with k < 17.
+PQ_M = 8  # subspaces
+PQ_SUBDIM = DIM // PQ_M
+PQ_K = 16  # centroids per subspace -> 4-bit codes
+PQ_CODEBOOKS = [
+    [
+        [
+            (((m * 5 + k * (d + 2) + 7 * d) % 17) - 8) / 64
+            for d in range(PQ_SUBDIM)
+        ]
+        for k in range(PQ_K)
+    ]
+    for m in range(PQ_M)
+]
+
+
+def _spark_farr(v: list[float]) -> str:
+    return "array(" + ", ".join(f"{x!r}d" for x in v) + ")"
+
+
+def _duck_farr(v: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in v) + "]::DOUBLE[]"
+
+
+def _spark_sub(vec: str, m: int) -> str:
+    return f"slice({vec}, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+
+
+def _duck_sub(vec: str, m: int) -> str:
+    return f"list_slice({vec}, {m * PQ_SUBDIM + 1}, {(m + 1) * PQ_SUBDIM})"
+
+
+def _spark_enc_dists(vec: str, m: int) -> str:
+    """16 encode distances ||v_m - c_mk||^2 (+ const |v_m|^2 dropped):
+    |c|^2 - 2 v_m . c — |c|^2 is a Python-computed dyadic literal, so
+    all three arithmetics (Spark, DuckDB, the Python LUT) agree
+    bit-for-bit."""
+    return ", ".join(
+        f"({sum(x * x for x in c)!r}d - 2.0d * "
+        f"{SPARK_DOT.format(a=_spark_sub(vec, m), b=_spark_farr(c))})"
+        for c in PQ_CODEBOOKS[m]
+    )
+
+
+def _duck_enc_dists(vec: str, m: int) -> str:
+    return ", ".join(
+        f"({sum(x * x for x in c)!r} - 2.0 * "
+        f"list_dot_product({_duck_sub(vec, m)}, {_duck_farr(c)}))"
+        for c in PQ_CODEBOOKS[m]
+    )
+
+
+def spark_pq_code(vec: str) -> str:
+    """array<int> of PQ_M 1-based code indices (first-min tie-break,
+    same argmin idiom as spark_ivf_cell)."""
+    entries = ", ".join(
+        f"array_position(array({_spark_enc_dists(vec, m)}), "
+        f"array_min(array({_spark_enc_dists(vec, m)})))"
+        for m in range(PQ_M)
+    )
+    return f"array({entries})"
+
+
+def duck_pq_code_entry(vec: str, m: int) -> str:
+    d = _duck_enc_dists(vec, m)
+    return f"list_indexof([{d}], list_min([{d}]))"
+
+
+def pq_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell, code array<int>) — the COMPRESSED vector store:
+    IVF cell for pruning plus the PQ code, no raw vector. 512 B of
+    floats per row becomes PQ_M small ints (4 bits each in a real
+    bit-packed layout); candidates are scored from codes alone.
+    Partitioned by cell so a probe reads one Hive partition."""
+    from .indexing import session_artifact_df
+
+    def build(path: str) -> None:
+        (
+            embeddings_double(spark, sf_dir)
+            .select(
+                "vec_id",
+                F.expr(spark_ivf_cell("v")).cast("long").alias("cell"),
+                F.expr(spark_pq_code("v")).cast("array<int>").alias("code"),
+            )
+            .repartition("cell")
+            .write.partitionBy("cell")
+            .parquet(path)
+        )
+
+    return session_artifact_df(
+        spark, sf_dir, "pq_store", "embeddings.parquet", build
+    )
+
+
+@register(
+    "ann_pq_codes",
+    oracle=f"""
+        SELECT vec_id,
+               array_to_string([{
+                   ", ".join(duck_pq_code_entry("v", m) for m in range(PQ_M))
+               }], ',') AS code
+        FROM ({DUCK_EMB})
+    """,
+    tier="llm",
+    doc=f"PQ encoding parity: each vector's {PQ_M} sub-quantizer code "
+    f"indices ({PQ_K} centroids per subspace), emitted as a comma string "
+    "(scalar for the driver canonicalizer). Reads the compressed store, "
+    "so this also verifies the persisted codes round-trip.",
+)
+def q_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_store(spark, sf_dir).select(
+        "vec_id",
+        F.concat_ws(",", F.transform("code", lambda x: x.cast("string"))).alias(
+            "code"
+        ),
+    )
+
+
+def _pq_lut(qv: list[float]) -> list[list[float]]:
+    """Per-subspace asymmetric lookup tables: LUT[m][k] = |c_mk|^2 -
+    2 q_m . c_mk. Plain Python doubles with a left-to-right dot fold —
+    the same association order as SPARK_DOT and list_dot_product, so the
+    values are bit-identical to either engine computing them."""
+    lut = []
+    for m in range(PQ_M):
+        qsub = qv[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+        row = []
+        for c in PQ_CODEBOOKS[m]:
+            dot = 0.0
+            for x, y in zip(qsub, c):
+                dot += x * y
+            row.append(sum(x * x for x in c) - 2.0 * dot)
+        lut.append(row)
+    return lut
+
+
+def _duck_adc_terms(vec: str, qv: str) -> str:
+    """Sum of per-subspace asymmetric distances, left-associated: the
+    query-side distance list subscripted by the vector's code index."""
+    terms = []
+    for m in range(PQ_M):
+        qd = ", ".join(
+            f"({sum(x * x for x in c)!r} - 2.0 * "
+            f"list_dot_product({_duck_sub(qv, m)}, {_duck_farr(c)}))"
+            for c in PQ_CODEBOOKS[m]
+        )
+        terms.append(f"([{qd}])[{duck_pq_code_entry(vec, m)}]")
+    return "(" + " + ".join(terms) + ")"
+
+
+# Exact squared-L2 ranking key (constant |q|^2 dropped): |v|^2 - 2 q.v —
+# the ground truth the PQ approximation is judged against, and the
+# re-rank key for the PQ shortlist.
+def _spark_l2_key(vec: str, qv: str) -> str:
+    return (
+        f"({SPARK_DOT.format(a=vec, b=vec)} "
+        f"- 2.0d * {SPARK_DOT.format(a=vec, b=qv)})"
+    )
+
+
+def _duck_l2_key(vec: str, qv: str) -> str:
+    return (
+        f"(list_dot_product({vec}, {vec}) "
+        f"- 2.0 * list_dot_product({vec}, {qv}))"
+    )
+
+
+# Serving knobs, tuned on the fixture via ann_pq_recall_eval (recall@10
+# 0.1 -> 0.5): with only 8 coarse cells, 4 probes is half the centroid
+# set — on a production index n_cells ~ sqrt(N) and the same nprobe is a
+# vanishing fraction. The rerank depth buys recall at the cost of 60
+# full-precision vector fetches per query.
+PQ_NPROBE = 4  # IVF cells probed by the PQ serving path
+PQ_RERANK = 60  # ADC shortlist size fed to the exact re-rank
+
+
+@register(
+    "ann_ivf_pq_topk",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, v, {duck_ivf_cell('v')} AS cell FROM ({DUCK_EMB})),
+        q AS (SELECT v AS qv FROM ({DUCK_EMB}) WHERE vec_id = {QUERY_VEC_ID}),
+        cand AS ({_duck_ivf_cell_dists('qv')}),
+        probecells AS (SELECT cell FROM cand ORDER BY d, cell LIMIT {PQ_NPROBE}),
+        short AS (
+            SELECT vec_id, {_duck_adc_terms('v', 'qv')} AS adist
+            FROM e JOIN probecells USING (cell) CROSS JOIN q
+            WHERE vec_id <> {QUERY_VEC_ID}
+            ORDER BY adist, vec_id LIMIT {PQ_RERANK})
+        SELECT e.vec_id, {_duck_l2_key('e.v', 'q.qv')} AS l2
+        FROM e JOIN short ON e.vec_id = short.vec_id CROSS JOIN q
+        ORDER BY l2, e.vec_id LIMIT 10
+    """,
+    tier="llm",
+    doc=f"IVF-PQ serving lookup, the canonical three-stage plan: probe "
+    f"the {PQ_NPROBE} nearest IVF cells of the COMPRESSED store (codes "
+    f"only — pruned partition reads), rank candidates by asymmetric "
+    f"distance ({PQ_M} LUT lookups + adds per candidate, LUTs built "
+    f"driver-side from the exact query), keep the top {PQ_RERANK}, then "
+    "exact-re-rank just the shortlist against raw vectors fetched from "
+    "the same pruned cell partitions of the vector store. At 100 TB the "
+    "full-precision vectors are touched for 30 rows, not the corpus. "
+    "The oracle recomputes quantization, ADC fold, and re-rank "
+    "symbolically in SQL — bit-for-bit.",
+)
+def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qrow = _probe_row(
+        query_vector(spark, sf_dir)
+        .withColumn("pcells", F.expr(spark_ivf_probe_cells("qv", PQ_NPROBE)))
+    )
+    probes = [int(c) for c in qrow.pcells]
+    lut = _pq_lut(list(qrow.qv))
+    adist = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in lut[m]]), F.element_at("code", m + 1)
+        )
+        adist = term if adist is None else adist + term
+    shortlist = (
+        pq_store(spark, sf_dir)
+        .filter(
+            F.col("cell").isin(probes) & (F.col("vec_id") != QUERY_VEC_ID)
+        )
+        .select("vec_id", adist.alias("adist"))
+        .orderBy("adist", "vec_id")
+        .limit(PQ_RERANK)
+        .select("vec_id")
+    )
+    vecs = ivf_store(spark, sf_dir).filter(F.col("cell").isin(probes))
+    return (
+        vecs.join(F.broadcast(shortlist), "vec_id")
+        .withColumn("qv", _qv_literal(qrow.qv))
+        .select("vec_id", F.expr(_spark_l2_key("v", "qv")).alias("l2"))
+        .orderBy("l2", "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "ann_pq_recall_eval",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, v, {duck_ivf_cell('v')} AS cell FROM ({DUCK_EMB})),
+        q AS (SELECT v AS qv FROM ({DUCK_EMB}) WHERE vec_id = {QUERY_VEC_ID}),
+        cand AS ({_duck_ivf_cell_dists('qv')}),
+        probecells AS (SELECT cell FROM cand ORDER BY d, cell LIMIT {PQ_NPROBE}),
+        short AS (
+            SELECT vec_id, {_duck_adc_terms('v', 'qv')} AS adist
+            FROM e JOIN probecells USING (cell) CROSS JOIN q
+            WHERE vec_id <> {QUERY_VEC_ID}
+            ORDER BY adist, vec_id LIMIT {PQ_RERANK}),
+        pq AS (SELECT e.vec_id FROM e JOIN short ON e.vec_id = short.vec_id
+               CROSS JOIN q
+               ORDER BY {_duck_l2_key('e.v', 'q.qv')}, e.vec_id LIMIT 10),
+        exact AS (SELECT vec_id FROM e CROSS JOIN q
+                  WHERE vec_id <> {QUERY_VEC_ID}
+                  ORDER BY {_duck_l2_key('v', 'qv')}, vec_id LIMIT 10)
+        SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS k,
+               CAST((SELECT COUNT(*) FROM exact JOIN pq USING (vec_id)) AS BIGINT)
+                 AS pq_hits,
+               ROUND(CAST((SELECT COUNT(*) FROM exact JOIN pq USING (vec_id)) AS DOUBLE)
+                     / (SELECT COUNT(*) FROM exact), 6) AS pq_recall
+    """,
+    tier="llm",
+    doc=f"IVF-PQ recall@10 vs the exact full-scan L2 top-10 — the "
+    "accuracy report the compression tier owes: how much of the true "
+    f"neighborhood survives {PQ_NPROBE}-cell pruning + 4-bit product "
+    f"quantization + exact re-rank of the top {PQ_RERANK}.",
+)
+def q_ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = embeddings_double(spark, sf_dir)
+    qrow = _probe_row(query_vector(spark, sf_dir))
+    qv = F.array(*[F.lit(float(x)) for x in qrow.qv])
+    exact = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("qv", qv)
+        .select(
+            "vec_id",
+            F.expr(_spark_l2_key("v", "qv")).alias("l2key"),
+        )
+        .orderBy("l2key", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    pq = q_ann_ivf_pq_topk(spark, sf_dir).select("vec_id")
+    k = exact.agg(F.count(F.lit(1)).alias("k"))
+    hits = exact.join(pq, "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("pq_hits")
+    )
+    return (
+        k.crossJoin(F.broadcast(hits)).select(
+            "k",
+            "pq_hits",
+            F.round(F.col("pq_hits").cast("double") / F.col("k"), 6).alias(
+                "pq_recall"
+            ),
+        )
+    )

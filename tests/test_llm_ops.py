@@ -19,6 +19,9 @@ ORACLE_QUERIES = [
     "ann_ivf_topk",
     "ann_ivf_topk_nprobe",
     "ann_recall_eval",
+    "ann_pq_codes",
+    "ann_ivf_pq_topk",
+    "ann_pq_recall_eval",
     "text_quality",
     "text_quality_filter",
     "text_langid",

@@ -161,3 +161,16 @@ def test_artifact_honors_shared_index_dir(spark, tmp_path, monkeypatch):
     path = session_index_path(spark, str(corpus))
     assert path.startswith(str(shared)), path
     assert os.path.isdir(path)
+
+
+def test_pq_store_is_compressed_and_pruned(spark):
+    """The PQ store is the COMPRESSED tier: codes only (no raw vector
+    column), partitioned by IVF cell so a probe is a pruned read."""
+    from map_reduce_indexing_spark.operators.similarity import pq_store
+
+    df = pq_store(spark, SF_DIR)
+    assert set(df.columns) == {"vec_id", "code", "cell"}
+    scan = df.filter(F.col("cell") == 1)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert "PartitionFilters: []" not in plan
