@@ -8,3 +8,4 @@ from . import dedup  # noqa: F401
 from . import similarity  # noqa: F401
 from . import textstats  # noqa: F401
 from . import multimodal  # noqa: F401
+from . import cdc  # noqa: F401
