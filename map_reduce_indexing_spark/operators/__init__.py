@@ -9,3 +9,4 @@ from . import similarity  # noqa: F401
 from . import textstats  # noqa: F401
 from . import multimodal  # noqa: F401
 from . import cdc  # noqa: F401
+from . import heavyhitters  # noqa: F401
