@@ -29,7 +29,7 @@ files — verified by tests/test_layout.py against the parquet footers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from .tables import load_table
 
@@ -59,4 +59,93 @@ def write_lineitem_by_shipdate(
     layout: ship-date range predicates touch only overlapping files."""
     write_range_clustered(
         load_table(spark, sf_dir, "lineitem"), "l_shipdate", path, n_files
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (multi-dimensional) clustering
+# ---------------------------------------------------------------------------
+#
+# Range clustering on ONE key makes that key's file min/max tight and
+# every other column's stats useless (each file spans the full range of
+# the non-sort columns). When two or more columns are both common
+# predicates — (part, supplier), (user, time) — the fix is a
+# space-filling curve: interleave the bits of the (normalized) keys and
+# range-cluster on the interleaved value. Each file then covers a small
+# HYPER-RECTANGLE of the key space, so min/max footer stats prune files
+# for predicates on ANY of the clustered columns (Delta/Iceberg's
+# OPTIMIZE ZORDER BY does exactly this). Everything below is plain
+# Column bitwise arithmetic — one JVM expression, whole-stage codegen,
+# and the same single range exchange as write_range_clustered.
+
+
+def _scaled(col: Column, cmin: Column, cmax: Column, bits: int) -> Column:
+    """Map col linearly from [cmin, cmax] onto integers [0, 2^bits).
+
+    Linear (not quantile) scaling keeps the expression scalar-only; for
+    heavily skewed keys, pre-transform the column (e.g. log) or widen
+    bits — the curve only needs *locality*, not uniformity.
+    """
+    span = F.when(cmax != cmin, (cmax - cmin).cast("double")).otherwise(F.lit(1.0))
+    frac = (col.cast("double") - cmin.cast("double")) / span
+    top = F.lit((1 << bits) - 1)
+    return F.least(
+        F.greatest(F.floor(frac * top).cast("long"), F.lit(0).cast("long")),
+        top.cast("long"),
+    )
+
+
+def zorder_value(scaled: list[Column], bits: int) -> Column:
+    """Interleave `bits` bits of each pre-scaled long column round-robin:
+    bit j of column c lands at position j * ncols + c."""
+    ncols = len(scaled)
+    assert bits * ncols <= 63, "interleaved key must fit a signed long"
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        for c, col in enumerate(scaled):
+            bit = F.shiftright(col, j).bitwiseAND(F.lit(1).cast("long"))
+            z = z.bitwiseOR(F.shiftleft(bit, j * ncols + c))
+    return z
+
+
+def write_zorder_clustered(
+    df: DataFrame, cols: list[str], path: str, n_files: int, bits: int = 16
+) -> None:
+    """Z-order-cluster ``df`` on ``cols`` into ``n_files`` parquet files.
+
+    Column mins/maxes for the normalization come from one tiny
+    aggregate broadcast back as a 1-row scalar frame (the same pattern
+    as the corpus-relative thresholds in textstats.py) — no driver
+    round-trip, no second scan: Spark reuses the cached scan for both
+    sides at fixture scale, and at 100 TB the extra pass is a
+    column-pruned min/max scan, the cheapest scan there is.
+
+    Files are range-clustered AND sorted by the curve value, so row
+    groups inside each file cover even smaller hyper-rectangles than
+    the file as a whole — footer stats stay tight at both
+    granularities. The curve column is dropped before the write; it is
+    derivable, not data.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+    bounds = df.agg(*aggs)
+    with_z = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "_z",
+        zorder_value(
+            [
+                _scaled(
+                    F.col(c), F.col(f"_min_{c}"), F.col(f"_max_{c}"), bits
+                )
+                for c in cols
+            ],
+            bits,
+        ),
+    )
+    (
+        with_z.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .select(df.columns)
+        .write.mode("overwrite")
+        .parquet(path)
     )

@@ -157,3 +157,84 @@ def test_index_write_is_scale_bounded(spark, tmp_path):
 
     # lossless: the bounded layout reads back to the exact postings
     assert spark.read.parquet(path).count() == postings.count()
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering
+# ---------------------------------------------------------------------------
+
+ZN_FILES = 16
+
+
+def _file_ranges_for(path: str, col: str) -> list[tuple]:
+    """(min, max) of `col` per data file, from footer statistics."""
+    ranges = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        stats = [md.row_group(i).column(idx).statistics for i in range(md.num_row_groups)]
+        assert all(s is not None and s.has_min_max for s in stats)
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    return ranges
+
+
+def _overlapping(ranges: list[tuple], lo, hi) -> int:
+    return sum(1 for mn, mx in ranges if mn <= hi and mx >= lo)
+
+
+def test_zorder_skips_on_both_dimensions(spark, tmp_path):
+    """The multi-dim claim: after z-ordering on (l_partkey, l_suppkey),
+    footer stats prune files for a selective predicate on EITHER
+    column, while the single-key range layout prunes only its own sort
+    key (every file spans the full range of the other column)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_indexing_spark.sources.layout import (
+        write_range_clustered,
+        write_zorder_clustered,
+    )
+
+    li = load_table(spark, SF_DIR_MID, "lineitem")
+    zpath = str(tmp_path / "li_zorder")
+    rpath = str(tmp_path / "li_partkey_only")
+    write_zorder_clustered(li, ["l_partkey", "l_suppkey"], zpath, ZN_FILES)
+    write_range_clustered(li, "l_partkey", rpath, ZN_FILES)
+
+    pk_min, pk_max, sk_min, sk_max = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+    # bottom ~eighth of each key range
+    pk_hi = pk_min + (pk_max - pk_min) // 8
+    sk_hi = sk_min + (sk_max - sk_min) // 8
+
+    z_pk = _overlapping(_file_ranges_for(zpath, "l_partkey"), pk_min, pk_hi)
+    z_sk = _overlapping(_file_ranges_for(zpath, "l_suppkey"), sk_min, sk_hi)
+    r_pk = _overlapping(_file_ranges_for(rpath, "l_partkey"), pk_min, pk_hi)
+    r_sk = _overlapping(_file_ranges_for(rpath, "l_suppkey"), sk_min, sk_hi)
+
+    # single-key layout: prunes its sort key, blind on the other
+    assert 0 < r_pk < ZN_FILES
+    assert r_sk == ZN_FILES
+    # z-order: prunes on BOTH
+    assert 0 < z_pk < ZN_FILES, (z_pk, ZN_FILES)
+    assert 0 < z_sk < ZN_FILES, (z_sk, ZN_FILES)
+
+
+def test_zorder_readback_matches_source(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from map_reduce_indexing_spark.sources.layout import write_zorder_clustered
+
+    li = load_table(spark, SF_DIR_MID, "lineitem")
+    out = str(tmp_path / "li_zorder_rb")
+    write_zorder_clustered(li, ["l_partkey", "l_suppkey"], out, ZN_FILES)
+
+    back = spark.read.parquet(out)
+    assert sorted(back.columns) == sorted(li.columns)  # curve column dropped
+    assert back.count() == li.count()
+    # box predicate returns identical row multiset
+    pred = (F.col("l_partkey") <= 200) & (F.col("l_suppkey") <= 20)
+    a = back.filter(pred).groupBy("l_orderkey").count()
+    b = li.filter(pred).groupBy("l_orderkey").count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
