@@ -319,6 +319,99 @@ def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _latest_state_oracle() -> str:
+    from ..operators.cdc import _LATEST_SQL
+
+    return _LATEST_SQL
+
+
+@register(
+    "stream_cdc_upsert",
+    # Shares rel_cdc_latest_state's oracle: the continuously-maintained
+    # upsert state must converge to the batch log compaction.
+    oracle=_latest_state_oracle(),
+    tier="streaming",
+    doc="Continuous CDC upsert (the streaming half of operators/cdc.py): "
+    "per-key latest-wins state in applyInPandasWithState — a change row "
+    "replaces the key's state iff its (ts, event_id) exceeds the stored "
+    "one, so late/out-of-order changes within a batch or across batches "
+    "can never regress state. Update-mode emissions are folded to the "
+    "final state by max_by over the strictly-increasing change counter. "
+    "This is the operator a streaming materialized view of a mutable "
+    "table needs (Kafka topic -> continuously-fresh dimension).",
+)
+def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    return fold_cdc_upsert_updates(run_to_completion(cdc_upsert_stream(ev), "update"))
+
+
+def cdc_upsert_stream(ev: DataFrame) -> DataFrame:
+    """Latest-wins upsert state over a stream with (user_id, ts,
+    event_id, event_type, value) columns; emits the running state per
+    key in update mode. Split out so tests can drive it with an
+    adversarial (out-of-order) source."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+
+    def upsert(key, pdfs, state: GroupState):
+        ts_us, eid, etype, val, n = (
+            state.get if state.exists else (-1, -1, "", 0.0, 0)
+        )
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            top = pdf.sort_values(["ts_us", "event_id"]).iloc[-1]
+            if (int(top["ts_us"]), int(top["event_id"])) > (ts_us, eid):
+                ts_us, eid = int(top["ts_us"]), int(top["event_id"])
+                etype, val = str(top["event_type"]), float(top["value"])
+        state.update((ts_us, eid, etype, val, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "ts_us": [ts_us],
+                "event_id": [eid],
+                "last_event_type": [etype],
+                "last_value": [val],
+                "n_changes": [n],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        upsert,
+        outputStructType=(
+            "user_id long, ts_us long, event_id long, "
+            "last_event_type string, last_value double, n_changes long"
+        ),
+        stateStructType="ts_us long, eid long, etype string, val double, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def fold_cdc_upsert_updates(log: DataFrame) -> DataFrame:
+    # n_changes strictly increases per emission, so max_by(_, n_changes)
+    # is the converged (final) state row for each key.
+    return log.groupBy("user_id").agg(
+        F.timestamp_micros(F.max_by(F.col("ts_us"), F.col("n_changes"))).alias(
+            "last_ts"
+        ),
+        F.max_by(F.col("last_event_type"), F.col("n_changes")).alias(
+            "last_event_type"
+        ),
+        F.max_by(F.col("last_value"), F.col("n_changes")).alias("last_value"),
+        F.max("n_changes").alias("n_changes"),
+    )
+
+
 @register(
     "stream_interval_join",
     oracle="""

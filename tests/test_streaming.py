@@ -21,6 +21,7 @@ ORACLE_QUERIES = [
     "stream_static_join",
     "stream_stateful_user_stats",
     "stream_ann_lookup",
+    "stream_cdc_upsert",
 ]
 
 
@@ -182,6 +183,62 @@ def test_ann_lookup_never_broadcasts_the_store(spark):
     for sub in plan.split("BroadcastExchange")[1:]:
         head = sub[:600]
         assert "mri_emb_store_" not in head, "embedding store was broadcast"
+
+
+def test_cdc_upsert_never_regresses_on_out_of_order_changes(spark, tmp_path):
+    """A change arriving in a LATER microbatch with an EARLIER
+    (ts, event_id) must not overwrite newer state — the latest-wins
+    guard of cdc_upsert_stream, proven with explicit batch ordering."""
+    import datetime
+
+    from map_reduce_indexing_spark.streaming.events import (
+        cdc_upsert_stream,
+        fold_cdc_upsert_updates,
+    )
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    schema = "user_id long, ts timestamp, event_id long, event_type string, value double"
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    # batch 1: the NEWER change (ts 12:30) arrives first
+    spark.createDataFrame(
+        [(1, t0 + datetime.timedelta(minutes=30), 100, "purchase", 9.0)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    name = "cdc_ooo_sink"
+    q = (
+        cdc_upsert_stream(stream)
+        .writeStream.format("memory")
+        .outputMode("update")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: an out-of-order change for the same user (ts 12:00)
+        # and a genuinely newer one for another user
+        spark.createDataFrame(
+            [
+                (1, t0, 99, "click", 1.0),
+                (2, t0 + datetime.timedelta(minutes=5), 101, "view", 2.0),
+            ],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = {
+        r["user_id"]: r
+        for r in fold_cdc_upsert_updates(spark.table(name)).collect()
+    }
+    # user 1 keeps the 12:30 purchase despite the later-arriving older row
+    assert final[1]["last_event_type"] == "purchase"
+    assert final[1]["last_value"] == 9.0
+    assert final[1]["n_changes"] == 2  # the stale change was still counted
+    assert final[2]["last_event_type"] == "view"
 
 
 def test_watermark_drops_late_data(spark, tmp_path):
