@@ -10,3 +10,4 @@ from . import textstats  # noqa: F401
 from . import multimodal  # noqa: F401
 from . import cdc  # noqa: F401
 from . import heavyhitters  # noqa: F401
+from . import eventflow  # noqa: F401

@@ -1,0 +1,256 @@
+"""Batch event-flow analytics over the ``events`` table: gap-based
+sessionization, ordered funnels, and cohort retention (SURVEY.md §2 EXT
+tier — the batch complement of streaming/events.py's session windows,
+and the analytics a training-data/telemetry pipeline runs daily).
+
+Reference parity note: the reference engine (GingerBear/
+map-reduce-indexing, helper_reduce.c:153) has only COUNT-GROUP-BY over
+tokens; event-flow analytics is part of the EXT surface SURVEY.md §2
+calls for beyond it. The streaming twin of ``rel_sessionize`` is
+``stream_session_windows`` (streaming/events.py) — same 30-minute gap
+semantics, so the two can be cross-checked on a static fixture.
+
+Scale notes (the 100-TB plan, not just the fixture plan):
+
+* Every query here shuffles the events table AT MOST ONCE on
+  ``user_id`` (the sessionize window, the per-user firsts, the cohort
+  join all hash-partition on the same key); Spark reuses that single
+  exchange across the window and the following groupBy because the
+  grouping keys are a superset of the partitioning key.
+* Ordering inside a user is (ts, event_id) — a unique composite — so
+  window frames and "first event after X" are deterministic even with
+  timestamp collisions.
+* Durations and week offsets are integer microsecond arithmetic
+  (``unix_micros`` // divisor), never float seconds and never
+  boundary-counting date_diff — identical floor semantics in the
+  DuckDB oracle via ``epoch_us``.
+* Funnel conversion ratios divide two exact BIGINT counts once, cast
+  to double at the end — bit-stable across partitionings.
+* Per-user state is bounded by that user's event count; a pathological
+  hot user skews one task, and the fix is the same salting pattern as
+  operators/asof.py:137 (chunk the user's timeline, carry one summary
+  row per chunk) — not needed at fixture scale, documented here so the
+  review trail shows the limit is known.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+# Session gap: 30 minutes, expressed in integer microseconds so both
+# engines cut sessions with identical floor semantics.
+GAP_US = 30 * 60 * 1_000_000
+US_PER_S = 1_000_000
+US_PER_WEEK = 7 * 86_400 * 1_000_000
+
+# The ordered funnel: a user converts step i only with an event of
+# step i's type STRICTLY AFTER their conversion time for step i-1.
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "rel_sessionize",
+    oracle=f"""
+        WITH marked AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             > {GAP_US} THEN 1
+                        WHEN lag(ts) OVER w IS NULL THEN 1
+                        ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM marked
+        )
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+               (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // {US_PER_S}
+                   AS duration_s
+        FROM numbered
+        GROUP BY user_id, session_seq
+    """,
+    tier="relational",
+    doc="Gap-based sessionization (30-min inactivity gap): one row per "
+    "(user, session) with event count, bounds, and integer-second "
+    "duration. Single shuffle on user_id; the running SUM(is_new) "
+    "frame and the session group-by reuse the same exchange. The "
+    "batch twin of stream_session_windows.",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    is_new = F.when(us - F.lag(us).over(w) > GAP_US, 1).otherwise(
+        F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    numbered = ev.withColumn("is_new", is_new).withColumn(
+        "session_seq", F.sum("is_new").over(run).cast("long")
+    )
+    return (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "_dur_us"
+            ),
+        )
+        # integer DIV, same floor semantics as the oracle's `//`
+        .withColumn("duration_s", F.expr(f"_dur_us DIV {US_PER_S}"))
+        .drop("_dur_us")
+    )
+
+
+def _funnel_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user conversion times t_view <= t_click <= t_purchase.
+
+    One conditional-aggregation pass per step over the (already
+    user-partitioned) events: step i is MIN(ts) among events of that
+    type strictly after the user's step i-1 time. Each step is a
+    shuffle-free groupBy after the first user_id exchange; the tiny
+    per-user frames chain with co-partitioned joins on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    cur = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_0"))
+    )
+    for i, step in enumerate(FUNNEL_STEPS[1:], start=1):
+        nxt = (
+            ev.filter(F.col("event_type") == step)
+            .join(cur.select("user_id", F.col(f"t_{i-1}").alias("prev_t")), "user_id")
+            .filter(F.col("ts") > F.col("prev_t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"t_{i}"))
+        )
+        cur = cur.join(nxt, "user_id", "left")
+    return cur
+
+
+_SQL_FUNNEL_TIMES = f"""
+    WITH s0 AS (
+        SELECT user_id, MIN(ts) AS t_0 FROM events
+        WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+    ), s1 AS (
+        SELECT e.user_id, MIN(e.ts) AS t_1
+        FROM events e JOIN s0 ON e.user_id = s0.user_id
+        WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s0.t_0
+        GROUP BY e.user_id
+    ), s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t_2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s1.t_1
+        GROUP BY e.user_id
+    ), f AS (
+        SELECT s0.user_id, t_0, t_1, t_2
+        FROM s0 LEFT JOIN s1 ON s0.user_id = s1.user_id
+                LEFT JOIN s2 ON s1.user_id = s2.user_id
+    )
+"""
+
+
+@register(
+    "rel_funnel",
+    oracle=_SQL_FUNNEL_TIMES
+    + f"""
+        SELECT CAST(step_no AS BIGINT) AS step_no, step,
+               CAST(n_users AS BIGINT) AS n_users,
+               CAST(n_users AS DOUBLE)
+                 / CAST(MAX(n_users) OVER () AS DOUBLE) AS conv_from_first
+        FROM (
+            SELECT 1 AS step_no, '{FUNNEL_STEPS[0]}' AS step,
+                   COUNT(t_0) AS n_users FROM f
+            UNION ALL
+            SELECT 2, '{FUNNEL_STEPS[1]}', COUNT(t_1) FROM f
+            UNION ALL
+            SELECT 3, '{FUNNEL_STEPS[2]}', COUNT(t_2) FROM f
+        ) steps
+    """,
+    tier="relational",
+    doc="Ordered conversion funnel view -> click -> purchase: a user "
+    "counts for step i only with a step-i event strictly after their "
+    "step-(i-1) conversion time. Emits one row per step with the "
+    "user count and the conversion rate vs step 1 (exact BIGINT "
+    "division, cast once). The per-user times frame is one shuffle "
+    "on user_id; the 3-row summary is a driver-free union of "
+    "aggregates.",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = _funnel_times(spark, sf_dir)
+    steps = f.agg(
+        F.count("t_0").alias("n_1"),
+        F.count("t_1").alias("n_2"),
+        F.count("t_2").alias("n_3"),
+    )
+    rows = None
+    for i, step in enumerate(FUNNEL_STEPS, start=1):
+        r = steps.select(
+            F.lit(i).cast("long").alias("step_no"),
+            F.lit(step).alias("step"),
+            F.col(f"n_{i}").alias("n_users"),
+            (F.col(f"n_{i}").cast("double") / F.col("n_1").cast("double")).alias(
+                "conv_from_first"
+            ),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows
+
+
+@register(
+    "rel_retention_cohorts",
+    oracle=f"""
+        WITH firsts AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS wk0
+            FROM events GROUP BY user_id
+        )
+        SELECT strftime(f.wk0, '%Y-%m-%d') AS cohort_week,
+               (epoch_us(CAST(date_trunc('week', e.ts) AS TIMESTAMP))
+                  - epoch_us(f.wk0)) // {US_PER_WEEK} AS week_offset,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
+    tier="relational",
+    doc="Weekly cohort retention: users grouped by the ISO week of "
+    "their first event; n_active = distinct users of that cohort "
+    "seen in each subsequent week (offset 0 = the cohort week "
+    "itself). Week math is integer microseconds over Monday-"
+    "truncated stamps — both engines truncate weeks to Monday, and "
+    "the offset division is exact because both operands are week "
+    "boundaries. Cohort assignment joins co-partitioned on user_id "
+    "(the firsts frame is per-user — broadcast at fixture scale, "
+    "shuffle-join on the same key at 100 TB).",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("wk0")
+    )
+    return (
+        ev.join(firsts, "user_id")
+        .select(
+            F.date_format("wk0", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.unix_micros(F.date_trunc("week", F.col("ts")))
+                - F.unix_micros("wk0")
+            ).alias("_off_us"),
+            "user_id",
+        )
+        .withColumn("week_offset", F.expr(f"_off_us DIV {US_PER_WEEK}"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

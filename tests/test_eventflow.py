@@ -1,0 +1,99 @@
+"""Batch event-flow analytics (operators/eventflow.py): oracle parity
+plus semantic invariants the oracle alone would not pin down."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from map_reduce_indexing_spark.operators import eventflow
+from map_reduce_indexing_spark.plans.registry import get
+from tests.conftest import SF_DIR, assert_df_matches_oracle
+
+
+@pytest.mark.parametrize(
+    "name", ["rel_sessionize", "rel_funnel", "rel_retention_cohorts"]
+)
+def test_oracle_parity(spark, duck, name):
+    q = get(name)
+    assert_df_matches_oracle(q.fn(spark, SF_DIR), duck, q.oracle)
+
+
+def test_sessionize_invariants(spark):
+    df = eventflow.q_sessionize(spark, SF_DIR).cache()
+    try:
+        rows = df.collect()
+        assert rows, "no sessions produced"
+        # Sessions partition the event stream: per-user session_seq is
+        # 1..n dense, and durations are non-negative.
+        assert all(r.duration_s >= 0 for r in rows)
+        assert all(r.n_events >= 1 for r in rows)
+        per_user = (
+            df.groupBy("user_id")
+            .agg(
+                F.min("session_seq").alias("lo"),
+                F.max("session_seq").alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        for r in per_user:
+            assert (r.lo, r.hi - r.lo + 1) == (1, r.n)
+        # Event conservation: session event counts sum to the table size.
+        total = df.agg(F.sum("n_events")).collect()[0][0]
+        n_events = (
+            spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+        )
+        assert total == n_events
+    finally:
+        df.unpersist()
+
+
+def test_sessionize_gap_is_strict(spark):
+    # Within a session no consecutive gap exceeds GAP_US; across a
+    # session boundary the gap does. Verified on one heavy user.
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    uid, evs = max(by_user.items(), key=lambda kv: len(kv[1]))
+    expected_sessions = 1
+    for a, b in zip(evs, evs[1:]):
+        gap = (b.ts - a.ts).total_seconds() * 1_000_000
+        if gap > eventflow.GAP_US:
+            expected_sessions += 1
+    got = (
+        eventflow.q_sessionize(spark, SF_DIR)
+        .filter(F.col("user_id") == uid)
+        .count()
+    )
+    assert got == expected_sessions
+
+
+def test_funnel_monotone(spark):
+    rows = {r.step: r for r in eventflow.q_funnel(spark, SF_DIR).collect()}
+    assert set(rows) == set(eventflow.FUNNEL_STEPS)
+    n = [rows[s].n_users for s in eventflow.FUNNEL_STEPS]
+    assert n[0] >= n[1] >= n[2] >= 0
+    assert rows["view"].conv_from_first == 1.0
+    assert all(0.0 <= rows[s].conv_from_first <= 1.0 for s in rows)
+
+
+def test_retention_offsets_start_at_zero(spark):
+    df = eventflow.q_retention_cohorts(spark, SF_DIR)
+    rows = df.collect()
+    assert rows
+    assert all(r.week_offset >= 0 for r in rows)
+    # Offset 0 of a cohort contains the whole cohort (every user is
+    # active in their own first week by definition).
+    zero = {r.cohort_week: r.n_active for r in rows if r.week_offset == 0}
+    later = [
+        r
+        for r in rows
+        if r.week_offset > 0 and r.n_active > zero[r.cohort_week]
+    ]
+    assert not later, f"cohort grew after week 0: {later[:3]}"
