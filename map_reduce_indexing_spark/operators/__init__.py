@@ -11,3 +11,4 @@ from . import multimodal  # noqa: F401
 from . import cdc  # noqa: F401
 from . import heavyhitters  # noqa: F401
 from . import eventflow  # noqa: F401
+from . import profiling  # noqa: F401

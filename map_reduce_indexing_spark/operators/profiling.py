@@ -1,0 +1,240 @@
+"""Dataset profiling and deterministic sampling (SURVEY.md §2 EXT tier
+— the data-quality / corpus-curation layer of a training-data pipeline).
+
+Reference parity note: the reference engine (GingerBear/
+map-reduce-indexing, helper_reduce.c:153) computes one histogram over
+tokens; profiling arbitrary tabular columns and drawing reproducible
+samples is part of the EXT surface SURVEY.md §2 calls for beyond it.
+
+Why hash-based sampling instead of ``df.sample()``: RNG sampling is
+not reproducible across engines, partitionings, or reruns, which makes
+it untestable against an oracle and unusable for train/eval splits
+(the same row must land in the same split forever). Hashing a stable
+key (md5 hex prefix -> integer bucket 0..99) gives a deterministic
+per-row coin flip that both Spark and DuckDB compute bit-identically
+— the same mechanism as textstats.py's train/val/test split, here
+applied per-stratum. (Spark's built-in ``hash()`` is Murmur3 with
+Spark-specific seeding, and DuckDB's ``hash()`` is a different
+function entirely; md5 is the one hash both engines share.)
+
+Scale notes:
+
+* ``rel_profile_columns`` is ONE pass over the table: a single
+  aggregate computes per-column counts/nulls/min/max/distinct, then a
+  6-row unpivot. Multiple exact COUNT(DISTINCT) in one aggregate make
+  Catalyst plan an Expand (row x #distinct-aggs before the shuffle) —
+  the honest cost of exact profiling. At 100 TB swap the exact
+  distincts for ``approx_count_distinct`` (HLL, no Expand) — the
+  variant `rel_profile_columns_approx` below is exactly that and is
+  pytest-verified with rows-only bounds (HLL estimates have no SQL
+  oracle).
+* Sampling/histogram queries are scan + per-row expression + one
+  small-key aggregate: map-side partials, no joins, no skew exposure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Column profiling
+# ---------------------------------------------------------------------------
+
+# (column, SQL expression rendering min/max as a cross-engine-stable
+# string). Doubles go through DECIMAL(18,2) first: both engines render
+# 2-place decimals identically, while raw double->string formatting is
+# engine-specific.
+_PROFILE_COLS: tuple[tuple[str, str], ...] = (
+    ("o_orderkey", "o_orderkey"),
+    ("o_custkey", "o_custkey"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_totalprice", "CAST(o_totalprice AS DECIMAL(18,2))"),
+    ("o_orderdate", "o_orderdate"),
+    ("o_orderpriority", "o_orderpriority"),
+)
+
+
+def _profile(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col, expr in _PROFILE_COLS:
+        e = F.expr(expr)
+        aggs += [
+            F.count(e).alias(f"{col}__nn"),
+            (
+                F.countDistinct(e)
+                if exact
+                else F.approx_count_distinct(e)
+            ).alias(f"{col}__nd"),
+            F.min(e).cast("string").alias(f"{col}__min"),
+            F.max(e).cast("string").alias(f"{col}__max"),
+        ]
+    one = orders.agg(*aggs)
+    # Unpivot the single stats row into one row per column via stack().
+    stack_args = ", ".join(
+        f"'{col}', {col}__nn, {col}__nd, {col}__min, {col}__max"
+        for col, _ in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_non_null, n_distinct, min_value, max_value)",
+        "n_rows",
+    ).select(
+        "column_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.col("n_rows") - F.col("n_non_null")).cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_value",
+        "max_value",
+    )
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for col, expr in _PROFILE_COLS:
+        parts.append(
+            f"""SELECT '{col}' AS column_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT({expr}) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT {expr}) AS BIGINT) AS n_distinct,
+                   CAST(MIN({expr}) AS VARCHAR) AS min_value,
+                   CAST(MAX({expr}) AS VARCHAR) AS max_value
+            FROM orders"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "rel_profile_columns",
+    oracle=_profile_oracle(),
+    tier="relational",
+    doc="One-pass exact column profile of `orders`: per column the row "
+    "count, null count, exact distinct count, and min/max rendered "
+    "as strings (doubles via DECIMAL(18,2) so both engines format "
+    "identically). Single aggregate + 6-row stack() unpivot; the "
+    "oracle's UNION-ALL-of-scans form is the correctness mirror, "
+    "not the plan. Exact multi-column COUNT(DISTINCT) costs an "
+    "Expand — see rel_profile_columns_approx for the 100-TB form.",
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _profile(spark, sf_dir, exact=True)
+
+
+@register(
+    "rel_profile_columns_approx",
+    oracle=None,  # HLL estimates are engine-specific; bounds pytest-checked
+    tier="relational",
+    export=False,
+    doc="The 100-TB profile: approx_count_distinct (HLL sketch, ~2% "
+    "default error, mergeable map-side, no Expand) in place of exact "
+    "distincts. Everything else identical to rel_profile_columns; "
+    "tests/test_profiling.py bounds the estimates against the exact "
+    "counts.",
+)
+def q_profile_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _profile(spark, sf_dir, exact=False)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+# Per-stratum sampling rates in percent: oversample returns ('R'),
+# keep a small slice of the rest — the classic class-rebalancing shape.
+_STRATA_PCT: tuple[tuple[str, int], ...] = (("R", 10), ("A", 4), ("N", 2))
+
+
+def _bucket_expr_spark() -> F.Column:
+    key = F.concat_ws(
+        "|", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    return (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 100
+    )
+
+
+_SQL_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' || "
+    "CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+)
+
+
+@register(
+    "rel_sample_stratified",
+    oracle=f"""
+        WITH rates(flag, pct) AS (VALUES {", ".join(f"('{f}', {p})" for f, p in _STRATA_PCT)})
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_qty
+        FROM lineitem JOIN rates ON l_returnflag = rates.flag
+        WHERE {_SQL_BUCKET} < rates.pct
+        GROUP BY l_returnflag
+    """,
+    tier="relational",
+    doc="Deterministic stratified sample of lineitem by return flag "
+    "(R 10%, A 4%, N 2%): each row's md5-derived bucket 0..99 is "
+    "compared to its stratum's rate, so membership is a pure row "
+    "property — reproducible across engines, partitionings, and "
+    "reruns, and rows never migrate between samples when the table "
+    "grows. Plan: scan + broadcast 3-row rate dim + per-row hash + "
+    "map-side-partial aggregate; no full-table shuffle. Emits "
+    "per-stratum sampled counts/sums (the downstream-visible "
+    "contract of a sampler).",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    rates = spark.createDataFrame(
+        list(_STRATA_PCT), "flag: string, pct: int"
+    )
+    return (
+        li.join(F.broadcast(rates), li.l_returnflag == F.col("flag"))
+        .filter(_bucket_expr_spark() < F.col("pct"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram
+# ---------------------------------------------------------------------------
+
+_BIN_W = 25_000  # o_totalprice spans ~1e3..5e5; 20 populated bins
+
+
+@register(
+    "rel_histogram_totalprice",
+    oracle=f"""
+        SELECT CAST(FLOOR(o_totalprice / {_BIN_W}) AS BIGINT) * {_BIN_W}
+                   AS bin_lo,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY 1
+    """,
+    tier="relational",
+    doc="Fixed-width histogram of order totals (bin width 25k): "
+    "per-row FLOOR bucketing + count. FLOOR on a double is exact in "
+    "both engines away from bin boundaries, and the fixture's 2-dp "
+    "prices never sit on a 25k boundary with a representation "
+    "error. Map-side partial aggregation over ~20 keys — the "
+    "cheapest possible distribution sketch of a 100-TB column.",
+)
+def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bin_lo = (
+        F.floor(F.col("o_totalprice") / F.lit(_BIN_W)).cast("long") * _BIN_W
+    )
+    return (
+        orders.groupBy(bin_lo.alias("bin_lo"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
