@@ -112,7 +112,7 @@ def _hh_oracle(tokens_sql: str, col: str) -> str:
 @register(
     "index_heavy_hitters",
     oracle=_hh_oracle(TOKENS_SQL, "word"),
-    tier="index",
+    tier="implied",
     doc="Tokens exceeding 0.2% of the corpus, exactly — via per-partition "
     "Misra-Gries candidates + candidate-only recount. Shuffles O(k * "
     "partitions), never the vocabulary tail. Oracle is the full "
@@ -151,7 +151,7 @@ _BIGRAMS_SQL = """
     "index_heavy_hitters_bigram",
     export=False,  # pytest-verified variant: same machinery, larger domain
     oracle=_hh_oracle(_BIGRAMS_SQL, "word"),
-    tier="index",
+    tier="implied",
     doc="Heavy hitters over within-document word bigrams — the n-gram "
     "domain is |vocab|^2, which is where candidate pruning starts to "
     "pay even at fixture scale. Bigrams are built order-safely from "

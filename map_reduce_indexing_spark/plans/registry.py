@@ -69,7 +69,7 @@ PRIORITY_WINDOW = [
     "search_and",
     "search_phrase",
     "search_topk_per_term",
-    "search_term_topk",
+    "index_heavy_hitters",  # r5 rotation: replaced search_term_topk (top-k family already covered by search_topk_per_term)
     "search_bm25_rank",
     "search_doc_tf_vector",
     # relational: agg + join family
@@ -81,10 +81,10 @@ PRIORITY_WINDOW = [
     "rel_join_outer_counts",
     "rel_theta_join_bands",
     "rel_join_asof",
+    "rel_cdc_scd2",  # r5 rotation: CDC family gets an external row
     # relational: distribution stats + grouping
     "rel_approx_distinct",
     "rel_percentiles",
-    "rel_approx_percentiles",
     "rel_grouping_sets",
     # relational: windows, sets, scalar/json surface
     "rel_window_rank_parts",
@@ -93,15 +93,13 @@ PRIORITY_WINDOW = [
     "rel_set_ops",
     "rel_scalar_functions",
     "rel_json_parse",
-    # dedup (all nine) + LSH calibration eval
-    "dedup_exact",
+    # dedup family + LSH calibration eval
     "dedup_exact_kept",
     "dedup_ngram_jaccard",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
     "dedup_lsh_recall_eval",
     "dedup_simhash",
-    "dedup_simhash_pairs",
     "dedup_embedding_pairs",
     "dedup_clusters",
     # similarity search + accuracy eval
@@ -109,6 +107,11 @@ PRIORITY_WINDOW = [
     "ann_lsh_topk",
     "ann_knn_batch_numpy",
     "ann_recall_eval",
+    # event-flow analytics (r5 rotation: replaced dedup_exact,
+    # dedup_simhash_pairs, rel_approx_percentiles — each family keeps
+    # another in-window representative)
+    "rel_sessionize",
+    "rel_funnel",
     # text analysis
     "text_quality",
     "text_langid",

@@ -44,6 +44,26 @@ def test_window_exercises_eval_layer_and_ntz_path():
     } <= set(PRIORITY_WINDOW)
 
 
+def test_window_exercises_round5_families():
+    """Round-5 rotation: the newest operator families (CDC, heavy
+    hitters, event-flow) must be externally verified; the rows they
+    replaced keep an in-window family representative."""
+    w = set(PRIORITY_WINDOW)
+    assert {
+        "rel_cdc_scd2",
+        "index_heavy_hitters",
+        "rel_sessionize",
+        "rel_funnel",
+    } <= w
+    # family representatives that must stay
+    assert {
+        "dedup_exact_kept",
+        "dedup_simhash",
+        "search_topk_per_term",
+        "rel_percentiles",
+    } <= w
+
+
 def test_every_exported_query_has_an_oracle():
     oracles = entrymod.oracle_sql()
     for name in entrymod.queries():
