@@ -113,6 +113,42 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rel_event_transitions",
+    oracle="""
+        WITH pairs AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS to_type
+            FROM events
+        )
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    """,
+    tier="relational",
+    doc="Event-type transition counts (first-order Markov edges): for "
+    "each consecutive pair in a user's (ts, event_id)-ordered "
+    "timeline, count (from_type -> to_type). One shuffle on user_id "
+    "for the lead() window; the follow-up groupBy runs on the "
+    "5x5-key pair space with map-side partials. The raw material "
+    "for path analysis, next-action models, and anomaly detection "
+    "over a 100-TB clickstream.",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def _funnel_times(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user conversion times t_view <= t_click <= t_purchase.
 

@@ -12,7 +12,13 @@ from tests.conftest import SF_DIR, assert_df_matches_oracle
 
 
 @pytest.mark.parametrize(
-    "name", ["rel_sessionize", "rel_funnel", "rel_retention_cohorts"]
+    "name",
+    [
+        "rel_sessionize",
+        "rel_funnel",
+        "rel_retention_cohorts",
+        "rel_event_transitions",
+    ],
 )
 def test_oracle_parity(spark, duck, name):
     q = get(name)
@@ -81,6 +87,17 @@ def test_funnel_monotone(spark):
     assert n[0] >= n[1] >= n[2] >= 0
     assert rows["view"].conv_from_first == 1.0
     assert all(0.0 <= rows[s].conv_from_first <= 1.0 for s in rows)
+
+
+def test_transitions_conserve_pairs(spark):
+    # Sum of transition counts == total events minus one per user
+    # (each user's timeline of length n contributes n-1 edges).
+    df = eventflow.q_event_transitions(spark, SF_DIR)
+    total = df.agg(F.sum("n")).collect()[0][0]
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert total == n_events - n_users
 
 
 def test_retention_offsets_start_at_zero(spark):
