@@ -46,6 +46,9 @@ HEADLINE = [
     "text_lm_score",           # bigram LM scoring (n-gram count joins)
     "text_pack_sequences",     # per-source windowed packing
     "rel_q14_promo_revenue",   # broadcast join + conditional-agg ratio
+    "rel_sessionize",          # gap sessionization (single-shuffle window)
+    "rel_cdc_latest_state",    # CDC log compaction (max_by agg)
+    "index_heavy_hitters",     # Misra-Gries candidates + exact recount
     "dedup_clusters",          # iterative connected components
     "multimodal_image_meta",   # Arrow mapInPandas pass
     "stream_tumbling_counts",  # structured streaming run

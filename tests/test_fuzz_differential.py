@@ -221,3 +221,126 @@ def test_random_pipeline_matches_duckdb(spark, duck, spec):
     exprs = [a.spark() for a in aggs]
     out = df.groupBy(*keys).agg(*exprs) if keys else df.agg(*exprs)
     assert_df_matches_oracle(out, duck, _render_sql(table, preds, keys, aggs))
+
+
+# ---------------------------------------------------------------------------
+# Join-stage fuzz: filter -> join -> groupBy -> agg over both tables
+# ---------------------------------------------------------------------------
+
+
+def _draw_preds(draw, table: str, n: int) -> list[Pred]:
+    """n predicates over `table`, reusing the single-table grammar."""
+    spec = TABLES[table]
+    preds = []
+    for _ in range(n):
+        family = draw(st.sampled_from(["int", "double", "cat", "ts"]))
+        if family == "int":
+            col = draw(st.sampled_from(spec["int"]))
+            op = draw(st.sampled_from(CMP_OPS))
+            v = draw(st.integers(0, spec["int_hi"]))
+            preds.append(Pred(f"{col} {op} {v}", col, op, v))
+        elif family == "double":
+            col = draw(st.sampled_from(spec["double"]))
+            op = draw(st.sampled_from(["<", "<=", ">", ">="]))
+            v = draw(st.integers(0, spec["double_hi"])) / 100.0
+            preds.append(Pred(f"{col} {op} {v!r}", col, op, v))
+        elif family == "cat":
+            col = draw(st.sampled_from(spec["cat"]))
+            op = draw(st.sampled_from(["=", "<>"]))
+            v = draw(st.sampled_from(spec["cat_domain"][col]))
+            preds.append(Pred(f"{col} {op} '{v}'", col, op, v))
+        else:
+            col = draw(st.sampled_from(spec["ts"]))
+            op = draw(st.sampled_from(["<", ">="]))
+            import datetime
+
+            day = draw(st.integers(0, 2555))
+            d = datetime.date(1992, 1, 1) + datetime.timedelta(days=day)
+            v = f"{d} 00:00:00"
+            preds.append(Pred(f"{col} {op} TIMESTAMP '{v}'/*ts*/", col, op, v))
+    return preds
+
+
+_JOIN_KEY_COLS = ["l_returnflag", "l_linestatus", "o_orderstatus", "o_orderpriority"]
+
+
+@st.composite
+def join_pipelines(draw):
+    """lineitem JOIN orders on orderkey, semi or inner, then group/agg.
+
+    Column names are disjoint across the two fixtures, so qualified
+    references are unnecessary and the SQL renders from the same Pred/
+    Agg fragments as the single-table grammar.
+    """
+    how = draw(st.sampled_from(["inner", "left_semi"]))
+    li_preds = _draw_preds(draw, "lineitem", draw(st.integers(0, 2)))
+    o_preds = _draw_preds(draw, "orders", draw(st.integers(0, 2)))
+
+    li, orders = TABLES["lineitem"], TABLES["orders"]
+    if how == "left_semi":  # only lineitem columns survive a semi join
+        key_pool = ["l_returnflag", "l_linestatus"]
+        agg_pool = (
+            [("count", None)]
+            + [("count_distinct", c) for c in li["int"] + li["cat"]]
+            + [("min", c) for c in li["int"] + li["double"]]
+            + [("max", c) for c in li["cat"] + li["ts"]]
+            + [("sum_dec", c) for c in li["double"]]
+        )
+    else:
+        key_pool = _JOIN_KEY_COLS
+        agg_pool = (
+            [("count", None)]
+            + [("count_distinct", c) for c in li["int"] + orders["int"]]
+            + [("min", c) for c in li["double"] + orders["double"] + orders["ts"]]
+            + [("max", c) for c in li["cat"] + orders["cat"]]
+            + [("sum_int", c) for c in li["int"] + orders["int"]]
+            + [("sum_dec", c) for c in li["double"] + orders["double"]]
+        )
+    keys = draw(st.lists(st.sampled_from(key_pool), min_size=0, max_size=2, unique=True))
+    picks = draw(st.lists(st.sampled_from(agg_pool), min_size=1, max_size=3, unique=True))
+    aggs = [Agg(kind, col, f"a{i}") for i, (kind, col) in enumerate(picks)]
+    return how, tuple(li_preds), tuple(o_preds), tuple(keys), tuple(aggs)
+
+
+def _render_join_sql(how, li_preds, o_preds, keys, aggs) -> str:
+    sel = ", ".join([*keys, *(a.sql() for a in aggs)])
+    li_where = " AND ".join(p.sql.replace("/*ts*/", "") for p in li_preds) or "TRUE"
+    o_where = " AND ".join(p.sql.replace("/*ts*/", "") for p in o_preds) or "TRUE"
+    if how == "left_semi":
+        q = (
+            f"SELECT {sel} FROM lineitem WHERE ({li_where}) AND l_orderkey IN "
+            f"(SELECT o_orderkey FROM orders WHERE {o_where})"
+        )
+    else:
+        q = (
+            f"SELECT {sel} FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            f"WHERE ({li_where}) AND ({o_where})"
+        )
+    if keys:
+        q += " GROUP BY " + ", ".join(keys)
+    return q
+
+
+@settings(
+    max_examples=max(50, MAX_EXAMPLES // 2),
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(spec=join_pipelines())
+def test_random_join_pipeline_matches_duckdb(spark, duck, spec):
+    how, li_preds, o_preds, keys, aggs = spec
+    li = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders")
+    for p in li_preds:
+        li = li.filter(p.spark())
+    for p in o_preds:
+        orders = orders.filter(p.spark())
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey, how)
+    exprs = [a.spark() for a in aggs]
+    out = joined.groupBy(*keys).agg(*exprs) if keys else joined.agg(*exprs)
+    assert_df_matches_oracle(
+        out, duck, _render_join_sql(how, li_preds, o_preds, keys, aggs)
+    )
