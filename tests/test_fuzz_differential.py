@@ -321,6 +321,94 @@ def _render_join_sql(how, li_preds, o_preds, keys, aggs) -> str:
     return q
 
 
+# ---------------------------------------------------------------------------
+# Window-function fuzz: rank/offset/running aggregates over random windows
+# ---------------------------------------------------------------------------
+
+# Window ORDER BY always ends with o_orderkey (unique), so every window
+# function below is fully deterministic — no rank/offset tie ambiguity.
+_WIN_PARTS = ["o_orderstatus", "o_orderpriority"]
+_WIN_ORDERS = ["o_totalprice", "o_orderdate", "o_custkey"]
+_WIN_FNS = ["row_number", "rank", "dense_rank", "lag", "lead", "running_sum"]
+
+
+@st.composite
+def window_pipelines(draw):
+    parts = draw(
+        st.lists(st.sampled_from(_WIN_PARTS), min_size=0, max_size=2, unique=True)
+    )
+    order_col = draw(st.sampled_from(_WIN_ORDERS))
+    desc = draw(st.booleans())
+    fn = draw(st.sampled_from(_WIN_FNS))
+    # keep output small: one status slice + a key cap
+    status = draw(st.sampled_from(TABLES["orders"]["cat_domain"]["o_orderstatus"]))
+    key_cap = draw(st.integers(500, 4000))
+    return tuple(parts), order_col, desc, fn, status, key_cap
+
+
+def _render_window(parts, order_col, desc, fn):
+    over = []
+    if parts:
+        over.append("PARTITION BY " + ", ".join(parts))
+    over.append(
+        f"ORDER BY {order_col} {'DESC' if desc else 'ASC'}, o_orderkey"
+    )
+    if fn == "running_sum":
+        expr = (
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER "
+            f"({' '.join(over)} ROWS UNBOUNDED PRECEDING) AS DOUBLE)"
+        )
+    elif fn in ("lag", "lead"):
+        expr = f"{fn}(o_orderkey) OVER ({' '.join(over)})"
+    else:
+        expr = f"CAST({fn}() OVER ({' '.join(over)}) AS BIGINT)"
+    return expr
+
+
+@settings(
+    max_examples=max(40, MAX_EXAMPLES // 4),
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(spec=window_pipelines())
+def test_random_window_matches_duckdb(spark, duck, spec):
+    from pyspark.sql import Window
+
+    parts, order_col, desc, fn, status, key_cap = spec
+    sql = (
+        f"SELECT o_orderkey, {_render_window(parts, order_col, desc, fn)} AS w "
+        f"FROM orders WHERE o_orderstatus = '{status}' AND o_orderkey < {key_cap}"
+    )
+    df = (
+        load_table(spark, SF_DIR, "orders")
+        .filter(
+            (F.col("o_orderstatus") == status) & (F.col("o_orderkey") < key_cap)
+        )
+    )
+    order = [
+        F.col(order_col).desc() if desc else F.col(order_col).asc(),
+        F.col("o_orderkey"),
+    ]
+    w = (Window.partitionBy(*parts) if parts else Window.partitionBy()).orderBy(*order)
+    if fn == "running_sum":
+        e = (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double")
+        )
+    elif fn == "lag":
+        e = F.lag("o_orderkey").over(w)
+    elif fn == "lead":
+        e = F.lead("o_orderkey").over(w)
+    else:
+        e = getattr(F, fn)().over(w).cast("bigint")
+    out = df.select("o_orderkey", e.alias("w"))
+    assert_df_matches_oracle(out, duck, sql)
+
+
 @settings(
     max_examples=max(50, MAX_EXAMPLES // 2),
     deadline=None,
