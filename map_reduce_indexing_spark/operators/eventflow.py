@@ -114,6 +114,105 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_resample_daily",
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS lo,
+                   CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP) AS hi
+            FROM events
+        ), grid AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+            FROM bounds
+        ), daily AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1
+        )
+        SELECT strftime(grid.day, '%Y-%m-%d') AS day,
+               CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events
+        FROM grid LEFT JOIN daily ON grid.day = daily.day
+    """,
+    tier="relational",
+    doc="Time-series densification: daily event counts over a gap-free "
+    "day grid from min to max timestamp (missing days resampled to "
+    "explicit zeros — the shape every downstream charting/anomaly "
+    "job needs). The grid is sequence() over a 2-value bound row "
+    "exploded JVM-side, then a broadcast left join onto the "
+    "aggregated dailies: grid size is O(days), never O(rows), so "
+    "at 100 TB the expensive side stays one groupBy on day.",
+)
+def q_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("ts")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    grid = (
+        ev.agg(
+            F.date_trunc("day", F.min("ts")).alias("lo"),
+            F.date_trunc("day", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("day")
+        )
+    )
+    return (
+        grid.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "rel_rolling_active_users",
+    oracle="""
+        WITH user_days AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   user_id
+            FROM events
+        ), days AS (SELECT DISTINCT day FROM user_days)
+        SELECT strftime(d.day, '%Y-%m-%d') AS day,
+               CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+        FROM days d JOIN user_days u
+          ON u.day > d.day - INTERVAL 7 DAY AND u.day <= d.day
+        GROUP BY d.day
+    """,
+    tier="relational",
+    doc="7-day rolling active users (WAU per day): dedup events to "
+    "(day, user) grain — the big shuffle, done once — then count "
+    "distinct users over each day's trailing 7-day window via a "
+    "range join of the small day grid against user-days. Distinct-"
+    "over-sliding-window has no single-pass exact form; the exact "
+    "range join costs O(days x active-users/day) pairs, fine while "
+    "user-days per week fits a shuffle. The 100-TB form keeps the "
+    "same first pass but merges 7 per-day HLL sketches per window "
+    "(approx_count_distinct partials) instead of re-pairing users — "
+    "documented here, exact kept as the oracle-checkable contract.",
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    user_days = (
+        load_table(spark, sf_dir, "events")
+        .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
+    )
+    days = user_days.select("day").distinct()
+    u = user_days.select(F.col("day").alias("u_day"), "user_id")
+    return (
+        days.join(
+            u,
+            (F.col("u_day") > F.col("day") - F.expr("INTERVAL 7 DAY"))
+            & (F.col("u_day") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "wau")
+    )
+
+
+@register(
     "rel_event_transitions",
     oracle="""
         WITH pairs AS (

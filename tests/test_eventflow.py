@@ -18,6 +18,8 @@ from tests.conftest import SF_DIR, assert_df_matches_oracle
         "rel_funnel",
         "rel_retention_cohorts",
         "rel_event_transitions",
+        "rel_resample_daily",
+        "rel_rolling_active_users",
     ],
 )
 def test_oracle_parity(spark, duck, name):
@@ -98,6 +100,46 @@ def test_transitions_conserve_pairs(spark):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert total == n_events - n_users
+
+
+def test_resample_grid_is_gap_free(spark):
+    import datetime
+
+    rows = sorted(
+        eventflow.q_resample_daily(spark, SF_DIR).collect(),
+        key=lambda r: r.day,
+    )
+    days = [datetime.date.fromisoformat(r.day) for r in rows]
+    assert days == [days[0] + datetime.timedelta(days=i) for i in range(len(days))]
+    assert sum(r.n_events for r in rows) == spark.read.parquet(
+        f"{SF_DIR}/events.parquet"
+    ).count()
+
+
+def test_rolling_wau_bounds_daily_active(spark):
+    wau = {r.day: r.wau for r in eventflow.q_rolling_active_users(spark, SF_DIR).collect()}
+    dau = {
+        r.day: r.n
+        for r in (
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .select(
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+                "user_id",
+            )
+            .distinct()
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    n_users = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    for day, w in wau.items():
+        assert dau[day] <= w <= n_users
 
 
 def test_retention_offsets_start_at_zero(spark):
