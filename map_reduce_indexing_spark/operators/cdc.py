@@ -244,3 +244,81 @@ def q_cdc_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     ).select("user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (materialized view + delta merge)
+# ---------------------------------------------------------------------------
+
+# Base/delta split point: everything before the cutoff is the
+# "materialized" history, everything at/after is the incoming delta.
+INCR_CUTOFF = "2024-01-21 00:00:00"
+
+
+def _user_stats_agg(ev: DataFrame) -> DataFrame:
+    """The mergeable per-user partial: COUNT, exact-decimal SUM, MAX.
+
+    All three are commutative monoids, which is the whole trick —
+    merge(agg(base), agg(delta)) == agg(base UNION delta) holds
+    per-key with no rescan of base.
+    """
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value_dec"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@register(
+    "rel_cdc_incremental_agg",
+    oracle="""
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+               MAX(ts) AS last_ts
+        FROM events GROUP BY user_id
+    """,
+    tier="relational",
+    doc="Incremental aggregate maintenance — the materialized-view "
+    "pattern: per-user lifetime stats kept as a persisted base "
+    "artifact (events before 2024-01-21, built once per session via "
+    "session_artifact_path, indexing.py:201), then MERGED with the "
+    "delta's partial aggregate by key. Count/decimal-sum/max are "
+    "mergeable monoids, so the merge provably equals the full "
+    "recompute the oracle runs — while scanning only |delta| + "
+    "|users| rows instead of |history|. At 100 TB this is the "
+    "difference between a daily full-table pass and a delta-sized "
+    "one; the same algebra is what stream_stateful_user_stats "
+    "applies continuously.",
+)
+def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .indexing import session_artifact_path
+
+    cutoff = F.lit(INCR_CUTOFF).cast("timestamp")
+
+    def build(path: str) -> None:
+        base_ev = load_table(spark, sf_dir, "events").filter(F.col("ts") < cutoff)
+        # One compact file per user-range; tiny frame, single writer.
+        _user_stats_agg(base_ev).coalesce(1).write.mode("overwrite").parquet(path)
+
+    base_path = session_artifact_path(
+        spark, sf_dir, "user_stats_base", "events.parquet", build
+    )
+    base = spark.read.parquet(base_path)
+    delta = _user_stats_agg(
+        load_table(spark, sf_dir, "events").filter(F.col("ts") >= cutoff)
+    )
+    merged = (
+        base.unionByName(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_dec").alias("sum_value_dec"),
+            F.max("last_ts").alias("last_ts"),
+        )
+    )
+    return merged.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value_dec").cast("double").alias("sum_value"),
+        "last_ts",
+    )

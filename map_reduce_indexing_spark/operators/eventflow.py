@@ -248,6 +248,83 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rel_anomaly_daily",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP))
+                       // 86400000000 AS day_no,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ), framed AS (
+            SELECT event_type, day_no, n,
+                   COUNT(n) OVER w AS c,
+                   SUM(n) OVER w AS s1,
+                   SUM(n * n) OVER w AS s2
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day_no
+                         RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, day_no, n,
+               CASE WHEN c >= 2
+                     AND CAST(s2 AS DOUBLE) * c - CAST(s1 AS DOUBLE) * s1 > 0
+                    THEN round(
+                        (CAST(n AS DOUBLE) * c - CAST(s1 AS DOUBLE))
+                        / sqrt((CAST(s2 AS DOUBLE) * c
+                                - CAST(s1 AS DOUBLE) * s1) * c / (c - 1)),
+                        6)
+                    ELSE NULL END AS z
+        FROM framed
+    """,
+    tier="relational",
+    doc="Daily count anomaly score per event type: z-score of each "
+    "day's count against its trailing 7-day window (RANGE frame on "
+    "integer day numbers, so gap days shrink the baseline instead "
+    "of silently sliding it). The windowed moments are exact BIGINT "
+    "sums (COUNT, SUM n, SUM n^2); the z expression is one identical "
+    "IEEE double tree on both engines, rounded once. Shuffles: one "
+    "on (event_type, day) for the count, one on event_type for the "
+    "frame — both tiny key spaces at any scale.",
+)
+def q_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(date_trunc('day', ts)) DIV 86400000000").alias(
+                "day_no"
+            ),
+        )
+        .groupBy("event_type", "day_no")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_no")
+        .rangeBetween(-7, -1)
+    )
+    framed = daily.select(
+        "event_type",
+        "day_no",
+        "n",
+        F.count("n").over(w).alias("c"),
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+    )
+    c, s1, s2, n = (F.col(x).cast("double") for x in ("c", "s1", "s2", "n"))
+    var_num = s2 * c - s1 * s1  # c^2 * sample-var * (c-1)/c, >0 test only
+    z = F.round(
+        (n * c - s1) / F.sqrt(var_num * c / (c - F.lit(1.0))), 6
+    )
+    return framed.select(
+        "event_type",
+        "day_no",
+        "n",
+        F.when((F.col("c") >= 2) & (var_num > 0), z).alias("z"),
+    )
+
+
 def _funnel_times(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user conversion times t_view <= t_click <= t_purchase.
 

@@ -20,6 +20,7 @@ CDC_QUERIES = [
     "rel_cdc_merge_upsert",
     "rel_cdc_scd2",
     "rel_cdc_asof_snapshot",
+    "rel_cdc_incremental_agg",
 ]
 
 
@@ -100,3 +101,29 @@ def test_scd2_current_agrees_with_latest_state(spark):
     latest = registry.get("rel_cdc_latest_state").fn(spark, SF_DIR)
     for r in latest.collect():
         assert current[r["user_id"]] == r["last_event_type"]
+
+
+def test_incremental_agg_scans_delta_not_history(spark):
+    """The merge path's non-artifact scan must carry the delta-side
+    pushed filter (ts >= cutoff) — i.e. the base history is served by
+    the persisted artifact, not rescanned."""
+    from map_reduce_indexing_spark.operators.cdc import q_cdc_incremental_agg
+
+    df = q_cdc_incremental_agg(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Exactly one scan of events.parquet (the delta), filtered on ts.
+    assert plan.count("events.parquet") == 1, plan
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts" in plan, plan
+    # And the artifact scan is present.
+    assert "user_stats_base" in plan or plan.count("parquet") >= 2
+
+
+def test_incremental_agg_base_artifact_is_reused(spark):
+    from map_reduce_indexing_spark.operators import indexing
+    from map_reduce_indexing_spark.operators.cdc import q_cdc_incremental_agg
+
+    q_cdc_incremental_agg(spark, SF_DIR).count()
+    keys_before = {k for k in indexing._ARTIFACTS if k[1] == "user_stats_base"}
+    q_cdc_incremental_agg(spark, SF_DIR).count()
+    keys_after = {k for k in indexing._ARTIFACTS if k[1] == "user_stats_base"}
+    assert keys_before == keys_after and len(keys_after) == 1

@@ -20,6 +20,7 @@ from tests.conftest import SF_DIR, assert_df_matches_oracle
         "rel_event_transitions",
         "rel_resample_daily",
         "rel_rolling_active_users",
+        "rel_anomaly_daily",
     ],
 )
 def test_oracle_parity(spark, duck, name):
