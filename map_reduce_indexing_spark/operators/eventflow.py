@@ -249,6 +249,41 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_rolling_active_users_hll",
+    oracle=None,  # HLL estimates are engine-specific; accuracy pytest-bounded
+    tier="relational",
+    export=False,
+    doc="The 100-TB form of rel_rolling_active_users: one HLL sketch "
+    "per day (hll_sketch_agg over user_id — map-side mergeable, one "
+    "pass), then each day's trailing 7-day window unions SEVEN "
+    "per-day sketches (hll_union_agg) instead of re-pairing every "
+    "user-day. Work per day is O(sketch bytes), independent of user "
+    "count; tests/test_eventflow.py bounds the estimate against the "
+    "exact range-join form.",
+)
+def q_rolling_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily_sk = (
+        load_table(spark, sf_dir, "events")
+        .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    )
+    days = daily_sk.select(F.col("day").alias("d"))
+    return (
+        days.join(
+            daily_sk,
+            (F.col("day") > F.col("d") - F.expr("INTERVAL 7 DAY"))
+            & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("wau_est")
+        )
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "wau_est")
+    )
+
+
+@register(
     "rel_anomaly_daily",
     oracle="""
         WITH daily AS (

@@ -143,6 +143,20 @@ def test_rolling_wau_bounds_daily_active(spark):
         assert dau[day] <= w <= n_users
 
 
+def test_rolling_wau_hll_tracks_exact(spark):
+    exact = {
+        r.day: r.wau
+        for r in eventflow.q_rolling_active_users(spark, SF_DIR).collect()
+    }
+    est = {
+        r.day: r.wau_est
+        for r in eventflow.q_rolling_active_users_hll(spark, SF_DIR).collect()
+    }
+    assert set(est) == set(exact)
+    for day, e in est.items():
+        assert e == pytest.approx(exact[day], rel=0.05), day
+
+
 def test_retention_offsets_start_at_zero(spark):
     df = eventflow.q_retention_cohorts(spark, SF_DIR)
     rows = df.collect()
