@@ -1,0 +1,108 @@
+"""End-to-end training-data curation over the documents fixture.
+
+The LLM-pipeline tier as a user would chain it (each stage is a
+registered, oracle-verified query — see COVERAGE.md "North-star
+extensions"):
+
+    quality filter  -> drop the bottom quartile + too-short docs
+    exact dedup     -> one canonical doc per content hash
+    near dedup      -> drop LSH-verified near-duplicate clusters
+    decontaminate   -> drop docs overlapping the eval split
+    split           -> stable hash-bucket train/val/test assignment
+    pack            -> concat-and-chunk into fixed token windows
+
+    python examples/training_data_pipeline.py [sf_dir]
+
+Defaults to /root/testdata/sf0.001. Everything stays a DataFrame until
+the final small summary `.collect()`.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from map_reduce_indexing_spark.plans import registry  # noqa: E402
+from map_reduce_indexing_spark.session import get_spark  # noqa: E402
+from map_reduce_indexing_spark.sources.tables import load_table  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="training-data-pipeline", master="local[4]")
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    q = lambda name: registry.get(name).fn(spark, sf_dir)  # noqa: E731
+
+    # 1. corpus-relative quality filter (stopword-ratio >= corpus P25):
+    #    a per-doc frame of the keepers.
+    quality_ids = q("text_quality_filter").select("doc_id")
+
+    # 2. exact dedup: `dedup_exact` emits (content_hash, keep_doc) for
+    #    every duplicated hash; the losers are that group's other
+    #    members.
+    exact_losers = (
+        docs.select("doc_id", F.md5("text").alias("content_hash"))
+        .join(F.broadcast(q("dedup_exact")), "content_hash")
+        .filter(F.col("doc_id") != F.col("keep_doc"))
+        .select("doc_id")
+    )
+
+    # 3. near dedup: LSH-verified duplicate clusters; keep each
+    #    component's root (cluster_id == min doc_id), drop the rest.
+    near_dup_losers = (
+        q("dedup_clusters")
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+
+    # 4. decontamination: train docs sharing 3-shingles with eval docs.
+    contaminated = q("text_decontaminate").select("doc_id").distinct()
+
+    kept = (
+        quality_ids.join(exact_losers, "doc_id", "left_anti")
+        .join(near_dup_losers, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+
+    # 5. stable split assignment for the kept docs (the same md5-bucket
+    #    rule text_train_val_test_split aggregates, kept per-doc here).
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = kept.select(
+        "doc_id",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+    # 6. pack the corpus into fixed token windows.
+    packed = q("text_pack_sequences")
+
+    summary = {
+        "docs_in": n0,
+        "after_quality": quality_ids.count(),
+        "kept_after_dedup_and_decontam": kept.count(),
+        "splits": {
+            r["split"]: r["n"]
+            for r in split.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        },
+        "packed_sequences": packed.count(),
+    }
+    print(summary)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
