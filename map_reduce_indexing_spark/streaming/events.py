@@ -715,3 +715,70 @@ def ann_lookup_plan(spark: SparkSession, sf_dir: str, queries: DataFrame) -> Dat
             F.max("cosine").alias("best_cosine"),
         )
     )
+
+
+@register(
+    "stream_scd2_temporal_join",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts, event_id, event_type,
+                   lag(event_type) OVER w AS prev_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        changes AS (
+            SELECT user_id, ts AS valid_from, event_type
+            FROM ordered
+            WHERE prev_type IS NULL OR event_type <> prev_type
+        ),
+        scd2 AS (
+            SELECT user_id, event_type AS dim_type, valid_from,
+                   lead(valid_from) OVER v AS valid_to,
+                   CAST(row_number() OVER v AS BIGINT) AS version
+            FROM changes
+            WINDOW v AS (PARTITION BY user_id ORDER BY valid_from)
+        )
+        SELECT e.event_id, e.user_id, e.ts, d.version, d.dim_type
+        FROM events e JOIN scd2 d
+          ON e.user_id = d.user_id
+         AND e.ts >= d.valid_from
+         AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    """,
+    tier="streaming",
+    doc="Streaming temporal join: each event enriched with the SCD2 "
+    "dimension version valid AT THE EVENT'S OWN TIME (not the current "
+    "version — the classic event-time-correctness trap in stream "
+    "enrichment). The SCD2 frame (rel_cdc_scd2's build) is the static "
+    "broadcast side; the join is user_id equality plus "
+    "[valid_from, valid_to) containment, so the static side needs no "
+    "stream state and every event matches exactly one version. At "
+    "100 TB the dimension history is the small side by construction "
+    "(|versions| << |events|); if it outgrows broadcast, the same "
+    "plan co-partitions both sides on user_id. Append mode; over the "
+    "finite fixture the result equals the batch temporal join the "
+    "oracle runs.",
+)
+def q_stream_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cdc import q_cdc_scd2
+
+    scd2 = F.broadcast(
+        q_cdc_scd2(spark, sf_dir).select(
+            F.col("user_id").alias("d_user_id"),
+            F.col("event_type").alias("dim_type"),
+            "valid_from",
+            "valid_to",
+            "version",
+        )
+    )
+    ev = read_events_stream(spark, sf_dir).select("event_id", "user_id", "ts")
+    joined = ev.join(
+        scd2,
+        (F.col("user_id") == F.col("d_user_id"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        "inner",
+    )
+    return run_to_completion(
+        joined.select("event_id", "user_id", "ts", "version", "dim_type"),
+        "append",
+    )

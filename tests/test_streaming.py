@@ -22,6 +22,7 @@ ORACLE_QUERIES = [
     "stream_stateful_user_stats",
     "stream_ann_lookup",
     "stream_cdc_upsert",
+    "stream_scd2_temporal_join",
 ]
 
 
