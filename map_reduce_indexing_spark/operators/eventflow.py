@@ -86,9 +86,21 @@ FUNNEL_STEPS = ("view", "click", "purchase")
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    return sessionize(ev, GAP_US)
+
+
+def sessionize(ev: DataFrame, gap_us: int) -> DataFrame:
+    """Gap-based sessionization of a (user_id, ts, event_id) frame.
+
+    Sessions split when the gap STRICTLY exceeds ``gap_us`` — the same
+    merge-at-exactly-gap boundary rule as Spark's built-in
+    ``session_window`` (verified empirically, streaming/events.py:231),
+    so the batch and streaming forms agree event-for-event
+    (tests/test_eventflow.py::test_sessionize_agrees_with_stream).
+    """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros("ts")
-    is_new = F.when(us - F.lag(us).over(w) > GAP_US, 1).otherwise(
+    is_new = F.when(us - F.lag(us).over(w) > gap_us, 1).otherwise(
         F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
     )
     run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(

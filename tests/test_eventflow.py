@@ -83,6 +83,26 @@ def test_sessionize_gap_is_strict(spark):
     assert got == expected_sessions
 
 
+def test_sessionize_agrees_with_stream(spark):
+    """Batch sessionize at the streaming gap must equal the streaming
+    session_window result event-for-event — the two forms implement one
+    semantic (split only when the gap STRICTLY exceeds the threshold)."""
+    from map_reduce_indexing_spark.plans import registry
+    from map_reduce_indexing_spark.sources.tables import load_table
+
+    gap_us = 5 * 60 * 1_000_000  # streaming/events.py SESSION_GAP
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "ts", "event_id")
+    batch = {
+        (r.user_id, r.start_ts, r.end_ts, r.n_events)
+        for r in eventflow.sessionize(ev, gap_us).collect()
+    }
+    stream = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in registry.get("stream_session_windows").fn(spark, SF_DIR).collect()
+    }
+    assert batch == stream
+
+
 def test_funnel_monotone(spark):
     rows = {r.step: r for r in eventflow.q_funnel(spark, SF_DIR).collect()}
     assert set(rows) == set(eventflow.FUNNEL_STEPS)
