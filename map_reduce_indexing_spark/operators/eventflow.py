@@ -51,9 +51,7 @@ US_PER_WEEK = 7 * 86_400 * 1_000_000
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
-@register(
-    "rel_sessionize",
-    oracle=f"""
+_SESSIONIZE_ORACLE = f"""
         WITH marked AS (
             SELECT user_id, ts, event_id,
                    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
@@ -76,7 +74,12 @@ FUNNEL_STEPS = ("view", "click", "purchase")
                    AS duration_s
         FROM numbered
         GROUP BY user_id, session_seq
-    """,
+    """
+
+
+@register(
+    "rel_sessionize",
+    oracle=_SESSIONIZE_ORACLE,
     tier="relational",
     doc="Gap-based sessionization (30-min inactivity gap): one row per "
     "(user, session) with event count, bounds, and integer-second "
@@ -120,6 +123,86 @@ def sessionize(ev: DataFrame, gap_us: int) -> DataFrame:
             ),
         )
         # integer DIV, same floor semantics as the oracle's `//`
+        .withColumn("duration_s", F.expr(f"_dur_us DIV {US_PER_S}"))
+        .drop("_dur_us")
+    )
+
+
+# Default phase-1 chunk span for the hot-user-safe form: 6 hours.
+CHUNK_US = 6 * 3600 * 1_000_000
+
+
+@register(
+    "rel_sessionize_chunked",
+    oracle=_SESSIONIZE_ORACLE,  # provably identical output to rel_sessionize
+    tier="relational",
+    doc="Hot-user-safe sessionization — the salted two-phase form of "
+    "rel_sessionize (same pattern as the salted as-of join, "
+    "asof.py:137): phase 1 windows within (user, 6-hour time chunk), "
+    "so no task ever sorts more than one chunk of one user's events; "
+    "phase 2 re-runs the SAME gap logic over the per-chunk session "
+    "summaries (one row per local session), merging sessions that "
+    "span chunk boundaries — transitively, via the running-sum chain, "
+    "so a session crossing many chunks reassembles exactly. "
+    "Correctness argument: within-chunk splits have gap > GAP by "
+    "construction so phase 2 preserves them, and boundary gaps get "
+    "the identical strict-> test, so output == the single-window "
+    "form for EVERY chunk size (property-tested at 10 min / 1 h / "
+    "6 h, including chunks smaller than the gap). Phase-2 work is "
+    "O(local sessions) ~ O(output), the irreducible floor. Shares "
+    "rel_sessionize's oracle verbatim.",
+)
+def q_sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    return sessionize_chunked(ev, GAP_US, CHUNK_US)
+
+
+def sessionize_chunked(ev: DataFrame, gap_us: int, chunk_us: int) -> DataFrame:
+    """Two-phase chunked sessionization; output-identical to
+    ``sessionize(ev, gap_us)`` for any ``chunk_us`` (see the
+    registration docstring for the argument)."""
+    us = F.unix_micros("ts")
+    chunked = ev.withColumn("chunk", F.expr(f"unix_micros(ts) DIV {chunk_us}"))
+
+    # Phase 1: local sessions within (user, chunk) — bounded windows.
+    w1 = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
+    is_new1 = F.when(us - F.lag(us).over(w1) > gap_us, 1).otherwise(
+        F.when(F.lag("ts").over(w1).isNull(), 1).otherwise(0)
+    )
+    run1 = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = (
+        chunked.withColumn("is_new", is_new1)
+        .withColumn("local_seq", F.sum("is_new").over(run1))
+        .groupBy("user_id", "chunk", "local_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+        )
+    )
+
+    # Phase 2: the summaries are themselves a (start-ordered, disjoint)
+    # event stream — apply the same gap rule to merge across chunks.
+    w2 = Window.partitionBy("user_id").orderBy("start_ts")
+    boundary_gap = F.unix_micros("start_ts") - F.lag(
+        F.unix_micros("end_ts")
+    ).over(w2)
+    is_new2 = F.when(boundary_gap > gap_us, 1).otherwise(
+        F.when(boundary_gap.isNull(), 1).otherwise(0)
+    )
+    run2 = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        local.withColumn("is_new", is_new2)
+        .withColumn("session_seq", F.sum("is_new").over(run2).cast("long"))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.min("start_ts").alias("start_ts"),
+            F.max("end_ts").alias("end_ts"),
+            (
+                F.unix_micros(F.max("end_ts")) - F.unix_micros(F.min("start_ts"))
+            ).alias("_dur_us"),
+        )
         .withColumn("duration_s", F.expr(f"_dur_us DIV {US_PER_S}"))
         .drop("_dur_us")
     )

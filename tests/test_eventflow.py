@@ -83,6 +83,31 @@ def test_sessionize_gap_is_strict(spark):
     assert got == expected_sessions
 
 
+@pytest.mark.parametrize(
+    "chunk_us",
+    [10 * 60 * 1_000_000, 3600 * 1_000_000, 6 * 3600 * 1_000_000],
+    ids=["10min", "1h", "6h"],
+)
+def test_chunked_sessionize_equals_plain(spark, chunk_us):
+    """The two-phase hot-user-safe form is output-identical to the
+    single-window form for any chunk size — including chunks smaller
+    than the 30-min gap."""
+    from map_reduce_indexing_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "ts", "event_id")
+    plain = {tuple(r) for r in eventflow.sessionize(ev, eventflow.GAP_US).collect()}
+    chunked = {
+        tuple(r)
+        for r in eventflow.sessionize_chunked(ev, eventflow.GAP_US, chunk_us).collect()
+    }
+    assert plain == chunked
+
+
+def test_chunked_sessionize_registered_oracle(spark, duck):
+    q = get("rel_sessionize_chunked")
+    assert_df_matches_oracle(q.fn(spark, SF_DIR), duck, q.oracle)
+
+
 def test_sessionize_agrees_with_stream(spark):
     """Batch sessionize at the streaming gap must equal the streaming
     session_window result event-for-event — the two forms implement one
