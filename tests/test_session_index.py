@@ -174,3 +174,36 @@ def test_pq_store_is_compressed_and_pruned(spark):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan
     assert "PartitionFilters: []" not in plan
+
+
+def test_failed_artifact_build_is_not_cached(spark):
+    """A build() that crashes must leave no cache entry; the retry gets
+    a FRESH directory (mkdtemp), so a partial artifact can never be
+    served or appended to."""
+    from map_reduce_indexing_spark.operators import indexing
+
+    calls = []
+
+    def flaky_build(path):
+        calls.append(path)
+        if len(calls) == 1:
+            import os
+
+            os.makedirs(path)  # simulate a partial write, then die
+            raise RuntimeError("mid-build crash")
+        spark.range(3).write.parquet(path)
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        indexing.session_artifact_path(
+            spark, SF_DIR, "crashkind", "documents.parquet", flaky_build
+        )
+    # nothing cached for the failed build
+    assert not any(k[1] == "crashkind" for k in indexing._ARTIFACTS)
+    path = indexing.session_artifact_path(
+        spark, SF_DIR, "crashkind", "documents.parquet", flaky_build
+    )
+    assert len(calls) == 2
+    assert calls[0] != calls[1], "retry must not reuse the partial dir"
+    assert spark.read.parquet(path).count() == 3
