@@ -733,3 +733,86 @@ def q_text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(w).cast("double"), 6
         ).alias("frac_of_actual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Co-occurrence / collocation mining (PMI)
+# ---------------------------------------------------------------------------
+
+PMI_TOP_K = 50
+
+
+@register(
+    "text_pmi_cooccurrence",
+    oracle=f"""
+        WITH dw AS (
+            SELECT DISTINCT doc_id, unnest({DUCK_TOKENS_LIST}) AS w
+            FROM documents
+        ),
+        n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM dw),
+        df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS d FROM dw GROUP BY w),
+        pairs AS (
+            SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS d_pair
+            FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+            GROUP BY a.w, b.w
+        )
+        SELECT w1, w2, d_pair,
+               round(ln(CAST(d_pair AS DOUBLE) * n_docs
+                        / (CAST(da.d AS DOUBLE) * db.d)), 6) AS pmi
+        FROM pairs, n
+        JOIN df da ON da.w = w1
+        JOIN df db ON db.w = w2
+        ORDER BY d_pair DESC, w1, w2 LIMIT {PMI_TOP_K}
+    """,
+    tier="llm",
+    doc="Collocation mining: document-level co-occurrence counts and "
+    "pointwise mutual information for the top word pairs — the "
+    "distributional-semantics statistic behind phrase detection and "
+    "embedding-corpus diagnostics. Shape: distinct (doc, word) — one "
+    "shuffle — then a per-doc self-join (bounded by distinct words "
+    "per doc, ~vocab-per-doc^2 pairs per doc, NOT corpus-quadratic), "
+    "then groupBy pair. PMI is ln over exact BIGINT ratios, computed "
+    "as one identical IEEE expression tree in both engines and "
+    "rounded once; top-k ordered by (count, w1, w2) so the LIMIT "
+    "boundary is deterministic.",
+)
+def q_text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dw = (
+        docs.select(
+            "doc_id",
+            F.explode(F.expr(spark_tokens_expr("text"))).alias("w"),
+        )
+        .distinct()
+    )
+    n_docs = dw.agg(F.countDistinct("doc_id").alias("n_docs"))
+    df_ = dw.groupBy("w").agg(F.count(F.lit(1)).alias("d"))
+    a = dw.select("doc_id", F.col("w").alias("w1"))
+    b = dw.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("w2"))
+    pairs = (
+        a.join(b, (a.doc_id == b.doc_b) & (F.col("w1") < F.col("w2")))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("d_pair"))
+    )
+    da = df_.select(F.col("w").alias("w1"), F.col("d").alias("d1"))
+    db = df_.select(F.col("w").alias("w2"), F.col("d").alias("d2"))
+    return (
+        pairs.join(F.broadcast(da), "w1")
+        .join(F.broadcast(db), "w2")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "w1",
+            "w2",
+            "d_pair",
+            F.round(
+                F.log(
+                    F.col("d_pair").cast("double")
+                    * F.col("n_docs")
+                    / (F.col("d1").cast("double") * F.col("d2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("d_pair"), "w1", "w2")
+        .limit(PMI_TOP_K)
+    )

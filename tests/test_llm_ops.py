@@ -34,6 +34,7 @@ ORACLE_QUERIES = [
     "text_decontaminate",
     "text_sample_mixture",
     "text_pack_sequences",
+    "text_pmi_cooccurrence",
     "multimodal_image_meta",
     "multimodal_audio_meta",
     "multimodal_frame_sample",
