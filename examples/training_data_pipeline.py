@@ -43,12 +43,16 @@ def main() -> None:
     #    a per-doc frame of the keepers.
     quality_ids = q("text_quality_filter").select("doc_id")
 
-    # 2. exact dedup: `dedup_exact` emits (content_hash, keep_doc) for
-    #    every duplicated hash; the losers are that group's other
-    #    members.
+    # 2. exact dedup over the real corpus: keep the canonical
+    #    (min doc_id) copy per content hash, drop the rest — the same
+    #    hash-groupBy shape as the registered dedup_exact query (which
+    #    runs over a duplicate-injected test corpus).
+    keepers = docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc")
+    )
     exact_losers = (
         docs.select("doc_id", F.md5("text").alias("content_hash"))
-        .join(F.broadcast(q("dedup_exact")), "content_hash")
+        .join(keepers, "content_hash")
         .filter(F.col("doc_id") != F.col("keep_doc"))
         .select("doc_id")
     )
@@ -70,8 +74,11 @@ def main() -> None:
         .join(contaminated, "doc_id", "left_anti")
     )
 
-    # 5. stable split assignment for the kept docs (the same md5-bucket
-    #    rule text_train_val_test_split aggregates, kept per-doc here).
+    # 5. stable split assignment for the kept docs — the engine's
+    #    SPLIT_PCT thresholds, so assignments agree with
+    #    text_train_val_test_split and text_decontaminate's eval set.
+    from map_reduce_indexing_spark.operators.textstats import SPLIT_PCT
+
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long")
@@ -79,13 +86,16 @@ def main() -> None:
     )
     split = kept.select(
         "doc_id",
-        F.when(bucket < 90, "train")
-        .when(bucket < 95, "val")
+        F.when(bucket < SPLIT_PCT[0], "train")
+        .when(bucket < SPLIT_PCT[0] + SPLIT_PCT[1], "val")
         .otherwise("test")
         .alias("split"),
     )
 
-    # 6. pack the corpus into fixed token windows.
+    # 6. pack into fixed token windows. NOTE: the registered query packs
+    #    the FULL corpus (it is a standalone oracle-checked operator);
+    #    in a production pipeline this stage would run over the kept
+    #    train split — the count below is reported as full-corpus.
     packed = q("text_pack_sequences")
 
     summary = {
@@ -98,7 +108,7 @@ def main() -> None:
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         },
-        "packed_sequences": packed.count(),
+        "packed_sequences_full_corpus": packed.count(),
     }
     print(summary)
     spark.stop()

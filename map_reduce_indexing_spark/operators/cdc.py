@@ -176,7 +176,7 @@ def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         changes AS (
-            SELECT user_id, ts AS valid_from, event_type
+            SELECT user_id, ts AS valid_from, event_id, event_type
             FROM ordered
             WHERE prev_type IS NULL OR event_type <> prev_type
         )
@@ -185,7 +185,7 @@ def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(row_number() OVER v AS BIGINT) AS version,
                lead(valid_from) OVER v IS NULL AS is_current
         FROM changes
-        WINDOW v AS (PARTITION BY user_id ORDER BY valid_from)
+        WINDOW v AS (PARTITION BY user_id ORDER BY valid_from, event_id)
     """,
     tier="relational",
     doc="SCD type-2 build: collapse the change log to rows where the "
@@ -203,9 +203,11 @@ def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prev_type").isNull()
             | (F.col("event_type") != F.col("prev_type"))
         )
-        .select("user_id", F.col("ts").alias("valid_from"), "event_type")
+        .select("user_id", F.col("ts").alias("valid_from"), "event_id", "event_type")
     )
-    v = Window.partitionBy("user_id").orderBy("valid_from")
+    # event_id tie-break: two same-microsecond change rows must get a
+    # deterministic version order in both engines.
+    v = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
     return changes.select(
         "user_id",
         "event_type",

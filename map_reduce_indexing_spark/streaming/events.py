@@ -727,7 +727,7 @@ def ann_lookup_plan(spark: SparkSession, sf_dir: str, queries: DataFrame) -> Dat
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         changes AS (
-            SELECT user_id, ts AS valid_from, event_type
+            SELECT user_id, ts AS valid_from, event_id, event_type
             FROM ordered
             WHERE prev_type IS NULL OR event_type <> prev_type
         ),
@@ -736,7 +736,7 @@ def ann_lookup_plan(spark: SparkSession, sf_dir: str, queries: DataFrame) -> Dat
                    lead(valid_from) OVER v AS valid_to,
                    CAST(row_number() OVER v AS BIGINT) AS version
             FROM changes
-            WINDOW v AS (PARTITION BY user_id ORDER BY valid_from)
+            WINDOW v AS (PARTITION BY user_id ORDER BY valid_from, event_id)
         )
         SELECT e.event_id, e.user_id, e.ts, d.version, d.dim_type
         FROM events e JOIN scd2 d

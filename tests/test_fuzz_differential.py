@@ -130,45 +130,7 @@ def pipelines(draw):
     table = draw(st.sampled_from(sorted(TABLES)))
     spec = TABLES[table]
 
-    preds = []
-    for _ in range(draw(st.integers(0, 2))):
-        family = draw(st.sampled_from(["int", "double", "cat", "cat_in", "ts"]))
-        if family == "int":
-            col = draw(st.sampled_from(spec["int"]))
-            op = draw(st.sampled_from(CMP_OPS))
-            v = draw(st.integers(0, spec["int_hi"]))
-            preds.append(Pred(f"{col} {op} {v}", col, op, v))
-        elif family == "double":
-            col = draw(st.sampled_from(spec["double"]))
-            op = draw(st.sampled_from(["<", "<=", ">", ">="]))
-            v = draw(st.integers(0, spec["double_hi"])) / 100.0
-            preds.append(Pred(f"{col} {op} {v!r}", col, op, v))
-        elif family == "cat":
-            col = draw(st.sampled_from(spec["cat"]))
-            op = draw(st.sampled_from(["=", "<>"]))
-            v = draw(st.sampled_from(spec["cat_domain"][col]))
-            preds.append(Pred(f"{col} {op} '{v}'", col, op, v))
-        elif family == "cat_in":
-            col = draw(st.sampled_from(spec["cat"]))
-            vals = draw(
-                st.lists(
-                    st.sampled_from(spec["cat_domain"][col]),
-                    min_size=1, max_size=3, unique=True,
-                )
-            )
-            quoted = ", ".join(f"'{v}'" for v in vals)
-            preds.append(Pred(f"{col} IN ({quoted})", col, "in", tuple(vals)))
-        else:
-            col = draw(st.sampled_from(spec["ts"]))
-            op = draw(st.sampled_from(["<", ">="]))
-            day = draw(st.integers(0, 2555))  # 1992-01-01 .. ~1998-12
-            import datetime
-
-            d = datetime.date(1992, 1, 1) + datetime.timedelta(days=day)
-            v = f"{d} 00:00:00"
-            preds.append(
-                Pred(f"{col} {op} TIMESTAMP '{v}'/*ts*/", col, op, v)
-            )
+    preds = _draw_preds(draw, table, draw(st.integers(0, 2)), with_cat_in=True)
 
     keys = draw(
         st.lists(
@@ -228,12 +190,15 @@ def test_random_pipeline_matches_duckdb(spark, duck, spec):
 # ---------------------------------------------------------------------------
 
 
-def _draw_preds(draw, table: str, n: int) -> list[Pred]:
-    """n predicates over `table`, reusing the single-table grammar."""
+def _draw_preds(draw, table: str, n: int, with_cat_in: bool = False) -> list[Pred]:
+    """n predicates over `table` — THE predicate grammar; both the
+    single-table and the join strategies draw from here so the families
+    cannot drift apart. `with_cat_in` adds the IN-list family."""
     spec = TABLES[table]
+    families = ["int", "double", "cat", "ts"] + (["cat_in"] if with_cat_in else [])
     preds = []
     for _ in range(n):
-        family = draw(st.sampled_from(["int", "double", "cat", "ts"]))
+        family = draw(st.sampled_from(families))
         if family == "int":
             col = draw(st.sampled_from(spec["int"]))
             op = draw(st.sampled_from(CMP_OPS))
@@ -249,6 +214,16 @@ def _draw_preds(draw, table: str, n: int) -> list[Pred]:
             op = draw(st.sampled_from(["=", "<>"]))
             v = draw(st.sampled_from(spec["cat_domain"][col]))
             preds.append(Pred(f"{col} {op} '{v}'", col, op, v))
+        elif family == "cat_in":
+            col = draw(st.sampled_from(spec["cat"]))
+            vals = draw(
+                st.lists(
+                    st.sampled_from(spec["cat_domain"][col]),
+                    min_size=1, max_size=3, unique=True,
+                )
+            )
+            quoted = ", ".join(f"'{v}'" for v in vals)
+            preds.append(Pred(f"{col} IN ({quoted})", col, "in", tuple(vals)))
         else:
             col = draw(st.sampled_from(spec["ts"]))
             op = draw(st.sampled_from(["<", ">="]))
@@ -273,8 +248,8 @@ def join_pipelines(draw):
     Agg fragments as the single-table grammar.
     """
     how = draw(st.sampled_from(["inner", "left_semi"]))
-    li_preds = _draw_preds(draw, "lineitem", draw(st.integers(0, 2)))
-    o_preds = _draw_preds(draw, "orders", draw(st.integers(0, 2)))
+    li_preds = _draw_preds(draw, "lineitem", draw(st.integers(0, 2)), with_cat_in=True)
+    o_preds = _draw_preds(draw, "orders", draw(st.integers(0, 2)), with_cat_in=True)
 
     li, orders = TABLES["lineitem"], TABLES["orders"]
     if how == "left_semi":  # only lineitem columns survive a semi join
