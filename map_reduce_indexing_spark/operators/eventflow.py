@@ -455,14 +455,19 @@ def q_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _funnel_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _funnel_times(
+    spark: SparkSession, sf_dir: str, max_delay_us: int | None = None
+) -> DataFrame:
     """Per-user conversion times t_view <= t_click <= t_purchase.
 
     One conditional-aggregation pass per step over the (already
     user-partitioned) events: step i is MIN(ts) among events of that
-    type strictly after the user's step i-1 time. Each step is a
-    shuffle-free groupBy after the first user_id exchange; the tiny
-    per-user frames chain with co-partitioned joins on user_id.
+    type strictly after the user's step i-1 time — and, when
+    ``max_delay_us`` is set, no later than that bound after it (the
+    deadline-bounded funnel every growth dashboard actually runs).
+    Each step is a shuffle-free groupBy after the first user_id
+    exchange; the tiny per-user frames chain with co-partitioned joins
+    on user_id.
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
     cur = (
@@ -471,10 +476,15 @@ def _funnel_times(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("t_0"))
     )
     for i, step in enumerate(FUNNEL_STEPS[1:], start=1):
+        after_prev = F.col("ts") > F.col("prev_t")
+        if max_delay_us is not None:
+            after_prev = after_prev & (
+                F.unix_micros("ts") - F.unix_micros("prev_t") <= max_delay_us
+            )
         nxt = (
             ev.filter(F.col("event_type") == step)
             .join(cur.select("user_id", F.col(f"t_{i-1}").alias("prev_t")), "user_id")
-            .filter(F.col("ts") > F.col("prev_t"))
+            .filter(after_prev)
             .groupBy("user_id")
             .agg(F.min("ts").alias(f"t_{i}"))
         )
@@ -482,19 +492,27 @@ def _funnel_times(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur
 
 
-_SQL_FUNNEL_TIMES = f"""
+def _sql_funnel_times(max_delay_us: int | None = None) -> str:
+    """DuckDB CTE mirroring `_funnel_times` (optionally deadline-bounded)."""
+
+    def bound(prev: str) -> str:
+        if max_delay_us is None:
+            return ""
+        return f" AND epoch_us(e.ts) - epoch_us({prev}) <= {max_delay_us}"
+
+    return f"""
     WITH s0 AS (
         SELECT user_id, MIN(ts) AS t_0 FROM events
         WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
     ), s1 AS (
         SELECT e.user_id, MIN(e.ts) AS t_1
         FROM events e JOIN s0 ON e.user_id = s0.user_id
-        WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s0.t_0
+        WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s0.t_0{bound('s0.t_0')}
         GROUP BY e.user_id
     ), s2 AS (
         SELECT e.user_id, MIN(e.ts) AS t_2
         FROM events e JOIN s1 ON e.user_id = s1.user_id
-        WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s1.t_1
+        WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s1.t_1{bound('s1.t_1')}
         GROUP BY e.user_id
     ), f AS (
         SELECT s0.user_id, t_0, t_1, t_2
@@ -504,10 +522,9 @@ _SQL_FUNNEL_TIMES = f"""
 """
 
 
-@register(
-    "rel_funnel",
-    oracle=_SQL_FUNNEL_TIMES
-    + f"""
+_SQL_FUNNEL_TIMES = _sql_funnel_times()
+
+_SQL_FUNNEL_STEPS = f"""
         SELECT CAST(step_no AS BIGINT) AS step_no, step,
                CAST(n_users AS BIGINT) AS n_users,
                CAST(n_users AS DOUBLE)
@@ -520,7 +537,14 @@ _SQL_FUNNEL_TIMES = f"""
             UNION ALL
             SELECT 3, '{FUNNEL_STEPS[2]}', COUNT(t_2) FROM f
         ) steps
-    """,
+    """
+
+FUNNEL_DEADLINE_US = 24 * 3600 * 1_000_000
+
+
+@register(
+    "rel_funnel",
+    oracle=_SQL_FUNNEL_TIMES + _SQL_FUNNEL_STEPS,
     tier="relational",
     doc="Ordered conversion funnel view -> click -> purchase: a user "
     "counts for step i only with a step-i event strictly after their "
@@ -531,7 +555,10 @@ _SQL_FUNNEL_TIMES = f"""
     "aggregates.",
 )
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f = _funnel_times(spark, sf_dir)
+    return _funnel_steps(_funnel_times(spark, sf_dir))
+
+
+def _funnel_steps(f: DataFrame) -> DataFrame:
     steps = f.agg(
         F.count("t_0").alias("n_1"),
         F.count("t_1").alias("n_2"),
@@ -549,6 +576,21 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = r if rows is None else rows.unionAll(r)
     return rows
+
+
+@register(
+    "rel_funnel_24h",
+    oracle=_sql_funnel_times(FUNNEL_DEADLINE_US) + _SQL_FUNNEL_STEPS,
+    tier="relational",
+    doc="Deadline-bounded funnel: same ordered view -> click -> purchase "
+    "chain, but each step must land within 24 hours of the previous "
+    "step's conversion time (strictly-after AND within-deadline, "
+    "integer-microsecond bound on both engines). The realistic form "
+    "of rel_funnel — unbounded funnels overcount conversions that "
+    "happen weeks later.",
+)
+def q_funnel_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _funnel_steps(_funnel_times(spark, sf_dir, FUNNEL_DEADLINE_US))
 
 
 @register(

@@ -21,6 +21,7 @@ from tests.conftest import SF_DIR, assert_df_matches_oracle
         "rel_resample_daily",
         "rel_rolling_active_users",
         "rel_anomaly_daily",
+        "rel_funnel_24h",
     ],
 )
 def test_oracle_parity(spark, duck, name):
@@ -126,6 +127,14 @@ def test_sessionize_agrees_with_stream(spark):
         for r in registry.get("stream_session_windows").fn(spark, SF_DIR).collect()
     }
     assert batch == stream
+
+
+def test_bounded_funnel_never_exceeds_unbounded(spark):
+    unbounded = {r.step: r.n_users for r in eventflow.q_funnel(spark, SF_DIR).collect()}
+    bounded = {r.step: r.n_users for r in eventflow.q_funnel_24h(spark, SF_DIR).collect()}
+    assert bounded[eventflow.FUNNEL_STEPS[0]] == unbounded[eventflow.FUNNEL_STEPS[0]]
+    for s in eventflow.FUNNEL_STEPS[1:]:
+        assert bounded[s] <= unbounded[s]
 
 
 def test_funnel_monotone(spark):
