@@ -46,6 +46,15 @@ def _normalize_term(term: str) -> str:
     silently returning empty. Terms that normalize to nothing (e.g.
     "42", "") can never match an indexed token — reject them loudly
     rather than returning an empty frame or crashing on term[0]."""
+    words = [w for w in re.split(r"[ \n]", term) if w]
+    if len(words) > 1:
+        # Deleting separators would silently fuse 'machine learning' into
+        # 'machinelearning', a token the tokenizer can never produce.
+        raise ValueError(
+            f"query term {term!r} contains multiple words; the index is "
+            "word-grained — use search_all/search_any with one term per "
+            "word instead"
+        )
     norm = re.sub(r"[^a-z]", "", term.lower())
     if not norm:
         raise ValueError(

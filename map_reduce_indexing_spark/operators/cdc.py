@@ -109,7 +109,7 @@ def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM latest
         )
         SELECT COALESCE(c.c_custkey, f.key) AS c_custkey,
-               CASE WHEN f.key IS NULL THEN c.c_name END AS c_name,
+               c.c_name AS c_name,
                CAST(CAST(COALESCE(c.c_acctbal, 0) AS DECIMAL(18,2))
                     + CASE WHEN f.key IS NULL THEN CAST(0 AS DECIMAL(18,2))
                            ELSE CAST(f.last_value AS DECIMAL(18,2)) END
@@ -143,8 +143,10 @@ def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec0 = F.lit(0).cast("decimal(18,2)")
     merged = j.select(
         F.coalesce(F.col("c_custkey"), F.col("key")).alias("c_custkey"),
-        # Inserted rows have no name; NULL mirrors MERGE's unset columns.
-        F.when(F.col("key").isNull(), F.col("c_name")).alias("c_name"),
+        # MERGE's UPDATE leaves unlisted columns intact, so updated rows
+        # KEEP their name; inserted rows have none (the customer side of
+        # the full-outer join is already NULL there).
+        F.col("c_name"),
         (
             F.coalesce(F.col("c_acctbal"), F.lit(0)).cast("decimal(18,2)")
             + F.when(F.col("key").isNull(), dec0).otherwise(

@@ -181,16 +181,20 @@ _ARTIFACTS_LOCK = __import__("threading").Lock()
 
 
 def _content_fingerprint(src: str) -> str:
-    """Cheap content digest of a source file: md5 over (size, first KB,
-    last 64 KB). For parquet the tail covers the footer — schema, row
-    group boundaries, column min/max stats — which changes whenever the
-    data changes, so even a same-second, same-size rewrite (where an
-    (mtime, size) key would serve a stale artifact) fingerprints
-    differently. Reads at most 65 KB regardless of file size."""
+    """Cheap content digest of a source file: md5 over (size, mtime_ns,
+    first KB, last 64 KB). The tail covers a parquet footer — schema,
+    row-group boundaries, column min/max stats — so a same-second,
+    same-size rewrite (where an (mtime, size) key alone would serve a
+    stale artifact) fingerprints differently whenever the footer moves;
+    mtime_ns additionally covers the residual case of a >65 KB file
+    changed only in the middle with byte-identical head/footer (content
+    bytes alone cannot distinguish that without a full read). Reads at
+    most 65 KB regardless of file size."""
     import hashlib
 
-    size = os.path.getsize(src)
-    h = hashlib.md5(str(size).encode())
+    st = os.stat(src)
+    size = st.st_size
+    h = hashlib.md5(f"{size}:{st.st_mtime_ns}".encode())
     with open(src, "rb") as f:
         h.update(f.read(1024))
         tail = min(size, 65536)

@@ -362,17 +362,23 @@ def cdc_upsert_stream(ev: DataFrame) -> DataFrame:
     )
 
     def upsert(key, pdfs, state: GroupState):
+        # An explicit have-state flag, NOT a sentinel tuple: a sentinel
+        # like (-1, -1) would silently reject legitimate pre-epoch
+        # timestamps (negative ts_us) and could itself be emitted as
+        # fabricated state.
+        have = state.exists
         ts_us, eid, etype, val, n = (
-            state.get if state.exists else (-1, -1, "", 0.0, 0)
+            state.get if have else (0, 0, "", 0.0, 0)
         )
         for pdf in pdfs:
             if not len(pdf):
                 continue
             n += len(pdf)
             top = pdf.sort_values(["ts_us", "event_id"]).iloc[-1]
-            if (int(top["ts_us"]), int(top["event_id"])) > (ts_us, eid):
+            if not have or (int(top["ts_us"]), int(top["event_id"])) > (ts_us, eid):
                 ts_us, eid = int(top["ts_us"]), int(top["event_id"])
                 etype, val = str(top["event_type"]), float(top["value"])
+                have = True
         state.update((ts_us, eid, etype, val, n))
         yield pd.DataFrame(
             {
@@ -579,6 +585,27 @@ def incremental_index_append(
     commit granularity; tests use 1 to force multi-batch runs)."""
     from ..operators.indexing import build_postings, with_letter
     from ..schemas import DOCUMENT
+
+    # Layout guard: the two modes produce different directory depths
+    # (checkpointed: batch=<id>/letter=*; raw append: letter=*). Mixing
+    # them on one path yields 'Conflicting directory structures' at read
+    # time — fail fast at write time instead.
+    if os.path.isdir(index_path):
+        has_flat = any(e.startswith("letter=") for e in os.listdir(index_path))
+        if checkpoint is not None and has_flat:
+            raise ValueError(
+                f"{index_path!r} holds a flat letter=* index (raw-append "
+                "layout); resuming it checkpointed would write the "
+                "incompatible batch=<id>/letter=* layout beside it. Use a "
+                "fresh index path, or compact the old index first."
+            )
+        has_batched = any(e.startswith("batch=") for e in os.listdir(index_path))
+        if checkpoint is None and has_batched:
+            raise ValueError(
+                f"{index_path!r} holds a checkpointed batch=<id> index; "
+                "raw-append writes would corrupt its partition discovery. "
+                "Use a fresh index path."
+            )
 
     reader = spark.readStream.schema(DOCUMENT).option("pathGlobFilter", glob)
     if max_files_per_trigger is not None:

@@ -91,3 +91,8 @@ def test_query_terms_are_normalized_like_the_tokenizer(spark, tmp_path):
             idx.lookup(bad)
         with pytest.raises(ValueError):
             idx.search_all(["spark", bad])
+
+    # Multi-word terms must be rejected, not silently fused into a
+    # token ('machine learning' -> 'machinelearning') that can never match.
+    with pytest.raises(ValueError, match="multiple words"):
+        idx.lookup("machine learning")

@@ -66,6 +66,8 @@ def test_merge_upsert_semantics(spark):
         assert rows[k]["c_name"] is None  # MERGE leaves unset columns NULL
     for k in updated:
         assert rows[k]["merge_action"] == "updated"
+        # MERGE UPDATE leaves unlisted columns intact — the name survives.
+        assert rows[k]["c_name"] is not None
     # pass-through rows: every customer key not touched by the feed
     untouched = rows.keys() - feed.keys()
     assert untouched and all(

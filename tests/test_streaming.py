@@ -242,6 +242,69 @@ def test_cdc_upsert_never_regresses_on_out_of_order_changes(spark, tmp_path):
     assert final[2]["last_event_type"] == "view"
 
 
+def test_cdc_upsert_accepts_pre_epoch_timestamps(spark, tmp_path):
+    """The have-state flag (not a sentinel tuple) must accept a change
+    whose ts is before 1970 — negative ts_us would lose against a
+    (-1, -1) sentinel and fabricate empty state."""
+    import datetime
+
+    from map_reduce_indexing_spark.streaming.events import (
+        cdc_upsert_stream,
+        fold_cdc_upsert_updates,
+    )
+
+    src = tmp_path / "cdc_pre_epoch"
+    src.mkdir()
+    schema = "user_id long, ts timestamp, event_id long, event_type string, value double"
+    spark.createDataFrame(
+        [(7, datetime.datetime(1969, 12, 31, 23, 0, 0), 5, "signup", 3.5)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    name = "cdc_pre_epoch_sink"
+    q = (
+        cdc_upsert_stream(stream)
+        .writeStream.format("memory")
+        .outputMode("update")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = {
+        r["user_id"]: r
+        for r in fold_cdc_upsert_updates(spark.table(name)).collect()
+    }
+    assert final[7]["last_event_type"] == "signup"
+    assert final[7]["last_value"] == 3.5
+    assert final[7]["last_ts"] == datetime.datetime(1969, 12, 31, 23, 0, 0)
+
+
+def test_incremental_index_layout_modes_cannot_mix(spark, tmp_path):
+    """Resuming a raw-append (flat letter=*) index with a checkpoint —
+    or vice versa — must fail fast instead of writing a mixed-depth
+    layout Spark cannot partition-discover."""
+    import pytest as _pytest
+
+    from map_reduce_indexing_spark.streaming.events import (
+        incremental_index_append,
+    )
+
+    idx = tmp_path / "idx"
+    (idx / "letter=a").mkdir(parents=True)  # pre-existing flat layout
+    with _pytest.raises(ValueError, match="raw-append"):
+        incremental_index_append(
+            spark, SF_DIR, str(idx), checkpoint=str(tmp_path / "ckpt")
+        )
+
+    idx2 = tmp_path / "idx2"
+    (idx2 / "batch=0").mkdir(parents=True)  # pre-existing batched layout
+    with _pytest.raises(ValueError, match="checkpointed"):
+        incremental_index_append(spark, SF_DIR, str(idx2), checkpoint=None)
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """§2.9 watermark semantics, proven directly: with a 1-minute
     watermark, an event arriving in a later microbatch whose timestamp
