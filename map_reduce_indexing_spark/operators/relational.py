@@ -776,6 +776,48 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_window_value_functions",
+    oracle="""
+        SELECT o_orderkey,
+               first_value(o_orderkey) OVER w AS cheapest_key,
+               last_value(o_orderkey) OVER
+                   (PARTITION BY o_orderstatus
+                    ORDER BY o_totalprice, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING) AS priciest_key,
+               nth_value(o_orderkey, 2) OVER
+                   (PARTITION BY o_orderstatus
+                    ORDER BY o_totalprice, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING) AS second_cheapest_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice, o_orderkey)
+        QUALIFY o_orderkey < 500
+    """,
+    tier="relational",
+    doc="Value-window functions (SURVEY.md §2.5 W3): first/last/nth "
+    "order key by price within each status partition. last_value and "
+    "nth_value use the explicit UNBOUNDED FOLLOWING frame (the default "
+    "frame ends at CURRENT ROW, the classic silent-wrong-answer); the "
+    "(price, key) composite order makes every pick deterministic.",
+)
+def q_window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.first("o_orderkey").over(w).alias("cheapest_key"),
+            F.last("o_orderkey").over(full).alias("priciest_key"),
+            F.nth_value("o_orderkey", 2).over(full).alias("second_cheapest_key"),
+        )
+        .filter(F.col("o_orderkey") < 500)
+    )
+
+
+@register(
     "rel_topk_orders",
     export=False,  # pytest-verified variant; kept out of the external window
     oracle="""

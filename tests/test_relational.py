@@ -35,6 +35,7 @@ RELATIONAL_QUERIES = [
     "rel_q18_large_orders",
     "rel_array_map_functions",
     "rel_window_ntile",
+    "rel_window_value_functions",
     "rel_window_range_frame",
     "rel_q4_order_priority",
     "rel_q13_custdist",
