@@ -64,6 +64,26 @@ def _normalize_term(term: str) -> str:
     return norm
 
 
+def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Ad-hoc ANSI SQL over the engine's tables: registers every fixture
+    table (region nation customer supplier part orders lineitem events
+    documents embeddings) as a temp view with the engine's normalized
+    schemas (UTC timestamps, NTZ/nanos handling — sources/tables.py),
+    then runs the query through Catalyst.
+
+        from map_reduce_indexing_spark import api
+        api.sql(spark, sf_dir, "SELECT count(*) FROM orders").show()
+
+    This is the drop-in surface for a user bringing their own SQL: the
+    same views the DuckDB oracle sees, the same plans the registered
+    queries get (pushdown, broadcast, AQE — nothing here bypasses the
+    optimizer)."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(query)
+
+
 class IndexSession:
     """A persisted letter-partitioned inverted index plus its query
     surface — the engine's equivalent of the reference's ./index

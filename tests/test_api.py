@@ -96,3 +96,22 @@ def test_query_terms_are_normalized_like_the_tokenizer(spark, tmp_path):
     # token ('machine learning' -> 'machinelearning') that can never match.
     with pytest.raises(ValueError, match="multiple words"):
         idx.lookup("machine learning")
+
+
+def test_adhoc_sql_surface(spark):
+    from map_reduce_indexing_spark import api
+    from tests.conftest import SF_DIR
+
+    n = api.sql(spark, SF_DIR, "SELECT count(*) AS n FROM orders").collect()[0]["n"]
+    assert n == spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    # joins across registered views plan and run
+    top = api.sql(
+        spark,
+        SF_DIR,
+        """
+        SELECT n_name, count(*) AS n
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n DESC, n_name LIMIT 3
+        """,
+    ).collect()
+    assert len(top) == 3 and all(r["n"] > 0 for r in top)
