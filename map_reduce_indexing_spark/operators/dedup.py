@@ -958,3 +958,54 @@ def q_dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance entity matching (blocked fuzzy join)
+# ---------------------------------------------------------------------------
+
+FUZZY_MAX_DIST = 3
+
+
+@register(
+    "dedup_fuzzy_names",
+    oracle=f"""
+        WITH p AS (SELECT DISTINCT p_name,
+                          split_part(p_name, ' ', 2) AS block
+                   FROM part)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        FROM p a JOIN p b
+          ON a.block = b.block AND a.p_name < b.p_name
+         AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+    """,
+    tier="llm",
+    doc="Entity resolution by edit distance — the string-similarity "
+    "tier the hash/sketch dedup family can't cover (typo'd names "
+    "hash apart but sit 1-2 edits away): distinct part names, "
+    "blocked on the noun word, pairs within a block at Levenshtein "
+    f"<= {FUZZY_MAX_DIST}. Both engines implement the identical "
+    "unit-cost edit-distance integer, so the oracle matches exactly. "
+    "Scale shape: the quadratic comparison runs only INSIDE blocks "
+    "(equi-join on the blocking key, same pattern as LSH banding); "
+    "the whole-corpus cost is sum(block^2), not n^2 — with the usual "
+    "caveat that a degenerate blocking key needs re-blocking (finer "
+    "key or length bucketing), exactly like a hot LSH bucket.",
+)
+def q_dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load_table(spark, sf_dir, "part")
+        .select("p_name", F.split("p_name", " ").getItem(1).alias("block"))
+        .distinct()
+    )
+    a = p.select(F.col("p_name").alias("name_a"), F.col("block").alias("b1"))
+    b = p.select(F.col("p_name").alias("name_b"), F.col("block").alias("b2"))
+    return (
+        a.join(
+            b,
+            (F.col("b1") == F.col("b2")) & (F.col("name_a") < F.col("name_b")),
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+        .select("name_a", "name_b", "dist")
+    )

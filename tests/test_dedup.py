@@ -18,6 +18,7 @@ ORACLE_QUERIES = [
     "dedup_simhash_pairs",
     "dedup_embedding_pairs",
     "dedup_clusters",
+    "dedup_fuzzy_names",
 ]
 
 
