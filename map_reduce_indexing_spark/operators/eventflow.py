@@ -128,6 +128,71 @@ def sessionize(ev: DataFrame, gap_us: int) -> DataFrame:
     )
 
 
+@register(
+    "rel_attribution_first_touch",
+    oracle=f"""
+        WITH marked AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             > {GAP_US} THEN 1
+                        WHEN lag(ts) OVER w IS NULL THEN 1
+                        ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, ts, event_id, event_type,
+                   SUM(is_new) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM marked
+        ), firsts AS (
+            SELECT user_id, session_seq, event_type AS first_touch
+            FROM (
+                SELECT user_id, session_seq, event_type,
+                       row_number() OVER (PARTITION BY user_id, session_seq
+                                          ORDER BY ts, event_id) AS rn
+                FROM numbered
+            ) WHERE rn = 1
+        )
+        SELECT f.first_touch, CAST(COUNT(*) AS BIGINT) AS n_purchases
+        FROM numbered e JOIN firsts f
+          ON e.user_id = f.user_id AND e.session_seq = f.session_seq
+        WHERE e.event_type = 'purchase'
+        GROUP BY f.first_touch
+    """,
+    tier="relational",
+    doc="Session-based first-touch attribution: every purchase is "
+    "credited to the event type that OPENED its session (the 30-min "
+    "gap sessions of rel_sessionize). Composes the sessionization "
+    "window with a per-session min_by and a co-partitioned join — "
+    "everything stays on the single user_id exchange until the final "
+    "5-key rollup. The canonical marketing-attribution query a "
+    "clickstream warehouse runs daily.",
+)
+def q_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    is_new = F.when(us - F.lag(us).over(w) > GAP_US, 1).otherwise(
+        F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    numbered = ev.withColumn("is_new", is_new).withColumn(
+        "session_seq", F.sum("is_new").over(run).cast("long")
+    )
+    firsts = numbered.groupBy("user_id", "session_seq").agg(
+        F.min_by("event_type", F.struct("ts", "event_id")).alias("first_touch")
+    )
+    return (
+        numbered.filter(F.col("event_type") == "purchase")
+        .join(firsts, ["user_id", "session_seq"])
+        .groupBy("first_touch")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+
+
 # Default phase-1 chunk span for the hot-user-safe form: 6 hours.
 CHUNK_US = 6 * 3600 * 1_000_000
 

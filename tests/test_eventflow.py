@@ -22,6 +22,7 @@ from tests.conftest import SF_DIR, assert_df_matches_oracle
         "rel_rolling_active_users",
         "rel_anomaly_daily",
         "rel_funnel_24h",
+        "rel_attribution_first_touch",
     ],
 )
 def test_oracle_parity(spark, duck, name):
@@ -209,6 +210,18 @@ def test_rolling_wau_hll_tracks_exact(spark):
     assert set(est) == set(exact)
     for day, e in est.items():
         assert e == pytest.approx(exact[day], rel=0.05), day
+
+
+def test_attribution_conserves_purchases(spark):
+    # Every purchase is attributed to exactly one session opener.
+    rows = eventflow.q_attribution_first_touch(spark, SF_DIR).collect()
+    total = sum(r.n_purchases for r in rows)
+    n_purchases = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert total == n_purchases
 
 
 def test_retention_offsets_start_at_zero(spark):
