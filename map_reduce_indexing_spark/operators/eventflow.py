@@ -525,36 +525,38 @@ def _funnel_times(
 ) -> DataFrame:
     """Per-user conversion times t_view <= t_click <= t_purchase.
 
-    One conditional-aggregation pass per step over the (already
-    user-partitioned) events: step i is MIN(ts) among events of that
-    type strictly after the user's step i-1 time — and, when
-    ``max_delay_us`` is set, no later than that bound after it (the
-    deadline-bounded funnel every growth dashboard actually runs).
-    Each step is a shuffle-free groupBy after the first user_id
-    exchange; the tiny per-user frames chain with co-partitioned joins
-    on user_id.
+    Step i is MIN(ts) among events of that type strictly after the
+    user's step i-1 time — and, when ``max_delay_us`` is set, no later
+    than that bound after it (the deadline-bounded funnel every growth
+    dashboard actually runs).
+
+    Plan shape: THREE STACKED whole-partition window aggregates over
+    one user_id partitioning — each step's MIN references the previous
+    step's column, so Catalyst plans three Window nodes sharing a
+    single exchange and a single events scan (plan-audited in
+    tests/test_eventflow.py). The earlier per-step join-chain
+    formulation re-embedded each step's subtree in the next and cost
+    7 source scans.
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    cur = (
-        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_0"))
+    w = Window.partitionBy("user_id")
+    df = ev.withColumn(
+        "t_0",
+        F.min(F.when(F.col("event_type") == FUNNEL_STEPS[0], F.col("ts"))).over(w),
     )
     for i, step in enumerate(FUNNEL_STEPS[1:], start=1):
-        after_prev = F.col("ts") > F.col("prev_t")
+        prev = F.col(f"t_{i-1}")
+        cond = (F.col("event_type") == step) & (F.col("ts") > prev)
         if max_delay_us is not None:
-            after_prev = after_prev & (
-                F.unix_micros("ts") - F.unix_micros("prev_t") <= max_delay_us
+            cond = cond & (
+                F.unix_micros("ts") - F.unix_micros(prev) <= max_delay_us
             )
-        nxt = (
-            ev.filter(F.col("event_type") == step)
-            .join(cur.select("user_id", F.col(f"t_{i-1}").alias("prev_t")), "user_id")
-            .filter(after_prev)
-            .groupBy("user_id")
-            .agg(F.min("ts").alias(f"t_{i}"))
-        )
-        cur = cur.join(nxt, "user_id", "left")
-    return cur
+        df = df.withColumn(f"t_{i}", F.min(F.when(cond, F.col("ts"))).over(w))
+    return (
+        df.filter(F.col("t_0").isNotNull())
+        .groupBy("user_id")
+        .agg(*[F.min(f"t_{i}").alias(f"t_{i}") for i in range(len(FUNNEL_STEPS))])
+    )
 
 
 def _sql_funnel_times(max_delay_us: int | None = None) -> str:
@@ -629,18 +631,19 @@ def _funnel_steps(f: DataFrame) -> DataFrame:
         F.count("t_1").alias("n_2"),
         F.count("t_2").alias("n_3"),
     )
-    rows = None
-    for i, step in enumerate(FUNNEL_STEPS, start=1):
-        r = steps.select(
-            F.lit(i).cast("long").alias("step_no"),
-            F.lit(step).alias("step"),
-            F.col(f"n_{i}").alias("n_users"),
-            (F.col(f"n_{i}").cast("double") / F.col("n_1").cast("double")).alias(
-                "conv_from_first"
-            ),
-        )
-        rows = r if rows is None else rows.unionAll(r)
-    return rows
+    # stack() the single stats row into 3 step rows. A union of three
+    # selects over `steps` would recompute the whole per-user chain per
+    # branch (9 source scans, plan-audited) — the unpivot keeps it at
+    # one computation.
+    cells = ", ".join(
+        f"CAST({i} AS BIGINT), '{step}', n_{i}, "
+        f"CAST(n_{i} AS DOUBLE) / CAST(n_1 AS DOUBLE)"
+        for i, step in enumerate(FUNNEL_STEPS, start=1)
+    )
+    return steps.selectExpr(
+        f"stack({len(FUNNEL_STEPS)}, {cells}) AS "
+        "(step_no, step, n_users, conv_from_first)"
+    )
 
 
 @register(

@@ -130,6 +130,19 @@ def test_sessionize_agrees_with_stream(spark):
     assert batch == stream
 
 
+def test_funnel_plan_is_single_scan_single_exchange(spark):
+    """The stacked-window formulation must keep one events scan and one
+    user_id exchange — the join-chain form cost 7 scans."""
+    plan = (
+        eventflow.q_funnel(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("events.parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_bounded_funnel_never_exceeds_unbounded(spark):
     unbounded = {r.step: r.n_users for r in eventflow.q_funnel(spark, SF_DIR).collect()}
     bounded = {r.step: r.n_users for r in eventflow.q_funnel_24h(spark, SF_DIR).collect()}
