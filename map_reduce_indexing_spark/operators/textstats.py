@@ -768,29 +768,39 @@ PMI_TOP_K = 50
     doc="Collocation mining: document-level co-occurrence counts and "
     "pointwise mutual information for the top word pairs — the "
     "distributional-semantics statistic behind phrase detection and "
-    "embedding-corpus diagnostics. Shape: distinct (doc, word) — one "
-    "shuffle — then a per-doc self-join (bounded by distinct words "
-    "per doc, ~vocab-per-doc^2 pairs per doc, NOT corpus-quadratic), "
-    "then groupBy pair. PMI is ln over exact BIGINT ratios, computed "
-    "as one identical IEEE expression tree in both engines and "
+    "embedding-corpus diagnostics. Shape: per-doc distinct word ARRAY "
+    "(array_distinct — shuffle-free, unlike the oracle's exploded "
+    "distinct), pairs generated as a JVM array comprehension per row "
+    "(bounded by vocab-per-doc^2, NOT corpus-quadratic) and counted "
+    "on a tiny pair-key shuffle; document frequencies explode the "
+    "same arrays onto a vocab-key shuffle. No self-join, no distinct "
+    "shuffle of the token stream. PMI is ln over exact BIGINT "
+    "ratios, one identical IEEE expression tree in both engines, "
     "rounded once; top-k ordered by (count, w1, w2) so the LIMIT "
     "boundary is deterministic.",
 )
 def q_text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    dw = (
-        docs.select(
-            "doc_id",
-            F.explode(F.expr(spark_tokens_expr("text"))).alias("w"),
-        )
-        .distinct()
+    # One row per doc with its sorted distinct word array — no shuffle.
+    ws = docs.select(
+        F.sort_array(
+            F.array_distinct(F.expr(spark_tokens_expr("text")))
+        ).alias("ws")
+    ).filter(F.size("ws") > 0)
+    n_docs = ws.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_ = (
+        ws.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("d"))
     )
-    n_docs = dw.agg(F.countDistinct("doc_id").alias("n_docs"))
-    df_ = dw.groupBy("w").agg(F.count(F.lit(1)).alias("d"))
-    a = dw.select("doc_id", F.col("w").alias("w1"))
-    b = dw.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("w2"))
+    # Ordered pairs (w1 < w2 by array sortedness) via array comprehension.
+    pair_expr = (
+        "flatten(transform(ws, (x, i) -> "
+        "transform(slice(ws, i + 2, size(ws)), y -> struct(x AS w1, y AS w2))))"
+    )
     pairs = (
-        a.join(b, (a.doc_id == b.doc_b) & (F.col("w1") < F.col("w2")))
+        ws.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("d_pair"))
     )
