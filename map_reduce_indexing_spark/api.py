@@ -46,7 +46,7 @@ def _normalize_term(term: str) -> str:
     silently returning empty. Terms that normalize to nothing (e.g.
     "42", "") can never match an indexed token — reject them loudly
     rather than returning an empty frame or crashing on term[0]."""
-    words = [w for w in re.split(r"[ \n]", term) if w]
+    words = [w for w in re.split(r"\s+", term) if w]
     if len(words) > 1:
         # Deleting separators would silently fuse 'machine learning' into
         # 'machinelearning', a token the tokenizer can never produce.

@@ -300,7 +300,16 @@ def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit(INCR_CUTOFF).cast("timestamp")
 
     def build(path: str) -> None:
-        base_ev = load_table(spark, sf_dir, "events").filter(F.col("ts") < cutoff)
+        # NULL-ts rows fail BOTH `< cutoff` and `>= cutoff`; route them
+        # into the BASE so the base/delta split stays a partition of the
+        # table (the oracle's plain GROUP BY counts them). They belong
+        # here, not in the delta: the base build is the one-time full-
+        # history pass (an OR-with-NULL predicate costs nothing on a
+        # scan that reads everything anyway), while the delta's
+        # `ts >= cutoff` stays a clean parquet pushdown.
+        base_ev = load_table(spark, sf_dir, "events").filter(
+            (F.col("ts") < cutoff) | F.col("ts").isNull()
+        )
         # One compact file per user-range; tiny frame, single writer.
         _user_stats_agg(base_ev).coalesce(1).write.mode("overwrite").parquet(path)
 

@@ -777,7 +777,11 @@ PMI_TOP_K = 50
     "shuffle of the token stream. PMI is ln over exact BIGINT "
     "ratios, one identical IEEE expression tree in both engines, "
     "rounded once; top-k ordered by (count, w1, w2) so the LIMIT "
-    "boundary is deterministic.",
+    "boundary is deterministic. SCALE NOTE: per-task pair generation "
+    "is O(doc-vocab^2) — fine for bounded docs, hostile for a "
+    "book-length one; `text_pmi_windowed` is the O(tokens*k) "
+    "production form and this doc-level form is its oracle-checkable "
+    "contract (same calibration pattern as WAU exact/HLL).",
 )
 def q_text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -806,9 +810,12 @@ def q_text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     da = df_.select(F.col("w").alias("w1"), F.col("d").alias("d1"))
     db = df_.select(F.col("w").alias("w2"), F.col("d").alias("d2"))
+    # No broadcast hint on the document-frequency sides: |vocab| rows fit
+    # in a broadcast at fixture scale but not at web-corpus vocabulary
+    # sizes — AQE picks broadcast when the side is actually small.
     return (
-        pairs.join(F.broadcast(da), "w1")
-        .join(F.broadcast(db), "w2")
+        pairs.join(da, "w1")
+        .join(db, "w2")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "w1",
@@ -819,6 +826,120 @@ def q_text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("d_pair").cast("double")
                     * F.col("n_docs")
                     / (F.col("d1").cast("double") * F.col("d2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("d_pair"), "w1", "w2")
+        .limit(PMI_TOP_K)
+    )
+
+
+PMI_WINDOW_K = 4  # co-occurrence window: tokens within +-4 positions
+
+
+def windowed_pair_expr(k: int = PMI_WINDOW_K) -> str:
+    """Spark SQL expr: unordered token pairs co-occurring within a
+    forward window of `k` positions, over a token-sequence array `ws`.
+
+    Per-row pair count is sum_i min(k, len-1-i) <= len * k — LINEAR in
+    document length, which is the whole point: the doc-level PMI's
+    per-row comprehension is O(doc-vocab^2) and a 50k-distinct-word
+    book would generate 1.25B structs in one task; this form caps a
+    task's work at tokens*k regardless of vocabulary
+    (tests/test_llm_ops.py proves the bound on a synthetic long doc).
+    """
+    return (
+        f"flatten(transform(ws, (x, i) -> "
+        f"transform(filter(slice(ws, i + 2, {k}), y -> y <> x), "
+        f"y -> struct(least(x, y) AS w1, greatest(x, y) AS w2))))"
+    )
+
+
+@register(
+    "text_pmi_windowed",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+            FROM (SELECT doc_id, {DUCK_TOKENS_LIST} AS ws FROM documents)
+        ),
+        pairs AS (
+            SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2,
+                   CAST(COUNT(*) AS BIGINT) AS d_pair
+            FROM t a JOIN t b
+              ON a.doc_id = b.doc_id AND b.i > a.i
+             AND b.i <= a.i + {PMI_WINDOW_K} AND a.w <> b.w
+            GROUP BY 1, 2
+        ),
+        uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY w),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uni),
+        ptot AS (SELECT CAST(SUM(d_pair) AS BIGINT) AS n_pairs FROM pairs)
+        SELECT w1, w2, d_pair,
+               round(ln(CAST(d_pair AS DOUBLE) * n_tokens * n_tokens
+                        / (CAST(n_pairs AS DOUBLE) * c1.c * c2.c)), 6) AS pmi
+        FROM pairs, tot, ptot
+        JOIN uni c1 ON c1.w = w1
+        JOIN uni c2 ON c2.w = w2
+        ORDER BY d_pair DESC, w1, w2 LIMIT {PMI_TOP_K}
+    """,
+    tier="llm",
+    doc=f"Windowed collocation mining — the PRODUCTION form of PMI pair "
+    f"mining: tokens co-occurring within +-{PMI_WINDOW_K} positions, "
+    "occurrence-probability PMI over unigram/pair counts. Pair "
+    "generation is a per-row array comprehension bounded by "
+    f"tokens*{PMI_WINDOW_K} (linear in doc length — a 50k-distinct-"
+    "word book is ~200k structs here vs 1.25B under the doc-level "
+    "form), counted on a pair-key shuffle. Unigram counts ride the "
+    "same token arrays; the count-side joins carry NO broadcast "
+    "hint (|vocab| rows — AQE decides), only the two 1-row scalar "
+    "totals are broadcast. PMI is one identical IEEE expression "
+    "tree on both engines, rounded once; deterministic "
+    "(d_pair, w1, w2) top-k boundary. The doc-level "
+    "`text_pmi_cooccurrence` stays as the oracle-checkable contract "
+    "of the statistic; this is the form you run at 100 TB.",
+)
+def q_text_pmi_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select(
+        F.expr(spark_tokens_expr("text")).alias("ws")
+    ).filter(F.size("ws") > 0)
+    pairs = (
+        ws.select(F.explode(F.expr(windowed_pair_expr())).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("d_pair"))
+    )
+    uni = (
+        ws.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # 1-row scalar totals: the only legitimate broadcasts here. Both
+    # aggregate over subtrees that also feed the joins below, so
+    # Catalyst's ReuseExchange serves them from the same shuffle files.
+    n_tokens = uni.agg(F.sum("c").alias("n_tokens"))
+    n_pairs = pairs.agg(F.sum("d_pair").alias("n_pairs"))
+    c1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    c2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        pairs.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n_tokens))
+        .crossJoin(F.broadcast(n_pairs))
+        .select(
+            "w1",
+            "w2",
+            "d_pair",
+            F.round(
+                F.log(
+                    F.col("d_pair").cast("double")
+                    * F.col("n_tokens")
+                    * F.col("n_tokens")
+                    / (
+                        F.col("n_pairs").cast("double")
+                        * F.col("c1")
+                        * F.col("c2")
+                    )
                 ),
                 6,
             ).alias("pmi"),

@@ -114,6 +114,8 @@ def test_incremental_agg_scans_delta_not_history(spark):
     df = q_cdc_incremental_agg(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     # Exactly one scan of events.parquet (the delta), filtered on ts.
+    # NULL-ts rows are routed into the BASE build (cdc.py) so the split
+    # partitions the table without widening this pushdown.
     assert plan.count("events.parquet") == 1, plan
     assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts" in plan, plan
     # And the persisted base artifact is the other scan.

@@ -35,12 +35,51 @@ ORACLE_QUERIES = [
     "text_sample_mixture",
     "text_pack_sequences",
     "text_pmi_cooccurrence",
+    "text_pmi_windowed",
     "multimodal_image_meta",
     "multimodal_audio_meta",
     "multimodal_frame_sample",
     "multimodal_corpus_bytes",
     "multimodal_resize",
 ]
+
+
+def test_pmi_windowed_pair_generation_is_linear(spark):
+    """The scale fix the windowed form exists for: a long document with
+    an all-distinct vocabulary generates O(tokens * K) pairs — the
+    doc-level comprehension would generate tokens*(tokens-1)/2. The
+    per-row array size IS the per-task work, so this bounds what any
+    single task materializes for a book-length doc."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_indexing_spark.operators.dedup import spark_tokens_expr
+    from map_reduce_indexing_spark.operators.textstats import (
+        PMI_WINDOW_K,
+        windowed_pair_expr,
+    )
+
+    n = 10_000
+    vocab = [
+        "".join(t)
+        for t in itertools.islice(
+            itertools.product("abcdefghijklmnopqrstuvwxyz", repeat=3), n
+        )
+    ]
+    df = spark.createDataFrame(
+        [(1, " ".join(vocab))], "doc_id long, text string"
+    )
+    n_pairs = (
+        df.select(F.expr(spark_tokens_expr("text")).alias("ws"))
+        .select(F.size(F.expr(windowed_pair_expr())).alias("n"))
+        .head()
+        .n
+    )
+    expected = sum(min(PMI_WINDOW_K, n - 1 - i) for i in range(n))
+    assert n_pairs == expected
+    assert n_pairs <= n * PMI_WINDOW_K
+    assert n_pairs < n * (n - 1) // 2 // 100  # >100x below quadratic
 
 
 def test_multimodal_embed_matches_oracle(spark, duck):
