@@ -118,18 +118,24 @@ class IndexSession:
         """Incrementally index more documents (the reference's append
         lifecycle, helper_reduce.c:241): partial counts append
         atomically; reads stay correct because `postings()`
-        re-aggregates; call `compact()` to fold them in."""
+        re-aggregates; call `compact()` to fold them in. The write
+        holds the index writer lock, so an append issued while a
+        compaction is mid-swap WAITS and lands on the compacted copy
+        instead of being dropped by it (indexing.index_writer_lock)."""
         docs = (
             read_corpus_dir(self.spark, corpus)
             if isinstance(corpus, str)
             else corpus
         )
-        (
-            with_letter(build_postings(docs))
-            .write.mode("append")
-            .partitionBy("letter")
-            .parquet(self.index_path)
-        )
+        from .operators.indexing import index_writer_lock
+
+        with index_writer_lock(self.index_path):
+            (
+                with_letter(build_postings(docs))
+                .write.mode("append")
+                .partitionBy("letter")
+                .parquet(self.index_path)
+            )
 
     def compact(self) -> None:
         """Merge appended partial postings back to one row per

@@ -24,6 +24,7 @@ token count; AQE skew handling covers the residual imbalance.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -118,6 +119,41 @@ def read_index(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+@contextmanager
+def index_writer_lock(path: str):
+    """Serialize WRITERS of one index directory: a blocking exclusive
+    flock on a sibling `<path>.lock` file (sibling, not inside — the
+    compaction swap replaces the directory itself).
+
+    Closes the compact-vs-append race: an `append()` landing between
+    compaction's read and its swap would be silently dropped, and two
+    concurrent compactors would clobber each other's renames. Every
+    mutation (`IndexSession.append`, `compact_index`, and the acting
+    branch of `recover_index`) enters here first, so a concurrent
+    writer BLOCKS until the holder finishes — the interleaving above
+    becomes append-after-compact, and no postings are lost
+    (tests/test_session_index.py proves both properties).
+
+    flock scope is one host / one shared POSIX filesystem — exactly the
+    single-node reality of the reference's ./index (whose appends were
+    unlocked, SURVEY.md §2.12). On an object store the same role is
+    played by the metastore's table lock / atomic pointer swap. Each
+    call opens its own fd, so the lock also serializes threads within
+    one process (flock treats separate open file descriptions
+    independently). Readers never enter: reads are safe against the
+    swap via `recover_index` self-healing.
+    """
+    import fcntl
+
+    fd = os.open(path.rstrip("/") + ".lock", os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
 def compact_index(spark: SparkSession, path: str) -> None:
     """Merge appended partial postings: re-aggregate to one row per
     (word, doc) and rewrite the index.
@@ -126,38 +162,53 @@ def compact_index(spark: SparkSession, path: str) -> None:
     foreachBatch) accumulates one partial-count row per (word, doc)
     PER APPEND — reads stay correct only if they re-aggregate, and file
     counts grow without bound. Compaction is the standard log-structured
-    fix. The rewrite stages to a sibling directory, renames the live
-    index ASIDE, moves staging into place, then deletes the old copy.
-    A crash at any point leaves a complete copy ON DISK — the new one
-    at `path`, or the old one at `path` or `path + '.old'` — and
-    `recover_index` (called on entry here and by `read_index`) restores
-    a stranded `.old` copy, so the brief path-missing window between
-    the two renames self-heals on the next call. (POSIX rename gives
-    no two-directory atomic swap; on a production object store /
-    HDFS the same pattern runs under a metastore pointer swap, which
-    IS atomic.)
+    fix. The whole read-merge-swap runs under `index_writer_lock`, so
+    appends issued mid-compaction wait and land on the compacted copy
+    instead of vanishing in the swap. The rewrite stages to a sibling
+    directory, renames the live index ASIDE, moves staging into place,
+    then deletes the old copy. A crash at any point leaves a complete
+    copy ON DISK — the new one at `path`, or the old one at `path` or
+    `path + '.old'` — and `recover_index` (called on entry here and by
+    `read_index`) restores a stranded `.old` copy, so the brief
+    path-missing window between the two renames self-heals on the next
+    call. (POSIX rename gives no two-directory atomic swap; on a
+    production object store / HDFS the same pattern runs under a
+    metastore pointer swap, which IS atomic.)
     """
     import shutil
     import tempfile
 
-    recover_index(path)
-    merged = (
-        read_index(spark, path)
-        .groupBy("word", "doc_id")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
-    staging = tempfile.mkdtemp(prefix="mri_compact_", dir=os.path.dirname(path) or ".")
-    write_index(merged, staging, mode="overwrite")
-    old = path + ".old"
-    shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
-    os.replace(path, old)
-    os.replace(staging, path)
-    shutil.rmtree(old)
+    with index_writer_lock(path):
+        _recover_index_locked(path)
+        merged = (
+            spark.read.parquet(path)
+            .groupBy("word", "doc_id")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        staging = tempfile.mkdtemp(
+            prefix="mri_compact_", dir=os.path.dirname(path) or "."
+        )
+        write_index(merged, staging, mode="overwrite")
+        old = path + ".old"
+        shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+        os.replace(path, old)
+        os.replace(staging, path)
+        shutil.rmtree(old)
 
 
 def recover_index(path: str) -> None:
     """Heal a compact_index crash: if the live path is missing but the
-    renamed-aside copy exists, restore it."""
+    renamed-aside copy exists, restore it. The restore itself takes the
+    writer lock (re-checking under it), so a reader racing a LIVE
+    compactor's two-rename window blocks instead of resurrecting the
+    `.old` copy the compactor is about to delete; the no-op fast path
+    stays lock-free."""
+    if not os.path.exists(path) and os.path.isdir(path + ".old"):
+        with index_writer_lock(path):
+            _recover_index_locked(path)
+
+
+def _recover_index_locked(path: str) -> None:
     old = path + ".old"
     if not os.path.exists(path) and os.path.isdir(old):
         os.replace(old, path)

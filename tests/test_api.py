@@ -69,6 +69,98 @@ def test_build_query_append_compact(spark, tmp_path):
     assert vocab.get("spark") == 5
 
 
+def test_append_blocks_while_writer_lock_held(spark, tmp_path):
+    """VERDICT r5 #2: an append issued while another writer holds the
+    index lock must WAIT, not interleave. Holding the lock stands in
+    for a compactor mid-swap — the deterministic form of the race."""
+    import threading
+    import time
+
+    from map_reduce_indexing_spark.operators.indexing import index_writer_lock
+
+    base = spark.createDataFrame(
+        [("a", "alpha beta"), ("b", "beta gamma")], "doc_id string, text string"
+    )
+    idx = IndexSession.build(spark, base, str(tmp_path / "index"))
+    more = spark.createDataFrame(
+        [("c", "beta beta delta")], "doc_id string, text string"
+    )
+    idx.append(more)  # warm the append path so the timing check is fair
+    idx.compact()
+
+    more2 = spark.createDataFrame([("d", "beta")], "doc_id string, text string")
+    done = threading.Event()
+
+    def do_append():
+        idx.append(more2)
+        done.set()
+
+    with index_writer_lock(idx.index_path):
+        t = threading.Thread(target=do_append)
+        t.start()
+        # A warmed append of 1 tiny doc completes well inside 3 s when
+        # unblocked; it must NOT complete while we hold the lock.
+        assert not done.wait(timeout=3.0), "append ran under a held writer lock"
+    t.join(120)
+    assert done.is_set()
+    got = {r.doc_id: r.cnt for r in idx.lookup("beta").collect()}
+    assert got == {"a": 1, "b": 1, "c": 2, "d": 1}
+
+
+def test_concurrent_append_and_compact_lose_nothing(spark, tmp_path):
+    """VERDICT r5 #2, the end-to-end property: an append racing a
+    compaction serializes behind the writer lock, so every posting
+    survives regardless of which writer wins the lock first."""
+    import threading
+
+    base = spark.createDataFrame(
+        [("a", "alpha beta"), ("b", "beta gamma")], "doc_id string, text string"
+    )
+    idx = IndexSession.build(spark, base, str(tmp_path / "index"))
+    # Seed partials so the compactor has real merge work.
+    idx.append(
+        spark.createDataFrame([("a", "alpha alpha")], "doc_id string, text string")
+    )
+
+    errs: list[Exception] = []
+
+    def run(fn):
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — surfaced in the assert below
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=run, args=(idx.compact,)),
+        threading.Thread(
+            target=run,
+            args=(
+                lambda: idx.append(
+                    spark.createDataFrame(
+                        [("c", "beta omega")], "doc_id string, text string"
+                    )
+                ),
+            ),
+        ),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(180)
+    assert not errs, errs
+    # Fold whatever interleaving happened; nothing may be lost.
+    idx.compact()
+    got = {(r.word, r.doc_id): r.cnt for r in idx.postings().collect()}
+    assert got == {
+        ("alpha", "a"): 3,
+        ("beta", "a"): 1,
+        ("beta", "b"): 1,
+        ("beta", "c"): 1,
+        ("gamma", "b"): 1,
+        ("omega", "c"): 1,
+    }
+
+
 def test_query_terms_are_normalized_like_the_tokenizer(spark, tmp_path):
     """ADVICE r4: idx.lookup("Spark") must match the lowercased stored
     token; punctuation is stripped like the indexer would; terms that
