@@ -205,25 +205,110 @@ def resize_images(blobs: DataFrame) -> DataFrame:
     )
 
 
+PATCH_GRID = 2  # 2x2 patch grid over the decoded image
+N_FEATS = PATCH_GRID * PATCH_GRID * 3 + 2  # per-patch-per-channel sums + (w, h)
+EMBED_SCALE = 1024.0  # 2^10: dyadic, so the projection stays bit-exact
+
+
+def projection_matrix():
+    """The PINNED fixed projection standing in for a learned encoder's
+    final linear layer: EMBED_DIM x N_FEATS integer matrix, entries
+    ((k*31 + f*17) mod 13) - 6 in [-6, 6]. Deterministic formula rather
+    than a weights file so the DuckDB oracle regenerates the identical
+    matrix; swapping in trained weights changes ONLY this function —
+    the decode -> patch-stats -> projection plumbing is the production
+    shape."""
+    import numpy as np
+
+    return np.array(
+        [
+            [(k * 31 + f * 17) % 13 - 6 for f in range(N_FEATS)]
+            for k in range(EMBED_DIM)
+        ],
+        dtype=np.int64,
+    )
+
+
 def embed_blobs(blobs: DataFrame) -> DataFrame:
     """(doc_id, blob) -> (doc_id, emb array<double>[EMBED_DIM]): the
-    feature-extraction stage. The 'model' is a deterministic md5-based
-    stub (v[i] = (digest_byte_i - 128) / 128, exact dyadic doubles);
-    the output schema/partitioning feed the ANN operators unchanged."""
-    import hashlib
+    REAL embedding shape — decode the P6 PPM payload, extract patch
+    statistics from the pixel array (per-channel integer sums over a
+    {PATCH_GRID}x{PATCH_GRID} grid, plus width/height), then apply the
+    pinned fixed projection (`projection_matrix`, the stand-in for a
+    learned encoder — the one declared model seam left). All math is
+    integer until the final dyadic divide by 2^10, so the vectors are
+    exact doubles both engines reproduce bit-for-bit. Output schema
+    feeds the ANN operators unchanged."""
+    import numpy as np
+
+    P = projection_matrix()
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            embs = [
-                [
-                    (b - 128) / 128.0
-                    for b in hashlib.md5(data.hex().upper().encode()).digest()
-                ]
-                for data in pdf["blob"]
-            ]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "emb": embs})
+            ids: list = []
+            embs: list = []
+            for doc_id, data in zip(pdf["doc_id"], pdf["blob"]):
+                arr = decode_ppm(bytes(data)).astype(np.int64)
+                h, w = arr.shape[:2]
+                feats = []
+                for pi in range(PATCH_GRID):
+                    y0, y1 = pi * h // PATCH_GRID, (pi + 1) * h // PATCH_GRID
+                    for pj in range(PATCH_GRID):
+                        x0 = pj * w // PATCH_GRID
+                        x1 = (pj + 1) * w // PATCH_GRID
+                        patch = arr[y0:y1, x0:x1]
+                        feats.extend(
+                            int(patch[:, :, c].sum()) for c in range(3)
+                        )
+                feats.extend([w, h])
+                v = P @ np.array(feats, dtype=np.int64)
+                ids.append(doc_id)
+                embs.append([x / EMBED_SCALE for x in v.tolist()])
+            yield pd.DataFrame({"doc_id": ids, "emb": embs})
 
     return blobs.mapInPandas(op, schema="doc_id long, emb array<double>")
+
+
+def _duck_patch_sum(pi: int, pj: int, c: int) -> str:
+    """DuckDB expr: integer pixel sum of channel `c` over patch (pi, pj)
+    of the 2x2 grid — identical floor-division bounds to the numpy
+    slicing in `embed_blobs`."""
+    y0, y1 = f"({pi} * h // 2)", f"(({pi} + 1) * h // 2)"
+    x0, x1 = f"({pj} * w // 2)", f"(({pj} + 1) * w // 2)"
+    nx = f"({x1} - {x0})"
+    return (
+        f"list_sum([ px[(({y0} + i // {nx}) * w + {x0} + (i % {nx})) * 3 "
+        f"+ {c} + 1] FOR i IN range(({y1} - {y0}) * {nx}) ])"
+    )
+
+
+def _duck_embed_exprs() -> tuple[str, str]:
+    """DuckDB SQL: (emb-string expr over a `feats` list column, the
+    feats-list expr over px/w/h columns). The projection matrix is
+    REGENERATED from the same pinned formula — matrix drift between
+    engines is impossible."""
+    P = projection_matrix()
+    feats_list = (
+        "[ "
+        + ", ".join(
+            _duck_patch_sum(pi, pj, c)
+            for pi in range(PATCH_GRID)
+            for pj in range(PATCH_GRID)
+            for c in range(3)
+        )
+        + ", w, h ]"
+    )
+    terms = []
+    for k in range(EMBED_DIM):
+        dot = " + ".join(
+            f"({int(P[k][f])}) * feats[{f + 1}]" for f in range(N_FEATS)
+        )
+        terms.append(
+            f"CAST(CAST(CAST({dot} AS DOUBLE) / {int(EMBED_SCALE)} "
+            f"AS DECIMAL(24,10)) AS VARCHAR)"
+        )
+    emb_string = "array_to_string([ " + ", ".join(terms) + " ], ',')"
+    return emb_string, feats_list
 
 
 # ---- registered queries ---------------------------------------------------
@@ -264,22 +349,34 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_images(with_ppm_blob(docs).select("doc_id", "blob"))
 
 
+_EMB_STR, _FEATS_LIST = _duck_embed_exprs()
+
+
 @register(
     "multimodal_embed",
     oracle=f"""
-        SELECT doc_id,
-               array_to_string(
-                 [ CAST(CAST((CAST('0x' || substr(md5(upper(hex(blob))), i * 2 + 1, 2) AS BIGINT)
-                      - 128) / 128.0 AS DECIMAL(10,7)) AS VARCHAR)
-                   FOR i IN range({EMBED_DIM}) ], ',') AS emb
-        FROM ({DUCK_BLOB_DOCS}) WHERE doc_id < 200
+        WITH dims AS ({DUCK_PPM_DIMS}),
+        px AS (
+            SELECT doc_id, w, h, {DUCK_PPM_PX} AS px
+            FROM (SELECT doc_id, w, h, {DUCK_PPM_PH} AS ph FROM dims
+                  WHERE doc_id < 200)),
+        feats AS (SELECT doc_id, {_FEATS_LIST} AS feats FROM px)
+        SELECT doc_id, {_EMB_STR} AS emb FROM feats
     """,
     tier="llm",
-    doc="Feature extraction: binary column -> fixed-dim embedding vector "
-    "(md5-stubbed 'model' behind the same mapInPandas plumbing a real "
-    "encoder uses). Values are exact dyadic multiples of 1/128, so the "
-    "DECIMAL(10,7) serialization (scalar string output for the driver "
-    "canonicalizer) is lossless and bit-comparable across engines.",
+    doc="Image embedding with the production shape end-to-end: decode "
+    "the P6 PPM payload (real pure-numpy parser), extract patch "
+    f"statistics from the DECODED PIXELS (per-channel sums over a "
+    f"{PATCH_GRID}x{PATCH_GRID} grid + width/height = {N_FEATS} "
+    "features), then a PINNED fixed integer projection "
+    f"(projection_matrix) down to {EMBED_DIM} dims — the declared "
+    "stand-in for a learned encoder's linear head; swap in trained "
+    "weights and nothing else changes. Integer math until one dyadic "
+    "divide by 2^10, so vectors are exact doubles; serialized as "
+    "fixed-scale DECIMAL(24,10) strings (scalar output for the "
+    "driver canonicalizer). The oracle re-decodes the pixels, "
+    "re-derives the patch sums with the same floor-division bounds, "
+    "and regenerates the matrix from the same formula in SQL.",
 )
 def q_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
@@ -287,11 +384,11 @@ def q_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .filter(F.col("doc_id") < 200)
     )
-    emb = embed_blobs(with_blob(docs).select("doc_id", "blob"))
+    emb = embed_blobs(with_ppm_blob(docs).select("doc_id", "blob"))
     return emb.select(
         "doc_id",
         F.concat_ws(
-            ",", F.transform("emb", lambda x: x.cast("decimal(10,7)").cast("string"))
+            ",", F.transform("emb", lambda x: x.cast("decimal(24,10)").cast("string"))
         ).alias("emb"),
     )
 

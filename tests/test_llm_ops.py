@@ -83,11 +83,31 @@ def test_pmi_windowed_pair_generation_is_linear(spark):
 
 
 def test_multimodal_embed_matches_oracle(spark, duck):
-    # emb is a comma-joined DECIMAL(10,7) string (scalar, driver-sortable)
+    # emb is a comma-joined DECIMAL(24,10) string (scalar, driver-sortable)
     q = registry.get("multimodal_embed")
     assert_df_matches_oracle(q.fn(spark, SF_DIR), duck, q.oracle)
     sample = q.fn(spark, SF_DIR).head()
     assert len(sample.emb.split(",")) == 16
+
+
+def test_embed_derives_from_decoded_pixels(spark):
+    """VERDICT r5 #3: the embedding must be a function of the DECODED
+    PIXELS, not header arithmetic. Two docs with the same doc_id share
+    identical PPM headers (w, h derive from doc_id alone) but different
+    pixel payloads (pixels derive from md5(text)) — their vectors must
+    differ."""
+    from map_reduce_indexing_spark.operators.multimodal import (
+        embed_blobs,
+        with_ppm_blob,
+    )
+
+    def emb_of(text):
+        df = spark.createDataFrame([(5, text)], "doc_id long, text string")
+        return embed_blobs(
+            with_ppm_blob(df).select("doc_id", "blob")
+        ).head().emb
+
+    assert emb_of("hello world") != emb_of("different text")
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
