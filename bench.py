@@ -55,16 +55,60 @@ HEADLINE = [
 ]
 
 
+def contention_marker(spark, n_samples: int = 3) -> dict:
+    """Fixed-work micro-jobs timed in the SAME process as the headline
+    queries — the bench's contention normalizer. Round-over-round
+    headline deltas on this shared box are noise-limited (BENCH_r05's
+    24 shared queries drifted ~25% with zero code changes); these
+    markers pin how slow the box itself was during the run, so a
+    reader can divide before comparing rounds (SCALING.md explains
+    the normalization).
+
+    Two markers because contention has two faces here:
+    - `python_md5`: a single-core pure-Python md5 chain (fixed 200k
+      iterations) — scheduler pressure on one core, the shape of the
+      single-threaded reference baseline.
+    - `spark_sum`: a pinned 32-partition sum over range(100M), noop
+      sink — JVM/task-scheduler pressure at the bench's own
+      parallelism, the shape of the headline queries.
+    """
+    import hashlib
+
+    def stats(xs: list[float]) -> dict:
+        return {
+            "median": round(sorted(xs)[len(xs) // 2], 3),
+            "min": round(min(xs), 3),
+            "max": round(max(xs), 3),
+        }
+
+    py = []
+    for _ in range(n_samples):
+        t0 = time.perf_counter()
+        h = b"x" * 64
+        for _ in range(200_000):
+            h = hashlib.md5(h).digest()
+        py.append(time.perf_counter() - t0)
+    sp = []
+    for _ in range(n_samples):
+        t0 = time.perf_counter()
+        spark.range(0, 100_000_000, 1, 32).selectExpr(
+            "sum(id % 7) AS s"
+        ).write.format("noop").mode("overwrite").save()
+        sp.append(time.perf_counter() - t0)
+    return {"python_md5": stats(py), "spark_sum": stats(sp)}
+
+
 def run_headline(
     spark,
     names: list[str],
     sf_dir: str,
     n_samples: int = 3,
     get=None,
-) -> tuple[dict[str, float], dict[str, str]]:
-    """Warm up then time each query (median of n_samples), with
-    per-query error isolation: one broken query must NOT kill the whole
-    bench (round 3 lost its entire perf signal to one
+) -> tuple[dict[str, float], dict[str, str], dict[str, dict]]:
+    """Warm up then time each query (median of n_samples, plus min/max
+    spread per query so a reader can tell a real regression from box
+    noise), with per-query error isolation: one broken query must NOT
+    kill the whole bench (round 3 lost its entire perf signal to one
     AnalysisException) — its failure is recorded in the errors dict and
     the rest keep timing. `get` defaults to the registry lookup;
     injectable for tests."""
@@ -72,6 +116,7 @@ def run_headline(
         get = registry.get
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
+    spreads: dict[str, dict] = {}
     # Unmeasured warmup pass: JIT/codegen compilation, parquet footer
     # cache, Python-worker (Arrow) spin-up. The reference baseline was
     # measured warm (BASELINE.md: "warm page cache"), so the timed pass
@@ -101,7 +146,11 @@ def run_headline(
             errors[name] = f"{type(e).__name__}: {e}"[:500]
             continue
         times[name] = round(sorted(samples)[len(samples) // 2], 3)
-    return times, errors
+        spreads[name] = {
+            "min": round(min(samples), 3),
+            "max": round(max(samples), 3),
+        }
+    return times, errors, spreads
 
 
 def main() -> None:
@@ -117,12 +166,18 @@ def main() -> None:
                 print(f"EXPLAIN FAILED: {type(e).__name__}: {e}")
         spark.stop()
         return
-    times, errors = run_headline(spark, HEADLINE, SF_DIR)
+    # Marker BEFORE and AFTER the timed queries: contention that ramps
+    # mid-run shows up as disagreement between the two.
+    marker_pre = contention_marker(spark)
+    times, errors, spreads = run_headline(spark, HEADLINE, SF_DIR)
+    marker_post = contention_marker(spark)
     out = {
         "metric": "headline_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "spread": spreads,
+        "marker": {"pre": marker_pre, "post": marker_post},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

@@ -25,10 +25,24 @@ def test_broken_query_is_isolated(spark):
         "explodes": SimpleNamespace(fn=broken_query),
         "good_b": SimpleNamespace(fn=ok_query),
     }
-    times, errors = run_headline(
+    times, errors, spreads = run_headline(
         spark, list(fake), SF_DIR, n_samples=1, get=fake.__getitem__
     )
     assert set(times) == {"good_a", "good_b"}
     assert all(v >= 0 for v in times.values())
     assert set(errors) == {"explodes"}
     assert "synthetic analysis failure" in errors["explodes"]
+    # spread rides along per timed query (min <= median <= max)
+    assert set(spreads) == set(times)
+    for name, s in spreads.items():
+        assert s["min"] <= times[name] <= s["max"]
+
+
+def test_contention_marker_shape(spark):
+    from bench import contention_marker
+
+    m = contention_marker(spark, n_samples=1)
+    assert set(m) == {"python_md5", "spark_sum"}
+    for stats in m.values():
+        assert stats["min"] <= stats["median"] <= stats["max"]
+        assert stats["median"] > 0
