@@ -72,27 +72,31 @@ PRIORITY_WINDOW = [
     "index_heavy_hitters",  # r5 rotation: replaced search_term_topk (top-k family already covered by search_topk_per_term)
     "search_bm25_rank",
     "search_doc_tf_vector",
-    # relational: agg + join family
+    # relational: agg + join family (r6 rotation: rel_q3 retired — scan+
+    # agg and multi-join stay covered by rel_q1/rel_q5; rel_join_outer
+    # retired — semi/anti/theta/asof keep the join family external)
     "rel_q1_pricing_summary",
-    "rel_q3_shipping_priority",
     "rel_q5_local_supplier",
     "rel_join_semi",
     "rel_join_anti",
-    "rel_join_outer_counts",
     "rel_theta_join_bands",
     "rel_join_asof",
     "rel_cdc_scd2",  # r5 rotation: CDC family gets an external row
+    "rel_attribution_first_touch",  # r6 rotation: event-flow attribution
+    "rel_resample_daily",  # r6 rotation: time-series resample
     # relational: distribution stats + grouping
     "rel_approx_distinct",
     "rel_percentiles",
     "rel_grouping_sets",
-    # relational: windows, sets, scalar/json surface
+    # relational: windows, sets, scalar/json surface (r6 rotation:
+    # rel_window_lag_gap retired — rank_parts + range_frame keep the
+    # window family external; offset windows stay pytest+sweep-checked)
     "rel_window_rank_parts",
-    "rel_window_lag_gap",
     "rel_window_range_frame",  # time-RANGE frame: the once-broken NTZ path
     "rel_set_ops",
     "rel_scalar_functions",
     "rel_json_parse",
+    "rel_anomaly_daily",  # r6 rotation: event-flow z-score anomaly
     # dedup family + LSH calibration eval
     "dedup_exact_kept",
     "dedup_ngram_jaccard",
@@ -102,9 +106,11 @@ PRIORITY_WINDOW = [
     "dedup_simhash",
     "dedup_embedding_pairs",
     "dedup_clusters",
-    # similarity search + accuracy eval
+    # similarity search + accuracy eval (r6 rotation: ann_lsh_topk
+    # retired in favor of the PQ compression tier — its bucket-pruning
+    # plan assertion stays in tests/test_session_index.py)
     "ann_knn_bruteforce",
-    "ann_lsh_topk",
+    "ann_ivf_pq_topk",
     "ann_knn_batch_numpy",
     "ann_recall_eval",
     # event-flow analytics (r5 rotation: replaced dedup_exact,
@@ -118,9 +124,11 @@ PRIORITY_WINDOW = [
     "text_token_counts",
     # multimodal
     "multimodal_embed",
-    # streaming
+    # streaming (r6 rotation: stream_session_windows retired —
+    # tumbling + stateful keep the family external; streaming CDC
+    # upsert is the round-5 capability that needs a driver row)
     "stream_tumbling_counts",
-    "stream_session_windows",
+    "stream_cdc_upsert",
     "stream_stateful_user_stats",
     "stream_incremental_index",
 ]

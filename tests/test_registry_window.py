@@ -64,6 +64,38 @@ def test_window_exercises_round5_families():
     } <= w
 
 
+def test_window_exercises_round6_rotation():
+    """Round-6 rotation: the round-5 operator families promoted into
+    the external window, and every retired row's family keeps an
+    in-window representative."""
+    w = set(PRIORITY_WINDOW)
+    assert {
+        "rel_attribution_first_touch",
+        "rel_anomaly_daily",
+        "rel_resample_daily",
+        "ann_ivf_pq_topk",
+        "stream_cdc_upsert",
+    } <= w
+    # retired rows stay registered + oracle-backed (sweep-checked)
+    retired = {
+        "rel_q3_shipping_priority",
+        "rel_join_outer_counts",
+        "rel_window_lag_gap",
+        "ann_lsh_topk",
+        "stream_session_windows",
+    }
+    assert retired.isdisjoint(w)
+    for name in retired:
+        q = registry.get(name)
+        assert q.export and q.oracle is not None
+    # each retired row's family representative still in window
+    assert {"rel_q1_pricing_summary", "rel_q5_local_supplier"} <= w  # scan+agg / multi-join
+    assert {"rel_join_semi", "rel_join_anti", "rel_join_asof"} <= w  # join family
+    assert {"rel_window_rank_parts", "rel_window_range_frame"} <= w  # windows
+    assert {"ann_knn_bruteforce", "ann_recall_eval"} <= w  # ann family
+    assert {"stream_tumbling_counts", "stream_stateful_user_stats"} <= w  # streaming
+
+
 def test_every_exported_query_has_an_oracle():
     oracles = entrymod.oracle_sql()
     for name in entrymod.queries():
