@@ -84,6 +84,35 @@ def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     return spark.sql(query)
 
 
+def funnel(
+    events: DataFrame,
+    steps: list[str] | tuple[str, ...],
+    deadlines_us: list[int | None] | None = None,
+    per_user: bool = False,
+) -> DataFrame:
+    """Parametric ordered conversion funnel over ANY
+    (user_id, ts, event_type) frame — arbitrary step list, optional
+    per-transition deadlines in integer microseconds
+    (``deadlines_us[i]`` bounds the step i -> i+1 gap; None entries
+    are unbounded).
+
+        from map_reduce_indexing_spark import api
+        api.funnel(ev, ["signup", "activate", "invite", "purchase"],
+                   deadlines_us=[None, 24*3600*1_000_000, None])
+
+    Returns the per-step summary (step_no, step, n_users,
+    conv_from_first), or the per-user conversion-times frame
+    (user_id, t_0..t_{n-1}) with ``per_user=True``. Plan cost is one
+    user_id exchange and one source scan regardless of step count
+    (operators/eventflow.funnel_times); semantics are property-tested
+    against the join-chain oracle model for arbitrary step counts and
+    deadline mixes (tests/test_eventflow.py)."""
+    from .operators.eventflow import funnel_summary, funnel_times
+
+    f = funnel_times(events, steps, deadlines_us)
+    return f if per_user else funnel_summary(f, steps)
+
+
 class IndexSession:
     """A persisted letter-partitioned inverted index plus its query
     surface — the engine's equivalent of the reference's ./index

@@ -520,42 +520,69 @@ def q_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _funnel_times(
-    spark: SparkSession, sf_dir: str, max_delay_us: int | None = None
+def funnel_times(
+    ev: DataFrame,
+    steps: tuple[str, ...] | list[str],
+    deadlines_us: list[int | None] | None = None,
 ) -> DataFrame:
-    """Per-user conversion times t_view <= t_click <= t_purchase.
+    """Per-user conversion times for an ARBITRARY ordered funnel: one
+    output row per user who reached step 0, with columns t_0..t_{n-1}
+    (NULL from the first unreached step on).
 
-    Step i is MIN(ts) among events of that type strictly after the
-    user's step i-1 time — and, when ``max_delay_us`` is set, no later
-    than that bound after it (the deadline-bounded funnel every growth
-    dashboard actually runs).
+    Step i is MIN(ts) among events of ``steps[i]``'s type strictly
+    after the user's step i-1 time — and, when ``deadlines_us[i-1]``
+    is set, no later than that many integer microseconds after it
+    (per-step deadlines: the deadline-bounded funnel every growth
+    dashboard actually runs, generalized from one global bound).
 
-    Plan shape: THREE STACKED whole-partition window aggregates over
-    one user_id partitioning — each step's MIN references the previous
-    step's column, so Catalyst plans three Window nodes sharing a
-    single exchange and a single events scan (plan-audited in
-    tests/test_eventflow.py). The earlier per-step join-chain
-    formulation re-embedded each step's subtree in the next and cost
-    7 source scans.
+    Plan shape: N STACKED whole-partition window aggregates over one
+    user_id partitioning — each step's MIN references the previous
+    step's column, so Catalyst plans N Window nodes sharing a single
+    exchange and a single events scan regardless of step count
+    (plan-audited in tests/test_eventflow.py). The per-step join-chain
+    formulation this replaced re-embedded each step's subtree in the
+    next and cost 2N+1 source scans; it survives as the oracle form
+    (`_sql_funnel_times`, and the property test's reference model).
     """
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    steps = tuple(steps)
+    if len(steps) < 2:
+        raise ValueError(f"a funnel needs >= 2 steps, got {steps!r}")
+    if deadlines_us is None:
+        deadlines_us = [None] * (len(steps) - 1)
+    if len(deadlines_us) != len(steps) - 1:
+        raise ValueError(
+            f"deadlines_us must have one entry per transition "
+            f"({len(steps) - 1}), got {len(deadlines_us)}"
+        )
     w = Window.partitionBy("user_id")
     df = ev.withColumn(
         "t_0",
-        F.min(F.when(F.col("event_type") == FUNNEL_STEPS[0], F.col("ts"))).over(w),
+        F.min(F.when(F.col("event_type") == steps[0], F.col("ts"))).over(w),
     )
-    for i, step in enumerate(FUNNEL_STEPS[1:], start=1):
+    for i, step in enumerate(steps[1:], start=1):
         prev = F.col(f"t_{i-1}")
         cond = (F.col("event_type") == step) & (F.col("ts") > prev)
-        if max_delay_us is not None:
+        if deadlines_us[i - 1] is not None:
             cond = cond & (
-                F.unix_micros("ts") - F.unix_micros(prev) <= max_delay_us
+                F.unix_micros("ts") - F.unix_micros(prev) <= deadlines_us[i - 1]
             )
         df = df.withColumn(f"t_{i}", F.min(F.when(cond, F.col("ts"))).over(w))
     return (
         df.filter(F.col("t_0").isNotNull())
         .groupBy("user_id")
-        .agg(*[F.min(f"t_{i}").alias(f"t_{i}") for i in range(len(FUNNEL_STEPS))])
+        .agg(*[F.min(f"t_{i}").alias(f"t_{i}") for i in range(len(steps))])
+    )
+
+
+def _funnel_times(
+    spark: SparkSession, sf_dir: str, max_delay_us: int | None = None
+) -> DataFrame:
+    """The registered 3-step view->click->purchase funnel over the
+    events fixture — `funnel_times` with FUNNEL_STEPS and one shared
+    per-transition deadline."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return funnel_times(
+        ev, FUNNEL_STEPS, [max_delay_us] * (len(FUNNEL_STEPS) - 1)
     )
 
 
@@ -622,26 +649,30 @@ FUNNEL_DEADLINE_US = 24 * 3600 * 1_000_000
     "aggregates.",
 )
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _funnel_steps(_funnel_times(spark, sf_dir))
+    return funnel_summary(_funnel_times(spark, sf_dir), FUNNEL_STEPS)
 
 
-def _funnel_steps(f: DataFrame) -> DataFrame:
-    steps = f.agg(
-        F.count("t_0").alias("n_1"),
-        F.count("t_1").alias("n_2"),
-        F.count("t_2").alias("n_3"),
+def funnel_summary(f: DataFrame, steps: tuple[str, ...] | list[str]) -> DataFrame:
+    """Per-user times frame -> one row per step: (step_no, step,
+    n_users, conv_from_first) for a funnel of ANY length."""
+    steps = tuple(steps)
+    agg = f.agg(
+        *[
+            F.count(f"t_{i}").alias(f"n_{i + 1}")
+            for i in range(len(steps))
+        ]
     )
-    # stack() the single stats row into 3 step rows. A union of three
-    # selects over `steps` would recompute the whole per-user chain per
-    # branch (9 source scans, plan-audited) — the unpivot keeps it at
+    # stack() the single stats row into N step rows. A union of N
+    # selects over `agg` would recompute the whole per-user chain per
+    # branch (3N source scans, plan-audited) — the unpivot keeps it at
     # one computation.
     cells = ", ".join(
         f"CAST({i} AS BIGINT), '{step}', n_{i}, "
         f"CAST(n_{i} AS DOUBLE) / CAST(n_1 AS DOUBLE)"
-        for i, step in enumerate(FUNNEL_STEPS, start=1)
+        for i, step in enumerate(steps, start=1)
     )
-    return steps.selectExpr(
-        f"stack({len(FUNNEL_STEPS)}, {cells}) AS "
+    return agg.selectExpr(
+        f"stack({len(steps)}, {cells}) AS "
         "(step_no, step, n_users, conv_from_first)"
     )
 
@@ -658,7 +689,9 @@ def _funnel_steps(f: DataFrame) -> DataFrame:
     "happen weeks later.",
 )
 def q_funnel_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _funnel_steps(_funnel_times(spark, sf_dir, FUNNEL_DEADLINE_US))
+    return funnel_summary(
+        _funnel_times(spark, sf_dir, FUNNEL_DEADLINE_US), FUNNEL_STEPS
+    )
 
 
 @register(

@@ -143,6 +143,154 @@ def test_funnel_plan_is_single_scan_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def _join_chain_funnel_model(rows, steps, deadlines_us):
+    """The reference semantics as plain Python — the join-chain form:
+    t_i = MIN(ts) of step-i events strictly after t_{i-1} and within
+    its per-transition deadline. Returns {user: (t_0..t_{n-1})} for
+    users who reached step 0."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, ts, et in rows:
+        by_user[u].append((ts, et))
+    out = {}
+    for u, evs in by_user.items():
+        t0 = min((ts for ts, et in evs if et == steps[0]), default=None)
+        if t0 is None:
+            continue
+        times = [t0]
+        for i in range(1, len(steps)):
+            prev = times[i - 1]
+            if prev is None:
+                times.append(None)
+                continue
+            d = deadlines_us[i - 1]
+            cand = [
+                ts
+                for ts, et in evs
+                if et == steps[i]
+                and ts > prev
+                and (d is None or _us(ts) - _us(prev) <= d)
+            ]
+            times.append(min(cand, default=None))
+        out[u] = tuple(times)
+    return out
+
+
+def _us(dt):
+    import datetime
+
+    return (dt - datetime.datetime(1970, 1, 1)) // datetime.timedelta(
+        microseconds=1
+    )
+
+
+_PROP_STEPS = ("s0", "s1", "s2", "s3")  # 4-step funnel
+_PROP_TYPES = _PROP_STEPS + ("noise",)
+
+
+def test_parametric_funnel_matches_join_chain_model(spark):
+    """VERDICT r5 #6: property-test N-step funnel_times against the
+    join-chain oracle model — random event logs, 4 steps, random
+    per-transition deadline mixes."""
+    import datetime
+
+    import hypothesis.strategies as st
+    from hypothesis import HealthCheck, given, settings
+
+    from map_reduce_indexing_spark.operators.eventflow import funnel_times
+
+    base = datetime.datetime(2024, 1, 1)
+
+    events_strategy = st.lists(
+        st.tuples(
+            st.integers(0, 3),  # user
+            st.integers(0, 500),  # seconds offset
+            st.sampled_from(_PROP_TYPES),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+    deadline_strategy = st.tuples(
+        *[
+            st.one_of(st.none(), st.integers(1, 300).map(lambda s: s * 1_000_000))
+            for _ in range(len(_PROP_STEPS) - 1)
+        ]
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+    )
+    @given(evs=events_strategy, deadlines=deadline_strategy)
+    def run(evs, deadlines):
+        rows = [
+            (u, base + datetime.timedelta(seconds=s), et) for u, s, et in evs
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        ) if rows else spark.createDataFrame(
+            [], "user_id long, ts timestamp, event_type string"
+        )
+        got = {
+            r.user_id: tuple(r[f"t_{i}"] for i in range(len(_PROP_STEPS)))
+            for r in funnel_times(df, _PROP_STEPS, list(deadlines)).collect()
+        }
+        assert got == _join_chain_funnel_model(rows, _PROP_STEPS, list(deadlines))
+
+    run()
+
+
+def test_api_funnel_four_steps(spark):
+    """The api.funnel surface: arbitrary step list + per-transition
+    deadlines, summary and per-user forms."""
+    import datetime
+
+    from map_reduce_indexing_spark import api
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ev(u, s, et):
+        return (u, base + datetime.timedelta(seconds=s), et)
+
+    rows = [
+        # u1 converts all four steps within deadlines
+        ev(1, 0, "signup"), ev(1, 10, "activate"), ev(1, 20, "invite"), ev(1, 30, "purchase"),
+        # u2 misses the activate deadline (gap 200 s > 60 s bound)
+        ev(2, 0, "signup"), ev(2, 200, "activate"), ev(2, 210, "invite"), ev(2, 220, "purchase"),
+        # u3 stops after step 2
+        ev(3, 0, "signup"), ev(3, 5, "activate"),
+        # u4 never signs up
+        ev(4, 0, "activate"), ev(4, 1, "invite"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    steps = ["signup", "activate", "invite", "purchase"]
+    summary = {
+        r.step: (r.step_no, r.n_users, r.conv_from_first)
+        for r in api.funnel(
+            df, steps, deadlines_us=[60 * 1_000_000, None, None]
+        ).collect()
+    }
+    assert summary == {
+        "signup": (1, 3, 1.0),
+        "activate": (2, 2, 2 / 3),
+        "invite": (3, 1, 1 / 3),
+        "purchase": (4, 1, 1 / 3),
+    }
+    per_user = api.funnel(
+        df, steps, deadlines_us=[60 * 1_000_000, None, None], per_user=True
+    )
+    assert set(per_user.columns) == {"user_id", "t_0", "t_1", "t_2", "t_3"}
+    u2 = per_user.filter(F.col("user_id") == 2).head()
+    assert u2.t_0 is not None and u2.t_1 is None and u2.t_3 is None
+    # invalid shapes raise loudly
+    with pytest.raises(ValueError):
+        api.funnel(df, ["only_one"])
+    with pytest.raises(ValueError):
+        api.funnel(df, steps, deadlines_us=[None])
+
+
 def test_bounded_funnel_never_exceeds_unbounded(spark):
     unbounded = {r.step: r.n_users for r in eventflow.q_funnel(spark, SF_DIR).collect()}
     bounded = {r.step: r.n_users for r in eventflow.q_funnel_24h(spark, SF_DIR).collect()}
