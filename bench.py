@@ -45,6 +45,7 @@ HEADLINE = [
     "text_repetition",         # n-gram repetition signals (2 agg chains)
     "text_lm_score",           # bigram LM scoring (n-gram count joins)
     "text_pack_sequences",     # per-source windowed packing
+    "text_pmi_windowed",       # windowed collocation mining (production PMI)
     "rel_q14_promo_revenue",   # broadcast join + conditional-agg ratio
     "rel_sessionize",          # gap sessionization (single-shuffle window)
     "rel_cdc_latest_state",    # CDC log compaction (max_by agg)

@@ -384,6 +384,227 @@ def test_random_window_matches_duckdb(spark, duck, spec):
     assert_df_matches_oracle(out, duck, sql)
 
 
+# ---------------------------------------------------------------------------
+# Set-op fuzz: filter -> project -> UNION/INTERSECT/EXCEPT (ALL and
+# DISTINCT forms) -> count per key, over one table against itself
+# ---------------------------------------------------------------------------
+
+# (spark DataFrame method, SQL operator)
+_SET_OPS = {
+    "union_all": ("unionAll", "UNION ALL"),
+    "union": ("union_distinct", "UNION"),
+    "intersect": ("intersect", "INTERSECT"),
+    "intersect_all": ("intersectAll", "INTERSECT ALL"),
+    "except": ("subtract", "EXCEPT"),
+    "except_all": ("exceptAll", "EXCEPT ALL"),
+}
+
+
+@st.composite
+def setop_pipelines(draw):
+    table = draw(st.sampled_from(sorted(TABLES)))
+    spec = TABLES[table]
+    op = draw(st.sampled_from(sorted(_SET_OPS)))
+    a_preds = _draw_preds(draw, table, draw(st.integers(0, 2)), with_cat_in=True)
+    b_preds = _draw_preds(draw, table, draw(st.integers(0, 2)), with_cat_in=True)
+    cols = draw(
+        st.lists(st.sampled_from(spec["cat"]), min_size=1, max_size=2, unique=True)
+    )
+    return table, op, tuple(a_preds), tuple(b_preds), tuple(cols)
+
+
+def _render_setop_sql(table, op, a_preds, b_preds, cols) -> str:
+    sel = ", ".join(cols)
+    a_where = " AND ".join(p.sql.replace("/*ts*/", "") for p in a_preds) or "TRUE"
+    b_where = " AND ".join(p.sql.replace("/*ts*/", "") for p in b_preds) or "TRUE"
+    inner = (
+        f"SELECT {sel} FROM {table} WHERE {a_where} "
+        f"{_SET_OPS[op][1]} "
+        f"SELECT {sel} FROM {table} WHERE {b_where}"
+    )
+    return (
+        f"SELECT {sel}, CAST(COUNT(*) AS BIGINT) AS cnt FROM ({inner}) s "
+        f"GROUP BY {sel}"
+    )
+
+
+@settings(
+    max_examples=max(40, MAX_EXAMPLES // 4),
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(spec=setop_pipelines())
+def test_random_setop_matches_duckdb(spark, duck, spec):
+    table, op, a_preds, b_preds, cols = spec
+    base = load_table(spark, SF_DIR, table)
+    a, b = base, base
+    for p in a_preds:
+        a = a.filter(p.spark())
+    for p in b_preds:
+        b = b.filter(p.spark())
+    a, b = a.select(*cols), b.select(*cols)
+    method = _SET_OPS[op][0]
+    combined = (
+        a.union(b).distinct() if method == "union_distinct" else getattr(a, method)(b)
+    )
+    out = combined.groupBy(*cols).agg(F.count(F.lit(1)).alias("cnt"))
+    assert_df_matches_oracle(
+        out, duck, _render_setop_sql(table, op, a_preds, b_preds, cols)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping-set fuzz: ROLLUP / CUBE / GROUPING SETS over two cat keys
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def groupingset_pipelines(draw):
+    table = draw(st.sampled_from(sorted(TABLES)))
+    spec = TABLES[table]
+    mode = draw(st.sampled_from(["rollup", "cube", "grouping_sets"]))
+    preds = _draw_preds(draw, table, draw(st.integers(0, 2)), with_cat_in=True)
+    keys = tuple(
+        draw(
+            st.lists(
+                st.sampled_from(spec["cat"]), min_size=2, max_size=2, unique=True
+            )
+        )
+    )
+    agg_pool = (
+        [("count", None)]
+        + [("sum_int", c) for c in spec["int"]]
+        + [("sum_dec", c) for c in spec["double"]]
+    )
+    picks = draw(
+        st.lists(st.sampled_from(agg_pool), min_size=1, max_size=2, unique=True)
+    )
+    aggs = [Agg(kind, col, f"a{i}") for i, (kind, col) in enumerate(picks)]
+    return table, mode, tuple(preds), keys, tuple(aggs)
+
+
+def _render_groupingset_sql(table, mode, preds, keys, aggs) -> str:
+    # Coalesce the grouping NULLs to a sentinel on BOTH sides: fixture
+    # cat columns are never null, so 'ALL' unambiguously marks subtotal
+    # rows in the value-hash comparison.
+    sel = ", ".join(
+        [f"COALESCE({k}, 'ALL') AS {k}" for k in keys]
+        + [a.sql() for a in aggs]
+    )
+    where = " AND ".join(p.sql.replace("/*ts*/", "") for p in preds) or "TRUE"
+    by = {
+        "rollup": f"ROLLUP({keys[0]}, {keys[1]})",
+        "cube": f"CUBE({keys[0]}, {keys[1]})",
+        "grouping_sets": f"GROUPING SETS (({keys[0]}), ({keys[1]}), ())",
+    }[mode]
+    return f"SELECT {sel} FROM {table} WHERE {where} GROUP BY {by}"
+
+
+@settings(
+    max_examples=max(40, MAX_EXAMPLES // 4),
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(spec=groupingset_pipelines())
+def test_random_groupingset_matches_duckdb(spark, duck, spec):
+    from hypothesis import assume
+
+    table, mode, preds, keys, aggs = spec
+    # Documented engine divergence, excluded from the differential: on
+    # an EMPTY input relation the SQL standard (and DuckDB) still emit
+    # the () grouping set's grand-total row; Spark emits no rows.
+    where = " AND ".join(p.sql.replace("/*ts*/", "") for p in preds) or "TRUE"
+    assume(
+        duck.sql(f"SELECT COUNT(*) FROM {table} WHERE {where}").fetchone()[0] > 0
+    )
+    df = load_table(spark, SF_DIR, table)
+    for p in preds:
+        df = df.filter(p.spark())
+    grouped = {
+        "rollup": lambda: df.rollup(*keys),
+        "cube": lambda: df.cube(*keys),
+        "grouping_sets": lambda: df.groupingSets(
+            [[keys[0]], [keys[1]], []], *keys
+        ),
+    }[mode]()
+    out = grouped.agg(*[a.spark() for a in aggs]).select(
+        *[F.coalesce(F.col(k), F.lit("ALL")).alias(k) for k in keys],
+        *[F.col(a.alias) for a in aggs],
+    )
+    assert_df_matches_oracle(
+        out, duck, _render_groupingset_sql(table, mode, preds, keys, aggs)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percentile fuzz: exact interpolated quantiles per group
+# ---------------------------------------------------------------------------
+
+_PCTS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+@st.composite
+def percentile_pipelines(draw):
+    table = draw(st.sampled_from(sorted(TABLES)))
+    spec = TABLES[table]
+    preds = _draw_preds(draw, table, draw(st.integers(0, 2)), with_cat_in=True)
+    keys = tuple(
+        draw(st.lists(st.sampled_from(spec["cat"]), min_size=0, max_size=1))
+    )
+    picks = draw(
+        st.lists(
+            st.tuples(st.sampled_from(spec["double"]), st.sampled_from(_PCTS)),
+            min_size=1,
+            max_size=2,
+            unique=True,
+        )
+    )
+    return table, tuple(preds), keys, tuple(picks)
+
+
+@settings(
+    max_examples=max(40, MAX_EXAMPLES // 4),
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(spec=percentile_pipelines())
+def test_random_percentile_matches_duckdb(spark, duck, spec):
+    # Bridge from the hand-written rel_percentiles: Spark percentile()
+    # and DuckDB quantile_cont() both sort the group and linearly
+    # interpolate the same two order statistics; round(6) absorbs
+    # last-ulp FMA differences.
+    table, preds, keys, picks = spec
+    df = load_table(spark, SF_DIR, table)
+    for p in preds:
+        df = df.filter(p.spark())
+    exprs = [
+        F.round(F.percentile(col, F.lit(p)), 6).alias(f"a{i}")
+        for i, (col, p) in enumerate(picks)
+    ]
+    out = df.groupBy(*keys).agg(*exprs) if keys else df.agg(*exprs)
+    sel = ", ".join(
+        [*keys]
+        + [
+            f"round(quantile_cont({col}, {p}), 6) AS a{i}"
+            for i, (col, p) in enumerate(picks)
+        ]
+    )
+    where = " AND ".join(p.sql.replace("/*ts*/", "") for p in preds) or "TRUE"
+    sql = f"SELECT {sel} FROM {table} WHERE {where}"
+    if keys:
+        sql += " GROUP BY " + ", ".join(keys)
+    assert_df_matches_oracle(out, duck, sql)
+
+
 @settings(
     max_examples=max(50, MAX_EXAMPLES // 2),
     deadline=None,
