@@ -408,20 +408,12 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "rel_rolling_active_users_hll",
-    oracle=None,  # HLL estimates are engine-specific; accuracy pytest-bounded
-    tier="relational",
-    export=False,
-    doc="The 100-TB form of rel_rolling_active_users: one HLL sketch "
-    "per day (hll_sketch_agg over user_id — map-side mergeable, one "
-    "pass), then each day's trailing 7-day window unions SEVEN "
-    "per-day sketches (hll_union_agg) instead of re-pairing every "
-    "user-day. Work per day is O(sketch bytes), independent of user "
-    "count; tests/test_eventflow.py bounds the estimate against the "
-    "exact range-join form.",
-)
-def q_rolling_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rolling_wau_hll_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, wau_est): the 100-TB WAU form — one HLL sketch per day
+    (hll_sketch_agg over user_id, map-side mergeable, one pass), then
+    each day's trailing 7-day window unions SEVEN per-day sketches
+    (hll_union_agg) instead of re-pairing every user-day. Work per day
+    is O(sketch bytes), independent of user count."""
     daily_sk = (
         load_table(spark, sf_dir, "events")
         .select(F.date_trunc("day", "ts").alias("day"), "user_id")
@@ -440,6 +432,45 @@ def q_rolling_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("wau_est")
         )
         .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "wau_est")
+    )
+
+
+@register(
+    "rel_rolling_active_users_hll",
+    oracle="""
+        WITH user_days AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   user_id
+            FROM events
+        ), days AS (SELECT DISTINCT day FROM user_days)
+        SELECT strftime(d.day, '%Y-%m-%d') AS day,
+               CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau,
+               TRUE AS hll_within_5pct
+        FROM days d JOIN user_days u
+          ON u.day > d.day - INTERVAL 7 DAY AND u.day <= d.day
+        GROUP BY d.day
+    """,
+    tier="relational",
+    export=False,
+    doc="WAU sketch calibration in the tolerance-verdict form (the "
+    "pattern that turned every former rows-only check into an oracle "
+    "row): per day, the EXACT trailing-7-day distinct-user count plus "
+    "a boolean asserting the HLL estimate (rolling_wau_hll_estimates, "
+    "lgConfigK=14 — the production path at 100 TB) lands within 5% of "
+    "it. The oracle recomputes the exact count and pins the verdict "
+    "TRUE, so a drifting sketch fails the hash, not just a pytest "
+    "bound. Spark's HLL estimate itself is engine-specific and "
+    "deliberately NOT in the output.",
+)
+def q_rolling_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q_rolling_active_users(spark, sf_dir)
+    est = rolling_wau_hll_estimates(spark, sf_dir)
+    return exact.join(est, "day").select(
+        "day",
+        "wau",
+        (
+            F.abs(F.col("wau_est") - F.col("wau")) <= 0.05 * F.col("wau")
+        ).alias("hll_within_5pct"),
     )
 
 

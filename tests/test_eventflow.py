@@ -366,11 +366,14 @@ def test_rolling_wau_hll_tracks_exact(spark):
     }
     est = {
         r.day: r.wau_est
-        for r in eventflow.q_rolling_active_users_hll(spark, SF_DIR).collect()
+        for r in eventflow.rolling_wau_hll_estimates(spark, SF_DIR).collect()
     }
     assert set(est) == set(exact)
     for day, e in est.items():
         assert e == pytest.approx(exact[day], rel=0.05), day
+    # the registered tolerance-verdict form must agree
+    for r in eventflow.q_rolling_active_users_hll(spark, SF_DIR).collect():
+        assert r.hll_within_5pct, r.day
 
 
 def test_attribution_conserves_purchases(spark):

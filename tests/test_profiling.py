@@ -11,7 +11,12 @@ from tests.conftest import SF_DIR, assert_df_matches_oracle
 
 @pytest.mark.parametrize(
     "name",
-    ["rel_profile_columns", "rel_sample_stratified", "rel_histogram_totalprice"],
+    [
+        "rel_profile_columns",
+        "rel_profile_columns_approx",  # tolerance-verdict form, r6
+        "rel_sample_stratified",
+        "rel_histogram_totalprice",
+    ],
 )
 def test_oracle_parity(spark, duck, name):
     q = get(name)
@@ -36,10 +41,13 @@ def test_profile_approx_tracks_exact(spark):
     }
     approx = {
         r.column_name: r.n_distinct
-        for r in profiling.q_profile_columns_approx(spark, SF_DIR).collect()
+        for r in profiling.profile_estimates(spark, SF_DIR).collect()
     }
     for col, nd in exact.items():
         assert approx[col] == pytest.approx(nd, rel=0.1), col
+    # the registered tolerance-verdict form must agree
+    for r in profiling.q_profile_columns_approx(spark, SF_DIR).collect():
+        assert r.approx_within_10pct, r.column_name
 
 
 def test_stratified_sample_rates(spark):
