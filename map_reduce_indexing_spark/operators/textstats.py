@@ -915,17 +915,22 @@ def q_text_pmi_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     # 1-row scalar totals: the only legitimate broadcasts here. Both
-    # aggregate over subtrees that also feed the joins below, so
-    # Catalyst's ReuseExchange serves them from the same shuffle files.
-    n_tokens = uni.agg(F.sum("c").alias("n_tokens"))
-    n_pairs = pairs.agg(F.sum("d_pair").alias("n_pairs"))
+    # come from ONE extra lightweight scan that sizes the per-row
+    # arrays — NOT from re-aggregating the exploded streams: a
+    # `pairs.agg(sum(d_pair))` subtree would re-explode and re-shuffle
+    # every pair (exchange reuse provably does not fire across the
+    # differing aggregates — plan-audited at 5 scans before this
+    # shape, 4 after, tests/test_llm_ops.py).
+    totals = ws.select(
+        F.size("ws").alias("nt"),
+        F.size(F.expr(windowed_pair_expr())).alias("np"),
+    ).agg(F.sum("nt").alias("n_tokens"), F.sum("np").alias("n_pairs"))
     c1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     c2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
     return (
         pairs.join(c1, "w1")
         .join(c2, "w2")
-        .crossJoin(F.broadcast(n_tokens))
-        .crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(totals))
         .select(
             "w1",
             "w2",

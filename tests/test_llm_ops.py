@@ -82,6 +82,19 @@ def test_pmi_windowed_pair_generation_is_linear(spark):
     assert n_pairs < n * (n - 1) // 2 // 100  # >100x below quadratic
 
 
+def test_pmi_windowed_plan_has_no_recomputed_totals(spark):
+    """The scalar totals must come from the lightweight array-sizing
+    scan, not from re-aggregating the exploded pair/token streams:
+    exchange reuse provably does not fire across the differing
+    aggregates, so the naive shape cost 5 scans and 5 explodes. Pin
+    the fixed shape: 4 scans (pairs, unigrams x2 join sides, totals),
+    3 explodes."""
+    df = registry.get("text_pmi_windowed").fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") == 4, plan
+    assert plan.count("Generate explode") == 3, plan
+
+
 def test_multimodal_embed_matches_oracle(spark, duck):
     # emb is a comma-joined DECIMAL(24,10) string (scalar, driver-sortable)
     q = registry.get("multimodal_embed")
