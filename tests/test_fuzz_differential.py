@@ -302,9 +302,16 @@ def _render_join_sql(how, li_preds, o_preds, keys, aggs) -> str:
 
 # Window ORDER BY always ends with o_orderkey (unique), so every window
 # function below is fully deterministic — no rank/offset tie ambiguity.
+# Exception: range_running_sum orders by the (possibly tied) column
+# ALONE — a RANGE frame aggregates peer rows together, so it is
+# deterministic under ties by construction, and that is exactly the
+# semantics difference vs ROWS this family exists to cover.
 _WIN_PARTS = ["o_orderstatus", "o_orderpriority"]
 _WIN_ORDERS = ["o_totalprice", "o_orderdate", "o_custkey"]
-_WIN_FNS = ["row_number", "rank", "dense_rank", "lag", "lead", "running_sum"]
+_WIN_FNS = [
+    "row_number", "rank", "dense_rank", "lag", "lead", "running_sum",
+    "ntile", "percent_rank", "cume_dist", "range_running_sum",
+]
 
 
 @st.composite
@@ -325,9 +332,16 @@ def _render_window(parts, order_col, desc, fn):
     over = []
     if parts:
         over.append("PARTITION BY " + ", ".join(parts))
-    over.append(
-        f"ORDER BY {order_col} {'DESC' if desc else 'ASC'}, o_orderkey"
-    )
+    direction = "DESC" if desc else "ASC"
+    if fn == "range_running_sum":
+        # NO unique tie-break: RANGE aggregates peers together.
+        over.append(f"ORDER BY {order_col} {direction}")
+        return (
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER "
+            f"({' '.join(over)} RANGE BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS DOUBLE)"
+        )
+    over.append(f"ORDER BY {order_col} {direction}, o_orderkey")
     if fn == "running_sum":
         expr = (
             "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER "
@@ -335,6 +349,12 @@ def _render_window(parts, order_col, desc, fn):
         )
     elif fn in ("lag", "lead"):
         expr = f"{fn}(o_orderkey) OVER ({' '.join(over)})"
+    elif fn == "ntile":
+        expr = f"CAST(ntile(4) OVER ({' '.join(over)}) AS BIGINT)"
+    elif fn in ("percent_rank", "cume_dist"):
+        # exact integer ratios, one double division — identical IEEE
+        # result in both engines, rounded once for belt and braces
+        expr = f"round({fn}() OVER ({' '.join(over)}), 6)"
     else:
         expr = f"CAST({fn}() OVER ({' '.join(over)}) AS BIGINT)"
     return expr
@@ -363,12 +383,20 @@ def test_random_window_matches_duckdb(spark, duck, spec):
             (F.col("o_orderstatus") == status) & (F.col("o_orderkey") < key_cap)
         )
     )
-    order = [
-        F.col(order_col).desc() if desc else F.col(order_col).asc(),
-        F.col("o_orderkey"),
-    ]
-    w = (Window.partitionBy(*parts) if parts else Window.partitionBy()).orderBy(*order)
-    if fn == "running_sum":
+    part = Window.partitionBy(*parts) if parts else Window.partitionBy()
+    ordered = F.col(order_col).desc() if desc else F.col(order_col).asc()
+    w = part.orderBy(ordered, F.col("o_orderkey"))
+    if fn == "range_running_sum":
+        e = (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(
+                part.orderBy(ordered).rangeBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .cast("double")
+        )
+    elif fn == "running_sum":
         e = (
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -378,6 +406,10 @@ def test_random_window_matches_duckdb(spark, duck, spec):
         e = F.lag("o_orderkey").over(w)
     elif fn == "lead":
         e = F.lead("o_orderkey").over(w)
+    elif fn == "ntile":
+        e = F.ntile(4).over(w).cast("bigint")
+    elif fn in ("percent_rank", "cume_dist"):
+        e = F.round(getattr(F, fn)().over(w), 6)
     else:
         e = getattr(F, fn)().over(w).cast("bigint")
     out = df.select("o_orderkey", e.alias("w"))
