@@ -613,15 +613,22 @@ def incremental_index_append(
     docs = reader.parquet(sf_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.indexing import index_writer_lock
+
         postings = with_letter(build_postings(batch_df))
-        if checkpoint is not None:
-            postings.write.mode("overwrite").partitionBy("letter").parquet(
-                os.path.join(index_path, f"batch={batch_id}")
-            )
-        else:
-            postings.write.mode("append").partitionBy("letter").parquet(
-                index_path
-            )
+        # Same writer lock as IndexSession.append/compact_index: a
+        # microbatch append racing a compaction's directory swap would
+        # otherwise be silently dropped by it (raw mode) — one flock
+        # per microbatch is noise next to the batch's Spark job.
+        with index_writer_lock(index_path):
+            if checkpoint is not None:
+                postings.write.mode("overwrite").partitionBy("letter").parquet(
+                    os.path.join(index_path, f"batch={batch_id}")
+                )
+            else:
+                postings.write.mode("append").partitionBy("letter").parquet(
+                    index_path
+                )
 
     writer = docs.writeStream.foreachBatch(sink)
     if checkpoint is not None:

@@ -161,6 +161,52 @@ def test_concurrent_append_and_compact_lose_nothing(spark, tmp_path):
     }
 
 
+def test_concurrent_compactors_serialize(spark, tmp_path):
+    """Two compactors racing on one index must serialize on the writer
+    lock — the second re-merges the already-compact index (idempotent)
+    instead of clobbering the first's directory swap."""
+    import os
+    import threading
+
+    base = spark.createDataFrame(
+        [("a", "alpha beta"), ("b", "beta gamma")], "doc_id string, text string"
+    )
+    idx = IndexSession.build(spark, base, str(tmp_path / "index"))
+    idx.append(
+        spark.createDataFrame([("a", "alpha")], "doc_id string, text string")
+    )
+
+    errs: list[Exception] = []
+
+    def run():
+        try:
+            idx.compact()
+        except Exception as e:  # noqa: BLE001 — surfaced below
+            errs.append(e)
+
+    threads = [threading.Thread(target=run) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(180)
+    assert not errs, errs
+    got = {(r.word, r.doc_id): r.cnt for r in idx.postings().collect()}
+    assert got == {
+        ("alpha", "a"): 2,
+        ("beta", "a"): 1,
+        ("beta", "b"): 1,
+        ("gamma", "b"): 1,
+    }
+    # clean swap: no stranded .old copy or staging directory
+    parent = tmp_path
+    leftovers = [
+        e
+        for e in os.listdir(parent)
+        if e.endswith(".old") or e.startswith("mri_compact_")
+    ]
+    assert leftovers == [], leftovers
+
+
 def test_query_terms_are_normalized_like_the_tokenizer(spark, tmp_path):
     """ADVICE r4: idx.lookup("Spark") must match the lowercased stored
     token; punctuation is stripped like the indexer would; terms that
