@@ -242,6 +242,26 @@ def test_parametric_funnel_matches_join_chain_model(spark):
     run()
 
 
+def test_parametric_funnel_plan_is_single_exchange_any_step_count(spark):
+    """The claim behind funnel_times' generalization: N stacked Window
+    nodes share ONE user_id exchange and ONE source scan for ANY step
+    count — deadlines included."""
+    from map_reduce_indexing_spark.operators.eventflow import funnel_times
+    from map_reduce_indexing_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "ts", "event_type")
+    five = funnel_times(
+        ev,
+        ["view", "click", "view", "click", "purchase"],
+        [None, 3600_000_000, None, 3600_000_000],
+    )
+    plan = five._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("events.parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") >= 5, plan
+
+
 def test_api_funnel_four_steps(spark):
     """The api.funnel surface: arbitrary step list + per-transition
     deadlines, summary and per-user forms."""
