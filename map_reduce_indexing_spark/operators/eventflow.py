@@ -574,6 +574,15 @@ def funnel_times(
     formulation this replaced re-embedded each step's subtree in the
     next and cost 2N+1 source scans; it survives as the oracle form
     (`_sql_funnel_times`, and the property test's reference model).
+
+    Skew note: the window form materializes each user's whole event
+    partition in one task — the right trade for normal fan-out, but a
+    pathological hot user (a bot with millions of events) skews one
+    task, and funnel steps can't be chunk-split like sessionize
+    (step i's condition references the user's GLOBAL t_{i-1}). The
+    hot-user fallback is the join-chain form run step by step: each
+    step is a hash aggregation whose map-side combine flattens the hot
+    key, at the cost of one scan per step.
     """
     steps = tuple(steps)
     if len(steps) < 2:
