@@ -168,10 +168,18 @@ def main() -> None:
         spark.stop()
         return
     # Marker BEFORE and AFTER the timed queries: contention that ramps
-    # mid-run shows up as disagreement between the two.
-    marker_pre = contention_marker(spark)
+    # mid-run shows up as disagreement between the two. Error-isolated
+    # like the queries themselves — a broken marker must not cost the
+    # round its whole perf signal (the round-3 lesson, run_headline).
+    def safe_marker():
+        try:
+            return contention_marker(spark)
+        except Exception as e:  # noqa: BLE001 — recorded, not fatal
+            return {"error": f"{type(e).__name__}: {e}"[:300]}
+
+    marker_pre = safe_marker()
     times, errors, spreads = run_headline(spark, HEADLINE, SF_DIR)
-    marker_post = contention_marker(spark)
+    marker_post = safe_marker()
     out = {
         "metric": "headline_total",
         "value": round(sum(times.values()), 3),

@@ -156,9 +156,14 @@ class IndexSession:
             if isinstance(corpus, str)
             else corpus
         )
-        from .operators.indexing import index_writer_lock
+        from .operators.indexing import _recover_index_locked, index_writer_lock
 
         with index_writer_lock(self.index_path):
+            # Heal a crashed compaction FIRST: appending while the live
+            # path is missing would recreate it with only the delta and
+            # permanently orphan the full index stranded at <path>.old
+            # (recover_index's path-missing guard would never fire again).
+            _recover_index_locked(self.index_path)
             (
                 with_letter(build_postings(docs))
                 .write.mode("append")

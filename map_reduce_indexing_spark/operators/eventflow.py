@@ -705,10 +705,14 @@ def funnel_summary(f: DataFrame, steps: tuple[str, ...] | list[str]) -> DataFram
     # stack() the single stats row into N step rows. A union of N
     # selects over `agg` would recompute the whole per-user chain per
     # branch (3N source scans, plan-audited) — the unpivot keeps it at
-    # one computation.
+    # one computation. Step names are caller-supplied through
+    # api.funnel, so they are SQL-escaped ('' for '), and the ratio's
+    # denominator is nullif-guarded: with no step-0 users 0.0/0.0
+    # would yield NaN, which poisons downstream arithmetic — NULL is
+    # the honest value for "conversion rate of an empty funnel".
     cells = ", ".join(
-        f"CAST({i} AS BIGINT), '{step}', n_{i}, "
-        f"CAST(n_{i} AS DOUBLE) / CAST(n_1 AS DOUBLE)"
+        f"CAST({i} AS BIGINT), '{step.replace(chr(39), chr(39) * 2)}', n_{i}, "
+        f"CAST(n_{i} AS DOUBLE) / nullif(CAST(n_1 AS DOUBLE), 0.0)"
         for i, step in enumerate(steps, start=1)
     )
     return agg.selectExpr(

@@ -271,14 +271,16 @@ def embed_blobs(blobs: DataFrame) -> DataFrame:
 
 def _duck_patch_sum(pi: int, pj: int, c: int) -> str:
     """DuckDB expr: integer pixel sum of channel `c` over patch (pi, pj)
-    of the 2x2 grid — identical floor-division bounds to the numpy
-    slicing in `embed_blobs`."""
-    y0, y1 = f"({pi} * h // 2)", f"(({pi} + 1) * h // 2)"
-    x0, x1 = f"({pj} * w // 2)", f"(({pj} + 1) * w // 2)"
+    of the PATCH_GRID grid — identical floor-division bounds to the
+    numpy slicing in `embed_blobs`. coalesce: an EMPTY patch (dimension
+    smaller than the grid) sums to NULL in SQL but 0 in numpy."""
+    g = PATCH_GRID
+    y0, y1 = f"({pi} * h // {g})", f"(({pi} + 1) * h // {g})"
+    x0, x1 = f"({pj} * w // {g})", f"(({pj} + 1) * w // {g})"
     nx = f"({x1} - {x0})"
     return (
-        f"list_sum([ px[(({y0} + i // {nx}) * w + {x0} + (i % {nx})) * 3 "
-        f"+ {c} + 1] FOR i IN range(({y1} - {y0}) * {nx}) ])"
+        f"coalesce(list_sum([ px[(({y0} + i // {nx}) * w + {x0} + (i % {nx})) * 3 "
+        f"+ {c} + 1] FOR i IN range(({y1} - {y0}) * {nx}) ]), 0)"
     )
 
 

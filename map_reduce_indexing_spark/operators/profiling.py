@@ -57,7 +57,16 @@ _PROFILE_COLS: tuple[tuple[str, str], ...] = (
 )
 
 
-def _profile(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
+def _profile(
+    spark: SparkSession,
+    sf_dir: str,
+    exact: bool,
+    with_verdict: bool = False,
+) -> DataFrame:
+    """One aggregate pass + stack() unpivot. `exact` picks the distinct
+    estimator; `with_verdict` runs BOTH and appends the
+    approx-within-10% tolerance-verdict boolean (implies exact
+    n_distinct in the output)."""
     orders = load_table(spark, sf_dir, "orders")
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for col, expr in _PROFILE_COLS:
@@ -66,21 +75,26 @@ def _profile(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
             F.count(e).alias(f"{col}__nn"),
             (
                 F.countDistinct(e)
-                if exact
+                if exact or with_verdict
                 else F.approx_count_distinct(e)
             ).alias(f"{col}__nd"),
             F.min(e).cast("string").alias(f"{col}__min"),
             F.max(e).cast("string").alias(f"{col}__max"),
         ]
+        if with_verdict:
+            aggs.append(F.approx_count_distinct(e).alias(f"{col}__nda"))
     one = orders.agg(*aggs)
     # Unpivot the single stats row into one row per column via stack().
     stack_args = ", ".join(
         f"'{col}', {col}__nn, {col}__nd, {col}__min, {col}__max"
+        + (f", {col}__nda" if with_verdict else "")
         for col, _ in _PROFILE_COLS
     )
-    return one.selectExpr(
-        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
-        "(column_name, n_non_null, n_distinct, min_value, max_value)",
+    stack_cols = "column_name, n_non_null, n_distinct, min_value, max_value" + (
+        ", n_distinct_approx" if with_verdict else ""
+    )
+    out = one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS ({stack_cols})",
         "n_rows",
     ).select(
         "column_name",
@@ -89,7 +103,18 @@ def _profile(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
         F.col("n_distinct").cast("long").alias("n_distinct"),
         "min_value",
         "max_value",
+        *(
+            [
+                (
+                    F.abs(F.col("n_distinct_approx") - F.col("n_distinct"))
+                    <= 0.1 * F.col("n_distinct")
+                ).alias("approx_within_10pct")
+            ]
+            if with_verdict
+            else []
+        ),
     )
+    return out
 
 
 def _profile_oracle() -> str:
@@ -141,39 +166,7 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the output (profile_estimates exposes it for pytest).",
 )
 def q_profile_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for col, expr in _PROFILE_COLS:
-        e = F.expr(expr)
-        aggs += [
-            F.count(e).alias(f"{col}__nn"),
-            F.countDistinct(e).alias(f"{col}__nd"),
-            F.approx_count_distinct(e).alias(f"{col}__nda"),
-            F.min(e).cast("string").alias(f"{col}__min"),
-            F.max(e).cast("string").alias(f"{col}__max"),
-        ]
-    one = orders.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{col}', {col}__nn, {col}__nd, {col}__nda, {col}__min, {col}__max"
-        for col, _ in _PROFILE_COLS
-    )
-    return one.selectExpr(
-        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
-        "(column_name, n_non_null, n_distinct, n_distinct_approx, "
-        "min_value, max_value)",
-        "n_rows",
-    ).select(
-        "column_name",
-        F.col("n_rows").cast("long").alias("n_rows"),
-        (F.col("n_rows") - F.col("n_non_null")).cast("long").alias("n_nulls"),
-        F.col("n_distinct").cast("long").alias("n_distinct"),
-        "min_value",
-        "max_value",
-        (
-            F.abs(F.col("n_distinct_approx") - F.col("n_distinct"))
-            <= 0.1 * F.col("n_distinct")
-        ).alias("approx_within_10pct"),
-    )
+    return _profile(spark, sf_dir, exact=True, with_verdict=True)
 
 
 def profile_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -613,14 +613,18 @@ def incremental_index_append(
     docs = reader.parquet(sf_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        from ..operators.indexing import index_writer_lock
+        from ..operators.indexing import _recover_index_locked, index_writer_lock
 
         postings = with_letter(build_postings(batch_df))
         # Same writer lock as IndexSession.append/compact_index: a
         # microbatch append racing a compaction's directory swap would
         # otherwise be silently dropped by it (raw mode) — one flock
-        # per microbatch is noise next to the batch's Spark job.
+        # per microbatch is noise next to the batch's Spark job. Heal a
+        # crashed compaction before writing, for the same reason as
+        # IndexSession.append: appending into a missing live path would
+        # orphan the .old copy forever.
         with index_writer_lock(index_path):
+            _recover_index_locked(index_path)
             if checkpoint is not None:
                 postings.write.mode("overwrite").partitionBy("letter").parquet(
                     os.path.join(index_path, f"batch={batch_id}")

@@ -161,6 +161,41 @@ def test_concurrent_append_and_compact_lose_nothing(spark, tmp_path):
     }
 
 
+def test_append_heals_crashed_compaction_first(spark, tmp_path):
+    """Code-review r6: an append landing AFTER a compactor crashed
+    between its two renames (live path missing, full copy stranded at
+    <path>.old) must restore the old copy before writing — otherwise it
+    recreates the live path with only the delta and the .old index is
+    orphaned forever (recover_index's path-missing guard never fires
+    again, and the next compact deletes it)."""
+    import os
+    import shutil
+
+    base = spark.createDataFrame(
+        [("a", "alpha beta"), ("b", "beta gamma")], "doc_id string, text string"
+    )
+    index_path = str(tmp_path / "index")
+    idx = IndexSession.build(spark, base, index_path)
+    # Simulate the mid-compaction crash state.
+    os.replace(index_path, index_path + ".old")
+    assert not os.path.exists(index_path)
+
+    idx.append(
+        spark.createDataFrame([("c", "beta")], "doc_id string, text string")
+    )
+    # The pre-crash postings AND the appended ones are all present.
+    got = {(r.word, r.doc_id): r.cnt for r in idx.postings().collect()}
+    assert got == {
+        ("alpha", "a"): 1,
+        ("beta", "a"): 1,
+        ("beta", "b"): 1,
+        ("beta", "c"): 1,
+        ("gamma", "b"): 1,
+    }
+    assert not os.path.isdir(index_path + ".old")
+    shutil.rmtree(index_path)
+
+
 def test_concurrent_compactors_serialize(spark, tmp_path):
     """Two compactors racing on one index must serialize on the writer
     lock — the second re-merges the already-compact index (idempotent)

@@ -309,6 +309,15 @@ def test_api_funnel_four_steps(spark):
         api.funnel(df, ["only_one"])
     with pytest.raises(ValueError):
         api.funnel(df, steps, deadlines_us=[None])
+    # caller-supplied step names are SQL-escaped (code-review r6)
+    quoted = api.funnel(df, ["signup", "don't churn"]).collect()
+    assert {r.step for r in quoted} == {"signup", "don't churn"}
+    # empty funnel: NULL conversion rates, not NaN (0.0/0.0)
+    empty = api.funnel(df, ["never_happens", "also_never"]).collect()
+    assert [(r.n_users, r.conv_from_first) for r in empty] == [
+        (0, None),
+        (0, None),
+    ]
 
 
 def test_bounded_funnel_never_exceeds_unbounded(spark):
