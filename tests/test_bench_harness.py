@@ -38,6 +38,34 @@ def test_broken_query_is_isolated(spark):
         assert s["min"] <= times[name] <= s["max"]
 
 
+def test_compare_bench_normalizes_and_flags():
+    """tools/compare_bench.py: the box factor divides before flagging,
+    and overlapping spread bands suppress a nominal regression."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from compare_bench import compare, marker_median
+
+    def run(queries, spread, marker_med):
+        return {
+            "queries": queries,
+            "spread": spread,
+            "marker": {
+                s: {"spark_sum": {"median": marker_med, "min": marker_med, "max": marker_med}}
+                for s in ("pre", "post")
+            },
+        }
+
+    old = run({"q": 1.0, "r": 1.0}, {"q": {"min": 0.9, "max": 1.1}, "r": {"min": 0.9, "max": 1.1}}, 0.2)
+    # 2x slower box: q doubled nominally (pure contention -> norm 1.0),
+    # r quadrupled (real 2x regression even normalized, beyond spread)
+    new = run({"q": 2.0, "r": 4.0}, {"q": {"min": 1.9, "max": 2.1}, "r": {"min": 3.9, "max": 4.1}}, 0.4)
+    assert marker_median(old) == 0.2 and marker_median(new) == 0.4
+    assert compare(old, new, threshold=1.25) == 2  # r flagged
+    ok = run({"q": 2.0, "r": 2.0}, {"q": {"min": 1.9, "max": 2.1}, "r": {"min": 1.9, "max": 2.1}}, 0.4)
+    assert compare(old, ok, threshold=1.25) == 0  # all pure contention
+
+
 def test_contention_marker_shape(spark):
     from bench import contention_marker
 
