@@ -3,10 +3,14 @@ round its performance signal (BENCH_r03 was lost to exactly that)."""
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 from types import SimpleNamespace
 
-sys.path.insert(0, "/root/repo")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tools"))
 
 from bench import run_headline  # noqa: E402
 
@@ -41,9 +45,6 @@ def test_broken_query_is_isolated(spark):
 def test_compare_bench_normalizes_and_flags():
     """tools/compare_bench.py: the box factor divides before flagging,
     and overlapping spread bands suppress a nominal regression."""
-    import sys
-
-    sys.path.insert(0, "/root/repo/tools")
     from compare_bench import compare, marker_median
 
     def run(queries, spread, marker_med):
@@ -64,6 +65,91 @@ def test_compare_bench_normalizes_and_flags():
     assert compare(old, new, threshold=1.25) == 2  # r flagged
     ok = run({"q": 2.0, "r": 2.0}, {"q": {"min": 1.9, "max": 2.1}, "r": {"min": 1.9, "max": 2.1}}, 0.4)
     assert compare(old, ok, threshold=1.25) == 0  # all pure contention
+
+
+def _full_payload():
+    return {
+        "metric": "headline_total",
+        "value": 1.5,
+        "unit": "sec",
+        "queries": {"q": 1.0, "r": 0.5},
+        "spread": {"q": {"min": 0.9, "max": 1.1}, "r": {"min": 0.4, "max": 0.6}},
+        "marker": {
+            s: {"spark_sum": {"median": 0.1, "min": 0.1, "max": 0.1}}
+            for s in ("pre", "post")
+        },
+        "sf": 0.1,
+    }
+
+
+def test_load_bench_survives_driver_truncation(tmp_path):
+    """The r7 output contract: the driver archives only the LAST 2000
+    chars of stdout, so the compact final line must survive arbitrary
+    front-truncation AND route compare_bench to the sibling
+    BENCH_LOCAL file for spread/markers (BENCH_r06's fat single line
+    did neither — the round-over-round comparison was impossible)."""
+    from compare_bench import load_bench
+
+    full = _full_payload()
+    (tmp_path / "BENCH_LOCAL_r07.json").write_text(json.dumps(full))
+    compact = {k: full[k] for k in ("metric", "value", "unit", "queries", "sf")}
+    compact["local"] = "BENCH_LOCAL_r07.json"
+    # simulate the driver: noise before the line, keep the last 2000 chars
+    stdout = "WARN noisy spark log\n" * 80 + json.dumps(compact) + "\n"
+    wrapper = {"n": 7, "rc": 0, "tail": stdout[-2000:]}
+    p = tmp_path / "BENCH_r07.json"
+    p.write_text(json.dumps(wrapper))
+    got = load_bench(str(p))
+    assert got == full  # resolved through the local file: spread+markers
+
+    # same wrapper with the local file gone: compact medians still parse
+    (tmp_path / "BENCH_LOCAL_r07.json").unlink()
+    got = load_bench(str(p))
+    assert got["queries"] == full["queries"] and "spread" not in got
+
+
+def test_load_bench_pre_r7_wrapper_still_parses(tmp_path):
+    """Old-format wrapper (full single-line JSON in the tail, no local
+    file) keeps working — r5-era artifacts must stay comparable."""
+    from compare_bench import load_bench
+
+    full = _full_payload()
+    wrapper = {"n": 5, "rc": 0, "tail": json.dumps(full)}
+    p = tmp_path / "BENCH_r05.json"
+    p.write_text(json.dumps(wrapper))
+    assert load_bench(str(p)) == full
+
+
+def test_compare_bench_threshold_space_form(tmp_path, capsys):
+    """`--threshold 1.3` (space-separated) must be consumed as the
+    option value, not left in the positional list (ADVICE r6)."""
+    import compare_bench
+
+    full = _full_payload()
+    p = tmp_path / "a.json"
+    p.write_text(json.dumps(full))
+    for argv_tail in (["--threshold", "9.9"], ["--threshold=9.9"]):
+        argv = ["compare_bench.py", str(p), str(p), *argv_tail]
+        old_argv = sys.argv
+        sys.argv = argv
+        try:
+            try:
+                compare_bench.main()
+            except SystemExit as e:
+                assert e.code == 0, f"argv {argv_tail}: exit {e.code}"
+        finally:
+            sys.argv = old_argv
+
+
+def test_next_round_no(tmp_path):
+    from bench import next_round_no
+
+    assert next_round_no(str(tmp_path)) == 1
+    (tmp_path / "BENCH_r03.json").write_text("{}")
+    (tmp_path / "BENCH_r06.json").write_text("{}")
+    # LOCAL files must NOT escalate the round (same-round overwrites)
+    (tmp_path / "BENCH_LOCAL_r07.json").write_text("{}")
+    assert next_round_no(str(tmp_path)) == 7
 
 
 def test_contention_marker_shape(spark):

@@ -5,35 +5,94 @@ run's times by the marker-derived box factor before calling anything a
 regression, and requires the normalized delta to clear BOTH runs'
 per-query min/max spread bands.
 
-    python tools/compare_bench.py BENCH_r05.json BENCH_r06.json
+    python tools/compare_bench.py BENCH_r06.json BENCH_r07.json
     python tools/compare_bench.py old.json new.json --threshold 1.3
 
-Accepts either the raw one-line JSON bench.py prints or the driver's
-BENCH_r{N}.json wrapper (which embeds that line inside its "tail"
-field). Runs without markers/spread (pre-round-6) compare unnormalized
-with a warning. Exit code: 0 = no flagged regressions, 2 = at least
-one query regressed beyond noise.
+Accepts, in preference order per argument:
+1. a full bench payload (BENCH_LOCAL_r{N}.json, or a pre-r7 one-line
+   bench.py dump) — has queries + spread + markers;
+2. the compact line bench.py prints since r7 — its "local" field names
+   the sibling BENCH_LOCAL file, which is loaded for spread/markers
+   when present next to the given path;
+3. the driver's BENCH_r{N}.json wrapper, whose "tail" field embeds the
+   (possibly front-truncated) stdout — the last parseable bench line
+   is extracted, then rule 2 applies.
+Runs without markers/spread (pre-round-6) compare unnormalized with a
+warning. Exit code: 0 = no flagged regressions, 2 = at least one query
+regressed beyond noise.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import re
 import sys
+
+
+def _bench_line(text: str) -> dict | None:
+    """Last parseable bench-JSON line inside captured stdout."""
+    for line in reversed(text.splitlines()):
+        start = line.find('{"metric"')
+        if start < 0:
+            continue
+        try:
+            parsed = json.loads(line[start:])
+        except json.JSONDecodeError:
+            continue
+        if "queries" in parsed:
+            return parsed
+    # single-line pre-r7 dumps: fall back to a greedy brace match
+    m = re.search(r'\{"metric".*\}', text)
+    if m:
+        try:
+            return json.loads(m.group(0))
+        except json.JSONDecodeError:
+            return None
+    return None
 
 
 def load_bench(path: str) -> dict:
     with open(path) as f:
         raw = json.load(f)
+    bench = None
     if "queries" in raw:
-        return raw
-    # driver wrapper: the bench line is embedded in a string field
-    for v in raw.values():
-        if isinstance(v, str) and '"queries"' in v:
-            m = re.search(r'\{"metric".*\}', v)
-            if m:
-                return json.loads(m.group(0))
-    raise SystemExit(f"{path}: no bench JSON found (no 'queries' key)")
+        bench = raw
+    else:
+        # driver wrapper: the bench line is embedded in a string field
+        for v in raw.values():
+            if isinstance(v, str) and '"queries"' in v:
+                bench = _bench_line(v)
+                if bench:
+                    break
+    if bench is not None and "spread" in bench:
+        return bench
+    # No full payload in the file itself: look for the sibling local
+    # file — named by the compact line's "local" field, else inferred
+    # from the wrapper's own round number (covers BENCH_r06.json, whose
+    # embedded line was front-truncated beyond parsing but whose full
+    # payload was recovered into BENCH_LOCAL_r06.json).
+    names = []
+    if bench is not None and bench.get("local"):
+        names.append(bench["local"])
+    m = re.search(r"BENCH_r(\d+)\.json$", os.path.basename(path))
+    if m:
+        names.append(f"BENCH_LOCAL_r{m.group(1)}.json")
+    for name in names:
+        local = os.path.join(os.path.dirname(os.path.abspath(path)), name)
+        if os.path.isfile(local):
+            with open(local) as f:
+                full = json.load(f)
+            if "queries" in full:
+                return full
+    if bench is None:
+        raise SystemExit(f"{path}: no bench JSON found (no 'queries' key)")
+    print(
+        f"NOTE: {path}: local payload not found; "
+        "using compact medians (no spread/markers)",
+        file=sys.stderr,
+    )
+    return bench
 
 
 def marker_median(bench: dict, which: str = "spark_sum") -> float | None:
@@ -92,14 +151,30 @@ def compare(old: dict, new: dict, threshold: float) -> int:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # hand-rolled so `--threshold 1.3` and `--threshold=1.3` both work:
+    # the space form's value must be consumed, not left positional
+    argv = sys.argv[1:]
     threshold = 1.25
-    for a in sys.argv[1:]:
-        if a.startswith("--threshold"):
-            threshold = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
-    if len(args) != 2:
+    paths: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--threshold":
+            if i + 1 >= len(argv):
+                raise SystemExit("--threshold needs a value")
+            threshold = float(argv[i + 1])
+            i += 2
+        elif a.startswith("--threshold="):
+            threshold = float(a.split("=", 1)[1])
+            i += 1
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown option {a}\n{__doc__}")
+        else:
+            paths.append(a)
+            i += 1
+    if len(paths) != 2:
         raise SystemExit(__doc__)
-    sys.exit(compare(load_bench(args[0]), load_bench(args[1]), threshold))
+    sys.exit(compare(load_bench(paths[0]), load_bench(paths[1]), threshold))
 
 
 if __name__ == "__main__":
