@@ -96,40 +96,23 @@ def spark_tokens_expr(text: str = "text") -> str:
 
 
 def shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s): DISTINCT word {SHINGLE_K}-shingles, one row each.
+    """(doc_id, s): DISTINCT word {SHINGLE_K}-shingles, one row each,
+    served from the session tokens artifact (operators/tokens.py).
 
-    Physical shape: posexplode tokens, then lead() windows build each
-    shingle — fully codegen'd, one shuffle on doc_id that every
-    downstream per-doc aggregation reuses (matching distribution, no
-    second exchange). The pure array-lambda formulation is semantically
-    identical but Catalyst inlines the whole tokenization into every
-    element access inside the interpreted HOF — O(tokens^2) per doc and
-    ~8x slower end-to-end, measured at sf0.1.
+    Physical shape since round 7: a per-row array comprehension over
+    the MATERIALIZED token array (slice + concat_ws + array_distinct),
+    then one explode — no tokenization, no doc_id exchange, no
+    whole-partition sort, and the former global `.distinct()` shuffle
+    is now a per-doc array_distinct inside the row. (The round-2
+    posexplode + lead()-window shape this replaces was the right call
+    when tokens were an unevaluated expression: array HOFs over that
+    would have inlined the tokenizer into every element access,
+    O(tokens^2) per doc, ~8x slower measured at sf0.1. A stored array
+    column has no such trap — element access is plain memory access.)
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # explode raw split first, clean per row (codegen), keep positions —
-    # filtering empties leaves pos gaps, but lead() over the pos ORDER
-    # still pairs each surviving token with its surviving successors
-    e = (
-        docs.select(
-            "doc_id",
-            F.posexplode(F.split(F.lower("text"), "[ \n]", -1)).alias("pos", "raw"),
-        )
-        .withColumn("w0", F.regexp_replace("raw", "[^a-z]", ""))
-        .filter(F.col("w0") != "")
-        .drop("raw")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    for j in range(1, SHINGLE_K):
-        e = e.withColumn(f"w{j}", F.lead("w0", j).over(w))
-    return (
-        e.filter(F.col(f"w{SHINGLE_K - 1}").isNotNull())
-        .select(
-            "doc_id",
-            F.concat_ws(" ", *[f"w{j}" for j in range(SHINGLE_K)]).alias("s"),
-        )
-        .distinct()
-    )
+    from .tokens import gram_rows  # function-local: tokens imports dedup
+
+    return gram_rows(spark, sf_dir, SHINGLE_K, distinct=True, out_col="s")
 
 
 def duck_shingles(tokens: str) -> str:
@@ -432,11 +415,14 @@ def _simhash_duck_expr() -> str:
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash): weighted per-bit votes as SIMHASH_BITS plain agg
     columns over exploded token hashes — whole-stage codegen end to end,
-    one doc_id shuffle (vs interpreted array lambdas: ~5x slower)."""
-    from ..functions.text import tokenize
+    one doc_id shuffle (vs interpreted array lambdas: ~5x slower).
+    Token occurrences come from the session tokens artifact (repeats
+    weigh, so this is the non-distinct explode), not a corpus re-scan."""
+    from .tokens import token_rows  # function-local: tokens imports dedup
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    e = tokenize(docs, out_col="t").withColumn("h", F.expr(spark_hash("t")))
+    e = token_rows(spark, sf_dir, out_col="t").withColumn(
+        "h", F.expr(spark_hash("t"))
+    )
     votes = [
         F.sum(F.expr(f"(shiftright(h, {j}) & 1) * 2 - 1")).alias(f"s{j}")
         for j in range(SIMHASH_BITS)

@@ -20,8 +20,8 @@ from .dedup import (
     DUCK_TOKENS_LIST,
     duck_shingles,
     shingle_rows,
-    spark_tokens_expr,
 )
+from .tokens import BPE_ISH, gram_rows, token_rows, tokenized_docs
 
 # Stopword sets for the language-ID vote. [a-z]-only (the tokenizer's
 # alphabet). Deterministic priority order breaks ties: en > es > de > fr.
@@ -33,15 +33,16 @@ STOPWORDS = {
 }
 EN_STOP = STOPWORDS["en"]
 
-BPE_ISH = "[a-z]+|[0-9]+|[^a-z0-9 ]"  # letters | digits | single symbol
+# BPE_ISH (letters | digits | single symbol) lives in operators/tokens.py,
+# next to the artifact build that evaluates it.
 FINGERPRINT_K = 5
 
 
-def _vote(engine: str, lang: str) -> str:
+def _vote(engine: str, lang: str, col: str = "toks") -> str:
     words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
     if engine == "spark":
-        return f"size(filter(toks, t -> t in ({words})))"
-    return f"len(list_filter(toks, t -> t in ({words})))"
+        return f"size(filter({col}, t -> t in ({words})))"
+    return f"len(list_filter({col}, t -> t in ({words})))"
 
 
 @register(
@@ -74,31 +75,28 @@ def _vote(engine: str, lang: str) -> str:
     "standard pre-training quality-filter signals.",
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stop = ", ".join(f"'{w}'" for w in EN_STOP)
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.lower("text").alias("text"))
-        .withColumn("toks", F.expr(spark_tokens_expr("text")))
-    )
-    n_tok = F.size("toks")
-    n_typ = F.size(F.array_distinct("toks"))
-    n_punct = (F.length("text") - F.length(F.regexp_replace("text", "[^a-z0-9 ]", ""))).cast("long")
-    return docs.select(
+    # Served from the session tokens artifact: the token array and the
+    # raw-text scalars (n_punct, n_chars_lower) were computed once at
+    # artifact build — this query is per-row arithmetic over them.
+    t = tokenized_docs(spark, sf_dir)
+    n_tok = F.size("ws")
+    n_typ = F.size(F.array_distinct("ws"))
+    return t.select(
         "doc_id",
         n_tok.cast("long").alias("n_tokens"),
         n_typ.cast("long").alias("n_types"),
         F.when(n_tok > 0, n_typ.cast("double") / n_tok).otherwise(0.0).alias("type_token_ratio"),
         F.when(
             n_tok > 0,
-            F.expr("aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)").cast("double") / n_tok,
+            F.expr("aggregate(transform(ws, t -> length(t)), 0L, (a, x) -> a + x)").cast("double") / n_tok,
         )
         .otherwise(0.0)
         .alias("avg_token_len"),
-        n_punct.alias("n_punct"),
-        F.when(F.length("text") > 0, n_punct.cast("double") / F.length("text"))
+        F.col("n_punct"),
+        F.when(F.col("n_chars_lower") > 0, F.col("n_punct").cast("double") / F.col("n_chars_lower"))
         .otherwise(0.0)
         .alias("punct_ratio"),
-        F.when(n_tok > 0, F.expr(f"size(filter(toks, t -> t in ({stop})))").cast("double") / n_tok)
+        F.when(n_tok > 0, F.expr(_vote("spark", "en", "ws")).cast("double") / n_tok)
         .otherwise(0.0)
         .alias("stopword_ratio"),
     )
@@ -125,13 +123,11 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lang_actual is carried for comparison, not asserted.)",
 )
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "lang", "text")
-        .withColumn("toks", F.expr(spark_tokens_expr("text")))
-    )
+    # Artifact-served: the stopword votes are filters over the stored
+    # token array — a 2-column (lang, ws) pruned scan, no tokenization.
+    docs = tokenized_docs(spark, sf_dir).select("doc_id", "lang", "ws")
     for lang in STOPWORDS:
-        docs = docs.withColumn(lang, F.expr(_vote("spark", lang)))
+        docs = docs.withColumn(lang, F.expr(_vote("spark", lang, "ws")))
     pred = (
         F.when((F.col("en") >= F.col("es")) & (F.col("en") >= F.col("de")) & (F.col("en") >= F.col("fr")), "en")
         .when((F.col("es") >= F.col("de")) & (F.col("es") >= F.col("fr")), "es")
@@ -157,13 +153,11 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "digit runs / single symbols) — the token-budget accounting pass.",
 )
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.select(
-        "doc_id",
-        F.expr("size(filter(split(text, ' ', -1), x -> x != ''))").cast("long").alias("n_ws_tokens"),
-        F.size(F.expr(spark_tokens_expr("text"))).cast("long").alias("n_norm_tokens"),
-        F.size(F.expr(f"regexp_extract_all(lower(text), '{BPE_ISH}', 0)")).cast("long").alias("n_bpe_tokens"),
-        F.length("text").cast("long").alias("n_chars"),
+    # Pure artifact read: every figure was pre-computed at build time,
+    # so this scans four bigint columns and the array's size — the
+    # token-budget accounting pass costs no regex at query time.
+    return tokenized_docs(spark, sf_dir).select(
+        "doc_id", "n_ws_tokens", "n_norm_tokens", "n_bpe_tokens", "n_chars"
     )
 
 
@@ -315,31 +309,10 @@ def _duck_k_grams(tokens: str, k: int) -> str:
 
 
 def _gram_occurrences(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
-    """(doc_id, g): every k-gram occurrence (NOT distinct — counts matter).
-
-    Same posexplode + lead() shape as dedup.shingle_rows (see its
-    docstring for why this beats array-lambda HOFs ~8x), minus the
-    final distinct.
-    """
-    from pyspark.sql import Window
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    e = (
-        docs.select(
-            "doc_id",
-            F.posexplode(F.split(F.lower("text"), "[ \n]", -1)).alias("pos", "raw"),
-        )
-        .withColumn("w0", F.regexp_replace("raw", "[^a-z]", ""))
-        .filter(F.col("w0") != "")
-        .drop("raw")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    for j in range(1, k):
-        e = e.withColumn(f"w{j}", F.lead("w0", j).over(w))
-    return e.filter(F.col(f"w{k - 1}").isNotNull()).select(
-        "doc_id",
-        F.concat_ws(" ", *[f"w{j}" for j in range(k)]).alias("g"),
-    )
+    """(doc_id, g): every k-gram occurrence (NOT distinct — counts
+    matter). A per-row comprehension over the stored token array
+    (tokens.gram_rows) — no tokenization, no doc_id window shuffle."""
+    return gram_rows(spark, sf_dir, k, distinct=False, out_col="g")
 
 
 @register(
@@ -536,10 +509,10 @@ PACK_BUDGET = 256  # tokens per packed training sequence
 def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    toks = docs.select(
-        "doc_id", "source",
-        F.size(F.expr(spark_tokens_expr("text"))).cast("long").alias("n_tokens"),
+    # Artifact-served: packing needs only the stored per-doc token
+    # count — a 3-scalar-column scan, the array is never read.
+    toks = tokenized_docs(spark, sf_dir).select(
+        "doc_id", "source", F.col("n_norm_tokens").alias("n_tokens")
     )
     w = (
         Window.partitionBy("source")
@@ -591,19 +564,17 @@ QUALITY_PCTL = 0.25
     "so both engines compare identical doubles.",
 )
 def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stop = ", ".join(f"'{w}'" for w in EN_STOP)
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.lower("text").alias("text"))
-        .withColumn("toks", F.expr(spark_tokens_expr("text")))
-    )
-    n_tok = F.size("toks")
-    scored = docs.select(
+    # Artifact-served: both score passes scan (doc_id, ws) — the
+    # second pass (the threshold join) re-reads the artifact, not the
+    # corpus, and never touches raw text.
+    t = tokenized_docs(spark, sf_dir)
+    n_tok = F.size("ws")
+    scored = t.select(
         "doc_id",
         n_tok.cast("long").alias("n_tokens"),
         F.when(
             n_tok > 0,
-            F.expr(f"size(filter(toks, t -> t in ({stop})))").cast("double") / n_tok,
+            F.expr(_vote("spark", "en", "ws")).cast("double") / n_tok,
         )
         .otherwise(0.0)
         .alias("score"),
@@ -661,10 +632,7 @@ def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(shuffle join); a pruned 100k-word model would broadcast instead.",
 )
 def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    occ = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(F.expr(spark_tokens_expr("text"))).alias("w"))
-    )
+    occ = token_rows(spark, sf_dir, out_col="w")
     bg = _gram_occurrences(spark, sf_dir, 2).select(
         "doc_id", "g", F.split("g", " ")[0].alias("w1")
     )
@@ -784,13 +752,13 @@ PMI_TOP_K = 50
     "contract (same calibration pattern as WAU exact/HLL).",
 )
 def q_text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    # One row per doc with its sorted distinct word array — no shuffle.
-    ws = docs.select(
-        F.sort_array(
-            F.array_distinct(F.expr(spark_tokens_expr("text")))
-        ).alias("ws")
-    ).filter(F.size("ws") > 0)
+    # One row per doc with its sorted distinct word array — a per-row
+    # reshape of the stored token array, no tokenization, no shuffle.
+    ws = (
+        tokenized_docs(spark, sf_dir)
+        .select(F.sort_array(F.array_distinct("ws")).alias("ws"))
+        .filter(F.size("ws") > 0)
+    )
     n_docs = ws.agg(F.count(F.lit(1)).alias("n_docs"))
     df_ = (
         ws.select(F.explode("ws").alias("w"))
@@ -899,10 +867,15 @@ def windowed_pair_expr(k: int = PMI_WINDOW_K) -> str:
     "of the statistic; this is the form you run at 100 TB.",
 )
 def q_text_pmi_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    ws = docs.select(
-        F.expr(spark_tokens_expr("text")).alias("ws")
-    ).filter(F.size("ws") > 0)
+    # Every branch below scans the session tokens artifact, not the
+    # corpus: r6's plan had 4 pinned tokenizing corpus scans; r7 has 0
+    # (three pruned reads of the stored `ws` column — pairs, unigrams,
+    # totals — each a fraction of the corpus bytes, no regex).
+    ws = (
+        tokenized_docs(spark, sf_dir)
+        .select("ws")
+        .filter(F.size("ws") > 0)
+    )
     pairs = (
         ws.select(F.explode(F.expr(windowed_pair_expr())).alias("p"))
         .select("p.w1", "p.w2")

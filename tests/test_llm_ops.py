@@ -83,16 +83,41 @@ def test_pmi_windowed_pair_generation_is_linear(spark):
 
 
 def test_pmi_windowed_plan_has_no_recomputed_totals(spark):
-    """The scalar totals must come from the lightweight array-sizing
-    scan, not from re-aggregating the exploded pair/token streams:
-    exchange reuse provably does not fire across the differing
-    aggregates, so the naive shape cost 5 scans and 5 explodes. Pin
-    the fixed shape: 4 scans (pairs, unigrams x2 join sides, totals),
-    3 explodes."""
+    """r7 shape: ZERO corpus scans — every branch reads the session
+    tokens artifact (r6 had 4 pinned tokenizing corpus scans). The
+    scalar totals still come from the lightweight array-sizing read,
+    not from re-aggregating the exploded pair/token streams (exchange
+    reuse provably does not fire across the differing aggregates), so
+    the pin is: 0 corpus scans, 4 artifact scans (pairs, unigrams x2
+    join sides, totals), 3 explodes, and no tokenizer regex anywhere
+    in the executed plan."""
     df = registry.get("text_pmi_windowed").fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("documents.parquet") == 4, plan
+    assert plan.count("documents.parquet") == 0, plan
+    assert plan.count("mri_session_tokens") == 4, plan
     assert plan.count("Generate explode") == 3, plan
+    assert "regexp_replace" not in plan, plan
+
+
+def test_text_family_plans_scan_artifact_not_corpus(spark):
+    """The r7 artifact-discipline gate for the whole text family: no
+    registered text_* query may re-tokenize the corpus — its executed
+    plan must be free of the tokenizer's regexp_replace and of any
+    `text`-column read. The three deliberate exceptions scan raw
+    text/metadata by design: pii_redact (rewrites raw text),
+    train_val_test_split and sample_mixture (metadata-only)."""
+    from map_reduce_indexing_spark.plans.registry import _REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    exempt = {"text_pii_redact", "text_train_val_test_split", "text_sample_mixture"}
+    checked = []
+    for name, q in _REGISTRY.items():
+        if not name.startswith("text_") or name in exempt:
+            continue
+        plan = q.fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "regexp_replace" not in plan, f"{name} re-tokenizes: {plan[:2000]}"
+        checked.append(name)
+    assert len(checked) >= 10  # the family is actually covered
 
 
 def test_multimodal_embed_matches_oracle(spark, duck):
