@@ -89,6 +89,7 @@ def funnel(
     steps: list[str] | tuple[str, ...],
     deadlines_us: list[int | None] | None = None,
     per_user: bool = False,
+    strategy: str = "window",
 ) -> DataFrame:
     """Parametric ordered conversion funnel over ANY
     (user_id, ts, event_type) frame — arbitrary step list, optional
@@ -102,14 +103,19 @@ def funnel(
 
     Returns the per-step summary (step_no, step, n_users,
     conv_from_first), or the per-user conversion-times frame
-    (user_id, t_0..t_{n-1}) with ``per_user=True``. Plan cost is one
-    user_id exchange and one source scan regardless of step count
-    (operators/eventflow.funnel_times); semantics are property-tested
-    against the join-chain oracle model for arbitrary step counts and
-    deadline mixes (tests/test_eventflow.py)."""
+    (user_id, t_0..t_{n-1}) with ``per_user=True``.
+
+    ``strategy="window"`` (default) costs one user_id exchange and one
+    source scan regardless of step count; ``strategy="join_chain"`` is
+    the hot-user fallback — per-step hash aggregations whose map-side
+    combine and AQE skew-join splitting flatten a bot-sized key, at
+    one scan per step (operators/eventflow.funnel_times documents the
+    trade). Both are property-tested output-identical against the
+    join-chain oracle model for arbitrary step counts and deadline
+    mixes (tests/test_eventflow.py)."""
     from .operators.eventflow import funnel_summary, funnel_times
 
-    f = funnel_times(events, steps, deadlines_us)
+    f = funnel_times(events, steps, deadlines_us, strategy=strategy)
     return f if per_user else funnel_summary(f, steps)
 
 

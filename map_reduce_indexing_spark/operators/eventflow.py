@@ -555,6 +555,7 @@ def funnel_times(
     ev: DataFrame,
     steps: tuple[str, ...] | list[str],
     deadlines_us: list[int | None] | None = None,
+    strategy: str = "window",
 ) -> DataFrame:
     """Per-user conversion times for an ARBITRARY ordered funnel: one
     output row per user who reached step 0, with columns t_0..t_{n-1}
@@ -566,23 +567,26 @@ def funnel_times(
     (per-step deadlines: the deadline-bounded funnel every growth
     dashboard actually runs, generalized from one global bound).
 
-    Plan shape: N STACKED whole-partition window aggregates over one
-    user_id partitioning — each step's MIN references the previous
-    step's column, so Catalyst plans N Window nodes sharing a single
-    exchange and a single events scan regardless of step count
-    (plan-audited in tests/test_eventflow.py). The per-step join-chain
-    formulation this replaced re-embedded each step's subtree in the
-    next and cost 2N+1 source scans; it survives as the oracle form
-    (`_sql_funnel_times`, and the property test's reference model).
+    Two physical strategies, identical semantics (property-tested
+    output-equal on random funnels, tests/test_eventflow.py):
 
-    Skew note: the window form materializes each user's whole event
-    partition in one task — the right trade for normal fan-out, but a
-    pathological hot user (a bot with millions of events) skews one
-    task, and funnel steps can't be chunk-split like sessionize
-    (step i's condition references the user's GLOBAL t_{i-1}). The
-    hot-user fallback is the join-chain form run step by step: each
-    step is a hash aggregation whose map-side combine flattens the hot
-    key, at the cost of one scan per step.
+    ``strategy="window"`` (default): N STACKED whole-partition window
+    aggregates over one user_id partitioning — each step's MIN
+    references the previous step's column, so Catalyst plans N Window
+    nodes sharing a single exchange and a single events scan
+    regardless of step count (plan-audited). The right trade for
+    normal fan-out; but it materializes each user's whole event
+    partition in one task, and funnel steps can't be chunk-split like
+    sessionize (step i's condition references the user's GLOBAL
+    t_{i-1}) — a pathological hot user (a bot with millions of
+    events) skews one task.
+
+    ``strategy="join_chain"``: the hot-user fallback
+    (`_funnel_times_join_chain`) — each step is a filtered scan +
+    equi-join + hash MIN aggregation, so a hot key is flattened by
+    map-side partial aggregation and AQE's skew-join splitting, at
+    the documented cost of one events scan per step. Use it when a
+    user's event count can exceed what one task should materialize.
     """
     steps = tuple(steps)
     if len(steps) < 2:
@@ -593,6 +597,12 @@ def funnel_times(
         raise ValueError(
             f"deadlines_us must have one entry per transition "
             f"({len(steps) - 1}), got {len(deadlines_us)}"
+        )
+    if strategy == "join_chain":
+        return _funnel_times_join_chain(ev, steps, deadlines_us)
+    if strategy != "window":
+        raise ValueError(
+            f"unknown funnel strategy {strategy!r}; use 'window' or 'join_chain'"
         )
     w = Window.partitionBy("user_id")
     df = ev.withColumn(
@@ -612,6 +622,57 @@ def funnel_times(
         .groupBy("user_id")
         .agg(*[F.min(f"t_{i}").alias(f"t_{i}") for i in range(len(steps))])
     )
+
+
+def _funnel_times_join_chain(
+    ev: DataFrame,
+    steps: tuple[str, ...],
+    deadlines_us: list[int | None],
+) -> DataFrame:
+    """The hot-user funnel strategy: step-by-step hash aggregations.
+
+    s_0 = MIN(ts) per user over step-0 events (a hash agg — map-side
+    combine collapses a bot's millions of rows to one partial per
+    input partition BEFORE the shuffle, which the whole-partition
+    window form cannot do). Each s_i joins step-i events to
+    s_{i-1}(user_id, t_{i-1}) on user_id, filters the
+    strictly-after/deadline predicate, and hash-aggregates MIN(ts).
+    The equi-join is skew-splittable by AQE (a window partition is
+    not), and the per-step frames hold ONE ROW PER QUALIFYING USER —
+    the only whole-user state anywhere. Final assembly left-joins
+    s_1..s_{n-1} onto s_0 so unreached steps are NULL, matching the
+    window form's contract exactly.
+
+    Cost: the events scan re-embeds per step (the documented 2N+1
+    scans — each a pushdown-filtered single-column-heavier read, not
+    a full materialization). This is the fallback the window form's
+    skew note priced in; it exists for the corpus where one user's
+    events overflow a task, not as the default."""
+    ev = ev.select("user_id", "ts", "event_type")
+    s0 = (
+        ev.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_0"))
+    )
+    frames = [s0]
+    for i, step in enumerate(steps[1:], start=1):
+        prev_t = F.col(f"t_{i - 1}")
+        cond = F.col("ts") > prev_t
+        if deadlines_us[i - 1] is not None:
+            cond = cond & (
+                F.unix_micros("ts") - F.unix_micros(prev_t) <= deadlines_us[i - 1]
+            )
+        frames.append(
+            ev.filter(F.col("event_type") == step)
+            .join(frames[i - 1].select("user_id", f"t_{i - 1}"), "user_id")
+            .filter(cond)
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"t_{i}"))
+        )
+    out = frames[0]
+    for i, s_i in enumerate(frames[1:], start=1):
+        out = out.join(s_i.select("user_id", f"t_{i}"), "user_id", "left")
+    return out
 
 
 def _funnel_times(
@@ -702,22 +763,36 @@ def funnel_summary(f: DataFrame, steps: tuple[str, ...] | list[str]) -> DataFram
             for i in range(len(steps))
         ]
     )
-    # stack() the single stats row into N step rows. A union of N
-    # selects over `agg` would recompute the whole per-user chain per
-    # branch (3N source scans, plan-audited) — the unpivot keeps it at
-    # one computation. Step names are caller-supplied through
-    # api.funnel, so they are SQL-escaped ('' for '), and the ratio's
-    # denominator is nullif-guarded: with no step-0 users 0.0/0.0
-    # would yield NaN, which poisons downstream arithmetic — NULL is
-    # the honest value for "conversion rate of an empty funnel".
-    cells = ", ".join(
-        f"CAST({i} AS BIGINT), '{step.replace(chr(39), chr(39) * 2)}', n_{i}, "
-        f"CAST(n_{i} AS DOUBLE) / nullif(CAST(n_1 AS DOUBLE), 0.0)"
-        for i, step in enumerate(steps, start=1)
-    )
-    return agg.selectExpr(
-        f"stack({len(steps)}, {cells}) AS "
-        "(step_no, step, n_users, conv_from_first)"
+    # explode(array(struct...)) the single stats row into N step rows.
+    # A union of N selects over `agg` would recompute the whole
+    # per-user chain per branch (3N source scans, plan-audited); this
+    # keeps it at one computation, like stack() — but built from
+    # Column objects, so caller-supplied step names pass through
+    # F.lit verbatim (the former selectExpr text embedding doubled
+    # quotes yet missed backslashes: a name ending in '\' swallowed
+    # the closing quote — injection into the stack() expression). The
+    # ratio's denominator is null-guarded: with no step-0 users,
+    # 0.0/0.0 would yield NaN, which poisons downstream arithmetic —
+    # NULL is the honest value for "conversion rate of an empty
+    # funnel".
+    n_1 = F.col("n_1").cast("double")
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("long").alias("step_no"),
+                    F.lit(step).alias("step"),
+                    F.col(f"n_{i}").alias("n_users"),
+                    F.when(
+                        n_1 != 0.0, F.col(f"n_{i}").cast("double") / n_1
+                    ).alias("conv_from_first"),
+                )
+                for i, step in enumerate(steps, start=1)
+            ]
+        )
+    ).alias("r")
+    return agg.select(rows).select(
+        "r.step_no", "r.step", "r.n_users", "r.conv_from_first"
     )
 
 

@@ -233,11 +233,15 @@ def test_parametric_funnel_matches_join_chain_model(spark):
         ) if rows else spark.createDataFrame(
             [], "user_id long, ts timestamp, event_type string"
         )
-        got = {
-            r.user_id: tuple(r[f"t_{i}"] for i in range(len(_PROP_STEPS)))
-            for r in funnel_times(df, _PROP_STEPS, list(deadlines)).collect()
-        }
-        assert got == _join_chain_funnel_model(rows, _PROP_STEPS, list(deadlines))
+        expected = _join_chain_funnel_model(rows, _PROP_STEPS, list(deadlines))
+        for strategy in ("window", "join_chain"):
+            got = {
+                r.user_id: tuple(r[f"t_{i}"] for i in range(len(_PROP_STEPS)))
+                for r in funnel_times(
+                    df, _PROP_STEPS, list(deadlines), strategy=strategy
+                ).collect()
+            }
+            assert got == expected, strategy
 
     run()
 
@@ -260,6 +264,31 @@ def test_parametric_funnel_plan_is_single_exchange_any_step_count(spark):
     assert plan.count("events.parquet") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Window") >= 5, plan
+
+
+def test_funnel_join_chain_plan_is_hash_aggs_no_window(spark):
+    """The hot-user fallback's physical claim: NO whole-partition
+    Window node anywhere — every per-user reduction is a hash
+    aggregation (partial + final, so map-side combine flattens a hot
+    key before the shuffle), and the events scans carry the per-step
+    event_type filter pushed down."""
+    from map_reduce_indexing_spark.operators.eventflow import funnel_times
+    from map_reduce_indexing_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "ts", "event_type")
+    f = funnel_times(
+        ev,
+        ["view", "click", "purchase"],
+        [None, 3600_000_000],
+        strategy="join_chain",
+    )
+    plan = f._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 6, plan  # 3 steps x partial+final
+    assert "PushedFilters" in plan and "event_type" in plan, plan
+    with pytest.raises(ValueError):
+        funnel_times(ev, ["a", "b"], strategy="nope")
 
 
 def test_api_funnel_four_steps(spark):
@@ -309,9 +338,13 @@ def test_api_funnel_four_steps(spark):
         api.funnel(df, ["only_one"])
     with pytest.raises(ValueError):
         api.funnel(df, steps, deadlines_us=[None])
-    # caller-supplied step names are SQL-escaped (code-review r6)
-    quoted = api.funnel(df, ["signup", "don't churn"]).collect()
-    assert {r.step for r in quoted} == {"signup", "don't churn"}
+    # caller-supplied step names pass through verbatim — quotes,
+    # backslashes, escape-sequence lookalikes (ADVICE r6: the former
+    # selectExpr embedding let a trailing '\' swallow the closing
+    # quote and '\n' silently change the label)
+    for tricky in ("don't churn", "trailing\\", "with\\nnewline-lookalike"):
+        quoted = api.funnel(df, ["signup", tricky]).collect()
+        assert {r.step for r in quoted} == {"signup", tricky}
     # empty funnel: NULL conversion rates, not NaN (0.0/0.0)
     empty = api.funnel(df, ["never_happens", "also_never"]).collect()
     assert [(r.n_users, r.conv_from_first) for r in empty] == [
