@@ -67,7 +67,7 @@ PRIORITY_WINDOW = [
     "index_letter_histogram",
     "search_term_lookup",
     "search_and",
-    "search_phrase",
+    "search_proximity",  # r7 rotation: positional index gets external coverage (search_phrase retired — same positional artifact, proximity is the stricter consumer)
     "search_topk_per_term",
     "index_heavy_hitters",  # r5 rotation: replaced search_term_topk (top-k family already covered by search_topk_per_term)
     "search_bm25_rank",
@@ -83,7 +83,7 @@ PRIORITY_WINDOW = [
     "rel_join_asof",
     "rel_cdc_scd2",  # r5 rotation: CDC family gets an external row
     "rel_attribution_first_touch",  # r6 rotation: event-flow attribution
-    "rel_resample_daily",  # r6 rotation: time-series resample
+    "rel_retention_cohorts",  # r7 rotation: cohort retention (rel_resample_daily retired after 1 stable round; time-series family keeps rel_anomaly_daily)
     # relational: distribution stats + grouping
     "rel_approx_distinct",
     "rel_percentiles",
@@ -97,9 +97,12 @@ PRIORITY_WINDOW = [
     "rel_scalar_functions",
     "rel_json_parse",
     "rel_anomaly_daily",  # r6 rotation: event-flow z-score anomaly
-    # dedup family + LSH calibration eval
+    # dedup family + LSH calibration eval (r7 rotation: dedup_fuzzy_names
+    # promoted — blocked-Levenshtein had never been external;
+    # dedup_ngram_jaccard retired — the quadratic calibration baseline's
+    # statistic stays externally covered via dedup_lsh_recall_eval)
     "dedup_exact_kept",
-    "dedup_ngram_jaccard",
+    "dedup_fuzzy_names",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
     "dedup_lsh_recall_eval",
@@ -118,16 +121,22 @@ PRIORITY_WINDOW = [
     # another in-window representative)
     "rel_sessionize",
     "rel_funnel",
-    # text analysis
+    # text analysis (r7 rotation: text_pmi_windowed promoted — the
+    # flagship production PMI now reads the tokens artifact and
+    # deserves a driver row; text_langid retired — its statistic stays
+    # external-adjacent via the langid_eval confusion matrix in the
+    # sweep, and the tier keeps two rows)
     "text_quality",
-    "text_langid",
+    "text_pmi_windowed",
     "text_token_counts",
     # multimodal
     "multimodal_embed",
-    # streaming (r6 rotation: stream_session_windows retired —
-    # tumbling + stateful keep the family external; streaming CDC
-    # upsert is the round-5 capability that needs a driver row)
-    "stream_tumbling_counts",
+    # streaming (r7 rotation: stream_scd2_temporal_join promoted — the
+    # r5-built SCD2 temporal join had never been external;
+    # stream_tumbling_counts retired after 6 stable rounds — windowed
+    # aggregation stays covered by cdc_upsert/stateful, and tumbling
+    # remains a bench headliner + sweep row)
+    "stream_scd2_temporal_join",
     "stream_cdc_upsert",
     "stream_stateful_user_stats",
     "stream_incremental_index",

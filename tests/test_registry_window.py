@@ -65,14 +65,13 @@ def test_window_exercises_round5_families():
 
 
 def test_window_exercises_round6_rotation():
-    """Round-6 rotation: the round-5 operator families promoted into
-    the external window, and every retired row's family keeps an
+    """Round-6 rotation survivors: the round-5 operator families stay
+    externally verified, and every r6-retired row's family keeps an
     in-window representative."""
     w = set(PRIORITY_WINDOW)
     assert {
         "rel_attribution_first_touch",
         "rel_anomaly_daily",
-        "rel_resample_daily",
         "ann_ivf_pq_topk",
         "stream_cdc_upsert",
     } <= w
@@ -93,7 +92,39 @@ def test_window_exercises_round6_rotation():
     assert {"rel_join_semi", "rel_join_anti", "rel_join_asof"} <= w  # join family
     assert {"rel_window_rank_parts", "rel_window_range_frame"} <= w  # windows
     assert {"ann_knn_bruteforce", "ann_recall_eval"} <= w  # ann family
-    assert {"stream_tumbling_counts", "stream_stateful_user_stats"} <= w  # streaming
+    assert {"stream_cdc_upsert", "stream_stateful_user_stats"} <= w  # streaming
+
+
+def test_window_exercises_round7_rotation():
+    """Round-7 rotation (VERDICT r6 #4): flagship and never-external
+    families promoted — production PMI (tokens-artifact path),
+    blocked-Levenshtein fuzzy names, SCD2 temporal streaming join,
+    cohort retention, positional-index proximity. Every retired row
+    stays registered + oracle-backed and its family keeps another
+    external representative."""
+    w = set(PRIORITY_WINDOW)
+    assert {
+        "text_pmi_windowed",
+        "dedup_fuzzy_names",
+        "stream_scd2_temporal_join",
+        "rel_retention_cohorts",
+        "search_proximity",
+    } <= w
+    retired = {
+        "search_phrase",  # positional artifact: search_proximity
+        "rel_resample_daily",  # time-series: rel_anomaly_daily
+        "dedup_ngram_jaccard",  # calibration stat: dedup_lsh_recall_eval
+        "text_langid",  # llm tier: text_quality/token_counts/pmi
+        "stream_tumbling_counts",  # windowed agg: cdc_upsert/stateful
+    }
+    assert retired.isdisjoint(w)
+    for name in retired:
+        q = registry.get(name)
+        assert q.export and q.oracle is not None
+    assert {"search_term_lookup", "search_topk_per_term"} <= w
+    assert {"rel_anomaly_daily", "rel_sessionize"} <= w
+    assert {"dedup_lsh_recall_eval", "dedup_minhash_lsh_pairs"} <= w
+    assert {"text_quality", "text_token_counts"} <= w
 
 
 def test_every_exported_query_has_an_oracle():
