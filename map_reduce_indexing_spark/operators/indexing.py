@@ -140,8 +140,13 @@ def index_writer_lock(path: str):
     played by the metastore's table lock / atomic pointer swap. Each
     call opens its own fd, so the lock also serializes threads within
     one process (flock treats separate open file descriptions
-    independently). Readers never enter: reads are safe against the
-    swap via `recover_index` self-healing.
+    independently). Both scopes are tested: thread-pair interleavings
+    in tests/test_api.py / test_session_index.py, and the cross-
+    process guarantee (a holder in another interpreter blocks this
+    session's append, and vice versa) in
+    test_api.test_writer_lock_excludes_across_processes. Readers never
+    enter: reads are safe against the swap via `recover_index`
+    self-healing.
     """
     import fcntl
 
