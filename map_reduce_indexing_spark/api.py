@@ -228,3 +228,56 @@ class IndexSession:
             .orderBy(F.desc("total"), "word")
             .limit(k)
         )
+
+
+class VectorStore:
+    """A persisted LSH-bucket-partitioned embedding store plus its
+    serving lookup — the IndexSession lifecycle (build / append /
+    compact / query, flock-serialized writers, crash-safe swap)
+    applied to the ANN tier:
+
+        from map_reduce_indexing_spark.api import VectorStore
+
+        vs = VectorStore.build(spark, vectors_df, "/shared/vectors")
+        vs.topk([0.1, -0.3, ...], k=10)   # one pruned bucket scan
+        vs.append(new_vectors_df)          # incremental ingest...
+        vs.compact()                       # ...then re-bucket folding
+        vs.vectors()                       # (vec_id, v, bucket)
+
+    `vectors_df` is any (vec_id, v array<double>) frame. Lookups see
+    appended vectors immediately (their bucket partition gains a file;
+    the `bucket = q` prune is unchanged); compaction folds the
+    accumulated per-append files back to one per bucket."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    @classmethod
+    def build(
+        cls, spark: SparkSession, vectors: DataFrame, path: str
+    ) -> "VectorStore":
+        from .operators.similarity import build_vector_store
+
+        build_vector_store(spark, vectors, path)
+        return cls(spark, path)
+
+    def append(self, vectors: DataFrame) -> None:
+        from .operators.similarity import append_vectors
+
+        append_vectors(self.spark, vectors, self.path)
+
+    def compact(self) -> None:
+        from .operators.similarity import compact_vector_store
+
+        compact_vector_store(self.spark, self.path)
+
+    def vectors(self) -> DataFrame:
+        from .operators.similarity import read_vector_store
+
+        return read_vector_store(self.spark, self.path)
+
+    def topk(self, qv: list[float], k: int = 10) -> DataFrame:
+        from .operators.similarity import vector_store_topk
+
+        return vector_store_topk(self.spark, self.path, qv, k)

@@ -180,20 +180,35 @@ def compact_index(spark: SparkSession, path: str) -> None:
     production object store / HDFS the same pattern runs under a
     metastore pointer swap, which IS atomic.)
     """
+    compact_artifact(
+        spark,
+        path,
+        lambda df, staging: write_index(
+            df.groupBy("word", "doc_id").agg(F.sum("cnt").alias("cnt")),
+            staging,
+            mode="overwrite",
+        ),
+    )
+
+
+def compact_artifact(spark: SparkSession, path: str, rewrite) -> None:
+    """The locked read -> rewrite -> staged-swap engine behind every
+    persisted artifact's compaction (count index above, bucketed
+    vector store in operators/similarity.py). `rewrite(df, staging)`
+    writes the compacted form of the artifact's current contents to
+    the staging directory; crash-safety and locking semantics are
+    exactly `compact_index`'s docstring — this IS that code, factored
+    so each artifact only supplies its merge/layout step."""
     import shutil
     import tempfile
 
     with index_writer_lock(path):
         _recover_index_locked(path)
-        merged = (
-            spark.read.parquet(path)
-            .groupBy("word", "doc_id")
-            .agg(F.sum("cnt").alias("cnt"))
-        )
+        df = spark.read.parquet(path)
         staging = tempfile.mkdtemp(
             prefix="mri_compact_", dir=os.path.dirname(path) or "."
         )
-        write_index(merged, staging, mode="overwrite")
+        rewrite(df, staging)
         old = path + ".old"
         shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
         os.replace(path, old)

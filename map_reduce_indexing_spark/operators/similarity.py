@@ -29,6 +29,7 @@ from ..plans.registry import register
 from ..sources.tables import load_table
 from .dedup import (
     EMB_DIM,
+    HYPERPLANES,
     N_PLANES,
     SPARK_DOT,
     _duck_arr,
@@ -127,6 +128,122 @@ def ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return session_artifact_df(
         spark, sf_dir, "ivf_store", "embeddings.parquet", build
+    )
+
+
+# ---------------------------------------------------------------------------
+# User-path vector store lifecycle: build -> append -> compact -> lookup
+# ---------------------------------------------------------------------------
+# The session artifacts above serve the registered queries; this is the
+# MAINTAINED form — the same append-then-compact story the inverted
+# index has (reference analogue: every persisted artifact is an append
+# sink, helper_reduce.c:241 `fopen(..., "a+")` — here with the flock
+# writer serialization and crash-safe swap the reference lacked,
+# SURVEY.md §2.12).
+
+
+def _with_bucket(vectors: DataFrame) -> DataFrame:
+    """(vec_id, v) -> + the 8-bit hyperplane bucket routing key."""
+    return vectors.select("vec_id", "v").withColumn(
+        "bucket", F.expr(spark_lsh_bucket("v"))
+    )
+
+
+def _write_vector_store(vectors: DataFrame, path: str, mode: str) -> None:
+    """Bucket-partitioned write: `repartition("bucket")` gives one
+    writer task per occupied bucket (one compact file per bucket per
+    write), `partitionBy` makes `bucket = q` a directory prune."""
+    (
+        _with_bucket(vectors)
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+def build_vector_store(spark: SparkSession, vectors: DataFrame, path: str) -> None:
+    """Materialize a bucket-partitioned LSH vector store at a USER path
+    from any (vec_id, v array<double>) frame. Overwrites; enters the
+    writer lock so a concurrent maintainer of the same path serializes."""
+    from .indexing import index_writer_lock
+
+    with index_writer_lock(path):
+        _write_vector_store(vectors, path, mode="overwrite")
+
+
+def append_vectors(spark: SparkSession, vectors: DataFrame, path: str) -> None:
+    """Incremental ingest: new vectors land as additional files inside
+    their bucket partitions (append-mode partitioned write), under the
+    same flock every other writer of this path takes — an append racing
+    a compactor blocks instead of vanishing in the directory swap.
+    Lookups see appended vectors immediately with pruning intact: the
+    partition directory gains a file, the `bucket = q` prune is
+    unchanged. Per-bucket file COUNT grows by one per append — that is
+    compact_vector_store's job, exactly the index's log-structured
+    story. Appends are new vec_ids; re-sending an existing vec_id
+    stores a second copy (dedup/upsert is a CDC-layer concern —
+    operators/cdc.py — not the store's)."""
+    from .indexing import _recover_index_locked, index_writer_lock
+
+    with index_writer_lock(path):
+        _recover_index_locked(path)  # heal a crashed compactor first
+        _write_vector_store(vectors, path, mode="append")
+
+
+def compact_vector_store(spark: SparkSession, path: str) -> None:
+    """Fold the appended partials back to one compact file per bucket:
+    read -> repartition("bucket") -> staged rewrite -> locked swap.
+    Locking/crash-safety semantics: indexing.compact_artifact (shared
+    with the count index)."""
+    from .indexing import compact_artifact
+
+    compact_artifact(
+        spark,
+        path,
+        lambda df, staging: (
+            df.repartition("bucket")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(staging)
+        ),
+    )
+
+
+def read_vector_store(spark: SparkSession, path: str) -> DataFrame:
+    """(vec_id, v, bucket) — self-healing read (restores a stranded
+    compaction like the index's read path)."""
+    from .indexing import recover_index
+
+    recover_index(path)
+    return spark.read.parquet(path)
+
+
+def lsh_bucket_of(qv: list[float]) -> int:
+    """Driver-side bucket of a query vector — the same hyperplane-sign
+    arithmetic as spark_lsh_bucket, computed in Python so a serving
+    lookup plans its partition prune without any Spark job."""
+    b = 0
+    for j, p in enumerate(HYPERPLANES):
+        if sum(x * y for x, y in zip(qv, p)) > 0:
+            b |= 1 << j
+    return b
+
+
+def vector_store_topk(
+    spark: SparkSession, path: str, qv: list[float], k: int = 10
+) -> DataFrame:
+    """Serving lookup against a maintained store: cosine top-k within
+    the query's bucket — one pruned partition scan (PartitionFilters
+    on `bucket`, plan-asserted in tests/test_vector_store.py), the
+    probe inlined as a literal so the scan is the only job."""
+    return (
+        read_vector_store(spark, path)
+        .filter(F.col("bucket") == lsh_bucket_of(qv))
+        .withColumn("qv", _qv_literal(qv))
+        .select("vec_id", F.expr(spark_cosine("v", "qv")).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
     )
 
 

@@ -1,0 +1,159 @@
+"""The maintained vector store (VERDICT r6 #6): append + compact for
+the bucketed embedding store, mirroring the inverted index's
+log-structured lifecycle — appended vectors are immediately visible
+through a still-pruned bucket scan, compaction folds per-append files,
+and a crashed compaction self-heals."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_indexing_spark.api import VectorStore
+from map_reduce_indexing_spark.operators.dedup import spark_cosine, spark_lsh_bucket
+from map_reduce_indexing_spark.operators.similarity import lsh_bucket_of
+from map_reduce_indexing_spark.sources.tables import load_table
+
+from .conftest import SF_DIR
+
+
+def _vectors(spark, lo, hi):
+    return (
+        load_table(spark, SF_DIR, "embeddings")
+        .filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+
+
+def _probe(spark):
+    return [
+        float(x)
+        for x in load_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .head()
+        .embedding
+    ]
+
+
+def _bruteforce_topk(spark, lo, hi, qv, k=5):
+    """Reference result: exact cosine top-k WITHIN the probe's bucket
+    over the raw fixture rows [lo, hi) — what the store must serve."""
+    qlit = F.array(*[F.lit(x) for x in qv])
+    return [
+        (r.vec_id, round(r.cosine, 9))
+        for r in _vectors(spark, lo, hi)
+        .withColumn("bucket", F.expr(spark_lsh_bucket("v")))
+        .filter(F.col("bucket") == lsh_bucket_of(qv))
+        .withColumn("qv", qlit)
+        .select("vec_id", F.expr(spark_cosine("v", "qv")).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+        .collect()
+    ]
+
+
+def _topk(vs, qv, k=5):
+    return [(r.vec_id, round(r.cosine, 9)) for r in vs.topk(qv, k).collect()]
+
+
+def test_lsh_bucket_of_matches_spark_expr(spark):
+    """The driver-side bucket arithmetic must equal the JVM expression
+    for every fixture vector — otherwise lookups prune the WRONG
+    partition and silently return the wrong neighbors."""
+    mismatches = (
+        _vectors(spark, 0, 10_000)
+        .withColumn("b_jvm", F.expr(spark_lsh_bucket("v")))
+        .collect()
+    )
+    for r in mismatches:
+        assert lsh_bucket_of(list(r.v)) == r.b_jvm
+
+
+def test_build_append_compact_lifecycle(spark, tmp_path):
+    path = str(tmp_path / "vstore")
+    qv = _probe(spark)
+
+    vs = VectorStore.build(spark, _vectors(spark, 0, 60), path)
+    assert _topk(vs, qv) == _bruteforce_topk(spark, 0, 60, qv)
+
+    # append: new vectors visible immediately
+    vs.append(_vectors(spark, 60, 120))
+    after_append = _topk(vs, qv)
+    assert after_append == _bruteforce_topk(spark, 0, 120, qv)
+
+    # appended partials pile up files across the bucket partitions...
+    def n_files():
+        return len(glob.glob(os.path.join(path, "bucket=*", "*.parquet")))
+
+    n_files_before = n_files()
+    vs.append(_vectors(spark, 120, 150))
+    vs.append(_vectors(spark, 150, 180))
+    assert n_files() > n_files_before
+
+    # ...and compaction folds every bucket back to ONE file,
+    # changing no results
+    expected = _bruteforce_topk(spark, 0, 180, qv)
+    assert _topk(vs, qv) == expected
+    vs.compact()
+    assert _topk(vs, qv) == expected
+    for d in glob.glob(os.path.join(path, "bucket=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
+
+
+def test_lookup_prunes_to_one_bucket_partition(spark, tmp_path):
+    """The scale contract: a topk against the maintained store is ONE
+    partition-pruned scan — PartitionFilters carries the bucket
+    equality, and only that directory's files are read — and appends
+    must not break the prune."""
+    path = str(tmp_path / "vstore")
+    qv = _probe(spark)
+    vs = VectorStore.build(spark, _vectors(spark, 0, 100), path)
+    vs.append(_vectors(spark, 100, 160))
+
+    plan = vs.topk(qv)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan, plan
+    pf = plan.split("PartitionFilters", 1)[1][:300]
+    assert "bucket" in pf and str(lsh_bucket_of(qv)) in pf, pf
+
+
+def test_append_heals_crashed_compaction(spark, tmp_path):
+    """An append after a compactor died between its two renames must
+    restore the stranded copy first — same guarantee as the index."""
+    path = str(tmp_path / "vstore")
+    qv = _probe(spark)
+    vs = VectorStore.build(spark, _vectors(spark, 0, 80), path)
+    os.replace(path, path + ".old")  # simulate the mid-swap crash
+    assert not os.path.exists(path)
+
+    vs.append(_vectors(spark, 80, 120))
+    assert _topk(vs, qv) == _bruteforce_topk(spark, 0, 120, qv)
+    assert not os.path.isdir(path + ".old")
+
+
+def test_append_waits_for_writer_lock(spark, tmp_path):
+    """The vector-store append enters the SAME flock as every other
+    writer of the path — held lock blocks it (the compactor-mid-swap
+    stand-in), release lets it land losslessly."""
+    import threading
+
+    from map_reduce_indexing_spark.operators.indexing import index_writer_lock
+
+    path = str(tmp_path / "vstore")
+    vs = VectorStore.build(spark, _vectors(spark, 0, 50), path)
+    vs.append(_vectors(spark, 50, 60))  # warm the append path
+    done = threading.Event()
+
+    def do_append():
+        vs.append(_vectors(spark, 60, 70))
+        done.set()
+
+    with index_writer_lock(path):
+        t = threading.Thread(target=do_append)
+        t.start()
+        assert not done.wait(timeout=3.0), "append ran under a held lock"
+    t.join(120)
+    assert done.is_set()
+    assert vs.vectors().count() == _vectors(spark, 0, 70).count()
