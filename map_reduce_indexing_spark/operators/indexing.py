@@ -260,8 +260,21 @@ def _content_fingerprint(src: str) -> str:
     mtime_ns additionally covers the residual case of a >65 KB file
     changed only in the middle with byte-identical head/footer (content
     bytes alone cannot distinguish that without a full read). Reads at
-    most 65 KB regardless of file size."""
+    most 65 KB regardless of file size.
+
+    A DIRECTORY source (a Spark-written multi-file parquet table, e.g.
+    tools/scale_bench.py's staged corpora) fingerprints as the sorted
+    (name, size, mtime_ns) listing of its files — any rewrite changes
+    at least one entry, with no file reads at all."""
     import hashlib
+
+    if os.path.isdir(src):
+        h = hashlib.md5()
+        for entry in sorted(os.scandir(src), key=lambda e: e.name):
+            if entry.is_file():
+                st = entry.stat()
+                h.update(f"{entry.name}:{st.st_size}:{st.st_mtime_ns};".encode())
+        return h.hexdigest()
 
     st = os.stat(src)
     size = st.st_size

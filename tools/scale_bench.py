@@ -1,20 +1,43 @@
-"""Indexing-throughput scaling benchmark.
+"""Pipeline-scaling benchmark: indexing, dedup, and PMI throughput
+versus corpus size.
 
 The reference's measured baseline is 7.7 MB/s single-threaded for the
 full map+reduce indexing pipeline (BASELINE.md). This tool measures the
-Spark engine's steady-state throughput on the same logical pipeline
-(normalize -> COUNT(*) GROUP BY word, doc -> letter-partitioned index)
-at several corpus multiples, materialized as MANY parquet files so the
-scan parallelizes the way a real multi-file 100 TB table does (the sf*
+Spark engine's steady-state wall time on three representative heavy
+pipelines at several corpus multiples:
+
+- index_postings: normalize -> COUNT(*) GROUP BY word, doc (the
+  reference's whole pipeline; speedup vs 7.7 MB/s reported)
+- dedup_minhash_lsh_pairs: shingle -> minhash signature -> banded LSH
+  candidate join (the production near-dup path)
+- text_pmi_windowed: windowed pair mining -> pair-key shuffle -> count
+  joins (the production collocation miner)
+
+The replicated corpus is materialized as MANY parquet files so the scan
+parallelizes the way a real multi-file 100 TB table does (the sf*
 fixtures are single-row-group files, which serialize the scan and
-measure scheduler floor, not throughput).
+measure scheduler floor, not throughput). Replicas are passed through a
+per-(rep, doc) alphabet-rotation cipher: plain copies would make every
+replica an exact near-duplicate of its source, and the LSH candidate
+count — the thing this benchmark exists to show stays sub-quadratic —
+would then grow quadratically BY CONSTRUCTION of the test data, not by
+any property of the algorithm. The cipher keeps corpus statistics
+(token lengths, Zipf shape) while making replica texts distinct; the
+residual same-cipher replicas (rep collisions mod 26) contribute a
+bounded, corpus-LINEAR number of true duplicate pairs.
+
+The dedup/PMI pipelines read the session tokens artifact; the 3 timed
+runs therefore measure the production artifact-read path, and the
+reported per-multiple `runs[0]` includes the one-off artifact build
+(`build_sec` makes that explicit).
 
 Usage:
     python tools/scale_bench.py [sf_dir] [multiples...]
 Defaults: /root/testdata/sf0.1, multiples 1 8 64.
 
-Prints one JSON line per multiple: corpus MB, wall seconds (median of 3
-warm runs), MB/s, and the speedup vs the reference baseline.
+Prints one JSON line per (pipeline, multiple): corpus MB, wall seconds
+(median of 3 warm runs), MB/s, rows produced, and for indexing the
+speedup vs the reference baseline.
 """
 
 from __future__ import annotations
@@ -30,55 +53,89 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from map_reduce_indexing_spark.operators.indexing import build_postings  # noqa: E402
+from map_reduce_indexing_spark.plans import registry  # noqa: E402
 from map_reduce_indexing_spark.session import get_spark  # noqa: E402
 
 REFERENCE_MBPS = 7.7  # BASELINE.md: measured single-threaded reference
+
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _cipher_case_expr() -> str:
+    """CASE (rep + doc_id) % 26 -> alphabet-rotation translate of the
+    lowered text. Distinct (rep+doc) residues get distinct ciphers, so
+    replicas of one document rarely share a text."""
+    whens = " ".join(
+        f"WHEN {s} THEN translate(lower(text), '{_ALPHA}', "
+        f"'{_ALPHA[s:] + _ALPHA[:s]}')"
+        for s in range(26)
+    )
+    return f"CASE (rep + doc_id) % 26 {whens} END"
+
+
+def stage_corpus(spark, sf_dir: str, m: int, staged_dir: str) -> float:
+    """Write an m-fold ciphered replication of the documents fixture as
+    `<staged_dir>/documents.parquet` (a valid sf_dir for the registered
+    pipelines), many-filed so the scan parallelizes. Returns corpus MB."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    rep = docs.crossJoin(spark.range(m).select(F.col("id").alias("rep")))
+    rep = rep.select(
+        (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+        F.expr(_cipher_case_expr()).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    n_files = max(32, min(256, 4 * (os.cpu_count() or 8)))
+    rep.repartition(n_files).write.mode("overwrite").parquet(
+        os.path.join(staged_dir, "documents.parquet")
+    )
+    base_bytes = docs.agg(F.sum(F.length("text"))).head()[0]
+    return base_bytes * m / 1e6
+
+
+PIPELINES = ("index_postings", "dedup_minhash_lsh_pairs", "text_pmi_windowed")
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     multiples = [int(a) for a in sys.argv[2:]] or [1, 8, 64]
     spark = get_spark(app_name="mri-scale-bench")
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    base_bytes = docs.agg(F.sum(F.length("text"))).head()[0]
 
     workdir = tempfile.mkdtemp(prefix="mri_scale_")
     try:
         for m in multiples:
             staged = os.path.join(workdir, f"x{m}")
-            # Replicate the corpus m times with distinct doc_ids, written
-            # as ~4 files per core so the scan parallelizes.
-            rep = docs.crossJoin(spark.range(m).select(F.col("id").alias("rep")))
-            rep = rep.select(
-                (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"), "text"
-            )
-            n_files = max(32, min(256, 4 * (os.cpu_count() or 8)))
-            rep.repartition(n_files).write.mode("overwrite").parquet(staged)
-
-            staged_docs = spark.read.parquet(staged)
-            runs = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                build_postings(staged_docs).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                runs.append(time.perf_counter() - t0)
-            sec = sorted(runs)[1]
-            mb = base_bytes * m / 1e6
-            print(
-                json.dumps(
-                    {
-                        "multiple": m,
-                        "corpus_mb": round(mb, 2),
-                        "sec": round(sec, 3),
-                        "mb_per_sec": round(mb / sec, 2),
-                        "vs_reference_7.7MBps": round(mb / sec / REFERENCE_MBPS, 2),
-                        "runs": [round(r, 3) for r in runs],
-                    }
-                ),
-                flush=True,
-            )
+            mb = stage_corpus(spark, sf_dir, m, staged)
+            for name in PIPELINES:
+                fn = registry.get(name).fn
+                runs = []
+                n_rows = None
+                for i in range(3):
+                    t0 = time.perf_counter()
+                    df = fn(spark, staged)
+                    df.write.format("noop").mode("overwrite").save()
+                    runs.append(time.perf_counter() - t0)
+                    if i == 0:
+                        n_rows = df.count()
+                sec = sorted(runs)[1]
+                out = {
+                    "pipeline": name,
+                    "multiple": m,
+                    "corpus_mb": round(mb, 2),
+                    "sec": round(sec, 3),
+                    "mb_per_sec": round(mb / sec, 2),
+                    "n_rows": n_rows,
+                    # runs[0] of artifact-consuming pipelines includes the
+                    # one-off tokens-artifact build for this corpus
+                    "build_sec": round(runs[0], 3),
+                    "runs": [round(r, 3) for r in runs],
+                }
+                if name == "index_postings":
+                    out["vs_reference_7.7MBps"] = round(
+                        mb / sec / REFERENCE_MBPS, 2
+                    )
+                print(json.dumps(out), flush=True)
             shutil.rmtree(staged, ignore_errors=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
