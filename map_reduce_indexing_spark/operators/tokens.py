@@ -53,14 +53,20 @@ BPE_ISH = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 def build_tokenized_docs(docs: DataFrame) -> DataFrame:
     """One pass over (doc_id, text, lang, source): the token array plus
     every raw-text scalar the text family needs. All built-in JVM
-    expressions — this is the single map pass the artifact amortizes."""
+    expressions — this is the single map pass the artifact amortizes.
+
+    Shape note: `n_norm_tokens` is derived in a STACKED projection from
+    the `ws` column, not by repeating the tokenizer expression inline —
+    CollapseProject declines to merge projections that would duplicate
+    a non-cheap (HOF) expression, so the tokenizer runs ONCE per row
+    (plan-pinned in tests/test_tokens_artifact.py; the inline form ran
+    it twice)."""
     lower = F.lower(F.col("text"))
-    return docs.select(
+    tokenized = docs.select(
         "doc_id",
         "source",
         "lang",
         F.expr(spark_tokens_expr("text")).alias("ws"),
-        F.size(F.expr(spark_tokens_expr("text"))).cast("long").alias("n_norm_tokens"),
         F.length("text").cast("long").alias("n_chars"),
         F.length(lower).cast("long").alias("n_chars_lower"),
         (F.length(lower) - F.length(F.regexp_replace(lower, "[^a-z0-9 ]", "")))
@@ -72,6 +78,18 @@ def build_tokenized_docs(docs: DataFrame) -> DataFrame:
         F.size(F.expr(f"regexp_extract_all(lower(text), '{BPE_ISH}', 0)"))
         .cast("long")
         .alias("n_bpe_tokens"),
+    )
+    return tokenized.select(
+        "doc_id",
+        "source",
+        "lang",
+        "ws",
+        F.size("ws").cast("long").alias("n_norm_tokens"),
+        "n_chars",
+        "n_chars_lower",
+        "n_punct",
+        "n_ws_tokens",
+        "n_bpe_tokens",
     )
 
 

@@ -117,8 +117,11 @@ def test_token_rows_drop_empty_docs(spark):
 
 
 def test_build_is_single_map_pass(spark):
-    """The build plan is scan -> project: no shuffle, no explode — the
-    one corpus pass the artifact amortizes must itself be cheap."""
+    """The build plan is scan -> project: no shuffle, no explode, and
+    the tokenizer HOF appears ONCE (the stacked-projection shape —
+    inlining size(tokens) next to the tokens expression ran the
+    tokenizer twice per row; CollapseProject must keep declining to
+    merge the non-cheap expression)."""
     docs = load_table(spark, SF_DIR, "documents").select(
         "doc_id", "text", "lang", "source"
     )
@@ -127,3 +130,4 @@ def test_build_is_single_map_pass(spark):
     )
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan
+    assert plan.count("transform(split(lower") == 1, plan
