@@ -20,6 +20,7 @@ EXAMPLES = [
     ("examples/index_and_search.py", ["--demo"]),
     ("examples/training_data_pipeline.py", ["/root/testdata/sf0.001"]),
     ("examples/event_analytics.py", ["/root/testdata/sf0.001"]),
+    ("examples/vector_search.py", ["/root/testdata/sf0.001"]),
 ]
 
 
