@@ -753,6 +753,22 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_summary(_funnel_times(spark, sf_dir), FUNNEL_STEPS)
 
 
+@register(
+    "rel_funnel_join_chain",
+    oracle=_SQL_FUNNEL_TIMES + _SQL_FUNNEL_STEPS,
+    tier="relational",
+    export=False,  # pytest/sweep-verified variant of rel_funnel
+    doc="The hot-user funnel strategy (per-step skew-splittable hash "
+    "aggregations, no whole-partition window) against the SAME DuckDB "
+    "oracle as rel_funnel — the two strategies' equivalence is both "
+    "property-tested on random logs and oracle-checked on the fixture.",
+)
+def q_funnel_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    f = funnel_times(ev, FUNNEL_STEPS, strategy="join_chain")
+    return funnel_summary(f, FUNNEL_STEPS)
+
+
 def funnel_summary(f: DataFrame, steps: tuple[str, ...] | list[str]) -> DataFrame:
     """Per-user times frame -> one row per step: (step_no, step,
     n_users, conv_from_first) for a funnel of ANY length."""

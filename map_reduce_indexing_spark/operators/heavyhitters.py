@@ -41,9 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..plans.registry import register
-from ..sources.tables import load_table
 from .indexing import TOKENS_SQL
-from ..functions.text import tokenize
 
 # Support = PHI_NUM / PHI_DEN of total occurrences (0.2%).
 PHI_NUM = 2
@@ -119,8 +117,9 @@ def _hh_oracle(tokens_sql: str, col: str) -> str:
     "histogram + HAVING, so the sketch's exactness is what's verified.",
 )
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    tokens = tokenize(docs.select("doc_id", "text")).select("word")
+    from .tokens import token_rows
+
+    tokens = token_rows(spark, sf_dir, out_col="word").select("word")
     return exact_heavy_hitters(tokens, "word")
 
 
@@ -159,10 +158,9 @@ _BIGRAMS_SQL = """
     "own tail), no window needed.",
 )
 def q_heavy_hitters_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import normalize_tokens_expr
+    from .tokens import tokenized_docs
 
-    docs = load_table(spark, sf_dir, "documents")
-    arr = docs.select(normalize_tokens_expr("text").alias("toks"))
+    arr = tokenized_docs(spark, sf_dir).select(F.col("ws").alias("toks"))
     tail_len = F.greatest(F.size("toks") - 1, F.lit(0))
     bigrams = arr.select(
         F.explode(

@@ -248,7 +248,14 @@ def postings_for(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _ARTIFACTS: dict[tuple, str] = {}
-_ARTIFACTS_LOCK = __import__("threading").Lock()
+# RLock, not Lock: artifact builds CHAIN — the session index and
+# positional index builds read the session tokens artifact, so a build
+# running under this lock re-enters session_artifact_path for its
+# dependency. A plain Lock self-deadlocks on that nesting; reentrancy
+# keeps the cross-thread build-once guarantee while letting one
+# thread's dependency chain through (regression-tested in
+# tests/test_tokens_artifact.py::test_index_build_chains_on_tokens_artifact).
+_ARTIFACTS_LOCK = __import__("threading").RLock()
 
 
 def _content_fingerprint(src: str) -> str:
@@ -375,9 +382,25 @@ def session_index_path(spark: SparkSession, sf_dir: str) -> str:
         sf_dir,
         "session_index",
         "documents.parquet",
-        lambda path: write_index(
-            build_postings(load_table(spark, sf_dir, "documents")), path
-        ),
+        lambda path: write_index(_artifact_postings(spark, sf_dir), path),
+    )
+
+
+def _artifact_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postings derived from the session tokens artifact rather than a
+    fresh corpus tokenization — since round 7 the index build CHAINS on
+    the tokens artifact, so one session tokenizes the corpus exactly
+    once no matter which mix of index/search/text/dedup queries runs
+    (explode(ws) == tokenize(), property-tested in
+    tests/test_tokens_artifact.py / test_tokenizer.py). The flagship
+    `index_postings` query keeps the direct `postings_for` path — it
+    exists to measure the reference's whole pipeline from raw text."""
+    from .tokens import token_rows  # function-local: tokens imports this module
+
+    return (
+        token_rows(spark, sf_dir, out_col="word")
+        .groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
@@ -393,9 +416,7 @@ def indexed_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "session_index",
         "documents.parquet",
-        lambda path: write_index(
-            build_postings(load_table(spark, sf_dir, "documents")), path
-        ),
+        lambda path: write_index(_artifact_postings(spark, sf_dir), path),
     )
 
 

@@ -219,11 +219,18 @@ def indexed_positional_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted letter-partitioned positional index — built once per
     session alongside the count index, so phrase/proximity lookups are
     partition-pruned scans instead of a corpus re-tokenize per query."""
-    from ..sources.tables import load_table
     from .indexing import session_artifact_df, write_letter_partitioned
+    from .tokens import tokenized_docs
 
     def build(path: str) -> None:
-        pp = positional_postings(load_table(spark, sf_dir, "documents"))
+        # posexplode of the stored token array == POSITIONAL_TOKENS'
+        # dense ordinals (both enumerate the filtered token sequence),
+        # so the positional build chains on the session tokens artifact
+        # instead of re-tokenizing — one corpus tokenization per
+        # session across ALL artifact builds.
+        pp = tokenized_docs(spark, sf_dir).select(
+            "doc_id", F.posexplode("ws").alias("pos", "word")
+        )
         # Range-partitioned parallel writers + in-file sort + bounded
         # file sizes — layout semantics in write_letter_partitioned.
         write_letter_partitioned(
@@ -503,24 +510,16 @@ def q_search_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier="implied",
     doc="Corpus bigram counts (>= 5 occurrences): the classic n-gram "
     "language-model MapReduce workload over the reference's token "
-    "stream. posexplode keeps token order; the adjacent pair comes from "
-    "a lead window per doc — one shuffle on doc_id, then the same "
-    "map-side-combined groupBy as the unigram index.",
+    "stream. Since round 7 the adjacent pairs are a per-row array "
+    "comprehension over the session tokens artifact (tokens.gram_rows) "
+    "— order preserved by the stored array, no doc_id window shuffle; "
+    "then the same map-side-combined groupBy as the unigram index.",
 )
 def q_index_bigram_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import normalize_tokens_expr
-    from ..sources.tables import load_table
+    from .tokens import gram_rows
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(normalize_tokens_expr("text")).alias("pos", "word"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
     return (
-        toks.withColumn("nxt", F.lead("word").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .select(F.concat_ws(" ", "word", "nxt").alias("bigram"))
+        gram_rows(spark, sf_dir, 2, out_col="bigram")
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= 5)

@@ -100,10 +100,15 @@ def tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .indexing import session_artifact_df
 
     def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        # Minimal corpora (tests, user-built (doc_id, text) tables)
+        # may lack the fixture's metadata columns — carry NULLs so the
+        # artifact schema is stable either way.
+        for c in ("lang", "source"):
+            if c not in docs.columns:
+                docs = docs.withColumn(c, F.lit(None).cast("string"))
         build_tokenized_docs(
-            load_table(spark, sf_dir, "documents").select(
-                "doc_id", "text", "lang", "source"
-            )
+            docs.select("doc_id", "text", "lang", "source")
         ).write.parquet(path)
 
     return session_artifact_df(

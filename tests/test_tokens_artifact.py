@@ -116,6 +116,28 @@ def test_token_rows_drop_empty_docs(spark):
     )
 
 
+def test_index_build_chains_on_tokens_artifact(spark):
+    """Since round 7 the session index builds FROM the tokens artifact
+    (one corpus tokenization per session across all artifacts). The
+    nested session_artifact_path call must not self-deadlock (the
+    artifacts lock is reentrant), and the chained postings must equal
+    the direct build path."""
+    from map_reduce_indexing_spark.operators.indexing import (
+        _artifact_postings,
+        postings_for,
+    )
+
+    chained = _artifact_postings(spark, SF_DIR)
+    direct = postings_for(spark, SF_DIR)
+    diff = chained.exceptAll(direct).unionAll(direct.exceptAll(chained))
+    assert diff.count() == 0
+    # and the served index agrees (forces the nested artifact build)
+    from map_reduce_indexing_spark.operators.indexing import indexed_postings
+
+    n = indexed_postings(spark, SF_DIR).count()
+    assert n == direct.count()
+
+
 def test_build_is_single_map_pass(spark):
     """The build plan is scan -> project: no shuffle, no explode, and
     the tokenizer HOF appears ONCE (the stacked-projection shape —
