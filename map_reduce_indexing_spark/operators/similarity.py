@@ -198,11 +198,14 @@ def compact_vector_store(spark: SparkSession, path: str) -> None:
     with the count index)."""
     from .indexing import compact_artifact
 
+    # drop("batch") folds a checkpointed streaming-ingest layout
+    # (batch=<id>/bucket=*) into the flat form; a no-op on flat stores.
     compact_artifact(
         spark,
         path,
         lambda df, staging: (
-            df.repartition("bucket")
+            df.drop("batch")
+            .repartition("bucket")
             .write.partitionBy("bucket")
             .mode("overwrite")
             .parquet(staging)
@@ -231,16 +234,25 @@ def lsh_bucket_of(qv: list[float]) -> int:
 
 
 def vector_store_topk(
-    spark: SparkSession, path: str, qv: list[float], k: int = 10
+    spark: SparkSession,
+    path: str,
+    qv: list[float],
+    k: int = 10,
+    exclude_vec_id: int | None = None,
 ) -> DataFrame:
     """Serving lookup against a maintained store: cosine top-k within
     the query's bucket — one pruned partition scan (PartitionFilters
     on `bucket`, plan-asserted in tests/test_vector_store.py), the
-    probe inlined as a literal so the scan is the only job."""
+    probe inlined as a literal so the scan is the only job.
+    `exclude_vec_id` drops the probe's own row BEFORE the top-k cut
+    (a self-match at cosine 1.0 would otherwise consume a slot)."""
+    df = read_vector_store(spark, path).filter(
+        F.col("bucket") == lsh_bucket_of(qv)
+    )
+    if exclude_vec_id is not None:
+        df = df.filter(F.col("vec_id") != exclude_vec_id)
     return (
-        read_vector_store(spark, path)
-        .filter(F.col("bucket") == lsh_bucket_of(qv))
-        .withColumn("qv", _qv_literal(qv))
+        df.withColumn("qv", _qv_literal(qv))
         .select("vec_id", F.expr(spark_cosine("v", "qv")).alias("cosine"))
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(k)

@@ -755,6 +755,148 @@ def ann_lookup_plan(spark: SparkSession, sf_dir: str, queries: DataFrame) -> Dat
     )
 
 
+def incremental_vector_append(
+    spark: SparkSession,
+    sf_dir: str,
+    store_path: str,
+    checkpoint: str | None = None,
+    glob: str = "embeddings.parquet",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming ingest for the maintained vector store — the exact
+    mirror of `incremental_index_append` for the ANN tier: each
+    microbatch of (vec_id, embedding) rows is bucketed and appended to
+    the bucket-partitioned store under the store's writer flock (an
+    ingest racing a compactor's directory swap blocks instead of
+    vanishing), healing a crashed compaction first.
+
+    Exactly-once / layout semantics are `incremental_index_append`'s:
+    with `checkpoint`, batches write idempotent
+    `store/batch=<id>/bucket=*` partitions (a replayed batch
+    overwrites its own output — for vectors this matters MORE than for
+    counts, since a double-appended vector is a duplicate row, not a
+    re-aggregatable partial); without it, raw reference-style appends.
+    The two layouts must not mix on one path — same fail-fast guard.
+    Lookups prune on `bucket` in either layout (Hive discovery handles
+    the extra batch level); `compact_vector_store` folds either into
+    the flat one-file-per-bucket form."""
+    from ..operators.indexing import _recover_index_locked, index_writer_lock
+    from ..operators.similarity import _with_bucket
+    from ..schemas import EMBEDDING
+
+    if os.path.isdir(store_path):
+        has_flat = any(e.startswith("bucket=") for e in os.listdir(store_path))
+        if checkpoint is not None and has_flat:
+            raise ValueError(
+                f"{store_path!r} holds a flat bucket=* store (raw-append "
+                "or compacted layout); resuming it checkpointed would "
+                "write the incompatible batch=<id>/bucket=* layout beside "
+                "it. Use a fresh store path."
+            )
+        has_batched = any(e.startswith("batch=") for e in os.listdir(store_path))
+        if checkpoint is None and has_batched:
+            raise ValueError(
+                f"{store_path!r} holds a checkpointed batch=<id> store; "
+                "raw-append writes would corrupt its partition discovery. "
+                "Use a fresh store path."
+            )
+
+    reader = spark.readStream.schema(EMBEDDING).option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    vecs = reader.parquet(sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        bucketed = _with_bucket(batch_df).repartition("bucket")
+        with index_writer_lock(store_path):
+            _recover_index_locked(store_path)
+            if checkpoint is not None:
+                bucketed.write.mode("overwrite").partitionBy("bucket").parquet(
+                    os.path.join(store_path, f"batch={batch_id}")
+                )
+            else:
+                bucketed.write.mode("append").partitionBy("bucket").parquet(
+                    store_path
+                )
+
+    writer = vecs.writeStream.foreachBatch(sink)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.trigger(availableNow=True).start()
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+
+def _vector_ingest_oracle() -> str:
+    from ..operators.similarity import QUERY_VEC_ID
+
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {duck_lsh_bucket('v')} AS bucket FROM e),
+        q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = {QUERY_VEC_ID})
+        SELECT vec_id, {duck_cosine('b.v', 'q.qv')} AS cosine
+        FROM b, q
+        WHERE b.bucket = q.qbucket AND vec_id <> {QUERY_VEC_ID}
+        ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+
+@register(
+    "stream_vector_ingest",
+    # Same oracle as the batch LSH top-k: the incrementally-ingested
+    # store must serve the same neighbors as a batch-built one.
+    oracle=_vector_ingest_oracle(),
+    tier="streaming",
+    doc="Streaming vector-store ingest (streaming S4 for the ANN tier): "
+    "embeddings staged as several files, streamed one file per "
+    "microbatch, each batch flock-appended into the bucket-partitioned "
+    "store via incremental_vector_append; the store then serves the "
+    "fixture probe's top-k through the standard pruned bucket scan, "
+    "which must hash-match the batch-built store's answer.",
+)
+def q_stream_vector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import (
+        QUERY_VEC_ID,
+        vector_store_topk,
+    )
+
+    # App-scoped workdir, same lifetime contract as
+    # q_stream_incremental_index: the returned DataFrame scans the
+    # store, so it must outlive this call; atexit removes it.
+    workdir = os.path.join(
+        tempfile.gettempdir(),
+        f"mri_stream_vstore_{spark.sparkContext.applicationId}",
+    )
+    staging = os.path.join(workdir, "staging")
+    store = os.path.join(workdir, "store")
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(store, ignore_errors=True)
+    atexit.register(shutil.rmtree, workdir, True)
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb.repartition(4).write.mode("overwrite").parquet(staging)
+
+    incremental_vector_append(
+        spark, staging, store, glob="*.parquet", max_files_per_trigger=1
+    )
+
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == QUERY_VEC_ID).head().embedding
+    ]
+    return vector_store_topk(
+        spark, store, qv, k=10, exclude_vec_id=QUERY_VEC_ID
+    )
+
+
 @register(
     "stream_scd2_temporal_join",
     oracle="""

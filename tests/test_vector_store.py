@@ -133,6 +133,79 @@ def test_append_heals_crashed_compaction(spark, tmp_path):
     assert not os.path.isdir(path + ".old")
 
 
+def test_streaming_ingest_checkpointed_exactly_once(spark, tmp_path):
+    """incremental_vector_append with a checkpoint: every staged vector
+    lands exactly once; re-running against the same checkpoint ingests
+    nothing new (offsets committed); lookups prune on bucket through
+    the batch=<id> layout; compaction folds it to flat bucket=* with
+    answers unchanged; and the layout-mix guards fail fast."""
+    from map_reduce_indexing_spark.operators.similarity import (
+        compact_vector_store,
+        read_vector_store,
+        vector_store_topk,
+    )
+    from map_reduce_indexing_spark.streaming.events import (
+        incremental_vector_append,
+    )
+
+    staging = str(tmp_path / "staging")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    # stage the RAW fixture shape — the stream reader's schema is the
+    # embeddings table's (vec_id, embedding, label)
+    src = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 200)
+    src.repartition(4).write.parquet(staging)
+
+    incremental_vector_append(
+        spark, staging, store, checkpoint=ckpt, glob="*.parquet",
+        max_files_per_trigger=1,
+    )
+    n_src = src.count()
+    assert read_vector_store(spark, store).count() == n_src
+
+    # idempotent resume: same checkpoint, no new files -> no new rows
+    incremental_vector_append(
+        spark, staging, store, checkpoint=ckpt, glob="*.parquet"
+    )
+    assert read_vector_store(spark, store).count() == n_src
+
+    qv = _probe(spark)
+    expected = _bruteforce_topk(spark, 0, 200, qv)
+    got = [
+        (r.vec_id, round(r.cosine, 9))
+        for r in vector_store_topk(spark, store, qv, k=5).collect()
+    ]
+    assert got == expected
+    # the batched layout still prunes on bucket
+    plan = (
+        vector_store_topk(spark, store, qv)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan and "bucket" in plan.split(
+        "PartitionFilters", 1
+    )[1][:300], plan
+
+    # raw append onto a checkpointed store: refused
+    with pytest.raises(ValueError, match="batch="):
+        incremental_vector_append(spark, staging, store, glob="*.parquet")
+
+    # compaction folds batch=<id>/bucket=* into flat bucket=*
+    compact_vector_store(spark, store)
+    got = [
+        (r.vec_id, round(r.cosine, 9))
+        for r in vector_store_topk(spark, store, qv, k=5).collect()
+    ]
+    assert got == expected
+    assert not glob.glob(os.path.join(store, "batch=*"))
+    assert glob.glob(os.path.join(store, "bucket=*"))
+
+    # checkpointed resume onto the now-flat store: refused
+    with pytest.raises(ValueError, match="flat bucket"):
+        incremental_vector_append(
+            spark, staging, store, checkpoint=ckpt, glob="*.parquet"
+        )
+
+
 def test_append_waits_for_writer_lock(spark, tmp_path):
     """The vector-store append enters the SAME flock as every other
     writer of the path — held lock blocks it (the compactor-mid-swap
