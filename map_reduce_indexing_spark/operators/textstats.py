@@ -21,7 +21,7 @@ from .dedup import (
     duck_shingles,
     shingle_rows,
 )
-from .tokens import BPE_ISH, gram_rows, token_rows, tokenized_docs
+from .tokens import BPE_ISH, gram_expr, gram_rows, token_rows, tokenized_docs
 
 # Stopword sets for the language-ID vote. [a-z]-only (the tokenizer's
 # alphabet). Deterministic priority order breaks ties: en > es > de > fr.
@@ -315,6 +315,34 @@ def _gram_occurrences(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     return gram_rows(spark, sf_dir, k, distinct=False, out_col="g")
 
 
+def _run_stats_expr(a: str) -> str:
+    """SQL expr over a SORTED string array `a`: struct('maxr', length of
+    the longest run of equal elements, 'dup', total elements in runs of
+    length > 1) — i.e. max occurrence count of any value and the count
+    of occurrences whose value repeats, computed in ONE per-row linear
+    scan with a (cur, maxr, dup) accumulator. This replaces an
+    explode + (doc_id, gram) hash aggregation: the grams of one doc
+    already live in one row, so grouping them never needed a shuffle.
+    Guards: sequence(1, n) DESCENDS for n < 1, so arrays shorter than 2
+    take the closed-form branch (size 0 -> maxr 0, size 1 -> maxr 1)."""
+    step = (
+        f"(acc, i) -> IF({a}[i] = {a}[i-1], "
+        "named_struct('cur', acc.cur + 1L, 'maxr', acc.maxr, 'dup', acc.dup), "
+        "named_struct('cur', 1L, 'maxr', greatest(acc.maxr, acc.cur), "
+        "'dup', acc.dup + IF(acc.cur > 1L, acc.cur, 0L)))"
+    )
+    finish = (
+        "acc -> named_struct('maxr', greatest(acc.maxr, acc.cur), "
+        "'dup', acc.dup + IF(acc.cur > 1L, acc.cur, 0L))"
+    )
+    return (
+        f"IF(size({a}) < 2, "
+        f"named_struct('maxr', CAST(size({a}) AS BIGINT), 'dup', 0L), "
+        f"aggregate(sequence(1, size({a}) - 1), "
+        f"named_struct('cur', 1L, 'maxr', 1L, 'dup', 0L), {step}, {finish}))"
+    )
+
+
 @register(
     "text_repetition",
     oracle=f"""
@@ -341,37 +369,39 @@ def _gram_occurrences(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     doc="Gopher-style repetition signals: fraction of bigram occurrences "
     "taken by the single most frequent bigram, and fraction of trigram "
     "occurrences whose trigram repeats within the doc — the standard "
-    "boilerplate/repetition quality filters. Scale: both aggregations "
-    "are keyed by doc_id, so after one shuffle the per-doc work is "
-    "local; ratios are exact-integer divisions done once.",
+    "boilerplate/repetition quality filters. Shape: a doc's grams all "
+    "live in ONE artifact row, so the per-doc occurrence counts never "
+    "need a shuffle — sort the gram array per row and take run-length "
+    "stats in one linear scan (_run_stats_expr). ZERO exchanges, zero "
+    "explodes, one column-pruned artifact scan (plan-pinned); the "
+    "round-6 form exploded every gram occurrence and hash-aggregated "
+    "on (doc_id, gram), shuffling ~2x the token stream. At 100 TB "
+    "this is embarrassingly parallel: map-only over the corpus.",
 )
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    bga = (
-        _gram_occurrences(spark, sf_dir, 2)
-        .groupBy("doc_id", "g").count()
-        .groupBy("doc_id")
-        .agg((F.max("count").cast("double") / F.sum("count").cast("double")).alias("top_bigram_frac"))
+    # Stacked projections: sorted gram arrays materialize in the lower
+    # projection (multiple references in the run-length aggregate keep
+    # CollapseProject from inlining the non-cheap sort/transform).
+    sorted_grams = tokenized_docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"array_sort({gram_expr(2)})").alias("bg"),
+        F.expr(f"array_sort({gram_expr(3)})").alias("tg"),
     )
-    tga = (
-        _gram_occurrences(spark, sf_dir, 3)
-        .groupBy("doc_id", "g").count()
-        .groupBy("doc_id")
-        .agg(
-            (
-                F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0)).cast("double")
-                / F.sum("count").cast("double")
-            ).alias("dup_trigram_frac")
-        )
+    stats = sorted_grams.select(
+        "doc_id",
+        F.expr(_run_stats_expr("bg")).alias("bs"),
+        F.expr("size(bg)").alias("nb"),
+        F.expr(_run_stats_expr("tg")).alias("ts"),
+        F.expr("size(tg)").alias("nt"),
     )
-    return (
-        docs.join(bga, "doc_id", "left")
-        .join(tga, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
-            F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
-        )
+    return stats.select(
+        "doc_id",
+        F.expr(
+            "IF(nb = 0, 0.0D, CAST(bs.maxr AS DOUBLE) / CAST(nb AS DOUBLE))"
+        ).alias("top_bigram_frac"),
+        F.expr(
+            "IF(nt = 0, 0.0D, CAST(ts.dup AS DOUBLE) / CAST(nt AS DOUBLE))"
+        ).alias("dup_trigram_frac"),
     )
 
 

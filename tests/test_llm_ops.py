@@ -265,6 +265,57 @@ def test_pii_regexes_on_crafted_text(spark):
             assert r.clean == text
 
 
+def test_repetition_is_map_only(spark):
+    """text_repetition never shuffles: a doc's grams live in one
+    artifact row, so the per-doc occurrence stats are a per-row
+    sorted-run-length scan — the plan must show zero Exchange and zero
+    Generate (no explode), and each gram comprehension must be sorted
+    ONCE (CollapseProject declining to inline the non-cheap array into
+    the run-length aggregate's many references)."""
+    plan = (
+        registry.get("text_repetition")
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert plan.count("array_sort") == 2, plan
+
+
+def test_run_stats_expr_matches_bruteforce(spark):
+    """The run-length accumulator against a brute-force python count
+    model on adversarial arrays (empty, singleton, all-equal, all
+    distinct, runs at both ends)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_indexing_spark.operators.textstats import _run_stats_expr
+
+    cases = [
+        [],
+        ["a"],
+        ["a", "a"],
+        ["a", "b"],
+        ["a"] * 7,
+        ["a", "a", "b", "c", "c", "c"],
+        ["x", "y", "y", "z"],
+        list("abcdef"),
+        ["m", "m", "n", "n"],
+    ]
+    df = spark.createDataFrame(
+        [(i, sorted(c)) for i, c in enumerate(cases)], "i int, a array<string>"
+    ).select("i", F.expr(_run_stats_expr("a")).alias("s"))
+    got = {r.i: (r.s.maxr, r.s.dup) for r in df.collect()}
+    for i, c in enumerate(cases):
+        counts = Counter(c)
+        maxr = max(counts.values()) if counts else 0
+        dup = sum(v for v in counts.values() if v > 1)
+        assert got[i] == (maxr, dup), (c, got[i], (maxr, dup))
+
+
 def test_repetition_signals_bounds_and_extremes(spark):
     """Repetition fractions are in [0,1]; the fixture's synthetic docs
     (small vocab) must show real trigram repetition somewhere."""
