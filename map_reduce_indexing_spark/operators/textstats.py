@@ -18,6 +18,7 @@ from ..plans.registry import register
 from ..sources.tables import load_table
 from .dedup import (
     DUCK_TOKENS_LIST,
+    SHINGLE_K,
     duck_shingles,
     shingle_rows,
 )
@@ -227,15 +228,21 @@ def q_text_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order-stable, cross-engine-identical, a compact near-dup key.",
 )
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # shingle_rows is already distinct per doc; min-k = sort + slice
-    return (
-        shingle_rows(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(
-            F.expr(
-                f"concat_ws(' ', slice(array_sort(collect_set(md5(s))), 1, {FINGERPRINT_K}))"
-            ).alias("fp")
-        )
+    # A doc's shingles live in one artifact row, so min-k is a per-row
+    # reshape: hash each distinct shingle once (single transform pass —
+    # no repeated-HOF inlining risk), sort, slice. ZERO exchanges and
+    # zero explodes (plan-pinned): the former explode + collect_set
+    # shuffled every doc's full md5 set; this ships nothing.
+    shingles = tokenized_docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"array_distinct({gram_expr(SHINGLE_K)})").alias("sh"),
+    )
+    return shingles.select(
+        "doc_id",
+        F.expr(
+            "concat_ws(' ', slice(array_sort(transform(sh, s -> md5(s))), "
+            f"1, {FINGERPRINT_K}))"
+        ).alias("fp"),
     )
 
 

@@ -284,6 +284,22 @@ def test_repetition_is_map_only(spark):
     assert plan.count("array_sort") == 2, plan
 
 
+def test_fingerprint_is_map_only(spark):
+    """text_fingerprint is a per-row reshape of the artifact's token
+    array (hash distinct shingles, sort, slice): zero Exchange, zero
+    Generate — the explode + collect_set form shuffled every doc's
+    md5 set."""
+    plan = (
+        registry.get("text_fingerprint")
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+
+
 def test_run_stats_expr_matches_bruteforce(spark):
     """The run-length accumulator against a brute-force python count
     model on adversarial arrays (empty, singleton, all-equal, all
