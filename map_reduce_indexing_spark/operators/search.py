@@ -342,8 +342,17 @@ def q_search_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engines so the libm ln folding compares exactly.",
 )
 def q_search_tfidf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tokens import tokenized_docs
+
     p = indexed_postings(spark, sf_dir)
-    n = p.agg(F.countDistinct("doc_id").alias("n_docs"))
+    # n_docs from the tokens artifact's stored scalar, not a distinct
+    # over the whole index (see q_search_bm25_rank for the equivalence
+    # argument — postings chain on the artifact).
+    n = (
+        tokenized_docs(spark, sf_dir)
+        .filter(F.col("n_norm_tokens") > 0)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
     df = (
         terms_lookup(p, [TERM_A, TERM_B])
         .groupBy("word")
@@ -428,12 +437,26 @@ BM25_B = 0.75
     "order-safe); rounded to 6 dp so libm ln folds compare exactly.",
 )
 def q_search_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tokens import tokenized_docs
+
     p = indexed_postings(spark, sf_dir)
-    stats = p.agg(
-        F.countDistinct("doc_id").alias("n_docs"),
-        (F.sum("cnt").cast("double") / F.countDistinct("doc_id")).alias("avgdl"),
+    # Doc lengths and corpus stats come from the tokens artifact's
+    # stored n_norm_tokens scalar, not a full-postings scan + shuffle:
+    # postings chain on that artifact (indexing._artifact_postings), so
+    # sum(cnt) per doc == n_norm_tokens and "docs with postings" ==
+    # "docs with n_norm_tokens > 0" BY CONSTRUCTION (equality is
+    # property-tested). A 100-TB index is vastly larger than its
+    # doc-length column; this reads two bigints per doc instead.
+    doclen = (
+        tokenized_docs(spark, sf_dir)
+        .filter(F.col("n_norm_tokens") > 0)
+        .select("doc_id", F.col("n_norm_tokens").alias("dl"))
     )
-    dl = p.groupBy("doc_id").agg(F.sum("cnt").cast("long").alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dl = doclen
     df = (
         terms_lookup(p, [TERM_A, TERM_B])
         .groupBy("word")

@@ -153,3 +153,28 @@ def test_build_is_single_map_pass(spark):
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan
     assert plan.count("transform(split(lower") == 1, plan
+
+
+def test_doclen_scalar_matches_postings_sum(spark):
+    """The equivalence q_search_bm25_rank rides on: per-doc sum(cnt)
+    over the postings equals the artifact's stored n_norm_tokens, and
+    the postings' doc set is exactly the docs with n_norm_tokens > 0
+    (postings chain on the artifact, so this is by construction — but
+    bm25/tfidf read the scalar INSTEAD of the index, so drift here
+    would silently skew scores)."""
+    from map_reduce_indexing_spark.operators.indexing import indexed_postings
+
+    dl_from_index = (
+        indexed_postings(spark, SF_DIR)
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").cast("long").alias("dl"))
+    )
+    dl_from_artifact = (
+        tokenized_docs(spark, SF_DIR)
+        .filter(F.col("n_norm_tokens") > 0)
+        .select("doc_id", F.col("n_norm_tokens").alias("dl"))
+    )
+    diff = dl_from_index.exceptAll(dl_from_artifact).unionAll(
+        dl_from_artifact.exceptAll(dl_from_index)
+    )
+    assert diff.count() == 0
