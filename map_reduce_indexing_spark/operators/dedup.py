@@ -305,6 +305,30 @@ def minhash_signatures(
     )
 
 
+def session_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig): the MinHash signature table as a session artifact —
+    built ONCE per (Spark application, corpus content) via the same
+    machinery as the tokens artifact and the inverted index
+    (indexing.session_artifact_df), then served as a cached parquet
+    read to every dedup consumer (lsh_pairs, clusters, estimate,
+    recall_eval). Before this, each consumer re-ran the shingle+hash+
+    min pipeline — and a consumer referencing the signatures from
+    several subtrees (dedup_minhash_estimate: candidates + both join
+    sides) re-ran it once PER SUBTREE, since exchange reuse does not
+    fire across differently-pruned sides. At 100 TB the signature pass
+    is a full-corpus job; every dedup run after the first should read
+    docs x K longs instead. The flagship `dedup_minhash_signatures`
+    query keeps the direct pipeline — it exists to measure the build."""
+    from .indexing import session_artifact_df
+
+    def build(path: str) -> None:
+        minhash_signatures(spark, sf_dir).write.parquet(path)
+
+    return session_artifact_df(
+        spark, sf_dir, "session_minhash_sigs", "documents.parquet", build
+    )
+
+
 DUCK_MINHASH_SIG = f"""
     SELECT doc_id, [{', '.join(duck_minhash_sig('h'))}] AS sig FROM (
         SELECT doc_id,
@@ -366,7 +390,7 @@ def _band_exprs(sig_col: str, engine: str) -> str:
     "shuffle — key space is (band_idx, 128-bit hash), uniform at any scale.",
 )
 def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lsh_candidate_pairs(minhash_signatures(spark, sf_dir))
+    return lsh_candidate_pairs(session_signatures(spark, sf_dir))
 
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
@@ -845,7 +869,7 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     "all-pairs.",
 )
 def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = minhash_signatures(spark, sf_dir)
+    sig = session_signatures(spark, sf_dir)
     cand = lsh_candidate_pairs(sig)
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))

@@ -203,3 +203,23 @@ def test_star_cc_handles_deep_chains(spark):
     out = {r.doc_id: r.cluster_id for r in connected_components_star(sym).collect()}
     assert all(out[i] == 0 for i in range(401))
     assert all(out[i] == 500 for i in (500, 501, 502))
+
+
+def test_session_signatures_artifact_matches_direct_build(spark):
+    """The persisted signature artifact may never drift from the live
+    pipeline it snapshots — row-for-row equality including the sig
+    arrays — and the cached read is the SAME DataFrame object across
+    calls (one build per session, the artifact contract)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_indexing_spark.operators.dedup import (
+        minhash_signatures,
+        session_signatures,
+    )
+
+    art = session_signatures(spark, SF_DIR)
+    direct = minhash_signatures(spark, SF_DIR)
+    a = art.select("doc_id", F.col("sig").cast("array<long>").alias("sig"))
+    d = direct.select("doc_id", F.col("sig").cast("array<long>").alias("sig"))
+    assert a.exceptAll(d).unionAll(d.exceptAll(a)).count() == 0
+    assert session_signatures(spark, SF_DIR) is art
