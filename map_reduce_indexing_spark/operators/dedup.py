@@ -642,25 +642,30 @@ DUCK_CLUSTERS_ORACLE = f"""
 """
 
 
+def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh array<string>, n_sh): each doc's DISTINCT shingle
+    set as a per-row reshape of the tokens artifact — array comprehension
+    + array_distinct, zero Exchange, zero Generate. Replaces the
+    explode + groupBy(doc_id).collect_set shape, which shuffled every
+    doc's full shingle set just to reassemble rows that already existed."""
+    from .tokens import gram_expr, tokenized_docs
+
+    sets = tokenized_docs(spark, sf_dir).select(
+        "doc_id", F.expr(f"array_distinct({gram_expr(SHINGLE_K)})").alias("sh")
+    )
+    return sets.select(
+        "doc_id", "sh", F.size("sh").cast("long").alias("n_sh")
+    ).filter(F.col("n_sh") > 0)
+
+
 def _verified_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric (src, dst) edges of the verified near-dup graph:
     MinHash-LSH candidates filtered by exact Jaccard on just those
     candidates. localCheckpointed so iterative CC reuses it per round
-    instead of re-mining.
-
-    The shingle lineage is deliberately RECOMPUTED by the signature
-    subtree and the verify-sets subtree rather than checkpointed and
-    shared: materializing the full occurrence-level shingle frame
-    (every (doc, shingle) row, pre-aggregation) costs ~3x more wall
-    than the second codegen'd compute pass, measured at sf0.1 — both
-    consumers aggregate it map-side before any shuffle, so the
-    recompute never hits the wire."""
+    instead of re-mining. Candidates come from the signature artifact;
+    verify sets are a map-only reshape of the tokens artifact."""
     cand = q_dedup_minhash_lsh_pairs(spark, sf_dir)
-    sets = (
-        shingle_rows(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(F.collect_set("s").alias("sh"), F.count(F.lit(1)).alias("n_sh"))
-    )
+    sets = shingle_sets(spark, sf_dir)
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"), F.col("n_sh").alias("na"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"), F.col("n_sh").alias("nb"))
     inter = F.size(F.array_intersect("sha", "shb"))
@@ -873,11 +878,7 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = lsh_candidate_pairs(sig)
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    sets = (
-        shingle_rows(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(F.collect_set("s").alias("sh"), F.count(F.lit(1)).alias("n_sh"))
-    )
+    sets = shingle_sets(spark, sf_dir)
     xa = sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sh").alias("sha"),
