@@ -634,6 +634,38 @@ def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k, g, c): the corpus n-gram count tables the bigram LM scores
+    against — k=1 unigram counts, k=2 bigram counts — persisted once
+    per (application, corpus content) and partitioned by k so each
+    consumer reads a pruned slice. This IS the trained model: scoring
+    a document must not re-train it, and before this artifact every
+    text_lm_score run re-aggregated the full gram stream twice (plus a
+    countDistinct for V, now the k=1 row count). The reference's
+    build-then-query lifecycle (helper_reduce.c:238-257) applied to
+    the language-model tier."""
+    from .indexing import session_artifact_df
+
+    def build(path: str) -> None:
+        ug = (
+            token_rows(spark, sf_dir, out_col="g")
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.lit(1).alias("k"), "g", "c")
+        )
+        bg = (
+            _gram_occurrences(spark, sf_dir, 2)
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.lit(2).alias("k"), "g", "c")
+        )
+        ug.unionAll(bg).write.partitionBy("k").parquet(path)
+
+    return session_artifact_df(
+        spark, sf_dir, "session_lm_counts", "documents.parquet", build
+    )
+
+
 @register(
     "text_lm_score",
     oracle=f"""
@@ -669,13 +701,16 @@ def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(shuffle join); a pruned 100k-word model would broadcast instead.",
 )
 def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    occ = token_rows(spark, sf_dir, out_col="w")
+    model = lm_counts(spark, sf_dir)
     bg = _gram_occurrences(spark, sf_dir, 2).select(
         "doc_id", "g", F.split("g", " ")[0].alias("w1")
     )
-    bgc = bg.groupBy("g").agg(F.count(F.lit(1)).alias("cg"))
-    ugc = occ.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
-    vocab = occ.agg(F.countDistinct("w").alias("v"))
+    # Pruned artifact slices (PartitionFilters on k), not re-aggregation.
+    bgc = model.filter(F.col("k") == 2).select("g", F.col("c").alias("cg"))
+    ugc = model.filter(F.col("k") == 1).select(
+        F.col("g").alias("w"), F.col("c").alias("cw")
+    )
+    vocab = model.filter(F.col("k") == 1).agg(F.count(F.lit(1)).alias("v"))
     logp = F.expr(
         "CAST(ln(CAST(cg + 1 AS DOUBLE) / CAST(cw + v AS DOUBLE)) AS DECIMAL(28,12))"
     )

@@ -405,3 +405,33 @@ def test_probe_strategies_never_lose_recall(spark):
 
     assert len(top("ann_lsh_multiprobe") & brute) >= len(top("ann_lsh_topk") & brute)
     assert len(top("ann_ivf_topk_nprobe") & brute) >= len(top("ann_ivf_topk") & brute)
+
+
+def test_lm_counts_artifact_matches_live_aggregation(spark):
+    """The persisted LM model (session_lm_counts) equals a live
+    re-aggregation of the gram stream for both k slices, and the k=1
+    row count equals the countDistinct vocabulary size text_lm_score's
+    smoothing divides by."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_indexing_spark.operators.textstats import (
+        _gram_occurrences,
+        lm_counts,
+    )
+    from map_reduce_indexing_spark.operators.tokens import token_rows
+
+    model = lm_counts(spark, SF_DIR)
+    live_ug = (
+        token_rows(spark, SF_DIR, out_col="g").groupBy("g").count()
+    ).select("g", F.col("count").cast("long").alias("c"))
+    live_bg = (
+        _gram_occurrences(spark, SF_DIR, 2).groupBy("g").count()
+    ).select("g", F.col("count").cast("long").alias("c"))
+    for k, live in ((1, live_ug), (2, live_bg)):
+        art = model.filter(F.col("k") == k).select(
+            "g", F.col("c").cast("long").alias("c")
+        )
+        assert art.exceptAll(live).unionAll(live.exceptAll(art)).count() == 0, k
+    v_art = model.filter(F.col("k") == 1).count()
+    v_live = token_rows(spark, SF_DIR, out_col="w").select("w").distinct().count()
+    assert v_art == v_live
