@@ -169,6 +169,20 @@ def run_headline(
     return times, errors, spreads
 
 
+def compact_errors(errors: dict) -> dict:
+    """Bounded error summary for the compact stdout line: the driver
+    archives only the last 2000 chars of stdout, so a run with several
+    500-char failure messages must not push the line past that budget
+    (the exact front-truncation failure the compact/local split exists
+    to prevent). First line of each message, capped at 80 chars, at
+    most 8 entries; full messages live in the local payload."""
+    head = list(errors.items())[:8]
+    out = {"errors": {n: m.splitlines()[0][:80] for n, m in head}}
+    if len(errors) > len(head):
+        out["errors_truncated"] = len(errors) - len(head)
+    return out
+
+
 def next_round_no(repo_dir: str) -> int:
     """1 + the highest round number among the driver's BENCH_r{N}.json
     archives — so the local payload this run writes lands beside the
@@ -237,7 +251,7 @@ def main() -> None:
     compact = {k: full[k] for k in ("metric", "value", "unit", "queries", "sf")}
     compact["local"] = local_name
     if errors:
-        compact["errors"] = errors
+        compact.update(compact_errors(errors))
     print(json.dumps(compact))
     spark.stop()
     # Non-zero exit only if NOTHING ran; partial results are still signal.

@@ -271,16 +271,23 @@ def _content_fingerprint(src: str) -> str:
 
     A DIRECTORY source (a Spark-written multi-file parquet table, e.g.
     tools/scale_bench.py's staged corpora) fingerprints as the sorted
-    (name, size, mtime_ns) listing of its files — any rewrite changes
-    at least one entry, with no file reads at all."""
+    RECURSIVE (relpath, size, mtime_ns) listing of its files — any
+    rewrite changes at least one entry, with no file reads at all.
+    Recursion matters: a partitionBy-written table keeps every data
+    file one level down, so a top-level-only listing would hash to a
+    near-constant digest and serve stale artifacts across corpus
+    rewrites."""
     import hashlib
 
     if os.path.isdir(src):
         h = hashlib.md5()
-        for entry in sorted(os.scandir(src), key=lambda e: e.name):
-            if entry.is_file():
-                st = entry.stat()
-                h.update(f"{entry.name}:{st.st_size}:{st.st_mtime_ns};".encode())
+        for root, dirs, files in os.walk(src):
+            dirs.sort()
+            for name in sorted(files):
+                p = os.path.join(root, name)
+                st = os.stat(p)
+                rel = os.path.relpath(p, src)
+                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns};".encode())
         return h.hexdigest()
 
     st = os.stat(src)

@@ -184,8 +184,25 @@ def append_vectors(spark: SparkSession, vectors: DataFrame, path: str) -> None:
     story. Appends are new vec_ids; re-sending an existing vec_id
     stores a second copy (dedup/upsert is a CDC-layer concern —
     operators/cdc.py — not the store's)."""
+    import os
+
     from .indexing import _recover_index_locked, index_writer_lock
 
+    # Same fail-fast layout guard as the streaming ingest: a raw
+    # top-level bucket=* append beside a checkpointed batch=<id>/bucket=*
+    # store makes Spark's partition discovery raise "conflicting
+    # directory structures" on every subsequent read — and compaction
+    # (which must read first) cannot heal it. Refuse instead.
+    if os.path.isdir(path) and any(
+        e.startswith("batch=") for e in os.listdir(path)
+    ):
+        raise ValueError(
+            f"{path!r} holds a checkpointed batch=<id> store; a raw "
+            "bucket=* append would corrupt its partition discovery. "
+            "Run compact_vector_store first (it folds the batched "
+            "layout flat), or keep appending through the checkpointed "
+            "streaming ingest."
+        )
     with index_writer_lock(path):
         _recover_index_locked(path)  # heal a crashed compactor first
         _write_vector_store(vectors, path, mode="append")

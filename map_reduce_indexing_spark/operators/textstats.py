@@ -236,7 +236,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = tokenized_docs(spark, sf_dir).select(
         "doc_id",
         F.expr(f"array_distinct({gram_expr(SHINGLE_K)})").alias("sh"),
-    )
+    ).filter(F.size("sh") > 0)  # <SHINGLE_K-token docs have no fingerprint
     return shingles.select(
         "doc_id",
         F.expr(

@@ -781,7 +781,7 @@ def incremental_vector_append(
     the extra batch level); `compact_vector_store` folds either into
     the flat one-file-per-bucket form."""
     from ..operators.indexing import _recover_index_locked, index_writer_lock
-    from ..operators.similarity import _with_bucket
+    from ..operators.similarity import _with_bucket, append_vectors
     from ..schemas import EMBEDDING
 
     if os.path.isdir(store_path):
@@ -809,17 +809,18 @@ def incremental_vector_append(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        bucketed = _with_bucket(batch_df).repartition("bucket")
-        with index_writer_lock(store_path):
-            _recover_index_locked(store_path)
-            if checkpoint is not None:
+        if checkpoint is not None:
+            bucketed = _with_bucket(batch_df).repartition("bucket")
+            with index_writer_lock(store_path):
+                _recover_index_locked(store_path)
                 bucketed.write.mode("overwrite").partitionBy("bucket").parquet(
                     os.path.join(store_path, f"batch={batch_id}")
                 )
-            else:
-                bucketed.write.mode("append").partitionBy("bucket").parquet(
-                    store_path
-                )
+        else:
+            # The raw-append branch IS the batch append — one code path
+            # owns lock + heal + layout guard + bucketed write, so a fix
+            # to any of those applies to both the batch API and this sink.
+            append_vectors(spark, batch_df, store_path)
 
     writer = vecs.writeStream.foreachBatch(sink)
     if checkpoint is not None:

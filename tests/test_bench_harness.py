@@ -160,3 +160,19 @@ def test_contention_marker_shape(spark):
     for stats in m.values():
         assert stats["min"] <= stats["median"] <= stats["max"]
         assert stats["median"] > 0
+
+
+def test_compact_errors_stay_under_tail_budget():
+    """A bench run where MANY queries fail with long messages must still
+    emit a compact line that fits the driver's 2000-char tail: first
+    line only, 80-char cap, at most 8 entries plus an overflow count."""
+    import bench
+
+    errors = {
+        f"query_{i:02d}": ("X" * 500 + "\nsecond line") for i in range(28)
+    }
+    out = bench.compact_errors(errors)
+    assert len(out["errors"]) == 8
+    assert all(len(m) <= 80 and "\n" not in m for m in out["errors"].values())
+    assert out["errors_truncated"] == 20
+    assert len(json.dumps(out)) < 1200

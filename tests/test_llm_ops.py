@@ -435,3 +435,18 @@ def test_lm_counts_artifact_matches_live_aggregation(spark):
     v_art = model.filter(F.col("k") == 1).count()
     v_live = token_rows(spark, SF_DIR, out_col="w").select("w").distinct().count()
     assert v_art == v_live
+
+
+def test_fingerprint_skips_short_docs(spark, tmp_path):
+    """Docs with fewer than SHINGLE_K tokens have no shingles and must
+    be ABSENT from the fingerprint output (the oracle's len(toks) >= 3
+    filter) — not present with a colliding empty-string fingerprint."""
+    from map_reduce_indexing_spark.operators.textstats import q_text_fingerprint
+
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, "hello world"), (2, "a b c d e"), (3, "")],
+        "doc_id long, text string",
+    ).write.parquet(d + "/documents.parquet")
+    rows = q_text_fingerprint(spark, d).collect()
+    assert [(r.doc_id, r.fp != "") for r in rows] == [(2, True)]

@@ -207,3 +207,33 @@ def test_failed_artifact_build_is_not_cached(spark):
     assert len(calls) == 2
     assert calls[0] != calls[1], "retry must not reuse the partial dir"
     assert spark.read.parquet(path).count() == 3
+
+
+def test_content_fingerprint_sees_nested_rewrites(tmp_path):
+    """A partitionBy-written source keeps its data files one level down;
+    the directory fingerprint must hash the RECURSIVE listing, so a
+    rewrite that only touches nested files (same top-level entries)
+    changes the digest instead of serving a stale artifact."""
+    import os
+    import time
+
+    from map_reduce_indexing_spark.operators.indexing import (
+        _content_fingerprint,
+    )
+
+    src = tmp_path / "documents.parquet"
+    part = src / "lang=en"
+    part.mkdir(parents=True)
+    f = part / "part-000.parquet"
+    f.write_bytes(b"v1-bytes")
+    fp1 = _content_fingerprint(str(src))
+    # same top-level listing, nested file rewritten (size changes)
+    f.write_bytes(b"v2-bytes-longer")
+    fp2 = _content_fingerprint(str(src))
+    assert fp1 != fp2
+    # same-size same-path rewrite still caught via mtime_ns
+    time.sleep(0.01)
+    f.write_bytes(b"v3-bytes-longer")
+    os.utime(f)
+    fp3 = _content_fingerprint(str(src))
+    assert fp2 != fp3

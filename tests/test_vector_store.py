@@ -230,3 +230,35 @@ def test_append_waits_for_writer_lock(spark, tmp_path):
     t.join(120)
     assert done.is_set()
     assert vs.vectors().count() == _vectors(spark, 0, 70).count()
+
+
+def test_batch_append_refuses_checkpointed_layout(spark, tmp_path):
+    """The batch append has the same fail-fast layout guard as the
+    streaming ingest: a raw bucket=* append onto a checkpointed
+    batch=<id>/bucket=* store would make every later read raise
+    'conflicting directory structures' — and compaction, which must
+    read first, could not heal it. append_vectors must refuse, and
+    compaction must fold the store so the append then succeeds."""
+    from map_reduce_indexing_spark.operators.similarity import (
+        append_vectors,
+        compact_vector_store,
+        read_vector_store,
+    )
+    from map_reduce_indexing_spark.streaming.events import (
+        incremental_vector_append,
+    )
+
+    staging = str(tmp_path / "staging")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    src = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 100)
+    src.write.parquet(staging)
+    incremental_vector_append(
+        spark, staging, store, checkpoint=ckpt, glob="*.parquet"
+    )
+    with pytest.raises(ValueError, match="batch"):
+        append_vectors(spark, _vectors(spark, 100, 120), store)
+    # compaction folds batch=* flat; the append is then legal and visible
+    compact_vector_store(spark, store)
+    append_vectors(spark, _vectors(spark, 100, 120), store)
+    assert read_vector_store(spark, store).count() == src.count() + 20
