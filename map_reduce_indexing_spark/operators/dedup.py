@@ -1020,3 +1020,129 @@ def q_dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= FUZZY_MAX_DIST)
         .select("name_a", "name_b", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level (substring) duplication — cross-doc boilerplate
+# ---------------------------------------------------------------------------
+
+PASSAGE_K = 8  # word span long enough that sharing implies copying
+PASSAGE_TOP = 100
+
+
+def _duck_passage_grams(tokens: str) -> str:
+    k = PASSAGE_K
+    parts = " || ' ' || ".join(f"{tokens}[i + {j}]" for j in range(k))
+    return (
+        f"CASE WHEN len({tokens}) >= {k} THEN "
+        f"list_transform(range(1, len({tokens}) - {k - 2}), i -> {parts}) "
+        f"ELSE [] END"
+    )
+
+
+DUCK_PASSAGE_GRAMS = f"""
+    SELECT doc_id,
+           unnest(list_distinct({_duck_passage_grams('toks')})) AS g
+    FROM (SELECT doc_id, {DUCK_TOKENS_LIST} AS toks FROM documents)
+"""
+
+
+def _passage_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, g): per-doc DISTINCT word {PASSAGE_K}-grams, a per-row
+    comprehension over the tokens artifact (tokens.gram_rows)."""
+    from .tokens import gram_rows
+
+    return gram_rows(spark, sf_dir, PASSAGE_K, distinct=True, out_col="g")
+
+
+@register(
+    "dedup_common_passages",
+    oracle=f"""
+        SELECT g AS passage, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM ({DUCK_PASSAGE_GRAMS})
+        GROUP BY g HAVING COUNT(*) >= 2
+        ORDER BY n_docs DESC, passage
+        LIMIT {PASSAGE_TOP}
+    """,
+    tier="llm",
+    doc=f"Cross-document duplicated passages: the top {PASSAGE_TOP} word "
+    f"{PASSAGE_K}-grams shared by >= 2 distinct documents, with their "
+    "document frequency — SUBSTRING-level duplication (licence headers, "
+    "navigation chrome, template boilerplate) that document-level "
+    "near-dedup by design cannot see, and the standard pre-training "
+    "sweep behind exact-substring dedup (Lee et al. 2021 found ~1% of "
+    "C4 tokens in 50+-token repeated passages; cf. reference tokenize "
+    "pipeline mapper.c:19-38 which has no cross-doc visibility at all). "
+    "Shape: per-doc distinct grams are a per-row comprehension over the "
+    "tokens artifact (no tokenization, no doc_id shuffle); the only "
+    "exchange is the uniform gram-key count, map-side combined; the "
+    "top-k is a deterministic total order (n_docs DESC, passage). At "
+    "100 TB the gram space grows with the corpus but partial "
+    "aggregation bounds shuffle volume to distinct grams per partition.",
+)
+def q_dedup_common_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _passage_grams(spark, sf_dir)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "g")
+        .limit(PASSAGE_TOP)
+        .select(F.col("g").alias("passage"), "n_docs")
+    )
+
+
+@register(
+    "dedup_boilerplate_frac",
+    oracle=f"""
+        WITH g AS ({DUCK_PASSAGE_GRAMS}),
+        common AS (SELECT g FROM g GROUP BY g HAVING COUNT(*) >= 2),
+        per_doc AS (
+            SELECT g.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(COUNT(common.g) AS BIGINT) AS n_common
+            FROM g LEFT JOIN common ON g.g = common.g
+            GROUP BY g.doc_id)
+        SELECT doc_id, n_grams, n_common,
+               ROUND(CAST(n_common AS DOUBLE) / n_grams, 6) AS boilerplate_frac
+        FROM per_doc
+    """,
+    tier="llm",
+    doc=f"Per-document boilerplate fraction: of each doc's distinct "
+    f"{PASSAGE_K}-gram passages, the share that also appears in at "
+    "least one OTHER document (doc-frequency >= 2 over per-doc distinct "
+    "grams) — the per-doc actionable form of dedup_common_passages, "
+    "the score a pipeline thresholds to drop template-heavy pages. "
+    "Shape: one gram-key count (map-side combined), one semi-join of "
+    "the doc's grams against the common set on the same uniform key, "
+    "one doc_id count; per-doc totals ride along. At 100 TB the common "
+    "set is the broadcast candidate once pruned to the top template "
+    "passages; here it flows through the shuffled equi-join.",
+)
+def q_dedup_boilerplate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _passage_grams(spark, sf_dir)
+    common = (
+        g.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    n_common = (
+        g.join(common, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    totals = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        totals.join(n_common, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.round(
+                F.coalesce("n_common", F.lit(0)).cast("double")
+                / F.col("n_grams"),
+                6,
+            ).alias("boilerplate_frac"),
+        )
+    )

@@ -19,6 +19,8 @@ ORACLE_QUERIES = [
     "dedup_embedding_pairs",
     "dedup_clusters",
     "dedup_fuzzy_names",
+    "dedup_common_passages",
+    "dedup_boilerplate_frac",
 ]
 
 
@@ -223,3 +225,27 @@ def test_session_signatures_artifact_matches_direct_build(spark):
     d = direct.select("doc_id", F.col("sig").cast("array<long>").alias("sig"))
     assert a.exceptAll(d).unionAll(d.exceptAll(a)).count() == 0
     assert session_signatures(spark, SF_DIR) is art
+
+
+def test_boilerplate_frac_consistent_with_common_passages(spark):
+    """Cross-operator invariant: every doc containing one of the top
+    common passages must have boilerplate_frac > 0, fractions live in
+    [0,1], and n_common <= n_grams."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_indexing_spark.operators.dedup import _passage_grams
+
+    frac = {r.doc_id: r for r in registry.get("dedup_boilerplate_frac").fn(spark, SF_DIR).collect()}
+    assert frac
+    for r in frac.values():
+        assert 0 <= r.n_common <= r.n_grams
+        assert 0.0 <= r.boilerplate_frac <= 1.0
+    top = registry.get("dedup_common_passages").fn(spark, SF_DIR)
+    docs_with_top = (
+        _passage_grams(spark, SF_DIR)
+        .join(top.select(F.col("passage").alias("g")), "g", "left_semi")
+        .select("doc_id").distinct().collect()
+    )
+    assert docs_with_top
+    for row in docs_with_top:
+        assert frac[row.doc_id].n_common > 0
