@@ -7,6 +7,7 @@ extensions"):
     quality filter  -> drop the bottom quartile + too-short docs
     exact dedup     -> one canonical doc per content hash
     near dedup      -> drop LSH-verified near-duplicate clusters
+    boilerplate     -> drop template-heavy docs (shared-passage frac)
     decontaminate   -> drop docs overlapping the eval split
     split           -> stable hash-bucket train/val/test assignment
     pack            -> concat-and-chunk into fixed token windows
@@ -65,16 +66,26 @@ def main() -> None:
         .select("doc_id")
     )
 
-    # 4. decontamination: train docs sharing 3-shingles with eval docs.
+    # 4. boilerplate filter: drop template-heavy docs — more than half
+    #    of their distinct 8-gram passages also appear in other docs
+    #    (the substring-level duplication doc-level near-dedup misses).
+    boilerplate_losers = (
+        q("dedup_boilerplate_frac")
+        .filter(F.col("boilerplate_frac") > 0.5)
+        .select("doc_id")
+    )
+
+    # 5. decontamination: train docs sharing 3-shingles with eval docs.
     contaminated = q("text_decontaminate").select("doc_id").distinct()
 
     kept = (
         quality_ids.join(exact_losers, "doc_id", "left_anti")
         .join(near_dup_losers, "doc_id", "left_anti")
+        .join(boilerplate_losers, "doc_id", "left_anti")
         .join(contaminated, "doc_id", "left_anti")
     )
 
-    # 5. stable split assignment for the kept docs — the engine's
+    # 6. stable split assignment for the kept docs — the engine's
     #    SPLIT_PCT thresholds, so assignments agree with
     #    text_train_val_test_split and text_decontaminate's eval set.
     from map_reduce_indexing_spark.operators.textstats import SPLIT_PCT
@@ -92,7 +103,7 @@ def main() -> None:
         .alias("split"),
     )
 
-    # 6. pack into fixed token windows. NOTE: the registered query packs
+    # 7. pack into fixed token windows. NOTE: the registered query packs
     #    the FULL corpus (it is a standalone oracle-checked operator);
     #    in a production pipeline this stage would run over the kept
     #    train split — the count below is reported as full-corpus.
@@ -101,6 +112,7 @@ def main() -> None:
     summary = {
         "docs_in": n0,
         "after_quality": quality_ids.count(),
+        "boilerplate_dropped": boilerplate_losers.count(),
         "kept_after_dedup_and_decontam": kept.count(),
         "splits": {
             r["split"]: r["n"]
