@@ -450,3 +450,38 @@ def test_fingerprint_skips_short_docs(spark, tmp_path):
     ).write.parquet(d + "/documents.parquet")
     rows = q_text_fingerprint(spark, d).collect()
     assert [(r.doc_id, r.fp != "") for r in rows] == [(2, True)]
+
+
+def test_run_stats_expr_hypothesis_random_arrays(spark):
+    """Property form of the brute-force check: random small-alphabet
+    lists (maximizing run/tie structure) through the Spark fold vs a
+    Counter model — one batched Spark job over all drawn cases."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    import hypothesis.strategies as st
+    from pyspark.sql import functions as F
+
+    from map_reduce_indexing_spark.operators.textstats import _run_stats_expr
+
+    drawn: list[list[str]] = []
+
+    @settings(
+        max_examples=60,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(st.sampled_from("abc"), max_size=12))
+    def draw(xs):
+        drawn.append(list(xs))
+
+    draw()
+    df = spark.createDataFrame(
+        [(i, sorted(c)) for i, c in enumerate(drawn)], "i int, a array<string>"
+    ).select("i", F.expr(_run_stats_expr("a")).alias("s"))
+    got = {r.i: (r.s.maxr, r.s.dup) for r in df.collect()}
+    for i, c in enumerate(drawn):
+        counts = Counter(c)
+        maxr = max(counts.values()) if counts else 0
+        dup = sum(v for v in counts.values() if v > 1)
+        assert got[i] == (maxr, dup), (c, got[i], (maxr, dup))
