@@ -939,10 +939,20 @@ def windowed_pair_expr(k: int = PMI_WINDOW_K) -> str:
     "of the statistic; this is the form you run at 100 TB.",
 )
 def q_text_pmi_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Every branch below scans the session tokens artifact, not the
-    # corpus: r6's plan had 4 pinned tokenizing corpus scans; r7 has 0
-    # (three pruned reads of the stored `ws` column — pairs, unigrams,
-    # totals — each a fraction of the corpus bytes, no regex).
+    # r6 had 4 pinned tokenizing CORPUS scans; r7 round one cut that to
+    # 4 artifact scans; this shape trims again: ONE explode total.
+    #   pairs : a ws read and the only explode
+    #   uni   : the k=1 slice of the persisted LM count table — the
+    #           unigram explode+aggregation this query re-ran per call
+    #           until the lm_counts artifact existed
+    #   totals: one lightweight ws read sizing the per-row arrays.
+    #           (NOT closed-form from n_norm_tokens: windowed_pair_expr
+    #           drops same-word pairs — `w1 <> w2` — so the pair count
+    #           is data-dependent, verified the hard way.)
+    # Totals stay a 1-row broadcast; re-aggregating the exploded pair
+    # stream instead would re-explode and re-shuffle it (exchange reuse
+    # provably does not fire across differing aggregates — plan-audited
+    # in tests/test_llm_ops.py).
     ws = (
         tokenized_docs(spark, sf_dir)
         .select("ws")
@@ -954,18 +964,9 @@ def q_text_pmi_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("d_pair"))
     )
-    uni = (
-        ws.select(F.explode("ws").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
+    uni = lm_counts(spark, sf_dir).filter(F.col("k") == 1).select(
+        F.col("g").alias("w"), "c"
     )
-    # 1-row scalar totals: the only legitimate broadcasts here. Both
-    # come from ONE extra lightweight scan that sizes the per-row
-    # arrays — NOT from re-aggregating the exploded streams: a
-    # `pairs.agg(sum(d_pair))` subtree would re-explode and re-shuffle
-    # every pair (exchange reuse provably does not fire across the
-    # differing aggregates — plan-audited at 5 scans before this
-    # shape, 4 after, tests/test_llm_ops.py).
     totals = ws.select(
         F.size("ws").alias("nt"),
         F.size(F.expr(windowed_pair_expr())).alias("np"),

@@ -83,19 +83,21 @@ def test_pmi_windowed_pair_generation_is_linear(spark):
 
 
 def test_pmi_windowed_plan_has_no_recomputed_totals(spark):
-    """r7 shape: ZERO corpus scans — every branch reads the session
-    tokens artifact (r6 had 4 pinned tokenizing corpus scans). The
-    scalar totals still come from the lightweight array-sizing read,
-    not from re-aggregating the exploded pair/token streams (exchange
-    reuse provably does not fire across the differing aggregates), so
-    the pin is: 0 corpus scans, 4 artifact scans (pairs, unigrams x2
-    join sides, totals), 3 explodes, and no tokenizer regex anywhere
-    in the executed plan."""
+    """r7 end-state shape: ZERO corpus scans (r6 had 4 pinned
+    tokenizing corpus scans) and ONE explode (r7 round one had 3).
+    The unigram count table is the persisted LM artifact's k=1 slice
+    (two pruned reads, one per join side) instead of a per-call token
+    explode+aggregation; scalar totals come from the lightweight
+    array-sizing read, not from re-aggregating the exploded pair
+    stream (exchange reuse provably does not fire across the differing
+    aggregates). Pin: 0 corpus scans, 2 tokens-artifact scans (pairs,
+    totals), 2 lm_counts scans, 1 explode, no tokenizer regex."""
     df = registry.get("text_pmi_windowed").fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("documents.parquet") == 0, plan
-    assert plan.count("mri_session_tokens") == 4, plan
-    assert plan.count("Generate explode") == 3, plan
+    assert plan.count("mri_session_tokens") == 2, plan
+    assert plan.count("mri_session_lm_counts") == 2, plan
+    assert plan.count("Generate explode") == 1, plan
     assert "regexp_replace" not in plan, plan
 
 
