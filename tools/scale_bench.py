@@ -94,7 +94,15 @@ def stage_corpus(spark, sf_dir: str, m: int, staged_dir: str) -> float:
     return base_bytes * m / 1e6
 
 
-PIPELINES = ("index_postings", "dedup_minhash_lsh_pairs", "text_pmi_windowed")
+PIPELINES = (
+    "index_postings",
+    "dedup_minhash_lsh_pairs",
+    "text_pmi_windowed",
+    # substring-dedup representative: per-row gram comprehension over
+    # the tokens artifact + one uniform gram-key count — linear by the
+    # same argument as the LSH path, shown rather than asserted
+    "dedup_common_passages",
+)
 
 
 def main() -> None:
