@@ -78,12 +78,14 @@ def main() -> None:
     # 5. decontamination: train docs sharing 3-shingles with eval docs.
     contaminated = q("text_decontaminate").select("doc_id").distinct()
 
-    kept = (
-        quality_ids.join(exact_losers, "doc_id", "left_anti")
-        .join(near_dup_losers, "doc_id", "left_anti")
-        .join(boilerplate_losers, "doc_id", "left_anti")
-        .join(contaminated, "doc_id", "left_anti")
-    )
+    # Sequential funnel: each stage's count is the SURVIVORS after that
+    # stage, so the numbers reconcile top to bottom (a doc dropped by
+    # two stages is only counted against the first that removed it).
+    s1 = quality_ids
+    s2 = s1.join(exact_losers, "doc_id", "left_anti")
+    s3 = s2.join(near_dup_losers, "doc_id", "left_anti")
+    s4 = s3.join(boilerplate_losers, "doc_id", "left_anti")
+    kept = s4.join(contaminated, "doc_id", "left_anti")
 
     # 6. stable split assignment for the kept docs — the engine's
     #    SPLIT_PCT thresholds, so assignments agree with
@@ -111,9 +113,11 @@ def main() -> None:
 
     summary = {
         "docs_in": n0,
-        "after_quality": quality_ids.count(),
-        "boilerplate_dropped": boilerplate_losers.count(),
-        "kept_after_dedup_and_decontam": kept.count(),
+        "after_quality": s1.count(),
+        "after_exact_dedup": s2.count(),
+        "after_near_dedup": s3.count(),
+        "after_boilerplate": s4.count(),
+        "kept_after_decontam": kept.count(),
         "splits": {
             r["split"]: r["n"]
             for r in split.groupBy("split")

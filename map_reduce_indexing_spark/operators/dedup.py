@@ -115,14 +115,20 @@ def shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gram_rows(spark, sf_dir, SHINGLE_K, distinct=True, out_col="s")
 
 
-def duck_shingles(tokens: str) -> str:
-    k = SHINGLE_K
+def duck_k_grams(tokens: str, k: int) -> str:
+    """DuckDB list of in-order word k-grams of `tokens` (short-list
+    guarded) — the single source for every oracle's gram construction
+    (shingles, passage grams, textstats' bigrams/trigrams)."""
     parts = " || ' ' || ".join(f"{tokens}[i + {j}]" for j in range(k))
     return (
         f"CASE WHEN len({tokens}) >= {k} THEN "
         f"list_transform(range(1, len({tokens}) - {k - 2}), i -> {parts}) "
         f"ELSE [] END"
     )
+
+
+def duck_shingles(tokens: str) -> str:
+    return duck_k_grams(tokens, SHINGLE_K)
 
 
 def spark_hash(expr: str) -> str:
@@ -1031,13 +1037,7 @@ PASSAGE_TOP = 100
 
 
 def _duck_passage_grams(tokens: str) -> str:
-    k = PASSAGE_K
-    parts = " || ' ' || ".join(f"{tokens}[i + {j}]" for j in range(k))
-    return (
-        f"CASE WHEN len({tokens}) >= {k} THEN "
-        f"list_transform(range(1, len({tokens}) - {k - 2}), i -> {parts}) "
-        f"ELSE [] END"
-    )
+    return duck_k_grams(tokens, PASSAGE_K)
 
 
 DUCK_PASSAGE_GRAMS = f"""
@@ -1120,6 +1120,8 @@ def q_dedup_common_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     "passages; here it flows through the shuffled equi-join.",
 )
 def q_dedup_boilerplate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tokens import gram_expr, tokenized_docs
+
     g = _passage_grams(spark, sf_dir)
     common = (
         g.groupBy("g")
@@ -1132,7 +1134,21 @@ def q_dedup_boilerplate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    totals = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    # Per-doc totals are a PER-ROW size of the distinct gram array —
+    # zero exchange, zero explode (the same map-only pattern as
+    # text_repetition) — not a third explode + doc_id shuffle. Docs
+    # with no grams (< PASSAGE_K tokens) are excluded, matching the
+    # oracle, whose per_doc CTE only sees docs with gram rows.
+    totals = (
+        tokenized_docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr(f"size(array_distinct({gram_expr(PASSAGE_K)}))")
+            .cast("long")
+            .alias("n_grams"),
+        )
+        .filter(F.col("n_grams") > 0)
+    )
     return (
         totals.join(n_common, "doc_id", "left")
         .select(

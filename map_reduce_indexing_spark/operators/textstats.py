@@ -19,6 +19,7 @@ from ..sources.tables import load_table
 from .dedup import (
     DUCK_TOKENS_LIST,
     SHINGLE_K,
+    duck_k_grams,
     duck_shingles,
     shingle_rows,
 )
@@ -305,14 +306,9 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_k_grams(tokens: str, k: int) -> str:
-    """DuckDB list of (non-distinct) word k-grams, in order."""
-    parts = " || ' ' || ".join(f"{tokens}[i + {j}]" for j in range(k))
-    return (
-        f"CASE WHEN len({tokens}) >= {k} THEN "
-        f"list_transform(range(1, len({tokens}) - {k - 2}), i -> {parts}) "
-        f"ELSE [] END"
-    )
+# DuckDB k-gram construction: single shared source in dedup.duck_k_grams
+# (drift between the three former copies would silently skew oracles).
+_duck_k_grams = duck_k_grams
 
 
 def _gram_occurrences(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
