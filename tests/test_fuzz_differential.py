@@ -660,3 +660,66 @@ def test_random_join_pipeline_matches_duckdb(spark, duck, spec):
     assert_df_matches_oracle(
         out, duck, _render_join_sql(how, li_preds, o_preds, keys, aggs)
     )
+
+
+# ---------------------------------------------------------------------------
+# HAVING + conditional-aggregate fuzz: filter -> groupBy -> agg ->
+# HAVING on an aggregate, with a CASE-WHEN conditional sum alongside
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def having_pipelines(draw):
+    """Random (table, preds, key, cond-pred, int col, having threshold):
+    SELECT key, COUNT(*) n, SUM(CASE WHEN cond THEN c ELSE 0 END) cs
+    ... GROUP BY key HAVING COUNT(*) > t — the post-aggregation filter
+    path (Catalyst rewrites HAVING into a Filter above Aggregate) and
+    the conditional-aggregation path, neither covered by the plain
+    pipeline family."""
+    table = draw(st.sampled_from(sorted(TABLES)))
+    spec = TABLES[table]
+    preds = _draw_preds(draw, table, draw(st.integers(0, 1)))
+    key = draw(st.sampled_from(spec["cat"]))
+    cond = _draw_preds(draw, table, 1)[0]
+    col = draw(st.sampled_from(spec["int"]))
+    t = draw(st.integers(0, 50))
+    return table, tuple(preds), key, cond, col, t
+
+
+def _render_having_sql(table, preds, key, cond, col, t) -> str:
+    where = " AND ".join(p.sql.replace("/*ts*/", "") for p in preds) or "TRUE"
+    cond_sql = cond.sql.replace("/*ts*/", "")
+    return (
+        f"SELECT {key}, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM(CASE WHEN {cond_sql} THEN {col} ELSE 0 END) AS BIGINT) AS cs "
+        f"FROM {table} WHERE {where} GROUP BY {key} HAVING COUNT(*) > {t}"
+    )
+
+
+@settings(
+    max_examples=max(40, MAX_EXAMPLES // 4),
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(spec=having_pipelines())
+def test_random_having_matches_duckdb(spark, duck, spec):
+    table, preds, key, cond, col, t = spec
+    df = load_table(spark, SF_DIR, table)
+    for p in preds:
+        df = df.filter(p.spark())
+    out = (
+        df.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(cond.spark(), F.col(col)).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("cs"),
+        )
+        .filter(F.col("n") > t)
+    )
+    assert_df_matches_oracle(
+        out, duck, _render_having_sql(table, preds, key, cond, col, t)
+    )
