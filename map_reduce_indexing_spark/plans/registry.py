@@ -104,7 +104,7 @@ PRIORITY_WINDOW = [
     "dedup_exact_kept",
     "dedup_fuzzy_names",
     "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
+    "dedup_common_passages",  # r7 second batch: substring-level dedup had never been external; dedup_minhash_lsh_pairs retired — banding stays external via dedup_lsh_recall_eval (same candidate code path) and dedup_clusters (consumes lsh_pairs end-to-end)
     "dedup_lsh_recall_eval",
     "dedup_simhash",
     "dedup_embedding_pairs",

@@ -123,7 +123,10 @@ def test_window_exercises_round7_rotation():
         assert q.export and q.oracle is not None
     assert {"search_term_lookup", "search_topk_per_term"} <= w
     assert {"rel_anomaly_daily", "rel_sessionize"} <= w
-    assert {"dedup_lsh_recall_eval", "dedup_minhash_lsh_pairs"} <= w
+    # (dedup_minhash_lsh_pairs was itself rotated out in the second r7
+    # batch — the banding family's representative is now the recall
+    # eval; see test_window_exercises_round7_second_batch)
+    assert "dedup_lsh_recall_eval" in w
     assert {"text_quality", "text_token_counts"} <= w
 
 
@@ -150,3 +153,17 @@ def test_unexported_variants_still_resolvable_for_tests():
         assert q.export is False
         assert q.oracle is not None
         assert name not in entrymod.queries()
+
+
+def test_window_exercises_round7_second_batch():
+    """Round-7 second batch: the new substring-dedup class gets a
+    driver row; the retired LSH-candidate row's banding stays external
+    via the recall eval (which generates candidates through the same
+    lsh_candidate_pairs code path) and via dedup_clusters (which
+    consumes q_dedup_minhash_lsh_pairs end-to-end)."""
+    w = set(PRIORITY_WINDOW)
+    assert "dedup_common_passages" in w
+    assert "dedup_minhash_lsh_pairs" not in w
+    q = registry.get("dedup_minhash_lsh_pairs")
+    assert q.export and q.oracle is not None
+    assert {"dedup_minhash_signatures", "dedup_lsh_recall_eval", "dedup_clusters"} <= w
