@@ -994,3 +994,97 @@ def q_text_pmi_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("d_pair"), "w1", "w2")
         .limit(PMI_TOP_K)
     )
+
+
+PRUNED_VOCAB_V = 500  # serving-tier model size (tiny here; ~100k real)
+
+
+@register(
+    "text_lm_score_pruned",
+    export=False,  # pytest + sweep-verified serving-path variant
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {DUCK_TOKENS_LIST} AS t FROM documents),
+        vocab AS (
+            SELECT g AS w, c AS cw FROM (
+                SELECT g, c FROM (
+                    SELECT g, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM (SELECT unnest(t) AS g FROM toks) GROUP BY g)
+                ORDER BY c DESC, g LIMIT {PRUNED_VOCAB_V})),
+        bgc AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS cg
+            FROM (SELECT unnest({_duck_k_grams('t', 2)}) AS g FROM toks)
+            GROUP BY g),
+        model_bg AS (
+            SELECT bgc.g, bgc.cg FROM bgc
+            JOIN vocab v1 ON string_split(bgc.g, ' ')[1] = v1.w
+            JOIN vocab v2 ON string_split(bgc.g, ' ')[2] = v2.w),
+        bg AS (SELECT doc_id, g, string_split(g, ' ')[1] AS w1,
+                      string_split(g, ' ')[2] AS w2
+               FROM (SELECT doc_id, unnest({_duck_k_grams('t', 2)}) AS g FROM toks))
+        SELECT bg.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_scored,
+               ROUND(CAST(SUM(CAST(
+                   ln(CAST(COALESCE(mb.cg, 0) + 1 AS DOUBLE)
+                      / CAST(v1.cw + {PRUNED_VOCAB_V} AS DOUBLE))
+                   AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+        FROM bg
+        JOIN vocab v1 ON bg.w1 = v1.w
+        JOIN vocab v2 ON bg.w2 = v2.w
+        LEFT JOIN model_bg mb ON bg.g = mb.g
+        GROUP BY bg.doc_id
+    """,
+    tier="llm",
+    doc=f"The 100-TB SERVING form of text_lm_score, as code instead of a "
+    "docstring claim: prune the model to the top "
+    f"{PRUNED_VOCAB_V} unigrams (count-desc, word-asc — a total order, "
+    "so the prune boundary is deterministic) plus the bigrams whose "
+    "both words survive (at most V^2 rows, broadcastable at ANY corpus "
+    "size), then score each doc's in-vocab bigrams against the "
+    "BROADCAST model — out-of-vocab bigrams are skipped, unseen "
+    "in-vocab pairs smooth to count 0. The scoring joins are "
+    "broadcast-hash by construction (plan-asserted: no shuffle of the "
+    "gram stream on the model side), which is the shape the full "
+    "model's shuffle join cannot keep at 100 TB.",
+)
+def q_text_lm_score_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    model = lm_counts(spark, sf_dir)
+    vocab = (
+        model.filter(F.col("k") == 1)
+        .orderBy(F.desc("c"), "g")
+        .limit(PRUNED_VOCAB_V)
+        .select(F.col("g").alias("w"), F.col("c").alias("cw"))
+    )
+    split1 = F.split("g", " ")[0]
+    split2 = F.split("g", " ")[1]
+    v1 = vocab.select(F.col("w").alias("mw1"))
+    v2 = vocab.select(F.col("w").alias("mw2"))
+    model_bg = (
+        model.filter(F.col("k") == 2)
+        .select("g", F.col("c").alias("cg"), split1.alias("bw1"), split2.alias("bw2"))
+        .join(F.broadcast(v1), F.col("bw1") == F.col("mw1"))
+        .join(F.broadcast(v2), F.col("bw2") == F.col("mw2"))
+        .select("g", "cg")
+    )
+    bg = _gram_occurrences(spark, sf_dir, 2).select(
+        "doc_id", "g", split1.alias("w1"), split2.alias("w2")
+    )
+    logp = F.expr(
+        f"CAST(ln(CAST(coalesce(cg, 0) + 1 AS DOUBLE) / CAST(cw + {PRUNED_VOCAB_V} AS DOUBLE)) AS DECIMAL(28,12))"
+    )
+    return (
+        bg.join(F.broadcast(vocab.withColumnRenamed("w", "w1")), "w1")
+        .join(
+            F.broadcast(
+                vocab.select(F.col("w").alias("w2")).select("w2")
+            ),
+            "w2",
+        )
+        .join(F.broadcast(model_bg), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.round(F.sum(logp).cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_logp"
+            ),
+        )
+    )

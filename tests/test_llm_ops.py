@@ -487,3 +487,25 @@ def test_run_stats_expr_hypothesis_random_arrays(spark):
         maxr = max(counts.values()) if counts else 0
         dup = sum(v for v in counts.values() if v > 1)
         assert got[i] == (maxr, dup), (c, got[i], (maxr, dup))
+
+
+def test_lm_score_pruned_broadcasts_the_model(spark):
+    """The serving-path contract the full scorer's docstring promises:
+    every scoring join against the pruned model must be broadcast-hash
+    — no sort-merge/shuffle join of the doc gram stream anywhere in
+    the executed plan — and the output must be sane (scored docs are a
+    subset of the full scorer's, counts positive, logp negative)."""
+    q = registry.get("text_lm_score_pruned")
+    df = q.fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    rows = df.collect()
+    assert rows
+    full_docs = {
+        r.doc_id for r in registry.get("text_lm_score").fn(spark, SF_DIR).collect()
+    }
+    for r in rows:
+        assert r.doc_id in full_docs
+        assert r.n_scored >= 1
+        assert r.avg_logp < 0.0
