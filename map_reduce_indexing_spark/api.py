@@ -255,11 +255,18 @@ class VectorStore:
 
     @classmethod
     def build(
-        cls, spark: SparkSession, vectors: DataFrame, path: str
+        cls,
+        spark: SparkSession,
+        vectors: DataFrame,
+        path: str,
+        layout: str = "lsh",
     ) -> "VectorStore":
+        """layout="lsh" partitions on the hyperplane bucket, "ivf" on
+        the nearest coarse centroid; append/compact/topk infer the
+        layout from the store's partition directories thereafter."""
         from .operators.similarity import build_vector_store
 
-        build_vector_store(spark, vectors, path)
+        build_vector_store(spark, vectors, path, layout=layout)
         return cls(spark, path)
 
     def append(self, vectors: DataFrame) -> None:

@@ -23,6 +23,8 @@ cosine values compare bit-exact against the oracle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..plans.registry import register
@@ -142,34 +144,70 @@ def ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SURVEY.md §2.12).
 
 
-def _with_bucket(vectors: DataFrame) -> DataFrame:
-    """(vec_id, v) -> + the 8-bit hyperplane bucket routing key."""
+# User-path store layouts: partition-column name -> routing expression.
+# "lsh" routes on the 8-bit hyperplane bucket, "ivf" on the nearest
+# coarse centroid; either way a lookup is one pruned partition scan and
+# the append/compact lifecycle is identical (the machinery below infers
+# the layout from the partition directories, so one code path maintains
+# both).
+_LAYOUT_COLS = {"lsh": "bucket", "ivf": "cell"}
+
+
+def _with_bucket(vectors: DataFrame, col: str = "bucket") -> DataFrame:
+    """(vec_id, v) -> + the routing key for the store layout: the
+    8-bit hyperplane bucket ("bucket") or the IVF cell ("cell")."""
+    expr = spark_lsh_bucket("v") if col == "bucket" else spark_ivf_cell("v")
     return vectors.select("vec_id", "v").withColumn(
-        "bucket", F.expr(spark_lsh_bucket("v"))
+        col, F.expr(expr).cast("long")
     )
 
 
-def _write_vector_store(vectors: DataFrame, path: str, mode: str) -> None:
-    """Bucket-partitioned write: `repartition("bucket")` gives one
-    writer task per occupied bucket (one compact file per bucket per
-    write), `partitionBy` makes `bucket = q` a directory prune."""
+def store_layout_col(path: str) -> str:
+    """Partition column of an existing store, inferred from its
+    directories (looking through a checkpointed batch=<id> level);
+    defaults to the LSH bucket for new/empty paths."""
+    if os.path.isdir(path):
+        entries = list(os.listdir(path))
+        for e in list(entries):
+            if e.startswith("batch="):
+                entries += os.listdir(os.path.join(path, e))
+        for e in entries:
+            if e.startswith("cell="):
+                return "cell"
+            if e.startswith("bucket="):
+                return "bucket"
+    return "bucket"
+
+
+def _write_vector_store(
+    vectors: DataFrame, path: str, mode: str, col: str = "bucket"
+) -> None:
+    """Partitioned write: `repartition(col)` gives one writer task per
+    occupied partition (one compact file per partition per write),
+    `partitionBy` makes `col = q` a directory prune."""
     (
-        _with_bucket(vectors)
-        .repartition("bucket")
-        .write.partitionBy("bucket")
+        _with_bucket(vectors, col)
+        .repartition(col)
+        .write.partitionBy(col)
         .mode(mode)
         .parquet(path)
     )
 
 
-def build_vector_store(spark: SparkSession, vectors: DataFrame, path: str) -> None:
-    """Materialize a bucket-partitioned LSH vector store at a USER path
-    from any (vec_id, v array<double>) frame. Overwrites; enters the
-    writer lock so a concurrent maintainer of the same path serializes."""
+def build_vector_store(
+    spark: SparkSession, vectors: DataFrame, path: str, layout: str = "lsh"
+) -> None:
+    """Materialize a partitioned vector store at a USER path from any
+    (vec_id, v array<double>) frame — layout "lsh" (hyperplane
+    buckets) or "ivf" (coarse-centroid cells); every later append /
+    compact / topk infers the layout from the partition directories.
+    Overwrites; enters the writer lock so a concurrent maintainer of
+    the same path serializes."""
     from .indexing import index_writer_lock
 
+    col = _LAYOUT_COLS[layout]
     with index_writer_lock(path):
-        _write_vector_store(vectors, path, mode="overwrite")
+        _write_vector_store(vectors, path, mode="overwrite", col=col)
 
 
 def append_vectors(spark: SparkSession, vectors: DataFrame, path: str) -> None:
@@ -183,9 +221,9 @@ def append_vectors(spark: SparkSession, vectors: DataFrame, path: str) -> None:
     compact_vector_store's job, exactly the index's log-structured
     story. Appends are new vec_ids; re-sending an existing vec_id
     stores a second copy (dedup/upsert is a CDC-layer concern —
-    operators/cdc.py — not the store's)."""
-    import os
-
+    operators/cdc.py — not the store's). The routing key is computed
+    with the STORE's layout (inferred from its partition directories),
+    so an append can never mix bucket and cell partitions."""
     from .indexing import _recover_index_locked, index_writer_lock
 
     # Same fail-fast layout guard as the streaming ingest: a raw
@@ -205,25 +243,26 @@ def append_vectors(spark: SparkSession, vectors: DataFrame, path: str) -> None:
         )
     with index_writer_lock(path):
         _recover_index_locked(path)  # heal a crashed compactor first
-        _write_vector_store(vectors, path, mode="append")
+        _write_vector_store(vectors, path, mode="append", col=store_layout_col(path))
 
 
 def compact_vector_store(spark: SparkSession, path: str) -> None:
-    """Fold the appended partials back to one compact file per bucket:
-    read -> repartition("bucket") -> staged rewrite -> locked swap.
-    Locking/crash-safety semantics: indexing.compact_artifact (shared
-    with the count index)."""
+    """Fold the appended partials back to one compact file per
+    partition (bucket or cell — inferred): read -> repartition ->
+    staged rewrite -> locked swap. Locking/crash-safety semantics:
+    indexing.compact_artifact (shared with the count index)."""
     from .indexing import compact_artifact
 
     # drop("batch") folds a checkpointed streaming-ingest layout
     # (batch=<id>/bucket=*) into the flat form; a no-op on flat stores.
+    col = store_layout_col(path)
     compact_artifact(
         spark,
         path,
         lambda df, staging: (
             df.drop("batch")
-            .repartition("bucket")
-            .write.partitionBy("bucket")
+            .repartition(col)
+            .write.partitionBy(col)
             .mode("overwrite")
             .parquet(staging)
         ),
@@ -250,6 +289,18 @@ def lsh_bucket_of(qv: list[float]) -> int:
     return b
 
 
+def ivf_cell_of(qv: list[float]) -> int:
+    """Driver-side IVF cell of a query vector — the same surrogate
+    distance (|c|^2 - 2 v.c, first-min tie-break, 1-based) as
+    spark_ivf_cell, property-tested identical against the Spark
+    expression over the fixture vectors."""
+    dists = [
+        float(sum(x * x for x in c)) - 2.0 * sum(v * x for v, x in zip(qv, c))
+        for c in CENTROIDS
+    ]
+    return dists.index(min(dists)) + 1
+
+
 def vector_store_topk(
     spark: SparkSession,
     path: str,
@@ -262,10 +313,12 @@ def vector_store_topk(
     on `bucket`, plan-asserted in tests/test_vector_store.py), the
     probe inlined as a literal so the scan is the only job.
     `exclude_vec_id` drops the probe's own row BEFORE the top-k cut
-    (a self-match at cosine 1.0 would otherwise consume a slot)."""
-    df = read_vector_store(spark, path).filter(
-        F.col("bucket") == lsh_bucket_of(qv)
-    )
+    (a self-match at cosine 1.0 would otherwise consume a slot). The
+    probe partition is computed with the store's inferred layout (LSH
+    bucket or IVF cell), driver-side either way."""
+    col = store_layout_col(path)
+    probe = lsh_bucket_of(qv) if col == "bucket" else ivf_cell_of(qv)
+    df = read_vector_store(spark, path).filter(F.col(col) == probe)
     if exclude_vec_id is not None:
         df = df.filter(F.col("vec_id") != exclude_vec_id)
     return (

@@ -262,3 +262,57 @@ def test_batch_append_refuses_checkpointed_layout(spark, tmp_path):
     compact_vector_store(spark, store)
     append_vectors(spark, _vectors(spark, 100, 120), store)
     assert read_vector_store(spark, store).count() == src.count() + 20
+
+
+def test_ivf_cell_of_matches_spark_expr(spark):
+    """Driver-side IVF probe routing must agree with the Spark
+    expression on every fixture vector (same surrogate distance, same
+    first-min tie-break, same 1-based indexing)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_indexing_spark.operators.similarity import (
+        ivf_cell_of,
+        spark_ivf_cell,
+    )
+
+    rows = (
+        _vectors(spark, 0, 300)
+        .withColumn("cell", F.expr(spark_ivf_cell("v")).cast("long"))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert ivf_cell_of(list(r.v)) == r.cell, r.vec_id
+
+
+def test_ivf_layout_lifecycle(spark, tmp_path):
+    """The full build/append/compact/topk lifecycle on the IVF layout:
+    layout inferred from the cell=* directories, appended vectors
+    immediately visible through a still-pruned cell scan, compaction
+    folds files with answers unchanged."""
+    from map_reduce_indexing_spark.api import VectorStore
+    from map_reduce_indexing_spark.operators.similarity import (
+        ivf_cell_of,
+        store_layout_col,
+    )
+
+    path = str(tmp_path / "ivf_store")
+    vs = VectorStore.build(spark, _vectors(spark, 0, 200), path, layout="ivf")
+    assert store_layout_col(path) == "cell"
+    qv = [float(x) for x in _vectors(spark, 0, 1).head().v]
+
+    top0 = [(r.vec_id, round(r.cosine, 9)) for r in vs.topk(qv, k=5).collect()]
+    assert len(top0) == 5
+    # the probe's own cell is the one scanned: plan prunes on cell
+    plan = vs.topk(qv, k=5)._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1][:200]
+    assert "cell" in pf and f"= {ivf_cell_of(qv)})" in pf, pf
+
+    vs.append(_vectors(spark, 200, 260))
+    n = vs.vectors().count()
+    assert n == 260
+    vs.compact()
+    assert vs.vectors().count() == 260
+    top1 = [(r.vec_id, round(r.cosine, 9)) for r in vs.topk(qv, k=5).collect()]
+    # compaction must not change answers; appends may only improve them
+    assert len(top1) == 5
