@@ -781,11 +781,17 @@ def incremental_vector_append(
     the extra batch level); `compact_vector_store` folds either into
     the flat one-file-per-bucket form."""
     from ..operators.indexing import _recover_index_locked, index_writer_lock
-    from ..operators.similarity import _with_bucket, append_vectors
+    from ..operators.similarity import (
+        _with_bucket,
+        append_vectors,
+        store_layout_col,
+    )
     from ..schemas import EMBEDDING
 
     if os.path.isdir(store_path):
-        has_flat = any(e.startswith("bucket=") for e in os.listdir(store_path))
+        has_flat = any(
+            e.startswith(("bucket=", "cell=")) for e in os.listdir(store_path)
+        )
         if checkpoint is not None and has_flat:
             raise ValueError(
                 f"{store_path!r} holds a flat bucket=* store (raw-append "
@@ -808,12 +814,17 @@ def incremental_vector_append(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
 
+    # Routing key follows the STORE's layout (LSH bucket for a fresh
+    # path) — a checkpointed ingest into an IVF-cell store must write
+    # cell partitions, not mix bucket=* under its batch=<id> level.
+    layout_col = store_layout_col(store_path)
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if checkpoint is not None:
-            bucketed = _with_bucket(batch_df).repartition("bucket")
+            bucketed = _with_bucket(batch_df, layout_col).repartition(layout_col)
             with index_writer_lock(store_path):
                 _recover_index_locked(store_path)
-                bucketed.write.mode("overwrite").partitionBy("bucket").parquet(
+                bucketed.write.mode("overwrite").partitionBy(layout_col).parquet(
                     os.path.join(store_path, f"batch={batch_id}")
                 )
         else:
