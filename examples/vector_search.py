@@ -57,6 +57,20 @@ def main() -> None:
         print("== same answer after compaction ==")
         vs.topk(probe, k=5).show()
         print(f"store rows: {vs.vectors().count()}")
+
+        # The same lifecycle runs on the IVF layout: partition on the
+        # nearest coarse centroid instead of the hyperplane bucket
+        # (recall/latency trade — fewer, larger cells). append/compact/
+        # topk infer the layout from the store's directories.
+        ivf = VectorStore.build(
+            spark,
+            emb.filter(F.col("vec_id") <= half),
+            os.path.join(workdir, "vectors_ivf"),
+            layout="ivf",
+        )
+        ivf.append(emb.filter(F.col("vec_id") > half))
+        print("== IVF-layout store: top-5 from one pruned cell scan ==")
+        ivf.topk(probe, k=5).show()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
