@@ -384,19 +384,40 @@ def q_search_tfidf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier="implied",
     doc="Per-doc term-frequency vector (SURVEY.md §2.4 A8), encoded as a "
     "single space-joined 'word:count' string: the driver canonicalizer "
-    "sorts raw pandas cells, so array-typed outputs are unhashable there.",
+    "sorts raw pandas cells, so array-typed outputs are unhashable "
+    "there. Shape: a doc's terms all live in one tokens-artifact row, "
+    "so the vector is a per-row sorted run-length fold — zero Exchange, "
+    "zero Generate (plan-pinned). The former form scanned the ENTIRE "
+    "term-partitioned index and shuffled it on doc_id to reassemble "
+    "rows the artifact already holds; at index scale that read every "
+    "letter partition for a 50-doc answer.",
 )
 def q_search_doc_tf_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tokens import tokenized_docs
+
+    # run-length fold over the sorted token array: emits word:count in
+    # word order (identical to the oracle's ORDER BY word — ':' sorts
+    # below [a-z], so prefix words order the same either way).
+    fold = """
+    concat_ws(' ',
+      aggregate(
+        array_sort(ws),
+        named_struct('prev', '', 'cnt', 0L, 'out', CAST(array() AS array<string>)),
+        (acc, x) -> IF(x = acc.prev,
+            named_struct('prev', acc.prev, 'cnt', acc.cnt + 1L, 'out', acc.out),
+            named_struct('prev', x, 'cnt', 1L,
+                'out', IF(acc.cnt > 0L,
+                          concat(acc.out, array(concat(acc.prev, ':', acc.cnt))),
+                          acc.out))),
+        acc -> IF(acc.cnt > 0L,
+                  concat(acc.out, array(concat(acc.prev, ':', acc.cnt))),
+                  acc.out)
+      ))
+    """
     return (
-        indexed_postings(spark, sf_dir)
-        .filter(F.col("doc_id") < 50)
-        .groupBy("doc_id")
-        .agg(
-            F.concat_ws(
-                " ",
-                F.sort_array(F.collect_list(F.concat_ws(":", "word", "cnt"))),
-            ).alias("tf")
-        )
+        tokenized_docs(spark, sf_dir)
+        .filter((F.col("doc_id") < 50) & (F.col("n_norm_tokens") > 0))
+        .select("doc_id", F.expr(fold).alias("tf"))
     )
 
 

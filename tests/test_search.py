@@ -81,3 +81,19 @@ def test_entry_smoke(spark):
     # every registered oracle belongs to a registered query
     qs, os_ = mod.queries(), mod.oracle_sql()
     assert set(os_) <= set(qs)
+
+
+def test_doc_tf_vector_is_map_only(spark):
+    """The per-doc TF vector is a per-row sorted run-length fold over
+    the tokens artifact: zero Exchange, zero Generate — the former
+    shape scanned the whole term-partitioned index and shuffled it on
+    doc_id for a 50-doc answer."""
+    plan = (
+        registry.get("search_doc_tf_vector")
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
