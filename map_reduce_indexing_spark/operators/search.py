@@ -395,30 +395,33 @@ def q_search_tfidf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_search_doc_tf_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .tokens import tokenized_docs
 
-    # run-length fold over the sorted token array: emits word:count in
+    # Linear run-length over the sorted token array, in stacked
+    # projections (multi-references keep CollapseProject from inlining
+    # the non-cheap arrays): `ends` holds each run's last index, so run
+    # j's count is ends[j] - ends[j-1] — O(1) element accesses per run,
+    # unlike an aggregate() fold that concat-copies its accumulator
+    # array per distinct word (O(d^2) per doc). Emits word:count in
     # word order (identical to the oracle's ORDER BY word — ':' sorts
-    # below [a-z], so prefix words order the same either way).
-    fold = """
-    concat_ws(' ',
-      aggregate(
-        array_sort(ws),
-        named_struct('prev', '', 'cnt', 0L, 'out', CAST(array() AS array<string>)),
-        (acc, x) -> IF(x = acc.prev,
-            named_struct('prev', acc.prev, 'cnt', acc.cnt + 1L, 'out', acc.out),
-            named_struct('prev', x, 'cnt', 1L,
-                'out', IF(acc.cnt > 0L,
-                          concat(acc.out, array(concat(acc.prev, ':', acc.cnt))),
-                          acc.out))),
-        acc -> IF(acc.cnt > 0L,
-                  concat(acc.out, array(concat(acc.prev, ':', acc.cnt))),
-                  acc.out)
-      ))
-    """
-    return (
+    # below [a-z], so prefix words order the same either way). The
+    # n_norm_tokens > 0 filter both matches the oracle (no postings ->
+    # no row) and guards sequence(), which DESCENDS for empty arrays.
+    sorted_tokens = (
         tokenized_docs(spark, sf_dir)
         .filter((F.col("doc_id") < 50) & (F.col("n_norm_tokens") > 0))
-        .select("doc_id", F.expr(fold).alias("tf"))
+        .select("doc_id", F.expr("array_sort(ws)").alias("s"))
     )
+    runs = sorted_tokens.select(
+        "doc_id",
+        "s",
+        F.expr(
+            "filter(sequence(0, size(s) - 1), i -> i = size(s) - 1 OR s[i] != s[i + 1])"
+        ).alias("ends"),
+    )
+    tf = (
+        "concat_ws(' ', transform(ends, (e, j) -> concat(s[e], ':', "
+        "CAST(e - IF(j = 0, -1L, ends[j - 1]) AS STRING))))"
+    )
+    return runs.select("doc_id", F.expr(tf).alias("tf"))
 
 
 # BM25 constants (Robertson/Spärck Jones defaults)

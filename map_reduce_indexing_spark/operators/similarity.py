@@ -205,6 +205,11 @@ def build_vector_store(
     the same path serializes."""
     from .indexing import index_writer_lock
 
+    if layout not in _LAYOUT_COLS:
+        raise ValueError(
+            f"unknown vector-store layout {layout!r}; "
+            f"expected one of {sorted(_LAYOUT_COLS)}"
+        )
     col = _LAYOUT_COLS[layout]
     with index_writer_lock(path):
         _write_vector_store(vectors, path, mode="overwrite", col=col)
@@ -226,23 +231,26 @@ def append_vectors(spark: SparkSession, vectors: DataFrame, path: str) -> None:
     so an append can never mix bucket and cell partitions."""
     from .indexing import _recover_index_locked, index_writer_lock
 
-    # Same fail-fast layout guard as the streaming ingest: a raw
-    # top-level bucket=* append beside a checkpointed batch=<id>/bucket=*
-    # store makes Spark's partition discovery raise "conflicting
-    # directory structures" on every subsequent read — and compaction
-    # (which must read first) cannot heal it. Refuse instead.
-    if os.path.isdir(path) and any(
-        e.startswith("batch=") for e in os.listdir(path)
-    ):
-        raise ValueError(
-            f"{path!r} holds a checkpointed batch=<id> store; a raw "
-            "bucket=* append would corrupt its partition discovery. "
-            "Run compact_vector_store first (it folds the batched "
-            "layout flat), or keep appending through the checkpointed "
-            "streaming ingest."
-        )
     with index_writer_lock(path):
         _recover_index_locked(path)  # heal a crashed compactor first
+        # Fail-fast layout guard, same as the streaming ingest: a raw
+        # top-level bucket=* append beside a checkpointed
+        # batch=<id>/bucket=* store makes Spark's partition discovery
+        # raise "conflicting directory structures" on every subsequent
+        # read — and compaction (which must read first) cannot heal it.
+        # Checked AFTER recovery, under the lock: a store stranded
+        # mid-compaction looks like an empty path until healed, which
+        # would silently bypass this guard (and default the layout).
+        if os.path.isdir(path) and any(
+            e.startswith("batch=") for e in os.listdir(path)
+        ):
+            raise ValueError(
+                f"{path!r} holds a checkpointed batch=<id> store; a raw "
+                "append would corrupt its partition discovery. "
+                "Run compact_vector_store first (it folds the batched "
+                "layout flat), or keep appending through the checkpointed "
+                "streaming ingest."
+            )
         _write_vector_store(vectors, path, mode="append", col=store_layout_col(path))
 
 
@@ -255,14 +263,16 @@ def compact_vector_store(spark: SparkSession, path: str) -> None:
 
     # drop("batch") folds a checkpointed streaming-ingest layout
     # (batch=<id>/bucket=*) into the flat form; a no-op on flat stores.
-    col = store_layout_col(path)
+    # The layout column comes from the frame compact_artifact hands us
+    # AFTER taking the lock and healing — directory sniffing here would
+    # misread a store stranded mid-swap (path briefly missing).
     compact_artifact(
         spark,
         path,
         lambda df, staging: (
             df.drop("batch")
-            .repartition(col)
-            .write.partitionBy(col)
+            .repartition("cell" if "cell" in df.columns else "bucket")
+            .write.partitionBy("cell" if "cell" in df.columns else "bucket")
             .mode("overwrite")
             .parquet(staging)
         ),
@@ -314,11 +324,14 @@ def vector_store_topk(
     probe inlined as a literal so the scan is the only job.
     `exclude_vec_id` drops the probe's own row BEFORE the top-k cut
     (a self-match at cosine 1.0 would otherwise consume a slot). The
-    probe partition is computed with the store's inferred layout (LSH
-    bucket or IVF cell), driver-side either way."""
-    col = store_layout_col(path)
+    probe partition is computed with the store's layout (LSH bucket or
+    IVF cell), driver-side either way — taken from the HEALED read's
+    schema, not a directory listing, so a lookup racing (or following)
+    a crashed compactor still routes correctly."""
+    store = read_vector_store(spark, path)
+    col = "cell" if "cell" in store.columns else "bucket"
     probe = lsh_bucket_of(qv) if col == "bucket" else ivf_cell_of(qv)
-    df = read_vector_store(spark, path).filter(F.col(col) == probe)
+    df = store.filter(F.col(col) == probe)
     if exclude_vec_id is not None:
         df = df.filter(F.col("vec_id") != exclude_vec_id)
     return (

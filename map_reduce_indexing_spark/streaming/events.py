@@ -780,7 +780,11 @@ def incremental_vector_append(
     Lookups prune on `bucket` in either layout (Hive discovery handles
     the extra batch level); `compact_vector_store` folds either into
     the flat one-file-per-bucket form."""
-    from ..operators.indexing import _recover_index_locked, index_writer_lock
+    from ..operators.indexing import (
+        _recover_index_locked,
+        index_writer_lock,
+        recover_index,
+    )
     from ..operators.similarity import (
         _with_bucket,
         append_vectors,
@@ -788,16 +792,20 @@ def incremental_vector_append(
     )
     from ..schemas import EMBEDDING
 
+    # Heal a crash-stranded store BEFORE sniffing its layout: a store
+    # caught between a compactor's two renames looks like an empty path,
+    # which would silently bypass both guards and default the layout.
+    recover_index(store_path)
     if os.path.isdir(store_path):
         has_flat = any(
             e.startswith(("bucket=", "cell=")) for e in os.listdir(store_path)
         )
         if checkpoint is not None and has_flat:
             raise ValueError(
-                f"{store_path!r} holds a flat bucket=* store (raw-append "
-                "or compacted layout); resuming it checkpointed would "
-                "write the incompatible batch=<id>/bucket=* layout beside "
-                "it. Use a fresh store path."
+                f"{store_path!r} holds a flat bucket=*/cell=* store "
+                "(raw-append or compacted layout); resuming it "
+                "checkpointed would write the incompatible "
+                "batch=<id> layout beside it. Use a fresh store path."
             )
         has_batched = any(e.startswith("batch=") for e in os.listdir(store_path))
         if checkpoint is None and has_batched:

@@ -356,3 +356,51 @@ def test_streaming_ingest_follows_ivf_layout(spark, tmp_path):
         spark, staging, store2, checkpoint=str(tmp_path / "ckpt2"), glob="*.parquet"
     )
     assert store_layout_col(store2) == "bucket"
+
+
+def test_stranded_store_still_enforces_layout_guards(spark, tmp_path):
+    """The review-caught crash window: a store stranded between a
+    compactor's two renames looks like an EMPTY path, which must not
+    bypass the layout guards or default the layout. A raw append onto
+    a stranded checkpointed store heals it first and then refuses; a
+    topk on a stranded IVF store heals and routes by cell."""
+    from map_reduce_indexing_spark.operators.similarity import (
+        append_vectors,
+        ivf_cell_of,
+        vector_store_topk,
+    )
+    from map_reduce_indexing_spark.streaming.events import (
+        incremental_vector_append,
+    )
+
+    # stranded checkpointed store -> raw append refused AFTER healing
+    staging = str(tmp_path / "staging")
+    store = str(tmp_path / "store")
+    load_table(spark, SF_DIR, "embeddings").filter(
+        F.col("vec_id") < 50
+    ).write.parquet(staging)
+    incremental_vector_append(
+        spark, staging, store, checkpoint=str(tmp_path / "ckpt"), glob="*.parquet"
+    )
+    os.replace(store, store + ".old")  # simulate the mid-swap crash
+    with pytest.raises(ValueError, match="batch="):
+        append_vectors(spark, _vectors(spark, 50, 60), store)
+    assert os.path.isdir(store)  # the refused append still healed it
+
+    # stranded IVF store -> lookup heals and prunes on cell
+    store2 = str(tmp_path / "ivf")
+    VectorStore.build(spark, _vectors(spark, 0, 100), store2, layout="ivf")
+    os.replace(store2, store2 + ".old")
+    qv = _probe(spark)
+    got = vector_store_topk(spark, store2, qv, k=3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    assert got.count() <= 3
+    assert ivf_cell_of(qv) >= 1
+
+
+def test_build_rejects_unknown_layout(spark, tmp_path):
+    with pytest.raises(ValueError, match="lsh"):
+        VectorStore.build(
+            spark, _vectors(spark, 0, 10), str(tmp_path / "x"), layout="IVF"
+        )
