@@ -1118,3 +1118,216 @@ def q_ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained coarse quantizer: Lloyd's k-means over the embedding table
+# ---------------------------------------------------------------------------
+
+# The IVF tier above quantizes against PINNED centroids (the honest
+# stand-in for a trained model, like multimodal_embed's pinned
+# projection). This section trains the quantizer for real: k-means with
+# deterministic init (the pinned centroids), a fixed iteration count,
+# and exact-decimal per-dimension means so Spark and the DuckDB oracle
+# derive bit-identical centroids. Reference analogue: the build-then-
+# query artifact lifecycle (helper_reduce.c:238-257) — train once,
+# serve many — applied to the vector tier's model instead of its data.
+#
+# Iterative-refinement topology (the same class as connected
+# components in dedup.py): each Lloyd round is
+#   assign:  map-only argmin over k inlined centroid literals
+#            (no join — the model rides the expression, k*dim doubles)
+#   update:  one hash aggregation emitting 64 decimal column-sums +
+#            a count per cluster; map-side partial agg means the
+#            shuffle carries k rows per partition, never vectors
+#   fetch:   collect() of <= k rows — the bounded model fetch, same
+#            declared pattern as the ANN probe fetch (similarity.py
+#            _probe_row); the new model is re-inlined as literals.
+# At 100 TB the per-round cost is one columnar scan + a k-row shuffle;
+# for k*dim too large to inline (say k > 10^4) the assign step would
+# switch to a broadcast centroid table + applyInPandas argmin — noted,
+# not needed at IVF coarse-quantizer scale (k = tens to hundreds).
+#
+# Determinism contract (why means go through DECIMAL(38,12)):
+# per-dimension sums are order-dependent in double but EXACT in
+# decimal, so both engines see the identical sum regardless of
+# partitioning; float(sum)/n then round(.., 9) operates on the same
+# IEEE double on both sides. 9dp-rounded centroids re-enter both
+# engines as fixed-point literals (%.9f), which parse identically.
+
+KMEANS_K = N_CENTROIDS
+KMEANS_ITERS = 3
+KMEANS_ROUND = 9  # centroid decimals: exact %.9f literals both engines
+_KM_DEC = "decimal(38,12)"
+
+
+def _arrf_spark(c: list[float]) -> str:
+    return "array(" + ", ".join(f"{x:.9f}d" for x in c) + ")"
+
+
+def _arrf_duck(c: list[float]) -> str:
+    return "[" + ", ".join(f"{x:.9f}" for x in c) + "]::DOUBLE[]"
+
+
+def _spark_nearest(vec: str, cents: list[list[float]]) -> str:
+    """1-based argmin cluster over inlined centroids; |c|^2 precomputed
+    in Python (exact for the %.9f-parsed doubles both engines hold)."""
+    dists = ", ".join(
+        f"(cast('{sum(x * x for x in c)!r}' as double)"
+        f" - 2.0d * {SPARK_DOT.format(a=vec, b=_arrf_spark(c))})"
+        for c in cents
+    )
+    return f"array_position(array({dists}), array_min(array({dists})))"
+
+
+def _spark_d2min(vec: str, cents: list[list[float]]) -> str:
+    """Squared distance to the nearest centroid (adds the common |v|^2
+    back onto the argmin surrogate)."""
+    dists = ", ".join(
+        f"(cast('{sum(x * x for x in c)!r}' as double)"
+        f" - 2.0d * {SPARK_DOT.format(a=vec, b=_arrf_spark(c))})"
+        for c in cents
+    )
+    return f"({SPARK_DOT.format(a=vec, b=vec)} + array_min(array({dists})))"
+
+
+def _init_centroids() -> list[list[float]]:
+    return [[float(x) for x in c] for c in CENTROIDS]
+
+
+def train_kmeans(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """KMEANS_ITERS Lloyd rounds; returns the trained centroid lists
+    (9dp-rounded doubles). Empty clusters keep their previous centroid
+    (standard Lloyd; mirrored by the oracle's LEFT JOIN COALESCE)."""
+    vecs = embeddings_double(spark, sf_dir).select("vec_id", "v")
+    cents = _init_centroids()
+    for _ in range(KMEANS_ITERS):
+        assigned = vecs.withColumn(
+            "cluster", F.expr(_spark_nearest("v", cents)).cast("long")
+        )
+        stats = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.col("v")[d].cast(_KM_DEC)).alias(f"s{d}")
+                for d in range(DIM)
+            ],
+        )
+        new = list(cents)
+        for r in stats.collect():  # <= k rows: the bounded model fetch
+            new[int(r["cluster"]) - 1] = [
+                round(float(r[f"s{d}"]) / r["n"], KMEANS_ROUND)
+                for d in range(DIM)
+            ]
+        cents = new
+    return cents
+
+
+def _duck_kmeans_ctes() -> str:
+    """Unrolled Lloyd rounds as DuckDB CTEs: cross-join argmin via
+    ROW_NUMBER (ties -> lowest cluster, matching array_position), then
+    per-dimension DECIMAL(38,12) means reassembled with
+    list(mu ORDER BY d)."""
+    init = ", ".join(
+        f"({j + 1}, {_arrf_duck(c)})" for j, c in enumerate(_init_centroids())
+    )
+    parts = [
+        f"e AS (SELECT vec_id, v FROM ({DUCK_EMB}))",
+        f"c0(cluster, c) AS (VALUES {init})",
+    ]
+    for it in range(KMEANS_ITERS):
+        p, nxt = f"c{it}", f"c{it + 1}"
+        parts.append(
+            f"""a{it} AS (
+            SELECT vec_id, v, cluster FROM (
+                SELECT e.vec_id, e.v, {p}.cluster,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_dot_product({p}.c, {p}.c)
+                           - 2 * list_dot_product(e.v, {p}.c),
+                           {p}.cluster) AS rn
+                FROM e CROSS JOIN {p}) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""m{it} AS (
+            SELECT cluster, t.d,
+                   ROUND(CAST(SUM(CAST(v[t.d] AS DECIMAL(38,12))) AS DOUBLE)
+                         / COUNT(*), {KMEANS_ROUND}) AS mu
+            FROM a{it} CROSS JOIN range(1, {DIM + 1}) t(d)
+            GROUP BY cluster, t.d)"""
+        )
+        parts.append(
+            f"""{nxt}(cluster, c) AS (
+            SELECT p.cluster, COALESCE(m.c, p.c)
+            FROM {p} p LEFT JOIN (
+                SELECT cluster, list(mu ORDER BY d) AS c
+                FROM m{it} GROUP BY cluster) m ON p.cluster = m.cluster)"""
+        )
+    return ",\n".join(parts)
+
+
+DUCK_KMEANS_ORACLE = f"""
+    WITH {_duck_kmeans_ctes()},
+    af AS (
+        SELECT vec_id, cluster, d2 FROM (
+            SELECT e.vec_id, cf.cluster,
+                   list_dot_product(e.v, e.v)
+                   + list_dot_product(cf.c, cf.c)
+                   - 2 * list_dot_product(e.v, cf.c) AS d2,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_dot_product(cf.c, cf.c)
+                       - 2 * list_dot_product(e.v, cf.c),
+                       cf.cluster) AS rn
+            FROM e CROSS JOIN c{KMEANS_ITERS} cf) WHERE rn = 1)
+    SELECT CAST(af.cluster AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(list_dot_product(cf.c, cf.c), 6) AS c_norm,
+           ROUND(SUM(af.d2), 4) + 0.0 AS inertia
+    FROM af JOIN c{KMEANS_ITERS} cf ON af.cluster = cf.cluster
+    GROUP BY af.cluster, cf.c
+"""
+
+
+@register(
+    "ann_kmeans_train",
+    oracle=DUCK_KMEANS_ORACLE,
+    tier="llm",
+    doc=f"Lloyd's k-means over the embedding table (k={KMEANS_K}, "
+    f"{KMEANS_ITERS} rounds, init = the pinned IVF centroids): the "
+    "trained coarse quantizer behind the IVF tier. Each round is a "
+    "map-only argmin assign (centroid literals inlined, no join) plus "
+    "ONE hash aggregation of per-dimension DECIMAL sums (map-side "
+    "combine -> the shuffle carries k rows per partition) and a "
+    "<= k-row model collect. Exact-decimal means keep Spark and the "
+    "unrolled-CTE DuckDB oracle bit-identical. Output: per-cluster "
+    "size, centroid norm, and inertia of the final assignment.",
+)
+def q_ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = train_kmeans(spark, sf_dir)
+    final = embeddings_double(spark, sf_dir).select(
+        F.expr(_spark_nearest("v", cents)).cast("long").alias("cluster_id"),
+        F.expr(_spark_d2min("v", cents)).alias("d2"),
+    )
+    norms = {
+        j + 1: round(sum(x * x for x in c), 6) for j, c in enumerate(cents)
+    }
+    norm_expr = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in norms]),
+            F.array(*[F.lit(v) for v in norms.values()]),
+        ),
+        F.col("cluster_id").cast("int"),
+    )
+    return (
+        final.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            # + 0.0 normalizes IEEE -0.0 (a singleton cluster's d2 to its
+            # own centroid is ~ -1e-16; both engines must hash +0.0)
+            (F.round(F.sum("d2"), 4) + F.lit(0.0)).alias("inertia"),
+        )
+        .select(
+            "cluster_id",
+            "n_points",
+            norm_expr.alias("c_norm"),
+            "inertia",
+        )
+    )
