@@ -213,6 +213,81 @@ def q_text_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SHARDS = 16
+SHUFFLE_SEED = 7
+_CKSUM_P = 1_000_000_007  # permutation-checksum modulus
+
+
+@register(
+    "text_shuffle_shards",
+    oracle=f"""
+        SELECT CAST(shard_id AS BIGINT) AS shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM((rn * doc_id) % {_CKSUM_P}) % {_CKSUM_P} AS BIGINT)
+                 AS order_checksum,
+               CAST(ARG_MIN(doc_id, h) AS BIGINT) AS first_doc_id
+        FROM (
+            SELECT shard_id, doc_id, n_chars, h,
+                   ROW_NUMBER() OVER (PARTITION BY shard_id
+                                      ORDER BY h, doc_id) AS rn
+            FROM (
+                SELECT doc_id, n_chars, h,
+                       CAST('0x' || substr(h, 1, 8) AS BIGINT)
+                         % {N_SHARDS} AS shard_id
+                FROM (
+                    SELECT doc_id, n_chars,
+                           md5(CAST(doc_id AS VARCHAR) || ':{SHUFFLE_SEED}')
+                             AS h
+                    FROM documents)))
+        GROUP BY shard_id
+    """,
+    tier="llm",
+    doc=f"Deterministic global shuffle + {N_SHARDS}-way sharding for "
+    "training export: every doc gets a pseudo-random but seed-stable "
+    f"position — shard = md5(doc_id:seed) mod {N_SHARDS}, within-shard "
+    "order = the md5 itself. Hash-based (not rand or a global sort) so "
+    "the permutation is reproducible across engines, runs, and cluster "
+    "sizes, and sharding is a plain hash partition — no global sort, "
+    "one exchange on shard_id, per-shard local sort (exactly the "
+    "shuffle-write pattern of repartition + sortWithinPartitions + "
+    "partitionBy). Output verifies the permutation itself, not just "
+    "membership: order_checksum = SUM(rank * doc_id) mod p over the "
+    "within-shard order, so a single swapped pair changes the value.",
+)
+def q_text_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(f":{SHUFFLE_SEED}")
+            )
+        ).alias("h"),
+    )
+    sharded = docs.withColumn(
+        "shard_id",
+        (F.conv(F.substring("h", 1, 8), 16, 10).cast("long") % N_SHARDS),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("shard_id").orderBy("h", "doc_id")
+    )
+    return (
+        sharded.withColumn("rn", rn.cast("long"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum((F.col("rn") * F.col("doc_id")) % _CKSUM_P) % _CKSUM_P)
+            .cast("long")
+            .alias("order_checksum"),
+            F.min_by("doc_id", "h").alias("first_doc_id"),
+        )
+    )
+
+
 @register(
     "text_fingerprint",
     oracle=f"""

@@ -509,3 +509,55 @@ def test_lm_score_pruned_broadcasts_the_model(spark):
         assert r.doc_id in full_docs
         assert r.n_scored >= 1
         assert r.avg_logp < 0.0
+
+
+def test_shuffle_shards_permutation_is_seedstable_and_complete(spark):
+    """Every doc lands in exactly one shard; the permutation checksum
+    matches an independent Python md5 model (portable-hash contract),
+    and the plan is one exchange with the aggregation riding the
+    window's shard partitioning (no second shuffle, no Generate)."""
+    import hashlib
+
+    from map_reduce_indexing_spark.operators.textstats import (
+        _CKSUM_P,
+        N_SHARDS,
+        SHUFFLE_SEED,
+        q_text_shuffle_shards,
+    )
+
+    df = q_text_shuffle_shards(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Generate" not in plan
+
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, n_chars FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    shards: dict[int, list] = {}
+    for doc_id, n_chars in docs:
+        h = hashlib.md5(f"{doc_id}:{SHUFFLE_SEED}".encode()).hexdigest()
+        shards.setdefault(int(h[:8], 16) % N_SHARDS, []).append(
+            (h, doc_id, n_chars)
+        )
+    want = {}
+    for sid, rows in shards.items():
+        rows.sort()
+        cks = 0
+        for rn, (_, doc_id, _) in enumerate(rows, start=1):
+            cks = (cks + (rn * doc_id) % _CKSUM_P) % _CKSUM_P
+        want[sid] = (
+            len(rows),
+            sum(nc for _, _, nc in rows),
+            cks,
+            rows[0][1],
+        )
+    got = {
+        r.shard_id: (r.n_docs, r.total_chars, r.order_checksum, r.first_doc_id)
+        for r in df.collect()
+    }
+    assert got == want
+    assert sum(v[0] for v in got.values()) == len(docs)  # a partition
