@@ -111,8 +111,11 @@ PRIORITY_WINDOW = [
     "dedup_clusters",
     # similarity search + accuracy eval (r6 rotation: ann_lsh_topk
     # retired in favor of the PQ compression tier — its bucket-pruning
-    # plan assertion stays in tests/test_session_index.py)
-    "ann_knn_bruteforce",
+    # plan assertion stays in tests/test_session_index.py; r7 third
+    # batch: ann_kmeans_train promoted — the trained coarse quantizer
+    # is a new algorithm class (iterative refinement); exact brute-force
+    # cosine stays external via ann_knn_batch_numpy + the recall evals)
+    "ann_kmeans_train",
     "ann_ivf_pq_topk",
     "ann_knn_batch_numpy",
     "ann_recall_eval",
@@ -128,7 +131,12 @@ PRIORITY_WINDOW = [
     # sweep, and the tier keeps two rows)
     "text_quality",
     "text_pmi_windowed",
-    "text_token_counts",
+    # r7 third batch: text_shuffle_shards promoted — the training-export
+    # permutation class had never been external; text_token_counts
+    # retired after 6 stable rounds (token counting stays covered by the
+    # tokens-artifact equivalence tests + sweep, and the tier keeps
+    # quality/pmi/shuffle_shards external)
+    "text_shuffle_shards",
     # multimodal
     "multimodal_embed",
     # streaming (r7 rotation: stream_scd2_temporal_join promoted — the

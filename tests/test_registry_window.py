@@ -91,7 +91,9 @@ def test_window_exercises_round6_rotation():
     assert {"rel_q1_pricing_summary", "rel_q5_local_supplier"} <= w  # scan+agg / multi-join
     assert {"rel_join_semi", "rel_join_anti", "rel_join_asof"} <= w  # join family
     assert {"rel_window_rank_parts", "rel_window_range_frame"} <= w  # windows
-    assert {"ann_knn_bruteforce", "ann_recall_eval"} <= w  # ann family
+    # ann family (brute-force cosine's external row is the BLAS batch
+    # form since the r7 third batch; see round7_third_batch below)
+    assert {"ann_knn_batch_numpy", "ann_recall_eval"} <= w
     assert {"stream_cdc_upsert", "stream_stateful_user_stats"} <= w  # streaming
 
 
@@ -127,7 +129,7 @@ def test_window_exercises_round7_rotation():
     # batch — the banding family's representative is now the recall
     # eval; see test_window_exercises_round7_second_batch)
     assert "dedup_lsh_recall_eval" in w
-    assert {"text_quality", "text_token_counts"} <= w
+    assert {"text_quality", "text_pmi_windowed"} <= w
 
 
 def test_every_exported_query_has_an_oracle():
@@ -167,3 +169,22 @@ def test_window_exercises_round7_second_batch():
     q = registry.get("dedup_minhash_lsh_pairs")
     assert q.export and q.oracle is not None
     assert {"dedup_minhash_signatures", "dedup_lsh_recall_eval", "dedup_clusters"} <= w
+
+
+def test_window_exercises_round7_third_batch():
+    """Round-7 third batch: the trained coarse quantizer (iterative
+    refinement — a new algorithm class for the window) and the
+    training-export permutation op go external. Each retired row stays
+    registered + oracle-backed and its family keeps representatives."""
+    w = set(PRIORITY_WINDOW)
+    assert {"ann_kmeans_train", "text_shuffle_shards"} <= w
+    retired = {
+        "ann_knn_bruteforce",  # exact cosine: ann_knn_batch_numpy + evals
+        "text_token_counts",  # token stats: artifact tests + sweep
+    }
+    assert retired.isdisjoint(w)
+    for name in retired:
+        q = registry.get(name)
+        assert q.export and q.oracle is not None
+    assert {"ann_knn_batch_numpy", "ann_recall_eval", "ann_ivf_pq_topk"} <= w
+    assert {"text_quality", "text_pmi_windowed"} <= w
