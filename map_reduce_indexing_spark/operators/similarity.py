@@ -1331,3 +1331,61 @@ def q_ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inertia",
         )
     )
+
+
+def _py_nearest(v: list[float], cents: list[list[float]]) -> int:
+    """Driver-side argmin with the SAME fold order as SPARK_DOT
+    (left-to-right) and the same Python-summed |c|^2 constants, so the
+    probe's cell matches the engine assignment bit-for-bit."""
+    dists = [
+        sum(x * x for x in c) - 2.0 * sum(a * b for a, b in zip(v, c))
+        for c in cents
+    ]
+    return dists.index(min(dists)) + 1
+
+
+@register(
+    "ann_ivf_trained_topk",
+    oracle=f"""
+        WITH {_duck_kmeans_ctes()},
+        ec AS (
+            SELECT vec_id, v, cluster AS cell FROM (
+                SELECT e.vec_id, e.v, cf.cluster,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_dot_product(cf.c, cf.c)
+                           - 2 * list_dot_product(e.v, cf.c),
+                           cf.cluster) AS rn
+                FROM e CROSS JOIN c{KMEANS_ITERS} cf) WHERE rn = 1),
+        q AS (SELECT v AS qv, cell AS qcell FROM ec
+              WHERE vec_id = {QUERY_VEC_ID})
+        SELECT vec_id, {duck_cosine('v', 'qv')} AS cosine
+        FROM ec CROSS JOIN q
+        WHERE ec.cell = q.qcell AND vec_id <> {QUERY_VEC_ID}
+        ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+    tier="llm",
+    doc="IVF top-k against the TRAINED quantizer — the train-then-serve "
+    "composition: Lloyd's rounds produce the model (ann_kmeans_train), "
+    "the probe's cell is computed driver-side from the trained "
+    "centroids (bounded 1-row fetch), and the lookup scans only that "
+    "cell's vectors. Same serving shape as ann_ivf_topk with the "
+    "learned model swapped in; at scale the assignment column is the "
+    "store's partition key (VectorStore layout='ivf' with trained "
+    "centroid literals), making this a one-partition pruned scan.",
+)
+def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = train_kmeans(spark, sf_dir)
+    qrow = _probe_row(query_vector(spark, sf_dir))
+    qcell = _py_nearest([float(x) for x in qrow.qv], cents)
+    e = embeddings_double(spark, sf_dir).select(
+        "vec_id",
+        "v",
+        F.expr(_spark_nearest("v", cents)).cast("long").alias("cell"),
+    )
+    return (
+        e.filter((F.col("cell") == qcell) & (F.col("vec_id") != QUERY_VEC_ID))
+        .withColumn("qv", _qv_literal(qrow.qv))
+        .select("vec_id", F.expr(spark_cosine("v", "qv")).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )

@@ -132,3 +132,72 @@ def test_empty_cluster_keeps_previous_centroid(spark):
     assert len(cents) == len(CENTROIDS)
     assert all(len(c) == DIM for c in cents)
     assert all(all(x == x for x in c) for c in cents)  # no NaN
+
+
+def test_training_reduces_inertia_vs_pinned_quantizer(spark):
+    """Lloyd's objective check: total inertia of the trained final
+    assignment must not exceed the inertia of assigning against the
+    pinned init centroids (monotone descent, modulo 9dp rounding)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_indexing_spark.operators.similarity import (
+        _init_centroids,
+        _spark_d2min,
+        embeddings_double,
+    )
+
+    def total_inertia(cents):
+        return (
+            embeddings_double(spark, SF_DIR)
+            .select(F.expr(_spark_d2min("v", cents)).alias("d2"))
+            .agg(F.sum("d2").alias("s"))
+            .collect()[0]["s"]
+        )
+
+    init_inertia = total_inertia(_init_centroids())
+    trained_inertia = total_inertia(train_kmeans(spark, SF_DIR))
+    assert trained_inertia <= init_inertia + 1e-6
+    assert trained_inertia > 0.0
+
+
+def test_trained_topk_serves_from_probe_cell(spark):
+    """Train-then-serve composition: every hit shares the probe's
+    trained cell, the probe itself is excluded, scores are valid
+    cosines in descending order, and the plan has no join (model and
+    probe ride the expression)."""
+    from map_reduce_indexing_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        _py_nearest,
+        _spark_nearest,
+        q_ann_ivf_trained_topk,
+        query_vector,
+        train_kmeans,
+    )
+    from pyspark.sql import functions as F
+
+    from map_reduce_indexing_spark.operators.similarity import (
+        embeddings_double,
+    )
+
+    df = q_ann_ivf_trained_topk(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+    assert QUERY_VEC_ID not in {r.vec_id for r in rows}
+    cosines = [r.cosine for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+    assert all(-1.0 - 1e-9 <= c <= 1.0 + 1e-9 for c in cosines)
+    cents = train_kmeans(spark, SF_DIR)
+    qv = [float(x) for x in query_vector(spark, SF_DIR).first().qv]
+    qcell = _py_nearest(qv, cents)
+    cells = {
+        r.vec_id: r.cell
+        for r in embeddings_double(spark, SF_DIR)
+        .select(
+            "vec_id",
+            F.expr(_spark_nearest("v", cents)).cast("long").alias("cell"),
+        )
+        .collect()
+    }
+    assert all(cells[r.vec_id] == qcell for r in rows)
