@@ -58,6 +58,8 @@ HEADLINE = [
     "rel_cdc_latest_state",    # CDC log compaction (max_by agg)
     "index_heavy_hitters",     # Misra-Gries candidates + exact recount
     "dedup_clusters",          # iterative connected components
+    "ann_kmeans_train",        # iterative Lloyd rounds (trained quantizer)
+    "text_shuffle_shards",     # deterministic export shuffle (1-exchange)
     "multimodal_image_meta",   # Arrow mapInPandas pass
     "stream_tumbling_counts",  # structured streaming run
 ]

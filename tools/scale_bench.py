@@ -90,6 +90,18 @@ def stage_corpus(spark, sf_dir: str, m: int, staged_dir: str) -> float:
     rep.repartition(n_files).write.mode("overwrite").parquet(
         os.path.join(staged_dir, "documents.parquet")
     )
+    # m-fold embeddings for the vector pipelines (ann_kmeans_train):
+    # replicas keep their positions — k-means per-round cost is linear
+    # in row count regardless of duplicate vectors, which is exactly
+    # the cost curve this benchmark measures.
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb.crossJoin(spark.range(m).select(F.col("id").alias("rep"))).select(
+        (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+        "embedding",
+        "label",
+    ).repartition(n_files).write.mode("overwrite").parquet(
+        os.path.join(staged_dir, "embeddings.parquet")
+    )
     base_bytes = docs.agg(F.sum(F.length("text"))).head()[0]
     return base_bytes * m / 1e6
 
@@ -102,6 +114,14 @@ PIPELINES = (
     # the tokens artifact + one uniform gram-key count — linear by the
     # same argument as the LSH path, shown rather than asserted
     "dedup_common_passages",
+    # iterative-refinement representative: per-round cost = one scan +
+    # a k-row shuffle; total rows scale linearly with the corpus and
+    # rounds are fixed, so wall time should grow linearly in m
+    "ann_kmeans_train",
+    # export-shuffle representative: one exchange on shard_id + a
+    # per-shard local sort — the repartition+sortWithinPartitions write
+    # pattern, measured end to end
+    "text_shuffle_shards",
 )
 
 
