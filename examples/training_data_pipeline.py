@@ -11,6 +11,7 @@ extensions"):
     decontaminate   -> drop docs overlapping the eval split
     split           -> stable hash-bucket train/val/test assignment
     pack            -> concat-and-chunk into fixed token windows
+    shard           -> seed-stable global shuffle into export shards
 
     python examples/training_data_pipeline.py [sf_dir]
 
@@ -111,6 +112,31 @@ def main() -> None:
     #    train split — the count below is reported as full-corpus.
     packed = q("text_pack_sequences")
 
+    # 8. export shuffle: a seed-stable pseudo-random permutation of the
+    #    kept train docs into N shards — shard = md5(doc_id:seed) mod N,
+    #    within-shard order = the md5 itself, so the write below is a
+    #    plain hash partition + local sort (one exchange, no global
+    #    sort) and reproduces bit-for-bit on any cluster size.
+    from map_reduce_indexing_spark.operators.textstats import (
+        N_SHARDS,
+        SHUFFLE_SEED,
+    )
+
+    train = split.filter(F.col("split") == "train").select("doc_id")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{SHUFFLE_SEED}")))
+    sharded = train.select(
+        "doc_id",
+        h.alias("h"),
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % N_SHARDS).alias(
+            "shard_id"
+        ),
+    )
+    shard_sizes = (
+        sharded.groupBy("shard_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    # (a real export would now .repartition("shard_id")
+    #  .sortWithinPartitions("h").write.partitionBy("shard_id")...)
+
     summary = {
         "docs_in": n0,
         "after_quality": s1.count(),
@@ -125,6 +151,10 @@ def main() -> None:
             .collect()
         },
         "packed_sequences_full_corpus": packed.count(),
+        "train_export_shards": {
+            "n_shards": len(shard_sizes),
+            "docs": sum(r["n"] for r in shard_sizes),
+        },
     }
     print(summary)
     spark.stop()
