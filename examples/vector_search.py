@@ -71,6 +71,26 @@ def main() -> None:
         ivf.append(emb.filter(F.col("vec_id") > half))
         print("== IVF-layout store: top-5 from one pruned cell scan ==")
         ivf.topk(probe, k=5).show()
+
+        # Train the quantizer instead of using the pinned centroids:
+        # Lloyd's k-means over the corpus, and the trained model is
+        # persisted INSIDE the store — every later append, lookup,
+        # streaming ingest, and compaction of this path routes with it
+        # automatically (train once, the store carries its model).
+        from map_reduce_indexing_spark.operators.similarity import (
+            train_kmeans,
+        )
+
+        cents = train_kmeans(spark, sf_dir)
+        trained = VectorStore.build(
+            spark,
+            emb,
+            os.path.join(workdir, "vectors_trained"),
+            layout="ivf",
+            centroids=cents,
+        )
+        print("== trained-quantizer store: top-5 from the trained cell ==")
+        trained.topk(probe, k=5).show()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()

@@ -260,13 +260,20 @@ class VectorStore:
         vectors: DataFrame,
         path: str,
         layout: str = "lsh",
+        centroids: list[list[float]] | None = None,
     ) -> "VectorStore":
         """layout="lsh" partitions on the hyperplane bucket, "ivf" on
         the nearest coarse centroid; append/compact/topk infer the
-        layout from the store's partition directories thereafter."""
+        layout from the store's partition directories thereafter.
+        `centroids` (IVF only) builds against a TRAINED quantizer —
+        e.g. `operators.similarity.train_kmeans(spark, sf_dir)` — which
+        persists inside the store and routes every later append, topk,
+        streaming ingest, and compaction of this path automatically."""
         from .operators.similarity import build_vector_store
 
-        build_vector_store(spark, vectors, path, layout=layout)
+        build_vector_store(
+            spark, vectors, path, layout=layout, centroids=centroids
+        )
         return cls(spark, path)
 
     def append(self, vectors: DataFrame) -> None:

@@ -153,13 +153,53 @@ def ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LAYOUT_COLS = {"lsh": "bucket", "ivf": "cell"}
 
 
-def _with_bucket(vectors: DataFrame, col: str = "bucket") -> DataFrame:
+def _with_bucket(
+    vectors: DataFrame,
+    col: str = "bucket",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
     """(vec_id, v) -> + the routing key for the store layout: the
-    8-bit hyperplane bucket ("bucket") or the IVF cell ("cell")."""
-    expr = spark_lsh_bucket("v") if col == "bucket" else spark_ivf_cell("v")
+    8-bit hyperplane bucket ("bucket") or the IVF cell ("cell" —
+    against the store's TRAINED centroids when given, else the pinned
+    defaults)."""
+    if col == "bucket":
+        expr = spark_lsh_bucket("v")
+    elif centroids is not None:
+        expr = _spark_nearest("v", centroids)
+    else:
+        expr = spark_ivf_cell("v")
     return vectors.select("vec_id", "v").withColumn(
         col, F.expr(expr).cast("long")
     )
+
+
+QUANTIZER_FILE = "_quantizer.json"  # leading "_": invisible to Spark scans
+
+
+def _quantizer_path(path: str) -> str:
+    return os.path.join(path, QUANTIZER_FILE)
+
+
+def load_quantizer(path: str) -> list[list[float]] | None:
+    """Trained centroids persisted inside an IVF store (the model
+    travels WITH the store, so append/topk/streaming ingest in a later
+    session route identically), or None -> the pinned defaults.
+    Callers must heal the store first: the sidecar moves through
+    compaction's staged swap with the data directories."""
+    import json
+
+    p = _quantizer_path(path)
+    if os.path.isfile(p):
+        with open(p) as f:
+            return json.load(f)
+    return None
+
+
+def _save_quantizer(path: str, centroids: list[list[float]]) -> None:
+    import json
+
+    with open(_quantizer_path(path), "w") as f:
+        json.dump([[float(x) for x in c] for c in centroids], f)
 
 
 def store_layout_col(path: str) -> str:
@@ -180,13 +220,17 @@ def store_layout_col(path: str) -> str:
 
 
 def _write_vector_store(
-    vectors: DataFrame, path: str, mode: str, col: str = "bucket"
+    vectors: DataFrame,
+    path: str,
+    mode: str,
+    col: str = "bucket",
+    centroids: list[list[float]] | None = None,
 ) -> None:
     """Partitioned write: `repartition(col)` gives one writer task per
     occupied partition (one compact file per partition per write),
     `partitionBy` makes `col = q` a directory prune."""
     (
-        _with_bucket(vectors, col)
+        _with_bucket(vectors, col, centroids)
         .repartition(col)
         .write.partitionBy(col)
         .mode(mode)
@@ -195,12 +239,21 @@ def _write_vector_store(
 
 
 def build_vector_store(
-    spark: SparkSession, vectors: DataFrame, path: str, layout: str = "lsh"
+    spark: SparkSession,
+    vectors: DataFrame,
+    path: str,
+    layout: str = "lsh",
+    centroids: list[list[float]] | None = None,
 ) -> None:
     """Materialize a partitioned vector store at a USER path from any
     (vec_id, v array<double>) frame — layout "lsh" (hyperplane
     buckets) or "ivf" (coarse-centroid cells); every later append /
     compact / topk infers the layout from the partition directories.
+    `centroids` (IVF only) builds against a TRAINED quantizer — e.g.
+    `train_kmeans`'s output — persisted as a sidecar INSIDE the store,
+    so every later writer and lookup of this path routes with the same
+    model without being told (train once, the store carries its model;
+    the reference's artifact discipline applied to the model itself).
     Overwrites; enters the writer lock so a concurrent maintainer of
     the same path serializes."""
     from .indexing import index_writer_lock
@@ -210,9 +263,25 @@ def build_vector_store(
             f"unknown vector-store layout {layout!r}; "
             f"expected one of {sorted(_LAYOUT_COLS)}"
         )
+    if centroids is not None:
+        if layout != "ivf":
+            raise ValueError(
+                "centroids= is the IVF quantizer; pass layout='ivf' "
+                "(the LSH layout routes on hyperplane signs, not cells)"
+            )
+        if not centroids or any(len(c) != DIM for c in centroids):
+            raise ValueError(
+                f"centroids must be a non-empty list of dim-{DIM} vectors"
+            )
     col = _LAYOUT_COLS[layout]
     with index_writer_lock(path):
-        _write_vector_store(vectors, path, mode="overwrite", col=col)
+        _write_vector_store(
+            vectors, path, mode="overwrite", col=col, centroids=centroids
+        )
+        # after the df write: overwrite mode replaces the whole
+        # directory, which would delete a sidecar written first
+        if centroids is not None:
+            _save_quantizer(path, centroids)
 
 
 def append_vectors(spark: SparkSession, vectors: DataFrame, path: str) -> None:
@@ -251,7 +320,15 @@ def append_vectors(spark: SparkSession, vectors: DataFrame, path: str) -> None:
                 "layout flat), or keep appending through the checkpointed "
                 "streaming ingest."
             )
-        _write_vector_store(vectors, path, mode="append", col=store_layout_col(path))
+        # sidecar is read under the lock, after healing: a store
+        # stranded mid-swap has its model in the .old copy until healed
+        _write_vector_store(
+            vectors,
+            path,
+            mode="append",
+            col=store_layout_col(path),
+            centroids=load_quantizer(path),
+        )
 
 
 def compact_vector_store(spark: SparkSession, path: str) -> None:
@@ -266,17 +343,23 @@ def compact_vector_store(spark: SparkSession, path: str) -> None:
     # The layout column comes from the frame compact_artifact hands us
     # AFTER taking the lock and healing — directory sniffing here would
     # misread a store stranded mid-swap (path briefly missing).
-    compact_artifact(
-        spark,
-        path,
-        lambda df, staging: (
+    def rewrite(df: DataFrame, staging: str) -> None:
+        col = "cell" if "cell" in df.columns else "bucket"
+        (
             df.drop("batch")
-            .repartition("cell" if "cell" in df.columns else "bucket")
-            .write.partitionBy("cell" if "cell" in df.columns else "bucket")
+            .repartition(col)
+            .write.partitionBy(col)
             .mode("overwrite")
             .parquet(staging)
-        ),
-    )
+        )
+        # the trained-quantizer sidecar rides the staged swap: copy it
+        # AFTER the parquet write (overwrite replaces staging contents),
+        # so the swapped-in directory still carries the store's model
+        cents = load_quantizer(path)
+        if cents is not None:
+            _save_quantizer(staging, cents)
+
+    compact_artifact(spark, path, rewrite)
 
 
 def read_vector_store(spark: SparkSession, path: str) -> DataFrame:
@@ -299,14 +382,18 @@ def lsh_bucket_of(qv: list[float]) -> int:
     return b
 
 
-def ivf_cell_of(qv: list[float]) -> int:
+def ivf_cell_of(
+    qv: list[float], centroids: list[list[float]] | None = None
+) -> int:
     """Driver-side IVF cell of a query vector — the same surrogate
     distance (|c|^2 - 2 v.c, first-min tie-break, 1-based) as
     spark_ivf_cell, property-tested identical against the Spark
-    expression over the fixture vectors."""
+    expression over the fixture vectors. With `centroids`, routes
+    against a store's trained quantizer instead of the pinned defaults
+    (same left-to-right fold as the inlined expression)."""
     dists = [
         float(sum(x * x for x in c)) - 2.0 * sum(v * x for v, x in zip(qv, c))
-        for c in CENTROIDS
+        for c in (centroids if centroids is not None else CENTROIDS)
     ]
     return dists.index(min(dists)) + 1
 
@@ -330,7 +417,13 @@ def vector_store_topk(
     a crashed compactor still routes correctly."""
     store = read_vector_store(spark, path)
     col = "cell" if "cell" in store.columns else "bucket"
-    probe = lsh_bucket_of(qv) if col == "bucket" else ivf_cell_of(qv)
+    # load_quantizer after the healed read: a store mid-swap carries
+    # its sidecar in the .old copy until recover_index restores it
+    probe = (
+        lsh_bucket_of(qv)
+        if col == "bucket"
+        else ivf_cell_of(qv, load_quantizer(path))
+    )
     df = store.filter(F.col(col) == probe)
     if exclude_vec_id is not None:
         df = df.filter(F.col("vec_id") != exclude_vec_id)

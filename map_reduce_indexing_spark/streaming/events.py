@@ -788,6 +788,7 @@ def incremental_vector_append(
     from ..operators.similarity import (
         _with_bucket,
         append_vectors,
+        load_quantizer,
         store_layout_col,
     )
     from ..schemas import EMBEDDING
@@ -825,11 +826,17 @@ def incremental_vector_append(
     # Routing key follows the STORE's layout (LSH bucket for a fresh
     # path) — a checkpointed ingest into an IVF-cell store must write
     # cell partitions, not mix bucket=* under its batch=<id> level.
+    # Likewise the model: an IVF store built with trained centroids
+    # carries them as a sidecar, and ingested vectors must route
+    # against the SAME quantizer (read after the heal above).
     layout_col = store_layout_col(store_path)
+    store_cents = load_quantizer(store_path)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if checkpoint is not None:
-            bucketed = _with_bucket(batch_df, layout_col).repartition(layout_col)
+            bucketed = _with_bucket(
+                batch_df, layout_col, store_cents
+            ).repartition(layout_col)
             with index_writer_lock(store_path):
                 _recover_index_locked(store_path)
                 bucketed.write.mode("overwrite").partitionBy(layout_col).parquet(

@@ -404,3 +404,116 @@ def test_build_rejects_unknown_layout(spark, tmp_path):
         VectorStore.build(
             spark, _vectors(spark, 0, 10), str(tmp_path / "x"), layout="IVF"
         )
+
+
+def test_trained_quantizer_store_lifecycle(spark, tmp_path):
+    """An IVF store built with TRAINED centroids persists its model as
+    a sidecar and routes every later operation with it: build/append
+    partition directories match the trained assignment (not the pinned
+    one), topk prunes to the probe's trained cell, compaction carries
+    the sidecar through the staged swap, and a crashed compaction heals
+    model and all."""
+    from map_reduce_indexing_spark.api import VectorStore
+    from map_reduce_indexing_spark.operators.similarity import (
+        QUANTIZER_FILE,
+        ivf_cell_of,
+        load_quantizer,
+        store_layout_col,
+        train_kmeans,
+    )
+
+    cents = train_kmeans(spark, SF_DIR)
+    path = str(tmp_path / "trained_store")
+    vs = VectorStore.build(
+        spark, _vectors(spark, 0, 200), path, layout="ivf", centroids=cents
+    )
+    assert store_layout_col(path) == "cell"
+    assert load_quantizer(path) == cents
+
+    # stored assignments = trained model, vector by vector
+    stored = {r.vec_id: r.cell for r in vs.vectors().collect()}
+    for r in _vectors(spark, 0, 200).collect():
+        assert stored[r.vec_id] == ivf_cell_of([float(x) for x in r.v], cents)
+
+    # topk prunes on the TRAINED probe cell
+    qv = _probe(spark)
+    plan = vs.topk(qv, k=5)._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1][:200]
+    assert f"= {ivf_cell_of(qv, cents)})" in pf, pf
+
+    # appends route with the stored model too
+    vs.append(_vectors(spark, 200, 260))
+    stored = {r.vec_id: r.cell for r in vs.vectors().collect()}
+    assert len(stored) == 260
+    for r in _vectors(spark, 200, 260).collect():
+        assert stored[r.vec_id] == ivf_cell_of([float(x) for x in r.v], cents)
+
+    # the sidecar rides the compaction swap; answers unchanged
+    before = [(r.vec_id, round(r.cosine, 9)) for r in vs.topk(qv, k=5).collect()]
+    vs.compact()
+    assert load_quantizer(path) == cents
+    assert (tmp_path / "trained_store" / QUANTIZER_FILE).is_file()
+    after = [(r.vec_id, round(r.cosine, 9)) for r in vs.topk(qv, k=5).collect()]
+    assert after == before
+
+    # a compactor crash mid-swap heals sidecar and data together
+    os.replace(path, path + ".old")
+    healed = [(r.vec_id, round(r.cosine, 9)) for r in vs.topk(qv, k=5).collect()]
+    assert healed == before
+    assert load_quantizer(path) == cents
+
+
+def test_trained_centroids_rejected_on_lsh_layout(spark, tmp_path):
+    from map_reduce_indexing_spark.api import VectorStore
+    from map_reduce_indexing_spark.operators.similarity import train_kmeans
+
+    cents = train_kmeans(spark, SF_DIR)
+    with pytest.raises(ValueError, match="layout='ivf'"):
+        VectorStore.build(
+            spark,
+            _vectors(spark, 0, 50),
+            str(tmp_path / "bad"),
+            layout="lsh",
+            centroids=cents,
+        )
+
+
+def test_streaming_ingest_follows_trained_quantizer(spark, tmp_path):
+    """Streaming ingest into a TRAINED store routes each microbatch
+    with the store's persisted model (the raw-append branch delegates
+    to append_vectors, which reads the sidecar under the writer lock —
+    the checkpointed batch=<id> branch can never see a flat trained
+    store: the layout-mix guard refuses it), and compaction keeps
+    model and assignments intact."""
+    from map_reduce_indexing_spark.api import VectorStore
+    from map_reduce_indexing_spark.operators.similarity import (
+        ivf_cell_of,
+        train_kmeans,
+    )
+    from map_reduce_indexing_spark.streaming.events import (
+        incremental_vector_append,
+    )
+
+    cents = train_kmeans(spark, SF_DIR)
+    path = str(tmp_path / "trained_stream_store")
+    VectorStore.build(
+        spark, _vectors(spark, 0, 100), path, layout="ivf", centroids=cents
+    )
+
+    staged = str(tmp_path / "staged_vecs")
+    (
+        load_table(spark, SF_DIR, "embeddings")
+        .filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 160))
+        .write.parquet(staged)
+    )
+    incremental_vector_append(spark, staged, path, glob="*.parquet")
+    vs = VectorStore(spark, path)
+    stored = {r.vec_id: r.cell for r in vs.vectors().collect()}
+    assert len(stored) == 160
+    for r in _vectors(spark, 100, 160).collect():
+        assert stored[r.vec_id] == ivf_cell_of([float(x) for x in r.v], cents)
+    vs.compact()
+    stored = {r.vec_id: r.cell for r in vs.vectors().collect()}
+    assert len(stored) == 160
+    for r in _vectors(spark, 100, 160).collect():
+        assert stored[r.vec_id] == ivf_cell_of([float(x) for x in r.v], cents)
