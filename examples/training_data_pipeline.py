@@ -118,19 +118,15 @@ def main() -> None:
     #    plain hash partition + local sort (one exchange, no global
     #    sort) and reproduces bit-for-bit on any cluster size.
     from map_reduce_indexing_spark.operators.textstats import (
-        N_SHARDS,
-        SHUFFLE_SEED,
+        shard_id_col,
+        shuffle_hash_col,
     )
 
     train = split.filter(F.col("split") == "train").select("doc_id")
-    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{SHUFFLE_SEED}")))
     sharded = train.select(
         "doc_id",
-        h.alias("h"),
-        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % N_SHARDS).alias(
-            "shard_id"
-        ),
-    )
+        shuffle_hash_col().alias("h"),
+    ).withColumn("shard_id", shard_id_col(F.col("h")))
     shard_sizes = (
         sharded.groupBy("shard_id").agg(F.count(F.lit(1)).alias("n")).collect()
     )

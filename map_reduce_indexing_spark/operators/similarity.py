@@ -196,10 +196,14 @@ def load_quantizer(path: str) -> list[list[float]] | None:
 
 
 def _save_quantizer(path: str, centroids: list[list[float]]) -> None:
+    # tmp + rename: a crash mid-write must never leave truncated JSON
+    # that turns every later load_quantizer into a JSONDecodeError
     import json
 
-    with open(_quantizer_path(path), "w") as f:
+    tmp = _quantizer_path(path) + ".tmp"
+    with open(tmp, "w") as f:
         json.dump([[float(x) for x in c] for c in centroids], f)
+    os.replace(tmp, _quantizer_path(path))
 
 
 def store_layout_col(path: str) -> str:
@@ -275,13 +279,31 @@ def build_vector_store(
             )
     col = _LAYOUT_COLS[layout]
     with index_writer_lock(path):
-        _write_vector_store(
-            vectors, path, mode="overwrite", col=col, centroids=centroids
-        )
-        # after the df write: overwrite mode replaces the whole
-        # directory, which would delete a sidecar written first
-        if centroids is not None:
-            _save_quantizer(path, centroids)
+        if centroids is None:
+            _write_vector_store(vectors, path, mode="overwrite", col=col)
+        else:
+            # Staged swap (compact_artifact's pattern): data and model
+            # sidecar must commit TOGETHER. Writing them sequentially
+            # into the live path would leave a crash window where the
+            # store holds trained-cell partitions but no sidecar — a
+            # "healthy" untrained store that silently routes every
+            # later lookup/append with the pinned centroids.
+            import shutil
+            import tempfile
+
+            staging = tempfile.mkdtemp(
+                prefix="mri_build_", dir=os.path.dirname(path) or "."
+            )
+            _write_vector_store(
+                vectors, staging, mode="overwrite", col=col, centroids=centroids
+            )
+            _save_quantizer(staging, centroids)
+            old = path + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.exists(path):
+                os.replace(path, old)
+            os.replace(staging, path)
+            shutil.rmtree(old, ignore_errors=True)
 
 
 def append_vectors(spark: SparkSession, vectors: DataFrame, path: str) -> None:
@@ -1262,25 +1284,29 @@ def _arrf_duck(c: list[float]) -> str:
     return "[" + ", ".join(f"{x:.9f}" for x in c) + "]::DOUBLE[]"
 
 
-def _spark_nearest(vec: str, cents: list[list[float]]) -> str:
-    """1-based argmin cluster over inlined centroids; |c|^2 precomputed
-    in Python (exact for the %.9f-parsed doubles both engines hold)."""
-    dists = ", ".join(
+def _dists_expr(vec: str, cents: list[list[float]]) -> str:
+    """Comma-joined surrogate squared distances (|c|^2 - 2 v.c), one
+    per centroid — |c|^2 precomputed in Python (exact for the
+    %.9f-parsed doubles both engines hold). The single source for both
+    the argmin and the d2 expressions: their literals being identical
+    is part of the determinism contract."""
+    return ", ".join(
         f"(cast('{sum(x * x for x in c)!r}' as double)"
         f" - 2.0d * {SPARK_DOT.format(a=vec, b=_arrf_spark(c))})"
         for c in cents
     )
+
+
+def _spark_nearest(vec: str, cents: list[list[float]]) -> str:
+    """1-based argmin cluster over inlined centroids."""
+    dists = _dists_expr(vec, cents)
     return f"array_position(array({dists}), array_min(array({dists})))"
 
 
 def _spark_d2min(vec: str, cents: list[list[float]]) -> str:
     """Squared distance to the nearest centroid (adds the common |v|^2
     back onto the argmin surrogate)."""
-    dists = ", ".join(
-        f"(cast('{sum(x * x for x in c)!r}' as double)"
-        f" - 2.0d * {SPARK_DOT.format(a=vec, b=_arrf_spark(c))})"
-        for c in cents
-    )
+    dists = _dists_expr(vec, cents)
     return f"({SPARK_DOT.format(a=vec, b=vec)} + array_min(array({dists})))"
 
 
@@ -1426,15 +1452,24 @@ def q_ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _py_nearest(v: list[float], cents: list[list[float]]) -> int:
-    """Driver-side argmin with the SAME fold order as SPARK_DOT
-    (left-to-right) and the same Python-summed |c|^2 constants, so the
-    probe's cell matches the engine assignment bit-for-bit."""
-    dists = [
-        sum(x * x for x in c) - 2.0 * sum(a * b for a, b in zip(v, c))
-        for c in cents
-    ]
-    return dists.index(min(dists)) + 1
+_TRAINED_QUANTIZERS: dict[tuple[str, str, str], list[list[float]]] = {}
+
+
+def trained_quantizer(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Memoized `train_kmeans` per (application, corpus content) — the
+    session-artifact discipline applied to a model small enough to
+    live in process memory instead of parquet: serving queries
+    (ann_ivf_trained_topk, trained VectorStore builds) read the model,
+    they don't retrain it. `ann_kmeans_train` itself calls train_kmeans
+    directly — it IS the training benchmark, and memoizing it would
+    make the bench measure a dictionary lookup."""
+    from .indexing import _content_fingerprint
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = (spark.sparkContext.applicationId, src, _content_fingerprint(src))
+    if key not in _TRAINED_QUANTIZERS:
+        _TRAINED_QUANTIZERS[key] = train_kmeans(spark, sf_dir)
+    return _TRAINED_QUANTIZERS[key]
 
 
 @register(
@@ -1467,9 +1502,9 @@ def _py_nearest(v: list[float], cents: list[list[float]]) -> int:
     "centroid literals), making this a one-partition pruned scan.",
 )
 def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cents = train_kmeans(spark, sf_dir)
+    cents = trained_quantizer(spark, sf_dir)  # memoized: serve, don't retrain
     qrow = _probe_row(query_vector(spark, sf_dir))
-    qcell = _py_nearest([float(x) for x in qrow.qv], cents)
+    qcell = ivf_cell_of([float(x) for x in qrow.qv], cents)
     e = embeddings_double(spark, sf_dir).select(
         "vec_id",
         "v",

@@ -218,6 +218,21 @@ SHUFFLE_SEED = 7
 _CKSUM_P = 1_000_000_007  # permutation-checksum modulus
 
 
+def shuffle_hash_col():
+    """md5(doc_id:seed) — the export shuffle's position key. The single
+    source of the hashing scheme, shared by the registered query and
+    the curation example (examples/training_data_pipeline.py): a change
+    here changes both in lockstep."""
+    return F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(f":{SHUFFLE_SEED}"))
+    )
+
+
+def shard_id_col(h):
+    """Shard of a position key: first 8 hex chars as an int, mod N."""
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % N_SHARDS
+
+
 @register(
     "text_shuffle_shards",
     oracle=f"""
@@ -259,18 +274,9 @@ def q_text_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "n_chars",
-        F.md5(
-            F.concat(
-                F.col("doc_id").cast("string"), F.lit(f":{SHUFFLE_SEED}")
-            )
-        ).alias("h"),
+        "doc_id", "n_chars", shuffle_hash_col().alias("h")
     )
-    sharded = docs.withColumn(
-        "shard_id",
-        (F.conv(F.substring("h", 1, 8), 16, 10).cast("long") % N_SHARDS),
-    )
+    sharded = docs.withColumn("shard_id", shard_id_col(F.col("h")))
     rn = F.row_number().over(
         Window.partitionBy("shard_id").orderBy("h", "doc_id")
     )

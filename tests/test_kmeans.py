@@ -167,8 +167,8 @@ def test_trained_topk_serves_from_probe_cell(spark):
     probe ride the expression)."""
     from map_reduce_indexing_spark.operators.similarity import (
         QUERY_VEC_ID,
-        _py_nearest,
         _spark_nearest,
+        ivf_cell_of,
         q_ann_ivf_trained_topk,
         query_vector,
         train_kmeans,
@@ -190,7 +190,7 @@ def test_trained_topk_serves_from_probe_cell(spark):
     assert all(-1.0 - 1e-9 <= c <= 1.0 + 1e-9 for c in cosines)
     cents = train_kmeans(spark, SF_DIR)
     qv = [float(x) for x in query_vector(spark, SF_DIR).first().qv]
-    qcell = _py_nearest(qv, cents)
+    qcell = ivf_cell_of(qv, cents)
     cells = {
         r.vec_id: r.cell
         for r in embeddings_double(spark, SF_DIR)

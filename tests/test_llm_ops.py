@@ -105,9 +105,11 @@ def test_text_family_plans_scan_artifact_not_corpus(spark):
     """The r7 artifact-discipline gate for the whole text family: no
     registered text_* query may re-tokenize the corpus — its executed
     plan must be free of the tokenizer's regexp_replace and of any
-    `text`-column read. The three deliberate exceptions scan raw
+    `text`-column read. The deliberate exceptions scan raw
     text/metadata by design: pii_redact (rewrites raw text),
-    train_val_test_split and sample_mixture (metadata-only)."""
+    train_val_test_split and sample_mixture (metadata-only), and
+    shuffle_shards (metadata-only: doc_id + n_chars — it stays in the
+    checked set because it never tokenizes, so the gate holds)."""
     from map_reduce_indexing_spark.plans.registry import _REGISTRY, _ensure_loaded
 
     _ensure_loaded()
