@@ -191,6 +191,16 @@ def compact_index(spark: SparkSession, path: str) -> None:
     )
 
 
+def _chmod_staging(staging: str) -> None:
+    """mkdtemp creates 0700 directories; a staged swap then publishes
+    that mode as the live store/index, making an artifact built on
+    shared storage unreadable to every other user/process. Re-apply the
+    umask (what a plain mkdir would have produced) before the swap."""
+    umask = os.umask(0)
+    os.umask(umask)
+    os.chmod(staging, 0o777 & ~umask)
+
+
 def compact_artifact(spark: SparkSession, path: str, rewrite) -> None:
     """The locked read -> rewrite -> staged-swap engine behind every
     persisted artifact's compaction (count index above, bucketed
@@ -208,6 +218,7 @@ def compact_artifact(spark: SparkSession, path: str, rewrite) -> None:
         staging = tempfile.mkdtemp(
             prefix="mri_compact_", dir=os.path.dirname(path) or "."
         )
+        _chmod_staging(staging)
         rewrite(df, staging)
         old = path + ".old"
         shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash

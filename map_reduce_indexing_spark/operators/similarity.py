@@ -260,7 +260,7 @@ def build_vector_store(
     the reference's artifact discipline applied to the model itself).
     Overwrites; enters the writer lock so a concurrent maintainer of
     the same path serializes."""
-    from .indexing import index_writer_lock
+    from .indexing import _chmod_staging, index_writer_lock
 
     if layout not in _LAYOUT_COLS:
         raise ValueError(
@@ -294,6 +294,7 @@ def build_vector_store(
             staging = tempfile.mkdtemp(
                 prefix="mri_build_", dir=os.path.dirname(path) or "."
             )
+            _chmod_staging(staging)
             _write_vector_store(
                 vectors, staging, mode="overwrite", col=col, centroids=centroids
             )
@@ -1463,13 +1464,25 @@ def trained_quantizer(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     they don't retrain it. `ann_kmeans_train` itself calls train_kmeans
     directly — it IS the training benchmark, and memoizing it would
     make the bench measure a dictionary lookup."""
-    from .indexing import _content_fingerprint
+    from .indexing import _ARTIFACTS_LOCK, _content_fingerprint
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    key = (spark.sparkContext.applicationId, src, _content_fingerprint(src))
-    if key not in _TRAINED_QUANTIZERS:
-        _TRAINED_QUANTIZERS[key] = train_kmeans(spark, sf_dir)
-    return _TRAINED_QUANTIZERS[key]
+    # Check-and-train under the session-artifact lock (RLock, so the
+    # nested _content_fingerprint / artifact-chain path stays safe):
+    # an unguarded read-then-write let two threads both run the full
+    # 3-round k-means — duplicate Spark jobs, same model.
+    with _ARTIFACTS_LOCK:
+        key = (spark.sparkContext.applicationId, src, _content_fingerprint(src))
+        if key not in _TRAINED_QUANTIZERS:
+            # A changed corpus means the old fingerprint's model will
+            # never be served again — drop it so the memo stays O(live
+            # corpora), not O(every corpus state ever trained).
+            for stale in [
+                k for k in _TRAINED_QUANTIZERS if k[:2] == key[:2]
+            ]:
+                del _TRAINED_QUANTIZERS[stale]
+            _TRAINED_QUANTIZERS[key] = train_kmeans(spark, sf_dir)
+        return _TRAINED_QUANTIZERS[key]
 
 
 @register(

@@ -239,7 +239,8 @@ def shard_id_col(h):
         SELECT CAST(shard_id AS BIGINT) AS shard_id,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-               CAST(SUM((rn * doc_id) % {_CKSUM_P}) % {_CKSUM_P} AS BIGINT)
+               CAST(SUM(((rn % {_CKSUM_P}) * (doc_id % {_CKSUM_P}))
+                        % {_CKSUM_P}) % {_CKSUM_P} AS BIGINT)
                  AS order_checksum,
                CAST(ARG_MIN(doc_id, h) AS BIGINT) AS first_doc_id
         FROM (
@@ -286,7 +287,18 @@ def q_text_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
-            (F.sum((F.col("rn") * F.col("doc_id")) % _CKSUM_P) % _CKSUM_P)
+            # Reduce BOTH factors mod p before multiplying: Spark's
+            # int64 product silently wraps past 2^63 (DuckDB promotes
+            # to HUGEINT, so the engines would diverge exactly on the
+            # large corpora this checksum exists to verify); with both
+            # factors < p ≈ 1e9 the product stays under ~1e18.
+            (
+                F.sum(
+                    ((F.col("rn") % _CKSUM_P) * (F.col("doc_id") % _CKSUM_P))
+                    % _CKSUM_P
+                )
+                % _CKSUM_P
+            )
             .cast("long")
             .alias("order_checksum"),
             F.min_by("doc_id", "h").alias("first_doc_id"),

@@ -626,6 +626,22 @@ def incremental_index_append(
         with index_writer_lock(index_path):
             _recover_index_locked(index_path)
             if checkpoint is not None:
+                # Per-batch layout re-check under the lock (the pre-start
+                # guard above runs once, outside the flock): a compaction
+                # between microbatches folds batch=<id>/letter=* into the
+                # flat letter=* form, and writing the next batch=<id>
+                # beside flat partitions would break partition discovery
+                # for every later read.
+                if os.path.isdir(index_path) and any(
+                    e.startswith("letter=") for e in os.listdir(index_path)
+                ):
+                    raise ValueError(
+                        f"{index_path!r} was compacted to the flat "
+                        "letter=* layout while this checkpointed ingest "
+                        f"was running; writing batch={batch_id} beside "
+                        "it would corrupt partition discovery. Restart "
+                        "the ingest with a fresh checkpoint."
+                    )
                 postings.write.mode("overwrite").partitionBy("letter").parquet(
                     os.path.join(index_path, f"batch={batch_id}")
                 )
@@ -839,6 +855,36 @@ def incremental_vector_append(
             ).repartition(layout_col)
             with index_writer_lock(store_path):
                 _recover_index_locked(store_path)
+                # Re-check the layout PER BATCH under the lock, not just
+                # once before the stream started: the flock explicitly
+                # admits a compactor BETWEEN microbatches, and
+                # compact_vector_store folds batch=<id> partitions into
+                # the flat bucket=*/cell=* form — a later microbatch
+                # writing batch=<id> beside those flat partitions would
+                # poison partition discovery for every subsequent read
+                # (including the compaction that would have to heal it).
+                if os.path.isdir(store_path) and any(
+                    e.startswith(("bucket=", "cell="))
+                    for e in os.listdir(store_path)
+                ):
+                    raise ValueError(
+                        f"{store_path!r} was compacted to the flat "
+                        "bucket=*/cell=* layout while this checkpointed "
+                        "ingest was running; writing batch="
+                        f"{batch_id} beside it would corrupt partition "
+                        "discovery. Restart the ingest with a fresh "
+                        "checkpoint against the compacted store."
+                    )
+                live_layout = store_layout_col(store_path)
+                if live_layout != layout_col or load_quantizer(
+                    store_path
+                ) != store_cents:
+                    raise ValueError(
+                        f"{store_path!r} changed layout/quantizer "
+                        f"({layout_col!r} -> {live_layout!r}) under this "
+                        "running ingest; batches routed with the stale "
+                        "model would land in wrong partitions."
+                    )
                 bucketed.write.mode("overwrite").partitionBy(layout_col).parquet(
                     os.path.join(store_path, f"batch={batch_id}")
                 )
