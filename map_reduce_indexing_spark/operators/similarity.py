@@ -165,7 +165,12 @@ def _with_bucket(
     if col == "bucket":
         expr = spark_lsh_bucket("v")
     elif centroids is not None:
-        expr = _spark_nearest("v", centroids)
+        # Trained quantizer: route through assign_nearest so a store
+        # built with a large-k model (> ASSIGN_LITERAL_MAX_K) assigns
+        # via the broadcast path instead of a megabyte literal plan.
+        return assign_nearest(
+            vectors.select("vec_id", "v"), centroids, out_col=col
+        )
     else:
         expr = spark_ivf_cell("v")
     return vectors.select("vec_id", "v").withColumn(
@@ -1259,10 +1264,11 @@ def q_ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   fetch:   collect() of <= k rows — the bounded model fetch, same
 #            declared pattern as the ANN probe fetch (similarity.py
 #            _probe_row); the new model is re-inlined as literals.
-# At 100 TB the per-round cost is one columnar scan + a k-row shuffle;
-# for k*dim too large to inline (say k > 10^4) the assign step would
-# switch to a broadcast centroid table + applyInPandas argmin — noted,
-# not needed at IVF coarse-quantizer scale (k = tens to hundreds).
+# At 100 TB the per-round cost is one columnar scan + a k-row shuffle.
+# Above ASSIGN_LITERAL_MAX_K the assign step switches (automatically,
+# in assign_nearest) to a broadcast centroid matrix + mapInPandas
+# argmin — bit-equal to the literal path, still map-only — so k scales
+# to the thousands a real IVF store wants.
 #
 # Determinism contract (why means go through DECIMAL(38,12)):
 # per-dimension sums are order-dependent in double but EXACT in
@@ -1315,15 +1321,200 @@ def _init_centroids() -> list[list[float]]:
     return [[float(x) for x in c] for c in CENTROIDS]
 
 
-def train_kmeans(spark: SparkSession, sf_dir: str) -> list[list[float]]:
-    """KMEANS_ITERS Lloyd rounds; returns the trained centroid lists
-    (9dp-rounded doubles). Empty clusters keep their previous centroid
-    (standard Lloyd; mirrored by the oracle's LEFT JOIN COALESCE)."""
+# Literal-inlining budget for the argmin assignment: above this k the
+# generated expression tree (k arrays of DIM %.9f literals, referenced
+# TWICE — argmin + min) crosses from "cheap codegen" into megabyte-scale
+# plans and eventually Janino/codegen limits. A real 100-TB IVF store
+# wants k in the thousands, so the assignment auto-switches to a
+# broadcast-model path above the budget (PLANS.md "k-means training").
+ASSIGN_LITERAL_MAX_K = 32
+
+
+def assign_nearest(
+    df: DataFrame,
+    cents: list[list[float]],
+    vec_col: str = "v",
+    out_col: str = "cluster",
+    method: str = "auto",
+    d2_col: str | None = None,
+) -> DataFrame:
+    """Nearest-centroid assignment (1-based, first-min tie-break) —
+    THE argmin behind k-means training, IVF store routing, and the
+    final-assignment report, in two physically different but
+    bit-identical forms:
+
+    - "literal" (k <= ASSIGN_LITERAL_MAX_K): centroids inlined as
+      %.9f expression literals — map-only, whole-stage-codegen'd, no
+      Python in the hot path.
+    - "broadcast" (large k): the centroid matrix ships ONCE PER
+      EXECUTOR as a SparkContext broadcast and a mapInPandas argmin
+      scans it — map-only again (no join, no shuffle, no cartesian),
+      model size bounded by the broadcast, not the plan.
+
+    Bit-equality contract (property-tested in tests/test_kmeans_scale
+    .py): the broadcast path replays the literal expression's EXACT
+    arithmetic — |c|^2 precomputed by the same Python left-to-right
+    sum, the v.c dot as a per-dimension sequential fold (numpy
+    elementwise ops round to double after every step, same as the
+    SQL fold), dist = c2 - 2.0 * dot in that order, first-min argmin.
+    Centroids must be exact at KMEANS_ROUND (9) decimals (all trained
+    and init centroids are), because the literal path round-trips them
+    through %.9f.
+
+    `d2_col` additionally emits the squared distance to the chosen
+    centroid (|v|^2 + min surrogate, the _spark_d2min shape)."""
+    k = len(cents)
+    if method == "auto":
+        method = "literal" if k <= ASSIGN_LITERAL_MAX_K else "broadcast"
+    if method == "literal":
+        out = df.withColumn(
+            out_col, F.expr(_spark_nearest(vec_col, cents)).cast("long")
+        )
+        if d2_col is not None:
+            out = out.withColumn(d2_col, F.expr(_spark_d2min(vec_col, cents)))
+        return out
+    if method != "broadcast":
+        raise ValueError(
+            f"unknown assignment method {method!r}; "
+            "expected 'auto', 'literal' or 'broadcast'"
+        )
+
+    import numpy as np
+
+    cmat = np.asarray(cents, dtype=np.float64)  # (k, dim)
+    # |c|^2 via the SAME Python left-to-right sum the literal path
+    # inlines — not np.sum (pairwise) — so the surrogate distances
+    # start from bit-identical constants.
+    c2 = np.asarray([float(sum(x * x for x in c)) for c in cents])
+    dim = cmat.shape[1]
+    sc = df.sparkSession.sparkContext
+    model = sc.broadcast((cmat, c2))
+    want_d2 = d2_col is not None
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    # Fresh StructType — StructType.add MUTATES in place, and df.schema
+    # is the DataFrame's cached schema object; extending it would make
+    # the input frame claim output columns it doesn't have.
+    fields = list(df.schema.fields) + [StructField(out_col, LongType())]
+    if want_d2:
+        fields.append(StructField(d2_col, DoubleType()))
+    schema = StructType(fields)
+
+    def _assign(batches):
+        bc_cmat, bc_c2 = model.value
+        for pdf in batches:
+            n = len(pdf)
+            vmat = (
+                np.stack(pdf[vec_col].to_numpy())
+                if n
+                else np.empty((0, dim))
+            )
+            cluster = np.empty(n, dtype=np.int64)
+            d2 = np.empty(n, dtype=np.float64)
+            # Row-chunked so the (chunk, k) distance matrix stays a few
+            # MB regardless of the arrow batch size and k.
+            chunk = max(1, (1 << 21) // max(len(bc_c2), 1))
+            for lo in range(0, n, chunk):
+                cl, dd = _np_nearest_block(
+                    vmat[lo : lo + chunk], bc_cmat, bc_c2, want_d2
+                )
+                cluster[lo : lo + chunk] = cl
+                if want_d2:
+                    d2[lo : lo + chunk] = dd
+            out = pdf.copy()
+            out[out_col] = cluster
+            if want_d2:
+                out[d2_col] = d2
+            yield out
+
+    return df.mapInPandas(_assign, schema=schema)
+
+
+def _np_nearest_block(vc, cmat, c2, want_d2: bool = False):
+    """One (rows, k) block of the broadcast argmin — module-level so the
+    hypothesis property test can drive it directly against the
+    pure-Python replica of the literal expression (hundreds of examples
+    with no Spark job per example).
+
+    Sequential per-dimension fold: each numpy elementwise multiply/add
+    rounds to double exactly like the SQL aggregate's (acc + x*y)
+    steps, so the dot (and therefore dist and argmin, with numpy's
+    first-min tie-break matching array_position) is bit-equal to the
+    literal path. NaN/Inf components are outside the contract (both
+    engines would already disagree on them)."""
+    import numpy as np
+
+    acc = np.zeros((vc.shape[0], len(c2)))
+    for d in range(cmat.shape[1]):
+        acc = acc + vc[:, d : d + 1] * cmat[:, d]
+    dists = c2 - 2.0 * acc
+    cluster = np.argmin(dists, axis=1) + 1 if vc.shape[0] else np.empty(0, int)
+    if not want_d2:
+        return cluster, None
+    v2 = np.zeros(vc.shape[0])
+    for d in range(cmat.shape[1]):
+        v2 = v2 + vc[:, d] * vc[:, d]
+    d2 = v2 + dists.min(axis=1) if vc.shape[0] else np.empty(0)
+    return cluster, d2
+
+
+def _data_init_centroids(
+    spark: SparkSession, sf_dir: str, k: int
+) -> list[list[float]]:
+    """Deterministic data init for large k: the k lowest-vec_id
+    embeddings, rounded to KMEANS_ROUND decimals (the precision every
+    trained centroid already lives at, and what keeps the literal and
+    broadcast assignment paths bit-equal). A bounded k-row fetch —
+    the same declared pattern as the model collects."""
+    rows = (
+        embeddings_double(spark, sf_dir)
+        .select("vec_id", "v")
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(
+            f"corpus has only {len(rows)} vectors; cannot init k={k}"
+        )
+    return [
+        [round(float(x), KMEANS_ROUND) for x in r["v"]] for r in rows
+    ]
+
+
+def train_kmeans(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int | None = None,
+    iters: int = KMEANS_ITERS,
+    assign: str = "auto",
+) -> list[list[float]]:
+    """Lloyd rounds; returns the trained centroid lists (9dp-rounded
+    doubles). Empty clusters keep their previous centroid (standard
+    Lloyd; mirrored by the oracle's LEFT JOIN COALESCE).
+
+    Default k=None trains the pinned-init coarse quantizer
+    (KMEANS_K=8) exactly as before; an explicit k trains at that scale
+    from the deterministic data init. The per-round assignment goes
+    through assign_nearest, which auto-switches from inlined centroid
+    literals to the broadcast-model mapInPandas argmin above
+    ASSIGN_LITERAL_MAX_K — so k is bounded by executor memory for one
+    (chunk, k) distance block, not by expression-tree size."""
     vecs = embeddings_double(spark, sf_dir).select("vec_id", "v")
-    cents = _init_centroids()
-    for _ in range(KMEANS_ITERS):
-        assigned = vecs.withColumn(
-            "cluster", F.expr(_spark_nearest("v", cents)).cast("long")
+    cents = (
+        _init_centroids()
+        if k is None
+        else _data_init_centroids(spark, sf_dir, k)
+    )
+    for _ in range(iters):
+        assigned = assign_nearest(
+            vecs, cents, out_col="cluster", method=assign
         )
         stats = assigned.groupBy("cluster").agg(
             F.count(F.lit(1)).alias("n"),
@@ -1342,19 +1533,29 @@ def train_kmeans(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     return cents
 
 
-def _duck_kmeans_ctes() -> str:
+def _duck_kmeans_ctes(k: int | None = None, iters: int = KMEANS_ITERS) -> str:
     """Unrolled Lloyd rounds as DuckDB CTEs: cross-join argmin via
     ROW_NUMBER (ties -> lowest cluster, matching array_position), then
     per-dimension DECIMAL(38,12) means reassembled with
-    list(mu ORDER BY d)."""
-    init = ", ".join(
-        f"({j + 1}, {_arrf_duck(c)})" for j, c in enumerate(_init_centroids())
-    )
+    list(mu ORDER BY d). k=None = the pinned k=8 init literals;
+    explicit k = the deterministic data init (k lowest-vec_id vectors
+    rounded to KMEANS_ROUND dp), mirroring _data_init_centroids."""
+    if k is None:
+        init = ", ".join(
+            f"({j + 1}, {_arrf_duck(c)})"
+            for j, c in enumerate(_init_centroids())
+        )
+        c0 = f"c0(cluster, c) AS (VALUES {init})"
+    else:
+        c0 = f"""c0(cluster, c) AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS BIGINT),
+                   list_transform(v, x -> ROUND(x, {KMEANS_ROUND}))
+            FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))"""
     parts = [
         f"e AS (SELECT vec_id, v FROM ({DUCK_EMB}))",
-        f"c0(cluster, c) AS (VALUES {init})",
+        c0,
     ]
-    for it in range(KMEANS_ITERS):
+    for it in range(iters):
         p, nxt = f"c{it}", f"c{it + 1}"
         parts.append(
             f"""a{it} AS (
@@ -1384,8 +1585,9 @@ def _duck_kmeans_ctes() -> str:
     return ",\n".join(parts)
 
 
-DUCK_KMEANS_ORACLE = f"""
-    WITH {_duck_kmeans_ctes()},
+def _duck_kmeans_oracle(k: int | None = None, iters: int = KMEANS_ITERS) -> str:
+    return f"""
+    WITH {_duck_kmeans_ctes(k, iters)},
     af AS (
         SELECT vec_id, cluster, d2 FROM (
             SELECT e.vec_id, cf.cluster,
@@ -1396,14 +1598,17 @@ DUCK_KMEANS_ORACLE = f"""
                        list_dot_product(cf.c, cf.c)
                        - 2 * list_dot_product(e.v, cf.c),
                        cf.cluster) AS rn
-            FROM e CROSS JOIN c{KMEANS_ITERS} cf) WHERE rn = 1)
+            FROM e CROSS JOIN c{iters} cf) WHERE rn = 1)
     SELECT CAST(af.cluster AS BIGINT) AS cluster_id,
            CAST(COUNT(*) AS BIGINT) AS n_points,
            ROUND(list_dot_product(cf.c, cf.c), 6) AS c_norm,
            ROUND(SUM(af.d2), 4) + 0.0 AS inertia
-    FROM af JOIN c{KMEANS_ITERS} cf ON af.cluster = cf.cluster
+    FROM af JOIN c{iters} cf ON af.cluster = cf.cluster
     GROUP BY af.cluster, cf.c
 """
+
+
+DUCK_KMEANS_ORACLE = _duck_kmeans_oracle()
 
 
 @register(
@@ -1422,10 +1627,25 @@ DUCK_KMEANS_ORACLE = f"""
 )
 def q_ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = train_kmeans(spark, sf_dir)
-    final = embeddings_double(spark, sf_dir).select(
-        F.expr(_spark_nearest("v", cents)).cast("long").alias("cluster_id"),
-        F.expr(_spark_d2min("v", cents)).alias("d2"),
-    )
+    return _kmeans_report(spark, sf_dir, cents)
+
+
+def _kmeans_report(
+    spark: SparkSession,
+    sf_dir: str,
+    cents: list[list[float]],
+    assign: str = "auto",
+) -> DataFrame:
+    """Per-cluster (size, centroid norm, inertia) of the FINAL
+    assignment under `cents` — the training queries' shared report
+    stage; assignment method follows assign_nearest's auto-switch."""
+    final = assign_nearest(
+        embeddings_double(spark, sf_dir).select("vec_id", "v"),
+        cents,
+        out_col="cluster_id",
+        method=assign,
+        d2_col="d2",
+    ).select("cluster_id", "d2")
     norms = {
         j + 1: round(sum(x * x for x in c), 6) for j, c in enumerate(cents)
     }
@@ -1451,6 +1671,29 @@ def q_ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inertia",
         )
     )
+
+
+KMEANS_K_LARGE = 64  # > ASSIGN_LITERAL_MAX_K: exercises the broadcast path
+
+
+@register(
+    "ann_kmeans_train_k64",
+    oracle=_duck_kmeans_oracle(k=KMEANS_K_LARGE),
+    tier="llm",
+    doc=f"Lloyd's k-means at k={KMEANS_K_LARGE} (> ASSIGN_LITERAL_MAX_K"
+    f"={ASSIGN_LITERAL_MAX_K}), deterministic data init (the k "
+    "lowest-vec_id embeddings, 9dp-rounded): the LARGE-K training/"
+    "serving path. Assignment runs as a broadcast centroid matrix + "
+    "mapInPandas argmin (model ships once per executor; no join, no "
+    "extra shuffle — plan-asserted in tests/test_kmeans_scale.py), so "
+    "k is bounded by executor memory, not expression-tree size; "
+    "everything else (exact-decimal means, k-row model exchange, "
+    "bounded collect) is the k=8 plan unchanged. Property-tested "
+    "bit-equal against the literal path.",
+)
+def q_ann_kmeans_train_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = train_kmeans(spark, sf_dir, k=KMEANS_K_LARGE)
+    return _kmeans_report(spark, sf_dir, cents)
 
 
 _TRAINED_QUANTIZERS: dict[tuple[str, str, str], list[list[float]]] = {}
@@ -1518,10 +1761,10 @@ def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = trained_quantizer(spark, sf_dir)  # memoized: serve, don't retrain
     qrow = _probe_row(query_vector(spark, sf_dir))
     qcell = ivf_cell_of([float(x) for x in qrow.qv], cents)
-    e = embeddings_double(spark, sf_dir).select(
-        "vec_id",
-        "v",
-        F.expr(_spark_nearest("v", cents)).cast("long").alias("cell"),
+    e = assign_nearest(
+        embeddings_double(spark, sf_dir).select("vec_id", "v"),
+        cents,
+        out_col="cell",
     )
     return (
         e.filter((F.col("cell") == qcell) & (F.col("vec_id") != QUERY_VEC_ID))
