@@ -261,6 +261,7 @@ class VectorStore:
         path: str,
         layout: str = "lsh",
         centroids: list[list[float]] | None = None,
+        pq: bool = False,
     ) -> "VectorStore":
         """layout="lsh" partitions on the hyperplane bucket, "ivf" on
         the nearest coarse centroid; append/compact/topk infer the
@@ -268,11 +269,16 @@ class VectorStore:
         `centroids` (IVF only) builds against a TRAINED quantizer —
         e.g. `operators.similarity.train_kmeans(spark, sf_dir)` — which
         persists inside the store and routes every later append, topk,
-        streaming ingest, and compaction of this path automatically."""
+        streaming ingest, and compaction of this path automatically.
+        `pq=True` stores product-quantization codes beside the raw
+        vectors with the codebook as a second sidecar: appends
+        re-encode against it, compaction carries it, and
+        `topk(..., serving="pq")` serves from codes (ADC shortlist +
+        exact re-rank) instead of scanning floats."""
         from .operators.similarity import build_vector_store
 
         build_vector_store(
-            spark, vectors, path, layout=layout, centroids=centroids
+            spark, vectors, path, layout=layout, centroids=centroids, pq=pq
         )
         return cls(spark, path)
 
@@ -291,7 +297,9 @@ class VectorStore:
 
         return read_vector_store(self.spark, self.path)
 
-    def topk(self, qv: list[float], k: int = 10) -> DataFrame:
+    def topk(
+        self, qv: list[float], k: int = 10, serving: str = "exact"
+    ) -> DataFrame:
         from .operators.similarity import vector_store_topk
 
-        return vector_store_topk(self.spark, self.path, qv, k)
+        return vector_store_topk(self.spark, self.path, qv, k, serving=serving)

@@ -211,6 +211,39 @@ def _save_quantizer(path: str, centroids: list[list[float]]) -> None:
     os.replace(tmp, _quantizer_path(path))
 
 
+CODEBOOK_FILE = "_codebook.json"  # PQ codebook sidecar (same pattern)
+
+
+def _codebook_path(path: str) -> str:
+    return os.path.join(path, CODEBOOK_FILE)
+
+
+def load_codebook(path: str) -> list[list[list[float]]] | None:
+    """PQ codebook persisted inside a compressed store — appends
+    re-encode and pq-serving lookups build their LUTs against the SAME
+    codebook the store was built with, across sessions and compactions.
+    None -> the store carries no PQ tier. Heal the store first, like
+    load_quantizer (the sidecar rides compaction's staged swap)."""
+    import json
+
+    p = _codebook_path(path)
+    if os.path.isfile(p):
+        with open(p) as f:
+            return json.load(f)
+    return None
+
+
+def _save_codebook(path: str, books: list[list[list[float]]]) -> None:
+    import json
+
+    tmp = _codebook_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            [[[float(x) for x in c] for c in b] for b in books], f
+        )
+    os.replace(tmp, _codebook_path(path))
+
+
 def store_layout_col(path: str) -> str:
     """Partition column of an existing store, inferred from its
     directories (looking through a checkpointed batch=<id> level);
@@ -234,13 +267,21 @@ def _write_vector_store(
     mode: str,
     col: str = "bucket",
     centroids: list[list[float]] | None = None,
+    books: list[list[list[float]]] | None = None,
 ) -> None:
     """Partitioned write: `repartition(col)` gives one writer task per
     occupied partition (one compact file per partition per write),
-    `partitionBy` makes `col = q` a directory prune."""
+    `partitionBy` makes `col = q` a directory prune. `books` adds the
+    PQ `code` column (4-bit indices per subspace) encoded against that
+    codebook — a store built compressed keeps every later append
+    encoded the same way (the caller passes the SIDECAR's codebook)."""
+    df = _with_bucket(vectors, col, centroids)
+    if books is not None:
+        df = df.withColumn(
+            "code", F.expr(spark_pq_code("v", books)).cast("array<int>")
+        )
     (
-        _with_bucket(vectors, col, centroids)
-        .repartition(col)
+        df.repartition(col)
         .write.partitionBy(col)
         .mode(mode)
         .parquet(path)
@@ -253,6 +294,7 @@ def build_vector_store(
     path: str,
     layout: str = "lsh",
     centroids: list[list[float]] | None = None,
+    pq: bool = False,
 ) -> None:
     """Materialize a partitioned vector store at a USER path from any
     (vec_id, v array<double>) frame — layout "lsh" (hyperplane
@@ -263,8 +305,15 @@ def build_vector_store(
     so every later writer and lookup of this path routes with the same
     model without being told (train once, the store carries its model;
     the reference's artifact discipline applied to the model itself).
-    Overwrites; enters the writer lock so a concurrent maintainer of
-    the same path serializes."""
+    `pq=True` additionally stores each vector's product-quantization
+    code (PQ_M 4-bit indices) and persists the codebook as a second
+    sidecar (_codebook.json) — appends re-encode against it, compaction
+    carries it through the swap, and `vector_store_topk(...,
+    serving="pq")` runs the ADC-shortlist + exact-re-rank plan against
+    the store. At 100 TB the codes are what a cold lookup scans (8 B/row
+    instead of 512 B of floats); raw vectors are touched only for the
+    shortlist re-rank. Overwrites; enters the writer lock so a
+    concurrent maintainer of the same path serializes."""
     from .indexing import _chmod_staging, index_writer_lock
 
     if layout not in _LAYOUT_COLS:
@@ -283,16 +332,17 @@ def build_vector_store(
                 f"centroids must be a non-empty list of dim-{DIM} vectors"
             )
     col = _LAYOUT_COLS[layout]
+    books = PQ_CODEBOOKS if pq else None
     with index_writer_lock(path):
-        if centroids is None:
+        if centroids is None and not pq:
             _write_vector_store(vectors, path, mode="overwrite", col=col)
         else:
             # Staged swap (compact_artifact's pattern): data and model
-            # sidecar must commit TOGETHER. Writing them sequentially
+            # sidecar(s) must commit TOGETHER. Writing them sequentially
             # into the live path would leave a crash window where the
-            # store holds trained-cell partitions but no sidecar — a
-            # "healthy" untrained store that silently routes every
-            # later lookup/append with the pinned centroids.
+            # store holds trained-cell partitions (or PQ codes) but no
+            # sidecar — a "healthy" store that silently routes every
+            # later lookup/append with the wrong model.
             import shutil
             import tempfile
 
@@ -301,9 +351,17 @@ def build_vector_store(
             )
             _chmod_staging(staging)
             _write_vector_store(
-                vectors, staging, mode="overwrite", col=col, centroids=centroids
+                vectors,
+                staging,
+                mode="overwrite",
+                col=col,
+                centroids=centroids,
+                books=books,
             )
-            _save_quantizer(staging, centroids)
+            if centroids is not None:
+                _save_quantizer(staging, centroids)
+            if books is not None:
+                _save_codebook(staging, books)
             old = path + ".old"
             shutil.rmtree(old, ignore_errors=True)
             if os.path.exists(path):
@@ -348,14 +406,18 @@ def append_vectors(spark: SparkSession, vectors: DataFrame, path: str) -> None:
                 "layout flat), or keep appending through the checkpointed "
                 "streaming ingest."
             )
-        # sidecar is read under the lock, after healing: a store
-        # stranded mid-swap has its model in the .old copy until healed
+        # sidecars are read under the lock, after healing: a store
+        # stranded mid-swap has its models in the .old copy until
+        # healed. A compressed store's append re-encodes the new
+        # vectors against the persisted codebook, so lookups never see
+        # a partition mixing coded and code-less rows.
         _write_vector_store(
             vectors,
             path,
             mode="append",
             col=store_layout_col(path),
             centroids=load_quantizer(path),
+            books=load_codebook(path),
         )
 
 
@@ -380,12 +442,16 @@ def compact_vector_store(spark: SparkSession, path: str) -> None:
             .mode("overwrite")
             .parquet(staging)
         )
-        # the trained-quantizer sidecar rides the staged swap: copy it
-        # AFTER the parquet write (overwrite replaces staging contents),
-        # so the swapped-in directory still carries the store's model
+        # the model sidecars ride the staged swap: copy them AFTER the
+        # parquet write (overwrite replaces staging contents), so the
+        # swapped-in directory still carries the store's quantizer and
+        # PQ codebook (the code COLUMNS travel as data in df above)
         cents = load_quantizer(path)
         if cents is not None:
             _save_quantizer(staging, cents)
+        books = load_codebook(path)
+        if books is not None:
+            _save_codebook(staging, books)
 
     compact_artifact(spark, path, rewrite)
 
@@ -432,6 +498,7 @@ def vector_store_topk(
     qv: list[float],
     k: int = 10,
     exclude_vec_id: int | None = None,
+    serving: str = "exact",
 ) -> DataFrame:
     """Serving lookup against a maintained store: cosine top-k within
     the query's bucket — one pruned partition scan (PartitionFilters
@@ -455,6 +522,40 @@ def vector_store_topk(
     df = store.filter(F.col(col) == probe)
     if exclude_vec_id is not None:
         df = df.filter(F.col("vec_id") != exclude_vec_id)
+    if serving == "pq":
+        # ADC shortlist + exact re-rank (the ann_ivf_pq_topk plan,
+        # against the MAINTAINED store): candidates in the probed
+        # partition are ranked by PQ_M LUT lookups + adds over their
+        # stored codes (LUTs built driver-side from the exact query and
+        # the store's persisted codebook — no decompression, no
+        # vector reads), the top PQ_RERANK fetch their raw vectors for
+        # the exact cosine. At scale the cold scan touches 8-byte
+        # codes; floats are read for the shortlist only.
+        books = load_codebook(path)
+        if books is None:
+            raise ValueError(
+                f"{path!r} carries no PQ codebook; build the store "
+                "with pq=True for serving='pq'"
+            )
+        lut = _pq_lut(qv, books)
+        adist = None
+        for m in range(len(lut)):
+            term = F.element_at(
+                F.array(*[F.lit(x) for x in lut[m]]),
+                F.element_at("code", m + 1),
+            )
+            adist = term if adist is None else adist + term
+        shortlist = (
+            df.select("vec_id", adist.alias("adist"))
+            .orderBy("adist", "vec_id")
+            .limit(PQ_RERANK)
+            .select("vec_id")
+        )
+        df = df.join(F.broadcast(shortlist), "vec_id")
+    elif serving != "exact":
+        raise ValueError(
+            f"unknown serving mode {serving!r}; expected 'exact' or 'pq'"
+        )
     return (
         df.withColumn("qv", _qv_literal(qv))
         .select("vec_id", F.expr(spark_cosine("v", "qv")).alias("cosine"))
@@ -975,15 +1076,16 @@ def _duck_sub(vec: str, m: int) -> str:
     return f"list_slice({vec}, {m * PQ_SUBDIM + 1}, {(m + 1) * PQ_SUBDIM})"
 
 
-def _spark_enc_dists(vec: str, m: int) -> str:
+def _spark_enc_dists(vec: str, m: int, books=None) -> str:
     """16 encode distances ||v_m - c_mk||^2 (+ const |v_m|^2 dropped):
     |c|^2 - 2 v_m . c — |c|^2 is a Python-computed dyadic literal, so
     all three arithmetics (Spark, DuckDB, the Python LUT) agree
-    bit-for-bit."""
+    bit-for-bit. `books` overrides the pinned codebooks (a maintained
+    store encodes with the codebook persisted in ITS sidecar)."""
     return ", ".join(
         f"({sum(x * x for x in c)!r}d - 2.0d * "
         f"{SPARK_DOT.format(a=_spark_sub(vec, m), b=_spark_farr(c))})"
-        for c in PQ_CODEBOOKS[m]
+        for c in (books or PQ_CODEBOOKS)[m]
     )
 
 
@@ -995,12 +1097,12 @@ def _duck_enc_dists(vec: str, m: int) -> str:
     )
 
 
-def spark_pq_code(vec: str) -> str:
+def spark_pq_code(vec: str, books=None) -> str:
     """array<int> of PQ_M 1-based code indices (first-min tie-break,
     same argmin idiom as spark_ivf_cell)."""
     entries = ", ".join(
-        f"array_position(array({_spark_enc_dists(vec, m)}), "
-        f"array_min(array({_spark_enc_dists(vec, m)})))"
+        f"array_position(array({_spark_enc_dists(vec, m, books)}), "
+        f"array_min(array({_spark_enc_dists(vec, m, books)})))"
         for m in range(PQ_M)
     )
     return f"array({entries})"
@@ -1061,7 +1163,7 @@ def q_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_lut(qv: list[float]) -> list[list[float]]:
+def _pq_lut(qv: list[float], books=None) -> list[list[float]]:
     """Per-subspace asymmetric lookup tables: LUT[m][k] = |c_mk|^2 -
     2 q_m . c_mk. Plain Python doubles with a left-to-right dot fold —
     the same association order as SPARK_DOT and list_dot_product, so the
@@ -1070,7 +1172,7 @@ def _pq_lut(qv: list[float]) -> list[list[float]]:
     for m in range(PQ_M):
         qsub = qv[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
         row = []
-        for c in PQ_CODEBOOKS[m]:
+        for c in (books or PQ_CODEBOOKS)[m]:
             dot = 0.0
             for x, y in zip(qsub, c):
                 dot += x * y

@@ -804,7 +804,9 @@ def incremental_vector_append(
     from ..operators.similarity import (
         _with_bucket,
         append_vectors,
+        load_codebook,
         load_quantizer,
+        spark_pq_code,
         store_layout_col,
     )
     from ..schemas import EMBEDDING
@@ -847,12 +849,21 @@ def incremental_vector_append(
     # against the SAME quantizer (read after the heal above).
     layout_col = store_layout_col(store_path)
     store_cents = load_quantizer(store_path)
+    store_books = load_codebook(store_path)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if checkpoint is not None:
-            bucketed = _with_bucket(
-                batch_df, layout_col, store_cents
-            ).repartition(layout_col)
+            bucketed = _with_bucket(batch_df, layout_col, store_cents)
+            if store_books is not None:
+                # a compressed store's ingest re-encodes each batch
+                # against the persisted codebook, same as append_vectors
+                bucketed = bucketed.withColumn(
+                    "code",
+                    F.expr(spark_pq_code("v", store_books)).cast(
+                        "array<int>"
+                    ),
+                )
+            bucketed = bucketed.repartition(layout_col)
             with index_writer_lock(store_path):
                 _recover_index_locked(store_path)
                 # Re-check the layout PER BATCH under the lock, not just
@@ -876,9 +887,11 @@ def incremental_vector_append(
                         "checkpoint against the compacted store."
                     )
                 live_layout = store_layout_col(store_path)
-                if live_layout != layout_col or load_quantizer(
-                    store_path
-                ) != store_cents:
+                if (
+                    live_layout != layout_col
+                    or load_quantizer(store_path) != store_cents
+                    or load_codebook(store_path) != store_books
+                ):
                     raise ValueError(
                         f"{store_path!r} changed layout/quantizer "
                         f"({layout_col!r} -> {live_layout!r}) under this "
