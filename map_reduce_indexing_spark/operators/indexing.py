@@ -312,12 +312,59 @@ def _content_fingerprint(src: str) -> str:
     return h.hexdigest()
 
 
+SOURCES_FILE = "_sources.json"  # consumed-source listing (leading "_":
+# invisible to Spark scans, same convention as the vector-store sidecars)
+
+
+def _data_listing(src: str) -> dict[str, list[int]]:
+    """{relpath: [size, mtime_ns]} of a directory source's DATA files.
+    Hidden files (_SUCCESS, .crc) are excluded on both sides of the
+    delta comparison: Spark readers ignore them, and an append-mode
+    write refreshes _SUCCESS's mtime — which must not demote an
+    append-only corpus growth to a full rebuild."""
+    out: dict[str, list[int]] = {}
+    for root, dirs, files in os.walk(src):
+        dirs[:] = sorted(d for d in dirs if not d.startswith(("_", ".")))
+        for name in sorted(files):
+            if name.startswith(("_", ".")):
+                continue
+            p = os.path.join(root, name)
+            st = os.stat(p)
+            out[os.path.relpath(p, src)] = [st.st_size, st.st_mtime_ns]
+    return out
+
+
+def _load_sources(path: str) -> dict[str, list[int]] | None:
+    import json
+
+    p = os.path.join(path, SOURCES_FILE)
+    if os.path.isfile(p):
+        with open(p) as f:
+            return json.load(f)
+    return None
+
+
+def _save_sources(path: str, listing: dict[str, list[int]]) -> None:
+    import json
+
+    tmp = os.path.join(path, SOURCES_FILE) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(listing, f)
+    os.replace(tmp, os.path.join(path, SOURCES_FILE))
+
+
+# Most-recent artifact per (application, kind, source path), regardless
+# of fingerprint — the incremental path's "previous state" pointer.
+_ARTIFACT_HEADS: dict[tuple, str] = {}
+
+
 def session_artifact_path(
     spark: SparkSession,
     sf_dir: str,
     kind: str,
     source_file: str,
     build,
+    delta_build=None,
 ) -> str:
     """Generic once-per-(Spark application, source content) persisted
     artifact: the reference's build-then-query lifecycle for any derived
@@ -338,22 +385,58 @@ def session_artifact_path(
     directory is removed at interpreter exit.
     """
     src = os.path.join(os.path.realpath(sf_dir), source_file)
-    key = (spark.sparkContext.applicationId, kind, src, _content_fingerprint(src))
+    app = spark.sparkContext.applicationId
+    key = (app, kind, src, _content_fingerprint(src))
+    head_key = (app, kind, src)
     with _ARTIFACTS_LOCK:
         path = _ARTIFACTS.get(key)
-        if path is None or not os.path.isdir(path):
-            import atexit
-            import shutil
-            import tempfile
+        if path is not None and os.path.isdir(path):
+            return path
+        # Incremental maintenance (round 8): if the corpus is a
+        # directory whose change is APPEND-ONLY — every file the
+        # previous artifact consumed is byte-identical, only new data
+        # files appeared — run `delta_build(path, new_files)` over just
+        # the delta instead of re-deriving everything. The consumed
+        # listing persists as a _sources.json sidecar inside the
+        # artifact (so the comparison is against what was actually
+        # built, not an in-memory guess), and the artifact path is
+        # REUSED — consumers re-discover it with the appended rows.
+        # Any modified or removed file falls through to a full rebuild.
+        if delta_build is not None and os.path.isdir(src):
+            prev_path = _ARTIFACT_HEADS.get(head_key)
+            if prev_path is not None and os.path.isdir(prev_path):
+                consumed = _load_sources(prev_path)
+                current = _data_listing(src)
+                if consumed is not None and all(
+                    current.get(p) == meta for p, meta in consumed.items()
+                ):
+                    new_files = sorted(set(current) - set(consumed))
+                    if new_files:
+                        delta_build(
+                            prev_path,
+                            [os.path.join(src, p) for p in new_files],
+                        )
+                        _save_sources(prev_path, current)
+                        _ARTIFACTS[key] = prev_path
+                        # drop the cached discovered read: its file
+                        # listing predates the appended rows
+                        _ARTIFACT_DFS.pop((app, prev_path), None)
+                        return prev_path
+        import atexit
+        import shutil
+        import tempfile
 
-            base = os.environ.get("SPARK_GRAFT_INDEX_DIR")
-            if base:
-                os.makedirs(base, exist_ok=True)
-            workdir = tempfile.mkdtemp(prefix=f"mri_{kind}_", dir=base)
-            atexit.register(shutil.rmtree, workdir, True)
-            path = os.path.join(workdir, kind)
-            build(path)
-            _ARTIFACTS[key] = path
+        base = os.environ.get("SPARK_GRAFT_INDEX_DIR")
+        if base:
+            os.makedirs(base, exist_ok=True)
+        workdir = tempfile.mkdtemp(prefix=f"mri_{kind}_", dir=base)
+        atexit.register(shutil.rmtree, workdir, True)
+        path = os.path.join(workdir, kind)
+        build(path)
+        if delta_build is not None and os.path.isdir(src):
+            _save_sources(path, _data_listing(src))
+        _ARTIFACTS[key] = path
+        _ARTIFACT_HEADS[head_key] = path
     return path
 
 
@@ -361,16 +444,24 @@ _ARTIFACT_DFS: dict[tuple, DataFrame] = {}
 
 
 def session_artifact_df(
-    spark: SparkSession, sf_dir: str, kind: str, source_file: str, build
+    spark: SparkSession,
+    sf_dir: str,
+    kind: str,
+    source_file: str,
+    build,
+    delta_build=None,
 ) -> DataFrame:
     """`session_artifact_path` + a cached partition-discovered read.
 
     Hive partition discovery + schema inference over a many-partition
     artifact costs ~0.5 s of driver time PER `spark.read.parquet` call;
-    since the artifact is immutable for the life of its cache key, the
+    since the artifact is immutable for the life of its cache key
+    (incremental delta appends invalidate the cached read), the
     discovered DataFrame (a logical plan) is reused across queries —
     each lookup pays only its pruned scan."""
-    path = session_artifact_path(spark, sf_dir, kind, source_file, build)
+    path = session_artifact_path(
+        spark, sf_dir, kind, source_file, build, delta_build
+    )
     key = (spark.sparkContext.applicationId, path)
     df = _ARTIFACT_DFS.get(key)
     if df is None:

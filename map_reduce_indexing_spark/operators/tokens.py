@@ -93,26 +93,61 @@ def build_tokenized_docs(docs: DataFrame) -> DataFrame:
     )
 
 
+def _null_fill(docs: DataFrame) -> DataFrame:
+    # Minimal corpora (tests, user-built (doc_id, text) tables)
+    # may lack the fixture's metadata columns — carry NULLs so the
+    # artifact schema is stable either way.
+    for c in ("lang", "source"):
+        if c not in docs.columns:
+            docs = docs.withColumn(c, F.lit(None).cast("string"))
+    return docs.select("doc_id", "text", "lang", "source")
+
+
 def tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The artifact, built once per (Spark application, corpus content)
-    and served as a cached partition-discovered read."""
+    and served as a cached partition-discovered read.
+
+    INCREMENTAL maintenance (round 8): when the corpus is a directory
+    parquet table that grew append-only (new data files; every
+    previously-consumed file byte-identical), the delta path tokenizes
+    ONLY the new files and appends them to the existing artifact under
+    the index writer flock — the same log-structured append story as
+    the letter index (reference helper_reduce.c:241), applied to the
+    base artifact 13+ text/dedup queries chain on. A modified or
+    removed file still triggers the full fingerprint rebuild.
+    Downstream artifacts (lm_counts, minhash signatures, the session
+    index) key on the corpus fingerprint and rebuild FROM this
+    artifact, so a 1-doc corpus append re-tokenizes 1 doc, then
+    re-aggregates counts — never re-runs the regex passes over old
+    text."""
     from ..sources.tables import load_table
-    from .indexing import session_artifact_df
+    from .indexing import (
+        _recover_index_locked,
+        index_writer_lock,
+        session_artifact_df,
+    )
 
     def build(path: str) -> None:
         docs = load_table(spark, sf_dir, "documents")
-        # Minimal corpora (tests, user-built (doc_id, text) tables)
-        # may lack the fixture's metadata columns — carry NULLs so the
-        # artifact schema is stable either way.
-        for c in ("lang", "source"):
-            if c not in docs.columns:
-                docs = docs.withColumn(c, F.lit(None).cast("string"))
-        build_tokenized_docs(
-            docs.select("doc_id", "text", "lang", "source")
-        ).write.parquet(path)
+        build_tokenized_docs(_null_fill(docs)).write.parquet(path)
+
+    def delta_build(path: str, new_files: list[str]) -> None:
+        # Only the delta files enter the tokenize job (plan-verified in
+        # tests/test_tokens_incremental.py via the scan's file count).
+        docs = spark.read.parquet(*new_files)
+        with index_writer_lock(path):
+            _recover_index_locked(path)
+            build_tokenized_docs(_null_fill(docs)).write.mode(
+                "append"
+            ).parquet(path)
 
     return session_artifact_df(
-        spark, sf_dir, "session_tokens", "documents.parquet", build
+        spark,
+        sf_dir,
+        "session_tokens",
+        "documents.parquet",
+        build,
+        delta_build=delta_build,
     )
 
 

@@ -66,7 +66,9 @@ PRIORITY_WINDOW = [
     "index_corpus_stats",
     "index_letter_histogram",
     "search_term_lookup",
-    "search_and",
+    # (r8 rotation: search_and retired after 7 stable rounds — boolean
+    # AND stays externally covered by search_proximity, which is AND
+    # plus a positional constraint over the same semi-join path)
     "search_proximity",  # r7 rotation: positional index gets external coverage (search_phrase retired — same positional artifact, proximity is the stricter consumer)
     "search_topk_per_term",
     "index_heavy_hitters",  # r5 rotation: replaced search_term_topk (top-k family already covered by search_topk_per_term)
@@ -82,6 +84,7 @@ PRIORITY_WINDOW = [
     "rel_theta_join_bands",
     "rel_join_asof",
     "rel_cdc_scd2",  # r5 rotation: CDC family gets an external row
+    "rel_cdc_merge_upsert",  # r8 rotation: MERGE semantics had never been external
     "rel_attribution_first_touch",  # r6 rotation: event-flow attribution
     "rel_retention_cohorts",  # r7 rotation: cohort retention (rel_resample_daily retired after 1 stable round; time-series family keeps rel_anomaly_daily)
     # relational: distribution stats + grouping
@@ -90,8 +93,10 @@ PRIORITY_WINDOW = [
     "rel_grouping_sets",
     # relational: windows, sets, scalar/json surface (r6 rotation:
     # rel_window_lag_gap retired — rank_parts + range_frame keep the
-    # window family external; offset windows stay pytest+sweep-checked)
-    "rel_window_rank_parts",
+    # window family external; offset windows stay pytest+sweep-checked.
+    # r8 rotation: rel_window_rank_parts retired after 7 stable rounds —
+    # rank windows stay external via search_topk_per_term and
+    # rel_retention_cohorts; range_frame carries the frame family)
     "rel_window_range_frame",  # time-RANGE frame: the once-broken NTZ path
     "rel_set_ops",
     "rel_scalar_functions",
@@ -115,7 +120,11 @@ PRIORITY_WINDOW = [
     # batch: ann_kmeans_train promoted — the trained coarse quantizer
     # is a new algorithm class (iterative refinement); exact brute-force
     # cosine stays external via ann_knn_batch_numpy + the recall evals)
-    "ann_kmeans_train",
+    # r8 rotation: ann_ivf_trained_topk promoted — the train-then-serve
+    # composition (Lloyd training + cell-pruned serving in one query)
+    # subsumes ann_kmeans_train's external signal, so the pure training
+    # report retires to the sweep after 1 external round
+    "ann_ivf_trained_topk",
     "ann_ivf_pq_topk",
     "ann_knn_batch_numpy",
     "ann_recall_eval",
@@ -129,7 +138,11 @@ PRIORITY_WINDOW = [
     # deserves a driver row; text_langid retired — its statistic stays
     # external-adjacent via the langid_eval confusion matrix in the
     # sweep, and the tier keeps two rows)
-    "text_quality",
+    # r8 rotation: text_decontaminate promoted — train/eval overlap
+    # removal is a flagship LLM-pipeline op that had never been
+    # external; text_quality retired after 3 stable rounds (quality
+    # scoring stays sweep + artifact-equivalence covered)
+    "text_decontaminate",
     "text_pmi_windowed",
     # r7 third batch: text_shuffle_shards promoted — the training-export
     # permutation class had never been external; text_token_counts
@@ -137,15 +150,22 @@ PRIORITY_WINDOW = [
     # tokens-artifact equivalence tests + sweep, and the tier keeps
     # quality/pmi/shuffle_shards external)
     "text_shuffle_shards",
-    # multimodal
+    # multimodal (r8 rotation: the binary metadata-parsing tier had
+    # held one external row for 4 rounds — audio_meta joins embed)
     "multimodal_embed",
+    "multimodal_audio_meta",
     # streaming (r7 rotation: stream_scd2_temporal_join promoted — the
     # r5-built SCD2 temporal join had never been external;
     # stream_tumbling_counts retired after 6 stable rounds — windowed
     # aggregation stays covered by cdc_upsert/stateful, and tumbling
     # remains a bench headliner + sweep row)
+    # r8 rotation: stream_session_windows promoted (watermarked gap
+    # sessionization had never been external); stream_cdc_upsert
+    # retired — upsert semantics stay external via the newly-promoted
+    # rel_cdc_merge_upsert, and the streaming family keeps the SCD2
+    # temporal join + stateful stats + the index sink
     "stream_scd2_temporal_join",
-    "stream_cdc_upsert",
+    "stream_session_windows",
     "stream_stateful_user_stats",
     "stream_incremental_index",
 ]

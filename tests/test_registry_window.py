@@ -73,15 +73,15 @@ def test_window_exercises_round6_rotation():
         "rel_attribution_first_touch",
         "rel_anomaly_daily",
         "ann_ivf_pq_topk",
-        "stream_cdc_upsert",
     } <= w
     # retired rows stay registered + oracle-backed (sweep-checked)
+    # (stream_session_windows, retired here in r6, was RE-promoted in
+    # the r8 rotation — see test_window_exercises_round8_rotation)
     retired = {
         "rel_q3_shipping_priority",
         "rel_join_outer_counts",
         "rel_window_lag_gap",
         "ann_lsh_topk",
-        "stream_session_windows",
     }
     assert retired.isdisjoint(w)
     for name in retired:
@@ -90,11 +90,13 @@ def test_window_exercises_round6_rotation():
     # each retired row's family representative still in window
     assert {"rel_q1_pricing_summary", "rel_q5_local_supplier"} <= w  # scan+agg / multi-join
     assert {"rel_join_semi", "rel_join_anti", "rel_join_asof"} <= w  # join family
-    assert {"rel_window_rank_parts", "rel_window_range_frame"} <= w  # windows
+    # windows: rank_parts itself rotated out in r8; range_frame carries
+    assert "rel_window_range_frame" in w
     # ann family (brute-force cosine's external row is the BLAS batch
     # form since the r7 third batch; see round7_third_batch below)
     assert {"ann_knn_batch_numpy", "ann_recall_eval"} <= w
-    assert {"stream_cdc_upsert", "stream_stateful_user_stats"} <= w  # streaming
+    # streaming (cdc_upsert itself rotated out in r8; see round8 test)
+    assert "stream_stateful_user_stats" in w
 
 
 def test_window_exercises_round7_rotation():
@@ -129,7 +131,7 @@ def test_window_exercises_round7_rotation():
     # batch — the banding family's representative is now the recall
     # eval; see test_window_exercises_round7_second_batch)
     assert "dedup_lsh_recall_eval" in w
-    assert {"text_quality", "text_pmi_windowed"} <= w
+    assert "text_pmi_windowed" in w  # text_quality rotated out in r8
 
 
 def test_every_exported_query_has_an_oracle():
@@ -177,7 +179,9 @@ def test_window_exercises_round7_third_batch():
     training-export permutation op go external. Each retired row stays
     registered + oracle-backed and its family keeps representatives."""
     w = set(PRIORITY_WINDOW)
-    assert {"ann_kmeans_train", "text_shuffle_shards"} <= w
+    # (ann_kmeans_train itself rotated out in r8 — its training loop
+    # stays external inside ann_ivf_trained_topk; see round8 test)
+    assert "text_shuffle_shards" in w
     retired = {
         "ann_knn_bruteforce",  # exact cosine: ann_knn_batch_numpy + evals
         "text_token_counts",  # token stats: artifact tests + sweep
@@ -187,4 +191,37 @@ def test_window_exercises_round7_third_batch():
         q = registry.get(name)
         assert q.export and q.oracle is not None
     assert {"ann_knn_batch_numpy", "ann_recall_eval", "ann_ivf_pq_topk"} <= w
-    assert {"text_quality", "text_pmi_windowed"} <= w
+    assert "text_pmi_windowed" in w
+
+
+def test_window_exercises_round8_rotation():
+    """Round-8 rotation (VERDICT r7 #4): never-external rows promoted —
+    the train-then-serve quantizer composition, MERGE upsert semantics,
+    watermarked session windows, binary audio metadata parsing, and
+    train/eval decontamination. Every retired row stays registered +
+    oracle-backed and its family keeps another external representative."""
+    w = set(PRIORITY_WINDOW)
+    assert {
+        "ann_ivf_trained_topk",
+        "rel_cdc_merge_upsert",
+        "stream_session_windows",
+        "multimodal_audio_meta",
+        "text_decontaminate",
+    } <= w
+    retired = {
+        "ann_kmeans_train",  # training runs inside ann_ivf_trained_topk
+        "stream_cdc_upsert",  # upsert: rel_cdc_merge_upsert (batch MERGE)
+        "text_quality",  # quality scoring: sweep + artifact equivalence
+        "search_and",  # boolean AND: search_proximity (AND + position)
+        "rel_window_rank_parts",  # rank: search_topk_per_term, cohorts
+    }
+    assert retired.isdisjoint(w)
+    for name in retired:
+        q = registry.get(name)
+        assert q.export and q.oracle is not None
+    # each retired row's family keeps an in-window representative
+    assert {"search_term_lookup", "search_proximity"} <= w
+    assert {"rel_cdc_scd2", "rel_window_range_frame"} <= w
+    assert {"stream_scd2_temporal_join", "stream_stateful_user_stats"} <= w
+    assert {"text_pmi_windowed", "text_shuffle_shards"} <= w
+    assert {"ann_ivf_pq_topk", "ann_recall_eval"} <= w

@@ -135,6 +135,24 @@ def main() -> None:
         for m in multiples:
             staged = os.path.join(workdir, f"x{m}")
             mb = stage_corpus(spark, sf_dir, m, staged)
+
+            # Incremental tokens-artifact maintenance: full build cost
+            # at this multiple vs the cost of absorbing a 1-doc corpus
+            # append (delta tokenize + artifact append). The delta
+            # should stay FLAT in m — that is the whole point of the
+            # round-8 append path.
+            from map_reduce_indexing_spark.operators.tokens import (
+                tokenized_docs,
+            )
+
+            # the build/append runs EAGERLY inside tokenized_docs();
+            # timing the call isolates maintenance cost from scan cost.
+            # (The 1-doc append itself runs AFTER the pipelines loop so
+            # their inputs stay exactly the staged corpus.)
+            t0 = time.perf_counter()
+            tokenized_docs(spark, staged)
+            full_build_sec = time.perf_counter() - t0
+
             for name in PIPELINES:
                 fn = registry.get(name).fn
                 runs = []
@@ -164,6 +182,83 @@ def main() -> None:
                         mb / sec / REFERENCE_MBPS, 2
                     )
                 print(json.dumps(out), flush=True)
+
+            # Incremental tokens maintenance: cost of absorbing a 1-doc
+            # corpus append (delta tokenize + artifact append) — should
+            # stay FLAT in m, vs the full build cost measured above.
+            spark.createDataFrame(
+                [(99_999_999, "one appended delta document", "en", "bench")],
+                "doc_id long, text string, lang string, source string",
+            ).write.mode("append").parquet(
+                os.path.join(staged, "documents.parquet")
+            )
+            t0 = time.perf_counter()
+            tokenized_docs(spark, staged)
+            delta_sec = time.perf_counter() - t0
+            print(
+                json.dumps(
+                    {
+                        "pipeline": "tokens_append_1doc",
+                        "multiple": m,
+                        "corpus_mb": round(mb, 2),
+                        "full_build_sec": round(full_build_sec, 3),
+                        "delta_sec": round(delta_sec, 3),
+                    }
+                ),
+                flush=True,
+            )
+
+            # PQ-compressed maintained store: build once per multiple,
+            # then serve the same probe via exact (full-float cell
+            # scan) and pq (code scan + ADC shortlist + re-rank).
+            from map_reduce_indexing_spark.operators.similarity import (
+                QUERY_VEC_ID,
+                embeddings_double,
+                vector_store_topk,
+            )
+            from map_reduce_indexing_spark.operators.similarity import (
+                build_vector_store,
+            )
+
+            store = os.path.join(staged, "pq_store")
+            vecs = embeddings_double(spark, staged).select("vec_id", "v")
+            qv = [
+                float(x)
+                for x in vecs.filter(
+                    F.col("vec_id") == QUERY_VEC_ID
+                ).collect()[0]["v"]
+            ]
+            t0 = time.perf_counter()
+            build_vector_store(spark, vecs, store, layout="ivf", pq=True)
+            store_build_sec = time.perf_counter() - t0
+            timings = {}
+            for mode in ("exact", "pq"):
+                runs = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    vector_store_topk(
+                        spark,
+                        store,
+                        qv,
+                        k=10,
+                        exclude_vec_id=QUERY_VEC_ID,
+                        serving=mode,
+                    ).collect()
+                    runs.append(time.perf_counter() - t0)
+                timings[mode] = round(sorted(runs)[1], 3)
+            print(
+                json.dumps(
+                    {
+                        "pipeline": "pq_store_serving",
+                        "multiple": m,
+                        "n_vectors": vecs.count(),
+                        "build_sec": round(store_build_sec, 3),
+                        "exact_topk_sec": timings["exact"],
+                        "pq_topk_sec": timings["pq"],
+                    }
+                ),
+                flush=True,
+            )
             shutil.rmtree(staged, ignore_errors=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
