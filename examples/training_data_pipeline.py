@@ -7,6 +7,7 @@ extensions"):
     quality filter  -> drop the bottom quartile + too-short docs
     exact dedup     -> one canonical doc per content hash
     near dedup      -> drop LSH-verified near-duplicate clusters
+    image dedup     -> drop perceptual (dHash) near-duplicate images
     boilerplate     -> drop template-heavy docs (shared-passage frac)
     decontaminate   -> drop docs overlapping the eval split
     split           -> stable hash-bucket train/val/test assignment
@@ -67,7 +68,16 @@ def main() -> None:
         .select("doc_id")
     )
 
-    # 4. boilerplate filter: drop template-heavy docs — more than half
+    # 4. perceptual image dedup: each doc's (synthetic) image is
+    #    decoded, dHash-fingerprinted, and Hamming-blocked; of each
+    #    near-duplicate image pair the lower doc_id is kept — the
+    #    multimodal analogue of stages 2-3, catching re-encoded /
+    #    lightly-edited images text dedup can't see.
+    image_dup_losers = q("multimodal_dedup_pairs").select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+
+    # 5. boilerplate filter: drop template-heavy docs — more than half
     #    of their distinct 8-gram passages also appear in other docs
     #    (the substring-level duplication doc-level near-dedup misses).
     boilerplate_losers = (
@@ -76,7 +86,7 @@ def main() -> None:
         .select("doc_id")
     )
 
-    # 5. decontamination: train docs sharing 3-shingles with eval docs.
+    # 6. decontamination: train docs sharing 3-shingles with eval docs.
     contaminated = q("text_decontaminate").select("doc_id").distinct()
 
     # Sequential funnel: each stage's count is the SURVIVORS after that
@@ -85,10 +95,11 @@ def main() -> None:
     s1 = quality_ids
     s2 = s1.join(exact_losers, "doc_id", "left_anti")
     s3 = s2.join(near_dup_losers, "doc_id", "left_anti")
-    s4 = s3.join(boilerplate_losers, "doc_id", "left_anti")
+    s3b = s3.join(image_dup_losers, "doc_id", "left_anti")
+    s4 = s3b.join(boilerplate_losers, "doc_id", "left_anti")
     kept = s4.join(contaminated, "doc_id", "left_anti")
 
-    # 6. stable split assignment for the kept docs — the engine's
+    # 7. stable split assignment for the kept docs — the engine's
     #    SPLIT_PCT thresholds, so assignments agree with
     #    text_train_val_test_split and text_decontaminate's eval set.
     from map_reduce_indexing_spark.operators.textstats import SPLIT_PCT
@@ -106,13 +117,13 @@ def main() -> None:
         .alias("split"),
     )
 
-    # 7. pack into fixed token windows. NOTE: the registered query packs
+    # 8. pack into fixed token windows. NOTE: the registered query packs
     #    the FULL corpus (it is a standalone oracle-checked operator);
     #    in a production pipeline this stage would run over the kept
     #    train split — the count below is reported as full-corpus.
     packed = q("text_pack_sequences")
 
-    # 8. export shuffle: a seed-stable pseudo-random permutation of the
+    # 9. export shuffle: a seed-stable pseudo-random permutation of the
     #    kept train docs into N shards — shard = md5(doc_id:seed) mod N,
     #    within-shard order = the md5 itself, so the write below is a
     #    plain hash partition + local sort (one exchange, no global
@@ -138,6 +149,7 @@ def main() -> None:
         "after_quality": s1.count(),
         "after_exact_dedup": s2.count(),
         "after_near_dedup": s3.count(),
+        "after_image_dedup": s3b.count(),
         "after_boilerplate": s4.count(),
         "kept_after_decontam": kept.count(),
         "splits": {

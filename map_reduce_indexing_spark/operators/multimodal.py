@@ -532,3 +532,186 @@ def q_multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         ns.alias("n_samples"),
         F.round(ns.cast("double") / sr, 6).alias("duration_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup: decoded pixels -> dHash -> pigeonhole pairs
+# ---------------------------------------------------------------------------
+#
+# The image-dedup step every multimodal training pipeline runs, composed
+# from this module's REAL decoder (decode_ppm) and dedup.py's pigeonhole
+# blocking (dedup_simhash_pairs): each document's fixed-dimension PPM is
+# decoded to pixels, grayscale-downsampled to a PH_ROWS x PH_COLS sample
+# grid (nearest-neighbor, integer index arithmetic), and fingerprinted
+# with a dHash — one bit per horizontal gradient sign, PH_ROWS*(PH_COLS-1)
+# = 56 bits. Near-duplicate images differ in few gradient signs, so
+# candidate pairs come from PH_BANDS 14-bit band buckets (pigeonhole: a
+# pair within PH_HAMMING_MAX=3 flips agrees on >= 1 band -> recall 1.0,
+# same argument as simhash), then only candidates pay the exact Hamming
+# verify. Never all-pairs: the join key is (band_idx, band_val) equality.
+#
+# Fixture images use FIXED dims (PH_W x PH_H) with the payload derived
+# from the normalized text (single-byte [a-z0-9 ] chars, so byte i ==
+# char i on both engines): near-duplicate TEXTS produce near-duplicate
+# IMAGES, giving the operator true near-dup structure to find. On real
+# data the decode step swaps for turbojpeg/pillow inside the same
+# mapInPandas; everything downstream is unchanged.
+
+PH_W, PH_H = 16, 12  # fixed perceptual-image dims
+PH_LEN = PH_W * PH_H * 3  # 576 payload bytes
+PH_ROWS, PH_COLS = 7, 9  # dHash sample grid -> 7 * 8 = 56 bits
+PH_BITS = PH_ROWS * (PH_COLS - 1)
+PH_BAND_BITS = 14
+PH_BANDS = PH_BITS // PH_BAND_BITS  # 4 x 14-bit pigeonhole bands
+PH_HAMMING_MAX = 3  # <= 3 gradient flips = near-duplicate
+
+_PH_NORM_SPARK = (
+    f"rpad(regexp_replace(lower(text), '[^a-z0-9 ]', ''), {PH_LEN}, ' ')"
+)
+_PH_NORM_DUCK = (
+    f"rpad(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), {PH_LEN}, ' ')"
+)
+
+
+def with_phash_blob(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, blob): a fixed-dim P6 PPM whose pixel
+    bytes are the normalized text (truncated/space-padded to PH_LEN)."""
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"concat(encode('P6\\n{PH_W} {PH_H}\\n255\\n', 'UTF-8'), "
+            f"encode({_PH_NORM_SPARK}, 'UTF-8'))"
+        ).alias("blob"),
+    )
+
+
+def phash_fingerprints(blobs: DataFrame) -> DataFrame:
+    """(doc_id, blob) -> (doc_id, ph bigint): decode -> grayscale ->
+    nearest-neighbor sample grid -> 56-bit dHash. Arrow-batched
+    mapInPandas like multimodal_embed; all-integer arithmetic, so the
+    DuckDB oracle's unrolled expression is bit-identical."""
+    import numpy as np
+
+    rr = [(i * PH_H) // PH_ROWS for i in range(PH_ROWS)]
+    cc = [(j * PH_W) // PH_COLS for j in range(PH_COLS)]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, phs = [], []
+            for doc_id, data in zip(pdf["doc_id"], pdf["blob"]):
+                arr = decode_ppm(bytes(data))
+                gray = arr.astype(np.int64).sum(axis=2)  # (h, w)
+                grid = gray[np.ix_(rr, cc)]  # (PH_ROWS, PH_COLS)
+                ph = 0
+                for i in range(PH_ROWS):
+                    for j in range(PH_COLS - 1):
+                        if grid[i, j + 1] > grid[i, j]:
+                            ph |= 1 << (i * 8 + j)
+                ids.append(doc_id)
+                phs.append(ph)
+            yield pd.DataFrame({"doc_id": ids, "ph": phs})
+
+    return blobs.mapInPandas(op, schema="doc_id long, ph long")
+
+
+def _duck_phash_expr(norm: str) -> str:
+    """The dHash unrolled as one SQL expression over the normalized
+    text (byte i == char i: single-byte alphabet by construction)."""
+
+    def gray(r: int, c: int) -> str:
+        base = 3 * (r * PH_W + c)
+        return (
+            "("
+            + " + ".join(
+                f"ascii(substr({norm}, {base + k + 1}, 1))" for k in range(3)
+            )
+            + ")"
+        )
+
+    terms = []
+    for i in range(PH_ROWS):
+        rr = (i * PH_H) // PH_ROWS
+        for j in range(PH_COLS - 1):
+            c0 = (j * PH_W) // PH_COLS
+            c1 = ((j + 1) * PH_W) // PH_COLS
+            terms.append(
+                f"(CASE WHEN {gray(rr, c1)} > {gray(rr, c0)} "
+                f"THEN {1 << (i * 8 + j)} ELSE 0 END)"
+            )
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "multimodal_phash",
+    oracle=f"""
+        SELECT doc_id, CAST({_duck_phash_expr(_PH_NORM_DUCK)} AS BIGINT) AS ph
+        FROM documents
+    """,
+    tier="llm",
+    export=False,
+    doc="Fingerprint parity pin for the perceptual dedup: the decoded-"
+    "pixel dHash per document vs the oracle's unrolled integer "
+    "expression — bit-identical, so the pairs query's blocking and "
+    "Hamming verify rest on verified hashes.",
+)
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return phash_fingerprints(with_phash_blob(docs))
+
+
+@register(
+    "multimodal_dedup_pairs",
+    oracle=f"""
+        WITH p AS (
+            SELECT doc_id, CAST({_duck_phash_expr(_PH_NORM_DUCK)} AS BIGINT) AS ph
+            FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+        FROM p a JOIN p b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.ph, b.ph)) <= {PH_HAMMING_MAX}
+    """,
+    tier="llm",
+    doc=f"Perceptual image dedup: decode pixels (decode_ppm via "
+    "mapInPandas), dHash the grayscale sample grid, then Hamming-"
+    f"blocked pairs — {PH_BANDS} x {PH_BAND_BITS}-bit pigeonhole bands "
+    f"as the candidate join key (recall 1.0 at Hamming <= "
+    f"{PH_HAMMING_MAX} by the simhash argument), exact bit_count "
+    "verify on candidates only. The oracle recomputes hash + Hamming "
+    "symbolically and compares ALL pairs — the blocked plan must "
+    "reproduce the quadratic ground truth exactly. Never all-pairs on "
+    "the Spark side: plan-asserted no CartesianProduct in "
+    "tests/test_multimodal_dedup.py.",
+)
+def q_multimodal_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fps = phash_fingerprints(with_phash_blob(docs)).localCheckpoint(
+        eager=True
+    )
+    band_vals = F.array(
+        *[
+            F.expr(
+                f"shiftright(ph, {b * PH_BAND_BITS}) & {(1 << PH_BAND_BITS) - 1}"
+            )
+            for b in range(PH_BANDS)
+        ]
+    )
+    bands = fps.select(
+        "doc_id", "ph", F.posexplode(band_vals).alias("band_idx", "band_val")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.ph").bitwiseXOR(F.col("b.ph"))).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PH_HAMMING_MAX)
+        .distinct()
+    )
