@@ -1048,3 +1048,141 @@ def q_stream_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select("event_id", "user_id", "ts", "version", "dim_type"),
         "append",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters: Misra-Gries summaries as keyed stream state
+# ---------------------------------------------------------------------------
+
+HH_RANGES = 8  # key-range groups; state = O(HH_RANGES * HH_K) total
+
+
+def streaming_token_summaries(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "documents.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The streaming half of operators/heavyhitters.py: the token
+    stream is hashed into HH_RANGES key-range groups and each group
+    maintains ONE Misra-Gries summary (k counters) in GroupState via
+    applyInPandasWithState — the mergeable-summaries argument
+    (heavyhitters.py docstring) is batch-order-independent, so
+    out-of-order arrival needs no watermark and changes nothing.
+    Every value's occurrences hash to the same range, so an item with
+    global count >= n*phi survives its range's summary whenever
+    k > 1/phi (we keep the batch tier's 2x margin). Emits one update
+    row per (range, microbatch): the space-joined candidate set, a
+    monotone version for last-snapshot selection, and the live counter
+    count (n_state <= k, asserted in tests — the state-boundedness
+    guarantee made observable)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.dedup import spark_tokens_expr
+    from ..operators.heavyhitters import PHI_DEN, PHI_NUM
+    from ..schemas import DOCUMENT
+
+    k = 2 * PHI_DEN // PHI_NUM
+
+    reader = spark.readStream.schema(DOCUMENT).option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    words = (
+        reader.parquet(sf_dir)
+        .select(F.explode(F.expr(spark_tokens_expr("text"))).alias("word"))
+        .withColumn("rng", F.pmod(F.hash("word"), F.lit(HH_RANGES)))
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            ws, cs, version = state.get
+            summary = dict(zip(ws, cs))
+        else:
+            summary, version = {}, 0
+        for pdf in pdfs:
+            # vectorized per-batch exact counts, then the standard MG
+            # merge + prune — identical math to misra_gries_candidates
+            for w, c in pdf["word"].value_counts().items():
+                summary[w] = summary.get(w, 0) + int(c)
+            if len(summary) > k:
+                cut = sorted(summary.values(), reverse=True)[k]
+                summary = {
+                    w: c - cut for w, c in summary.items() if c - cut > 0
+                }
+        version += 1
+        state.update(
+            (list(summary), [summary[w] for w in summary], version)
+        )
+        yield pd.DataFrame(
+            {
+                "rng": [key[0]],
+                "version": [version],
+                "n_state": [len(summary)],
+                "cands": [" ".join(sorted(summary))],
+            }
+        )
+
+    return words.groupBy("rng").applyInPandasWithState(
+        update,
+        outputStructType="rng long, version long, n_state long, cands string",
+        stateStructType="ws array<string>, cs array<long>, version long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _stream_hh_oracle() -> str:
+    from ..operators.heavyhitters import _hh_oracle
+    from ..operators.indexing import TOKENS_SQL
+
+    return _hh_oracle(TOKENS_SQL, "word")
+
+
+@register(
+    "stream_heavy_hitters",
+    # The continuously-maintained sketch must converge to the EXACT
+    # batch answer — the same full-histogram oracle as the batch
+    # index_heavy_hitters.
+    oracle=_stream_hh_oracle(),
+    tier="streaming",
+    doc="Streaming heavy hitters (the Misra-Gries machinery of "
+    "heavyhitters.py as keyed stream state): per-key-range MG "
+    "summaries ride applyInPandasWithState across microbatches "
+    "(update-mode snapshots, O(k) state per range), then the FINAL "
+    "candidate sets fund an exact candidate-only batch recount + "
+    "support threshold — output identical to the batch sketch and to "
+    "the full-histogram oracle. No watermark: mergeable summaries are "
+    "arrival-order-independent, so late/out-of-order data changes "
+    "nothing (property-tested with shuffled multi-file corpora).",
+)
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.heavyhitters import PHI_DEN, PHI_NUM
+    from ..operators.tokens import token_rows
+
+    updates = run_to_completion(
+        streaming_token_summaries(spark, sf_dir), "update"
+    )
+    last = updates.groupBy("rng").agg(
+        F.max_by("cands", "version").alias("cands")
+    )
+    cands = (
+        last.select(F.explode(F.split("cands", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    tokens = token_rows(spark, sf_dir, out_col="word").select("word")
+    total = tokens.agg(F.count(F.lit(1)).alias("n_total"))
+    counts = (
+        tokens.join(F.broadcast(cands), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))  # 1-row scalar frame
+        .filter(
+            F.col("cnt")
+            >= F.expr(f"(n_total * {PHI_NUM} + {PHI_DEN - 1}) div {PHI_DEN}")
+        )
+        .select("word", "cnt")
+    )
