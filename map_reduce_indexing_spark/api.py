@@ -298,8 +298,14 @@ class VectorStore:
         return read_vector_store(self.spark, self.path)
 
     def topk(
-        self, qv: list[float], k: int = 10, serving: str = "exact"
+        self,
+        qv: list[float],
+        k: int = 10,
+        serving: str = "exact",
+        nprobe: int = 1,
     ) -> DataFrame:
         from .operators.similarity import vector_store_topk
 
-        return vector_store_topk(self.spark, self.path, qv, k, serving=serving)
+        return vector_store_topk(
+            self.spark, self.path, qv, k, serving=serving, nprobe=nprobe
+        )

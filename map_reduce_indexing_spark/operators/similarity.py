@@ -492,6 +492,36 @@ def ivf_cell_of(
     return dists.index(min(dists)) + 1
 
 
+def store_probe_partitions(
+    path: str, qv: list[float], col: str, nprobe: int
+) -> list[int]:
+    """Driver-side probe set for a maintained store, no Spark job:
+    IVF -> the nprobe nearest cells by the same surrogate distance as
+    the routing argmin (against the store's trained quantizer when it
+    carries one); LSH -> the query's bucket plus its Hamming-nearest
+    neighbor buckets (flip one hyperplane sign per extra probe — the
+    planes whose margin |q.p| is smallest are the likeliest
+    misroutes, same recall argument as ann_lsh_multiprobe)."""
+    if col == "cell":
+        cents = load_quantizer(path)
+        cl = cents if cents is not None else CENTROIDS
+        dists = [
+            (
+                float(sum(x * x for x in c))
+                - 2.0 * sum(v * x for v, x in zip(qv, c)),
+                j + 1,
+            )
+            for j, c in enumerate(cl)
+        ]
+        return [cell for _, cell in sorted(dists)[:nprobe]]
+    base = lsh_bucket_of(qv)
+    margins = sorted(
+        (abs(sum(x * y for x, y in zip(qv, p))), j)
+        for j, p in enumerate(HYPERPLANES)
+    )
+    return [base] + [base ^ (1 << j) for _, j in margins[: nprobe - 1]]
+
+
 def vector_store_topk(
     spark: SparkSession,
     path: str,
@@ -499,6 +529,7 @@ def vector_store_topk(
     k: int = 10,
     exclude_vec_id: int | None = None,
     serving: str = "exact",
+    nprobe: int = 1,
 ) -> DataFrame:
     """Serving lookup against a maintained store: cosine top-k within
     the query's bucket — one pruned partition scan (PartitionFilters
@@ -509,17 +540,20 @@ def vector_store_topk(
     probe partition is computed with the store's layout (LSH bucket or
     IVF cell), driver-side either way — taken from the HEALED read's
     schema, not a directory listing, so a lookup racing (or following)
-    a crashed compactor still routes correctly."""
+    a crashed compactor still routes correctly. `nprobe` > 1 widens
+    the scan to the n most likely partitions (nearest cells / lowest-
+    margin bucket flips) — the standard recall knob; the scan stays
+    partition-pruned (`col IN (probes)`)."""
     store = read_vector_store(spark, path)
     col = "cell" if "cell" in store.columns else "bucket"
-    # load_quantizer after the healed read: a store mid-swap carries
-    # its sidecar in the .old copy until recover_index restores it
-    probe = (
-        lsh_bucket_of(qv)
-        if col == "bucket"
-        else ivf_cell_of(qv, load_quantizer(path))
+    # sidecars are read after the healed read: a store mid-swap carries
+    # them in the .old copy until recover_index restores it
+    probes = store_probe_partitions(path, qv, col, nprobe)
+    df = store.filter(
+        F.col(col) == probes[0]
+        if len(probes) == 1
+        else F.col(col).isin(probes)
     )
-    df = store.filter(F.col(col) == probe)
     if exclude_vec_id is not None:
         df = df.filter(F.col("vec_id") != exclude_vec_id)
     if serving == "pq":

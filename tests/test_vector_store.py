@@ -517,3 +517,63 @@ def test_streaming_ingest_follows_trained_quantizer(spark, tmp_path):
     assert len(stored) == 160
     for r in _vectors(spark, 100, 160).collect():
         assert stored[r.vec_id] == ivf_cell_of([float(x) for x in r.v], cents)
+
+
+def test_topk_nprobe_recall_knob(spark, tmp_path):
+    """nprobe widens the pruned scan to the n likeliest partitions:
+    at nprobe = n_cells the lookup equals the store-wide brute force,
+    and recall@k is monotone non-decreasing in nprobe; the scan stays
+    partition-pruned (an IN filter over partition values, never a full
+    scan)."""
+    from map_reduce_indexing_spark.api import VectorStore
+    from map_reduce_indexing_spark.operators.similarity import (
+        N_CENTROIDS,
+        embeddings_double,
+        spark_cosine,
+        store_probe_partitions,
+        vector_store_topk,
+    )
+
+    e = embeddings_double(spark, SF_DIR).select("vec_id", "v")
+    path = str(tmp_path / "store")
+    vs = VectorStore.build(spark, e, path, layout="ivf")
+    qv = [
+        float(x)
+        for x in e.filter("vec_id = 7").collect()[0]["v"]
+    ]
+    # brute force over the whole store = the nprobe=n_cells answer
+    from map_reduce_indexing_spark.operators.similarity import _qv_literal
+
+    brute = [
+        r["vec_id"]
+        for r in vs.vectors()
+        .filter("vec_id != 7")
+        .withColumn("qv", _qv_literal(qv))
+        .select("vec_id", F.expr(spark_cosine("v", "qv")).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    got_all = [
+        r["vec_id"]
+        for r in vector_store_topk(
+            spark, path, qv, k=10, exclude_vec_id=7, nprobe=N_CENTROIDS
+        ).collect()
+    ]
+    assert got_all == brute
+    prev_recall = -1.0
+    for nprobe in (1, 2, 4, N_CENTROIDS):
+        got = {
+            r["vec_id"]
+            for r in vector_store_topk(
+                spark, path, qv, k=10, exclude_vec_id=7, nprobe=nprobe
+            ).collect()
+        }
+        recall = len(got & set(brute)) / len(brute)
+        assert recall >= prev_recall  # monotone in nprobe
+        prev_recall = recall
+    assert prev_recall == 1.0
+    # probe set sanity: distinct, bounded, starts at the routed cell
+    probes = store_probe_partitions(path, qv, "cell", 4)
+    assert len(probes) == len(set(probes)) == 4
+    assert probes[0] == store_probe_partitions(path, qv, "cell", 1)[0]
