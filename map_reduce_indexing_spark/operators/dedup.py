@@ -330,8 +330,33 @@ def session_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(path: str) -> None:
         minhash_signatures(spark, sf_dir).write.parquet(path)
 
+    def delta_build(path: str, new_files: list[str]) -> None:
+        # Incremental maintenance (round 8): a signature row is keyed
+        # by its doc_id, so an append-only corpus delta appends exactly
+        # the delta docs' signatures — tokenize + shingle + hash runs
+        # over the delta only (same new-doc_ids contract and flock
+        # discipline as the index delta).
+        from .indexing import _recover_index_locked, index_writer_lock
+        from .tokens import _null_fill, build_tokenized_docs, gram_expr
+
+        docs = spark.read.parquet(*new_files)
+        shingles = build_tokenized_docs(_null_fill(docs)).select(
+            "doc_id",
+            F.explode(F.expr(gram_expr(SHINGLE_K, True))).alias("s"),
+        )
+        with index_writer_lock(path):
+            _recover_index_locked(path)
+            minhash_signatures(spark, sf_dir, shingles=shingles).write.mode(
+                "append"
+            ).parquet(path)
+
     return session_artifact_df(
-        spark, sf_dir, "session_minhash_sigs", "documents.parquet", build
+        spark,
+        sf_dir,
+        "session_minhash_sigs",
+        "documents.parquet",
+        build,
+        delta_build=delta_build,
     )
 
 

@@ -492,7 +492,27 @@ def session_index_path(spark: SparkSession, sf_dir: str) -> str:
         "session_index",
         "documents.parquet",
         lambda path: write_index(_artifact_postings(spark, sf_dir), path),
+        delta_build=_index_delta_build(spark),
     )
+
+
+def _index_delta_build(spark: SparkSession):
+    """Incremental maintenance for the session index (round 8): an
+    append-only corpus delta contributes postings rows keyed by NEW
+    doc_ids, so appending the delta's own aggregation is EXACTLY the
+    full rebuild's output (groupBy(word, doc_id) never merges rows
+    across documents) — the reference's append-sink lifecycle
+    (helper_reduce.c:241) with the same new-doc_ids contract as
+    IndexSession.append. The delta is tokenized directly (it is tiny);
+    the letter layout is unchanged, so consumer pruning is unchanged."""
+
+    def delta(path: str, new_files: list[str]) -> None:
+        docs = spark.read.parquet(*new_files)
+        with index_writer_lock(path):
+            _recover_index_locked(path)
+            write_index(build_postings(docs), path, mode="append")
+
+    return delta
 
 
 def _artifact_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,6 +546,7 @@ def indexed_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_index",
         "documents.parquet",
         lambda path: write_index(_artifact_postings(spark, sf_dir), path),
+        delta_build=_index_delta_build(spark),
     )
 
 

@@ -239,8 +239,35 @@ def indexed_positional_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             sort_cols=("letter", "word", "doc_id", "pos"),
         )
 
+    def delta_build(path: str, new_files: list[str]) -> None:
+        # Incremental maintenance (round 8): positional rows are keyed
+        # by NEW doc_ids, so appending the delta's own posexplode is
+        # exactly the full rebuild's output — same argument and flock
+        # discipline as indexing._index_delta_build. The delta is
+        # tokenized directly (it is tiny).
+        from ..operators.tokens import _null_fill, build_tokenized_docs
+        from .indexing import _recover_index_locked, index_writer_lock
+
+        docs = spark.read.parquet(*new_files)
+        pp = build_tokenized_docs(_null_fill(docs)).select(
+            "doc_id", F.posexplode("ws").alias("pos", "word")
+        )
+        with index_writer_lock(path):
+            _recover_index_locked(path)
+            write_letter_partitioned(
+                pp.withColumn("letter", F.substring("word", 1, 1)),
+                path,
+                sort_cols=("letter", "word", "doc_id", "pos"),
+                mode="append",
+            )
+
     return session_artifact_df(
-        spark, sf_dir, "pos_index", "documents.parquet", build
+        spark,
+        sf_dir,
+        "pos_index",
+        "documents.parquet",
+        build,
+        delta_build=delta_build,
     )
 
 

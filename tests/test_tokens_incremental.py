@@ -146,3 +146,74 @@ def test_modified_file_forces_full_rebuild(spark, tmp_path):
     rebuilt = tokenized_docs(spark, corpus)
     assert _artifact_dir(rebuilt) != art  # fingerprint rebuild
     assert rebuilt.count() == 5
+
+
+def test_chained_artifacts_also_append_incrementally(spark, tmp_path):
+    """Round-8 extension: the per-doc_id artifacts CHAINING on the
+    corpus (session index, positional index, minhash signatures) also
+    take the delta path — their rows are keyed by doc_id, so appending
+    the delta's own derivation is exactly the full rebuild. Each must
+    keep its artifact directory (no rebuild) and match a from-scratch
+    build of the grown corpus row-for-row."""
+    from map_reduce_indexing_spark.operators.dedup import session_signatures
+    from map_reduce_indexing_spark.operators.indexing import indexed_postings
+    from map_reduce_indexing_spark.operators.search import (
+        indexed_positional_postings,
+    )
+
+    grown = str(tmp_path / "grown")
+    _stage_corpus(spark, grown)
+    arts = {
+        "index": indexed_postings(spark, grown),
+        "pos": indexed_positional_postings(spark, grown),
+        "sigs": session_signatures(spark, grown),
+    }
+    dirs0 = {k: _artifact_dir(df) for k, df in arts.items()}
+    spark.createDataFrame(
+        [
+            (10**7, "incremental index alpha beta alpha", "en", "unit"),
+            (10**7 + 1, "gamma delta epsilon zeta eta theta", "en", "unit"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    ).write.mode("append").parquet(os.path.join(grown, "documents.parquet"))
+
+    fresh = str(tmp_path / "fresh")
+    os.makedirs(fresh)
+    load_table(spark, grown, "documents").write.parquet(
+        os.path.join(fresh, "documents.parquet")
+    )
+
+    inc_index = indexed_postings(spark, grown)
+    assert _artifact_dir(inc_index).startswith(
+        os.path.dirname(dirs0["index"])
+    )  # same artifact tree, not a rebuild
+    got = {
+        (r["word"], r["doc_id"], r["cnt"]) for r in inc_index.collect()
+    }
+    want = {
+        (r["word"], r["doc_id"], r["cnt"])
+        for r in indexed_postings(spark, fresh).collect()
+    }
+    assert got == want
+    assert ("alpha", 10**7, 2) in got
+
+    inc_pos = indexed_positional_postings(spark, grown)
+    got_pos = {
+        (r["word"], r["doc_id"], r["pos"]) for r in inc_pos.collect()
+    }
+    want_pos = {
+        (r["word"], r["doc_id"], r["pos"])
+        for r in indexed_positional_postings(spark, fresh).collect()
+    }
+    assert got_pos == want_pos
+
+    inc_sigs = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in session_signatures(spark, grown).collect()
+    }
+    want_sigs = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in session_signatures(spark, fresh).collect()
+    }
+    assert inc_sigs == want_sigs
+    assert 10**7 in inc_sigs
