@@ -61,7 +61,9 @@ HEADLINE = [
     "ann_kmeans_train",        # iterative Lloyd rounds (trained quantizer)
     "text_shuffle_shards",     # deterministic export shuffle (1-exchange)
     "multimodal_image_meta",   # Arrow mapInPandas pass
+    "multimodal_dedup_pairs",  # perceptual dHash + pigeonhole pairs (r8)
     "stream_tumbling_counts",  # structured streaming run
+    "stream_heavy_hitters",    # MG summaries as stream state + recount (r8)
 ]
 
 
