@@ -74,12 +74,19 @@ def misra_gries_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
     return items.select(col).mapInPandas(part, f"{col} string")
 
 
-def exact_heavy_hitters(
-    items: DataFrame, col: str, phi_num: int = PHI_NUM, phi_den: int = PHI_DEN
+def recount_candidates(
+    items: DataFrame,
+    cands: DataFrame,
+    col: str,
+    phi_num: int = PHI_NUM,
+    phi_den: int = PHI_DEN,
 ) -> DataFrame:
-    """Exact counts of every value with count >= ceil(n * phi)."""
-    k = 2 * phi_den // phi_num  # 2x margin over the 1/phi minimum
-    cands = misra_gries_candidates(items, col, k).distinct()
+    """Pass 2, shared with the streaming sketch (stream_heavy_hitters):
+    exact COUNT of candidate values only (broadcast left-semi prune)
+    + the integer-ceil support threshold. Candidate SOURCE differs
+    (per-partition MG vs per-key-range stream state); the recount and
+    threshold must be one code path or the two operators drift from
+    the shared full-histogram oracle."""
     total = items.agg(F.count(F.lit(1)).alias("n_total"))
     counts = (
         items.join(F.broadcast(cands), col, "left_semi")
@@ -94,6 +101,15 @@ def exact_heavy_hitters(
         )
         .select(col, "cnt")
     )
+
+
+def exact_heavy_hitters(
+    items: DataFrame, col: str, phi_num: int = PHI_NUM, phi_den: int = PHI_DEN
+) -> DataFrame:
+    """Exact counts of every value with count >= ceil(n * phi)."""
+    k = 2 * phi_den // phi_num  # 2x margin over the 1/phi minimum
+    cands = misra_gries_candidates(items, col, k).distinct()
+    return recount_candidates(items, cands, col, phi_num, phi_den)
 
 
 def _hh_oracle(tokens_sql: str, col: str) -> str:

@@ -191,14 +191,19 @@ def compact_index(spark: SparkSession, path: str) -> None:
     )
 
 
+# Probed ONCE at import (single-threaded): os.umask is process-global
+# and read-by-set, so probing it per call would open a window where a
+# concurrent writer thread creates world-writable files.
+_UMASK = os.umask(0)
+os.umask(_UMASK)
+
+
 def _chmod_staging(staging: str) -> None:
     """mkdtemp creates 0700 directories; a staged swap then publishes
     that mode as the live store/index, making an artifact built on
     shared storage unreadable to every other user/process. Re-apply the
     umask (what a plain mkdir would have produced) before the swap."""
-    umask = os.umask(0)
-    os.umask(umask)
-    os.chmod(staging, 0o777 & ~umask)
+    os.chmod(staging, 0o777 & ~_UMASK)
 
 
 def compact_artifact(spark: SparkSession, path: str, rewrite) -> None:
@@ -417,6 +422,20 @@ def session_artifact_path(
                             [os.path.join(src, p) for p in new_files],
                         )
                         _save_sources(prev_path, current)
+                        # The delta MUTATED prev_path, so every other
+                        # fingerprint entry still pointing at it is now
+                        # wrong — without this purge, a corpus that
+                        # returns to an earlier fingerprint (file
+                        # appended, then removed) would cache-hit the
+                        # old key and serve the appended rows for docs
+                        # no longer in the corpus. Entries for OTHER
+                        # paths stay: those artifacts are immutable.
+                        for stale in [
+                            k
+                            for k, v in _ARTIFACTS.items()
+                            if v == prev_path and k != key
+                        ]:
+                            del _ARTIFACTS[stale]
                         _ARTIFACTS[key] = prev_path
                         # drop the cached discovered read: its file
                         # listing predates the appended rows
@@ -432,9 +451,23 @@ def session_artifact_path(
         workdir = tempfile.mkdtemp(prefix=f"mri_{kind}_", dir=base)
         atexit.register(shutil.rmtree, workdir, True)
         path = os.path.join(workdir, kind)
+        # Snapshot the consumed listing BEFORE the build runs: a file
+        # dropped into the corpus DURING the Spark job may or may not
+        # have entered the job's input, so recording the post-build
+        # listing could skip its docs forever (consumed-but-unread),
+        # while recording the pre-build one could duplicate them
+        # (read-and-also-delta'd). Resolution: save the sidecar ONLY
+        # when the listing is identical before and after the build —
+        # otherwise leave no sidecar, and the next fingerprint change
+        # takes the (always-correct) full rebuild.
+        listing = (
+            _data_listing(src)
+            if delta_build is not None and os.path.isdir(src)
+            else None
+        )
         build(path)
-        if delta_build is not None and os.path.isdir(src):
-            _save_sources(path, _data_listing(src))
+        if listing is not None and _data_listing(src) == listing:
+            _save_sources(path, listing)
         _ARTIFACTS[key] = path
         _ARTIFACT_HEADS[head_key] = path
     return path

@@ -502,6 +502,11 @@ def store_probe_partitions(
     neighbor buckets (flip one hyperplane sign per extra probe — the
     planes whose margin |q.p| is smallest are the likeliest
     misroutes, same recall argument as ann_lsh_multiprobe)."""
+    if nprobe < 1:
+        # nprobe=0 would silently return an empty IVF probe set (a
+        # lookup that finds nothing) and a NEGATIVE slice on the LSH
+        # side (probing 7 buckets when asked for fewer) — fail loudly.
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     if col == "cell":
         cents = load_quantizer(path)
         cl = cents if cents is not None else CENTROIDS
@@ -1833,6 +1838,7 @@ def q_ann_kmeans_train_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRAINED_QUANTIZERS: dict[tuple[str, str, str], list[list[float]]] = {}
+_TRAINED_QUANTIZERS_LOCK = __import__("threading").Lock()
 
 
 def trained_quantizer(spark: SparkSession, sf_dir: str) -> list[list[float]]:
@@ -1843,14 +1849,17 @@ def trained_quantizer(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     they don't retrain it. `ann_kmeans_train` itself calls train_kmeans
     directly — it IS the training benchmark, and memoizing it would
     make the bench measure a dictionary lookup."""
-    from .indexing import _ARTIFACTS_LOCK, _content_fingerprint
+    from .indexing import _content_fingerprint
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    # Check-and-train under the session-artifact lock (RLock, so the
-    # nested _content_fingerprint / artifact-chain path stays safe):
-    # an unguarded read-then-write let two threads both run the full
-    # 3-round k-means — duplicate Spark jobs, same model.
-    with _ARTIFACTS_LOCK:
+    # Check-and-train under a DEDICATED lock: an unguarded
+    # read-then-write let two threads both run the full 3-round
+    # k-means (duplicate Spark jobs, same model). NOT the global
+    # _ARTIFACTS_LOCK — training is a multi-job Spark run, and holding
+    # the lock every session-artifact lookup takes would serialize
+    # the whole engine behind it (train_kmeans touches no session
+    # artifacts, so there is no nesting to stay re-entrant for).
+    with _TRAINED_QUANTIZERS_LOCK:
         key = (spark.sparkContext.applicationId, src, _content_fingerprint(src))
         if key not in _TRAINED_QUANTIZERS:
             # A changed corpus means the old fingerprint's model will

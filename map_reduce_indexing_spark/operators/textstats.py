@@ -291,11 +291,19 @@ def q_text_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             # int64 product silently wraps past 2^63 (DuckDB promotes
             # to HUGEINT, so the engines would diverge exactly on the
             # large corpora this checksum exists to verify); with both
-            # factors < p ≈ 1e9 the product stays under ~1e18.
+            # factors < p ≈ 1e9 the product stays under ~1e18. The SUM
+            # itself goes through DECIMAL(38,0): int64 SUM of <1e9
+            # terms wraps past ~9.2e9 rows per shard, while DuckDB's
+            # SUM is HUGEINT — exact on both engines this way.
             (
                 F.sum(
-                    ((F.col("rn") % _CKSUM_P) * (F.col("doc_id") % _CKSUM_P))
-                    % _CKSUM_P
+                    (
+                        (
+                            (F.col("rn") % _CKSUM_P)
+                            * (F.col("doc_id") % _CKSUM_P)
+                        )
+                        % _CKSUM_P
+                    ).cast("decimal(38,0)")
                 )
                 % _CKSUM_P
             )

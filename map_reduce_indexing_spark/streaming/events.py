@@ -1157,7 +1157,7 @@ def _stream_hh_oracle() -> str:
     "nothing (property-tested with shuffled multi-file corpora).",
 )
 def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.heavyhitters import PHI_DEN, PHI_NUM
+    from ..operators.heavyhitters import recount_candidates
     from ..operators.tokens import token_rows
 
     updates = run_to_completion(
@@ -1172,17 +1172,4 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     tokens = token_rows(spark, sf_dir, out_col="word").select("word")
-    total = tokens.agg(F.count(F.lit(1)).alias("n_total"))
-    counts = (
-        tokens.join(F.broadcast(cands), "word", "left_semi")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
-    return (
-        counts.crossJoin(F.broadcast(total))  # 1-row scalar frame
-        .filter(
-            F.col("cnt")
-            >= F.expr(f"(n_total * {PHI_NUM} + {PHI_DEN - 1}) div {PHI_DEN}")
-        )
-        .select("word", "cnt")
-    )
+    return recount_candidates(tokens, cands, "word")

@@ -217,3 +217,28 @@ def test_chained_artifacts_also_append_incrementally(spark, tmp_path):
     }
     assert inc_sigs == want_sigs
     assert 10**7 in inc_sigs
+
+
+def test_fingerprint_revert_after_delta_does_not_serve_stale_rows(
+    spark, tmp_path
+):
+    """Review-caught round 8: the delta MUTATES the artifact path, so a
+    corpus whose fingerprint returns to an earlier value (file
+    appended, then removed) must NOT cache-hit the old fingerprint key
+    and serve rows for the removed docs."""
+    corpus = str(tmp_path / "corpus")
+    _stage_corpus(spark, corpus)
+    table = os.path.join(corpus, "documents.parquet")
+    n0 = tokenized_docs(spark, corpus).count()
+    before_files = set(os.listdir(table))
+    spark.createDataFrame(
+        [(10**7, "transient doc", "en", "unit")],
+        "doc_id long, text string, lang string, source string",
+    ).write.mode("append").parquet(table)
+    assert tokenized_docs(spark, corpus).count() == n0 + 1  # delta seen
+    # remove exactly the appended data files -> fingerprint reverts
+    for f in set(os.listdir(table)) - before_files:
+        os.remove(os.path.join(table, f))
+    reverted = tokenized_docs(spark, corpus)
+    assert reverted.count() == n0
+    assert reverted.filter("doc_id = 10000000").count() == 0

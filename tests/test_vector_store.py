@@ -577,3 +577,17 @@ def test_topk_nprobe_recall_knob(spark, tmp_path):
     probes = store_probe_partitions(path, qv, "cell", 4)
     assert len(probes) == len(set(probes)) == 4
     assert probes[0] == store_probe_partitions(path, qv, "cell", 1)[0]
+
+
+def test_topk_rejects_nonpositive_nprobe(spark, tmp_path):
+    from map_reduce_indexing_spark.api import VectorStore
+    from map_reduce_indexing_spark.operators.similarity import (
+        embeddings_double,
+    )
+
+    e = embeddings_double(spark, SF_DIR).select("vec_id", "v")
+    path = str(tmp_path / "store")
+    vs = VectorStore.build(spark, e, path, layout="ivf")
+    qv = [float(x) for x in e.limit(1).collect()[0]["v"]]
+    with pytest.raises(ValueError, match="nprobe"):
+        vs.topk(qv, nprobe=0)
