@@ -262,6 +262,7 @@ class VectorStore:
         layout: str = "lsh",
         centroids: list[list[float]] | None = None,
         pq: bool = False,
+        codebooks: list[list[list[float]]] | None = None,
     ) -> "VectorStore":
         """layout="lsh" partitions on the hyperplane bucket, "ivf" on
         the nearest coarse centroid; append/compact/topk infer the
@@ -274,11 +275,20 @@ class VectorStore:
         vectors with the codebook as a second sidecar: appends
         re-encode against it, compaction carries it, and
         `topk(..., serving="pq")` serves from codes (ADC shortlist +
-        exact re-rank) instead of scanning floats."""
+        exact re-rank) instead of scanning floats. `codebooks` (pq
+        only) builds against TRAINED sub-quantizers — e.g.
+        `operators.similarity.train_pq_codebooks(spark, sf_dir)` —
+        persisted in the sidecar like the pinned defaults."""
         from .operators.similarity import build_vector_store
 
         build_vector_store(
-            spark, vectors, path, layout=layout, centroids=centroids, pq=pq
+            spark,
+            vectors,
+            path,
+            layout=layout,
+            centroids=centroids,
+            pq=pq,
+            codebooks=codebooks,
         )
         return cls(spark, path)
 

@@ -295,6 +295,7 @@ def build_vector_store(
     layout: str = "lsh",
     centroids: list[list[float]] | None = None,
     pq: bool = False,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> None:
     """Materialize a partitioned vector store at a USER path from any
     (vec_id, v array<double>) frame — layout "lsh" (hyperplane
@@ -331,8 +332,19 @@ def build_vector_store(
             raise ValueError(
                 f"centroids must be a non-empty list of dim-{DIM} vectors"
             )
+    if codebooks is not None and not pq:
+        raise ValueError("codebooks= requires pq=True")
+    if codebooks is not None and (
+        len(codebooks) != PQ_M
+        or any(len(b) != PQ_K for b in codebooks)
+        or any(len(c) != PQ_SUBDIM for b in codebooks for c in b)
+    ):
+        raise ValueError(
+            f"codebooks must be {PQ_M} books of {PQ_K} dim-{PQ_SUBDIM} "
+            "centroids (train_pq_codebooks' shape)"
+        )
     col = _LAYOUT_COLS[layout]
-    books = PQ_CODEBOOKS if pq else None
+    books = (codebooks or PQ_CODEBOOKS) if pq else None
     with index_writer_lock(path):
         if centroids is None and not pq:
             _write_vector_store(vectors, path, mode="overwrite", col=col)
@@ -1835,6 +1847,203 @@ KMEANS_K_LARGE = 64  # > ASSIGN_LITERAL_MAX_K: exercises the broadcast path
 def q_ann_kmeans_train_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = train_kmeans(spark, sf_dir, k=KMEANS_K_LARGE)
     return _kmeans_report(spark, sf_dir, cents)
+
+
+# ---------------------------------------------------------------------------
+# PQ codebook TRAINING: per-subspace Lloyd refinement of the pinned books
+# ---------------------------------------------------------------------------
+#
+# The same train-then-serve story as the coarse quantizer, applied to
+# the compression tier: PQ_CODEBOOKS are the deterministic INIT, and
+# Lloyd rounds refine each subspace's 16 centroids against the data.
+# Physical shape per round: ONE scan computing all PQ_M per-subspace
+# argmins as inlined-literal expressions (k=16 per subspace — inside
+# the literal budget), a posexplode to (m, code, subvector) rows, one
+# hash aggregation of PQ_SUBDIM exact-decimal sums per (m, code) (the
+# exchange carries <= PQ_M*PQ_K rows per partition), and a bounded
+# <= 128-row model collect. Trained books serve through the SAME
+# sidecar machinery as the pinned ones: build_vector_store(pq=True,
+# codebooks=trained) persists them in _codebook.json and every later
+# append / streaming ingest / topk(serving="pq") encodes against them
+# without being told.
+
+
+def train_pq_codebooks(
+    spark: SparkSession, sf_dir: str, iters: int = KMEANS_ITERS
+) -> list[list[list[float]]]:
+    """Per-subspace k-means over the corpus subvectors; returns
+    PQ_M codebooks of PQ_K 9dp-rounded centroids. Empty codes keep
+    their previous centroid (standard Lloyd, same as train_kmeans)."""
+    vecs = embeddings_double(spark, sf_dir).select("v")
+    books = [[[float(x) for x in c] for c in b] for b in PQ_CODEBOOKS]
+    for _ in range(iters):
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.expr(
+                        f"array_position(array({_spark_enc_dists('v', m, books)}), "
+                        f"array_min(array({_spark_enc_dists('v', m, books)})))"
+                    )
+                    .cast("int")
+                    .alias("code"),
+                    F.expr(_spark_sub("v", m)).alias("sv"),
+                )
+                for m in range(PQ_M)
+            ]
+        )
+        rows = vecs.select(F.explode(entries).alias("e")).select(
+            "e.m", "e.code", "e.sv"
+        )
+        stats = rows.groupBy("m", "code").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.col("sv")[d].cast(_KM_DEC)).alias(f"s{d}")
+                for d in range(PQ_SUBDIM)
+            ],
+        )
+        new = [list(b) for b in books]
+        for r in stats.collect():  # <= PQ_M * PQ_K rows: bounded fetch
+            new[int(r["m"])][int(r["code"]) - 1] = [
+                round(float(r[f"s{d}"]) / r["n"], KMEANS_ROUND)
+                for d in range(PQ_SUBDIM)
+            ]
+        books = new
+    return books
+
+
+def _duck_pq_train_ctes(iters: int = KMEANS_ITERS) -> str:
+    """Unrolled per-subspace Lloyd rounds: one CTE chain where the
+    subspace id `m` rides every key (the Spark pass's posexplode as a
+    CROSS JOIN range(PQ_M))."""
+    init = ", ".join(
+        f"({m}, {k + 1}, {_duck_farr(c)})"
+        for m, b in enumerate(PQ_CODEBOOKS)
+        for k, c in enumerate(b)
+    )
+    parts = [
+        f"e AS (SELECT vec_id, v FROM ({DUCK_EMB}))",
+        f"""e2 AS (
+            SELECT vec_id, t.m,
+                   list_slice(v, t.m * {PQ_SUBDIM} + 1,
+                              (t.m + 1) * {PQ_SUBDIM}) AS sv
+            FROM e CROSS JOIN range({PQ_M}) t(m))""",
+        f"c0(m, code, c) AS (VALUES {init})",
+    ]
+    for it in range(iters):
+        p, nxt = f"c{it}", f"c{it + 1}"
+        parts.append(
+            f"""a{it} AS (
+            SELECT vec_id, m, sv, code FROM (
+                SELECT e2.vec_id, e2.m, e2.sv, {p}.code,
+                       ROW_NUMBER() OVER (PARTITION BY e2.vec_id, e2.m
+                           ORDER BY list_dot_product({p}.c, {p}.c)
+                                    - 2 * list_dot_product(e2.sv, {p}.c),
+                                    {p}.code) AS rn
+                FROM e2 JOIN {p} ON e2.m = {p}.m) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""m{it} AS (
+            SELECT m, code, t.d,
+                   ROUND(CAST(SUM(CAST(sv[t.d] AS DECIMAL(38,12))) AS DOUBLE)
+                         / COUNT(*), {KMEANS_ROUND}) AS mu
+            FROM a{it} CROSS JOIN range(1, {PQ_SUBDIM + 1}) t(d)
+            GROUP BY m, code, t.d)"""
+        )
+        parts.append(
+            f"""{nxt}(m, code, c) AS (
+            SELECT p.m, p.code, COALESCE(mm.c, p.c)
+            FROM {p} p LEFT JOIN (
+                SELECT m, code, list(mu ORDER BY d) AS c
+                FROM m{it} GROUP BY m, code) mm
+              ON p.m = mm.m AND p.code = mm.code)"""
+        )
+    return ",\n".join(parts)
+
+
+@register(
+    "ann_pq_train",
+    oracle=f"""
+        WITH {_duck_pq_train_ctes()},
+        af AS (
+            SELECT vec_id, m, code, d2 FROM (
+                SELECT e2.vec_id, e2.m, cf.code,
+                       list_dot_product(e2.sv, e2.sv)
+                       + list_dot_product(cf.c, cf.c)
+                       - 2 * list_dot_product(e2.sv, cf.c) AS d2,
+                       ROW_NUMBER() OVER (PARTITION BY e2.vec_id, e2.m
+                           ORDER BY list_dot_product(cf.c, cf.c)
+                                    - 2 * list_dot_product(e2.sv, cf.c),
+                                    cf.code) AS rn
+                FROM e2 JOIN c{KMEANS_ITERS} cf ON e2.m = cf.m) WHERE rn = 1)
+        SELECT CAST(af.m AS BIGINT) AS m,
+               CAST(af.code AS BIGINT) AS code,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               ROUND(list_dot_product(cf.c, cf.c), 6) AS c_norm,
+               ROUND(SUM(af.d2), 4) + 0.0 AS inertia
+        FROM af JOIN c{KMEANS_ITERS} cf
+          ON af.m = cf.m AND af.code = cf.code
+        GROUP BY af.m, af.code, cf.c
+    """,
+    tier="llm",
+    doc=f"PQ codebook training: {KMEANS_ITERS} Lloyd rounds refining "
+    f"all {PQ_M} sub-quantizers ({PQ_K} centroids each) in ONE pass "
+    "per round — inlined per-subspace argmins, posexplode to (m, code, "
+    "subvector), one exact-decimal aggregation whose exchange carries "
+    "<= 128 rows per partition, bounded model collect. Init = the "
+    "pinned deterministic codebooks, so the unrolled-CTE oracle "
+    "derives bit-identical books. Output: per (subspace, code) size, "
+    "centroid norm, inertia. Trained books feed "
+    "build_vector_store(pq=True, codebooks=...) and serve through the "
+    "_codebook.json sidecar exactly like the pinned ones "
+    "(tests/test_pq_store.py).",
+)
+def q_ann_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    books = train_pq_codebooks(spark, sf_dir)
+    vecs = embeddings_double(spark, sf_dir).select("v")
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.expr(
+                    f"array_position(array({_spark_enc_dists('v', m, books)}), "
+                    f"array_min(array({_spark_enc_dists('v', m, books)})))"
+                )
+                .cast("int")
+                .alias("code"),
+                F.expr(
+                    f"({SPARK_DOT.format(a=_spark_sub('v', m), b=_spark_sub('v', m))}"
+                    f" + array_min(array({_spark_enc_dists('v', m, books)})))"
+                ).alias("d2"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    final = vecs.select(F.explode(entries).alias("e")).select(
+        F.col("e.m").cast("long").alias("m"),
+        F.col("e.code").cast("long").alias("code"),
+        "e.d2",
+    )
+    norms = {
+        (m, k + 1): round(sum(x * x for x in c), 6)
+        for m, b in enumerate(books)
+        for k, c in enumerate(b)
+    }
+    norm_expr = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(f"{m}:{k}") for m, k in norms]),
+            F.array(*[F.lit(v) for v in norms.values()]),
+        ),
+        F.concat_ws(":", F.col("m").cast("string"), F.col("code").cast("string")),
+    )
+    return (
+        final.groupBy("m", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            (F.round(F.sum("d2"), 4) + F.lit(0.0)).alias("inertia"),
+        )
+        .select("m", "code", "n_points", norm_expr.alias("c_norm"), "inertia")
+    )
 
 
 _TRAINED_QUANTIZERS: dict[tuple[str, str, str], list[list[float]]] = {}

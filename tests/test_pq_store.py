@@ -186,3 +186,62 @@ def test_streaming_ingest_encodes_against_store_codebook(spark, tmp_path):
     qv = _probe(spark)
     rows = vs.topk(qv, k=2, serving="pq").collect()
     assert rows[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_trained_codebooks_through_the_store_lifecycle(spark, tmp_path):
+    """train_pq_codebooks -> build(pq=True, codebooks=...) -> the
+    trained books persist in the sidecar and every later append/topk
+    encodes against THEM (not the pinned defaults); recall vs the
+    store's own exact serving holds the same bar."""
+    from map_reduce_indexing_spark.operators.similarity import (
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(spark, SF_DIR)
+    assert books != PQ_CODEBOOKS  # Lloyd actually moved the centroids
+    assert all(
+        round(x, 9) == x for b in books for c in b for x in c
+    )  # 9dp contract
+    e = embeddings_double(spark, SF_DIR).select("vec_id", "v")
+    path = str(tmp_path / "store")
+    vs = VectorStore.build(
+        spark, e, path, layout="ivf", pq=True, codebooks=books
+    )
+    assert load_codebook(path) == books
+    qv = _probe(spark)
+    new_id = 10**6
+    vs.append(
+        spark.createDataFrame([(new_id, qv)], "vec_id long, v array<double>")
+    )
+    codes = {
+        r["vec_id"]: list(r["code"])
+        for r in vs.vectors()
+        .filter(f"vec_id IN ({QUERY_VEC_ID}, {new_id})")
+        .collect()
+    }
+    # appended row re-encoded with the TRAINED books: identical to the
+    # build-time encoding of the same vector
+    assert codes[new_id] == codes[QUERY_VEC_ID]
+    exact = {
+        r["vec_id"]
+        for r in vs.topk(qv, k=10).collect()
+    }
+    pq = {
+        r["vec_id"]
+        for r in vs.topk(qv, k=10, serving="pq").collect()
+    }
+    assert len(exact & pq) / len(exact) >= 0.5
+    vs.compact()
+    assert load_codebook(path) == books  # trained sidecar rode the swap
+
+
+def test_codebooks_param_is_validated(spark, tmp_path):
+    e = embeddings_double(spark, SF_DIR).select("vec_id", "v").limit(10)
+    with pytest.raises(ValueError, match="requires pq=True"):
+        VectorStore.build(
+            spark, e, str(tmp_path / "s1"), codebooks=PQ_CODEBOOKS
+        )
+    with pytest.raises(ValueError, match="codebooks must be"):
+        VectorStore.build(
+            spark, e, str(tmp_path / "s2"), pq=True, codebooks=[[[0.0]]]
+        )
