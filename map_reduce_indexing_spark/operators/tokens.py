@@ -127,6 +127,21 @@ def tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         session_artifact_df,
     )
 
+    build, delta_build = _tokens_artifact_spec(spark, sf_dir)
+    return session_artifact_df(
+        spark,
+        sf_dir,
+        "session_tokens",
+        "documents.parquet",
+        build,
+        delta_build=delta_build,
+    )
+
+
+def _tokens_artifact_spec(spark: SparkSession, sf_dir: str):
+    from ..sources.tables import load_table
+    from .indexing import _recover_index_locked, index_writer_lock
+
     def build(path: str) -> None:
         docs = load_table(spark, sf_dir, "documents")
         build_tokenized_docs(_null_fill(docs)).write.parquet(path)
@@ -141,14 +156,46 @@ def tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "append"
             ).parquet(path)
 
-    return session_artifact_df(
+    return build, delta_build
+
+
+def compact_tokenized_docs(spark: SparkSession, sf_dir: str) -> None:
+    """Fold the per-delta appended files back to a compact artifact —
+    the log-structured merge half of the tokens tier's lifecycle (the
+    index tier's compact_index, applied to the base artifact). Runs
+    through indexing.compact_artifact (locked read -> staged rewrite ->
+    crash-safe swap); the _sources.json consumed-listing sidecar rides
+    the swap like the vector store's model sidecars, so later corpus
+    appends still take the delta path; the cached discovered read is
+    dropped because the path's file listing changed."""
+    from .indexing import (
+        _ARTIFACT_DFS,
+        _load_sources,
+        _save_sources,
+        compact_artifact,
+        session_artifact_path,
+    )
+
+    build, delta_build = _tokens_artifact_spec(spark, sf_dir)
+    path = session_artifact_path(
         spark,
         sf_dir,
         "session_tokens",
         "documents.parquet",
         build,
-        delta_build=delta_build,
+        delta_build,
     )
+
+    def rewrite(df, staging: str) -> None:
+        df.repartition(spark.sparkContext.defaultParallelism).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        listing = _load_sources(path)
+        if listing is not None:
+            _save_sources(staging, listing)
+
+    compact_artifact(spark, path, rewrite)
+    _ARTIFACT_DFS.pop((spark.sparkContext.applicationId, path), None)
 
 
 def token_rows(spark: SparkSession, sf_dir: str, out_col: str = "w") -> DataFrame:

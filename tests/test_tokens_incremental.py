@@ -242,3 +242,51 @@ def test_fingerprint_revert_after_delta_does_not_serve_stale_rows(
     reverted = tokenized_docs(spark, corpus)
     assert reverted.count() == n0
     assert reverted.filter("doc_id = 10000000").count() == 0
+
+
+def test_compact_folds_delta_files_and_keeps_delta_path_alive(
+    spark, tmp_path
+):
+    """The lifecycle's merge half: repeated deltas pile up files;
+    compaction folds them (rows unchanged), carries the _sources.json
+    sidecar through the swap, and a FURTHER corpus append still takes
+    the delta path afterwards."""
+    from map_reduce_indexing_spark.operators.tokens import (
+        compact_tokenized_docs,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    _stage_corpus(spark, corpus)
+    table = os.path.join(corpus, "documents.parquet")
+    first = tokenized_docs(spark, corpus)
+    art = _artifact_dir(first)
+    for i in range(6):
+        spark.createDataFrame(
+            [(10**7 + i, f"delta number {i}", "en", "unit")],
+            "doc_id long, text string, lang string, source string",
+        ).write.mode("append").parquet(table)
+        tokenized_docs(spark, corpus)
+    n = tokenized_docs(spark, corpus).count()
+    rows_before = {
+        (r["doc_id"], tuple(r["ws"]))
+        for r in tokenized_docs(spark, corpus).collect()
+    }
+    files_before = len(_listing(art))
+    assert files_before >= 7  # per-delta files piled up
+    compact_tokenized_docs(spark, corpus)
+    # folded to the compaction width, independent of how many deltas ran
+    assert len(_listing(art)) <= spark.sparkContext.defaultParallelism
+    assert len(_listing(art)) < files_before
+    after = tokenized_docs(spark, corpus)
+    assert _artifact_dir(after) == art
+    assert {
+        (r["doc_id"], tuple(r["ws"])) for r in after.collect()
+    } == rows_before
+    # the sidecar survived: one more append is still a delta, not a rebuild
+    spark.createDataFrame(
+        [(10**7 + 99, "post compact delta", "en", "unit")],
+        "doc_id long, text string, lang string, source string",
+    ).write.mode("append").parquet(table)
+    again = tokenized_docs(spark, corpus)
+    assert _artifact_dir(again) == art
+    assert again.count() == n + 1
