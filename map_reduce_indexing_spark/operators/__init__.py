@@ -12,3 +12,4 @@ from . import cdc  # noqa: F401
 from . import heavyhitters  # noqa: F401
 from . import eventflow  # noqa: F401
 from . import profiling  # noqa: F401
+from . import bpe  # noqa: F401

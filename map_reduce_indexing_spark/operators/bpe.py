@@ -1,0 +1,249 @@
+"""BPE tokenizer training over the corpus vocabulary (EXT tier).
+
+The text tier counts BPE-ish segments (textstats.py's regex); this
+module TRAINS the merges — the byte-pair-encoding loop every LLM
+tokenizer pipeline runs (Sennrich et al., ACL'16), expressed
+Spark-first:
+
+  vocab    (word, freq) from the session tokens artifact — BPE trains
+           on the word-frequency table, never the raw corpus, so the
+           whole loop runs over ~|vocab| rows regardless of corpus
+           size (the 100-TB posture: one corpus-pass to build the
+           artifact, then vocab-sized training rounds).
+  round r  adjacent-symbol pair counts weighted by word frequency
+           (per-row transform over the split symbol string + one
+           pair-keyed aggregation), argmax pair by (count DESC, pair
+           ASC) — a bounded 1-row model fetch, the same declared
+           pattern as the k-means centroid collects — then the merge
+           applied to every word's symbol string by a LEFT FOLD.
+
+The fold is the determinism keystone: both engines run the identical
+greedy leftmost non-overlapping merge as a string accumulator fold —
+Spark `aggregate(...)`, DuckDB `list_reduce(...)` — appending the
+second symbol to the accumulator when it ends with the first symbol
+(symbol boundary = the space separator, so 'x'+'a' never false-matches
+a pair starting with 'a'). "a a a" + merge(a,a) -> "aa a" on both.
+Symbols are [a-z]+ by the tokenizer contract, so inlining them in SQL
+literals needs no escaping.
+
+The oracle unrolls all N_BPE_MERGES rounds as CTE chains (same
+discipline as the k-means oracles) and must reproduce the learned
+merge table bit-for-bit — pair identity AND count per round.
+
+Reference parity: the reference has no tokenizer training (its
+tokenizer is the fixed §0.1 pipeline); this is the extension tier's
+train-then-serve story applied to the tokenizer itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.registry import register
+from .indexing import TOKENS_SQL
+
+N_BPE_MERGES = 6
+
+
+def _spark_char_seq(word: str) -> str:
+    """Space-joined characters of `word` (the round-0 symbol string)."""
+    return (
+        f"concat_ws(' ', transform(sequence(1, length({word})), "
+        f"i -> substring({word}, i, 1)))"
+    )
+
+
+def _spark_merge_fold(seq: str, a: str, b: str) -> str:
+    """Greedy leftmost non-overlapping application of merge (a, b) to
+    the symbol string `seq`, as a left fold. `a`/`b` are [a-z]+ symbol
+    literals (inlined unquoted-safe by the tokenizer contract)."""
+    return (
+        f"aggregate(split({seq}, ' '), '', (acc, x) -> "
+        f"CASE WHEN acc = '' THEN x "
+        f"WHEN (acc = '{a}' OR endswith(acc, ' {a}')) AND x = '{b}' "
+        f"THEN concat(acc, '{b}') "
+        f"ELSE concat(acc, ' ', x) END)"
+    )
+
+
+def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq, seq): the word-frequency table with each word
+    split to its character symbol string."""
+    from .tokens import token_rows
+
+    return (
+        token_rows(spark, sf_dir, out_col="word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("seq", F.expr(_spark_char_seq("word")))
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """(a, b, cnt): adjacent-symbol pair counts weighted by word freq —
+    a per-row transform over the split symbol string plus ONE pair-
+    keyed aggregation (1-symbol words contribute nothing: sequence's
+    descending-for-empty trap is guarded by the size test)."""
+    pairs = F.expr(
+        "CASE WHEN size(split(seq, ' ')) >= 2 THEN "
+        "transform(sequence(1, size(split(seq, ' ')) - 1), "
+        "i -> struct(element_at(split(seq, ' '), i) AS a, "
+        "element_at(split(seq, ' '), i + 1) AS b)) "
+        "ELSE array() END"
+    )
+    return (
+        vocab.select("freq", F.explode(pairs).alias("p"))
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+
+
+def train_bpe_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_BPE_MERGES
+) -> list[dict]:
+    """The Lloyd-style training loop for the tokenizer: n_merges rounds
+    of (pair count -> 1-row argmax fetch -> fold merge into every
+    word's symbol string). Returns the learned merge table
+    [{rank, a, b, merged, cnt}, ...]; stops early if no pair occurs
+    twice (merging a count-1 pair learns nothing)."""
+    vocab = bpe_vocab(spark, sf_dir).localCheckpoint(eager=True)
+    merges: list[dict] = []
+    for r in range(n_merges):
+        best = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("cnt"), "a", "b")
+            .head(1)  # bounded model fetch, like the centroid collects
+        )
+        if not best or best[0]["cnt"] < 2:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append(
+            {"rank": r, "a": a, "b": b, "merged": a + b, "cnt": cnt}
+        )
+        vocab = vocab.withColumn(
+            "seq", F.expr(_spark_merge_fold("seq", a, b))
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def apply_bpe(
+    vocab: DataFrame, merges: list[dict], seq_col: str = "seq"
+) -> DataFrame:
+    """Serve a learned merge table: apply the merges in rank order to a
+    (.., seq) frame — the encode half of train-then-serve (chained
+    folds over the small merge list; each is a map-only expression)."""
+    out = vocab
+    for m in sorted(merges, key=lambda m: m["rank"]):
+        out = out.withColumn(
+            seq_col, F.expr(_spark_merge_fold(seq_col, m["a"], m["b"]))
+        )
+    return out
+
+
+def _duck_bpe_ctes(n_merges: int = N_BPE_MERGES) -> str:
+    """The whole training loop unrolled as CTEs: vocab0 (char split),
+    then per round pair counts -> top-1 -> list_reduce fold (the
+    Spark fold's exact semantics; probed green on 'a a a')."""
+    parts = [
+        f"toks AS ({TOKENS_SQL})",
+        """vocab0 AS (
+            SELECT word, COUNT(*) AS freq,
+                   array_to_string(list_transform(range(1, len(word) + 1),
+                       i -> word[i]), ' ') AS seq
+            FROM toks GROUP BY word)""",
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f"""p{r} AS (
+            SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM (
+                SELECT freq,
+                       unnest(list_transform(range(1, len(s)),
+                           i -> struct_pack(a := s[i], b := s[i + 1]))) AS pr
+                FROM (SELECT freq, string_split(seq, ' ') AS s FROM vocab{r})
+                WHERE len(s) >= 2)
+            GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"b{r} AS (SELECT a, b, cnt FROM p{r} "
+            f"ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        parts.append(
+            f"""vocab{r + 1} AS (
+            SELECT word, freq,
+                   list_reduce(string_split(seq, ' '), (acc, x) ->
+                       CASE WHEN (acc = bb.a OR ends_with(acc, ' ' || bb.a))
+                                 AND x = bb.b
+                            THEN acc || bb.b
+                            ELSE acc || ' ' || x END) AS seq
+            FROM vocab{r} CROSS JOIN b{r} bb)"""
+        )
+    return ",\n".join(parts)
+
+
+def _duck_bpe_merges_sql(n_merges: int = N_BPE_MERGES) -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, a AS pair_a, b AS pair_b, "
+        f"a || b AS merged, cnt AS n_pair FROM b{r} WHERE cnt >= 2"
+        for r in range(n_merges)
+    )
+    return f"WITH {_duck_bpe_ctes(n_merges)} {rows}"
+
+
+@register(
+    "text_bpe_merges",
+    oracle=_duck_bpe_merges_sql(),
+    tier="llm",
+    doc=f"BPE tokenizer training: the {N_BPE_MERGES} highest-frequency "
+    "adjacent-symbol merges learned over the word-frequency table "
+    "(greedy leftmost fold application each round, count-DESC/pair-ASC "
+    "argmax, counts weighted by word frequency). Training cost is "
+    "vocab-sized per round, never corpus-sized — the corpus is touched "
+    "once, by the tokens artifact. The oracle unrolls every round as "
+    "CTEs (pair counts -> top-1 -> list_reduce fold) and must match "
+    "the learned table bit-for-bit, merge identity AND count.",
+)
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = train_bpe_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["a"], m["b"], m["merged"], m["cnt"])
+            for m in merges
+        ],
+        "rank long, pair_a string, pair_b string, merged string, n_pair long",
+    )
+
+
+@register(
+    "text_bpe_pair_counts",
+    oracle=f"""
+        WITH {_duck_bpe_ctes(0)}
+        SELECT pr.a AS pair_a, pr.b AS pair_b,
+               CAST(SUM(freq) AS BIGINT) AS n_pair
+        FROM (
+            SELECT freq,
+                   unnest(list_transform(range(1, len(s)),
+                       i -> struct_pack(a := s[i], b := s[i + 1]))) AS pr
+            FROM (SELECT freq, string_split(seq, ' ') AS s FROM vocab0)
+            WHERE len(s) >= 2)
+        GROUP BY 1, 2
+        ORDER BY n_pair DESC, pair_a, pair_b LIMIT 20
+    """,
+    tier="llm",
+    export=False,  # pytest + sweep variant: round 0 of the trainer
+    doc="Round 0 of BPE training in isolation: the top-20 adjacent "
+    "CHARACTER pairs by frequency-weighted count — the statistic the "
+    "trainer's first argmax consumes, pinned separately so a trainer "
+    "regression is attributable (pair mining vs fold application).",
+)
+def q_text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = _pair_counts(bpe_vocab(spark, sf_dir))
+    return (
+        counts.orderBy(F.desc("cnt"), "a", "b")
+        .limit(20)
+        .select(
+            F.col("a").alias("pair_a"),
+            F.col("b").alias("pair_b"),
+            F.col("cnt").alias("n_pair"),
+        )
+    )

@@ -1,0 +1,116 @@
+"""BPE tokenizer training: fold semantics, trainer parity, serving.
+
+The registered queries are oracle-checked by the sweep; pinned here:
+the Spark merge fold reproduces the reference greedy leftmost
+non-overlapping merge (pure-Python Sennrich-style), the whole trainer
+matches an independent Python implementation merge-for-merge on the
+fixture, and the serving half (apply_bpe) losslessly re-derives every
+word from its merged symbols.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from map_reduce_indexing_spark.operators.bpe import (
+    N_BPE_MERGES,
+    _spark_merge_fold,
+    apply_bpe,
+    bpe_vocab,
+    train_bpe_merges,
+)
+from tests.conftest import SF_DIR
+
+
+def _py_merge(symbols: list[str], a: str, b: str) -> list[str]:
+    """Reference greedy leftmost non-overlapping merge."""
+    out: list[str] = []
+    i = 0
+    while i < len(symbols):
+        if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+def _py_train(vocab: dict[str, int], n_merges: int):
+    seqs = {w: list(w) for w in vocab}
+    merges = []
+    for r in range(n_merges):
+        counts: Counter = Counter()
+        for w, freq in vocab.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += freq
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < 2:
+            break
+        merges.append((r, a, b, a + b, cnt))
+        seqs = {w: _py_merge(s, a, b) for w, s in seqs.items()}
+    return merges, seqs
+
+
+def test_fold_matches_reference_merge(spark):
+    cases = [
+        ("aaa", "a", "a"),  # overlap: leftmost wins -> (aa, a)
+        ("aaaa", "a", "a"),
+        ("aab", "a", "b"),
+        ("abab", "a", "b"),
+        ("bba", "b", "a"),
+        ("xa", "a", "b"),  # no match
+        ("a", "a", "a"),  # single symbol
+    ]
+    df = spark.createDataFrame(
+        [(w, " ".join(list(w))) for w, _, _ in cases], "word string, seq string"
+    )
+    for (w, a, b) in cases:
+        got = (
+            df.filter(F.col("word") == w)
+            .select(F.expr(_spark_merge_fold("seq", a, b)).alias("m"))
+            .collect()[0]["m"]
+        )
+        assert got == " ".join(_py_merge(list(w), a, b)), (w, a, b, got)
+
+
+def test_trainer_matches_python_reference(spark):
+    vocab = {
+        r["word"]: r["freq"]
+        for r in bpe_vocab(spark, SF_DIR).select("word", "freq").collect()
+    }
+    want, want_seqs = _py_train(vocab, N_BPE_MERGES)
+    got = train_bpe_merges(spark, SF_DIR)
+    assert [
+        (m["rank"], m["a"], m["b"], m["merged"], m["cnt"]) for m in got
+    ] == want
+    assert len(got) == N_BPE_MERGES  # the fixture has that much signal
+    # serving: re-applying the learned merges reproduces the trained
+    # symbol state AND every word round-trips from its symbols
+    served = {
+        r["word"]: r["seq"]
+        for r in apply_bpe(bpe_vocab(spark, SF_DIR), got).collect()
+    }
+    for w, s in want_seqs.items():
+        assert served[w] == " ".join(s), w
+        assert served[w].replace(" ", "") == w
+
+
+def test_trainer_early_stops_without_signal(spark):
+    corpus = spark.createDataFrame(
+        [(1, "ab cd ef", "en", "unit")],
+        "doc_id long, text string, lang string, source string",
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    corpus.write.parquet(os.path.join(d, "documents.parquet"))
+    # every word unique, every pair count 1 -> nothing to learn
+    assert train_bpe_merges(spark, d) == []
