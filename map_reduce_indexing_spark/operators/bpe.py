@@ -247,3 +247,44 @@ def q_text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("n_pair"),
         )
     )
+
+
+@register(
+    "text_bpe_doc_tokens",
+    oracle=f"""
+        WITH {_duck_bpe_ctes()},
+        wl AS (
+            SELECT word, len(string_split(seq, ' ')) AS n_sym
+            FROM vocab{N_BPE_MERGES})
+        SELECT t.doc_id,
+               CAST(SUM(wl.n_sym) AS BIGINT) AS n_bpe_trained_tokens,
+               CAST(SUM(len(t.word)) AS BIGINT) AS n_chars_tokenized
+        FROM toks t JOIN wl ON t.word = wl.word
+        GROUP BY t.doc_id
+    """,
+    tier="llm",
+    doc="Token accounting under the TRAINED tokenizer (the serve half "
+    "of text_bpe_merges): each word's symbol count after applying the "
+    "learned merges, summed per document — the number that sizes "
+    "context windows and training budgets, computed as a vocab-sized "
+    "encode (apply_bpe over distinct words) broadcast-joined back to "
+    "the token stream; the corpus is never re-scanned per merge. "
+    "n_chars_tokenized (the merge-free ceiling) rides along so the "
+    "compression the merges bought is visible per doc.",
+)
+def q_text_bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tokens import token_rows
+
+    merges = train_bpe_merges(spark, sf_dir)
+    encoded = apply_bpe(bpe_vocab(spark, sf_dir), merges).select(
+        "word", F.size(F.split("seq", " ")).cast("long").alias("n_sym")
+    )
+    return (
+        token_rows(spark, sf_dir, out_col="word")
+        .join(F.broadcast(encoded), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_sym").cast("long").alias("n_bpe_trained_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_chars_tokenized"),
+        )
+    )

@@ -122,6 +122,10 @@ PIPELINES = (
     # per-shard local sort — the repartition+sortWithinPartitions write
     # pattern, measured end to end
     "text_shuffle_shards",
+    # tokenizer-training representative: cost is VOCAB-sized per merge
+    # round (pair agg + 1-row fetch + fold), so wall should grow with
+    # distinct words (slowly), not corpus bytes
+    "text_bpe_merges",
 )
 
 
