@@ -114,3 +114,20 @@ def test_trainer_early_stops_without_signal(spark):
     corpus.write.parquet(os.path.join(d, "documents.parquet"))
     # every word unique, every pair count 1 -> nothing to learn
     assert train_bpe_merges(spark, d) == []
+
+
+def test_training_round_never_rescans_the_corpus(spark):
+    """The scale contract: after round 0, every training round runs
+    over the CHECKPOINTED vocab — no parquet scan of the corpus in
+    the pair-count plan (the reason the curve is flat in SCALING.md)."""
+    from map_reduce_indexing_spark.operators.bpe import _pair_counts
+
+    vocab = bpe_vocab(spark, SF_DIR).localCheckpoint(eager=True)
+    plan = (
+        _pair_counts(vocab)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FileScan" not in plan, plan
+    assert "parquet" not in plan.lower(), plan
