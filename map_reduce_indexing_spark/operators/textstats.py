@@ -731,6 +731,59 @@ def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _lm_count_rows(tokenized: DataFrame) -> DataFrame:
+    """(k, g, c) n-gram counts of one tokenized frame — the single
+    shared derivation for the full build AND the delta partials, so an
+    incremental artifact can never drift from a from-scratch one."""
+    from .tokens import gram_expr
+
+    ug = (
+        tokenized.select(F.explode("ws").alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.lit(1).alias("k"), "g", "c")
+    )
+    bg = (
+        tokenized.select(F.explode(F.expr(gram_expr(2))).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.lit(2).alias("k"), "g", "c")
+    )
+    return ug.unionAll(bg)
+
+
+def _lm_counts_spec(spark: SparkSession, sf_dir: str):
+    from .indexing import _recover_index_locked, index_writer_lock
+    from .tokens import tokenized_docs as _toks
+
+    def build(path: str) -> None:
+        _lm_count_rows(_toks(spark, sf_dir)).write.partitionBy("k").parquet(
+            path
+        )
+
+    def delta_build(path: str, new_files: list[str]) -> None:
+        # Incremental maintenance (round 8, second half): counts are a
+        # MERGEABLE summary — C(corpus + delta) = C(corpus) + C(delta)
+        # per gram — so an append-only corpus delta appends the DELTA
+        # DOCS' partial counts (O(delta) work: tokenize + aggregate the
+        # new files only) and the merge is deferred to read time
+        # (`lm_slice` sums per gram) and to compaction
+        # (`compact_lm_counts` folds partials back to one row per
+        # gram). Same flock + crash-recovery discipline as the index
+        # delta; the reference analogue is the same log-structured
+        # append (helper_reduce.c:241) applied to the model tier — the
+        # one artifact whose rows are NOT keyed by doc_id.
+        from .tokens import _null_fill, build_tokenized_docs
+
+        docs = spark.read.parquet(*new_files)
+        partial = _lm_count_rows(build_tokenized_docs(_null_fill(docs)))
+        with index_writer_lock(path):
+            _recover_index_locked(path)
+            partial.write.mode("append").partitionBy("k").parquet(path)
+
+    return build, delta_build
+
+
 def lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(k, g, c): the corpus n-gram count tables the bigram LM scores
     against — k=1 unigram counts, k=2 bigram counts — persisted once
@@ -740,27 +793,81 @@ def lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_lm_score run re-aggregated the full gram stream twice (plus a
     countDistinct for V, now the k=1 row count). The reference's
     build-then-query lifecycle (helper_reduce.c:238-257) applied to
-    the language-model tier."""
+    the language-model tier.
+
+    RAW artifact rows: after an incremental corpus append (delta_build
+    above) a gram may carry several partial-count rows. Consumers go
+    through `lm_slice`, which merges; only code that can prove the
+    artifact is compact (or that tolerates partials) reads this
+    directly."""
     from .indexing import session_artifact_df
 
-    def build(path: str) -> None:
-        ug = (
-            token_rows(spark, sf_dir, out_col="g")
-            .groupBy("g")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .select(F.lit(1).alias("k"), "g", "c")
-        )
-        bg = (
-            _gram_occurrences(spark, sf_dir, 2)
-            .groupBy("g")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .select(F.lit(2).alias("k"), "g", "c")
-        )
-        ug.unionAll(bg).write.partitionBy("k").parquet(path)
-
+    build, delta_build = _lm_counts_spec(spark, sf_dir)
     return session_artifact_df(
-        spark, sf_dir, "session_lm_counts", "documents.parquet", build
+        spark,
+        sf_dir,
+        "session_lm_counts",
+        "documents.parquet",
+        build,
+        delta_build=delta_build,
     )
+
+
+def lm_slice(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """(g, c): the merged k-gram slice of the LM model — the read-side
+    half of the mergeable-summary lifecycle: partial-count rows from
+    incremental appends are summed per gram here. Plan cost over a
+    compact artifact is one hash aggregate whose exchange the
+    downstream join on `g` REUSES (the agg hash-partitions on exactly
+    the join key), so serving a compact model pays the same number of
+    exchanges as reading final counts directly did."""
+    return (
+        lm_counts(spark, sf_dir)
+        .filter(F.col("k") == k)
+        .groupBy("g")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def compact_lm_counts(spark: SparkSession, sf_dir: str) -> None:
+    """Fold per-delta partial-count files back to one row per (k, g) —
+    the merge half of the model tier's log-structured lifecycle, via
+    the locked staged-swap machinery (indexing.compact_artifact); the
+    _sources.json consumed-listing sidecar rides the swap so later
+    corpus appends still take the delta path."""
+    from .indexing import (
+        _ARTIFACT_DFS,
+        _load_sources,
+        _save_sources,
+        compact_artifact,
+        session_artifact_path,
+    )
+
+    build, delta_build = _lm_counts_spec(spark, sf_dir)
+    path = session_artifact_path(
+        spark,
+        sf_dir,
+        "session_lm_counts",
+        "documents.parquet",
+        build,
+        delta_build,
+    )
+
+    def rewrite(df, staging: str) -> None:
+        (
+            df.groupBy("k", "g")
+            .agg(F.sum("c").alias("c"))
+            .select("k", "g", "c")
+            .write.mode("overwrite")
+            .partitionBy("k")
+            .parquet(staging)
+        )
+        listing = _load_sources(path)
+        if listing is not None:
+            _save_sources(staging, listing)
+
+    compact_artifact(spark, path, rewrite)
+    _ARTIFACT_DFS.pop((spark.sparkContext.applicationId, path), None)
 
 
 @register(
@@ -798,16 +905,18 @@ def lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(shuffle join); a pruned 100k-word model would broadcast instead.",
 )
 def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    model = lm_counts(spark, sf_dir)
     bg = _gram_occurrences(spark, sf_dir, 2).select(
         "doc_id", "g", F.split("g", " ")[0].alias("w1")
     )
-    # Pruned artifact slices (PartitionFilters on k), not re-aggregation.
-    bgc = model.filter(F.col("k") == 2).select("g", F.col("c").alias("cg"))
-    ugc = model.filter(F.col("k") == 1).select(
+    # Pruned + merged artifact slices (PartitionFilters on k; partial
+    # rows from incremental appends summed per gram), not re-aggregation
+    # of the corpus. The merge agg's exchange is on `g` — exactly the
+    # join key — so the join reuses it.
+    bgc = lm_slice(spark, sf_dir, 2).select("g", F.col("c").alias("cg"))
+    ugc = lm_slice(spark, sf_dir, 1).select(
         F.col("g").alias("w"), F.col("c").alias("cw")
     )
-    vocab = model.filter(F.col("k") == 1).agg(F.count(F.lit(1)).alias("v"))
+    vocab = lm_slice(spark, sf_dir, 1).agg(F.count(F.lit(1)).alias("v"))
     logp = F.expr(
         "CAST(ln(CAST(cg + 1 AS DOUBLE) / CAST(cw + v AS DOUBLE)) AS DECIMAL(28,12))"
     )
@@ -1061,9 +1170,7 @@ def q_text_pmi_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("d_pair"))
     )
-    uni = lm_counts(spark, sf_dir).filter(F.col("k") == 1).select(
-        F.col("g").alias("w"), "c"
-    )
+    uni = lm_slice(spark, sf_dir, 1).select(F.col("g").alias("w"), "c")
     totals = ws.select(
         F.size("ws").alias("nt"),
         F.size(F.expr(windowed_pair_expr())).alias("np"),
@@ -1148,9 +1255,8 @@ PRUNED_VOCAB_V = 500  # serving-tier model size (tiny here; ~100k real)
     "model's shuffle join cannot keep at 100 TB.",
 )
 def q_text_lm_score_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    model = lm_counts(spark, sf_dir)
     vocab = (
-        model.filter(F.col("k") == 1)
+        lm_slice(spark, sf_dir, 1)
         .orderBy(F.desc("c"), "g")
         .limit(PRUNED_VOCAB_V)
         .select(F.col("g").alias("w"), F.col("c").alias("cw"))
@@ -1160,7 +1266,7 @@ def q_text_lm_score_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = vocab.select(F.col("w").alias("mw1"))
     v2 = vocab.select(F.col("w").alias("mw2"))
     model_bg = (
-        model.filter(F.col("k") == 2)
+        lm_slice(spark, sf_dir, 2)
         .select("g", F.col("c").alias("cg"), split1.alias("bw1"), split2.alias("bw2"))
         .join(F.broadcast(v1), F.col("bw1") == F.col("mw1"))
         .join(F.broadcast(v2), F.col("bw2") == F.col("mw2"))
