@@ -13,3 +13,4 @@ from . import heavyhitters  # noqa: F401
 from . import eventflow  # noqa: F401
 from . import profiling  # noqa: F401
 from . import bpe  # noqa: F401
+from . import graph  # noqa: F401

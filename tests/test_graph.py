@@ -1,0 +1,109 @@
+"""PageRank operator (operators/graph.py): semantics vs a pure-Python
+power iteration (including the dangling-node mass term the fixture's
+trade graph never exercises — every nation has out-edges there), rank
+conservation, and the iteration's plan discipline."""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_indexing_spark.operators.graph import (
+    PR_DAMPING,
+    pagerank,
+    trade_edges,
+)
+from map_reduce_indexing_spark.plans import registry
+from tests.conftest import SF_DIR
+
+# a -> b -> c, c dangling; a also links c directly
+TOY_EDGES = [("a", "b", 3), ("a", "c", 1), ("b", "c", 2)]
+TOY_NODES = ["a", "b", "c"]
+
+
+def _py_pagerank(nodes, edges, rounds, d=PR_DAMPING):
+    """Reference implementation mirroring the engine contract: per-edge
+    terms quantized to 12 dp (the DECIMAL(28,12) cast), exact decimal
+    sums, 12-dp round per round."""
+    q = Decimal("1e-12")
+
+    def dec(x):
+        return Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP)
+
+    wout = {}
+    for s, _t, w in edges:
+        wout[s] = wout.get(s, 0) + w
+    n = float(len(nodes))
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(rounds):
+        s = {v: Decimal(0) for v in nodes}
+        for src, dst, w in edges:
+            s[dst] += dec(r[src] * (w / wout[src]))
+        dm = sum((dec(r[v]) for v in nodes if v not in wout), Decimal(0))
+        r = {
+            v: float(
+                Decimal(
+                    repr((1.0 - d) / n + d * (float(dm) / n) + d * float(s[v]))
+                ).quantize(q, rounding=ROUND_HALF_UP)
+            )
+            for v in nodes
+        }
+    return r
+
+
+@pytest.mark.parametrize("rounds", [1, 4])
+def test_pagerank_matches_reference_with_dangling_mass(spark, rounds):
+    edges = spark.createDataFrame(TOY_EDGES, "src string, dst string, w long")
+    nodes = spark.createDataFrame([(v,) for v in TOY_NODES], "node string")
+    got = {
+        r["node"]: r["r"]
+        for r in pagerank(nodes, edges, rounds=rounds).collect()
+    }
+    want = _py_pagerank(TOY_NODES, TOY_EDGES, rounds)
+    assert set(got) == set(want)
+    for v in TOY_NODES:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), (v, got, want)
+    # dangling mass really moved: c has no out-edges yet total rank
+    # stays ~1 (the stochastic-matrix fix), and a (never linked to)
+    # keeps only the teleport + dangling share
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+    assert got["c"] == max(got.values())
+
+
+def test_pagerank_total_mass_conserved_on_trade_graph(spark):
+    edges = trade_edges(spark, SF_DIR)
+    nodes = (
+        edges.select("src").union(edges.select("dst")).distinct()
+        .select(F.col("src").alias("node"))
+    )
+    ranks = pagerank(nodes, edges, rounds=3)
+    total = ranks.agg(F.sum("r")).collect()[0][0]
+    assert total == pytest.approx(1.0, abs=1e-6)
+    assert ranks.filter(F.col("r") <= 0).count() == 0
+
+
+def test_pagerank_iteration_plan_discipline(spark):
+    """Per-round shape: lineage is TRUNCATED (the final plan reads the
+    previous round's materialized ranks as a scan, not 6 nested
+    join-agg rounds — without localCheckpoint the rank vector's double
+    reference doubles the plan per iteration), the two 1-row scalar
+    frames come in broadcast, and nothing degenerates to a cartesian
+    product."""
+    q = registry.get("rel_pagerank_trade")
+    df = q.fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    # final round only: one rank<-edges join + one left join back onto
+    # nodes; earlier rounds live behind the checkpoint scan
+    assert plan.count("Scan ExistingRDD") >= 1, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan  # the 2 scalars
+
+
+def test_registered_trade_pagerank_is_deterministic(spark):
+    q = registry.get("rel_pagerank_trade")
+    a = {(r["node"], r["rank"]) for r in q.fn(spark, SF_DIR).collect()}
+    b = {(r["node"], r["rank"]) for r in q.fn(spark, SF_DIR).collect()}
+    assert a == b
+    assert len(a) == 25  # every nation participates at this SF
