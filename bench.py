@@ -64,6 +64,7 @@ HEADLINE = [
     "multimodal_dedup_pairs",  # perceptual dHash + pigeonhole pairs (r8)
     "stream_tumbling_counts",  # structured streaming run
     "stream_heavy_hitters",    # MG summaries as stream state + recount (r8)
+    "rel_pagerank_trade",      # iterative graph: damped power iteration (r8)
 ]
 
 
