@@ -59,12 +59,40 @@ def pagerank(
     once more for display). Dangling nodes (no out-edges) redistribute
     their mass uniformly — the standard stochastic-matrix fix.
 
-    `checkpoint=False` keeps the whole iteration lazy (useful for plan
-    inspection of a single round); the default materializes each round
-    to bound plan depth."""
+    Iteration strategy — picked ONCE, from a rank-independent property
+    of the graph: the dangling NODE SET is fixed across rounds, so one
+    tiny edges-only job decides the loop shape up front.
+
+    - No dangling nodes (every cleaned src-projected graph; the trade
+      graph): dm ≡ 0.0 exactly, so the term is dropped (x + 0.0 ≡ x in
+      IEEE for positive ranks — bit-identical output) and each round
+      references the rank vector ONCE. The whole iteration is then a
+      single lazy linear plan — no per-round materialization, no
+      per-round job overhead; only the edge table is checkpointed (the
+      GraphX edge-cache discipline), because nodes/out/e would
+      otherwise re-derive their upstream pipeline once per round.
+    - Dangling nodes present: the dm term needs a second pass over the
+      ranks each round, which would double the plan per iteration
+      (2^rounds subtrees) — each round materializes via
+      `localCheckpoint(eager=True)`, the Pregel discipline.
+
+    `checkpoint=False` skips the edge/rank checkpoints (plan
+    inspection only — compile cost grows with rounds)."""
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=False)
+        nodes = nodes.localCheckpoint(eager=False)
     out = edges.groupBy("src").agg(F.sum("w").alias("wout"))
     e = edges.join(out, "src").select(
         "src", "dst", (F.col("w").cast("double") / F.col("wout").cast("double")).alias("p")
+    )
+    if checkpoint:
+        # e is referenced every round; without this its edges⋈out
+        # normalization subtree re-plans per iteration (3 joins/round
+        # instead of 2, measured ~25% of the fixture query's wall)
+        e = e.localCheckpoint(eager=False)
+    has_dangling = (
+        nodes.join(out, nodes.node == out.src, "left_anti").limit(1).count()
+        > 0
     )
     n1 = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(n1)).select(
@@ -72,7 +100,7 @@ def pagerank(
     )
     base = F.lit(1.0 - damping) / F.col("n")
     for _ in range(rounds):
-        if checkpoint:
+        if checkpoint and has_dangling:
             ranks = ranks.localCheckpoint(eager=True)
         contrib = (
             ranks.join(e, ranks.node == e.src)
@@ -80,29 +108,31 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("t").alias("s"))
         )
-        dangling = (
-            ranks.join(out, ranks.node == out.src, "left_anti")
-            .agg(
-                F.coalesce(
-                    F.sum(F.col("r").cast(_TERM_DEC)).cast("double"), F.lit(0.0)
-                ).alias("dm")
-            )
+        nxt = nodes.join(contrib, nodes.node == contrib.dst, "left").crossJoin(
+            F.broadcast(n1)
         )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .crossJoin(F.broadcast(n1))
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                F.round(
-                    base
-                    + F.lit(damping) * (F.col("dm") / F.col("n"))
-                    + F.lit(damping)
-                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
-                    12,
-                ).alias("r"),
+        if has_dangling:
+            dangling = (
+                ranks.join(out, ranks.node == out.src, "left_anti")
+                .agg(
+                    F.coalesce(
+                        F.sum(F.col("r").cast(_TERM_DEC)).cast("double"),
+                        F.lit(0.0),
+                    ).alias("dm")
+                )
             )
-        )
+            new_r = (
+                base
+                + F.lit(damping) * (F.col("dm") / F.col("n"))
+                + F.lit(damping)
+                * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+            )
+            nxt = nxt.crossJoin(F.broadcast(dangling))
+        else:
+            new_r = base + F.lit(damping) * F.coalesce(
+                F.col("s").cast("double"), F.lit(0.0)
+            )
+        ranks = nxt.select("node", F.round(new_r, 12).alias("r"))
     return ranks
 
 
@@ -118,9 +148,13 @@ def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # orders/customer carry NO broadcast hint: orders is a fact table
+    # (hinting it broadcast would ship the fact stream at 100 TB) and
+    # customer is nation-sized-up — AQE picks broadcast at small SF on
+    # its own. supplier/nation are true small dims, hinted.
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
         .join(
             F.broadcast(n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("src"))),
             F.col("c_nationkey") == F.col("cnk"),
@@ -203,7 +237,11 @@ def _duck_pagerank_ctes(rounds: int, damping: float) -> str:
     "fixture's trade graph.",
 )
 def q_rel_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = trade_edges(spark, sf_dir)
+    # Checkpoint the edge table HERE so the node-set derivation reads
+    # the materialized ≤ N² rows — deriving nodes from the lazy frame
+    # would re-run the whole lineitem pipeline a second time when the
+    # iteration checkpoints it (measured: half the query's wall).
+    edges = trade_edges(spark, sf_dir).localCheckpoint(eager=False)
     nodes = edges.select("src").union(edges.select("dst")).distinct().select(
         F.col("src").alias("node")
     )

@@ -85,20 +85,36 @@ def test_pagerank_total_mass_conserved_on_trade_graph(spark):
 
 
 def test_pagerank_iteration_plan_discipline(spark):
-    """Per-round shape: lineage is TRUNCATED (the final plan reads the
-    previous round's materialized ranks as a scan, not 6 nested
-    join-agg rounds — without localCheckpoint the rank vector's double
-    reference doubles the plan per iteration), the two 1-row scalar
-    frames come in broadcast, and nothing degenerates to a cartesian
-    product."""
+    """The trade graph has no dangling nodes, so the loop takes the
+    single-reference lazy shape: ONE plan holding all 6 rounds as a
+    LINEAR join-agg chain over the checkpointed edge table (Scan
+    ExistingRDD leaves — without the edge checkpoint each round would
+    re-embed the 5-join lineitem pipeline), per-round scalars broadcast
+    (one BroadcastNestedLoopJoin per round, no dangling-mass joins),
+    and nothing degenerates to a cartesian product."""
     q = registry.get("rel_pagerank_trade")
     df = q.fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
-    # final round only: one rank<-edges join + one left join back onto
-    # nodes; earlier rounds live behind the checkpoint scan
-    assert plan.count("Scan ExistingRDD") >= 1, plan
-    assert plan.count("BroadcastNestedLoopJoin") == 2, plan  # the 2 scalars
+    assert plan.count("Scan ExistingRDD") >= 1, plan  # checkpointed edges
+    assert "lineitem" not in plan, plan  # edge derivation ran ONCE, before
+    # one n-scalar broadcast per round plus the uniform-r0 one, and
+    # nothing else nested-loops (no dangling-mass joins)
+    assert plan.count("BroadcastNestedLoopJoin") == 7, plan
+
+
+def test_pagerank_dangling_path_checkpoints_per_round(spark):
+    """With dangling nodes the rank vector is referenced twice per
+    round; the loop must materialize per round (the final plan reads
+    the PREVIOUS round's ranks as a checkpoint scan, keeping plan size
+    constant in round count) and carry the dangling-mass broadcast."""
+    edges = spark.createDataFrame(TOY_EDGES, "src string, dst string, w long")
+    nodes = spark.createDataFrame([(v,) for v in TOY_NODES], "node string")
+    df = pagerank(nodes, edges, rounds=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    # exactly the FINAL round is visible: its two scalar broadcasts
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan
 
 
 def test_registered_trade_pagerank_is_deterministic(spark):
