@@ -87,10 +87,16 @@ PRIORITY_WINDOW = [
     "rel_cdc_merge_upsert",  # r8 rotation: MERGE semantics had never been external
     "rel_attribution_first_touch",  # r6 rotation: event-flow attribution
     "rel_retention_cohorts",  # r7 rotation: cohort retention (rel_resample_daily retired after 1 stable round; time-series family keeps rel_anomaly_daily)
-    # relational: distribution stats + grouping
-    "rel_approx_distinct",
+    # relational: distribution stats + grouping (r8 second batch:
+    # rel_approx_distinct retired after 7 stable rounds — approx
+    # distribution stats keep rel_percentiles external; its slot goes
+    # to the round's new algorithm class, rel_pagerank_trade)
     "rel_percentiles",
     "rel_grouping_sets",
+    # iterative graph analytics (round 8: damped power iteration over
+    # the trade graph — the crawl-graph quality-prior class, never
+    # external before because it didn't exist)
+    "rel_pagerank_trade",
     # relational: windows, sets, scalar/json surface (r6 rotation:
     # rel_window_lag_gap retired — rank_parts + range_frame keep the
     # window family external; offset windows stay pytest+sweep-checked.

@@ -225,3 +225,16 @@ def test_window_exercises_round8_rotation():
     assert {"stream_scd2_temporal_join", "stream_stateful_user_stats"} <= w
     assert {"text_pmi_windowed", "text_shuffle_shards"} <= w
     assert {"ann_ivf_pq_topk", "ann_recall_eval"} <= w
+
+
+def test_round8_second_batch_rotation():
+    """Round-8 second batch: the round's brand-new algorithm class
+    (iterative graph analytics — weighted PageRank) gets an external
+    row; rel_approx_distinct retires after 7 stable rounds with
+    rel_percentiles carrying the approximate-distribution family."""
+    w = set(PRIORITY_WINDOW)
+    assert "rel_pagerank_trade" in w
+    assert "rel_approx_distinct" not in w
+    q = registry.get("rel_approx_distinct")
+    assert q.export and q.oracle is not None  # still sweep-checked
+    assert "rel_percentiles" in w  # the family's representative
