@@ -934,6 +934,187 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KN_D = 0.75  # absolute discount (the standard KN default)
+
+# ONE SQL string used verbatim by both engines (F.expr on the Spark
+# side, inlined in the DuckDB oracle) — identical text, identical IEEE
+# expression tree, so the per-doc decimal sums hash-match.
+_KN_TERM = (
+    "CAST(ln("
+    f"(CAST(cg AS DOUBLE) - {KN_D}) / CAST(cw AS DOUBLE)"
+    f" + {KN_D} * (CAST(cont1 AS DOUBLE) / CAST(cw AS DOUBLE))"
+    " * (CAST(n1w2 AS DOUBLE) / CAST(b AS DOUBLE))"
+    ") AS DECIMAL(28,12))"
+)
+
+
+@register(
+    "text_lm_score_kn",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {DUCK_TOKENS_LIST} AS t FROM documents),
+        occ AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        bg AS (SELECT doc_id, g, string_split(g, ' ')[1] AS w1,
+                      string_split(g, ' ')[2] AS w2
+               FROM (SELECT doc_id, unnest({_duck_k_grams('t', 2)}) AS g FROM toks)),
+        bgc AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS cg FROM bg GROUP BY g),
+        ugc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM occ GROUP BY w),
+        cont AS (SELECT string_split(g, ' ')[1] AS w1c,
+                        CAST(COUNT(*) AS BIGINT) AS cont1
+                 FROM bgc GROUP BY 1),
+        hist AS (SELECT string_split(g, ' ')[2] AS w2c,
+                        CAST(COUNT(*) AS BIGINT) AS n1w2
+                 FROM bgc GROUP BY 1),
+        btypes AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM bgc)
+        SELECT bg.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(CAST(SUM({_KN_TERM}) AS DOUBLE) / COUNT(*), 6)
+                 AS avg_logp_kn
+        FROM bg
+        JOIN bgc ON bg.g = bgc.g
+        JOIN ugc ON bg.w1 = ugc.w
+        JOIN cont ON bg.w1 = cont.w1c
+        JOIN hist ON bg.w2 = hist.w2c
+        CROSS JOIN btypes
+        GROUP BY bg.doc_id
+    """,
+    tier="llm",
+    doc=f"Interpolated Kneser-Ney bigram scoring — the smoother KenLM "
+    "actually ships (add-one is the teaching baseline): "
+    f"P(w2|w1) = (C(w1w2)-D)/C(w1) + D·N1+(w1,·)/C(w1)·Pcont(w2), "
+    f"D={KN_D}, where Pcont(w2) = N1+(·,w2)/|bigram types| is the "
+    "CONTINUATION probability — how many distinct contexts a word "
+    "follows, not how often it occurs (the fix for 'Francisco': "
+    "frequent but only ever after 'San'). Every model table derives "
+    "from the persisted lm_counts artifact's k=2 slice — continuation "
+    "and history counts are vocabulary-sized aggregations over bigram "
+    "TYPES, zero corpus scans. Same serving join plan as "
+    "text_lm_score plus two type-count joins; same decimal-sum "
+    "determinism discipline.",
+)
+def q_text_lm_score_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    split1 = F.split("g", " ")[0]
+    split2 = F.split("g", " ")[1]
+    bg = _gram_occurrences(spark, sf_dir, 2).select(
+        "doc_id", "g", split1.alias("w1"), split2.alias("w2")
+    )
+    s2 = lm_slice(spark, sf_dir, 2)
+    bgc = s2.select("g", F.col("c").alias("cg"))
+    ugc = lm_slice(spark, sf_dir, 1).select(
+        F.col("g").alias("w"), F.col("c").alias("cw")
+    )
+    cont = (
+        s2.select(split1.alias("w1c"))
+        .groupBy("w1c")
+        .agg(F.count(F.lit(1)).alias("cont1"))
+    )
+    hist = (
+        s2.select(split2.alias("w2c"))
+        .groupBy("w2c")
+        .agg(F.count(F.lit(1)).alias("n1w2"))
+    )
+    btypes = s2.agg(F.count(F.lit(1)).alias("b"))
+    return (
+        bg.join(bgc, "g")
+        .join(ugc, bg.w1 == ugc.w)
+        .join(cont, bg.w1 == cont.w1c)
+        .join(hist, bg.w2 == hist.w2c)
+        .crossJoin(F.broadcast(btypes))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.expr(_KN_TERM)).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logp_kn"),
+        )
+    )
+
+
+RESAMPLE_SEED = 13
+RESAMPLE_DECILES = 10
+
+
+@register(
+    "text_lm_resample",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {DUCK_TOKENS_LIST} AS t FROM documents),
+        occ AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        bg AS (SELECT doc_id, g, string_split(g, ' ')[1] AS w1
+               FROM (SELECT doc_id, unnest({_duck_k_grams('t', 2)}) AS g FROM toks)),
+        bgc AS (SELECT g, COUNT(*) AS cg FROM bg GROUP BY g),
+        ugc AS (SELECT w, COUNT(*) AS cw FROM occ GROUP BY w),
+        vocab AS (SELECT COUNT(DISTINCT w) AS v FROM occ),
+        scored AS (
+            SELECT bg.doc_id,
+                   ROUND(CAST(SUM(CAST(
+                       ln(CAST(cg + 1 AS DOUBLE) / CAST(cw + v AS DOUBLE))
+                       AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS s
+            FROM bg
+            JOIN bgc ON bg.g = bgc.g
+            JOIN ugc ON bg.w1 = ugc.w
+            CROSS JOIN vocab
+            GROUP BY bg.doc_id),
+        bucketed AS (
+            SELECT doc_id, s,
+                   NTILE({RESAMPLE_DECILES}) OVER (ORDER BY s, doc_id)
+                     AS decile
+            FROM scored)
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                       || ':{RESAMPLE_SEED}'), 1, 8)
+                        AS BIGINT) % 100 < decile * {RESAMPLE_DECILES}
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               ROUND(MIN(s), 6) AS lo_score,
+               ROUND(MAX(s), 6) AS hi_score
+        FROM bucketed
+        GROUP BY decile
+    """,
+    tier="llm",
+    doc=f"Perplexity-stratified resampling — the quality-weighted "
+    "mixture step of a curation pipeline (DoReMi-style reweighting "
+    "reduced to its data-plane half): score every doc under the "
+    "corpus bigram LM, split the score distribution into "
+    f"{RESAMPLE_DECILES} deciles (NTILE over a deterministic "
+    "(score, doc_id) total order), then keep docs at a per-decile "
+    f"rate — decile d keeps d·{RESAMPLE_DECILES}% via the engine's "
+    "seed-stable md5 coin, so higher-quality strata are upsampled "
+    "relative to lower ones and the sample is reproducible across "
+    "engines, runs, and cluster sizes. Output is the per-decile "
+    "contract (counts + score range); the write form keeps rows "
+    "instead of counting them. Scale note: NTILE over a global ORDER "
+    "BY is a single-partition sort — the contract form; at 100 TB the "
+    "cutpoints come from approx_percentile and the bucketing becomes "
+    "a map-only range lookup, the documented swap.",
+)
+def q_text_lm_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    scored = q_text_lm_score(spark, sf_dir).select(
+        "doc_id", F.col("avg_logp").alias("s")
+    )
+    decile = F.ntile(RESAMPLE_DECILES).over(
+        Window.orderBy("s", "doc_id")
+    )
+    h = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(f":{RESAMPLE_SEED}"))
+    )
+    keep = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 100
+        < F.col("decile") * RESAMPLE_DECILES
+    )
+    return (
+        scored.withColumn("decile", decile.cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep.cast("int")).cast("long").alias("n_kept"),
+            F.round(F.min("s"), 6).alias("lo_score"),
+            F.round(F.max("s"), 6).alias("hi_score"),
+        )
+    )
+
+
 @register(
     "text_langid_eval",
     oracle=f"""

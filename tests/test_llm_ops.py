@@ -31,6 +31,8 @@ ORACLE_QUERIES = [
     "text_pii_redact",
     "text_repetition",
     "text_lm_score",
+    "text_lm_score_kn",
+    "text_lm_resample",
     "text_decontaminate",
     "text_sample_mixture",
     "text_pack_sequences",
@@ -563,3 +565,48 @@ def test_shuffle_shards_permutation_is_seedstable_and_complete(spark):
     }
     assert got == want
     assert sum(v[0] for v in got.values()) == len(docs)  # a partition
+
+
+def test_lm_score_kn_semantics(spark):
+    """KN sanity on the fixture: every score is a negative avg log
+    probability, the doc set equals the add-one scorer's (same bigram
+    stream), and the two smoothers actually DISAGREE on values (the
+    continuation term is doing something)."""
+    kn = registry.get("text_lm_score_kn").fn(spark, SF_DIR).collect()
+    assert kn and all(r["avg_logp_kn"] < 0 for r in kn)
+    addone = {
+        r["doc_id"]: r["avg_logp"]
+        for r in registry.get("text_lm_score").fn(spark, SF_DIR).collect()
+    }
+    assert {r["doc_id"] for r in kn} == set(addone)
+    n_bigrams = {r["doc_id"]: r["n_bigrams"] for r in kn}
+    assert any(r["avg_logp_kn"] != addone[r["doc_id"]] for r in kn)
+    # same bigram accounting as the add-one scorer
+    ao_counts = {
+        r["doc_id"]: r["n_bigrams"]
+        for r in registry.get("text_lm_score").fn(spark, SF_DIR).collect()
+    }
+    assert n_bigrams == ao_counts
+
+
+def test_lm_resample_stratification_invariants(spark):
+    """The per-decile contract: 10 strata cover every scored doc; the
+    top decile's keep-rate is exactly 100% (hex8 % 100 < 100 always);
+    keep counts never exceed stratum size; strata are score-ordered
+    (NTILE over a total order), so ranges are non-overlapping up to
+    boundary ties."""
+    rows = sorted(
+        registry.get("text_lm_resample").fn(spark, SF_DIR).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    scored_docs = registry.get("text_lm_score").fn(spark, SF_DIR).count()
+    assert sum(r["n_docs"] for r in rows) == scored_docs
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert r["lo_score"] <= r["hi_score"]
+    assert rows[-1]["n_kept"] == rows[-1]["n_docs"]  # decile 10 keeps all
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi_score"] <= b["lo_score"]  # score-ordered strata
+    # lower strata keep strictly less than everything on the fixture
+    assert rows[0]["n_kept"] < rows[0]["n_docs"]
