@@ -10,6 +10,8 @@ extensions"):
     image dedup     -> drop perceptual (dHash) near-duplicate images
     boilerplate     -> drop template-heavy docs (shared-passage frac)
     decontaminate   -> drop docs overlapping the eval split
+    LM resample     -> perplexity-stratified keep rates (upsample the
+                       high-quality strata under the corpus bigram LM)
     split           -> stable hash-bucket train/val/test assignment
     pack            -> concat-and-chunk into fixed token windows
     shard           -> seed-stable global shuffle into export shards
@@ -99,6 +101,50 @@ def main() -> None:
     s4 = s3b.join(boilerplate_losers, "doc_id", "left_anti")
     kept = s4.join(contaminated, "doc_id", "left_anti")
 
+    # 6b. perplexity-stratified resampling: the surviving docs are
+    #     scored under the corpus bigram LM (registered scorer — reads
+    #     the persisted lm_counts artifact), deciled over a
+    #     deterministic (score, doc_id) order, and kept at a
+    #     per-decile rate (decile d keeps d*10% via the engine's
+    #     seed-stable md5 coin) — quality-weighted mixture, same
+    #     primitives as the registered text_lm_resample contract.
+    #     Docs too short to have bigrams carry no LM evidence and pass
+    #     through unresampled.
+    from pyspark.sql import Window
+
+    from map_reduce_indexing_spark.operators.textstats import (
+        RESAMPLE_DECILES,
+        RESAMPLE_SEED,
+    )
+
+    scored = q("text_lm_score").select("doc_id", F.col("avg_logp").alias("s"))
+    scored_kept = kept.join(scored, "doc_id")
+    unscored_kept = kept.join(scored, "doc_id", "left_anti")
+    dec = F.ntile(RESAMPLE_DECILES).over(Window.orderBy("s", "doc_id"))
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(f":{RESAMPLE_SEED}"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    resampled = (
+        scored_kept.withColumn("decile", dec)
+        .filter(coin < F.col("decile") * RESAMPLE_DECILES)
+        .select("doc_id")
+        .union(unscored_kept.select("doc_id"))
+    )
+
     # 7. stable split assignment for the kept docs — the engine's
     #    SPLIT_PCT thresholds, so assignments agree with
     #    text_train_val_test_split and text_decontaminate's eval set.
@@ -109,7 +155,7 @@ def main() -> None:
         .cast("long")
         % 100
     )
-    split = kept.select(
+    split = resampled.select(
         "doc_id",
         F.when(bucket < SPLIT_PCT[0], "train")
         .when(bucket < SPLIT_PCT[0] + SPLIT_PCT[1], "val")
@@ -152,6 +198,7 @@ def main() -> None:
         "after_image_dedup": s3b.count(),
         "after_boilerplate": s4.count(),
         "kept_after_decontam": kept.count(),
+        "kept_after_lm_resample": resampled.count(),
         "splits": {
             r["split"]: r["n"]
             for r in split.groupBy("split")
