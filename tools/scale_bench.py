@@ -212,6 +212,37 @@ def main() -> None:
                 flush=True,
             )
 
+            # Incremental LM-model maintenance (round 8 second half):
+            # the same 1-doc append absorbed by the lm_counts artifact
+            # — partial counts over the delta doc only. For the
+            # comparison point, also time what a full rebuild would
+            # re-aggregate (the whole gram stream, noop sink).
+            from map_reduce_indexing_spark.operators.textstats import (
+                _lm_count_rows,
+                lm_counts,
+            )
+
+            t0 = time.perf_counter()
+            lm_counts(spark, staged)  # delta path: partial-count append
+            lm_delta_sec = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            _lm_count_rows(tokenized_docs(spark, staged)).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            lm_full_sec = time.perf_counter() - t0
+            print(
+                json.dumps(
+                    {
+                        "pipeline": "lm_append_1doc",
+                        "multiple": m,
+                        "corpus_mb": round(mb, 2),
+                        "full_reagg_sec": round(lm_full_sec, 3),
+                        "delta_sec": round(lm_delta_sec, 3),
+                    }
+                ),
+                flush=True,
+            )
+
             # PQ-compressed maintained store: build once per multiple,
             # then serve the same probe via exact (full-float cell
             # scan) and pq (code scan + ADC shortlist + re-rank).
