@@ -5,6 +5,8 @@ registered, oracle-verified query — see COVERAGE.md "North-star
 extensions"):
 
     quality filter  -> drop the bottom quartile + too-short docs
+    trained filter  -> drop docs the trained linear classifier scores
+                       below the corpus mean (model-based gate)
     exact dedup     -> one canonical doc per content hash
     near dedup      -> drop LSH-verified near-duplicate clusters
     image dedup     -> drop perceptual (dHash) near-duplicate images
@@ -47,6 +49,24 @@ def main() -> None:
     # 1. corpus-relative quality filter (stopword-ratio >= corpus P25):
     #    a per-doc frame of the keepers.
     quality_ids = q("text_quality_filter").select("doc_id")
+
+    # 1b. model-based quality filter: the trained linear classifier
+    #     (ridge solved from one-pass sufficient statistics,
+    #     operators/classifier.py) keeps docs scoring at/above the
+    #     corpus mean. Its synthetic-negative training rows live at a
+    #     doc_id offset — restrict to real corpus ids. Kept docs must
+    #     pass BOTH the heuristic and the model (the CCNet-style
+    #     two-gate stack).
+    from map_reduce_indexing_spark.operators.classifier import (
+        CLF_NEG_OFFSET,
+    )
+
+    clf_ids = (
+        q("text_classifier_filter")
+        .filter(F.col("doc_id") < CLF_NEG_OFFSET)
+        .select("doc_id")
+    )
+    quality_ids = quality_ids.join(clf_ids, "doc_id")
 
     # 2. exact dedup over the real corpus: keep the canonical
     #    (min doc_id) copy per content hash, drop the rest — the same

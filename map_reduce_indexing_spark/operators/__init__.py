@@ -14,3 +14,4 @@ from . import eventflow  # noqa: F401
 from . import profiling  # noqa: F401
 from . import bpe  # noqa: F401
 from . import graph  # noqa: F401
+from . import classifier  # noqa: F401
