@@ -2127,3 +2127,81 @@ def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup: trained-quantizer cells as the near-dup blocking key
+# ---------------------------------------------------------------------------
+
+# Fixture-calibrated: the synthetic embeddings are near-orthogonal (max
+# pairwise cosine ~0.5-0.6), so the production SemDeDup cut (~0.95)
+# would make the result vacuously empty and the oracle comparison would
+# never exercise the cosine arithmetic. 0.35 yields hundreds of real
+# pairs at every SF; the operator contract (learned-cell blocking +
+# exact verify) is threshold-agnostic.
+SEMANTIC_COSINE = 0.35
+
+
+@register(
+    "dedup_semantic_pairs",
+    # Both engines restrict candidates to same-trained-cell pairs (the
+    # assignment arithmetic is the bit-equality contract proven by the
+    # k-means oracles), so this hash-matches exactly; cell-blocking
+    # recall vs the exhaustive pair set is measured separately in
+    # tests/test_semantic_dedup.py.
+    oracle=f"""
+        WITH {_duck_kmeans_ctes()},
+        ec AS (
+            SELECT vec_id, v, cluster AS cell FROM (
+                SELECT e.vec_id, e.v, cf.cluster,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_dot_product(cf.c, cf.c)
+                           - 2 * list_dot_product(e.v, cf.c),
+                           cf.cluster) AS rn
+                FROM e CROSS JOIN c{KMEANS_ITERS} cf) WHERE rn = 1)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(a.cell AS BIGINT) AS cell,
+               {duck_cosine('a.v', 'b.v')} AS cosine
+        FROM ec a JOIN ec b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {duck_cosine('a.v', 'b.v')} >= {SEMANTIC_COSINE}
+    """,
+    tier="llm",
+    doc=f"SemDeDup-style semantic dedup (cosine >= {SEMANTIC_COSINE} "
+    "within trained k-means cells) — the train-then-dedup composition: "
+    "the memoized Lloyd quantizer (trained_quantizer, the same model "
+    "ann_ivf_trained_topk serves) assigns every embedding its cell in "
+    "one map-only pass, candidates come from an equi SELF-JOIN on the "
+    "cell id, and the exact fold cosine verifies each candidate — the "
+    "Abbas-et-al SemDeDup recipe (cluster the embedding space, prune "
+    "within clusters) as a first-class operator. Distinct from "
+    "dedup_embedding_pairs the way SemDeDup differs from random-"
+    "hyperplane LSH: the blocking key is LEARNED from the corpus, so "
+    "cells track the data's density rather than fixed random cuts. At "
+    "100 TB the cell id is the store's partition key (VectorStore "
+    "layout='ivf' with trained centroids), making the join partition-"
+    "local; an oversized cell is AQE-skew-splittable, and the "
+    "documented refinement is sub-bucketing hot cells with the "
+    "hyperplane LSH the engine already has.",
+)
+def q_dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = trained_quantizer(spark, sf_dir)  # memoized: serve, don't retrain
+    e = assign_nearest(
+        embeddings_double(spark, sf_dir).select("vec_id", "v"),
+        cents,
+        out_col="cell",
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.cell").alias("cell"),
+            F.expr(spark_cosine("a.v", "b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SEMANTIC_COSINE)
+    )
