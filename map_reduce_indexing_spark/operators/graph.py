@@ -247,3 +247,146 @@ def q_rel_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(nodes, edges)
     return ranks.select("node", F.round("r", 6).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / clustering coefficient
+# ---------------------------------------------------------------------------
+
+_TRADE_EDGES_SQL = """
+        SELECT cn.n_name AS src, sn.n_name AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        GROUP BY cn.n_name, sn.n_name
+"""
+
+# Degree-ordered edge orientation — the Suri-Vassilvitskii MapReduce
+# triangle-counting discipline: direct each undirected edge from its
+# lower-(degree, name) endpoint to the higher one. The orientation is
+# acyclic, so every triangle is enumerated EXACTLY once (as the unique
+# wedge at its lowest-ranked vertex), and out-degree is bounded by
+# O(sqrt(m)) — which bounds the wedge join's fan-out, the property that
+# keeps the shuffle sub-quadratic at 100 TB.
+_ORIENT = "(du.deg < dv.deg) OR (du.deg = dv.deg AND u < v)"
+
+
+@register(
+    "rel_triangles_trade",
+    oracle=f"""
+        WITH edges AS ({_TRADE_EDGES_SQL}),
+        und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM edges WHERE src <> dst),
+        deg AS (SELECT node, COUNT(*) AS deg
+                FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+                GROUP BY node),
+        oe AS (SELECT CASE WHEN {_ORIENT} THEN u ELSE v END AS a,
+                      CASE WHEN {_ORIENT} THEN v ELSE u END AS b
+               FROM und
+               JOIN deg du ON und.u = du.node
+               JOIN deg dv ON und.v = dv.node),
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM oe e1
+                JOIN oe e2 ON e1.b = e2.a
+                JOIN oe e3 ON e3.a = e1.a AND e3.b = e2.b),
+        tn AS (SELECT node, COUNT(*) AS t
+               FROM (SELECT x AS node FROM tri
+                     UNION ALL SELECT y FROM tri
+                     UNION ALL SELECT z FROM tri)
+               GROUP BY node)
+        SELECT deg.node, CAST(deg.deg AS BIGINT) AS degree,
+               CAST(COALESCE(tn.t, 0) AS BIGINT) AS triangles,
+               ROUND(CASE WHEN deg.deg > 1
+                          THEN 2.0 * COALESCE(tn.t, 0)
+                               / (CAST(deg.deg AS DOUBLE)
+                                  * (CAST(deg.deg AS DOUBLE) - 1.0))
+                          ELSE 0.0 END, 9) AS clustering
+        FROM deg LEFT JOIN tn ON deg.node = tn.node
+    """,
+    tier="relational",
+    doc="Per-node triangle counts + local clustering coefficient over "
+    "the undirected nation trade graph — the second graph-analytics "
+    "operator (community-density scoring for link graphs, the "
+    "complement to PageRank's centrality prior). Degree-ordered "
+    "orientation (each edge directed low->high by (degree, name)) "
+    "makes the orientation a DAG, so the wedge self-join enumerates "
+    "every triangle exactly once and out-degree — hence wedge fan-out "
+    "— is bounded by O(sqrt(m)), the Suri-Vassilvitskii MR bound. "
+    "Every join is an equi-join on node keys (shuffle-partitioned, "
+    "AQE-skew-splittable; no cartesian, no broadcast of the edge "
+    "set); counting is pure integers, and the one double division is "
+    "the same expression tree on both engines, rounded once.",
+)
+def q_rel_triangles_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Checkpoint the derived edge set: und feeds deg, the orientation,
+    # and three legs of the wedge join — a lazy frame would re-run the
+    # whole lineitem pipeline for each reference.
+    und = (
+        trade_edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    first = (F.col("du.deg") < F.col("dv.deg")) | (
+        (F.col("du.deg") == F.col("dv.deg")) & (F.col("u") < F.col("v"))
+    )
+    oe = (
+        und.join(deg.alias("du"), F.col("u") == F.col("du.node"))
+        .join(deg.alias("dv"), F.col("v") == F.col("dv.node"))
+        .select(
+            F.when(first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+    )
+    e1, e2, e3 = oe.alias("e1"), oe.alias("e2"), oe.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    tn = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    degd = F.col("deg").cast("double")
+    return (
+        deg.join(tn, "node", "left")
+        .select(
+            "node",
+            F.col("deg").cast("long").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("triangles"),
+            F.round(
+                F.when(
+                    F.col("deg") > 1,
+                    F.lit(2.0)
+                    * F.coalesce(F.col("t"), F.lit(0))
+                    / (degd * (degd - F.lit(1.0))),
+                ).otherwise(F.lit(0.0)),
+                9,
+            ).alias("clustering"),
+        )
+    )

@@ -123,3 +123,53 @@ def test_registered_trade_pagerank_is_deterministic(spark):
     b = {(r["node"], r["rank"]) for r in q.fn(spark, SF_DIR).collect()}
     assert a == b
     assert len(a) == 25  # every nation participates at this SF
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (rel_triangles_trade)
+# ---------------------------------------------------------------------------
+
+
+def test_triangles_match_pure_python_reference(spark):
+    """Per-node triangle counts vs an independent set-based Python
+    count over the same collected edge set — proves the degree-ordered
+    orientation enumerates every triangle exactly once (no double
+    count, no miss)."""
+    und = {
+        (min(r.src, r.dst), max(r.src, r.dst))
+        for r in trade_edges(spark, SF_DIR).collect()
+        if r.src != r.dst
+    }
+    adj: dict[str, set[str]] = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want_t = {node: 0 for node in adj}
+    for u, v in und:
+        for w in adj[u] & adj[v]:
+            # each triangle seen via all 3 edges -> /... count per node:
+            # edge (u,v) + common neighbor w increments w's count once,
+            # and each of a triangle's nodes is "the common neighbor"
+            # for exactly one of its edges.
+            want_t[w] += 1
+    got = {
+        r.node: (r.degree, r.triangles, r.clustering)
+        for r in registry.get("rel_triangles_trade").fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(adj)
+    for node, (degree, triangles, clustering) in got.items():
+        assert degree == len(adj[node])
+        assert triangles == want_t[node]
+        if degree > 1:
+            expect = round(2.0 * triangles / (degree * (degree - 1.0)), 9)
+            assert abs(clustering - expect) < 1e-12
+            assert 0.0 <= clustering <= 1.0
+        else:
+            assert clustering == 0.0
+
+
+def test_triangles_plan_has_no_cartesian(spark):
+    df = registry.get("rel_triangles_trade").fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
