@@ -97,3 +97,83 @@ def test_doc_tf_vector_is_map_only(spark):
     )
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Related documents (search_related_docs)
+# ---------------------------------------------------------------------------
+
+
+def test_related_docs_semantics_and_monotone_ranks(spark):
+    from map_reduce_indexing_spark.operators.search import (
+        RELATED_QUERY_MAX,
+        RELATED_TOPK,
+    )
+
+    rows = registry.get("search_related_docs").fn(spark, SF_DIR).collect()
+    assert rows
+    by_a: dict[int, list] = {}
+    for r in rows:
+        assert r.doc_a < RELATED_QUERY_MAX
+        assert r.doc_b != r.doc_a
+        assert -1.000001 <= r.cosine <= 1.000001
+        by_a.setdefault(r.doc_a, []).append(r)
+    for _doc_a, rs in by_a.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= RELATED_TOPK
+        # scores non-increasing with rank
+        for lo, hi in zip(rs, rs[1:]):
+            assert lo.cosine >= hi.cosine
+
+
+def test_related_docs_agree_with_dense_vectors(spark):
+    """Independent reference: materialize each doc's TF-IDF vector
+    driver-side (dict over words) and recompute every query doc's
+    top-k by exact cosine — the posting-join formulation must agree on
+    the winning SETS at each distinct score level (ties broken by
+    doc_b both sides)."""
+    import math
+
+    from map_reduce_indexing_spark.operators.indexing import (
+        indexed_postings,
+    )
+    from map_reduce_indexing_spark.operators.search import (
+        RELATED_QUERY_MAX,
+        RELATED_TOPK,
+    )
+
+    p = indexed_postings(spark, SF_DIR).select("word", "doc_id", "cnt").collect()
+    docs: dict[int, dict[str, int]] = {}
+    df: dict[str, int] = {}
+    for r in p:
+        docs.setdefault(r.doc_id, {})[r.word] = r.cnt
+        df[r.word] = df.get(r.word, 0) + 1
+    n = len(docs)
+    vecs = {
+        d: {w: c * math.log(n / df[w]) for w, c in ws.items()}
+        for d, ws in docs.items()
+    }
+    nrm = {d: math.sqrt(sum(x * x for x in v.values())) for d, v in vecs.items()}
+    got = {}
+    for r in registry.get("search_related_docs").fn(spark, SF_DIR).collect():
+        got.setdefault(r.doc_a, []).append((r.rank, r.doc_b, r.cosine))
+    assert got
+    for qa, rs in got.items():
+        sims = []
+        for db, v in vecs.items():
+            if db == qa or nrm[db] == 0 or nrm[qa] == 0:
+                continue
+            dot = sum(wt * vecs[qa][w] for w, wt in v.items() if w in vecs[qa])
+            sims.append((round(dot / (nrm[qa] * nrm[db]), 6), db))
+        sims.sort(key=lambda t: (-t[0], t[1]))
+        want = [(i + 1, db, c) for i, (c, db) in enumerate(sims[:RELATED_TOPK])]
+        for (gr, gb, gc), (wr, wb, wc) in zip(sorted(rs), want):
+            assert gr == wr and gb == wb
+            assert abs(gc - wc) < 2e-6  # driver float sum vs decimal sum
+
+
+def test_related_docs_plan_no_cartesian(spark):
+    df = registry.get("search_related_docs").fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
