@@ -65,6 +65,10 @@ HEADLINE = [
     "stream_tumbling_counts",  # structured streaming run
     "stream_heavy_hitters",    # MG summaries as stream state + recount (r8)
     "rel_pagerank_trade",      # iterative graph: damped power iteration (r8)
+    "rel_triangles_trade",     # degree-oriented wedge join (r8)
+    "text_classifier_train",   # one-pass stats + exact ridge solve (r8)
+    "dedup_semantic_pairs",    # learned-cell-blocked near-dup pairs (r8)
+    "search_related_docs",     # posting-join TF-IDF all-pairs topk (r8)
 ]
 
 

@@ -706,11 +706,18 @@ def q_search_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dot")
         )
     )
-    na = nm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    # Norms: the query side is bounded (RELATED_QUERY_MAX docs) ->
+    # broadcast; the candidate side is CORPUS-cardinality -> a plain
+    # shuffle join on doc_b (broadcasting nm whole would ship a
+    # per-doc table to every executor at 100 TB; AQE still picks
+    # broadcast on its own at small SF).
+    na = nm.filter(F.col("doc_id") < RELATED_QUERY_MAX).select(
+        F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na")
+    )
     nb = nm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
     sim = (
         dots.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        .join(nb, "doc_b")
         .filter((F.col("na") > 0) & (F.col("nb") > 0))
         .select(
             "doc_a",

@@ -2158,12 +2158,15 @@ SEMANTIC_COSINE = 0.35
                            list_dot_product(cf.c, cf.c)
                            - 2 * list_dot_product(e.v, cf.c),
                            cf.cluster) AS rn
-                FROM e CROSS JOIN c{KMEANS_ITERS} cf) WHERE rn = 1)
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               CAST(a.cell AS BIGINT) AS cell,
-               {duck_cosine('a.v', 'b.v')} AS cosine
-        FROM ec a JOIN ec b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        WHERE {duck_cosine('a.v', 'b.v')} >= {SEMANTIC_COSINE}
+                FROM e CROSS JOIN c{KMEANS_ITERS} cf) WHERE rn = 1),
+        en AS (SELECT vec_id, v, cell,
+                      sqrt(list_dot_product(v, v)) AS nrm FROM ec)
+        SELECT vec_a, vec_b, cell, cosine FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   CAST(a.cell AS BIGINT) AS cell,
+                   list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+            FROM en a JOIN en b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        WHERE cosine >= {SEMANTIC_COSINE}
     """,
     tier="llm",
     doc=f"SemDeDup-style semantic dedup (cosine >= {SEMANTIC_COSINE} "
@@ -2179,17 +2182,24 @@ SEMANTIC_COSINE = 0.35
     "cells track the data's density rather than fixed random cuts. At "
     "100 TB the cell id is the store's partition key (VectorStore "
     "layout='ivf' with trained centroids), making the join partition-"
-    "local; an oversized cell is AQE-skew-splittable, and the "
-    "documented refinement is sub-bucketing hot cells with the "
-    "hyperplane LSH the engine already has.",
+    "local. Candidate-set size is controlled by training k in "
+    "PROPORTION to the corpus — cells stay bounded-size, which is what "
+    "the large-k broadcast assignment path exists for (swept to k=1024 "
+    "in SCALING.md; the fixture's k=8 is coarse-quantizer scale) — "
+    "with hot-cell sub-bucketing via the hyperplane LSH as the "
+    "residual skew lever.",
 )
 def q_dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = trained_quantizer(spark, sf_dir)  # memoized: serve, don't retrain
+    # Per-vector norm computed ONCE on the assigned frame, not per pair:
+    # cosine = dot/(nrm_a*nrm_b) runs one fold per candidate instead of
+    # three (dot + both self-dots — measured 3x the wall at sf0.1).
+    # Bit-identical: sqrt of the same fold over the same operands.
     e = assign_nearest(
         embeddings_double(spark, sf_dir).select("vec_id", "v"),
         cents,
         out_col="cell",
-    )
+    ).withColumn("nrm", F.expr(f"sqrt({SPARK_DOT.format(a='v', b='v')})"))
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(
@@ -2201,7 +2211,10 @@ def q_dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.cell").alias("cell"),
-            F.expr(spark_cosine("a.v", "b.v")).alias("cosine"),
+            (
+                F.expr(SPARK_DOT.format(a="a.v", b="b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= SEMANTIC_COSINE)
     )

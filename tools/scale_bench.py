@@ -126,6 +126,19 @@ PIPELINES = (
     # round (pair agg + 1-row fetch + fold), so wall should grow with
     # distinct words (slowly), not corpus bytes
     "text_bpe_merges",
+    # one-pass-trainer representative: the whole ridge fit is ONE
+    # map-side-combined statistics aggregation (21 quantized sums) +
+    # a corpus-size-free driver solve — wall should be linear in m
+    # with a tiny slope (contrast ann_kmeans_train's scan-per-round)
+    "text_classifier_train",
+    # bounded-serving similarity representative: the query side is 20
+    # pinned doc_ids, so the posting join's output is bounded and wall
+    # should track the postings scan, not pair count
+    # (dedup_semantic_pairs is deliberately NOT here: at FIXED toy k=8
+    # its within-cell candidate set grows quadratically with m — the
+    # production posture trains k proportional to corpus size via the
+    # large-k path, which the k-sweep in SCALING.md covers instead)
+    "search_related_docs",
 )
 
 
