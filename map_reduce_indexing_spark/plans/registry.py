@@ -72,8 +72,15 @@ PRIORITY_WINDOW = [
     "search_proximity",  # r7 rotation: positional index gets external coverage (search_phrase retired — same positional artifact, proximity is the stricter consumer)
     "search_topk_per_term",
     "index_heavy_hitters",  # r5 rotation: replaced search_term_topk (top-k family already covered by search_topk_per_term)
-    "search_bm25_rank",
-    "search_doc_tf_vector",
+    # r8 third batch: search_related_docs promoted — sparse-vector
+    # similarity from the posting self-join had never been external;
+    # search_bm25_rank retired after 7 stable rounds (index-served
+    # ranking stays external via search_topk_per_term + related_docs'
+    # TF-IDF scoring through the same postings+idf path) and
+    # search_doc_tf_vector after 8 (TF accounting stays pinned by the
+    # tokens-artifact equivalence tests + the sweep; its slot goes to
+    # the round's new trainer class, text_classifier_train below)
+    "search_related_docs",
     # relational: agg + join family (r6 rotation: rel_q3 retired — scan+
     # agg and multi-join stay covered by rel_q1/rel_q5; rel_join_outer
     # retired — semi/anti/theta/asof keep the join family external)
@@ -105,7 +112,10 @@ PRIORITY_WINDOW = [
     # rel_retention_cohorts; range_frame carries the frame family)
     "rel_window_range_frame",  # time-RANGE frame: the once-broken NTZ path
     "rel_set_ops",
-    "rel_scalar_functions",
+    # r8 third batch: rel_scalar_functions retired after 7 stable
+    # rounds — the scalar/json surface keeps rel_json_parse external;
+    # its slot goes to the second graph-analytics class
+    "rel_triangles_trade",
     "rel_json_parse",
     "rel_anomaly_daily",  # r6 rotation: event-flow z-score anomaly
     # dedup family + LSH calibration eval (r7 rotation: dedup_fuzzy_names
@@ -118,7 +128,11 @@ PRIORITY_WINDOW = [
     "dedup_common_passages",  # r7 second batch: substring-level dedup had never been external; dedup_minhash_lsh_pairs retired — banding stays external via dedup_lsh_recall_eval (same candidate code path) and dedup_clusters (consumes lsh_pairs end-to-end)
     "dedup_lsh_recall_eval",
     "dedup_simhash",
-    "dedup_embedding_pairs",
+    # r8 third batch: dedup_semantic_pairs promoted — the train-then-
+    # dedup composition (learned-cell blocking) is the strictly
+    # stronger consumer of the same exact-verify cosine arithmetic, so
+    # dedup_embedding_pairs (7 stable rounds) retires to the sweep
+    "dedup_semantic_pairs",
     "dedup_clusters",
     # similarity search + accuracy eval (r6 rotation: ann_lsh_topk
     # retired in favor of the PQ compression tier — its bucket-pruning
@@ -156,9 +170,18 @@ PRIORITY_WINDOW = [
     # tokens-artifact equivalence tests + sweep, and the tier keeps
     # quality/pmi/shuffle_shards external)
     "text_shuffle_shards",
+    # r8 third batch: the round's two remaining trainer classes go
+    # external — the model-based quality filter (one-pass sufficient
+    # statistics + exact shared-expression solve) and BPE tokenizer
+    # training (vocab-sized merge rounds)
+    "text_classifier_train",
+    "text_bpe_merges",
     # multimodal (r8 rotation: the binary metadata-parsing tier had
-    # held one external row for 4 rounds — audio_meta joins embed)
-    "multimodal_embed",
+    # held one external row for 4 rounds — audio_meta joins embed;
+    # r8 third batch: multimodal_embed retires — the declared-stub
+    # projection was the window's weakest signal, §2.10's UDF surface
+    # stays external via ann_knn_batch_numpy + stream_stateful_user_
+    # stats, and the multimodal tier keeps audio_meta)
     "multimodal_audio_meta",
     # streaming (r7 rotation: stream_scd2_temporal_join promoted — the
     # r5-built SCD2 temporal join had never been external;
@@ -173,7 +196,13 @@ PRIORITY_WINDOW = [
     "stream_scd2_temporal_join",
     "stream_session_windows",
     "stream_stateful_user_stats",
-    "stream_incremental_index",
+    # r8 third batch: stream_heavy_hitters promoted (mergeable MG
+    # summaries in applyInPandasWithState — same state API family as
+    # stateful_user_stats, the stricter consumer); the checkpointed
+    # index sink retires to its extensive pytest tier (crash replay,
+    # flock interleaving) with the batch index family keeping S4
+    # external via index_postings/index_letter_histogram
+    "stream_heavy_hitters",
 ]
 
 

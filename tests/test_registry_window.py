@@ -238,3 +238,40 @@ def test_round8_second_batch_rotation():
     q = registry.get("rel_approx_distinct")
     assert q.export and q.oracle is not None  # still sweep-checked
     assert "rel_percentiles" in w  # the family's representative
+
+
+def test_round8_third_batch_rotation():
+    """Round-8 third batch: the session's six never-external new
+    classes go external — sparse-vector similarity from the index,
+    the one-pass trained quality classifier, learned-cell semantic
+    dedup, triangle counting, BPE tokenizer training, and streaming
+    heavy hitters. Every retired row stays registered + oracle-backed
+    and its family keeps another external representative."""
+    w = set(PRIORITY_WINDOW)
+    assert {
+        "search_related_docs",
+        "text_classifier_train",
+        "dedup_semantic_pairs",
+        "rel_triangles_trade",
+        "text_bpe_merges",
+        "stream_heavy_hitters",
+    } <= w
+    retired = {
+        "search_bm25_rank",  # ranking: topk_per_term + related_docs
+        "search_doc_tf_vector",  # TF accounting: artifact tests + sweep
+        "dedup_embedding_pairs",  # embedding near-dup: semantic_pairs
+        "rel_scalar_functions",  # scalar surface: rel_json_parse
+        "multimodal_embed",  # UDF surface: knn_batch_numpy + stateful
+        "stream_incremental_index",  # index sink: pytest crash/flock tier
+    }
+    assert retired.isdisjoint(w)
+    for name in retired:
+        q = registry.get(name)
+        assert q.export and q.oracle is not None
+    # each retired row's family keeps an in-window representative
+    assert {"search_topk_per_term", "search_related_docs"} <= w
+    assert "rel_json_parse" in w
+    assert {"dedup_semantic_pairs", "dedup_simhash"} <= w
+    assert "multimodal_audio_meta" in w
+    assert {"index_postings", "index_letter_histogram"} <= w
+    assert {"stream_stateful_user_stats", "stream_heavy_hitters"} <= w
