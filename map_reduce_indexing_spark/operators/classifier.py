@@ -112,7 +112,15 @@ def clf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored column is a learnable label.) Reads ONLY artifact columns:
     the token array for the token features and the stored
     n_punct/n_chars_lower scalars for punctuation density."""
-    t = tokenized_docs(spark, sf_dir).filter(
+    return _features_from_tokens(tokenized_docs(spark, sf_dir))
+
+
+def _features_from_tokens(tokenized: DataFrame) -> DataFrame:
+    """Feature derivation over ANY tokenized frame — the single shared
+    path for full training, delta-partial statistics, and serving, so
+    an incrementally-maintained model can never drift from a
+    from-scratch one (the _lm_count_rows discipline)."""
+    t = tokenized.filter(
         (F.col("n_norm_tokens") > 0) & (F.col("n_chars_lower") > 0)
     )
     # Positive + negative emitted from ONE artifact scan (inline
@@ -244,29 +252,30 @@ def _solve_steps() -> list[tuple[str, str]]:
     return steps
 
 
-def train_classifier(spark: SparkSession, sf_dir: str) -> list[float]:
-    """One statistics job + the exact driver-side solve; returns the d
-    weights (bit-exact deterministic doubles). The Spark job
-    aggregates n, the d*(d+1)/2 distinct Gram entries, and the d
-    moment sums as exactly-summed quantized integers (map-side
-    combine; the shuffle carries ONE row per partition); the solve
-    evaluates _solve_steps' shared expressions."""
-    feats = clf_features(spark, sf_dir)
+def _stats_agg_exprs() -> list:
+    """The sufficient-statistics aggregation: n, the d*(d+1)/2 distinct
+    Gram entries, and the d moment sums as exactly-summed quantized
+    integers (map-side combine; the shuffle carries ONE row per
+    partition)."""
 
     def qsum(term, alias):
         return F.sum(
             F.floor(term * F.lit(CLF_SCALE)).cast(CLF_SUM_DEC)
         ).alias(alias)
 
-    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
     for j in range(_D):
         for k in range(j, _D):
             aggs.append(
                 qsum(F.col(f"x{j}") * F.col(f"x{k}"), _mname(j, k))
             )
         aggs.append(qsum(F.col(f"x{j}") * F.col("y"), f"b{j}"))
-    row = feats.agg(*aggs).collect()[0]  # the bounded 1-row model fetch
+    return aggs
 
+
+def _solve_from_row(row) -> list[float]:
+    """Evaluate the shared solve expressions against one statistics
+    row; returns the d weights (bit-exact deterministic doubles)."""
     env: dict[str, float] = {"n": row["n"], "lam": CLF_L2}
     for j in range(_D):
         for k in range(j, _D):
@@ -275,6 +284,86 @@ def train_classifier(spark: SparkSession, sf_dir: str) -> list[float]:
     for name, expr in _solve_steps():
         env[name] = eval(expr, {"__builtins__": {}}, env)  # noqa: S307
     return [env[f"w{j}"] + 0.0 for j in range(_D)]  # normalize -0.0
+
+
+def train_classifier(spark: SparkSession, sf_dir: str) -> list[float]:
+    """One statistics job + the exact driver-side solve (the training
+    BENCHMARK form — always recomputes; `trained_classifier` below is
+    the serving form, which reads the incrementally-maintained stats
+    artifact)."""
+    feats = clf_features(spark, sf_dir)
+    row = feats.agg(*_stats_agg_exprs()).collect()[0]  # 1-row model fetch
+    return _solve_from_row(row)
+
+
+# ---------------------------------------------------------------------------
+# Incremental maintenance: the statistics ARE a mergeable summary
+# ---------------------------------------------------------------------------
+
+
+def _clf_stats_spec(spark: SparkSession, sf_dir: str):
+    from .indexing import _recover_index_locked, index_writer_lock
+
+    def build(path: str) -> None:
+        clf_features(spark, sf_dir).agg(*_stats_agg_exprs()).write.parquet(
+            path
+        )
+
+    def delta_build(path: str, new_files: list[str]) -> None:
+        # The sufficient statistics are integer-quantized SUMS, so they
+        # form a mergeable summary: stats(corpus + delta) =
+        # stats(corpus) + stats(delta) EXACTLY (per-row floor
+        # quantization happens before the sum, and integer addition is
+        # associative/commutative) — which means an append-only corpus
+        # delta appends one partial row computed from the DELTA DOCS
+        # only (O(delta) work) and the retrained weights are
+        # bit-identical to a from-scratch fit. The lm_counts lifecycle
+        # (textstats.py) applied to the model-training tier.
+        from .tokens import _null_fill, build_tokenized_docs
+
+        docs = spark.read.parquet(*new_files)
+        partial = _features_from_tokens(
+            build_tokenized_docs(_null_fill(docs))
+        ).agg(*_stats_agg_exprs())
+        with index_writer_lock(path):
+            _recover_index_locked(path)
+            partial.write.mode("append").parquet(path)
+
+    return build, delta_build
+
+
+def clf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial sufficient-statistic rows (n, m{jk}, b{j}) — one row per
+    full build or corpus-delta append, persisted once per (application,
+    corpus content). Consumers merge by summing per column
+    (train_classifier_from_stats); no compaction tier is needed — the
+    artifact holds ONE ~22-column row per append."""
+    from .indexing import session_artifact_df
+
+    build, delta_build = _clf_stats_spec(spark, sf_dir)
+    return session_artifact_df(
+        spark,
+        sf_dir,
+        "session_clf_stats",
+        "documents.parquet",
+        build,
+        delta_build=delta_build,
+    )
+
+
+def train_classifier_from_stats(spark: SparkSession, sf_dir: str) -> list[float]:
+    """Solve from the merged stats artifact: after a corpus append this
+    costs one delta tokenize + a few-row read instead of a full corpus
+    rescan, and the weights are bit-identical to `train_classifier` by
+    the mergeable-sum argument (pinned in tests/test_classifier.py)."""
+    merged = [F.sum("n").cast("long").alias("n")]
+    for j in range(_D):
+        for k in range(j, _D):
+            name = _mname(j, k)
+            merged.append(F.sum(name).cast(CLF_SUM_DEC).alias(name))
+        merged.append(F.sum(f"b{j}").cast(CLF_SUM_DEC).alias(f"b{j}"))
+    row = clf_stats(spark, sf_dir).agg(*merged).collect()[0]
+    return _solve_from_row(row)
 
 
 _TRAINED_CLASSIFIERS: dict[tuple, list[float]] = {}
@@ -286,7 +375,9 @@ _TRAINED_CLASSIFIERS_LOCK = threading.Lock()
 
 def trained_classifier(spark: SparkSession, sf_dir: str) -> list[float]:
     """Memoized weights per (application, corpus content): serving
-    queries score, they don't retrain."""
+    queries score, they don't retrain. Backed by the stats ARTIFACT, so
+    even a memo miss after an append-only corpus delta pays only the
+    delta statistics, never a corpus rescan."""
     from .indexing import _content_fingerprint
 
     src = os.path.join(sf_dir, "documents.parquet")
@@ -301,7 +392,9 @@ def trained_classifier(spark: SparkSession, sf_dir: str) -> list[float]:
                 k for k in _TRAINED_CLASSIFIERS if k[:2] == key[:2]
             ]:
                 del _TRAINED_CLASSIFIERS[stale]
-            _TRAINED_CLASSIFIERS[key] = train_classifier(spark, sf_dir)
+            _TRAINED_CLASSIFIERS[key] = train_classifier_from_stats(
+                spark, sf_dir
+            )
         return _TRAINED_CLASSIFIERS[key]
 
 

@@ -148,3 +148,58 @@ def test_registered_and_exported(name):
     q = registry.get(name)
     assert q.oracle is not None
     assert q.export
+
+
+# ---------------------------------------------------------------------------
+# Incremental maintenance: mergeable sufficient statistics
+# ---------------------------------------------------------------------------
+
+
+def test_stats_artifact_path_matches_direct_trainer(spark):
+    from map_reduce_indexing_spark.operators.classifier import (
+        train_classifier_from_stats,
+    )
+
+    assert train_classifier_from_stats(spark, SF_DIR) == train_classifier(
+        spark, SF_DIR
+    )  # bit-identical, not approximately
+
+
+def test_incremental_stats_append_is_bit_exact(spark, tmp_path):
+    """Corpus append -> the stats artifact absorbs ONE partial row
+    computed from the delta docs only, and the merged solve is
+    bit-identical to a from-scratch fit of the grown corpus (integer-
+    quantized sums are associative: stats(corpus+delta) =
+    stats(corpus) + stats(delta) exactly)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_indexing_spark.operators.classifier import (
+        clf_stats,
+        train_classifier_from_stats,
+    )
+    from map_reduce_indexing_spark.sources.tables import load_table
+
+    corpus = str(tmp_path / "corpus")
+    load_table(spark, SF_DIR, "documents").write.parquet(
+        os.path.join(corpus, "documents.parquet")
+    )
+    w0 = train_classifier_from_stats(spark, corpus)  # full build
+    assert clf_stats(spark, corpus).count() == 1
+
+    spark.createDataFrame(
+        [
+            (10**7 + i, f"the appended delta document number {i}", "en", "t")
+            for i in range(3)
+        ],
+        "doc_id long, text string, lang string, source string",
+    ).write.mode("append").parquet(os.path.join(corpus, "documents.parquet"))
+
+    w_inc = train_classifier_from_stats(spark, corpus)  # delta path
+    assert clf_stats(spark, corpus).count() == 2  # base + ONE partial row
+    assert w_inc != w0  # the delta really changed the model
+
+    # ground truth: the direct one-pass trainer over the grown corpus
+    w_full = train_classifier(spark, corpus)
+    assert w_inc == w_full  # bit-identical merge

@@ -200,6 +200,16 @@ def main() -> None:
                     )
                 print(json.dumps(out), flush=True)
 
+            # Build the classifier's sufficient-statistics artifact
+            # BEFORE the append so the post-append retrain below takes
+            # the delta path (stats are a mergeable summary).
+            from map_reduce_indexing_spark.operators.classifier import (
+                train_classifier,
+                train_classifier_from_stats,
+            )
+
+            train_classifier_from_stats(spark, staged)
+
             # Incremental tokens maintenance: cost of absorbing a 1-doc
             # corpus append (delta tokenize + artifact append) — should
             # stay FLAT in m, vs the full build cost measured above.
@@ -251,6 +261,29 @@ def main() -> None:
                         "corpus_mb": round(mb, 2),
                         "full_reagg_sec": round(lm_full_sec, 3),
                         "delta_sec": round(lm_delta_sec, 3),
+                    }
+                ),
+                flush=True,
+            )
+
+            # Incremental classifier retraining: the same 1-doc append
+            # absorbed as ONE delta statistics row (mergeable sums) vs
+            # the direct trainer's full corpus rescan — weights
+            # bit-identical by construction (tests/test_classifier.py).
+            t0 = time.perf_counter()
+            train_classifier_from_stats(spark, staged)  # delta path
+            clf_delta_sec = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            train_classifier(spark, staged)  # full one-pass rescan
+            clf_full_sec = time.perf_counter() - t0
+            print(
+                json.dumps(
+                    {
+                        "pipeline": "clf_retrain_1doc",
+                        "multiple": m,
+                        "corpus_mb": round(mb, 2),
+                        "full_rescan_sec": round(clf_full_sec, 3),
+                        "delta_sec": round(clf_delta_sec, 3),
                     }
                 ),
                 flush=True,
