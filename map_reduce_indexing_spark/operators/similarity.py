@@ -2218,3 +2218,153 @@ def q_dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= SEMANTIC_COSINE)
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA: a data-derived linear encoder trained from exact moments
+# ---------------------------------------------------------------------------
+
+PCA_SCALE = 1_000_000.0  # term quantization (the classifier discipline)
+PCA_K = 8  # served components
+
+
+@register(
+    "ann_pca_train",
+    # range(a, b) is end-exclusive in DuckDB; Spark's sequence(a, b) is
+    # end-inclusive — both spell 1..DIM below.
+    oracle=f"""
+        WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cnt AS (SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS j,
+                       CAST(COUNT(*) AS DOUBLE) AS s FROM e),
+        m1 AS (SELECT CAST(i.d AS BIGINT) AS i, CAST(0 AS BIGINT) AS j,
+                      CAST(SUM(CAST(floor(v[i.d] * {PCA_SCALE!r}) AS HUGEINT))
+                           AS DOUBLE) / {PCA_SCALE!r} AS s
+               FROM e CROSS JOIN range(1, {DIM + 1}) i(d) GROUP BY i.d),
+        m2 AS (SELECT CAST(i.d AS BIGINT) AS i, CAST(j.d AS BIGINT) AS j,
+                      CAST(SUM(CAST(floor(v[i.d] * v[j.d] * {PCA_SCALE!r})
+                                    AS HUGEINT)) AS DOUBLE) / {PCA_SCALE!r} AS s
+               FROM e CROSS JOIN range(1, {DIM + 1}) i(d)
+                      CROSS JOIN range(1, {DIM + 1}) j(d)
+               WHERE j.d >= i.d GROUP BY i.d, j.d)
+        SELECT i, j, ROUND(s, 6) AS s
+        FROM (SELECT * FROM cnt UNION ALL
+              SELECT * FROM m1 UNION ALL
+              SELECT * FROM m2)
+    """,
+    tier="llm",
+    doc=f"PCA TRAINING, the statistics pass: n, the {DIM} first moments "
+    f"and the {DIM}*{DIM + 1}//2 upper-triangle second moments of the "
+    "embedding table as integer-quantized exact sums (floor(term*1e6) "
+    "summed — the classifier's cross-engine determinism discipline), "
+    "from ONE scan: a double sequence-explode generates the (i, j>=i) "
+    "moment terms linearly per row and a single groupBy(i, j) "
+    "aggregates them (map-side combine; ~2k group keys regardless of "
+    "corpus size). The covariance eigendecomposition itself is a "
+    "driver-side numpy solve over this BOUNDED model fetch "
+    "(pca_components below — the k-means train/serve split applied to "
+    "a spectral model); the projection is then a map-only encoder, the "
+    "data-derived counterpart to multimodal_embed's pinned projection. "
+    "At 100 TB this is one pass + one ~2k-key shuffle.",
+)
+def q_ann_pca_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = embeddings_double(spark, sf_dir).select("v")
+
+    def qsum(term):
+        return (
+            F.sum(F.floor(term * F.lit(PCA_SCALE)).cast("decimal(38,0)"))
+            .cast("double")
+            / F.lit(PCA_SCALE)
+        )
+
+    cnt = e.agg(
+        F.lit(0).cast("long").alias("i"),
+        F.lit(0).cast("long").alias("j"),
+        F.count(F.lit(1)).cast("double").alias("s"),
+    )
+    vi = F.element_at("v", F.col("i").cast("int"))
+    m1 = (
+        e.select("v", F.explode(F.sequence(F.lit(1), F.lit(DIM))).alias("i"))
+        .groupBy("i")
+        .agg(qsum(vi).alias("s"))
+        .select(F.col("i").cast("long"), F.lit(0).cast("long").alias("j"), "s")
+    )
+    vj = F.element_at("v", F.col("j").cast("int"))
+    m2 = (
+        e.select("v", F.explode(F.sequence(F.lit(1), F.lit(DIM))).alias("i"))
+        .select(
+            "v",
+            "i",
+            F.explode(F.sequence(F.col("i"), F.lit(DIM))).alias("j"),
+        )
+        .groupBy("i", "j")
+        .agg(qsum(vi * vj).alias("s"))
+        .select(F.col("i").cast("long"), F.col("j").cast("long"), "s")
+    )
+    return cnt.unionAll(m1).unionAll(m2).select(
+        "i", "j", F.round("s", 6).alias("s")
+    )
+
+
+_PCA_MODELS: dict[tuple, tuple] = {}
+_PCA_MODELS_LOCK = __import__("threading").Lock()
+
+
+def pca_components(spark: SparkSession, sf_dir: str, k: int = PCA_K):
+    """(components, eigenvalues, mean): the top-k principal axes of the
+    embedding table — numpy eigh over the covariance assembled from the
+    ann_pca_train statistics (a bounded ~2k-row model fetch), memoized
+    per (application, corpus content) like trained_quantizer. Signs are
+    canonicalized (largest-|component| coordinate positive) so the
+    model is deterministic across LAPACK builds."""
+    import numpy as np
+
+    from .indexing import _content_fingerprint
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    with _PCA_MODELS_LOCK:
+        key = (spark.sparkContext.applicationId, src, _content_fingerprint(src), k)
+        if key in _PCA_MODELS:
+            return _PCA_MODELS[key]
+        for stale in [kk for kk in _PCA_MODELS if kk[:2] == key[:2]]:
+            del _PCA_MODELS[stale]
+        rows = q_ann_pca_train(spark, sf_dir).collect()
+        n = s1 = None
+        s1 = np.zeros(DIM)
+        s2 = np.zeros((DIM, DIM))
+        for r in rows:
+            if r.i == 0 and r.j == 0:
+                n = r.s
+            elif r.j == 0:
+                s1[r.i - 1] = r.s
+            else:
+                s2[r.i - 1, r.j - 1] = s2[r.j - 1, r.i - 1] = r.s
+        mean = s1 / n
+        cov = s2 / n - np.outer(mean, mean)
+        evals, evecs = np.linalg.eigh(cov)  # ascending
+        order = np.argsort(evals)[::-1][:k]
+        comps = evecs[:, order].T  # (k, DIM)
+        for c in comps:  # deterministic sign
+            if c[int(np.argmax(np.abs(c)))] < 0:
+                c *= -1.0
+        model = (comps, evals[order], mean)
+        _PCA_MODELS[key] = model
+        return model
+
+
+def pca_project(df: DataFrame, comps, mean, vec_col: str = "v", out_col: str = "pv") -> DataFrame:
+    """Map-only projection of `vec_col` onto the trained axes: center,
+    then one fold dot per component (k folds per row, inlined literal
+    model — the assign_nearest literal pattern; a large-k encoder would
+    switch to the broadcast mapInPandas path the same way)."""
+    centered = ", ".join(
+        f"({vec_col}[{d}] - {float(mean[d]):.17g}d)" for d in range(len(mean))
+    )
+    dots = []
+    for c in comps:
+        terms = " + ".join(
+            f"cv[{d}] * {float(c[d]):.17g}d" for d in range(len(c))
+        )
+        dots.append(terms)
+    return df.withColumn("cv", F.expr(f"array({centered})")).withColumn(
+        out_col, F.expr("array(" + ", ".join(dots) + ")")
+    ).drop("cv")
