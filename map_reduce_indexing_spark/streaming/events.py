@@ -1173,3 +1173,135 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tokens = token_rows(spark, sf_dir, out_col="word").select("word")
     return recount_candidates(tokens, cands, "word")
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel: incremental ordered-step conversion state
+# ---------------------------------------------------------------------------
+
+
+def funnel_stream(ev: DataFrame, steps: tuple[str, ...]) -> DataFrame:
+    """Per-user funnel state over a stream with (user_id, ts,
+    event_type): GroupState holds, per step, the SORTED DISTINCT event
+    times seen so far, and every update re-runs the chain scan
+    (t_i = earliest step-i time strictly after t_{i-1}) over those
+    sets — which makes the operator EXACT under arbitrary out-of-order
+    arrival: a late-arriving earlier view can retroactively pull t_0
+    back and thereby qualify a click that had already been seen, a
+    case any greedy per-step running-min state gets wrong (the greedy
+    state would have discarded that click as "before the conversion").
+    State is O(user's step events); the production lever for unbounded
+    logs is watermark-based eviction of times older than the newest
+    completed chain, which trades exactness on ancient stragglers for
+    bounded state — documented, not needed on the fixture. Missing
+    times are emitted as the -1 sentinel (fixture timestamps are all
+    positive) and folded to NULL in the batch view. Split out so tests
+    can drive it with an adversarial (shuffled) source."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    n_steps = len(steps)
+    ev = ev.select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    ).filter(F.col("event_type").isin(list(steps)))
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            got = state.get
+            n, sets = got[0], [list(a) for a in got[1:]]
+        else:
+            n, sets = 0, [[] for _ in range(n_steps)]
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            for i, step in enumerate(steps):
+                ts = pdf.loc[pdf["event_type"] == step, "ts_us"]
+                if len(ts):
+                    sets[i] = sorted(
+                        set(sets[i]).union(int(t) for t in ts)
+                    )
+        state.update((n, *sets))
+        times, prev = [], 0  # chain scan; times strictly increase
+        alive = True
+        for i in range(n_steps):
+            cur = -1
+            if alive:
+                for t in sets[i]:  # sorted: first qualifying = earliest
+                    if i == 0 or t > prev:
+                        cur = t
+                        break
+            times.append(cur)
+            if cur < 0:
+                alive = False
+            else:
+                prev = cur
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n": [n],
+                **{f"t_{i}": [times[i]] for i in range(n_steps)},
+            }
+        )
+
+    out_cols = ", ".join(f"t_{i} long" for i in range(n_steps))
+    state_cols = ", ".join(f"s{i} array<long>" for i in range(n_steps))
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=f"user_id long, n long, {out_cols}",
+        stateStructType=f"n long, {state_cols}",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def fold_funnel_updates(updates: DataFrame, n_steps: int) -> DataFrame:
+    """Update log -> final per-user times frame (the batch
+    _funnel_times shape): the row with the highest per-user event
+    count n is the converged state (n strictly increases per update),
+    fetched per column with max_by; -1 sentinels become NULLs."""
+    aggs = [
+        F.max_by(f"t_{i}", "n").alias(f"t_{i}") for i in range(n_steps)
+    ]
+    folded = updates.groupBy("user_id").agg(*aggs)
+    return folded.select(
+        "user_id",
+        *[
+            F.when(F.col(f"t_{i}") >= 0, F.col(f"t_{i}")).alias(f"t_{i}")
+            for i in range(n_steps)
+        ],
+    )
+
+
+def _funnel_oracle() -> str:
+    from ..operators.eventflow import _SQL_FUNNEL_STEPS, _SQL_FUNNEL_TIMES
+
+    return _SQL_FUNNEL_TIMES + _SQL_FUNNEL_STEPS
+
+
+@register(
+    "stream_funnel",
+    # The continuously-maintained funnel state must converge to the
+    # batch funnel — the same oracle as rel_funnel.
+    oracle=_funnel_oracle(),
+    tier="streaming",
+    doc="Streaming conversion funnel (the eventflow funnel as "
+    "incremental state): per-user per-step sorted-distinct event-time "
+    "sets in applyInPandasWithState, chain-rescanned on every update "
+    "so late or out-of-order events can retroactively re-qualify "
+    "later steps — exact under any arrival order (adversarially "
+    "shuffled-source test), converging to rel_funnel's batch answer. "
+    "The update log folds to final state by max_by over the per-user "
+    "event counter; the summary reuses funnel_summary, so the "
+    "streaming and batch forms share one output contract.",
+)
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.eventflow import FUNNEL_STEPS, funnel_summary
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_type"
+    )
+    updates = run_to_completion(funnel_stream(ev, FUNNEL_STEPS), "update")
+    return funnel_summary(
+        fold_funnel_updates(updates, len(FUNNEL_STEPS)), FUNNEL_STEPS
+    )

@@ -363,3 +363,122 @@ def test_watermark_drops_late_data(spark, tmp_path):
     keys = {r.k for r in out}
     assert "ontime" in keys, out
     assert "late" not in keys, f"late event leaked past the watermark: {out}"
+
+
+def test_stream_funnel_requalifies_on_late_earlier_view(spark, tmp_path):
+    """The case a greedy running-min state gets WRONG: the click
+    arrives before any qualifying view exists (click@12:05, first view
+    known = 12:10, so the chain is view-only); then a LATE view@12:00
+    arrives in a later microbatch, pulling t_0 back and retroactively
+    qualifying the already-seen click. The set-based state must emit
+    the fully-converged chain."""
+    import datetime
+
+    from map_reduce_indexing_spark.streaming.events import (
+        fold_funnel_updates,
+        funnel_stream,
+    )
+
+    src = tmp_path / "funnel_src"
+    src.mkdir()
+    schema = "user_id long, ts timestamp, event_type string"
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mins(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    # batch 1: click@5 (no qualifying view yet), view@10, purchase@7
+    spark.createDataFrame(
+        [(1, mins(5), "click"), (1, mins(10), "view"), (1, mins(7), "purchase")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    name = "funnel_ooo_sink"
+    q = (
+        funnel_stream(stream, ("view", "click", "purchase"))
+        .writeStream.format("memory")
+        .outputMode("update")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        mid = {
+            r["user_id"]: r
+            for r in fold_funnel_updates(spark.table(name), 3).collect()
+        }
+        # before the late view: chain stops at the view (click@5 < t_0)
+        assert mid[1]["t_0"] is not None and mid[1]["t_1"] is None
+
+        # batch 2: the LATE earlier view@0 retroactively qualifies
+        # click@5; purchase@7 then completes the whole chain
+        spark.createDataFrame([(1, mins(0), "view")], schema).coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    import datetime as dt
+
+    us = lambda m: int(  # noqa: E731
+        (mins(m) - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+    )
+    final = {
+        r["user_id"]: r
+        for r in fold_funnel_updates(spark.table(name), 3).collect()
+    }
+    assert final[1]["t_0"] == us(0)
+    assert final[1]["t_1"] == us(5)
+    assert final[1]["t_2"] == us(7)
+
+
+def test_stream_funnel_matches_batch_funnel_on_shuffled_fixture(spark, tmp_path):
+    """Arrival order is adversarial: the fixture's events are split
+    into 3 microbatch files by a hash that interleaves times across
+    batches. The converged per-user times must equal the batch
+    funnel's times frame row-for-row."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_indexing_spark.operators.eventflow import (
+        FUNNEL_STEPS,
+        _funnel_times,
+    )
+    from map_reduce_indexing_spark.streaming.events import (
+        fold_funnel_updates,
+        funnel_stream,
+    )
+    from map_reduce_indexing_spark.sources.tables import load_table
+
+    src = tmp_path / "shuffled"
+    src.mkdir()
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    for b in range(3):  # deterministic interleave, not time-ordered
+        ev.filter(F.pmod(F.xxhash64("ts"), F.lit(3)) == b).coalesce(
+            1
+        ).write.mode("append").parquet(str(src / f"b{b}"))
+
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string"
+    ).option("pathGlobFilter", "*.parquet").parquet(str(src / "b*"))
+    from map_reduce_indexing_spark.streaming.events import run_to_completion
+
+    updates = run_to_completion(
+        funnel_stream(stream, FUNNEL_STEPS), "update"
+    )
+    got = {
+        r["user_id"]: (r["t_0"], r["t_1"], r["t_2"])
+        for r in fold_funnel_updates(updates, 3).collect()
+    }
+    bt = _funnel_times(spark, SF_DIR).select(
+        "user_id",
+        *[F.unix_micros(f"t_{i}").alias(f"t_{i}") for i in range(3)],
+    )
+    want = {
+        r["user_id"]: (r["t_0"], r["t_1"], r["t_2"]) for r in bt.collect()
+    }
+    for uid, times in want.items():
+        assert got.get(uid, (None, None, None)) == times
