@@ -433,11 +433,29 @@ def append_vectors(spark: SparkSession, vectors: DataFrame, path: str) -> None:
         )
 
 
-def compact_vector_store(spark: SparkSession, path: str) -> None:
+def compact_vector_store(
+    spark: SparkSession,
+    path: str,
+    retrain: bool = False,
+    iters: int | None = None,  # None -> KMEANS_ITERS (defined below)
+) -> None:
     """Fold the appended partials back to one compact file per
     partition (bucket or cell — inferred): read -> repartition ->
     staged rewrite -> locked swap. Locking/crash-safety semantics:
-    indexing.compact_artifact (shared with the count index)."""
+    indexing.compact_artifact (shared with the count index).
+
+    `retrain=True` (IVF layouts only) additionally RE-TRAINS the
+    quantizer from the store's CURRENT vectors before re-laying-out —
+    the maintenance op a drifting ingest stream needs: appended vectors
+    route through the old centroids, so cells grow lopsided as the
+    distribution moves; retraining warm-starts Lloyd from the persisted
+    sidecar (or the pinned defaults for a default-centroid store),
+    re-assigns every vector, and swaps the NEW model in as the sidecar
+    — after which every append/topk/ingest routes through it
+    automatically. PQ codes are untouched: they encode the raw vector
+    per subspace, independent of cell membership. All under the same
+    writer flock + staged swap, so a crash mid-retrain leaves the old
+    store (and old model) intact."""
     from .indexing import compact_artifact
 
     # drop("batch") folds a checkpointed streaming-ingest layout
@@ -447,9 +465,27 @@ def compact_vector_store(spark: SparkSession, path: str) -> None:
     # misread a store stranded mid-swap (path briefly missing).
     def rewrite(df: DataFrame, staging: str) -> None:
         col = "cell" if "cell" in df.columns else "bucket"
+        if retrain and col != "cell":
+            raise ValueError(
+                "retrain=True requires an IVF-layout store (cell "
+                "partitions); LSH buckets have no trained model"
+            )
+        out = df.drop("batch")
+        cents = load_quantizer(path)
+        if retrain:
+            init = (
+                cents
+                if cents is not None
+                else [[float(x) for x in c] for c in CENTROIDS]
+            )
+            cents = train_kmeans_frame(
+                out.select("vec_id", "v"),
+                init,
+                iters=KMEANS_ITERS if iters is None else iters,
+            )
+            out = assign_nearest(out.drop("cell"), cents, out_col="cell")
         (
-            df.drop("batch")
-            .repartition(col)
+            out.repartition(col)
             .write.partitionBy(col)
             .mode("overwrite")
             .parquet(staging)
@@ -458,7 +494,6 @@ def compact_vector_store(spark: SparkSession, path: str) -> None:
         # parquet write (overwrite replaces staging contents), so the
         # swapped-in directory still carries the store's quantizer and
         # PQ codebook (the code COLUMNS travel as data in df above)
-        cents = load_quantizer(path)
         if cents is not None:
             _save_quantizer(staging, cents)
         books = load_codebook(path)
@@ -1665,6 +1700,21 @@ def train_kmeans(
         if k is None
         else _data_init_centroids(spark, sf_dir, k)
     )
+    return train_kmeans_frame(vecs, cents, iters=iters, assign=assign)
+
+
+def train_kmeans_frame(
+    vecs: DataFrame,
+    init: list[list[float]],
+    iters: int = KMEANS_ITERS,
+    assign: str = "auto",
+) -> list[list[float]]:
+    """The Lloyd loop over ANY (vec_id, v) frame from an explicit init
+    — the core train_kmeans wraps, split out so store maintenance can
+    RETRAIN a quantizer from the store's own current vectors
+    (compact_vector_store(retrain=True) warm-starts from the persisted
+    sidecar)."""
+    cents = init
     for _ in range(iters):
         assigned = assign_nearest(
             vecs, cents, out_col="cluster", method=assign

@@ -591,3 +591,61 @@ def test_topk_rejects_nonpositive_nprobe(spark, tmp_path):
     qv = [float(x) for x in e.limit(1).collect()[0]["v"]]
     with pytest.raises(ValueError, match="nprobe"):
         vs.topk(qv, nprobe=0)
+
+
+def test_compact_retrain_adapts_to_drifted_appends(spark, tmp_path):
+    """The drift-adaptation maintenance op: build an IVF store on a
+    trained quantizer, append vectors from a SHIFTED distribution
+    (routed through the stale model), then compact(retrain=True) —
+    the quantizer must retrain from the store's current vectors, every
+    row must be re-assigned consistently with the NEW sidecar, serving
+    must route through it, and the layout must be compact."""
+    from map_reduce_indexing_spark.operators.similarity import (
+        ivf_cell_of,
+        load_quantizer,
+        train_kmeans,
+    )
+
+    path = str(tmp_path / "drift_store")
+    cents0 = train_kmeans(spark, SF_DIR)
+    vs = VectorStore.build(
+        spark, _vectors(spark, 0, 150), path, layout="ivf", centroids=cents0
+    )
+    # drifted appends: the fixture vectors pushed far off-distribution
+    drifted = _vectors(spark, 150, 250).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.expr("transform(v, x -> x + 25.0d)").alias("v"),
+    )
+    vs.append(drifted)
+    assert load_quantizer(path) == cents0
+
+    vs.compact(retrain=True)
+    cents1 = load_quantizer(path)
+    assert cents1 is not None and cents1 != cents0  # the model moved
+
+    rows = vs.vectors().collect()
+    assert len(rows) == 250
+    for r in rows:  # layout consistent with the NEW model
+        assert r["cell"] == ivf_cell_of([float(x) for x in r["v"]], cents1)
+
+    # compact layout: one flat cell=* level, no stranded batch dirs
+    assert not glob.glob(os.path.join(path, "batch=*"))
+    assert glob.glob(os.path.join(path, "cell=*"))
+
+    # serving routes via the new sidecar: the probe's top hit is itself
+    probe = _probe(spark)
+    top = vs.topk(probe, k=3).collect()
+    assert top and top[0]["vec_id"] == 0
+
+    # a drifted probe finds drifted neighbors in its (new) cell
+    dprobe = [x + 25.0 for x in probe]
+    # vec 150 was drifted to id 1150; its shifted form is near dprobe
+    dtop = vs.topk(dprobe, k=5).collect()
+    assert dtop and all(r["vec_id"] >= 1000 for r in dtop)
+
+
+def test_compact_retrain_rejects_lsh_layout(spark, tmp_path):
+    path = str(tmp_path / "lsh_store")
+    vs = VectorStore.build(spark, _vectors(spark, 0, 60), path)
+    with pytest.raises(Exception, match="IVF|cell"):
+        vs.compact(retrain=True)
