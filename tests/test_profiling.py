@@ -75,3 +75,51 @@ def test_histogram_conserves_rows(spark):
     total = df.agg(F.sum("n")).collect()[0][0]
     assert total == spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
     assert all(r.bin_lo % profiling._BIN_W == 0 for r in df.collect())
+
+
+def test_profile_drift_psi_semantics(spark):
+    """PSI terms: sign matches the proportion shift, total PSI is
+    non-negative and equals an independent driver-side recompute, and
+    comparing a distribution to ITSELF yields exactly zero."""
+    import math
+
+    rows = get("rel_profile_drift").fn(spark, SF_DIR).collect()
+    assert rows
+    t_a = sum(r.n_a for r in rows)
+    t_b = sum(r.n_b for r in rows)
+    total = 0.0
+    for r in rows:
+        p_a, p_b = r.n_a / t_a, r.n_b / t_b
+        want = round((p_a - p_b) * math.log(p_a / p_b), 9)
+        # driver recompute can differ by float assoc only at <1e-9
+        assert abs(r.psi_term - want) < 2e-9
+        assert r.psi_term >= 0 or abs(r.psi_term) < 1e-12  # terms >= 0
+        total += r.psi_term
+    assert total >= 0.0
+
+    # self-drift is exactly zero: same column, same half on both sides
+    from pyspark.sql import functions as F
+
+    from map_reduce_indexing_spark.operators.profiling import _BIN_W
+    from map_reduce_indexing_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    bin_lo = (
+        F.floor(F.col("o_totalprice") / F.lit(_BIN_W)).cast("long") * _BIN_W
+    )
+    b = orders.groupBy(bin_lo.alias("bin_lo")).agg(
+        F.count(F.lit(1)).alias("n_a"), F.count(F.lit(1)).alias("n_b")
+    )
+    t = b.agg(
+        F.sum("n_a").cast("double").alias("t_a"),
+        F.sum("n_b").cast("double").alias("t_b"),
+    )
+    p_a = F.col("n_a").cast("double") / F.col("t_a")
+    p_b = F.col("n_b").cast("double") / F.col("t_b")
+    zero = (
+        b.crossJoin(F.broadcast(t))
+        .select(F.round((p_a - p_b) * F.log(p_a / p_b), 9).alias("x"))
+        .agg(F.sum("x"))
+        .head()[0]
+    )
+    assert zero == 0.0
