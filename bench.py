@@ -69,6 +69,7 @@ HEADLINE = [
     "text_classifier_train",   # one-pass stats + exact ridge solve (r8)
     "dedup_semantic_pairs",    # learned-cell-blocked near-dup pairs (r8)
     "search_related_docs",     # posting-join TF-IDF all-pairs topk (r8)
+    "stream_funnel",           # incremental ordered-step state (r8)
 ]
 
 
