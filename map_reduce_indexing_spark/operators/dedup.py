@@ -1187,3 +1187,117 @@ def q_dedup_boilerplate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boilerplate_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard: the production form of the quadratic baseline
+# ---------------------------------------------------------------------------
+
+# JACCARD_THRESHOLD as an exact rational for the prefix-length integer
+# arithmetic: ceil(0.3 * n) computed in floats can round UP through the
+# 0.3 representation error (0.3 * 10 = 3.0000000000000004 -> ceil 4),
+# silently SHORTENING a prefix and losing pairs; (3n + 9) // 10 is
+# exact for every n.
+_JAC_NUM, _JAC_DEN = 3, 10
+assert _JAC_NUM / _JAC_DEN == JACCARD_THRESHOLD
+
+
+@register(
+    "dedup_jaccard_prefix_pairs",
+    # The SAME quadratic ground-truth oracle as dedup_ngram_jaccard:
+    # prefix filtering is LOSSLESS (a theorem, not a probability), so
+    # the blocked plan must hash-match the exhaustive answer exactly.
+    oracle=f"""
+        WITH s AS ({DUCK_SHINGLE_SETS}),
+        e AS (SELECT doc_id, n_sh, unnest(shingles) AS sh FROM s),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS inter,
+                   any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+            FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+        FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+    """,
+    tier="llm",
+    doc=f"EXACT {SHINGLE_K}-shingle Jaccard near-dup pairs (>= "
+    f"{JACCARD_THRESHOLD}) with AllPairs/PPJoin-style prefix filtering "
+    "(Bayardo et al., Xiao et al.) — the production upgrade of the "
+    "declared-quadratic dedup_ngram_jaccard: order every doc's "
+    "shingles rarest-first (global df, then shingle), keep only each "
+    "doc's length-dependent PREFIX (n - ceil(t*n) + 1 entries, integer "
+    "arithmetic so the 0.3 float can't shorten it), and equi-join on "
+    "prefix shingles + a length-ratio filter to get candidates; exact "
+    "set-intersection verify. The prefix-filter theorem makes the "
+    "blocking LOSSLESS — unlike MinHash/SimHash there is no recall "
+    "tradeoff, which is why the oracle is the exhaustive quadratic "
+    "itself. At 100 TB candidate volume is bounded by RARE-token "
+    "posting lengths (the df-ascending order concentrates prefixes on "
+    "rare shingles), every join is an equi-join, and the residual hot "
+    "prefix token is an AQE skew split.",
+)
+def q_dedup_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = shingle_rows(spark, sf_dir)  # (doc_id, s) distinct shingles
+    dfreq = rows.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id")
+    ranked = (
+        rows.join(dfreq, "s")
+        .select(
+            "doc_id",
+            F.col("s").alias("sh"),
+            F.row_number()
+            .over(w.orderBy("df", "s"))
+            .alias("rk"),
+            F.count(F.lit(1)).over(w).alias("n_sh"),
+        )
+    )
+    # prefix length: n - ceil(t*n) + 1, exact integers
+    plen = (
+        F.col("n_sh")
+        - F.floor((_JAC_NUM * F.col("n_sh") + (_JAC_DEN - 1)) / _JAC_DEN)
+        + 1
+    )
+    prefix = ranked.filter(F.col("rk") <= plen).select(
+        "doc_id", "sh", "n_sh"
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # length-ratio filter: J >= t forces t*max(na,nb) <= min(na,nb)
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                _JAC_NUM * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+                <= _JAC_DEN * F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets = rows.groupBy("doc_id").agg(
+        F.collect_list("s").alias("shingles"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_sh").alias("na"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
