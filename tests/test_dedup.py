@@ -260,15 +260,21 @@ def test_prefix_filtered_jaccard_is_lossless_and_prunes(spark):
 
     from map_reduce_indexing_spark.operators.dedup import shingle_rows
 
+    from map_reduce_indexing_spark.operators.dedup import JACCARD_PREFIX_T
+
     got = {
         (r.doc_a, r.doc_b): r.jaccard
         for r in registry.get("dedup_jaccard_prefix_pairs")
         .fn(spark, SF_DIR)
         .collect()
     }
+    # ground truth: the exhaustive quadratic query (t=0.3 calibration
+    # form) restricted to the prefix operator's production threshold —
+    # same intersection arithmetic, so values compare exactly
     want = {
         (r.doc_a, r.doc_b): r.jaccard
         for r in registry.get("dedup_ngram_jaccard").fn(spark, SF_DIR).collect()
+        if r.jaccard >= JACCARD_PREFIX_T
     }
     assert got == want  # lossless: identical pairs, identical values
     assert want  # non-vacuous on the fixture

@@ -139,6 +139,11 @@ PIPELINES = (
     # production posture trains k proportional to corpus size via the
     # large-k path, which the k-sweep in SCALING.md covers instead)
     "search_related_docs",
+    # lossless-blocking representative: prefix-filtered exact Jaccard —
+    # candidate volume rides RARE-shingle posting lengths (the ciphered
+    # replicas have disjoint vocabularies, so df stays flat and wall
+    # should track the shingle scan, not the pair count)
+    "dedup_jaccard_prefix_pairs",
 )
 
 
