@@ -82,12 +82,17 @@ def main() -> None:
         .select("doc_id")
     )
 
-    # 3. near dedup: LSH-verified duplicate clusters; keep each
-    #    component's root (cluster_id == min doc_id), drop the rest.
+    # 3. near dedup with the QUALITY-AWARE keeper policy: of each
+    #    LSH-verified duplicate cluster keep the highest-stopword-ratio
+    #    member (the cleanest extraction), not an arbitrary min doc_id
+    #    — the registered dedup_cluster_keep_best composition.
+    keepers_best = q("dedup_cluster_keep_best").select(
+        F.col("keep_doc").alias("doc_id")
+    )
     near_dup_losers = (
         q("dedup_clusters")
-        .filter(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id")
+        .join(keepers_best, "doc_id", "left_anti")
     )
 
     # 4. perceptual image dedup: each doc's (synthetic) image is

@@ -15,3 +15,4 @@ from . import profiling  # noqa: F401
 from . import bpe  # noqa: F401
 from . import graph  # noqa: F401
 from . import classifier  # noqa: F401
+from . import curation  # noqa: F401

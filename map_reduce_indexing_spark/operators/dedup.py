@@ -641,7 +641,10 @@ def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-DUCK_CLUSTERS_ORACLE = f"""
+# The CTE body (everything up to the final labelling SELECT), reusable
+# by composition oracles (operators/curation.py joins quality onto the
+# cluster labels).
+DUCK_CLUSTERS_CTES = f"""
     WITH RECURSIVE
     sig AS ({DUCK_MINHASH_SIG}),
     bands AS (
@@ -668,6 +671,9 @@ DUCK_CLUSTERS_ORACLE = f"""
         SELECT src, src FROM edges
         UNION
         SELECT e2.src, r.lab FROM edges e2 JOIN reach r ON e2.dst = r.node)
+"""
+
+DUCK_CLUSTERS_ORACLE = f"""{DUCK_CLUSTERS_CTES}
     SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
     FROM reach GROUP BY node
 """

@@ -329,3 +329,29 @@ def test_prefix_filtered_jaccard_is_lossless_and_prunes(spark):
     )
     assert set(want) and cand < all_pairs  # the filter prunes
     assert cand >= len(want)  # ...but never below the true pair count
+
+
+def test_cluster_keep_best_picks_the_max_quality_member(spark):
+    """Composition consistency: one keeper per cluster, the keeper is a
+    member, and its stopword ratio is the cluster max (ties -> lowest
+    doc_id), checked against an independent driver-side recompute."""
+    clusters = {}
+    for r in registry.get("dedup_clusters").fn(spark, SF_DIR).collect():
+        clusters.setdefault(r.cluster_id, []).append(r.doc_id)
+    scores = {
+        r.doc_id: r.stopword_ratio
+        for r in registry.get("text_quality").fn(spark, SF_DIR).collect()
+    }
+    kept = {
+        r.cluster_id: r
+        for r in registry.get("dedup_cluster_keep_best")
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    assert set(kept) == set(clusters)
+    for cid, members in clusters.items():
+        r = kept[cid]
+        assert r.n_members == len(members)
+        best = min(members, key=lambda d: (-scores[d], d))
+        assert r.keep_doc == best
+        assert abs(r.keep_stopword_ratio - round(scores[best], 9)) < 1e-12
