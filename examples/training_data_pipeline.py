@@ -212,8 +212,20 @@ def main() -> None:
     shard_sizes = (
         sharded.groupBy("shard_id").agg(F.count(F.lit(1)).alias("n")).collect()
     )
-    # (a real export would now .repartition("shard_id")
-    #  .sortWithinPartitions("h").write.partitionBy("shard_id")...)
+
+    # 10. the DURABLE export (full-corpus demo of sources/export.py):
+    #     one file per shard in the pinned physical order, manifest
+    #     sidecar computed by reading back the landed files, verified.
+    import tempfile
+
+    from map_reduce_indexing_spark.sources.export import (
+        export_shards,
+        verify_export,
+    )
+
+    out = os.path.join(tempfile.mkdtemp(prefix="mri_export_"), "shards")
+    manifest = export_shards(spark, sf_dir, out)
+    assert verify_export(spark, out) == {}
 
     summary = {
         "docs_in": n0,
@@ -234,6 +246,11 @@ def main() -> None:
         "train_export_shards": {
             "n_shards": len(shard_sizes),
             "docs": sum(r["n"] for r in shard_sizes),
+        },
+        "durable_export": {
+            "shards": len(manifest["shards"]),
+            "docs": manifest["total_docs"],
+            "verified": True,
         },
     }
     print(summary)
