@@ -355,3 +355,56 @@ def test_cluster_keep_best_picks_the_max_quality_member(spark):
         best = min(members, key=lambda d: (-scores[d], d))
         assert r.keep_doc == best
         assert abs(r.keep_stopword_ratio - round(scores[best], 9)) < 1e-12
+
+
+def test_prefix_filter_completeness_property():
+    """The prefix-filter theorem under fuzz, no Spark: on random small
+    shingle universes, EVERY pair with J >= t must share a token in
+    both docs' (df-asc, token-asc)-ordered prefixes of length
+    n - ceil(t*n) + 1 AND pass the length-ratio filter — the exact
+    candidate rule the operator compiles. Catches off-by-ones in the
+    integer prefix arithmetic that the fixture's few pairs might
+    never exercise."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from map_reduce_indexing_spark.operators.dedup import _JAC_DEN, _JAC_NUM
+
+    t = _JAC_NUM / _JAC_DEN
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(
+            st.frozensets(st.integers(0, 25), min_size=1, max_size=14),
+            min_size=2,
+            max_size=9,
+        )
+    )
+    def run(sets):
+        docs = {i: s for i, s in enumerate(sets)}
+        df = {}
+        for s in docs.values():
+            for tok in s:
+                df[tok] = df.get(tok, 0) + 1
+        order = {d: sorted(s, key=lambda x: (df[x], x)) for d, s in docs.items()}
+
+        def plen(n):
+            return n - (_JAC_NUM * n + (_JAC_DEN - 1)) // _JAC_DEN + 1
+
+        prefix = {d: set(o[: plen(len(o))]) for d, o in order.items()}
+        for a in docs:
+            for b in docs:
+                if a >= b:
+                    continue
+                i = len(docs[a] & docs[b])
+                na, nb = len(docs[a]), len(docs[b])
+                if i / (na + nb - i) >= t:
+                    # candidate rule must fire for every true pair
+                    assert _JAC_NUM * max(na, nb) <= _JAC_DEN * min(na, nb)
+                    assert prefix[a] & prefix[b], (
+                        docs[a],
+                        docs[b],
+                        order,
+                    )
+
+    run()
