@@ -53,17 +53,13 @@ def main() -> None:
     # 1b. model-based quality filter: the trained linear classifier
     #     (ridge solved from one-pass sufficient statistics,
     #     operators/classifier.py) keeps docs scoring at/above the
-    #     corpus mean. Its synthetic-negative training rows live at a
-    #     doc_id offset — restrict to real corpus ids. Kept docs must
+    #     corpus mean. Its synthetic-negative training rows live at
+    #     negative doc_ids — restrict to real corpus ids. Kept docs must
     #     pass BOTH the heuristic and the model (the CCNet-style
     #     two-gate stack).
-    from map_reduce_indexing_spark.operators.classifier import (
-        CLF_NEG_OFFSET,
-    )
-
     clf_ids = (
         q("text_classifier_filter")
-        .filter(F.col("doc_id") < CLF_NEG_OFFSET)
+        .filter(F.col("doc_id") >= 0)
         .select("doc_id")
     )
     quality_ids = quality_ids.join(clf_ids, "doc_id")

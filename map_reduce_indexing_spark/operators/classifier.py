@@ -89,15 +89,21 @@ _D = len(CLF_FEATURES)
 # ---------------------------------------------------------------------------
 
 
-# The synthetic-negative letter map: a BIJECTIVE vowel rotation. It
-# preserves token lengths and distinct-token counts (so avg_token_len
-# and type_token_ratio stay honest controls) while defeating the
-# stopword feature — 'the' -> 'thu' — i.e. a deterministic proxy for
-# shredded-OCR / non-natural text. Being letter-level, it COMMUTES
-# with tokenization, so negatives derive from the artifact's token
-# array; raw text is never re-scanned.
-CLF_NEG_FROM, CLF_NEG_TO = "aeiou", "uoiea"
-CLF_NEG_OFFSET = 10_000_000  # negative copies' doc_id shift
+# The synthetic-negative letter map: a fixed-point-free vowel CYCLE
+# (a->e->i->o->u->a — a true derangement; an earlier draft's
+# "aeiou"->"uoiea" silently FIXED 'i', so i-only stopwords like
+# 'it'/'is'/'in' survived in negatives and weakened the separation).
+# It preserves token lengths and distinct-token counts (so
+# avg_token_len and type_token_ratio stay honest controls) while
+# defeating the stopword feature — 'the' -> 'thi' — i.e. a
+# deterministic proxy for shredded-OCR / non-natural text. Being
+# letter-level, it COMMUTES with tokenization, so negatives derive
+# from the artifact's token array; raw text is never re-scanned.
+# Negative rows live at doc_id' = -doc_id - 1: real ids are
+# non-negative, so the two spaces can NEVER collide at any corpus
+# size (a fixed +10M offset collided once real ids reached 10M —
+# which scale_bench's staged replicas already do).
+CLF_NEG_FROM, CLF_NEG_TO = "aeiou", "eioua"
 
 
 def clf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,7 +111,7 @@ def clf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     every column an exact integer ratio (deterministic doubles).
 
     Training rows = corpus documents (y=1) UNION a vowel-rotated copy
-    of each (y=0, doc_id shifted) — the standard synthetic-negative
+    of each (y=0, doc_id negated) — the standard synthetic-negative
     setup for quality-filter training when no curated negative set
     exists. (The fixtures' lang/source columns are decorative — their
     synthetic text is drawn from one vocabulary regardless, so no
@@ -134,7 +140,7 @@ def _features_from_tokens(tokenized: DataFrame) -> DataFrame:
                     F.col("doc_id"), F.lit(1.0).alias("y"), F.col("ws")
                 ),
                 F.struct(
-                    (F.col("doc_id") + CLF_NEG_OFFSET).alias("doc_id"),
+                    (-F.col("doc_id") - 1).alias("doc_id"),
                     F.lit(0.0).alias("y"),
                     F.expr(
                         f"transform(ws, t -> translate(t, '{CLF_NEG_FROM}', '{CLF_NEG_TO}'))"
@@ -180,7 +186,7 @@ def _duck_features_cte() -> str:
     base AS (
         SELECT doc_id, CAST(1 AS DOUBLE) AS y, txt, toks FROM d0
         UNION ALL
-        SELECT doc_id + {CLF_NEG_OFFSET}, CAST(0 AS DOUBLE),
+        SELECT -doc_id - 1, CAST(0 AS DOUBLE),
                txt,
                list_transform(toks,
                    t -> translate(t, '{CLF_NEG_FROM}', '{CLF_NEG_TO}'))

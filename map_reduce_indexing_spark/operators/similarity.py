@@ -2317,41 +2317,53 @@ PCA_K = 8  # served components
     "At 100 TB this is one pass + one ~2k-key shuffle.",
 )
 def q_ann_pca_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Genuinely ONE scan: a union of three separate aggregations would
+    # plan three independent reads of the embeddings table (3 corpus
+    # passes at scale). Instead one explode chain emits every moment
+    # TERM per row — i=0 carries the count term (1.0, whose 1e6
+    # quantization is exact, so the merged sum is n exactly), j=i-1
+    # encodes the first moment v_i (emitted as j=0), j>=i the second
+    # moments — and a single groupBy(i, j) aggregates them all.
     e = embeddings_double(spark, sf_dir).select("v")
-
-    def qsum(term):
-        return (
-            F.sum(F.floor(term * F.lit(PCA_SCALE)).cast("decimal(38,0)"))
-            .cast("double")
-            / F.lit(PCA_SCALE)
-        )
-
-    cnt = e.agg(
-        F.lit(0).cast("long").alias("i"),
-        F.lit(0).cast("long").alias("j"),
-        F.count(F.lit(1)).cast("double").alias("s"),
+    terms = e.select(
+        "v", F.explode(F.sequence(F.lit(0), F.lit(DIM))).alias("i")
+    ).select(
+        "v",
+        "i",
+        F.explode(
+            F.when(F.col("i") == 0, F.array(F.lit(0))).otherwise(
+                F.sequence(F.col("i") - 1, F.lit(DIM))
+            )
+        ).alias("j"),
     )
     vi = F.element_at("v", F.col("i").cast("int"))
-    m1 = (
-        e.select("v", F.explode(F.sequence(F.lit(1), F.lit(DIM))).alias("i"))
-        .groupBy("i")
-        .agg(qsum(vi).alias("s"))
-        .select(F.col("i").cast("long"), F.lit(0).cast("long").alias("j"), "s")
-    )
     vj = F.element_at("v", F.col("j").cast("int"))
-    m2 = (
-        e.select("v", F.explode(F.sequence(F.lit(1), F.lit(DIM))).alias("i"))
-        .select(
-            "v",
-            "i",
-            F.explode(F.sequence(F.col("i"), F.lit(DIM))).alias("j"),
+    term = (
+        F.when(F.col("i") == 0, F.lit(1.0))
+        .when(F.col("j") == F.col("i") - 1, vi)
+        .otherwise(vi * vj)
+    )
+    j_out = F.when(
+        (F.col("i") == 0) | (F.col("j") == F.col("i") - 1), F.lit(0)
+    ).otherwise(F.col("j"))
+    return (
+        terms.select(
+            F.col("i").cast("long").alias("i"),
+            j_out.cast("long").alias("j"),
+            term.alias("t"),
         )
         .groupBy("i", "j")
-        .agg(qsum(vi * vj).alias("s"))
-        .select(F.col("i").cast("long"), F.col("j").cast("long"), "s")
-    )
-    return cnt.unionAll(m1).unionAll(m2).select(
-        "i", "j", F.round("s", 6).alias("s")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("t") * F.lit(PCA_SCALE)).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / F.lit(PCA_SCALE)
+            ).alias("s")
+        )
+        .select("i", "j", F.round("s", 6).alias("s"))
     )
 
 
@@ -2378,7 +2390,7 @@ def pca_components(spark: SparkSession, sf_dir: str, k: int = PCA_K):
         for stale in [kk for kk in _PCA_MODELS if kk[:2] == key[:2]]:
             del _PCA_MODELS[stale]
         rows = q_ann_pca_train(spark, sf_dir).collect()
-        n = s1 = None
+        n = None
         s1 = np.zeros(DIM)
         s2 = np.zeros((DIM, DIM))
         for r in rows:

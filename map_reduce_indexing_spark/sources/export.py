@@ -33,13 +33,25 @@ from ..sources.tables import load_table
 MANIFEST_FILE = "_manifest.json"
 
 
-def _shard_summary(docs: DataFrame) -> DataFrame:
-    """(shard_id, n_docs, order_checksum) over the defined export order
-    (h, doc_id) — the text_shuffle_shards checksum arithmetic: both
-    factors reduced mod p before multiplying, exact decimal sum."""
-    rn = F.row_number().over(
-        Window.partitionBy("shard_id").orderBy("h", "doc_id")
-    )
+def _shard_summary(docs: DataFrame, physical: bool = False) -> DataFrame:
+    """(shard_id, n_docs, order_checksum) — the text_shuffle_shards
+    checksum arithmetic: both factors reduced mod p before multiplying,
+    exact decimal sum.
+
+    `physical=False` ranks by the DEFINED order (h, doc_id);
+    `physical=True` ranks by ARRIVAL order (file name, then
+    monotonically_increasing_id — increasing in read order within each
+    scan partition, with split partitions of one file enumerated in
+    offset order), i.e. the order a training consumer actually reads.
+    A verify pass that re-sorted by (h, doc_id) would reconstruct the
+    intended order no matter how the rows physically lie and certify a
+    scrambled file as intact — exactly the failure the checksum exists
+    to catch."""
+    if physical:
+        order = [F.input_file_name(), F.monotonically_increasing_id()]
+    else:
+        order = [F.col("h"), F.col("doc_id")]
+    rn = F.row_number().over(Window.partitionBy("shard_id").orderBy(*order))
     return (
         docs.withColumn("rn", rn.cast("long"))
         .groupBy("shard_id")
@@ -94,6 +106,21 @@ def export_shards(
     )
     written = spark.read.parquet(out_path)
     rows = _shard_summary(written).collect()
+    # The writer must have landed the DEFINED order physically: compare
+    # the arrival-order checksums against the defined-order ones and
+    # refuse to publish a manifest over a scrambled export (this is the
+    # guard for the FileFormatWriter unstable-sort hazard noted above).
+    phys = {
+        r.shard_id: (r.n_docs, r.order_checksum)
+        for r in _shard_summary(written, physical=True).collect()
+    }
+    for r in rows:
+        if phys.get(r.shard_id) != (r.n_docs, r.order_checksum):
+            raise RuntimeError(
+                f"shard {r.shard_id}: physical row order does not match "
+                "the defined (h, doc_id) order — refusing to write a "
+                "manifest over a scrambled export"
+            )
     manifest = {
         "n_shards": N_SHARDS,
         "seed_scheme": "md5(doc_id:seed) order, shard = first8hex mod N",
@@ -114,10 +141,12 @@ def export_shards(
 
 
 def verify_export(spark: SparkSession, out_path: str) -> dict:
-    """Recompute every shard's count + order checksum from the files
-    and diff against the manifest. Returns {} when the export is
+    """Recompute every shard's count + PHYSICAL-order checksum from the
+    files and diff against the manifest. Returns {} when the export is
     intact; otherwise a dict of per-shard discrepancies (missing shard,
-    extra shard, count or checksum mismatch)."""
+    extra shard, count, checksum, or row-order mismatch). Physical
+    ranking means a same-rows-permuted shard FAILS here — the manifest
+    pins the order consumers read, not just membership."""
     with open(os.path.join(out_path, MANIFEST_FILE)) as fh:
         manifest = json.load(fh)
     got = {
@@ -125,7 +154,9 @@ def verify_export(spark: SparkSession, out_path: str) -> dict:
             "n_docs": int(r.n_docs),
             "order_checksum": int(r.order_checksum),
         }
-        for r in _shard_summary(spark.read.parquet(out_path)).collect()
+        for r in _shard_summary(
+            spark.read.parquet(out_path), physical=True
+        ).collect()
     }
     want = manifest["shards"]
     problems: dict = {}

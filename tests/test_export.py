@@ -59,3 +59,28 @@ def test_export_tampering_is_detected(spark, tmp_path):
     sid = victim.rsplit("=", 1)[1]
     assert sid in problems and "missing" in problems[sid]
     assert len(problems) == 1  # every other shard still verifies
+
+
+def test_export_row_scramble_is_detected(spark, tmp_path):
+    """Same rows, permuted physical order: membership checks would
+    pass, but the manifest pins PHYSICAL order, so verify must flag
+    exactly the scrambled shard."""
+    out = str(tmp_path / "scramble")
+    export_shards(spark, SF_DIR, out)
+    victim_dir = sorted(glob.glob(os.path.join(out, "shard_id=*")))[0]
+    [victim] = glob.glob(os.path.join(victim_dir, "*.parquet"))
+    tbl = pq.read_table(victim)
+    n = tbl.num_rows
+    assert n >= 2
+    perm = list(range(1, n)) + [0]  # rotate rows by one
+    pq.write_table(tbl.take(perm), victim)
+    # stale .crc would fail the read after rewrite — drop it
+    for crc in glob.glob(os.path.join(victim_dir, ".*.crc")):
+        os.remove(crc)
+    problems = verify_export(spark, out)
+    sid = victim_dir.rsplit("=", 1)[1]
+    assert list(problems) == [sid]
+    want = problems[sid]["want"]
+    got = problems[sid]["got"]
+    assert want["n_docs"] == got["n_docs"]  # same membership...
+    assert want["order_checksum"] != got["order_checksum"]  # ...wrong order
