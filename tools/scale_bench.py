@@ -144,6 +144,11 @@ PIPELINES = (
     # replicas have disjoint vocabularies, so df stays flat and wall
     # should track the shingle scan, not the pair count)
     "dedup_jaccard_prefix_pairs",
+    # spectral-trainer statistics representative: ONE scan emitting
+    # count/first/second-moment terms into a ~2k-key groupBy — wall
+    # should be linear in the vector count with a small slope (the
+    # eigensolve itself is driver-side and corpus-size-free)
+    "ann_pca_train",
 )
 
 
