@@ -579,3 +579,53 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY numwait DESC, s_name LIMIT 20
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed-layout join: the co-location primitive demonstrated end to end
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_bucketed_join_agg",
+    oracle="""
+        SELECT o.o_orderpriority AS priority,
+               CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    tier="relational",
+    doc="The orders-lineitem join served from BUCKETED tables "
+    "(sources/layout.py:bucketed_fact_tables — bucketBy(8, orderkey) + "
+    "sortBy at write time): both scans already satisfy the join's hash "
+    "distribution, so the sort-merge join runs with ZERO exchange on "
+    "either input (plan-asserted in tests/test_layout.py — the only "
+    "Exchange in the plan is the 5-key aggregation after the join; the "
+    "scans carry SelectedBucketsCount). At 100 TB the fact-fact "
+    "orderkey shuffle is the warehouse's single largest exchange; "
+    "bucketed layout pays it once at write and amortizes it over every "
+    "later join — the brief's 'bucketing for co-located joins' made "
+    "concrete. Results are layout-independent, so the oracle is the "
+    "plain parquet join.",
+)
+def q_rel_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.layout import bucketed_fact_tables
+
+    orders_t, lineitem_t = bucketed_fact_tables(spark, sf_dir)
+    o = spark.table(orders_t).select("o_orderkey", "o_orderpriority")
+    li = spark.table(lineitem_t).select("l_orderkey", "l_quantity")
+    # merge hint: at small SF AQE would broadcast orders and hide the
+    # co-location property this query exists to demonstrate; the hint
+    # forces the sort-merge plan the join takes at fact-fact scale.
+    return (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        )
+    )

@@ -238,3 +238,54 @@ def test_zorder_readback_matches_source(spark, tmp_path):
     a = back.filter(pred).groupBy("l_orderkey").count()
     b = li.filter(pred).groupBy("l_orderkey").count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_bucketed_join_runs_without_input_exchanges(spark):
+    """The co-location contract: both bucketed scans already satisfy
+    the join's hash distribution, so the ONLY Exchange in the whole
+    plan is the post-join aggregation — the join inputs are
+    bucket-pruned scans + sorts, never a shuffle."""
+    import re
+
+    from map_reduce_indexing_spark.plans import registry
+    from tests.conftest import SF_DIR
+
+    df = registry.get("rel_bucketed_join_agg").fn(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    from collections import Counter
+
+    nodes = Counter(re.findall(r"\(\d+\) ([A-Za-z]+)", plan))
+    assert nodes["SortMergeJoin"] == 1
+    assert nodes["Exchange"] == 1  # only the final aggregation shuffles
+    assert plan.count("SelectedBucketsCount") == 2  # both scans bucketed
+
+    # and the results equal the plain-parquet join (layout-independent)
+    from map_reduce_indexing_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR as _SFD
+
+    o = load_table(spark, _SFD, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, _SFD, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    want = {
+        r.priority: (r.n_orders, r.n_items, r.total_qty)
+        for r in o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        )
+        .collect()
+    }
+    got = {
+        r.priority: (r.n_orders, r.n_items, r.total_qty)
+        for r in df.collect()
+    }
+    assert got == want
