@@ -181,7 +181,12 @@ def bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         key = (spark.sparkContext.applicationId, sf_dir)
         if key in _BUCKETED_TABLES:
             return _BUCKETED_TABLES[key]
-        suffix = abs(hash(sf_dir)) % 10**8
+        import hashlib
+
+        # md5, not hash(): PYTHONHASHSEED randomizes hash() per process,
+        # and a stable per-corpus name is what lets overwrite semantics
+        # replace (never orphan) a prior run's tables for the same dir.
+        suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
         names = (f"mri_orders_b{suffix}", f"mri_lineitem_b{suffix}")
         for tbl, (src, k) in zip(
             names, (("orders", "o_orderkey"), ("lineitem", "l_orderkey"))
