@@ -29,6 +29,8 @@ files — verified by tests/test_layout.py against the parquet footers.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from .tables import load_table
@@ -188,9 +190,25 @@ def bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         # replace (never orphan) a prior run's tables for the same dir.
         suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
         names = (f"mri_orders_b{suffix}", f"mri_lineitem_b{suffix}")
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = urlparse(
+            spark.conf.get("spark.sql.warehouse.dir")
+        ).path
         for tbl, (src, k) in zip(
             names, (("orders", "o_orderkey"), ("lineitem", "l_orderkey"))
         ):
+            # A managed table's LOCATION can survive from a previous
+            # application while the in-memory catalog is empty —
+            # saveAsTable then fails with LOCATION_ALREADY_EXISTS even
+            # in overwrite mode. Drop the catalog entry AND the stale
+            # directory before writing (names are content-stable md5,
+            # so this only ever replaces this corpus's own tables).
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            stale = os.path.join(warehouse, tbl)
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
             (
                 load_table(spark, sf_dir, src)
                 .write.bucketBy(N_BUCKETS, k)
