@@ -70,6 +70,7 @@ HEADLINE = [
     "dedup_semantic_pairs",    # learned-cell-blocked near-dup pairs (r8)
     "search_related_docs",     # posting-join TF-IDF all-pairs topk (r8)
     "stream_funnel",           # incremental ordered-step state (r8)
+    "rel_bucketed_join_agg",   # exchange-free bucketed-layout join (r8)
 ]
 
 
