@@ -124,16 +124,16 @@ def main() -> None:
 
     # 6b. perplexity-stratified resampling: the surviving docs are
     #     scored under the corpus bigram LM (registered scorer — reads
-    #     the persisted lm_counts artifact), deciled over a
-    #     deterministic (score, doc_id) order, and kept at a
+    #     the persisted lm_counts artifact), stratified into deciles
+    #     by broadcast percentile cutpoints (map-only range lookup —
+    #     the scale-safe form, no global window), and kept at a
     #     per-decile rate (decile d keeps d*10% via the engine's
     #     seed-stable md5 coin) — quality-weighted mixture, same
     #     primitives as the registered text_lm_resample contract.
     #     Docs too short to have bigrams carry no LM evidence and pass
     #     through unresampled.
-    from pyspark.sql import Window
-
     from map_reduce_indexing_spark.operators.textstats import (
+        _RESAMPLE_PCTS,
         RESAMPLE_DECILES,
         RESAMPLE_SEED,
     )
@@ -141,7 +141,14 @@ def main() -> None:
     scored = q("text_lm_score").select("doc_id", F.col("avg_logp").alias("s"))
     scored_kept = kept.join(scored, "doc_id")
     unscored_kept = kept.join(scored, "doc_id", "left_anti")
-    dec = F.ntile(RESAMPLE_DECILES).over(Window.orderBy("s", "doc_id"))
+    cuts = scored_kept.agg(
+        F.transform(
+            F.percentile("s", F.array(*[F.lit(p) for p in _RESAMPLE_PCTS])),
+            lambda c: F.round(c, 6),
+        ).alias("cs")
+    )
+    scored_kept = scored_kept.crossJoin(F.broadcast(cuts))
+    dec = F.lit(1) + F.size(F.filter("cs", lambda c: F.col("s") > c))
     coin = (
         F.conv(
             F.substring(

@@ -1033,10 +1033,8 @@ RESAMPLE_SEED = 13
 RESAMPLE_DECILES = 10
 
 
-@register(
-    "text_lm_resample",
-    oracle=f"""
-        WITH toks AS (SELECT doc_id, {DUCK_TOKENS_LIST} AS t FROM documents),
+_DUCK_LM_SCORED_CTES = f"""
+        toks AS (SELECT doc_id, {DUCK_TOKENS_LIST} AS t FROM documents),
         occ AS (SELECT doc_id, unnest(t) AS w FROM toks),
         bg AS (SELECT doc_id, g, string_split(g, ' ')[1] AS w1
                FROM (SELECT doc_id, unnest({_duck_k_grams('t', 2)}) AS g FROM toks)),
@@ -1052,12 +1050,9 @@ RESAMPLE_DECILES = 10
             JOIN bgc ON bg.g = bgc.g
             JOIN ugc ON bg.w1 = ugc.w
             CROSS JOIN vocab
-            GROUP BY bg.doc_id),
-        bucketed AS (
-            SELECT doc_id, s,
-                   NTILE({RESAMPLE_DECILES}) OVER (ORDER BY s, doc_id)
-                     AS decile
-            FROM scored)
+            GROUP BY bg.doc_id)"""
+
+_DUCK_RESAMPLE_TAIL = f"""
         SELECT CAST(decile AS BIGINT) AS decile,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(CASE WHEN
@@ -1068,34 +1063,18 @@ RESAMPLE_DECILES = 10
                ROUND(MIN(s), 6) AS lo_score,
                ROUND(MAX(s), 6) AS hi_score
         FROM bucketed
-        GROUP BY decile
-    """,
-    tier="llm",
-    doc=f"Perplexity-stratified resampling — the quality-weighted "
-    "mixture step of a curation pipeline (DoReMi-style reweighting "
-    "reduced to its data-plane half): score every doc under the "
-    "corpus bigram LM, split the score distribution into "
-    f"{RESAMPLE_DECILES} deciles (NTILE over a deterministic "
-    "(score, doc_id) total order), then keep docs at a per-decile "
-    f"rate — decile d keeps d·{RESAMPLE_DECILES}% via the engine's "
-    "seed-stable md5 coin, so higher-quality strata are upsampled "
-    "relative to lower ones and the sample is reproducible across "
-    "engines, runs, and cluster sizes. Output is the per-decile "
-    "contract (counts + score range); the write form keeps rows "
-    "instead of counting them. Scale note: NTILE over a global ORDER "
-    "BY is a single-partition sort — the contract form; at 100 TB the "
-    "cutpoints come from approx_percentile and the bucketing becomes "
-    "a map-only range lookup, the documented swap.",
-)
-def q_text_lm_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+        GROUP BY decile"""
 
-    scored = q_text_lm_score(spark, sf_dir).select(
+_RESAMPLE_PCTS = [d / RESAMPLE_DECILES for d in range(1, RESAMPLE_DECILES)]
+
+
+def _lm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q_text_lm_score(spark, sf_dir).select(
         "doc_id", F.col("avg_logp").alias("s")
     )
-    decile = F.ntile(RESAMPLE_DECILES).over(
-        Window.orderBy("s", "doc_id")
-    )
+
+
+def _resample_rollup(bucketed: DataFrame) -> DataFrame:
     h = F.md5(
         F.concat(F.col("doc_id").cast("string"), F.lit(f":{RESAMPLE_SEED}"))
     )
@@ -1103,16 +1082,97 @@ def q_text_lm_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 100
         < F.col("decile") * RESAMPLE_DECILES
     )
-    return (
-        scored.withColumn("decile", decile.cast("long"))
-        .groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(keep.cast("int")).cast("long").alias("n_kept"),
-            F.round(F.min("s"), 6).alias("lo_score"),
-            F.round(F.max("s"), 6).alias("hi_score"),
-        )
+    return bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(keep.cast("int")).cast("long").alias("n_kept"),
+        F.round(F.min("s"), 6).alias("lo_score"),
+        F.round(F.max("s"), 6).alias("hi_score"),
     )
+
+
+@register(
+    "text_lm_resample",
+    oracle=f"""
+        WITH {_DUCK_LM_SCORED_CTES},
+        cuts AS (
+            SELECT list_transform(
+                       quantile_cont(s, {_RESAMPLE_PCTS}),
+                       c -> round(c, 6)) AS cs
+            FROM scored),
+        bucketed AS (
+            SELECT doc_id, s,
+                   1 + len(list_filter(cs, c -> s > c)) AS decile
+            FROM scored, cuts)
+        {_DUCK_RESAMPLE_TAIL}
+    """,
+    tier="llm",
+    doc=f"Perplexity-stratified resampling — the quality-weighted "
+    "mixture step of a curation pipeline (DoReMi-style reweighting "
+    "reduced to its data-plane half): score every doc under the "
+    "corpus bigram LM, stratify the score distribution into "
+    f"{RESAMPLE_DECILES} deciles, then keep docs at a per-decile "
+    f"rate — decile d keeps d·{RESAMPLE_DECILES}% via the engine's "
+    "seed-stable md5 coin, so higher-quality strata are upsampled "
+    "relative to lower ones and the sample is reproducible across "
+    "engines, runs, and cluster sizes. Scale-safe stratification: "
+    "the 9 decile cutpoints are ONE exact-percentile aggregate "
+    "(partial+final, 1-row result; swap in approx_percentile at "
+    "100 TB — same shape), broadcast back, and decile assignment is "
+    "a map-only range lookup (1 + #cutpoints below the score) — no "
+    "Window, no global sort, no single-partition stage, "
+    "plan-asserted in tests/test_llm_ops.py. Docs tied at a "
+    "cutpoint land in the lower stratum in both engines (identical "
+    "round-6 doubles). The NTILE form this replaced survives as the "
+    "pytest-only contract pin text_lm_resample_ntile below.",
+)
+def q_text_lm_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _lm_scored(spark, sf_dir)
+    cuts = scored.agg(
+        F.transform(
+            F.percentile("s", F.array(*[F.lit(p) for p in _RESAMPLE_PCTS])),
+            lambda c: F.round(c, 6),
+        ).alias("cs")
+    )
+    decile = (
+        F.lit(1) + F.size(F.filter("cs", lambda c: F.col("s") > c))
+    ).cast("long")
+    bucketed = (
+        scored.crossJoin(F.broadcast(cuts))
+        .select("doc_id", "s", decile.alias("decile"))
+    )
+    return _resample_rollup(bucketed)
+
+
+@register(
+    "text_lm_resample_ntile",
+    oracle=f"""
+        WITH {_DUCK_LM_SCORED_CTES},
+        bucketed AS (
+            SELECT doc_id, s,
+                   NTILE({RESAMPLE_DECILES}) OVER (ORDER BY s, doc_id)
+                     AS decile
+            FROM scored)
+        {_DUCK_RESAMPLE_TAIL}
+    """,
+    tier="llm",
+    doc="Contract pin for the stratified resampler: the original "
+    "NTILE-over-total-order form (exactly equal-sized strata, "
+    "deterministic (score, doc_id) tiebreak). Deliberately NOT the "
+    "production path — a global unpartitioned window funnels the "
+    "whole corpus through one task; text_lm_resample above is the "
+    "scale-safe percentile-cutpoint form. Kept pytest/sweep-only so "
+    "the NTILE semantics stay oracle-pinned.",
+    export=False,  # pytest-verified variant; kept out of the external window
+)
+def q_text_lm_resample_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    scored = _lm_scored(spark, sf_dir)
+    decile = F.ntile(RESAMPLE_DECILES).over(Window.orderBy("s", "doc_id"))
+    bucketed = scored.select(
+        "doc_id", "s", decile.cast("long").alias("decile")
+    )
+    return _resample_rollup(bucketed)
 
 
 @register(

@@ -590,11 +590,11 @@ def test_lm_score_kn_semantics(spark):
 
 
 def test_lm_resample_stratification_invariants(spark):
-    """The per-decile contract: 10 strata cover every scored doc; the
-    top decile's keep-rate is exactly 100% (hex8 % 100 < 100 always);
-    keep counts never exceed stratum size; strata are score-ordered
-    (NTILE over a total order), so ranges are non-overlapping up to
-    boundary ties."""
+    """The per-decile contract: the strata cover every scored doc
+    exactly once; the top decile's keep-rate is exactly 100% (hex8 %
+    100 < 100 always); keep counts never exceed stratum size; strata
+    are score-ordered (percentile-cutpoint range lookup), so ranges
+    are non-overlapping up to boundary ties."""
     rows = sorted(
         registry.get("text_lm_resample").fn(spark, SF_DIR).collect(),
         key=lambda r: r["decile"],
@@ -610,3 +610,34 @@ def test_lm_resample_stratification_invariants(spark):
         assert a["hi_score"] <= b["lo_score"]  # score-ordered strata
     # lower strata keep strictly less than everything on the fixture
     assert rows[0]["n_kept"] < rows[0]["n_docs"]
+    # cutpoint strata are near-equal-sized on a near-unique score
+    # distribution: every stratum within ±2 of the NTILE ideal
+    ideal = scored_docs / 10
+    assert all(abs(r["n_docs"] - ideal) <= 2 for r in rows)
+
+
+def test_lm_resample_plan_has_no_global_window(spark):
+    """The r9 scale fix, pinned: the exported resampler assigns
+    deciles via broadcast percentile cutpoints + a map-only range
+    lookup — the plan must contain NO Window operator and no global
+    sort (the old NTILE form's single-partition total order now lives
+    only in the pytest-only text_lm_resample_ntile pin, which keeps
+    exactly that shape)."""
+    plan = (
+        registry.get("text_lm_resample")
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # NB: can't grep for "ntile" — "percentile" contains it; absence
+    # of any Window operator already rules the window function out.
+    assert "Window" not in plan
+    ntile_plan = (
+        registry.get("text_lm_resample_ntile")
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in ntile_plan  # the pin keeps the contract shape
