@@ -90,6 +90,15 @@ def contention_marker(spark, n_samples: int = 3) -> dict:
     - `spark_sum`: a pinned 32-partition sum over range(100M), noop
       sink — JVM/task-scheduler pressure at the bench's own
       parallelism, the shape of the headline queries.
+    - `python_worker` (round 9): a fixed trivial mapInPandas identity
+      over range(32k) in 32 partitions — the Python-worker/Arrow
+      round-trip tier. Added after the r8 multimodal_image_meta
+      "regression" bisected to exactly this tier: the box's fixed
+      per-job Python-worker latency ~doubled between the r7 and r8
+      bench runs with zero code change (the r7 checkout reproduced
+      r8's timing), while python_md5 and spark_sum stayed flat —
+      mapInPandas-bound queries need their own normalizer
+      (SCALING.md: contention section).
     """
     import hashlib
 
@@ -122,7 +131,27 @@ def contention_marker(spark, n_samples: int = 3) -> dict:
             "sum(id % 7) AS s"
         ).write.format("noop").mode("overwrite").save()
         sp.append(time.perf_counter() - t0)
-    return {"python_md5": stats(py), "spark_sum": stats(sp)}
+
+    def _ident(batches):
+        for b in batches:
+            yield b
+
+    def _pyworker_job():
+        spark.range(0, 32_000, 1, 32).mapInPandas(
+            _ident, schema="id long"
+        ).write.format("noop").mode("overwrite").save()
+
+    _pyworker_job()  # unmeasured warmup: daemon + worker pool spin-up
+    pw = []
+    for _ in range(n_samples):
+        t0 = time.perf_counter()
+        _pyworker_job()
+        pw.append(time.perf_counter() - t0)
+    return {
+        "python_md5": stats(py),
+        "spark_sum": stats(sp),
+        "python_worker": stats(pw),
+    }
 
 
 def run_headline(

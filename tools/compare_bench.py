@@ -109,6 +109,22 @@ def marker_median(bench: dict, which: str = "spark_sum") -> float | None:
     return sum(vals) / len(vals) if vals else None
 
 
+# Headliners whose wall is dominated by the Python-worker/Arrow
+# round-trip tier, which drifts independently of CPU pressure
+# (SCALING.md: the r8 multimodal_image_meta bisect — the box's fixed
+# per-job Python-worker latency doubled while python_md5/spark_sum
+# stayed flat). When both runs carry the round-9 `python_worker`
+# marker, these normalize by ITS ratio instead of spark_sum's.
+PYWORKER_QUERIES = {
+    "multimodal_image_meta",
+    "multimodal_dedup_pairs",
+    "ann_knn_batch_numpy",
+    "stream_tumbling_counts",
+    "stream_heavy_hitters",
+    "stream_funnel",
+}
+
+
 def compare(old: dict, new: dict, threshold: float) -> int:
     oq, nq = old["queries"], new["queries"]
     osp, nsp = old.get("spread", {}), new.get("spread", {})
@@ -119,10 +135,19 @@ def compare(old: dict, new: dict, threshold: float) -> int:
     else:
         factor = 1.0
         print("WARNING: marker missing in one run; comparing unnormalized")
+    opw = marker_median(old, "python_worker")
+    npw = marker_median(new, "python_worker")
+    pw_factor = None
+    if opw and npw:
+        pw_factor = npw / opw
+        print(f"pyworker factor (new/old python_worker marker): {pw_factor:.2f}")
     shared = sorted(set(oq) & set(nq))
     flagged = []
     print(f"{'query':36} {'old':>8} {'new':>8} {'norm_ratio':>10}")
     for q in shared:
+        factor = pw_factor if (q in PYWORKER_QUERIES and pw_factor) else (
+            nm / om if om and nm else 1.0
+        )
         norm = (nq[q] / factor) / oq[q] if oq[q] else float("inf")
         # regression only if the normalized new time clears the old
         # run's max AND the old time sits below the new run's min —
