@@ -2191,6 +2191,225 @@ def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact verify) is threshold-agnostic.
 SEMANTIC_COSINE = 0.35
 
+# Hot-cell sub-bucketing (round 9): the residual skew lever for
+# learned-cell blocking. A skewed embedding distribution can make one
+# trained cell huge, turning the within-cell verify quadratic in that
+# cell. Cells with >= HOT_CELL_MIN rows get a secondary blocking key:
+# intervals of the projection onto a DATA-DERIVED unit direction w
+# (one power-iteration step of the cell's covariance — the cheap
+# approximation of its top principal direction), probed at +-1 bucket.
+#
+# Losslessness (the multi-probe argument, and it holds PER AXIS for
+# ANY unit w — the learned directions only maximize pruning):
+# normalized vectors with a.b >= t satisfy ||a-b|| <= r = sqrt(2-2t)
+# (law of cosines), so |w.a - w.b| <= ||w|| ||a-b|| <= r
+# (Cauchy-Schwarz), hence floor(w.a / r) and floor(w.b / r) differ by
+# at most 1 on each axis and the smaller-id vector's 3x3 probe grid
+# contains the partner's primary (b1, b2) bucket — exact recall, and
+# exactly once (the nine probe cells are distinct, one equals the
+# partner's). Two axes because a single projection cannot separate
+# directions symmetric about it (cos is even); the second,
+# orthogonalized direction breaks the tie. A fixed RANDOM hyperplane
+# family would NOT prune here at all: in high dimension |cos(h,v)|
+# concentrates near 0, so at t=0.95 the sqrt(2-2t)=0.316 margin band
+# swallows nearly every vector — the directions must come from the
+# data, which is why (w1, w2) span the cell's dominant-variance
+# plane. Honest collapse note (same shape as the prefix-filter
+# lesson in dedup.py): at low thresholds r >= 1 covers the whole
+# projection range and everything lands in a ~2x2 grid — the lever
+# only prunes at production cuts; the fixture's t=0.35 exercises
+# correctness, which tests/test_semantic_dedup.py pins both ways
+# (equality + a skewed high-threshold fixture where candidates
+# provably drop below half the quadratic).
+HOT_CELL_MIN = 50_000  # cell rows before the lever engages
+_SUBB_POWER_SEEDS = (HYPERPLANES[0], HYPERPLANES[1])  # fixed g1, g2
+_HOT_CELLS: dict[tuple[str, str, str], list[int]] = {}
+_HOT_CELLS_LOCK = __import__("threading").Lock()
+
+
+def _pair_cosine_select(joined: DataFrame) -> DataFrame:
+    return joined.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.cell").alias("cell"),
+        (
+            F.expr(SPARK_DOT.format(a="a.v", b="b.v"))
+            / (F.col("a.nrm") * F.col("b.nrm"))
+        ).alias("cosine"),
+    )
+
+
+def _unit(v: list[float], fallback: list[float] | None = None) -> list[float]:
+    import math
+
+    nrm = math.sqrt(sum(x * x for x in v))
+    if nrm < 1e-12:
+        v = list(fallback if fallback is not None else v)
+        nrm = math.sqrt(sum(x * x for x in v)) or 1.0
+    w = [x / nrm for x in v]
+    lead = next((x for x in w if abs(x) > 1e-9), 1.0)
+    return [-x for x in w] if lead < 0 else w  # sign-canonical
+
+
+def _hot_cell_directions(
+    hot: DataFrame,
+) -> dict[int, tuple[list[float], list[float]]]:
+    """Per hot cell, one power-iteration step of the covariance from
+    each fixed seed g_k: w_k ~ E[vn (vn.g_k)] - mu (mu.g_k) over the
+    cell's NORMALIZED vectors vn, with w2 Gram-Schmidt-orthogonalized
+    against w1 so the pair spans the dominant-variance plane. ONE
+    scan — per-row explode of 64 (component, component*(vn.g1),
+    component*(vn.g2)) terms into a map-side-combined (cell, i)
+    aggregation — and a driver fetch bounded by 64 rows per hot cell
+    (hot cells number at most n / HOT_CELL_MIN). Degenerate cells
+    fall back to the seeds; any unit directions keep the lever
+    lossless."""
+    g1, g2 = _SUBB_POWER_SEEDS
+    vg1 = SPARK_DOT.format(a="vn", b=_spark_arr(g1))
+    vg2 = SPARK_DOT.format(a="vn", b=_spark_arr(g2))
+    stats = (
+        hot.withColumn("vn", F.expr("transform(v, x -> x / nrm)"))
+        .select(
+            "cell",
+            F.expr(vg1).alias("vg1"),
+            F.expr(vg2).alias("vg2"),
+            F.posexplode("vn"),
+        )
+        .groupBy("cell", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("col").alias("sm"),
+            F.sum(F.col("col") * F.col("vg1")).alias("sp1"),
+            F.sum(F.col("col") * F.col("vg2")).alias("sp2"),
+        )
+        .collect()
+    )
+    by_cell: dict[int, dict[int, tuple]] = {}
+    for row in stats:
+        by_cell.setdefault(row.cell, {})[row.pos] = (
+            row.n,
+            row.sm,
+            row.sp1,
+            row.sp2,
+        )
+    dirs: dict[int, tuple[list[float], list[float]]] = {}
+    for cell, comps in by_cell.items():
+        dim = len(comps)
+        n = comps[0][0]
+        mu = [comps[i][1] / n for i in range(dim)]
+        mug1 = sum(m * gi for m, gi in zip(mu, g1))
+        mug2 = sum(m * gi for m, gi in zip(mu, g2))
+        w1 = _unit(
+            [comps[i][2] / n - mu[i] * mug1 for i in range(dim)],
+            fallback=[float(x) for x in g1],
+        )
+        raw2 = [comps[i][3] / n - mu[i] * mug2 for i in range(dim)]
+        proj = sum(a * b for a, b in zip(raw2, w1))
+        w2 = _unit(
+            [raw2[i] - proj * w1[i] for i in range(dim)],
+            fallback=[float(x) for x in g2],
+        )
+        dirs[cell] = (w1, w2)
+    return dirs
+
+
+def subbucket_candidates(e: DataFrame, threshold: float) -> DataFrame:
+    """Within-cell candidate pairs of an assigned (hot-cell) frame
+    (vec_id, v, cell, nrm) via projection-interval sub-buckets with
+    +-1 probing (lossless — proof above): bucket = floor((w.v/nrm)/r)
+    on the cell's learned direction w; the probe side explodes
+    {bucket-1, bucket, bucket+1}, the build side keeps primaries, and
+    the equi join on (cell, bucket) + id order yields every
+    cosine>=threshold pair exactly once. Returns
+    (vec_a, vec_b, cell, cosine) UNFILTERED so callers (and the skew
+    test) can count candidates before the verify."""
+    import math
+
+    r = math.sqrt(max(1e-9, 2.0 - 2.0 * threshold))
+    dirs = _hot_cell_directions(e)
+    spark = e.sparkSession
+    schema = "cell long, w1 array<double>, w2 array<double>"
+    wf = spark.createDataFrame(
+        [(int(c), w1, w2) for c, (w1, w2) in dirs.items()], schema
+    )
+    proj = (
+        e.join(F.broadcast(wf), "cell")
+        .withColumn(
+            "b1",
+            F.floor(
+                F.expr(SPARK_DOT.format(a="v", b="w1")) / F.col("nrm") / r
+            ),
+        )
+        .withColumn(
+            "b2",
+            F.floor(
+                F.expr(SPARK_DOT.format(a="v", b="w2")) / F.col("nrm") / r
+            ),
+        )
+    )
+    probe = proj.select(
+        "vec_id",
+        "v",
+        "cell",
+        "nrm",
+        F.explode(
+            F.expr(
+                "flatten(transform(array(-1L, 0L, 1L), d1 -> "
+                "transform(array(-1L, 0L, 1L), d2 -> "
+                "struct(b1 + d1 AS p1, b2 + d2 AS p2))))"
+            )
+        ).alias("pb"),
+    )
+    a, b = probe.alias("a"), proj.alias("b")
+    return _pair_cosine_select(
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.pb.p1") == F.col("b.b1"))
+            & (F.col("a.pb.p2") == F.col("b.b2"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+    )
+
+
+def semantic_cell_pairs(
+    e: DataFrame,
+    threshold: float,
+    hot_min: int = HOT_CELL_MIN,
+    hot_cells: list[int] | None = None,
+) -> DataFrame:
+    """All within-cell pairs with cosine >= threshold. The per-cell
+    count table is a bounded fetch (at most the trained k rows — the
+    same discipline as every model fetch here; pass hot_cells to skip
+    the counting job when the caller already knows them, as the
+    memoized exported query does); cells below hot_min pay the plain
+    equi self-join on the cell id, hot cells route through the
+    sub-bucketed candidates. With no hot cells the plan is EXACTLY
+    the r8 one-join shape (the lever costs nothing when dormant);
+    both branches' cosine is the same fold over the same operands, so
+    the split is invisible in the output."""
+    if hot_cells is None:
+        counts = e.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_n"))
+        hot_cells = [
+            r.cell
+            for r in counts.filter(F.col("cell_n") >= hot_min).collect()
+        ]
+    cold = e.filter(~F.col("cell").isin(hot_cells)) if hot_cells else e
+    a, b = cold.alias("a"), cold.alias("b")
+    cold_pairs = _pair_cosine_select(
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+    )
+    if hot_cells:
+        hot = e.filter(F.col("cell").isin(hot_cells))
+        cold_pairs = cold_pairs.unionByName(
+            subbucket_candidates(hot, threshold)
+        )
+    return cold_pairs.filter(F.col("cosine") >= threshold)
+
 
 @register(
     "dedup_semantic_pairs",
@@ -2236,10 +2455,16 @@ SEMANTIC_COSINE = 0.35
     "PROPORTION to the corpus — cells stay bounded-size, which is what "
     "the large-k broadcast assignment path exists for (swept to k=1024 "
     "in SCALING.md; the fixture's k=8 is coarse-quantizer scale) — "
-    "with hot-cell sub-bucketing via the hyperplane LSH as the "
-    "residual skew lever.",
+    "with hot-cell sub-bucketing (semantic_cell_pairs above: cells "
+    "over HOT_CELL_MIN rows get a lossless projection-interval "
+    "sub-key on the cell's learned dominant-variance direction, "
+    "probed at +-1 bucket — proof and collapse note at HOT_CELL_MIN) "
+    "as the BUILT residual skew lever, skew-fixture-tested and "
+    "equality-pinned in tests/test_semantic_dedup.py.",
 )
 def q_dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .indexing import _content_fingerprint
+
     cents = trained_quantizer(spark, sf_dir)  # memoized: serve, don't retrain
     # Per-vector norm computed ONCE on the assigned frame, not per pair:
     # cosine = dot/(nrm_a*nrm_b) runs one fold per candidate instead of
@@ -2250,23 +2475,25 @@ def q_dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents,
         out_col="cell",
     ).withColumn("nrm", F.expr(f"sqrt({SPARK_DOT.format(a='v', b='v')})"))
-    a, b = e.alias("a"), e.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.cell").alias("cell"),
-            (
-                F.expr(SPARK_DOT.format(a="a.v", b="b.v"))
-                / (F.col("a.nrm") * F.col("b.nrm"))
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= SEMANTIC_COSINE)
+    # Hot-cell detection memoized per (app, corpus content) like the
+    # quantizer itself: the counting job runs once, repeat calls plan
+    # the same branches without re-counting.
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    with _HOT_CELLS_LOCK:
+        key = (spark.sparkContext.applicationId, src, _content_fingerprint(src))
+        if key not in _HOT_CELLS:
+            for stale in [k for k in _HOT_CELLS if k[:2] == key[:2]]:
+                del _HOT_CELLS[stale]
+            counts = e.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_n"))
+            _HOT_CELLS[key] = [
+                r.cell
+                for r in counts.filter(
+                    F.col("cell_n") >= HOT_CELL_MIN
+                ).collect()
+            ]
+        hot_cells = _HOT_CELLS[key]
+    return semantic_cell_pairs(
+        e, SEMANTIC_COSINE, hot_cells=hot_cells
     )
 
 

@@ -97,3 +97,122 @@ def test_blocking_key_is_the_served_model(spark):
     m1 = trained_quantizer(spark, SF_DIR)
     m2 = trained_quantizer(spark, SF_DIR)
     assert m1 is m2
+
+
+# ---- round 9: the hot-cell sub-bucket lever -------------------------------
+
+
+def _assigned(spark):
+    from map_reduce_indexing_spark.operators.dedup import SPARK_DOT
+
+    return assign_nearest(
+        embeddings_double(spark, SF_DIR).select("vec_id", "v"),
+        trained_quantizer(spark, SF_DIR),
+        out_col="cell",
+    ).withColumn("nrm", F.expr(f"sqrt({SPARK_DOT.format(a='v', b='v')})"))
+
+
+def test_hot_lever_is_lossless_on_the_fixture(spark):
+    """Forcing EVERY cell hot (hot_min=1) must reproduce the plain
+    within-cell pair set exactly, even at the fixture's t=0.35 where
+    the r = sqrt(2-2t) > 1 interval collapses to ~2 buckets (the
+    documented degenerate regime) — losslessness holds for any
+    threshold and any direction."""
+    from map_reduce_indexing_spark.operators.similarity import (
+        semantic_cell_pairs,
+    )
+
+    e = _assigned(spark)
+    plain = {
+        (r.vec_a, r.vec_b, r.cell)
+        for r in semantic_cell_pairs(
+            e, SEMANTIC_COSINE, hot_cells=[]
+        ).collect()
+    }
+    forced = {
+        (r.vec_a, r.vec_b, r.cell)
+        for r in semantic_cell_pairs(e, SEMANTIC_COSINE, hot_min=1).collect()
+    }
+    assert plain == forced
+    assert plain  # non-vacuous
+
+
+def test_hot_lever_prunes_a_skewed_cell(spark):
+    """The scenario the lever exists for: ONE cell holds 100% of the
+    vectors (>= the 50% skew bar), clustered data, production
+    threshold t=0.95. Candidates from the sub-bucketed path must
+    provably undercut the quadratic all-pairs count, and the verified
+    output must equal the brute-force within-cell truth."""
+    import math
+
+    from map_reduce_indexing_spark.operators.similarity import (
+        semantic_cell_pairs,
+        subbucket_candidates,
+    )
+
+    t = 0.95
+    dim, groups, per = 64, 8, 25
+    # Group centers fan through a 2-plane at 22.5-degree steps
+    # (adjacent-center cosine 0.924 < t, so truth pairs stay within
+    # groups) — the shape of a real hot cell: a dense cluster with a
+    # dominant variance direction for the power step to find. Fully
+    # isotropic group directions are the lever's documented worst
+    # case (projections collapse into ~2 buckets); the lever targets
+    # skew, and skew in practice IS correlated structure.
+    u1 = [1.0 / math.sqrt(dim)] * dim
+    u2 = [((-1.0) ** d) / math.sqrt(dim) for d in range(dim)]
+    rows = []
+    vid = 0
+    for g in range(groups):
+        th = math.pi * g / groups
+        base = [
+            math.cos(th) * u1[d] + math.sin(th) * u2[d] for d in range(dim)
+        ]
+        for i in range(per):
+            v = [
+                base[d] * (1.0 + 0.01 * ((i * 7 + d) % 5)) for d in range(dim)
+            ]
+            nrm = math.sqrt(sum(x * x for x in v))
+            rows.append((vid, v, 1, nrm))
+            vid += 1
+    e = spark.createDataFrame(
+        rows, "vec_id long, v array<double>, cell long, nrm double"
+    )
+    n = groups * per
+    all_pairs = n * (n - 1) // 2
+    candidates = subbucket_candidates(e, t).count()
+    assert candidates < 0.5 * all_pairs, (candidates, all_pairs)
+    truth = {
+        (a, b)
+        for a in range(n)
+        for b in range(a + 1, n)
+        if _cos(rows[a][1], rows[b][1]) >= t
+    }
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in semantic_cell_pairs(e, t, hot_min=1).collect()
+    }
+    assert got == truth
+    assert truth  # within-group near-dups exist
+
+
+def _cos(a, b):
+    import math
+
+    dot = sum(x * y for x, y in zip(a, b))
+    return dot / (
+        math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+    )
+
+
+def test_dormant_lever_keeps_the_one_join_plan(spark):
+    """With no hot cells (the fixture at HOT_CELL_MIN=50k) the
+    exported query must plan exactly the r8 shape: one SortMergeJoin/
+    ShuffledHashJoin on the cell key, no union branch, no extra
+    aggregation in the executed plan."""
+    df = _pairs(spark)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Union" not in plan
+    assert "CartesianProduct" not in plan
