@@ -98,14 +98,105 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
+# Above this many merge rounds, train_bpe_merges collects the (bounded,
+# vocab-sized) word-frequency table ONCE and runs the merge loop
+# driver-local: production tokenizers run 30k-50k merges, and one Spark
+# job per merge would mean 30k sequential jobs whose per-round input
+# never exceeds the vocab anyway. Same auto-switch discipline as
+# assign_nearest's ASSIGN_LITERAL_MAX_K; the per-round Spark path stays
+# the oracle-checkable contract at small N (and the local loop is
+# pinned merge-for-merge against it, and against the pure-Python
+# reference at N=50+, in tests/test_bpe.py).
+BPE_SPARK_ROUNDS_MAX = 8
+
+
+def _local_merge(symbols: list[str], a: str, b: str) -> list[str]:
+    """Greedy leftmost non-overlapping merge — the driver-local replay
+    of _spark_merge_fold's accumulator semantics."""
+    out: list[str] = []
+    i = 0
+    while i < len(symbols):
+        if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+def train_bpe_merges_from_vocab(
+    vocab: dict[str, int], n_merges: int
+) -> list[dict]:
+    """Driver-local BPE training over a collected word-frequency table
+    with INCREMENTAL pair-count maintenance (the Sennrich-style index:
+    only words containing the merged pair are recounted), so 30k
+    merges cost total-affected-symbols work, not
+    n_merges * total-symbols. Identical argmax order to the Spark
+    loop: (count DESC, pair ASC), stop below count 2."""
+    from collections import Counter, defaultdict
+
+    seqs = {w: list(w) for w in vocab}
+    counts: Counter = Counter()
+    where: dict[tuple[str, str], set] = defaultdict(set)
+    for w, f in vocab.items():
+        s = seqs[w]
+        for i in range(len(s) - 1):
+            counts[(s[i], s[i + 1])] += f
+            where[(s[i], s[i + 1])].add(w)
+    merges: list[dict] = []
+    for r in range(n_merges):
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append(
+            {"rank": r, "a": a, "b": b, "merged": a + b, "cnt": int(cnt)}
+        )
+        for w in list(where[(a, b)]):
+            f = vocab[w]
+            old = seqs[w]
+            for i in range(len(old) - 1):
+                p = (old[i], old[i + 1])
+                counts[p] -= f
+                if counts[p] <= 0:
+                    del counts[p]
+                where[p].discard(w)
+            new = _local_merge(old, a, b)
+            seqs[w] = new
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                counts[p] += f
+                where[p].add(w)
+    return merges
+
+
 def train_bpe_merges(
-    spark: SparkSession, sf_dir: str, n_merges: int = N_BPE_MERGES
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = N_BPE_MERGES,
+    driver_local: bool | None = None,
 ) -> list[dict]:
     """The Lloyd-style training loop for the tokenizer: n_merges rounds
     of (pair count -> 1-row argmax fetch -> fold merge into every
     word's symbol string). Returns the learned merge table
     [{rank, a, b, merged, cnt}, ...]; stops early if no pair occurs
-    twice (merging a count-1 pair learns nothing)."""
+    twice (merging a count-1 pair learns nothing). Above
+    BPE_SPARK_ROUNDS_MAX merges (or with driver_local=True) the
+    word-frequency table is collected once — a bounded vocab-sized
+    model fetch, the same discipline as the k-means centroid
+    collects — and the loop runs driver-local with incremental pair
+    counts (train_bpe_merges_from_vocab), merge-for-merge equal by
+    construction and by test."""
+    if driver_local is None:
+        driver_local = n_merges > BPE_SPARK_ROUNDS_MAX
+    if driver_local:
+        vocab = {
+            r["word"]: int(r["freq"])
+            for r in bpe_vocab(spark, sf_dir).select("word", "freq").collect()
+        }
+        return train_bpe_merges_from_vocab(vocab, n_merges)
     vocab = bpe_vocab(spark, sf_dir).localCheckpoint(eager=True)
     merges: list[dict] = []
     for r in range(n_merges):
@@ -205,6 +296,29 @@ def _duck_bpe_merges_sql(n_merges: int = N_BPE_MERGES) -> str:
 )
 def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = train_bpe_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["a"], m["b"], m["merged"], m["cnt"])
+            for m in merges
+        ],
+        "rank long, pair_a string, pair_b string, merged string, n_pair long",
+    )
+
+
+@register(
+    "text_bpe_merges_local",
+    oracle=_duck_bpe_merges_sql(),
+    tier="llm",
+    export=False,  # pytest + sweep variant: the driver-local trainer
+    doc=f"The driver-local merge loop (train_bpe_merges_from_vocab) "
+    f"pinned at N={N_BPE_MERGES} against the SAME unrolled-CTE oracle "
+    "as text_bpe_merges: one bounded vocab fetch, incremental "
+    "pair-count maintenance, zero per-merge Spark jobs — the "
+    "production form for 30k+ merge tokenizers, cross-engine-checked "
+    "at contract scale.",
+)
+def q_text_bpe_merges_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = train_bpe_merges(spark, sf_dir, driver_local=True)
     return spark.createDataFrame(
         [
             (m["rank"], m["a"], m["b"], m["merged"], m["cnt"])
