@@ -298,10 +298,12 @@ class VectorStore:
         append_vectors(self.spark, vectors, self.path)
 
     def compact(self, retrain: bool = False) -> None:
-        """`retrain=True` (IVF layouts) re-trains the quantizer from
-        the store's current vectors during the compaction rewrite and
-        swaps the new model in as the sidecar — the drift-adaptation
-        maintenance op (see operators.similarity.compact_vector_store)."""
+        """`retrain=True` (IVF layouts) re-trains the quantizer — and,
+        for a compressed store, the PQ codebooks, re-encoding every
+        code — from the store's current vectors during the compaction
+        rewrite and swaps the new models in as the sidecars — the
+        drift-adaptation maintenance op (see
+        operators.similarity.compact_vector_store)."""
         from .operators.similarity import compact_vector_store
 
         compact_vector_store(self.spark, self.path, retrain=retrain)

@@ -452,10 +452,15 @@ def compact_vector_store(
     sidecar (or the pinned defaults for a default-centroid store),
     re-assigns every vector, and swaps the NEW model in as the sidecar
     — after which every append/topk/ingest routes through it
-    automatically. PQ codes are untouched: they encode the raw vector
-    per subspace, independent of cell membership. All under the same
-    writer flock + staged swap, so a crash mid-retrain leaves the old
-    store (and old model) intact."""
+    automatically. A COMPRESSED store (codebook sidecar present)
+    additionally re-trains its PQ codebooks the same way (round 9:
+    warm-started per-subspace Lloyd over the store's current vectors
+    via train_pq_codebooks_frame) and re-encodes every code column
+    against the new books — after drift, stale codebooks degrade the
+    ADC shortlist even when the cells are fresh; both sidecars swap
+    atomically with the data. All under the same writer flock +
+    staged swap, so a crash mid-retrain leaves the old store (and old
+    models) intact."""
     from .indexing import compact_artifact
 
     # drop("batch") folds a checkpointed streaming-ingest layout
@@ -472,6 +477,7 @@ def compact_vector_store(
             )
         out = df.drop("batch")
         cents = load_quantizer(path)
+        books = load_codebook(path)
         if retrain:
             init = (
                 cents
@@ -484,6 +490,19 @@ def compact_vector_store(
                 iters=KMEANS_ITERS if iters is None else iters,
             )
             out = assign_nearest(out.drop("cell"), cents, out_col="cell")
+            if books is not None:
+                # drift adaptation for the compression tier too:
+                # warm-start from the persisted books, re-encode every
+                # row so codes and sidecar can never disagree
+                books = train_pq_codebooks_frame(
+                    out.select("v"),
+                    books,
+                    iters=KMEANS_ITERS if iters is None else iters,
+                )
+                out = out.drop("code").withColumn(
+                    "code",
+                    F.expr(spark_pq_code("v", books)).cast("array<int>"),
+                )
         (
             out.repartition(col)
             .write.partitionBy(col)
@@ -496,7 +515,6 @@ def compact_vector_store(
         # PQ codebook (the code COLUMNS travel as data in df above)
         if cents is not None:
             _save_quantizer(staging, cents)
-        books = load_codebook(path)
         if books is not None:
             _save_codebook(staging, books)
 
@@ -1924,8 +1942,24 @@ def train_pq_codebooks(
     """Per-subspace k-means over the corpus subvectors; returns
     PQ_M codebooks of PQ_K 9dp-rounded centroids. Empty codes keep
     their previous centroid (standard Lloyd, same as train_kmeans)."""
-    vecs = embeddings_double(spark, sf_dir).select("v")
-    books = [[[float(x) for x in c] for c in b] for b in PQ_CODEBOOKS]
+    return train_pq_codebooks_frame(
+        embeddings_double(spark, sf_dir).select("v"),
+        PQ_CODEBOOKS,
+        iters=iters,
+    )
+
+
+def train_pq_codebooks_frame(
+    vecs: DataFrame,
+    init: list[list[list[float]]],
+    iters: int = KMEANS_ITERS,
+) -> list[list[list[float]]]:
+    """The per-subspace Lloyd loop over ANY (.., v) frame, warm-started
+    from `init` — extracted (train_kmeans_frame's pattern) so
+    compact_vector_store(retrain=True) can re-train a drifted store's
+    codebooks from its OWN current vectors, warm-started from the
+    persisted sidecar."""
+    books = [[[float(x) for x in c] for c in b] for b in init]
     for _ in range(iters):
         entries = F.array(
             *[

@@ -245,3 +245,77 @@ def test_codebooks_param_is_validated(spark, tmp_path):
         VectorStore.build(
             spark, e, str(tmp_path / "s2"), pq=True, codebooks=[[[0.0]]]
         )
+
+
+def test_retrain_recovers_pq_recall_after_drift(spark, tmp_path):
+    """Round 9: compact(retrain=True) must re-train the CODEBOOKS, not
+    just the quantizer. Build a compressed store from the fixture
+    embeddings, then append a strongly drifted population (affine
+    shift far outside the original range): the stale books collapse
+    every drifted subvector onto the same few codes, so the ADC
+    shortlist cannot discriminate among drifted candidates and pq
+    recall for a drifted query craters. Retraining at compaction
+    warm-starts the books on the store's CURRENT vectors, re-encodes
+    every row, and recall recovers to the serving bar."""
+    from map_reduce_indexing_spark.operators.similarity import (
+        spark_pq_code,
+    )
+    from pyspark.sql import functions as F
+
+    e = embeddings_double(spark, SF_DIR).select("vec_id", "v")
+    path = str(tmp_path / "store")
+    vs = VectorStore.build(spark, e, path, layout="ivf", pq=True)
+    # dimension-rotate + 3x scale: per-coordinate distributions move
+    # far outside the stale books' range while pairwise cosines inside
+    # the drifted cohort stay diverse (a pure offset would collapse
+    # every drifted vector onto one direction and make exact top-k a
+    # tie-break lottery)
+    drifted = e.select(
+        (F.col("vec_id") + 10**6).alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, size(v) - 1), "
+            "d -> 3.0d * element_at(v, (d + 8) % size(v) + 1))"
+        ).alias("v"),
+    )
+    vs.append(drifted)
+    qrow = (
+        vs.vectors().filter(f"vec_id = {10**6 + QUERY_VEC_ID}").collect()[0]
+    )
+    qv = [float(x) for x in qrow["v"]]
+
+    def recall():
+        exact = [
+            r["vec_id"]
+            for r in vector_store_topk(
+                spark, path, qv, k=10,
+                exclude_vec_id=10**6 + QUERY_VEC_ID,
+            ).collect()
+        ]
+        pq = {
+            r["vec_id"]
+            for r in vector_store_topk(
+                spark, path, qv, k=10,
+                exclude_vec_id=10**6 + QUERY_VEC_ID,
+                serving="pq",
+            ).collect()
+        }
+        return len(set(exact) & pq) / len(exact)
+
+    stale = recall()
+    vs.compact(retrain=True)
+    books = load_codebook(path)
+    assert books != PQ_CODEBOOKS  # the sidecar actually retrained
+    fresh = recall()
+    assert fresh >= 0.5, (stale, fresh)
+    assert fresh > stale, (stale, fresh)
+    # every stored code agrees with a re-encode against the NEW books:
+    # codes and sidecar swapped together, no stale-encoding rows
+    mismatches = (
+        vs.vectors()
+        .withColumn(
+            "want", F.expr(spark_pq_code("v", books)).cast("array<int>")
+        )
+        .filter("code IS DISTINCT FROM want")
+        .count()
+    )
+    assert mismatches == 0
