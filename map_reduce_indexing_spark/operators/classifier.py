@@ -205,7 +205,7 @@ def _duck_features_cte() -> str:
 
 
 # ---------------------------------------------------------------------------
-# Training: one statistics pass + driver-side gradient descent
+# Training: one statistics pass + exact driver-side LDL^T solve
 # ---------------------------------------------------------------------------
 
 
@@ -497,8 +497,8 @@ def _thr_agg():
         ) p(j, feature)
     """,
     tier="llm",
-    doc="Model-based quality-filter TRAINING — ridge (squared-loss) "
-    "gradient descent on a linear scorer over per-doc text statistics; "
+    doc="Model-based quality-filter TRAINING — an exact ridge normal-"
+    "equation solve (LDL^T) for a linear scorer over per-doc text statistics; "
     "positives = corpus docs, negatives = vowel-rotated copies (the "
     "synthetic-negative setup real quality filters use when no curated "
     "negative corpus exists). The normal equations need only "

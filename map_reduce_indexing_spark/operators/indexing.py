@@ -191,11 +191,28 @@ def compact_index(spark: SparkSession, path: str) -> None:
     )
 
 
-# Probed ONCE at import (single-threaded): os.umask is process-global
-# and read-by-set, so probing it per call would open a window where a
-# concurrent writer thread creates world-writable files.
-_UMASK = os.umask(0)
-os.umask(_UMASK)
+# Probed ONCE at import: os.umask is process-global and read-by-set,
+# so probing it per call would open a recurring race window. Linux
+# exposes the value race-free in /proc/self/status (Umask:, kernel
+# 4.7+); only when that is unavailable fall back to the set-probe —
+# and probe RESTRICTIVE (0o077): if another thread creates a file
+# inside the window, it comes out over-protected, never
+# world-permissive (the old os.umask(0) probe briefly made the whole
+# process world-writable-by-default).
+def _read_umask() -> int:
+    try:
+        with open("/proc/self/status") as fh:
+            for line in fh:
+                if line.startswith("Umask:"):
+                    return int(line.split()[1], 8)
+    except OSError:
+        pass
+    prev = os.umask(0o077)
+    os.umask(prev)
+    return prev
+
+
+_UMASK = _read_umask()
 
 
 def _chmod_staging(staging: str) -> None:
@@ -363,6 +380,29 @@ def _save_sources(path: str, listing: dict[str, list[int]]) -> None:
 _ARTIFACT_HEADS: dict[tuple, str] = {}
 
 
+def _delta_ids_are_new(
+    spark: SparkSession, old_files: list[str], new_files: list[str]
+) -> bool:
+    """True iff the appended files' doc_ids are disjoint from the
+    already-consumed files' — the append-only delta contract. One
+    column-pruned doc_id scan per side, the delta side broadcast
+    (it is delta-sized); corpora without a doc_id column have no
+    per-doc contract to check."""
+    if not old_files:
+        return True
+    new_df = spark.read.parquet(*new_files)
+    if "doc_id" not in new_df.columns:
+        return True
+    overlap = (
+        spark.read.parquet(*old_files)
+        .select("doc_id")
+        .join(F.broadcast(new_df.select("doc_id").distinct()), "doc_id")
+        .limit(1)
+        .count()
+    )
+    return overlap == 0
+
+
 def session_artifact_path(
     spark: SparkSession,
     sf_dir: str,
@@ -416,6 +456,23 @@ def session_artifact_path(
                     current.get(p) == meta for p, meta in consumed.items()
                 ):
                     new_files = sorted(set(current) - set(consumed))
+                    # The delta contract every incremental artifact
+                    # relies on — appended files hold only NEW
+                    # doc_ids — was documented but never CHECKED: a
+                    # file re-adding an existing doc_id would silently
+                    # double-count its rows in every delta-maintained
+                    # artifact (postings, tokens, signatures, lm/clf
+                    # sums). Verify it here, once for all artifacts: a
+                    # column-pruned doc_id scan of old vs new files
+                    # (broadcast the delta side — it is tiny). On
+                    # overlap, fall through to the full rebuild, which
+                    # is always correct.
+                    if new_files and not _delta_ids_are_new(
+                        spark,
+                        [os.path.join(src, p) for p in consumed],
+                        [os.path.join(src, p) for p in new_files],
+                    ):
+                        new_files = []
                     if new_files:
                         delta_build(
                             prev_path,

@@ -1536,6 +1536,40 @@ def _init_centroids() -> list[list[float]]:
 ASSIGN_LITERAL_MAX_K = 32
 
 
+# Centroid-matrix broadcasts, memoized per (application, centroid
+# content) with a small LRU: repeated serving calls with the same
+# trained model reuse ONE broadcast instead of shipping a new one per
+# call, and a training loop's per-round models (different content each
+# round) get unpersisted as they age out instead of accumulating on
+# driver and executors for the application's lifetime (the r8 leak:
+# KMEANS_ITERS rounds x every train/sweep call). Eviction uses
+# unpersist(), not destroy(): a stale lazy plan that re-executes after
+# eviction re-ships the broadcast from the driver instead of failing.
+_ASSIGN_BC_MAX = 4
+_ASSIGN_BC: dict = __import__("collections").OrderedDict()
+_ASSIGN_BC_LOCK = __import__("threading").Lock()
+
+
+def _centroid_broadcast(sc, cents, cmat, c2):
+    import hashlib
+
+    key = (
+        sc.applicationId,
+        hashlib.md5(repr(cents).encode()).hexdigest(),
+    )
+    with _ASSIGN_BC_LOCK:
+        bc = _ASSIGN_BC.get(key)
+        if bc is not None:
+            _ASSIGN_BC.move_to_end(key)
+            return bc
+        bc = sc.broadcast((cmat, c2))
+        _ASSIGN_BC[key] = bc
+        while len(_ASSIGN_BC) > _ASSIGN_BC_MAX:
+            _, old = _ASSIGN_BC.popitem(last=False)
+            old.unpersist()
+        return bc
+
+
 def assign_nearest(
     df: DataFrame,
     cents: list[list[float]],
@@ -1594,7 +1628,7 @@ def assign_nearest(
     c2 = np.asarray([float(sum(x * x for x in c)) for c in cents])
     dim = cmat.shape[1]
     sc = df.sparkSession.sparkContext
-    model = sc.broadcast((cmat, c2))
+    model = _centroid_broadcast(sc, cents, cmat, c2)
     want_d2 = d2_col is not None
 
     from pyspark.sql.types import (

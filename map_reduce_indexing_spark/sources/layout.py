@@ -179,16 +179,35 @@ def bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     classic Hive/Spark bucketed-warehouse design. (The session
     artifacts' letter/cell partitioning is the same idea keyed for
     pruning; bucketing keys for distribution.)"""
+    from ..operators.indexing import _content_fingerprint
+
+    # The memo key AND the table names carry a content fingerprint of
+    # both source files (session_artifact_path's keying discipline): a
+    # corpus regenerated at the same path mid-application rebuilds
+    # instead of serving stale buckets, and two applications sharing a
+    # warehouse can only ever DROP/replace a table whose name encodes
+    # the SAME corpus content (never clobber a live different one).
+    fps = tuple(
+        _content_fingerprint(os.path.join(sf_dir, f"{t}.parquet"))
+        for t in ("orders", "lineitem")
+    )
     with _BUCKETED_LOCK:
-        key = (spark.sparkContext.applicationId, sf_dir)
+        key = (spark.sparkContext.applicationId, sf_dir, fps)
         if key in _BUCKETED_TABLES:
             return _BUCKETED_TABLES[key]
+        for stale_key in [
+            k for k in _BUCKETED_TABLES if k[:2] == key[:2] and k != key
+        ]:
+            del _BUCKETED_TABLES[stale_key]
         import hashlib
 
         # md5, not hash(): PYTHONHASHSEED randomizes hash() per process,
-        # and a stable per-corpus name is what lets overwrite semantics
-        # replace (never orphan) a prior run's tables for the same dir.
-        suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        # and a stable per-(corpus path, corpus content) name is what
+        # lets overwrite semantics replace (never orphan) a prior run's
+        # tables for the same data.
+        suffix = hashlib.md5(
+            repr((sf_dir, fps)).encode()
+        ).hexdigest()[:10]
         names = (f"mri_orders_b{suffix}", f"mri_lineitem_b{suffix}")
         import shutil
         from urllib.parse import urlparse

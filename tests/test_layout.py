@@ -289,3 +289,40 @@ def test_bucketed_join_runs_without_input_exchanges(spark):
         for r in df.collect()
     }
     assert got == want
+
+
+def test_bucketed_tables_rekey_on_corpus_content_change(spark, tmp_path):
+    """Round 9 (ADVICE): the bucketed-table memo and names carry a
+    content fingerprint — regenerating the corpus at the same path
+    mid-application must produce NEW tables (with different names),
+    not serve stale bucketed data."""
+    import os
+    import shutil
+
+    from map_reduce_indexing_spark.sources.layout import (
+        bucketed_fact_tables,
+    )
+    from tests.conftest import SF_DIR
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    for t in ("orders", "lineitem"):
+        shutil.copy(
+            os.path.join(SF_DIR, f"{t}.parquet"),
+            os.path.join(corpus, f"{t}.parquet"),
+        )
+    first = bucketed_fact_tables(spark, corpus)
+    n_first = spark.table(first[0]).count()
+    # regenerate: drop half the orders, rewrite both files
+    from map_reduce_indexing_spark.sources.tables import load_table
+
+    kept = (
+        load_table(spark, corpus, "orders")
+        .limit(max(1, n_first // 2))
+        .toPandas()
+    )
+    os.remove(os.path.join(corpus, "orders.parquet"))
+    kept.to_parquet(os.path.join(corpus, "orders.parquet"))
+    second = bucketed_fact_tables(spark, corpus)
+    assert second != first  # content-keyed names changed
+    assert spark.table(second[0]).count() == max(1, n_first // 2)

@@ -290,3 +290,37 @@ def test_compact_folds_delta_files_and_keeps_delta_path_alive(
     again = tokenized_docs(spark, corpus)
     assert _artifact_dir(again) == art
     assert again.count() == n + 1
+
+
+def test_overlapping_delta_doc_ids_force_full_rebuild(spark, tmp_path):
+    """Round 9 (ADVICE): the append-only contract — new files hold only
+    NEW doc_ids — is now CHECKED, not assumed. A delta file re-adding
+    an existing doc_id must fall back to the full rebuild (correct:
+    one row per doc) instead of silently double-counting that doc in
+    the artifact."""
+    corpus = str(tmp_path / "corpus")
+    _stage_corpus(spark, corpus)
+    base = tokenized_docs(spark, corpus)
+    base_dir = _artifact_dir(base)
+    some_id = base.select("doc_id").head()["doc_id"]
+    dup = spark.createDataFrame(
+        [(int(some_id), "sneaky duplicate row", "en", "unit"),
+         (10**7, "genuinely new doc", "en", "unit")],
+        "doc_id long, text string, lang string, source string",
+    )
+    dup.write.mode("append").parquet(
+        os.path.join(corpus, "documents.parquet")
+    )
+    after = tokenized_docs(spark, corpus)
+    # fell back to a FRESH artifact (new dir), not an in-place append
+    assert _artifact_dir(after) != base_dir
+    # and the result is the correct full-rebuild content: the
+    # re-added doc_id appears the same number of times as in the
+    # corpus (2 corpus rows -> 2 artifact rows, never 3)
+    corpus_n = (
+        load_table(spark, corpus, "documents")
+        .filter(F.col("doc_id") == some_id)
+        .count()
+    )
+    assert after.filter(F.col("doc_id") == some_id).count() == corpus_n
+    assert after.filter(F.col("doc_id") == 10**7).count() == 1
