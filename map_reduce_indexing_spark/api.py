@@ -164,23 +164,54 @@ class IndexSession:
         )
         from .operators.indexing import _recover_index_locked, index_writer_lock
 
+        from .sources.generations import (
+            ensure_base_generation,
+            publish_generation,
+        )
+
         with index_writer_lock(self.index_path):
             # Heal a crashed compaction FIRST: appending while the live
             # path is missing would recreate it with only the delta and
             # permanently orphan the full index stranded at <path>.old
             # (recover_index's path-missing guard would never fire again).
             _recover_index_locked(self.index_path)
+            # snapshot isolation: the pre-append state becomes pinnable
+            # before the first mutation, and every append publishes a
+            # new head generation (sources/generations.py)
+            ensure_base_generation(self.index_path)
             (
                 with_letter(build_postings(docs))
                 .write.mode("append")
                 .partitionBy("letter")
                 .parquet(self.index_path)
             )
+            publish_generation(self.index_path)
 
     def compact(self) -> None:
         """Merge appended partial postings back to one row per
-        (word, doc) — log-structured maintenance with crash recovery."""
+        (word, doc) — log-structured maintenance with crash recovery.
+        Pinned generations survive the rewrite (relocated under _gen,
+        retention GEN_RETAIN — sources/generations.py)."""
         compact_index(self.spark, self.index_path)
+
+    def postings_at(self, generation: int | None = None) -> DataFrame:
+        """`postings()` against a PINNED generation — two queries at
+        the same generation see the same rows even while appends and
+        compactions land in between (snapshot isolation; generations
+        are published by `append` and relocated by `compact`)."""
+        from .sources.generations import read_generation
+
+        raw = read_generation(self.spark, self.index_path, at=generation)
+        return raw.groupBy("word", "doc_id", "letter").agg(
+            F.sum("cnt").alias("cnt")
+        ).select("word", "doc_id", "cnt", "letter")
+
+    def generation(self) -> int:
+        """The newest published generation of this index (0 before the
+        first append publishes one) — the handle `postings_at` pins."""
+        from .sources.generations import generation_head
+
+        return generation_head(self.index_path)
 
     # -- query --------------------------------------------------------------
 
@@ -312,6 +343,21 @@ class VectorStore:
         from .operators.similarity import read_vector_store
 
         return read_vector_store(self.spark, self.path)
+
+    def vectors_at(self, generation: int | None = None) -> DataFrame:
+        """The store's rows at a PINNED generation (snapshot
+        isolation across concurrent appends/compactions — e.g. train
+        a model on snapshot S while ingest continues; generations are
+        published by `append`, relocated by `compact`)."""
+        from .sources.generations import read_generation
+
+        return read_generation(self.spark, self.path, at=generation)
+
+    def generation(self) -> int:
+        """Newest published generation (0 before the first append)."""
+        from .sources.generations import generation_head
+
+        return generation_head(self.path)
 
     def topk(
         self,

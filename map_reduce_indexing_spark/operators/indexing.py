@@ -234,6 +234,8 @@ def compact_artifact(spark: SparkSession, path: str, rewrite) -> None:
     import shutil
     import tempfile
 
+    from ..sources.generations import carry_generations
+
     with index_writer_lock(path):
         _recover_index_locked(path)
         df = spark.read.parquet(path)
@@ -242,6 +244,11 @@ def compact_artifact(spark: SparkSession, path: str, rewrite) -> None:
         )
         _chmod_staging(staging)
         rewrite(df, staging)
+        # Snapshot support: relocate pinned generations into staging
+        # (hardlinks; live path untouched) and stage the post-swap
+        # manifest so data + generations commit atomically. No-op for
+        # stores that never published a generation.
+        carry_generations(path, staging)
         old = path + ".old"
         shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
         os.replace(path, old)

@@ -423,6 +423,12 @@ def append_vectors(spark: SparkSession, vectors: DataFrame, path: str) -> None:
         # healed. A compressed store's append re-encodes the new
         # vectors against the persisted codebook, so lookups never see
         # a partition mixing coded and code-less rows.
+        from ..sources.generations import (
+            ensure_base_generation,
+            publish_generation,
+        )
+
+        ensure_base_generation(path)  # pre-append state stays pinnable
         _write_vector_store(
             vectors,
             path,
@@ -431,6 +437,7 @@ def append_vectors(spark: SparkSession, vectors: DataFrame, path: str) -> None:
             centroids=load_quantizer(path),
             books=load_codebook(path),
         )
+        publish_generation(path)
 
 
 def compact_vector_store(
