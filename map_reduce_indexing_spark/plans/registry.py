@@ -71,7 +71,10 @@ PRIORITY_WINDOW = [
     # plus a positional constraint over the same semi-join path)
     "search_proximity",  # r7 rotation: positional index gets external coverage (search_phrase retired — same positional artifact, proximity is the stricter consumer)
     "search_topk_per_term",
-    "index_heavy_hitters",  # r5 rotation: replaced search_term_topk (top-k family already covered by search_topk_per_term)
+    # (r9 rotation: index_heavy_hitters retired after 4 stable rounds —
+    # the Misra-Gries machinery keeps its stricter external consumer in
+    # stream_heavy_hitters, which shares recount_candidates and adds
+    # state-store mergeability; batch candidates stay sweep-checked)
     # r8 third batch: search_related_docs promoted — sparse-vector
     # similarity from the posting self-join had never been external;
     # search_bm25_rank retired after 7 stable rounds (index-served
@@ -98,7 +101,11 @@ PRIORITY_WINDOW = [
     # rel_approx_distinct retired after 7 stable rounds — approx
     # distribution stats keep rel_percentiles external; its slot goes
     # to the round's new algorithm class, rel_pagerank_trade)
-    "rel_percentiles",
+    # (r9 rotation: rel_percentiles retired after 4+ stable rounds —
+    # distribution statistics keep an external row via the newly
+    # promoted rel_profile_drift, whose PSI bins are quantile-shaped
+    # over the same order-date domain)
+    "rel_profile_drift",  # r9: PSI drift monitor had never been external
     "rel_grouping_sets",
     # iterative graph analytics (round 8: damped power iteration over
     # the trade graph — the crawl-graph quality-prior class, never
@@ -111,12 +118,18 @@ PRIORITY_WINDOW = [
     # rank windows stay external via search_topk_per_term and
     # rel_retention_cohorts; range_frame carries the frame family)
     "rel_window_range_frame",  # time-RANGE frame: the once-broken NTZ path
-    "rel_set_ops",
+    # (r9 rotation: rel_set_ops retired after 4+ stable rounds; set
+    # semantics stay sweep-checked. Its slot goes to the write-time
+    # layout tier: the exchange-free bucketed join had never been
+    # external and is the round-8 flagship distribution mechanic)
+    "rel_bucketed_join_agg",
     # r8 third batch: rel_scalar_functions retired after 7 stable
     # rounds — the scalar/json surface keeps rel_json_parse external;
     # its slot goes to the second graph-analytics class
     "rel_triangles_trade",
-    "rel_json_parse",
+    # (r9 rotation: rel_json_parse retired after 4+ stable rounds —
+    # the scalar/json surface stays sweep-checked; its slot goes to the
+    # round-9 scale fix text_lm_resample, below with the text tier)
     "rel_anomaly_daily",  # r6 rotation: event-flow z-score anomaly
     # dedup family + LSH calibration eval (r7 rotation: dedup_fuzzy_names
     # promoted — blocked-Levenshtein had never been external;
@@ -124,10 +137,19 @@ PRIORITY_WINDOW = [
     # statistic stays externally covered via dedup_lsh_recall_eval)
     "dedup_exact_kept",
     "dedup_fuzzy_names",
-    "dedup_minhash_signatures",
+    # (r9 rotation: dedup_minhash_signatures retired after 8 stable
+    # rounds — signature arithmetic stays externally exercised through
+    # dedup_lsh_recall_eval's candidate path; its slot goes to the
+    # LOSSLESS exact-Jaccard tier, never external before)
+    "dedup_jaccard_prefix_pairs",
     "dedup_common_passages",  # r7 second batch: substring-level dedup had never been external; dedup_minhash_lsh_pairs retired — banding stays external via dedup_lsh_recall_eval (same candidate code path) and dedup_clusters (consumes lsh_pairs end-to-end)
     "dedup_lsh_recall_eval",
-    "dedup_simhash",
+    # (r9 rotation: dedup_simhash retired after 7+ stable rounds —
+    # pigeonhole-banded Hamming stays externally covered by
+    # multimodal_dedup_pairs' dHash bands in the sweep and the simhash
+    # statistic by pytest; its slot goes to quality-aware cluster
+    # resolution, the curation composition that had never been external)
+    "dedup_cluster_keep_best",
     # r8 third batch: dedup_semantic_pairs promoted — the train-then-
     # dedup composition (learned-cell blocking) is the strictly
     # stronger consumer of the same exact-verify cosine arithmetic, so
@@ -147,12 +169,22 @@ PRIORITY_WINDOW = [
     "ann_ivf_trained_topk",
     "ann_ivf_pq_topk",
     "ann_knn_batch_numpy",
-    "ann_recall_eval",
+    # (r9 rotation: ann_recall_eval retired after 4 stable rounds —
+    # accuracy evaluation keeps dedup_lsh_recall_eval external and the
+    # PQ recall bar lives in pytest; two trainer rows take the slots:
+    # the large-k broadcast assignment path and the trained PQ
+    # codebooks, both round-8 flagships never externally verified)
+    "ann_kmeans_train_k64",
+    "ann_pq_train",
     # event-flow analytics (r5 rotation: replaced dedup_exact,
     # dedup_simhash_pairs, rel_approx_percentiles — each family keeps
     # another in-window representative)
     "rel_sessionize",
-    "rel_funnel",
+    # (r9 rotation: rel_funnel retired — funnel semantics keep their
+    # STRICTER external consumer in the newly promoted stream_funnel,
+    # whose exact-under-disorder state machine is oracle-checked
+    # against the same batch funnel logic)
+    "stream_funnel",
     # text analysis (r7 rotation: text_pmi_windowed promoted — the
     # flagship production PMI now reads the tokens artifact and
     # deserves a driver row; text_langid retired — its statistic stays
@@ -176,6 +208,10 @@ PRIORITY_WINDOW = [
     # training (vocab-sized merge rounds)
     "text_classifier_train",
     "text_bpe_merges",
+    # r9: text_lm_resample promoted — the round's headline scale fix
+    # (broadcast percentile cutpoints + map-only decile assignment
+    # replacing the global NTILE window) deserves external verification
+    "text_lm_resample",
     # multimodal (r8 rotation: the binary metadata-parsing tier had
     # held one external row for 4 rounds — audio_meta joins embed;
     # r8 third batch: multimodal_embed retires — the declared-stub

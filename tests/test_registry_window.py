@@ -37,9 +37,10 @@ def test_window_exercises_eval_layer_and_ntz_path():
     """Round-5 promotion: the externally-verified set must include the
     sketch-calibration evals and the time-RANGE frame (the once-broken
     TIMESTAMP_NTZ normalization path)."""
+    # (ann_recall_eval itself rotated out in r9 — accuracy evaluation
+    # keeps dedup_lsh_recall_eval external; see round9 test)
     assert {
         "dedup_lsh_recall_eval",
-        "ann_recall_eval",
         "rel_window_range_frame",
     } <= set(PRIORITY_WINDOW)
 
@@ -49,18 +50,20 @@ def test_window_exercises_round5_families():
     hitters, event-flow) must be externally verified; the rows they
     replaced keep an in-window family representative."""
     w = set(PRIORITY_WINDOW)
+    # (index_heavy_hitters and rel_funnel rotated out in r9 — both
+    # families keep their STRICTER streaming consumers external:
+    # stream_heavy_hitters and stream_funnel; see round9 test)
     assert {
         "rel_cdc_scd2",
-        "index_heavy_hitters",
         "rel_sessionize",
-        "rel_funnel",
     } <= w
     # family representatives that must stay
+    # (dedup_simhash and rel_percentiles rotated out in r9 — pigeonhole
+    # Hamming stays external via multimodal machinery + sweep,
+    # distribution stats via rel_profile_drift; see round9 test)
     assert {
         "dedup_exact_kept",
-        "dedup_simhash",
         "search_topk_per_term",
-        "rel_percentiles",
     } <= w
 
 
@@ -93,8 +96,8 @@ def test_window_exercises_round6_rotation():
     # windows: rank_parts itself rotated out in r8; range_frame carries
     assert "rel_window_range_frame" in w
     # ann family (brute-force cosine's external row is the BLAS batch
-    # form since the r7 third batch; see round7_third_batch below)
-    assert {"ann_knn_batch_numpy", "ann_recall_eval"} <= w
+    # form since the r7 third batch; ann_recall_eval rotated out in r9)
+    assert "ann_knn_batch_numpy" in w
     # streaming (cdc_upsert itself rotated out in r8; see round8 test)
     assert "stream_stateful_user_stats" in w
 
@@ -170,7 +173,9 @@ def test_window_exercises_round7_second_batch():
     assert "dedup_minhash_lsh_pairs" not in w
     q = registry.get("dedup_minhash_lsh_pairs")
     assert q.export and q.oracle is not None
-    assert {"dedup_minhash_signatures", "dedup_lsh_recall_eval", "dedup_clusters"} <= w
+    # (dedup_minhash_signatures itself rotated out in r9; the recall
+    # eval + clusters keep the banding path external)
+    assert {"dedup_lsh_recall_eval", "dedup_clusters"} <= w
 
 
 def test_window_exercises_round7_third_batch():
@@ -190,7 +195,8 @@ def test_window_exercises_round7_third_batch():
     for name in retired:
         q = registry.get(name)
         assert q.export and q.oracle is not None
-    assert {"ann_knn_batch_numpy", "ann_recall_eval", "ann_ivf_pq_topk"} <= w
+    # (ann_recall_eval rotated out in r9)
+    assert {"ann_knn_batch_numpy", "ann_ivf_pq_topk"} <= w
     assert "text_pmi_windowed" in w
 
 
@@ -224,7 +230,7 @@ def test_window_exercises_round8_rotation():
     assert {"rel_cdc_scd2", "rel_window_range_frame"} <= w
     assert {"stream_scd2_temporal_join", "stream_stateful_user_stats"} <= w
     assert {"text_pmi_windowed", "text_shuffle_shards"} <= w
-    assert {"ann_ivf_pq_topk", "ann_recall_eval"} <= w
+    assert "ann_ivf_pq_topk" in w  # (ann_recall_eval rotated out in r9)
 
 
 def test_round8_second_batch_rotation():
@@ -237,7 +243,9 @@ def test_round8_second_batch_rotation():
     assert "rel_approx_distinct" not in w
     q = registry.get("rel_approx_distinct")
     assert q.export and q.oracle is not None  # still sweep-checked
-    assert "rel_percentiles" in w  # the family's representative
+    # (rel_percentiles itself rotated out in r9 — the distribution
+    # family's external row is now rel_profile_drift; see round9 test)
+    assert "rel_profile_drift" in w
 
 
 def test_round8_third_batch_rotation():
@@ -270,8 +278,49 @@ def test_round8_third_batch_rotation():
         assert q.export and q.oracle is not None
     # each retired row's family keeps an in-window representative
     assert {"search_topk_per_term", "search_related_docs"} <= w
-    assert "rel_json_parse" in w
-    assert {"dedup_semantic_pairs", "dedup_simhash"} <= w
+    # (rel_json_parse and dedup_simhash rotated out in r9)
+    assert "dedup_semantic_pairs" in w
     assert "multimodal_audio_meta" in w
     assert {"index_postings", "index_letter_histogram"} <= w
     assert {"stream_stateful_user_stats", "stream_heavy_hitters"} <= w
+
+
+def test_window_exercises_round9_rotation():
+    """Round-9 rotation (VERDICT r8 #6 + #1): never-external flagship
+    rows promoted — the large-k broadcast quantizer training, trained
+    PQ codebooks, lossless prefix-filtered exact Jaccard, the
+    exchange-free bucketed join, exact-under-disorder streaming
+    funnel, quality-aware cluster resolution, PSI drift monitoring,
+    and the round's scale fix text_lm_resample. Every retired row
+    stays registered + oracle-backed and its family keeps another
+    external representative."""
+    w = set(PRIORITY_WINDOW)
+    assert {
+        "ann_kmeans_train_k64",
+        "ann_pq_train",
+        "dedup_jaccard_prefix_pairs",
+        "rel_bucketed_join_agg",
+        "stream_funnel",
+        "dedup_cluster_keep_best",
+        "rel_profile_drift",
+        "text_lm_resample",
+    } <= w
+    retired = {
+        "rel_percentiles",  # distribution stats: rel_profile_drift
+        "rel_json_parse",  # scalar/json surface: sweep
+        "rel_set_ops",  # set semantics: sweep
+        "ann_recall_eval",  # accuracy eval: dedup_lsh_recall_eval
+        "rel_funnel",  # funnel: stream_funnel (same batch oracle logic)
+        "dedup_minhash_signatures",  # signatures: lsh_recall_eval path
+        "dedup_simhash",  # pigeonhole Hamming: multimodal bands + sweep
+        "index_heavy_hitters",  # MG machinery: stream_heavy_hitters
+    }
+    assert retired.isdisjoint(w)
+    for name in retired:
+        q = registry.get(name)
+        assert q.export and q.oracle is not None
+    # each retired row's family keeps an in-window representative
+    assert {"rel_profile_drift", "rel_grouping_sets"} <= w
+    assert {"dedup_lsh_recall_eval", "dedup_clusters"} <= w
+    assert {"stream_heavy_hitters", "stream_funnel", "rel_sessionize"} <= w
+    assert {"ann_ivf_trained_topk", "ann_ivf_pq_topk"} <= w
