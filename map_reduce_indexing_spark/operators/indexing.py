@@ -481,10 +481,26 @@ def session_artifact_path(
                     ):
                         new_files = []
                     if new_files:
+                        from ..sources.generations import (
+                            ensure_base_generation,
+                            publish_generation,
+                        )
+
+                        # snapshot isolation for the artifact tier:
+                        # the pre-delta state becomes pinnable, each
+                        # delta publishes a new head (read back with
+                        # session_artifact_df(..., at=)). Lock taken
+                        # and RELEASED around each manifest touch —
+                        # delta_build takes the same flock itself and
+                        # flock does not nest across fds in-process.
+                        with index_writer_lock(prev_path):
+                            ensure_base_generation(prev_path)
                         delta_build(
                             prev_path,
                             [os.path.join(src, p) for p in new_files],
                         )
+                        with index_writer_lock(prev_path):
+                            publish_generation(prev_path)
                         _save_sources(prev_path, current)
                         # The delta MUTATED prev_path, so every other
                         # fingerprint entry still pointing at it is now
@@ -547,6 +563,7 @@ def session_artifact_df(
     source_file: str,
     build,
     delta_build=None,
+    at: int | None = None,
 ) -> DataFrame:
     """`session_artifact_path` + a cached partition-discovered read.
 
@@ -555,10 +572,21 @@ def session_artifact_df(
     since the artifact is immutable for the life of its cache key
     (incremental delta appends invalidate the cached read), the
     discovered DataFrame (a logical plan) is reused across queries —
-    each lookup pays only its pruned scan."""
+    each lookup pays only its pruned scan.
+
+    `at=` pins a published GENERATION of the artifact (snapshot
+    isolation, sources/generations.py): incremental delta appends
+    publish one per delta, so a multi-query session can keep reading
+    the exact pre-append row set while the corpus grows underneath it.
+    Pinned reads bypass the live-read cache (each generation is its
+    own immutable file list)."""
     path = session_artifact_path(
         spark, sf_dir, kind, source_file, build, delta_build
     )
+    if at is not None:
+        from ..sources.generations import read_generation
+
+        return read_generation(spark, path, at=at)
     key = (spark.sparkContext.applicationId, path)
     df = _ARTIFACT_DFS.get(key)
     if df is None:

@@ -103,7 +103,9 @@ def _null_fill(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text", "lang", "source")
 
 
-def tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tokenized_docs(
+    spark: SparkSession, sf_dir: str, at: int | None = None
+) -> DataFrame:
     """The artifact, built once per (Spark application, corpus content)
     and served as a cached partition-discovered read.
 
@@ -119,7 +121,12 @@ def tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     index) key on the corpus fingerprint and rebuild FROM this
     artifact, so a 1-doc corpus append re-tokenizes 1 doc, then
     re-aggregates counts — never re-runs the regex passes over old
-    text."""
+    text.
+
+    `at=` (round 9) pins a published generation — each delta append
+    publishes one, so e.g. a classifier can train on snapshot S of
+    the tokens while corpus ingest continues (snapshot isolation,
+    sources/generations.py)."""
     from ..sources.tables import load_table
     from .indexing import (
         _recover_index_locked,
@@ -135,6 +142,7 @@ def tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "documents.parquet",
         build,
         delta_build=delta_build,
+        at=at,
     )
 
 

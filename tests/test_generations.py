@@ -192,3 +192,56 @@ def test_manifest_is_invisible_to_directory_scans(spark, tmp_path):
     ).groupBy("word", "doc_id").count().count()
     # no _gen file paths in the live scan
     assert not [f for f in live.inputFiles() if "/_gen/" in f]
+
+
+def test_tokens_artifact_delta_publishes_generations(spark, tmp_path):
+    """The session-artifact tier (task-7 ask: session_artifact reads
+    `at=`): each incremental delta append publishes a generation, so a
+    pinned tokenized_docs(at=g) keeps returning the pre-append doc set
+    while the live read grows."""
+    import shutil
+
+    from map_reduce_indexing_spark.operators.tokens import tokenized_docs
+    from tests.conftest import SF_DIR
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    shutil.copy(
+        os.path.join(SF_DIR, "documents.parquet"),
+        os.path.join(corpus, "documents.parquet.orig"),
+    )
+    os.makedirs(os.path.join(corpus, "documents.parquet"))
+    shutil.move(
+        os.path.join(corpus, "documents.parquet.orig"),
+        os.path.join(corpus, "documents.parquet", "part-0.parquet"),
+    )
+    base = tokenized_docs(spark, corpus)
+    base_ids = {r.doc_id for r in base.select("doc_id").collect()}
+    path = base.inputFiles()[0]
+    art_dir = os.path.dirname(path.removeprefix("file:"))
+    extra = spark.createDataFrame(
+        [(10**7 + i, f"generation pin doc {i}", "en", "unit")
+         for i in range(3)],
+        "doc_id long, text string, lang string, source string",
+    )
+    extra.write.mode("append").parquet(
+        os.path.join(corpus, "documents.parquet")
+    )
+    live = tokenized_docs(spark, corpus)  # delta append + publish
+    g = generation_head(art_dir)
+    assert g >= 2  # base generation + the delta's head
+    pinned_pre = {
+        r.doc_id
+        for r in tokenized_docs(spark, corpus, at=g - 1)
+        .select("doc_id")
+        .collect()
+    }
+    assert pinned_pre == base_ids  # snapshot: no delta docs
+    live_ids = {r.doc_id for r in live.select("doc_id").collect()}
+    assert live_ids == base_ids | {10**7, 10**7 + 1, 10**7 + 2}
+    assert {
+        r.doc_id
+        for r in tokenized_docs(spark, corpus, at=g)
+        .select("doc_id")
+        .collect()
+    } == live_ids

@@ -53,6 +53,9 @@ def _artifact_root(df) -> str:
 def _data_files(root: str) -> dict[str, tuple[int, int]]:
     out = {}
     for cur, _dirs, files in os.walk(root):
+        # skip retained generation snapshots (_gen/) and sidecars —
+        # live data files only, mirroring Spark's discovery rules
+        _dirs[:] = [d for d in _dirs if not d.startswith(("_", "."))]
         for f in files:
             if f.startswith(("_", ".")):
                 continue
