@@ -642,13 +642,31 @@ def incremental_index_append(
                         "it would corrupt partition discovery. Restart "
                         "the ingest with a fresh checkpoint."
                     )
+                from ..sources.generations import (
+                    ensure_base_generation,
+                    publish_generation,
+                )
+
+                # one pinnable generation per microbatch (snapshot
+                # isolation for readers of a live ingest; the
+                # raw-append branch gets this inside IndexSession-
+                # style appends via the same helpers)
+                ensure_base_generation(index_path)
                 postings.write.mode("overwrite").partitionBy("letter").parquet(
                     os.path.join(index_path, f"batch={batch_id}")
                 )
+                publish_generation(index_path)
             else:
+                from ..sources.generations import (
+                    ensure_base_generation,
+                    publish_generation,
+                )
+
+                ensure_base_generation(index_path)
                 postings.write.mode("append").partitionBy("letter").parquet(
                     index_path
                 )
+                publish_generation(index_path)
 
     writer = docs.writeStream.foreachBatch(sink)
     if checkpoint is not None:
@@ -898,9 +916,16 @@ def incremental_vector_append(
                         "running ingest; batches routed with the stale "
                         "model would land in wrong partitions."
                     )
+                from ..sources.generations import (
+                    ensure_base_generation,
+                    publish_generation,
+                )
+
+                ensure_base_generation(store_path)
                 bucketed.write.mode("overwrite").partitionBy(layout_col).parquet(
                     os.path.join(store_path, f"batch={batch_id}")
                 )
+                publish_generation(store_path)
         else:
             # The raw-append branch IS the batch append — one code path
             # owns lock + heal + layout guard + bucketed write, so a fix

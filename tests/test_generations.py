@@ -245,3 +245,43 @@ def test_tokens_artifact_delta_publishes_generations(spark, tmp_path):
         .select("doc_id")
         .collect()
     } == live_ids
+
+
+def test_streaming_ingest_publishes_generation_per_microbatch(
+    spark, tmp_path
+):
+    """A checkpointed streaming ingest publishes one generation per
+    microbatch, so a reader can pin the store exactly as some batch
+    left it while later batches keep landing."""
+    from map_reduce_indexing_spark.streaming.events import (
+        incremental_index_append,
+    )
+
+    import pandas as pd
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    for part in range(2):  # single parquet FILES: the source doesn't recurse
+        pd.DataFrame(
+            {
+                "doc_id": [part * 10 + i for i in range(3)],
+                "text": [f"stream word{part}"] * 3,
+                "lang": ["en"] * 3,
+                "source": ["unit"] * 3,
+            }
+        ).to_parquet(os.path.join(corpus, f"p{part}.parquet"))
+    index_path = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    incremental_index_append(
+        spark,
+        corpus,
+        index_path,
+        checkpoint=ckpt,
+        glob="*.parquet",
+        max_files_per_trigger=1,  # -> one microbatch per file
+    )
+    head = generation_head(index_path)
+    assert head >= 2  # one generation per microbatch
+    early = read_generation(spark, index_path, at=head - 1).count()
+    final = read_generation(spark, index_path, at=head).count()
+    assert 0 < early < final  # the pin excludes the later batch
