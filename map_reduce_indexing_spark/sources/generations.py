@@ -13,31 +13,40 @@ export_shards manifest pattern applied inward:
 
 - `_generations.json` at the artifact root (underscore-prefixed, so
   Spark directory scans never see it, same as `_quantizer.json`)
-  records, per generation, a root ("." or a retained `_gen/g{N}`
-  subdir) and the file list under it.
-- Appends are naturally snapshot-friendly: files are immutable and
-  only ADDED, so generation N is simply the listing at publish time —
-  `publish_generation` after each append, `ensure_base_generation`
-  before the first (so the pre-append state is pinnable).
+  records, per generation, a root (`_gen/g{N}`) and the file list
+  under it.
+- A generation is IMMUTABLE FROM BIRTH: `publish_generation` (called
+  by writers under the artifact flock, after each append /
+  microbatch; `ensure_base_generation` pins the pre-first-mutation
+  state) hardlinks the live listing into `_gen/g{N}` and roots the
+  manifest entry there — metadata-only on one filesystem, and the
+  pinned file PATHS are never the live paths a compaction swap will
+  replace. (The first design rooted unrelocated generations at the
+  live files and relocated lazily at compaction; a reader's running
+  job then raced the swap with FAILED_READ_FILE mid-task. Eager
+  hardlinks shrink that race to the two-rename instant of the swap
+  itself, which the read path's re-resolve + the artifact's existing
+  recover logic already cover.)
 - Compaction REPLACES the directory, so `carry_generations` (called
   by `compact_artifact` on the staging dir, before the swap)
-  hardlinks the head generation's files into `staging/_gen/g{head}`,
-  carries forward previously retained generation dirs within
-  GEN_RETAIN, and writes the new manifest — head+1 = the compacted
-  live files — INTO staging so manifest and data swap atomically.
-  The live path is never mutated pre-swap: a crash discards staging
-  and leaves the old store (and old manifest) intact, exactly the
-  existing crash-safety story.
+  hardlinks the newest GEN_RETAIN-1 generation dirs into staging,
+  publishes head+1 = the compacted live files as a new hardlinked
+  generation, and stages the manifest — data, snapshots, and
+  manifest swap atomically. The live path is never mutated pre-swap:
+  a crash discards staging and leaves the old store (and old
+  manifest) intact, exactly the existing crash-safety story.
 - `read_generation(spark, path, at=N)` reads exactly generation N's
   files (basePath-anchored so Hive partition columns survive), with
-  one re-resolve retry: a reader racing the swap re-reads the
-  manifest, under which its pinned generation has moved to `_gen`.
+  one re-resolve retry for a reader racing the swap's rename gap.
 
-Retention: the newest GEN_RETAIN relocated generations survive each
-compaction; older ones age out (their rows live on in the compacted
-head — only the historical file layout is dropped). At 100 TB this
-is the Iceberg/Delta snapshot pattern reduced to its data-plane half:
-manifests + immutable files + retention, no metastore required.
+Retention: the newest GEN_RETAIN generations survive (enforced at
+every publish and at compaction); older ones age out with a helpful
+error — their rows live on in the live store, only the historical
+snapshot is dropped. Hardlinks share inodes with the live data, so a
+retained generation costs real bytes only for files a later
+compaction rewrote. At 100 TB this is the Iceberg/Delta snapshot
+pattern reduced to its data-plane half: manifests + immutable files +
+retention, no metastore required.
 
 Reference parity: the reference's ./index has no versioning at all
 (SURVEY.md §2.12 — its appends aren't even locked); this is the
@@ -49,12 +58,19 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
 GEN_FILE = "_generations.json"
 GEN_DIR = "_gen"  # underscore: invisible to Spark directory scans
-GEN_RETAIN = 3  # relocated generations surviving each compaction
+# Retention policy (Iceberg's expire_snapshots shape): the newest
+# GEN_RETAIN generations are ALWAYS kept; older ones survive only
+# while younger than GEN_TTL_SECONDS — so a pinned reader has a
+# guaranteed wall-clock window regardless of how fast writers churn,
+# and a hot append loop still can't accumulate snapshots forever.
+GEN_RETAIN = 3
+GEN_TTL_SECONDS = 3600.0
 
 
 def _gen_path(path: str) -> str:
@@ -96,101 +112,116 @@ def generation_head(path: str) -> int:
     return int(m["head"]) if m else 0
 
 
+def _link_tree(src_root: str, rels: list[str], dst_root: str) -> None:
+    for rel in rels:
+        dst = os.path.join(dst_root, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        try:
+            os.link(os.path.join(src_root, rel), dst)
+        except OSError:
+            shutil.copy2(os.path.join(src_root, rel), dst)
+
+
+def _expired(gens: dict) -> list[str]:
+    """Keys to drop under the retention policy: never the newest
+    GEN_RETAIN; beyond those, only generations older than
+    GEN_TTL_SECONDS."""
+    import time
+
+    newest = set(sorted((int(k) for k in gens), reverse=True)[:GEN_RETAIN])
+    now = time.time()
+    return [
+        k
+        for k in gens
+        if int(k) not in newest
+        and now - float(gens[k].get("created", 0.0)) > GEN_TTL_SECONDS
+    ]
+
+
+def _prune(path: str, m: dict) -> None:
+    """Drop expired generations and remove their snapshot dirs.
+    Hardlinks mean live data is untouched."""
+    for k in _expired(m["gens"]):
+        root = m["gens"][k]["root"]
+        del m["gens"][k]
+        if root not in {g["root"] for g in m["gens"].values()}:
+            shutil.rmtree(os.path.join(path, root), ignore_errors=True)
+
+
+def _publish(path: str, head: int, m: dict) -> int:
+    """Hardlink the live listing into `_gen/g{head}` and record it —
+    the generation's file paths are immutable from this moment on."""
+    import time
+
+    rels = _data_files(path)
+    root = os.path.join(GEN_DIR, f"g{head}")
+    _link_tree(path, rels, os.path.join(path, root))
+    m["head"] = head
+    m["gens"][str(head)] = {
+        "root": root,
+        "files": rels,
+        "created": time.time(),
+    }
+    _prune(path, m)
+    _save_manifest(path, m)
+    return head
+
+
 def ensure_base_generation(path: str) -> int:
-    """Publish the CURRENT live listing as generation 1 iff no
-    manifest exists — called by writers before their first mutation so
-    the pre-mutation state is pinnable. Callers hold the artifact's
+    """Publish the CURRENT live state as generation 1 iff no manifest
+    exists — called by writers before their first mutation so the
+    pre-mutation state is pinnable. Callers hold the artifact's
     writer flock."""
     if not os.path.isdir(path):
         return 0  # store not created yet: nothing to pin before the write
     m = load_manifest(path)
     if m is not None:
         return int(m["head"])
-    m = {"head": 1, "gens": {"1": {"root": ".", "files": _data_files(path)}}}
-    _save_manifest(path, m)
-    return 1
+    return _publish(path, 1, {"head": 0, "gens": {}})
 
 
 def publish_generation(path: str) -> int:
-    """Snapshot the live listing as a new head generation. Appends only
-    add files, so every previously published live-rooted generation's
-    file set is still intact and stays pinnable. Callers hold the
-    artifact's writer flock."""
+    """Snapshot the live state as a new head generation (immutable
+    hardlinked copy under `_gen/`). Callers hold the artifact's
+    writer flock."""
     m = load_manifest(path) or {"head": 0, "gens": {}}
-    head = int(m["head"]) + 1
-    m["head"] = head
-    m["gens"][str(head)] = {"root": ".", "files": _data_files(path)}
-    _save_manifest(path, m)
-    return head
+    return _publish(path, int(m["head"]) + 1, m)
 
 
 def carry_generations(path: str, staging: str) -> None:
     """Compaction support, called on the STAGING directory after the
     rewrite and before the swap (the live path is never touched):
-
-    1. hardlink (copy on link failure) the head generation's live
-       files into `staging/_gen/g{head}` — the file set a reader
-       pinned at head must still resolve after the swap;
-    2. carry forward the newest GEN_RETAIN-1 previously relocated
-       generation dirs the same way;
-    3. write the post-swap manifest into staging: every surviving
-       generation re-rooted under `_gen`, plus head+1 = the staging
-       rewrite's own live files.
-
-    No-op when the artifact has no manifest (generations never
-    requested for this store)."""
-    import shutil
+    hardlink the newest GEN_RETAIN-1 generation snapshot dirs into
+    staging, publish head+1 = the compacted staging files as a new
+    snapshot, and stage the manifest — all of it swaps atomically
+    with the data. No-op when the artifact has no manifest
+    (generations never requested for this store)."""
+    import time
 
     m = load_manifest(path)
     if m is None:
         return
     head = int(m["head"])
-    gens = {int(k): v for k, v in m["gens"].items()}
-    new_gens: dict[str, dict] = {}
-
-    def link_tree(src_root: str, rels: list[str], dst_root: str) -> None:
-        for rel in rels:
-            dst = os.path.join(dst_root, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            try:
-                os.link(os.path.join(src_root, rel), dst)
-            except OSError:
-                shutil.copy2(os.path.join(src_root, rel), dst)
-
-    # One relocated root per compaction era: the head's live file set
-    # is a SUPERSET of every live-rooted generation's (appends only
-    # add files), so linking it once under _gen/g{head} preserves all
-    # of them — each live-rooted generation is remapped to that root
-    # with its own (sub)listing.
-    live = [n for n, g in gens.items() if g["root"] == "."]
-    if live:
-        era_root = os.path.join(GEN_DIR, f"g{head}")
-        link_tree(
-            path,
-            gens[max(live)]["files"],
-            os.path.join(staging, era_root),
-        )
-        for n in live:
-            new_gens[str(n)] = {"root": era_root, "files": gens[n]["files"]}
-    # Carry forward the newest previously relocated roots within
-    # retention (GEN_RETAIN roots total including the new era's).
-    old_roots = sorted(
-        {g["root"] for g in gens.values() if g["root"] != "."},
-        key=lambda r: int(r.rsplit("g", 1)[1]),
-        reverse=True,
-    )[: max(GEN_RETAIN - 1, 0)]
-    for root in old_roots:
-        members = {n: g for n, g in gens.items() if g["root"] == root}
-        link_tree(
-            os.path.join(path, root),
-            gens[max(members)]["files"],
-            os.path.join(staging, root),
-        )
-        for n, g in members.items():
-            new_gens[str(n)] = {"root": root, "files": g["files"]}
-    new_head = head + 1
-    new_gens[str(new_head)] = {"root": ".", "files": _data_files(staging)}
-    _save_manifest(staging, {"head": new_head, "gens": new_gens})
+    rels = _data_files(staging)
+    root = os.path.join(GEN_DIR, f"g{head + 1}")
+    gens = dict(m["gens"])
+    gens[str(head + 1)] = {
+        "root": root,
+        "files": rels,
+        "created": time.time(),
+    }
+    for k in _expired(gens):
+        del gens[k]  # dropped = simply not carried; live path untouched
+    for k, g in gens.items():
+        if int(k) == head + 1:
+            _link_tree(staging, rels, os.path.join(staging, root))
+        else:
+            _link_tree(
+                os.path.join(path, g["root"]),
+                g["files"],
+                os.path.join(staging, g["root"]),
+            )
+    _save_manifest(staging, {"head": head + 1, "gens": gens})
 
 
 def read_generation(
@@ -198,10 +229,11 @@ def read_generation(
 ) -> DataFrame:
     """A DataFrame over exactly generation `at`'s files (head when
     None). basePath anchors partition-column discovery to the
-    generation's root, so `letter=`/`bucket=`/`cell=` columns survive
-    relocation. One re-resolve retry covers a reader racing the
-    compaction swap (its generation relocated under `_gen` between
-    manifest read and plan execution)."""
+    generation's snapshot root, so `letter=`/`bucket=`/`cell=`
+    columns survive. Snapshot paths are immutable hardlinks, so a
+    running job never loses its files to a compaction swap; the
+    re-resolve retry covers only the swap's two-rename instant (the
+    whole directory briefly absent, healed by recover_index)."""
     from ..operators.indexing import recover_index
 
     def resolve() -> tuple[str, list[str]]:

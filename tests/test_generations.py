@@ -89,7 +89,13 @@ def test_generations_monotonic_and_published_per_append(spark, tmp_path):
     assert "two" in words_g2 and "two" not in words_g1
 
 
-def test_retention_ages_out_old_eras(spark, tmp_path):
+def test_retention_ages_out_old_eras(spark, tmp_path, monkeypatch):
+    import map_reduce_indexing_spark.sources.generations as G
+
+    # TTL 0 reduces the policy to pure count-based aging (the default
+    # 1-hour TTL exists so pinned readers get a wall-clock guarantee
+    # under writer churn — tested in the concurrent test above)
+    monkeypatch.setattr(G, "GEN_TTL_SECONDS", 0.0)
     s = _session(spark, tmp_path)
     pins = []
     for i in range(GEN_RETAIN + 2):  # each loop: one append + compact era
