@@ -29,10 +29,14 @@ export_shards manifest pattern applied inward:
   recover logic already cover.)
 - Compaction REPLACES the directory, so `carry_generations` (called
   by `compact_artifact` on the staging dir, before the swap)
-  hardlinks the newest GEN_RETAIN-1 generation dirs into staging,
-  publishes head+1 = the compacted live files as a new hardlinked
-  generation, and stages the manifest — data, snapshots, and
-  manifest swap atomically. The live path is never mutated pre-swap:
+  hardlinks the retained generation dirs into staging, publishes
+  head+1 = the compacted live files as a new hardlinked generation,
+  and stages the manifest — data, snapshots, and manifest swap
+  atomically.
+- `generation_diff(since, until)` is the incremental consumer: in an
+  append-only span it reads ONLY the files added after `since`;
+  across a compaction it anti-joins the two snapshots on caller-named
+  keys (or refuses, never silently rescans). The live path is never mutated pre-swap:
   a crash discards staging and leaves the old store (and old
   manifest) intact, exactly the existing crash-safety story.
 - `read_generation(spark, path, at=N)` reads exactly generation N's
@@ -261,3 +265,55 @@ def read_generation(
     if not files:
         raise ValueError(f"generation has no data files in {path!r}")
     return spark.read.option("basePath", root).parquet(*files)
+
+
+def generation_diff(
+    spark: SparkSession,
+    path: str,
+    since: int,
+    until: int | None = None,
+    key_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Rows ADDED between generations `since` (exclusive) and `until`
+    (inclusive; head when None) — incremental consumption from
+    snapshots: "give me only the documents that arrived after the
+    snapshot I trained on".
+
+    Fast path: within an append-only span (every `since` file is still
+    in `until`'s listing — always true between compactions), the diff
+    is exactly the NEW files, so the scan reads only the delta and
+    never touches the rows the consumer already has. Across a
+    compaction boundary the file sets are incomparable (the rewrite
+    renames everything); with `key_cols` the diff falls back to an
+    exact LEFT ANTI join of the two snapshots on those keys (the
+    delta side is usually small — Spark broadcasts it under AQE),
+    otherwise this raises rather than silently rescanning."""
+    m = load_manifest(path)
+    if m is None:
+        raise ValueError(f"{path!r} has no generation manifest")
+    u = int(m["head"]) if until is None else int(until)
+    ga, gb = m["gens"].get(str(since)), m["gens"].get(str(u))
+    if ga is None or gb is None:
+        missing = since if ga is None else u
+        raise ValueError(
+            f"generation {missing} of {path!r} is not available "
+            f"(retained: {sorted(int(k) for k in m['gens'])})"
+        )
+    old_files, new_files = set(ga["files"]), list(gb["files"])
+    if set(old_files) <= set(new_files):
+        delta = [f for f in new_files if f not in old_files]
+        root = os.path.join(path, gb["root"])
+        if not delta:
+            return read_generation(spark, path, at=u).limit(0)
+        return spark.read.option("basePath", root).parquet(
+            *[os.path.join(root, f) for f in delta]
+        )
+    if not key_cols:
+        raise ValueError(
+            f"generations {since}..{u} of {path!r} span a compaction "
+            "(file sets incomparable); pass key_cols= for an exact "
+            "anti-join diff"
+        )
+    newer = read_generation(spark, path, at=u)
+    older = read_generation(spark, path, at=since).select(*key_cols)
+    return newer.join(older, list(key_cols), "left_anti")

@@ -291,3 +291,43 @@ def test_streaming_ingest_publishes_generation_per_microbatch(
     early = read_generation(spark, index_path, at=head - 1).count()
     final = read_generation(spark, index_path, at=head).count()
     assert 0 < early < final  # the pin excludes the later batch
+
+
+def test_generation_diff_reads_only_the_delta(spark, tmp_path):
+    """Incremental consumption: between two append generations the
+    diff scans ONLY the new files; across a compaction it falls back
+    to an exact anti-join on the given keys (or refuses without
+    them)."""
+    import pytest
+
+    from map_reduce_indexing_spark.sources.generations import (
+        generation_diff,
+    )
+
+    s = _session(spark, tmp_path)
+    s.append(_docs(spark, 100, 4, "early"))
+    g1 = s.generation()
+    s.append(_docs(spark, 200, 6, "late"))
+    g2 = s.generation()
+    delta = generation_diff(spark, s.index_path, since=g1, until=g2)
+    ids = {r.doc_id for r in delta.select("doc_id").distinct().collect()}
+    assert ids == set(range(200, 206))  # exactly the late batch
+    # the fast path scanned only files g1 didn't have
+    m = load_manifest(s.index_path)
+    old = set(m["gens"][str(g1)]["files"])
+    for f in delta.inputFiles():
+        assert not any(f.endswith(o) for o in old)
+    # empty diff at equal generations
+    assert generation_diff(spark, s.index_path, g2, g2).count() == 0
+
+    s.compact()  # rewrites every file: sets incomparable
+    g3 = s.generation()
+    with pytest.raises(ValueError, match="span a compaction"):
+        generation_diff(spark, s.index_path, since=g1, until=g3)
+    s.append(_docs(spark, 300, 2, "post"))
+    g4 = s.generation()
+    anti = generation_diff(
+        spark, s.index_path, since=g1, until=g4, key_cols=("word", "doc_id")
+    )
+    anti_ids = {r.doc_id for r in anti.select("doc_id").distinct().collect()}
+    assert anti_ids == set(range(200, 206)) | {300, 301}
