@@ -71,6 +71,8 @@ HEADLINE = [
     "search_related_docs",     # posting-join TF-IDF all-pairs topk (r8)
     "stream_funnel",           # incremental ordered-step state (r8)
     "rel_bucketed_join_agg",   # exchange-free bucketed-layout join (r8)
+    "rel_snapshot_pruned_scan",  # manifest-stats file-skipping scan (r9)
+    "rel_matview_refresh",     # incremental materialized aggregate (r9)
 ]
 
 

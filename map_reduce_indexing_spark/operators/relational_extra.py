@@ -629,3 +629,174 @@ def q_rel_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Generation-manifest data plane: file-skipping scans and incremental
+# materialized aggregates (round 9 second wave)
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+
+def _orders_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The orders columns the snapshot demos store, with the money
+    column pre-cast to exact decimal (the house FP discipline applied
+    at WRITE time, so every downstream partial aggregate is exact)."""
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderdate",
+        dec("o_totalprice").alias("price_dec"),
+    )
+
+
+def orders_snapshot_store(spark: SparkSession, sf_dir: str) -> str:
+    """Orders range-clustered by o_orderdate into a generations-managed
+    store, built once per (application, corpus content): publishing
+    records per-file footer min/max in the generation manifest, so a
+    date-predicate read prunes files from ONE metadata lookup with no
+    listing and no footer opens (sources/generations.py:
+    plan_generation_scan)."""
+    from ..sources.generations import publish_generation
+    from ..sources.layout import write_range_clustered
+    from .indexing import session_artifact_path
+
+    def build(path: str) -> None:
+        write_range_clustered(
+            _orders_projected(spark, sf_dir), "o_orderdate", path, 16
+        )
+        publish_generation(path)
+
+    return session_artifact_path(
+        spark, sf_dir, "orders_snapshot_store", "orders.parquet", build
+    )
+
+
+@register(
+    "rel_snapshot_pruned_scan",
+    oracle="""
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                              AND TIMESTAMP '1996-12-31'
+        GROUP BY 1
+    """,
+    tier="relational",
+    doc="A date-range monthly rollup served from a generations-managed "
+    "range-clustered store via MANIFEST-LEVEL file skipping: publish "
+    "records each immutable file's footer min/max in "
+    "_generations.json, and the read prunes the file list planner-side "
+    "from that one JSON read — no directory listing, no per-file "
+    "footer fetch (sources/generations.py:plan_generation_scan; "
+    "pruned-file-count and exactness asserted in "
+    "tests/test_skipping.py). At 100 TB / ~1M files this is the "
+    "Iceberg-manifest move: per-query metadata cost goes from O(files) "
+    "footer reads to one manifest scan, on top of the row-group "
+    "skipping the clustered layout already buys. The oracle is the "
+    "layout-independent full-table filter, so the hash match also "
+    "proves pruning dropped only provably-empty files.",
+)
+def q_rel_snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from ..sources.generations import read_generation
+
+    path = orders_snapshot_store(spark, sf_dir)
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 12, 31)
+    df = read_generation(
+        spark, path, where=[("o_orderdate", "between", (lo, hi))]
+    )
+    return df.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("price_dec", "total_price"),
+    )
+
+
+def orders_matview_demo(spark: SparkSession, sf_dir: str) -> str:
+    """The incremental-view-maintenance lifecycle, built once per
+    (application, corpus content): 70% of orders (o_orderkey % 10 < 7)
+    becomes generation 1 of a managed base store and the per-priority
+    partial-aggregate view is materialized against it; the remaining
+    30% is appended (generation 2) and `refresh_matview` advances the
+    view by scanning ONLY the appended files (operators/matview.py).
+    The exported query then reads the refreshed view — its oracle is
+    the full-table aggregate, so the external hash match certifies
+    incremental == full recompute."""
+    from ..sources.generations import publish_generation
+    from .indexing import session_artifact_path
+    from .matview import create_matview, refresh_matview
+
+    def build(path: str) -> None:
+        base = _os.path.join(path, "base")
+        view = _os.path.join(path, "view")
+        o = _orders_projected(spark, sf_dir)
+        o.filter(F.col("o_orderkey") % 10 < 7).coalesce(4).write.parquet(base)
+        publish_generation(base)
+        create_matview(
+            spark,
+            base,
+            view,
+            ["o_orderpriority"],
+            {
+                "n_orders": ("count", "*"),
+                "total_price": ("sum", "price_dec"),
+                "first_order": ("min", "o_orderdate"),
+                "last_order": ("max", "o_orderdate"),
+            },
+            row_keys=["o_orderkey"],
+        )
+        o.filter(F.col("o_orderkey") % 10 >= 7).coalesce(2).write.mode(
+            "append"
+        ).parquet(base)
+        publish_generation(base)
+        refresh_matview(spark, view)
+
+    return session_artifact_path(
+        spark, sf_dir, "orders_matview_demo", "orders.parquet", build
+    )
+
+
+@register(
+    "rel_matview_refresh",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price,
+               MIN(o_orderdate) AS first_order,
+               MAX(o_orderdate) AS last_order
+        FROM orders GROUP BY o_orderpriority
+    """,
+    tier="relational",
+    doc="An INCREMENTALLY MAINTAINED materialized aggregate: the "
+    "per-priority view is built over generation 1 of a managed base "
+    "store (70% of orders), the other 30% is appended as generation 2, "
+    "and refresh merges the partial aggregates of ONLY the appended "
+    "files into the stored partials (operators/matview.py — counts and "
+    "sums add, min/max combine; delta-file-only scan asserted in "
+    "tests/test_matview.py). The oracle aggregates the FULL table, so "
+    "the external hash match is an end-to-end proof that incremental "
+    "maintenance equals full recompute. At 100 TB with daily appends "
+    "this turns every dashboard refresh from a corpus scan into a scan "
+    "of one day's files — the lakehouse materialized-view pattern on "
+    "the repo's own snapshot tier.",
+)
+def q_rel_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .matview import read_matview
+
+    root = orders_matview_demo(spark, sf_dir)
+    v = read_matview(spark, _os.path.join(root, "view"))
+    return v.select(
+        F.col("o_orderpriority").alias("priority"),
+        "n_orders",
+        F.col("total_price").cast("double").alias("total_price"),
+        "first_order",
+        "last_order",
+    )

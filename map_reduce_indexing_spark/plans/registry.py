@@ -93,7 +93,11 @@ PRIORITY_WINDOW = [
     "rel_join_anti",
     "rel_theta_join_bands",
     "rel_join_asof",
-    "rel_cdc_scd2",  # r5 rotation: CDC family gets an external row
+    # (rel_cdc_scd2 rotated out in the r9 second batch — SCD2
+    # semantics stay external via stream_scd2_temporal_join and the
+    # CDC family via rel_cdc_merge_upsert; see round9 second-batch
+    # test. Its slot carries the manifest-skipping scan.)
+    "rel_snapshot_pruned_scan",  # r9 second batch: manifest-level file skipping
     "rel_cdc_merge_upsert",  # r8 rotation: MERGE semantics had never been external
     "rel_attribution_first_touch",  # r6 rotation: event-flow attribution
     "rel_retention_cohorts",  # r7 rotation: cohort retention (rel_resample_daily retired after 1 stable round; time-series family keeps rel_anomaly_daily)
@@ -106,7 +110,11 @@ PRIORITY_WINDOW = [
     # promoted rel_profile_drift, whose PSI bins are quantile-shaped
     # over the same order-date domain)
     "rel_profile_drift",  # r9: PSI drift monitor had never been external
-    "rel_grouping_sets",
+    # (rel_grouping_sets rotated out in the r9 second batch after 8
+    # stable rounds — the A7 family stays sweep-checked and the wide
+    # agg tier keeps rel_q1 external. Its slot carries incremental
+    # view maintenance.)
+    "rel_matview_refresh",  # r9 second batch: incremental materialized aggregate
     # iterative graph analytics (round 8: damped power iteration over
     # the trade graph — the crawl-graph quality-prior class, never
     # external before because it didn't exist)

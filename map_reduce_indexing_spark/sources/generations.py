@@ -68,6 +68,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 GEN_FILE = "_generations.json"
 GEN_DIR = "_gen"  # underscore: invisible to Spark directory scans
+# File-skipping stats: per-file column [min, max] harvested from the
+# parquet FOOTER at publish time (metadata-only — no data pages read)
+# and recorded in the generation manifest. Strings longer than this
+# are dropped rather than truncated: a truncated max is not an upper
+# bound (Iceberg solves this with increment-last-char; dropping is the
+# conservative equivalent).
+STATS_MAX_STR = 64
 # Retention policy (Iceberg's expire_snapshots shape): the newest
 # GEN_RETAIN generations are ALWAYS kept; older ones survive only
 # while younger than GEN_TTL_SECONDS — so a pinned reader has a
@@ -93,6 +100,168 @@ def _data_files(path: str) -> list[str]:
                 continue
             out.append(os.path.relpath(os.path.join(root, f), path))
     return sorted(out)
+
+
+def _norm_stat(v):
+    """JSON-safe, order-preserving normalization of a footer stat or a
+    predicate value. Ints and floats stay numeric (Python compares them
+    natively); dates/timestamps become ISO-8601 strings, whose
+    lexicographic order matches chronological order at a fixed
+    precision; long strings and unsupported types normalize to None
+    (= no usable bound, keep the file)."""
+    import datetime
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, datetime.datetime):
+        # Normalize to NAIVE UTC before stringifying: Spark-written
+        # footers come back tz-aware (+00:00) while callers pass naive
+        # session-time values; a mixed compare would see
+        # "...00.000000" < "...00.000000+00:00" and wrongly prune a
+        # file whose min equals the predicate exactly.
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, str):
+        return v if len(v) <= STATS_MAX_STR else None
+    return None
+
+
+def file_column_stats(abs_path: str) -> dict:
+    """{column: [min, max]} for every top-level primitive column of one
+    parquet file with usable footer statistics, folded across its row
+    groups. Metadata-only: reads the footer, never a data page. Columns
+    with missing/unusable stats in ANY row group are omitted (a partial
+    bound is not a bound). Files a writer produced without stats simply
+    contribute no entries — readers keep them (conservative)."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(abs_path).metadata
+    except Exception:
+        return {}
+    out: dict[str, list] = {}
+    bad: set[str] = set()
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        for j in range(rg.num_columns):
+            col = rg.column(j)
+            name = col.path_in_schema
+            if "." in name or name in bad:  # nested leaves: skip
+                continue
+            s = col.statistics
+            if s is None or not s.has_min_max:
+                bad.add(name)
+                out.pop(name, None)
+                continue
+            try:
+                mn, mx = _norm_stat(s.min), _norm_stat(s.max)
+            except Exception:
+                mn = mx = None
+            if mn is None or mx is None:
+                bad.add(name)
+                out.pop(name, None)
+                continue
+            if name in out:
+                out[name] = [min(out[name][0], mn), max(out[name][1], mx)]
+            else:
+                out[name] = [mn, mx]
+    return out
+
+
+def _partition_values(rel: str) -> dict[str, str]:
+    """Hive partition key=value segments of a relative file path —
+    directory-encoded columns carry no footer stats, so equality
+    pruning on them reads the path instead."""
+    from urllib.parse import unquote
+
+    out = {}
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out[k] = unquote(v)
+    return out
+
+
+def _file_matches(rel: str, stats: dict, where) -> bool:
+    """Conservative containment test: False only when the file's footer
+    bounds (or partition-dir values) PROVE no row can satisfy the
+    conjunction. Missing stats keep the file. Comparisons are
+    null-rejecting (SQL semantics), so all-null columns — which carry
+    no min/max — are never wrongly pruned: their files stay."""
+    parts = _partition_values(rel)
+    for col, op, val in where:
+        if col in parts:
+            pv = parts[col]
+            if op == "=" and str(val) != pv:
+                return False
+            if op == "in" and pv not in {str(v) for v in val}:
+                return False
+            continue
+        b = stats.get(col)
+        if not b:
+            continue
+        mn, mx = b
+        if op == "between":
+            lo, hi = _norm_stat(val[0]), _norm_stat(val[1])
+            if lo is not None and lo > mx:
+                return False
+            if hi is not None and hi < mn:
+                return False
+            continue
+        if op == "in":
+            vs = [x for x in (_norm_stat(v) for v in val) if x is not None]
+            if len(vs) == len(val) and not any(mn <= v <= mx for v in vs):
+                return False
+            continue
+        v = _norm_stat(val)
+        if v is None:
+            continue
+        if op == "=" and not (mn <= v <= mx):
+            return False
+        if op == "<" and not (mn < v):
+            return False
+        if op == "<=" and not (mn <= v):
+            return False
+        if op == ">" and not (mx > v):
+            return False
+        if op == ">=" and not (mx >= v):
+            return False
+    return True
+
+
+def _where_column(where):
+    """The predicate as a pyspark Column — applied to the pruned scan
+    so `read_generation(where=...)` is semantically a filtered read
+    (pruning drops only provably-empty files; kept files still carry
+    non-matching rows)."""
+    from pyspark.sql import functions as F
+
+    expr = F.lit(True)
+    for col, op, val in where:
+        c = F.col(col)
+        if op == "=":
+            e = c == F.lit(val)
+        elif op == "<":
+            e = c < F.lit(val)
+        elif op == "<=":
+            e = c <= F.lit(val)
+        elif op == ">":
+            e = c > F.lit(val)
+        elif op == ">=":
+            e = c >= F.lit(val)
+        elif op == "in":
+            e = c.isin(list(val))
+        elif op == "between":
+            e = (c >= F.lit(val[0])) & (c <= F.lit(val[1]))
+        else:
+            raise ValueError(f"unsupported predicate op {op!r}")
+        expr = expr & e
+    return expr
 
 
 def load_manifest(path: str) -> dict | None:
@@ -152,6 +321,34 @@ def _prune(path: str, m: dict) -> None:
             shutil.rmtree(os.path.join(path, root), ignore_errors=True)
 
 
+def _collect_stats(data_root: str, rels: list[str], prior: dict) -> dict:
+    """{rel: {"size": bytes, "cols": {col: [min, max]}}} for a file
+    listing. Files are immutable once written, so stats already
+    recorded for the same rel (size-verified) carry forward without
+    touching the footer — per publish, only the NEW files cost a
+    footer read."""
+    out = {}
+    for rel in rels:
+        p = os.path.join(data_root, rel)
+        try:
+            size = os.stat(p).st_size
+        except OSError:
+            continue
+        prev = prior.get(rel)
+        if prev is not None and prev.get("size") == size:
+            out[rel] = prev
+        else:
+            out[rel] = {"size": size, "cols": file_column_stats(p)}
+    return out
+
+
+def _prior_stats(gens: dict) -> dict:
+    prior: dict = {}
+    for k in sorted(gens, key=int):
+        prior.update(gens[k].get("stats") or {})
+    return prior
+
+
 def _publish(path: str, head: int, m: dict) -> int:
     """Hardlink the live listing into `_gen/g{head}` and record it —
     the generation's file paths are immutable from this moment on."""
@@ -165,6 +362,7 @@ def _publish(path: str, head: int, m: dict) -> int:
         "root": root,
         "files": rels,
         "created": time.time(),
+        "stats": _collect_stats(path, rels, _prior_stats(m["gens"])),
     }
     _prune(path, m)
     _save_manifest(path, m)
@@ -213,6 +411,9 @@ def carry_generations(path: str, staging: str) -> None:
         "root": root,
         "files": rels,
         "created": time.time(),
+        # compaction rewrote every file: all stats computed fresh from
+        # the staging footers (nothing to carry forward by rel path)
+        "stats": _collect_stats(staging, rels, {}),
     }
     for k in _expired(gens):
         del gens[k]  # dropped = simply not carried; live path untouched
@@ -228,8 +429,49 @@ def carry_generations(path: str, staging: str) -> None:
     _save_manifest(staging, {"head": head + 1, "gens": gens})
 
 
+def plan_generation_scan(
+    path: str, at: int | None = None, where=None
+) -> tuple[str, list[str], int]:
+    """The planner-side half of a generation read: resolve generation
+    `at` (head when None) and prune its file list against `where`
+    using the MANIFEST's footer stats — one JSON read, zero file
+    listings, zero footer opens at query time. Returns (snapshot root,
+    kept absolute file paths, total file count). At 100 TB this is the
+    point of recording stats in the manifest: the alternative is the
+    scan planner listing and footer-reading a million immutable files
+    per query (Iceberg's manifest-level min/max pruning, reduced to
+    its data-plane half)."""
+    from ..operators.indexing import recover_index
+
+    recover_index(path)
+    m = load_manifest(path)
+    if m is None:
+        raise ValueError(
+            f"{path!r} has no generation manifest; use the live read "
+            "or publish a generation first"
+        )
+    n = int(m["head"]) if at is None else int(at)
+    g = m["gens"].get(str(n))
+    if g is None:
+        raise ValueError(
+            f"generation {n} of {path!r} is not available "
+            f"(retained: {sorted(int(k) for k in m['gens'])}); "
+            f"raise GEN_RETAIN or pin a newer snapshot"
+        )
+    root = path if g["root"] == "." else os.path.join(path, g["root"])
+    stats = g.get("stats") or {}
+    rels = g["files"]
+    if where:
+        rels = [
+            r
+            for r in rels
+            if _file_matches(r, (stats.get(r) or {}).get("cols") or {}, where)
+        ]
+    return root, [os.path.join(root, f) for f in rels], len(g["files"])
+
+
 def read_generation(
-    spark: SparkSession, path: str, at: int | None = None
+    spark: SparkSession, path: str, at: int | None = None, where=None
 ) -> DataFrame:
     """A DataFrame over exactly generation `at`'s files (head when
     None). basePath anchors partition-column discovery to the
@@ -237,34 +479,55 @@ def read_generation(
     columns survive. Snapshot paths are immutable hardlinks, so a
     running job never loses its files to a compaction swap; the
     re-resolve retry covers only the swap's two-rename instant (the
-    whole directory briefly absent, healed by recover_index)."""
-    from ..operators.indexing import recover_index
+    whole directory briefly absent, healed by recover_index).
 
-    def resolve() -> tuple[str, list[str]]:
-        recover_index(path)
-        m = load_manifest(path)
-        if m is None:
-            raise ValueError(
-                f"{path!r} has no generation manifest; use the live read "
-                "or publish a generation first"
-            )
-        n = int(m["head"]) if at is None else int(at)
-        g = m["gens"].get(str(n))
-        if g is None:
-            raise ValueError(
-                f"generation {n} of {path!r} is not available "
-                f"(retained: {sorted(int(k) for k in m['gens'])}); "
-                f"raise GEN_RETAIN or pin a newer snapshot"
-            )
-        root = path if g["root"] == "." else os.path.join(path, g["root"])
-        return root, [os.path.join(root, f) for f in g["files"]]
-
-    root, files = resolve()
+    `where` — an AND-list of `(column, op, value)` with op in
+    `= < <= > >= in between` — prunes files via the manifest's footer
+    stats (`plan_generation_scan`) and then applies the same predicate
+    to the surviving rows, so the result is EXACTLY
+    `read_generation(...).filter(pred)`: dropped files provably hold
+    no matching rows; kept files still filter row-level."""
+    root, files, total = plan_generation_scan(path, at, where)
     if not all(os.path.exists(f) for f in files):
-        root, files = resolve()  # raced a swap: re-resolve once
+        # raced a swap: re-resolve once
+        root, files, total = plan_generation_scan(path, at, where)
     if not files:
+        if total:  # every file pruned: an empty frame with the schema
+            root2, all_files, _ = plan_generation_scan(path, at)
+            df = spark.read.option("basePath", root2).parquet(*all_files)
+            return df.filter(_where_column(where)).limit(0)
         raise ValueError(f"generation has no data files in {path!r}")
-    return spark.read.option("basePath", root).parquet(*files)
+    df = spark.read.option("basePath", root).parquet(*files)
+    if where:
+        df = df.filter(_where_column(where))
+    return df
+
+
+def diff_plan(
+    path: str, since: int, until: int | None = None
+) -> tuple[str, list[str] | None]:
+    """Planner-side classification of a generation span:
+    `("append", delta_rels)` when every `since` file is still in
+    `until`'s listing (the span is provably append-only and the diff
+    is exactly the new files), else `("antijoin", None)` (a compaction
+    rewrote the listing; only a row-key anti-join is exact). Pure
+    manifest read — callers (generation_diff, matview refresh) use it
+    to know the scan cost before running anything."""
+    m = load_manifest(path)
+    if m is None:
+        raise ValueError(f"{path!r} has no generation manifest")
+    u = int(m["head"]) if until is None else int(until)
+    ga, gb = m["gens"].get(str(since)), m["gens"].get(str(u))
+    if ga is None or gb is None:
+        missing = since if ga is None else u
+        raise ValueError(
+            f"generation {missing} of {path!r} is not available "
+            f"(retained: {sorted(int(k) for k in m['gens'])})"
+        )
+    old_files, new_files = set(ga["files"]), list(gb["files"])
+    if old_files <= set(new_files):
+        return "append", [f for f in new_files if f not in old_files]
+    return "antijoin", None
 
 
 def generation_diff(
@@ -288,19 +551,12 @@ def generation_diff(
     exact LEFT ANTI join of the two snapshots on those keys (the
     delta side is usually small — Spark broadcasts it under AQE),
     otherwise this raises rather than silently rescanning."""
+    mode, _delta = diff_plan(path, since, until)
     m = load_manifest(path)
-    if m is None:
-        raise ValueError(f"{path!r} has no generation manifest")
     u = int(m["head"]) if until is None else int(until)
-    ga, gb = m["gens"].get(str(since)), m["gens"].get(str(u))
-    if ga is None or gb is None:
-        missing = since if ga is None else u
-        raise ValueError(
-            f"generation {missing} of {path!r} is not available "
-            f"(retained: {sorted(int(k) for k in m['gens'])})"
-        )
+    ga, gb = m["gens"][str(since)], m["gens"][str(u)]
     old_files, new_files = set(ga["files"]), list(gb["files"])
-    if set(old_files) <= set(new_files):
+    if mode == "append":
         delta = [f for f in new_files if f not in old_files]
         root = os.path.join(path, gb["root"])
         if not delta:

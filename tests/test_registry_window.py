@@ -53,8 +53,11 @@ def test_window_exercises_round5_families():
     # (index_heavy_hitters and rel_funnel rotated out in r9 — both
     # families keep their STRICTER streaming consumers external:
     # stream_heavy_hitters and stream_funnel; see round9 test)
+    # (rel_cdc_scd2 rotated out in the r9 second batch — SCD2 stays
+    # external via stream_scd2_temporal_join, CDC via
+    # rel_cdc_merge_upsert; see round9 second-batch test)
     assert {
-        "rel_cdc_scd2",
+        "rel_cdc_merge_upsert",
         "rel_sessionize",
     } <= w
     # family representatives that must stay
@@ -227,7 +230,8 @@ def test_window_exercises_round8_rotation():
         assert q.export and q.oracle is not None
     # each retired row's family keeps an in-window representative
     assert {"search_term_lookup", "search_proximity"} <= w
-    assert {"rel_cdc_scd2", "rel_window_range_frame"} <= w
+    # (rel_cdc_scd2 itself rotated out in the r9 second batch)
+    assert {"rel_cdc_merge_upsert", "rel_window_range_frame"} <= w
     assert {"stream_scd2_temporal_join", "stream_stateful_user_stats"} <= w
     assert {"text_pmi_windowed", "text_shuffle_shards"} <= w
     assert "ann_ivf_pq_topk" in w  # (ann_recall_eval rotated out in r9)
@@ -320,7 +324,29 @@ def test_window_exercises_round9_rotation():
         q = registry.get(name)
         assert q.export and q.oracle is not None
     # each retired row's family keeps an in-window representative
-    assert {"rel_profile_drift", "rel_grouping_sets"} <= w
+    # (rel_grouping_sets itself rotated out in the r9 second batch)
+    assert {"rel_profile_drift", "rel_q1_pricing_summary"} <= w
     assert {"dedup_lsh_recall_eval", "dedup_clusters"} <= w
     assert {"stream_heavy_hitters", "stream_funnel", "rel_sessionize"} <= w
     assert {"ann_ivf_trained_topk", "ann_ivf_pq_topk"} <= w
+
+
+def test_round9_second_batch_rotation():
+    """Round-9 second batch: the generation manifest becomes a real
+    table-format data plane and both halves go external — the
+    manifest-stats file-skipping scan and the incrementally maintained
+    materialized aggregate (whose full-table oracle makes the external
+    hash match an incremental==full proof). Retired rows keep family
+    representatives external and stay sweep-checked."""
+    w = set(PRIORITY_WINDOW)
+    assert {"rel_snapshot_pruned_scan", "rel_matview_refresh"} <= w
+    retired = {
+        "rel_cdc_scd2",  # SCD2: stream_scd2_temporal_join (stricter)
+        "rel_grouping_sets",  # A7 multi-agg: rel_q1 + sweep
+    }
+    assert retired.isdisjoint(w)
+    for name in retired:
+        q = registry.get(name)
+        assert q.export and q.oracle is not None
+    assert {"stream_scd2_temporal_join", "rel_cdc_merge_upsert"} <= w
+    assert "rel_q1_pricing_summary" in w

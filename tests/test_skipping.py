@@ -1,0 +1,236 @@
+"""Manifest-level file skipping (round 9 second wave).
+
+Publishing a generation records each immutable file's footer min/max
+(plus Hive partition-dir values) in `_generations.json`;
+`plan_generation_scan` prunes a predicate's file list from that one
+manifest read, and `read_generation(where=...)` is proven EXACTLY
+equal to the unpruned read + filter — pruning drops only files whose
+bounds prove no row can match.
+
+Pinned here: pruning actually bites on a range-clustered store (kept
+file count asserted), never changes results on any column (clustered,
+unclustered, partition-dir, all-null), carries stats forward across
+appends without re-reading old footers, recomputes them across the
+compaction rewrite, and an all-pruned predicate still returns an
+empty frame with the store's schema.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import functions as F
+
+from map_reduce_indexing_spark.sources import generations as G
+from map_reduce_indexing_spark.sources.generations import (
+    plan_generation_scan,
+    publish_generation,
+    read_generation,
+)
+from map_reduce_indexing_spark.sources.layout import write_range_clustered
+
+from .conftest import SF_DIR
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _clustered_store(spark, tmp_path) -> str:
+    path = str(tmp_path / "orders_rc")
+    from map_reduce_indexing_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    write_range_clustered(o, "o_orderdate", path, 8)
+    publish_generation(path)
+    return path
+
+
+def test_range_predicate_prunes_and_stays_exact(spark, tmp_path):
+    path = _clustered_store(spark, tmp_path)
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1996, 12, 31)
+    where = [("o_orderdate", "between", (lo, hi))]
+    _root, kept, total = plan_generation_scan(path, where=where)
+    assert total == 8
+    assert 0 < len(kept) < total  # skipping bites on the clustered key
+    pruned = read_generation(spark, path, where=where)
+    full = read_generation(spark, path).filter(
+        (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") <= F.lit(hi))
+    )
+    assert _rows(pruned) == _rows(full)
+    assert pruned.count() > 0  # non-vacuous
+
+
+def test_point_predicates_prune_and_stay_exact(spark, tmp_path):
+    path = _clustered_store(spark, tmp_path)
+    lo = datetime.datetime(1995, 3, 1)
+    hi = datetime.datetime(2000, 6, 1)
+    for where, pred in [
+        ([("o_orderdate", "<", lo)], F.col("o_orderdate") < F.lit(lo)),
+        ([("o_orderdate", ">=", hi)], F.col("o_orderdate") >= F.lit(hi)),
+        (
+            [("o_orderdate", "in", [lo, datetime.datetime(1999, 7, 4)])],
+            F.col("o_orderdate").isin([lo, datetime.datetime(1999, 7, 4)]),
+        ),
+    ]:
+        _r, kept, total = plan_generation_scan(path, where=where)
+        assert len(kept) < total
+        assert _rows(read_generation(spark, path, where=where)) == _rows(
+            read_generation(spark, path).filter(pred)
+        )
+
+
+def test_boundary_equality_never_pruned(spark, tmp_path):
+    """A predicate equal to a file's exact min/max must keep that file:
+    the tz-aware footer string vs naive predicate string mismatch would
+    have pruned it (regression pin for the _norm_stat UTC
+    normalization)."""
+    path = _clustered_store(spark, tmp_path)
+    # the store's global min date is a file-boundary value by construction
+    lo = read_generation(spark, path).agg(F.min("o_orderdate")).collect()[0][0]
+    got = read_generation(spark, path, where=[("o_orderdate", "=", lo)])
+    want = read_generation(spark, path).filter(F.col("o_orderdate") == F.lit(lo))
+    assert _rows(got) == _rows(want)
+    assert got.count() > 0
+
+
+def test_unclustered_column_never_wrongly_pruned(spark, tmp_path):
+    path = _clustered_store(spark, tmp_path)
+    where = [("o_orderpriority", "=", "1-URGENT")]
+    pruned = read_generation(spark, path, where=where)
+    full = read_generation(spark, path).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    assert _rows(pruned) == _rows(full)
+    assert pruned.count() > 0
+
+
+def test_conjunction_prunes_on_both_columns(spark, tmp_path):
+    path = _clustered_store(spark, tmp_path)
+    lo = datetime.datetime(2000, 1, 1)
+    where = [
+        ("o_orderdate", ">=", lo),
+        ("o_orderkey", ">", 10**12),  # footer bound proves empty
+    ]
+    _r, kept, _t = plan_generation_scan(path, where=where)
+    assert kept == []  # the orderkey bound kills even the date-kept files
+    df = read_generation(spark, path, where=where)
+    assert df.count() == 0
+    assert set(df.columns) == {"o_orderkey", "o_orderpriority", "o_orderdate"}
+
+
+def test_partition_dir_equality_prunes(spark, tmp_path):
+    path = str(tmp_path / "parts")
+    df = spark.createDataFrame(
+        [(c, i) for i, c in enumerate("aabbccdd")], "letter string, v long"
+    )
+    df.write.partitionBy("letter").parquet(path)
+    publish_generation(path)
+    _r, kept, total = plan_generation_scan(path, where=[("letter", "=", "b")])
+    assert len(kept) < total
+    assert all("letter=b" in f for f in kept)
+    got = read_generation(spark, path, where=[("letter", "=", "b")])
+    assert sorted(r.v for r in got.collect()) == [2, 3]
+
+
+def test_stats_carry_forward_skips_old_footers(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "append_store")
+    spark.range(0, 100).withColumn("k", F.col("id")).coalesce(3).write.parquet(
+        path
+    )
+    calls: list[str] = []
+    real = G.file_column_stats
+    monkeypatch.setattr(
+        G, "file_column_stats", lambda p: calls.append(p) or real(p)
+    )
+    publish_generation(path)
+    first = len(calls)
+    assert first >= 3  # every file footer read once
+    spark.range(100, 110).withColumn("k", F.col("id")).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    publish_generation(path)
+    assert len(calls) == first + 1  # ONLY the appended file's footer
+
+
+def test_stats_recomputed_across_compaction(spark, tmp_path):
+    from map_reduce_indexing_spark.api import IndexSession
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta") for i in range(6)], "doc_id long, text string"
+    )
+    s = IndexSession.build(spark, docs, str(tmp_path / "idx"))
+    s.append(
+        spark.createDataFrame(
+            [(100 + i, "gamma delta") for i in range(4)],
+            "doc_id long, text string",
+        )
+    )
+    s.compact()
+    m = G.load_manifest(s.index_path)
+    head = m["gens"][str(m["head"])]
+    assert head["stats"], "compacted generation carries fresh stats"
+    # letter partition pruning post-compaction, exact vs live filter
+    got = read_generation(spark, s.index_path, where=[("letter", "=", "g")])
+    live = s.postings().filter(F.col("word") == "gamma")
+    assert {(r.word, r.doc_id) for r in got.collect()} >= {
+        (r.word, r.doc_id) for r in live.collect()
+    }
+    _r, kept, total = plan_generation_scan(
+        s.index_path, where=[("letter", "=", "g")]
+    )
+    assert 0 < len(kept) < total
+
+
+def test_all_null_column_file_is_kept_and_exact(spark, tmp_path):
+    path = str(tmp_path / "nullable")
+    spark.createDataFrame(
+        [(1, None), (2, None)], "id long, tag string"
+    ).coalesce(1).write.parquet(path)
+    spark.createDataFrame(
+        [(3, "x"), (4, "y")], "id long, tag string"
+    ).coalesce(1).write.mode("append").parquet(path)
+    publish_generation(path)
+    got = read_generation(spark, path, where=[("tag", "=", "x")])
+    assert [tuple(r) for r in got.collect()] == [(3, "x")]
+
+
+def test_exported_pruned_scan_matches_oracle_and_prunes(spark, duck):
+    from map_reduce_indexing_spark.operators.relational_extra import (
+        orders_snapshot_store,
+        q_rel_snapshot_pruned_scan,
+    )
+    from map_reduce_indexing_spark.plans.registry import get
+
+    from .conftest import assert_df_matches_oracle
+
+    assert_df_matches_oracle(
+        q_rel_snapshot_pruned_scan(spark, SF_DIR),
+        duck,
+        get("rel_snapshot_pruned_scan").oracle,
+    )
+    path = orders_snapshot_store(spark, SF_DIR)
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 12, 31)
+    _r, kept, total = plan_generation_scan(
+        path, where=[("o_orderdate", "between", (lo, hi))]
+    )
+    assert total == 16
+    assert 0 < len(kept) <= 4  # ~1 year of a 6.6-year range
+
+
+def test_no_stats_manifest_still_reads(spark, tmp_path):
+    """A manifest written before the stats field existed (or a file
+    pyarrow can't stat) must degrade to keep-everything, not fail."""
+    path = str(tmp_path / "legacy")
+    spark.range(0, 10).coalesce(1).write.parquet(path)
+    publish_generation(path)
+    m = G.load_manifest(path)
+    for g in m["gens"].values():
+        g.pop("stats", None)
+    G._save_manifest(path, m)
+    got = read_generation(spark, path, where=[("id", "<", 5)])
+    assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3, 4]
