@@ -73,6 +73,7 @@ HEADLINE = [
     "rel_bucketed_join_agg",   # exchange-free bucketed-layout join (r8)
     "rel_snapshot_pruned_scan",  # manifest-stats file-skipping scan (r9)
     "rel_matview_refresh",     # incremental materialized aggregate (r9)
+    "rel_matview_rollup_route",  # view routing: coarser GROUP BY from partials (r9)
 ]
 
 

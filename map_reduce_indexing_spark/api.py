@@ -194,7 +194,7 @@ class IndexSession:
         retention GEN_RETAIN — sources/generations.py)."""
         compact_index(self.spark, self.index_path)
 
-    def postings_at(self, generation: int | None = None) -> DataFrame:
+    def postings_at(self, generation: int | str | None = None) -> DataFrame:
         """`postings()` against a PINNED generation — two queries at
         the same generation see the same rows even while appends and
         compactions land in between (snapshot isolation; generations
@@ -344,7 +344,7 @@ class VectorStore:
 
         return read_vector_store(self.spark, self.path)
 
-    def vectors_at(self, generation: int | None = None) -> DataFrame:
+    def vectors_at(self, generation: int | str | None = None) -> DataFrame:
         """The store's rows at a PINNED generation (snapshot
         isolation across concurrent appends/compactions — e.g. train
         a model on snapshot S while ingest continues; generations are

@@ -23,6 +23,24 @@ homomorphic aggregates, which is exactly what makes it exact:
   containment) or falls back to an exact anti-join on caller-named
   row keys, and never silently rescans.
 
+- `count_distinct` — the textbook NON-distributive aggregate — is
+  maintained EXACTLY via an auxiliary SUPPORT view (the standard IVM
+  move): per distinct-counted column the view also stores
+  `(group keys, value) -> n_rows`, itself a sum-monoid, and the
+  served distinct count is the support's per-group row count. The
+  support is (group x distinct-value)-sized — the distinct count's
+  own output size, not the base's row count.
+
+- `approx_distinct` is the sketch alternative for when even the
+  support table is too big (e.g. distinct user-ids per day at 100 TB):
+  the view stores an HLL SKETCH binary per group
+  (`hll_sketch_agg`), refresh merges sketches (`hll_union_agg` —
+  register-wise max, a commutative idempotent monoid, so incremental
+  merge == full rebuild by construction), and the served column is
+  the estimate. This is the Iceberg/DataSketches pattern: mergeable
+  sketches ARE the reason sketches beat exact algorithms in a
+  snapshot-incremental world.
+
 - Refresh cost is delta-sized: the diff's fast path scans ONLY the
   files published after the view's pinned generation, the delta
   partial-agg shuffles delta-group cardinality, and the merge is a
@@ -31,15 +49,26 @@ homomorphic aggregates, which is exactly what makes it exact:
   100 TB with daily appends this is the difference between a full
   corpus scan per refresh and a scan of one day.
 
+- `rollup_matview` is the AGGREGATION-NAVIGATOR half (the
+  materialized-view ROUTING idea, e.g. Calcite's lattice rewrite):
+  any GROUP BY over a SUBSET of the view's keys is answerable from
+  the stored partials alone — counts/sums re-add, min/max re-combine,
+  count_distinct re-counts the support projected to the coarser keys
+  (values collapse across merged groups exactly), sketches re-union —
+  so a dashboard's coarser queries never touch the base at all.
+
 - Durability follows the house artifact discipline: the view is a
-  parquet directory plus a `_matview.json` sidecar (base path, pinned
-  base generation, spec), written via staged `os.replace` swap under
+  parquet directory (plus `_support_<out>/` parquet subdirs —
+  underscore-prefixed, invisible to a plain read of the view root)
+  plus a `_matview.json` sidecar (base path, pinned base generation,
+  spec), written via staged `os.replace` swap under
   `index_writer_lock(view_path)` — a crash leaves the old view + old
   sidecar (the pinned generation is re-consumable because generations
   are immutable and retained), a torn state is impossible.
 
 Spec shape: `aggs` maps output column -> (op, input column) with op in
-{"count", "sum", "min", "max"}; `("count", "*")` counts rows.
+{"count", "sum", "min", "max", "count_distinct", "approx_distinct"};
+`("count", "*")` counts rows.
 """
 
 from __future__ import annotations
@@ -59,7 +88,7 @@ from ..sources.generations import (
 
 MATVIEW_FILE = "_matview.json"
 
-_OPS = {"count", "sum", "min", "max"}
+_OPS = {"count", "sum", "min", "max", "count_distinct", "approx_distinct"}
 
 
 def _load_spec(view_path: str) -> dict:
@@ -68,12 +97,32 @@ def _load_spec(view_path: str) -> dict:
         return json.load(fh)
 
 
-def _partial_agg(df: DataFrame, key_cols: list[str], aggs: dict) -> DataFrame:
-    """One partial-aggregate row per group. Spark's hash aggregate
-    computes this with a map-side combine, so the exchange carries
-    group cardinality, not row counts."""
-    exprs = []
+def _split(aggs: dict) -> tuple[dict, dict, dict]:
+    """(mergeable, count_distinct, approx_distinct) sub-specs."""
+    merge, cd, hll = {}, {}, {}
     for out, (op, col) in aggs.items():
+        if op == "count_distinct":
+            cd[out] = col
+        elif op == "approx_distinct":
+            hll[out] = col
+        else:
+            merge[out] = (op, col)
+    return merge, cd, hll
+
+
+def _sk(out: str) -> str:
+    return f"_sk_{out}"
+
+
+def _partial_agg(df: DataFrame, key_cols: list[str], aggs: dict) -> DataFrame:
+    """One partial-aggregate row per group: the mergeable scalars plus
+    one HLL sketch binary per approx_distinct output. Spark's hash
+    aggregate computes this with a map-side combine, so the exchange
+    carries group cardinality, not row counts. count_distinct outputs
+    are NOT here — they live in the support tables."""
+    merge, _cd, hll = _split(aggs)
+    exprs = []
+    for out, (op, col) in merge.items():
         if op == "count":
             exprs.append(
                 (F.count(F.lit(1)) if col == "*" else F.count(col)).alias(out)
@@ -86,7 +135,22 @@ def _partial_agg(df: DataFrame, key_cols: list[str], aggs: dict) -> DataFrame:
             exprs.append(F.max(col).alias(out))
         else:
             raise ValueError(f"unsupported aggregate op {op!r}")
+    for out, col in hll.items():
+        exprs.append(F.hll_sketch_agg(col).alias(_sk(out)))
     return df.groupBy(*key_cols).agg(*exprs)
+
+
+def _support_partial(
+    df: DataFrame, key_cols: list[str], col: str
+) -> DataFrame:
+    """The support view's partial rows for one distinct-counted
+    column: (group keys, value) -> row count. NULLs are excluded up
+    front — COUNT(DISTINCT col) ignores them (SQL semantics)."""
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(*key_cols, F.col(col).alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
 
 
 def _merge_partials(
@@ -94,24 +158,76 @@ def _merge_partials(
 ) -> DataFrame:
     """Fold two partial-aggregate frames into one: counts and sums ADD
     (count-of-nonnull partials merge by summation, not re-counting —
-    re-counting would count partial ROWS), min/max combine."""
+    re-counting would count partial ROWS), min/max combine, HLL
+    sketches union (register-wise max)."""
+    merge, _cd, hll = _split(aggs)
     exprs = []
-    for out, (op, _col) in aggs.items():
+    for out, (op, _col) in merge.items():
         if op in ("count", "sum"):
             exprs.append(F.sum(out).alias(out))
         elif op == "min":
             exprs.append(F.min(out).alias(out))
         else:
             exprs.append(F.max(out).alias(out))
+    for out in hll:
+        exprs.append(F.hll_union_agg(_sk(out)).alias(_sk(out)))
     return stored.unionByName(delta).groupBy(*key_cols).agg(*exprs)
 
 
+def _join_null_safe(
+    left: DataFrame, right: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """LEFT JOIN on the group keys with NULL-SAFE equality (group keys
+    may legitimately be NULL — a plain equi-join would silently drop
+    the null group's derived columns). The right side's keys are
+    renamed before the join: both frames usually share lineage (view
+    and support derive from the same base scan), and same-name columns
+    would resolve to ONE attribute — a trivially-true predicate."""
+    tmp = {k: f"_mvk_{i}" for i, k in enumerate(key_cols)}
+    r = right
+    for k, t in tmp.items():
+        r = r.withColumnRenamed(k, t)
+    cond = None
+    for k, t in tmp.items():
+        e = left[k].eqNullSafe(F.col(t))
+        cond = e if cond is None else (cond & e)
+    return left.join(r, cond, "left").drop(*tmp.values())
+
+
+def _attach_derived(
+    main: DataFrame,
+    supports: dict[str, DataFrame],
+    key_cols: list[str],
+    aggs: dict,
+) -> DataFrame:
+    """Materialize the SERVED columns onto the main frame: each
+    count_distinct output is its support's per-group row count
+    (null-safe join — group keys may legitimately be NULL), each
+    approx_distinct output is its sketch's estimate. Groups whose
+    values were all NULL have no support rows: distinct count 0."""
+    _merge, cd, hll = _split(aggs)
+    out = main
+    for name, sup in supports.items():
+        counts = sup.groupBy(*key_cols).agg(F.count(F.lit(1)).alias(name))
+        out = _join_null_safe(out, counts, key_cols)
+        out = out.withColumn(name, F.coalesce(F.col(name), F.lit(0)))
+    for name in hll:
+        out = out.withColumn(
+            name,
+            F.coalesce(F.hll_sketch_estimate(_sk(name)), F.lit(0)),
+        )
+    return out
+
+
 def _write_view(
-    df: DataFrame, view_path: str, sidecar: dict
+    df: DataFrame,
+    view_path: str,
+    sidecar: dict,
+    supports: dict[str, DataFrame] | None = None,
 ) -> None:
-    """Staged write + atomic swap of data AND sidecar together, under
-    the view's writer flock (same crash story as compact_artifact:
-    old view intact until the final rename pair)."""
+    """Staged write + atomic swap of data, support tables, AND sidecar
+    together, under the view's writer flock (same crash story as
+    compact_artifact: old view intact until the final rename pair)."""
     import shutil
     import tempfile
 
@@ -123,6 +239,10 @@ def _write_view(
         )
         _chmod_staging(staging)
         df.write.mode("overwrite").parquet(staging)
+        for name, sup in (supports or {}).items():
+            sup.write.mode("overwrite").parquet(
+                os.path.join(staging, f"_support_{name}")
+            )
         with open(os.path.join(staging, MATVIEW_FILE), "w") as fh:
             json.dump(sidecar, fh)
         old = view_path + ".old"
@@ -152,7 +272,13 @@ def create_matview(
             raise ValueError(f"unsupported aggregate op {op!r} for {out!r}")
     gen = generation_head(base_path) if at is None else int(at)
     base = read_generation(spark, base_path, at=gen)
-    view = _partial_agg(base, key_cols, aggs)
+    _merge, cd, _hll = _split(aggs)
+    supports = {
+        out: _support_partial(base, key_cols, col) for out, col in cd.items()
+    }
+    view = _attach_derived(
+        _partial_agg(base, key_cols, aggs), supports, key_cols, aggs
+    )
     _write_view(
         view,
         view_path,
@@ -163,8 +289,18 @@ def create_matview(
             "aggs": {k: list(v) for k, v in aggs.items()},
             "row_keys": list(row_keys or []),
         },
+        supports,
     )
     return gen
+
+
+def _stored_main(spark: SparkSession, view_path: str, aggs: dict) -> DataFrame:
+    """The stored frame reduced to its MERGEABLE columns: the served
+    count_distinct / estimate columns are derived, so a refresh drops
+    and recomputes them rather than merging them (a distinct count is
+    not a monoid — that's what the supports are for)."""
+    _merge, cd, hll = _split(aggs)
+    return spark.read.parquet(view_path).drop(*cd, *hll)
 
 
 def refresh_matview(spark: SparkSession, view_path: str) -> dict:
@@ -193,13 +329,25 @@ def refresh_matview(spark: SparkSession, view_path: str) -> dict:
         key_cols=tuple(spec.get("row_keys") or ()),
     )
     n_files = len(delta_rels) if mode == "append" else -1
-    stored = spark.read.parquet(view_path)
+    stored = _stored_main(spark, view_path, aggs)
     merged = _merge_partials(
         stored, _partial_agg(delta, key_cols, aggs), key_cols, aggs
     )
+    _m, cd, _h = _split(aggs)
+    supports = {}
+    for out, col in cd.items():
+        stored_sup = spark.read.parquet(
+            os.path.join(view_path, f"_support_{out}")
+        )
+        supports[out] = (
+            stored_sup.unionByName(_support_partial(delta, key_cols, col))
+            .groupBy(*key_cols, "_v")
+            .agg(F.sum("_n").alias("_n"))
+        )
+    merged = _attach_derived(merged, supports, key_cols, aggs)
     sidecar = dict(spec)
     sidecar["base_gen"] = head
-    _write_view(merged, view_path, sidecar)
+    _write_view(merged, view_path, sidecar, supports)
     return {
         "from": pinned, "to": head, "delta_files": n_files, "refreshed": True
     }
@@ -207,6 +355,56 @@ def refresh_matview(spark: SparkSession, view_path: str) -> dict:
 
 def read_matview(spark: SparkSession, view_path: str) -> DataFrame:
     """The view's final form: stored partials are already one row per
-    group, served as-is (derived ratios like avg = sum/count are the
-    caller's one-liner over these columns)."""
-    return spark.read.parquet(view_path)
+    group, served as-is minus the internal sketch binaries (derived
+    ratios like avg = sum/count are the caller's one-liner over these
+    columns)."""
+    df = spark.read.parquet(view_path)
+    return df.drop(*[c for c in df.columns if c.startswith("_sk_")])
+
+
+def rollup_matview(
+    spark: SparkSession, view_path: str, sub_keys: list[str]
+) -> DataFrame:
+    """Answer a COARSER GROUP BY from the stored partials alone — the
+    materialized-view routing rewrite: any grouping over a subset of
+    the view's keys re-aggregates group-cardinality-sized state, never
+    the base. counts/sums re-add, min/max re-combine, count_distinct
+    re-counts its support projected to the coarser keys (exact —
+    values collapsing across merged groups deduplicate in the
+    re-count), sketches re-union then estimate."""
+    spec = _load_spec(view_path)
+    key_cols = spec["key_cols"]
+    if not set(sub_keys) <= set(key_cols):
+        raise ValueError(
+            f"rollup keys {sub_keys!r} are not a subset of the view's "
+            f"keys {key_cols!r}; the view cannot answer this grouping"
+        )
+    aggs = {k: tuple(v) for k, v in spec["aggs"].items()}
+    merge, cd, hll = _split(aggs)
+    stored = spark.read.parquet(view_path)
+    exprs = []
+    for out, (op, _col) in merge.items():
+        if op in ("count", "sum"):
+            exprs.append(F.sum(out).alias(out))
+        elif op == "min":
+            exprs.append(F.min(out).alias(out))
+        else:
+            exprs.append(F.max(out).alias(out))
+    for out in hll:
+        exprs.append(
+            F.coalesce(
+                F.hll_sketch_estimate(F.hll_union_agg(_sk(out))), F.lit(0)
+            ).alias(out)
+        )
+    rolled = stored.groupBy(*sub_keys).agg(*exprs)
+    for out in cd:
+        sup = spark.read.parquet(os.path.join(view_path, f"_support_{out}"))
+        counts = (
+            sup.select(*sub_keys, "_v")
+            .distinct()
+            .groupBy(*sub_keys)
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+        rolled = _join_null_safe(rolled, counts, sub_keys)
+        rolled = rolled.withColumn(out, F.coalesce(F.col(out), F.lit(0)))
+    return rolled

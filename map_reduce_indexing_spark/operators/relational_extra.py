@@ -800,3 +800,191 @@ def q_rel_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_order",
         "last_order",
     )
+
+
+def orders_matview_distinct_demo(spark: SparkSession, sf_dir: str) -> str:
+    """The distinct-count IVM lifecycle, built once per (application,
+    corpus content): orders projected to (priority, month, custkey,
+    price) with 70% (o_orderkey % 10 < 7) as generation 1, a
+    (priority, month)-keyed view materialized against it including a
+    COUNT(DISTINCT o_custkey) — maintained EXACTLY via the auxiliary
+    support table (operators/matview.py) — then the remaining 30%
+    appended (generation 2) and the view refreshed delta-only. Serves
+    BOTH exported queries: the view read at its own grain and the
+    rollup routed to the coarser month grain."""
+    from ..sources.generations import publish_generation
+    from .indexing import session_artifact_path
+    from .matview import create_matview, refresh_matview
+
+    def build(path: str) -> None:
+        base = _os.path.join(path, "base")
+        view = _os.path.join(path, "view")
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderpriority",
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            dec("o_totalprice").alias("price_dec"),
+        )
+        o.filter(F.col("o_orderkey") % 10 < 7).coalesce(4).write.parquet(base)
+        publish_generation(base)
+        create_matview(
+            spark,
+            base,
+            view,
+            ["o_orderpriority", "month"],
+            {
+                "n_orders": ("count", "*"),
+                "total_price": ("sum", "price_dec"),
+                "n_custs": ("count_distinct", "o_custkey"),
+            },
+            row_keys=["o_orderkey"],
+        )
+        o.filter(F.col("o_orderkey") % 10 >= 7).coalesce(2).write.mode(
+            "append"
+        ).parquet(base)
+        publish_generation(base)
+        refresh_matview(spark, view)
+
+    return session_artifact_path(
+        spark, sf_dir, "orders_matview_distinct_demo", "orders.parquet", build
+    )
+
+
+@register(
+    "rel_matview_distinct",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               strftime(o_orderdate, '%Y-%m') AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+        FROM orders GROUP BY 1, 2
+    """,
+    tier="relational",
+    doc="COUNT(DISTINCT) under incremental view maintenance — the "
+    "textbook NON-distributive aggregate: the view stores an auxiliary "
+    "SUPPORT table ((group, value) -> row count, itself a sum-monoid) "
+    "and serves the distinct count as the support's per-group size "
+    "(operators/matview.py). Customers ordering in BOTH the 70% base "
+    "and the 30% appended delta must not double-count — the oracle "
+    "aggregates the full table, so the external hash match proves the "
+    "support-merge dedups exactly. The support is (group x distinct "
+    "value)-sized — the answer's own size, never the base's row count; "
+    "at 100 TB the refresh still scans one day's files.",
+)
+def q_rel_matview_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .matview import read_matview
+
+    root = orders_matview_distinct_demo(spark, sf_dir)
+    v = read_matview(spark, _os.path.join(root, "view"))
+    return v.select(
+        F.col("o_orderpriority").alias("priority"),
+        "month",
+        "n_orders",
+        F.col("total_price").cast("double").alias("total_price"),
+        F.col("n_custs").cast("long").alias("n_custs"),
+    )
+
+
+@register(
+    "rel_matview_rollup_route",
+    oracle="""
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+        FROM orders GROUP BY 1
+    """,
+    tier="relational",
+    doc="MATERIALIZED-VIEW ROUTING (the Calcite lattice rewrite): a "
+    "GROUP BY month is answered from the (priority, month)-keyed "
+    "view's stored partials alone — counts/sums re-add, the distinct "
+    "customer count re-counts the support projected to the month key "
+    "(operators/matview.py:rollup_matview). A customer ordering under "
+    "several priorities within a month collapses to ONE in the "
+    "re-count — summing per-group distinct counts would be wrong, and "
+    "the full-table oracle certifies the dedup. The routed query "
+    "touches group-cardinality-sized state; the base is never scanned "
+    "— at 100 TB that is the entire point of maintaining the view.",
+)
+def q_rel_matview_rollup_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .matview import rollup_matview
+
+    root = orders_matview_distinct_demo(spark, sf_dir)
+    r = rollup_matview(spark, _os.path.join(root, "view"), ["month"])
+    return r.select(
+        "month",
+        "n_orders",
+        F.col("total_price").cast("double").alias("total_price"),
+        F.col("n_custs").cast("long").alias("n_custs"),
+    )
+
+
+def orders_savepoint_demo(spark: SparkSession, sf_dir: str) -> str:
+    """A tagged-generation lifecycle, built once per (application,
+    corpus content): 70% of orders published as generation 1 and
+    TAGGED 'train-v1' (sources/generations.py:tag_generation — the
+    Iceberg ref rule: a tag blocks retention expiry until dropped),
+    then the remaining 30% appended as generation 2. The exported
+    query reads AT THE TAG, so its oracle is the 70% filter — the
+    hash match proves the named pin still serves exactly the
+    pre-append snapshot while the store's head has moved on."""
+    from ..sources.generations import publish_generation, tag_generation
+    from .indexing import session_artifact_path
+
+    def build(path: str) -> None:
+        base = _os.path.join(path, "base")
+        o = _orders_projected(spark, sf_dir)
+        o.filter(F.col("o_orderkey") % 10 < 7).coalesce(4).write.parquet(base)
+        publish_generation(base)
+        tag_generation(base, "train-v1")
+        o.filter(F.col("o_orderkey") % 10 >= 7).coalesce(2).write.mode(
+            "append"
+        ).parquet(base)
+        publish_generation(base)
+
+    return session_artifact_path(
+        spark, sf_dir, "orders_savepoint_demo", "orders.parquet", build
+    )
+
+
+@register(
+    "rel_savepoint_pinned_read",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        WHERE o_orderkey % 10 < 7
+        GROUP BY 1
+    """,
+    tier="relational",
+    doc="A NAMED SNAPSHOT read: generation 1 (70% of orders) is tagged "
+    "'train-v1' before a further 30% lands as generation 2, and the "
+    "query aggregates read_generation(at='train-v1') "
+    "(sources/generations.py:tag_generation — Iceberg's tag/ref rule "
+    "on the repo's own snapshot tier: a tag resolves like a version "
+    "number AND blocks retention expiry until dropped, where the TTL "
+    "policy alone only promises a wall-clock window). The oracle "
+    "filters to the pre-append row set, so the external hash match "
+    "proves the pin serves exactly the tagged snapshot while the head "
+    "has moved on. create_savepoint applies one tag across several "
+    "stores — a training run pins tokens + index + vectors under a "
+    "single handle (tests/test_tags.py, incl. survival through real "
+    "append+compact eras that expire every untagged sibling).",
+)
+def q_rel_savepoint_pinned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.generations import read_generation
+
+    root = orders_savepoint_demo(spark, sf_dir)
+    df = read_generation(spark, _os.path.join(root, "base"), at="train-v1")
+    return df.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("price_dec", "total_price"),
+    )

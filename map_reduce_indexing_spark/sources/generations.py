@@ -62,6 +62,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -285,6 +286,91 @@ def generation_head(path: str) -> int:
     return int(m["head"]) if m else 0
 
 
+def _resolve(m: dict, path: str, at) -> int:
+    """A generation selector to a generation number: int passes
+    through, None means head, a string names a TAG (resolved via the
+    manifest's refs — Iceberg's `VERSION AS OF 'tag'`)."""
+    if at is None:
+        return int(m["head"])
+    if isinstance(at, str):
+        refs = m.get("refs") or {}
+        if at not in refs:
+            raise ValueError(
+                f"no tag {at!r} on {path!r} (tags: {sorted(refs)})"
+            )
+        return int(refs[at])
+    return int(at)
+
+
+_TAG_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_.\-]*$")
+
+
+def tag_generation(path: str, name: str, at: int | None = None) -> int:
+    """Pin generation `at` (head when None) under a NAME that (a)
+    resolves in every reader (`read_generation(..., at=name)`) and (b)
+    BLOCKS retention expiry until dropped — the Iceberg tag/ref rule.
+    The TTL policy gives pinned readers a wall-clock guarantee; a tag
+    gives an open-ended one (a week-long training run pins its input
+    by name, ingest and compaction churn freely). Taken under the
+    artifact's writer flock: manifest updates are read-modify-write."""
+    from ..operators.indexing import index_writer_lock
+
+    if not _TAG_RE.match(name):
+        raise ValueError(f"invalid tag name {name!r}")
+    with index_writer_lock(path):
+        m = load_manifest(path)
+        if m is None:
+            raise ValueError(f"{path!r} has no generation manifest")
+        gen = _resolve(m, path, at)
+        if str(gen) not in m["gens"]:
+            raise ValueError(
+                f"generation {gen} of {path!r} is not available "
+                f"(retained: {sorted(int(k) for k in m['gens'])})"
+            )
+        m.setdefault("refs", {})[name] = gen
+        _save_manifest(path, m)
+    return gen
+
+
+def drop_tag(path: str, name: str) -> None:
+    """Release a tag; its generation re-enters normal TTL retention
+    (pruned at the next publish once aged out, not immediately)."""
+    from ..operators.indexing import index_writer_lock
+
+    with index_writer_lock(path):
+        m = load_manifest(path)
+        if m is not None and name in (m.get("refs") or {}):
+            del m["refs"][name]
+            _save_manifest(path, m)
+
+
+def list_tags(path: str) -> dict[str, int]:
+    m = load_manifest(path)
+    return dict((m or {}).get("refs") or {})
+
+
+def create_savepoint(paths: list[str], name: str) -> dict[str, int]:
+    """A cross-store SAVEPOINT: tag the current head of every store in
+    `paths` with one shared name, so a multi-artifact consumer (a
+    training job reading tokens + index + vectors) can pin all its
+    inputs under a single handle and read each with
+    `read_generation(..., at=name)`. Stores are tagged in sorted-path
+    order (deterministic; no cross-store lock ordering hazard — each
+    tag takes only its own store's flock). The guarantee is per-store
+    snapshot isolation under one name, not a cross-store barrier:
+    each store pins whatever its head was at tag time, and writers
+    that publish AFTER their store is tagged never move the pin."""
+    out = {}
+    for p in sorted(paths):
+        out[p] = tag_generation(p, name)
+    return out
+
+
+def drop_savepoint(paths: list[str], name: str) -> None:
+    for p in sorted(paths):
+        drop_tag(p, name)
+
+
 def _link_tree(src_root: str, rels: list[str], dst_root: str) -> None:
     for rel in rels:
         dst = os.path.join(dst_root, rel)
@@ -295,18 +381,21 @@ def _link_tree(src_root: str, rels: list[str], dst_root: str) -> None:
             shutil.copy2(os.path.join(src_root, rel), dst)
 
 
-def _expired(gens: dict) -> list[str]:
+def _expired(gens: dict, refs: dict | None = None) -> list[str]:
     """Keys to drop under the retention policy: never the newest
-    GEN_RETAIN; beyond those, only generations older than
-    GEN_TTL_SECONDS."""
+    GEN_RETAIN, never a generation a named TAG points at (Iceberg's
+    refs rule: a tag blocks expiry until dropped); beyond those, only
+    generations older than GEN_TTL_SECONDS."""
     import time
 
     newest = set(sorted((int(k) for k in gens), reverse=True)[:GEN_RETAIN])
+    tagged = {int(g) for g in (refs or {}).values()}
     now = time.time()
     return [
         k
         for k in gens
         if int(k) not in newest
+        and int(k) not in tagged
         and now - float(gens[k].get("created", 0.0)) > GEN_TTL_SECONDS
     ]
 
@@ -314,7 +403,7 @@ def _expired(gens: dict) -> list[str]:
 def _prune(path: str, m: dict) -> None:
     """Drop expired generations and remove their snapshot dirs.
     Hardlinks mean live data is untouched."""
-    for k in _expired(m["gens"]):
+    for k in _expired(m["gens"], m.get("refs")):
         root = m["gens"][k]["root"]
         del m["gens"][k]
         if root not in {g["root"] for g in m["gens"].values()}:
@@ -415,7 +504,8 @@ def carry_generations(path: str, staging: str) -> None:
         # the staging footers (nothing to carry forward by rel path)
         "stats": _collect_stats(staging, rels, {}),
     }
-    for k in _expired(gens):
+    refs = dict(m.get("refs") or {})
+    for k in _expired(gens, refs):
         del gens[k]  # dropped = simply not carried; live path untouched
     for k, g in gens.items():
         if int(k) == head + 1:
@@ -426,11 +516,11 @@ def carry_generations(path: str, staging: str) -> None:
                 g["files"],
                 os.path.join(staging, g["root"]),
             )
-    _save_manifest(staging, {"head": head + 1, "gens": gens})
+    _save_manifest(staging, {"head": head + 1, "gens": gens, "refs": refs})
 
 
 def plan_generation_scan(
-    path: str, at: int | None = None, where=None
+    path: str, at: int | str | None = None, where=None
 ) -> tuple[str, list[str], int]:
     """The planner-side half of a generation read: resolve generation
     `at` (head when None) and prune its file list against `where`
@@ -450,13 +540,13 @@ def plan_generation_scan(
             f"{path!r} has no generation manifest; use the live read "
             "or publish a generation first"
         )
-    n = int(m["head"]) if at is None else int(at)
+    n = _resolve(m, path, at)
     g = m["gens"].get(str(n))
     if g is None:
         raise ValueError(
             f"generation {n} of {path!r} is not available "
             f"(retained: {sorted(int(k) for k in m['gens'])}); "
-            f"raise GEN_RETAIN or pin a newer snapshot"
+            f"raise GEN_RETAIN, tag the snapshot, or pin a newer one"
         )
     root = path if g["root"] == "." else os.path.join(path, g["root"])
     stats = g.get("stats") or {}
@@ -471,7 +561,7 @@ def plan_generation_scan(
 
 
 def read_generation(
-    spark: SparkSession, path: str, at: int | None = None, where=None
+    spark: SparkSession, path: str, at: int | str | None = None, where=None
 ) -> DataFrame:
     """A DataFrame over exactly generation `at`'s files (head when
     None). basePath anchors partition-column discovery to the
@@ -504,7 +594,7 @@ def read_generation(
 
 
 def diff_plan(
-    path: str, since: int, until: int | None = None
+    path: str, since: int | str, until: int | str | None = None
 ) -> tuple[str, list[str] | None]:
     """Planner-side classification of a generation span:
     `("append", delta_rels)` when every `since` file is still in
@@ -516,7 +606,8 @@ def diff_plan(
     m = load_manifest(path)
     if m is None:
         raise ValueError(f"{path!r} has no generation manifest")
-    u = int(m["head"]) if until is None else int(until)
+    since = _resolve(m, path, since)
+    u = _resolve(m, path, until)
     ga, gb = m["gens"].get(str(since)), m["gens"].get(str(u))
     if ga is None or gb is None:
         missing = since if ga is None else u
@@ -533,8 +624,8 @@ def diff_plan(
 def generation_diff(
     spark: SparkSession,
     path: str,
-    since: int,
-    until: int | None = None,
+    since: int | str,
+    until: int | str | None = None,
     key_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Rows ADDED between generations `since` (exclusive) and `until`
@@ -553,7 +644,8 @@ def generation_diff(
     otherwise this raises rather than silently rescanning."""
     mode, _delta = diff_plan(path, since, until)
     m = load_manifest(path)
-    u = int(m["head"]) if until is None else int(until)
+    since = _resolve(m, path, since)
+    u = _resolve(m, path, until)
     ga, gb = m["gens"][str(since)], m["gens"][str(u)]
     old_files, new_files = set(ga["files"]), list(gb["files"])
     if mode == "append":

@@ -152,6 +152,146 @@ def test_unsupported_agg_rejected(spark, tmp_path):
         )
 
 
+DAGGS = {
+    "n": ("count", "*"),
+    "total": ("sum", "v"),
+    "d_tag": ("count_distinct", "tag"),
+    "a_tag": ("approx_distinct", "tag"),
+}
+
+
+def _full_distinct(spark, base: str, keys: list[str]):
+    return sorted(
+        tuple(r)
+        for r in read_generation(spark, base)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.count_distinct("tag").alias("d_tag"),
+        )
+        .collect()
+    )
+
+
+def test_count_distinct_incremental_equals_full(spark, tmp_path):
+    """The non-distributive aggregate: values REPEAT across appends
+    (each chunk reuses tag t0..t14), so a merge that double-counted
+    previously-seen values would fail immediately."""
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    _chunk(spark, 0, 30).coalesce(2).write.parquet(base)
+    publish_generation(base)
+    create_matview(spark, base, view, ["grp"], DAGGS, row_keys=["rid"])
+    for lo in (30, 60):
+        _chunk(spark, lo, 15).coalesce(1).write.mode("append").parquet(base)
+        publish_generation(base)
+        report = refresh_matview(spark, view)
+        assert report["delta_files"] == 1  # support merge is delta-fed too
+        got = sorted(
+            (r.grp, r.n, r.total, r.d_tag)
+            for r in read_matview(spark, view).collect()
+        )
+        assert got == _full_distinct(spark, base, ["grp"])
+
+
+def test_approx_distinct_incremental_equals_full_rebuild(spark, tmp_path):
+    """Sketch union is a register-wise max — incremental merge must
+    land on the SAME registers as a from-scratch build, so the served
+    estimates are identical (not merely close)."""
+    base = str(tmp_path / "b")
+    view_inc, view_full = str(tmp_path / "vi"), str(tmp_path / "vf")
+    wide = spark.range(4000).select(
+        (F.col("id") % 2).alias("grp"),
+        F.col("id").alias("v"),
+        F.concat(F.lit("u"), (F.col("id") % 1500).cast("string")).alias("tag"),
+        F.col("id").alias("rid"),
+    )
+    wide.filter("id < 2500").coalesce(2).write.parquet(base)
+    publish_generation(base)
+    create_matview(spark, base, view_inc, ["grp"], DAGGS, row_keys=["rid"])
+    wide.filter("id >= 2500").coalesce(1).write.mode("append").parquet(base)
+    publish_generation(base)
+    refresh_matview(spark, view_inc)
+    create_matview(spark, base, view_full, ["grp"], DAGGS)  # from scratch
+    inc = sorted(
+        (r.grp, r.a_tag, r.d_tag) for r in read_matview(spark, view_inc).collect()
+    )
+    full = sorted(
+        (r.grp, r.a_tag, r.d_tag) for r in read_matview(spark, view_full).collect()
+    )
+    assert inc == full
+    for _grp, est, exact in inc:  # and the estimate is a real estimate
+        assert abs(est - exact) <= 0.05 * exact
+
+
+def test_count_distinct_all_null_group_is_zero(spark, tmp_path):
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    df = spark.createDataFrame(
+        [(1, "a", 10, "x"), (2, "a", 20, "x"), (3, "b", 30, None),
+         (4, "b", 40, None)],
+        "rid long, grp string, v long, tag string",
+    )
+    df.coalesce(1).write.parquet(base)
+    publish_generation(base)
+    create_matview(spark, base, view, ["grp"], DAGGS)
+    rows = {r.grp: (r.d_tag, r.a_tag) for r in read_matview(spark, view).collect()}
+    assert rows["a"] == (1, 1)
+    assert rows["b"] == (0, 0)  # COUNT(DISTINCT) ignores NULLs entirely
+
+
+def test_rollup_serves_coarser_group_by_from_partials(spark, tmp_path):
+    """The aggregation-navigator: a GROUP BY over a key subset is
+    answered from stored partials (count_distinct via the support
+    projected to the coarser keys — values merging across groups must
+    deduplicate, which a naive sum of per-group distinct counts gets
+    wrong)."""
+    from map_reduce_indexing_spark.operators.matview import rollup_matview
+
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    df = spark.range(600).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") % 4).alias("sub"),
+        F.col("id").alias("v"),
+        F.concat(F.lit("t"), (F.col("id") % 37).cast("string")).alias("tag"),
+        F.col("id").alias("rid"),
+    )
+    df.coalesce(2).write.parquet(base)
+    publish_generation(base)
+    create_matview(spark, base, view, ["grp", "sub"], DAGGS)
+    got = sorted(
+        (r.grp, r.n, r.total, r.d_tag, r.a_tag)
+        for r in rollup_matview(spark, view, ["grp"]).collect()
+    )
+    want = sorted(
+        (r.grp, r.n, r.total, r.d, r.d)
+        for r in df.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.count_distinct("tag").alias("d"),
+        ).collect()
+    )
+    # per-(grp,sub) distinct counts sum to 12*4=48 > 37: dedup matters
+    assert got == want
+    with pytest.raises(ValueError, match="not a subset"):
+        rollup_matview(spark, view, ["grp", "nope"])
+
+
+def test_null_group_keys_join_null_safe(spark, tmp_path):
+    """Group keys may BE null; the derived-column join must match
+    null-to-null (eqNullSafe) or the null group's distinct count is
+    silently lost."""
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    df = spark.createDataFrame(
+        [(1, None, 10, "x"), (2, None, 20, "y"), (3, "a", 30, "x")],
+        "rid long, grp string, v long, tag string",
+    )
+    df.coalesce(1).write.parquet(base)
+    publish_generation(base)
+    create_matview(spark, base, view, ["grp"], DAGGS)
+    rows = {r.grp: r.d_tag for r in read_matview(spark, view).collect()}
+    assert rows == {None: 2, "a": 1}
+
+
 def test_exported_matview_query_matches_oracle(spark, duck):
     from map_reduce_indexing_spark.operators.relational_extra import (
         q_rel_matview_refresh,
