@@ -988,3 +988,43 @@ def q_rel_savepoint_pinned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("price_dec", "total_price"),
     )
+
+
+@register(
+    "rel_generation_diff_scan",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        WHERE o_orderkey % 10 >= 7
+        GROUP BY 1
+    """,
+    tier="relational",
+    doc="INCREMENTAL CONSUMPTION from a named snapshot: "
+    "generation_diff(since='train-v1') on the savepoint demo store "
+    "returns exactly the rows that arrived AFTER the tag — and in an "
+    "append-only span it reads ONLY the appended files, never the "
+    "rows the consumer already has (sources/generations.py: "
+    "generation_diff; planner classification via diff_plan). The "
+    "oracle is the complement filter of the pinned read's "
+    "(rel_savepoint_pinned_read), so the two external hash matches "
+    "together partition the table: pin + diff == whole store, no "
+    "overlap, no loss. This is the give-me-what-arrived-since-my-"
+    "training-snapshot primitive — at 100 TB a nightly top-up job "
+    "scans one night's files.",
+)
+def q_rel_generation_diff_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.generations import generation_diff
+
+    root = orders_savepoint_demo(spark, sf_dir)
+    delta = generation_diff(
+        spark, _os.path.join(root, "base"), since="train-v1"
+    )
+    return delta.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("price_dec", "total_price"),
+    )
