@@ -666,7 +666,10 @@ def orders_snapshot_store(spark: SparkSession, sf_dir: str) -> str:
         write_range_clustered(
             _orders_projected(spark, sf_dir), "o_orderdate", path, 16
         )
-        publish_generation(path)
+        # date range pruning via footer min/max; POINT lookups on the
+        # unclustered key via per-file bloom sidecars (every file's
+        # orderkey range covers every key — bounds can't prune those)
+        publish_generation(path, bloom_cols=["o_orderkey"])
 
     return session_artifact_path(
         spark, sf_dir, "orders_snapshot_store", "orders.parquet", build
@@ -1027,4 +1030,45 @@ def q_rel_generation_diff_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
         dsum("price_dec", "total_price"),
+    )
+
+
+@register(
+    "rel_bloom_point_lookup",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderpriority AS priority,
+               o_orderdate,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                   AS total_price
+        FROM orders WHERE o_orderkey = 7
+    """,
+    tier="relational",
+    doc="POINT LOOKUP on an unclustered high-cardinality key via "
+    "per-file BLOOM sidecars (sources/generations.py: "
+    "publish_generation(bloom_cols=...) — the Iceberg-puffin move on "
+    "the snapshot tier): the store is range-clustered by DATE, so "
+    "every file's o_orderkey min/max covers every key and bounds "
+    "prune nothing; the manifest-referenced blooms prune the probe to "
+    "the one file (plus rare false positives, which only KEEP a file "
+    "— misses are structurally impossible, so the lookup is lossless, "
+    "certified by the oracle's plain full-table filter). Built once "
+    "per immutable file at publish from a column-projected read; "
+    "probed planner-side from one manifest read + tiny sidecar "
+    "fetches. At 100 TB this is fetch-document-by-id against a "
+    "time-clustered corpus without a secondary index: O(candidate "
+    "files) sidecar probes instead of a full scan "
+    "(tests/test_bloom_skipping.py: losslessness, typed-key "
+    "collision-freedom, carry-forward, compaction, GC).",
+)
+def q_rel_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.generations import read_generation
+
+    path = orders_snapshot_store(spark, sf_dir)
+    df = read_generation(spark, path, where=[("o_orderkey", "=", 7)])
+    return df.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderdate",
+        F.col("price_dec").cast("double").alias("total_price"),
     )

@@ -76,6 +76,20 @@ GEN_DIR = "_gen"  # underscore: invisible to Spark directory scans
 # bound (Iceberg solves this with increment-last-char; dropping is the
 # conservative equivalent).
 STATS_MAX_STR = 64
+# Point-lookup file skipping: per-file BLOOM FILTERS over caller-named
+# columns (publish_generation(bloom_cols=[...])), stored as sidecar
+# files under _bloom/ and referenced by name from the manifest — the
+# Iceberg puffin shape: min/max bounds cannot prune an equality probe
+# on a high-cardinality UNCLUSTERED column (every file's range covers
+# every key), a bloom can. Unlike footer stats the build reads the
+# named columns' data pages of NEW files once at publish; readers stay
+# metadata-only (one small sidecar per candidate file, opened lazily).
+# False positives keep a file (conservative); false negatives are
+# structurally impossible, so pruning stays lossless.
+BLOOM_DIR = "_bloom"
+BLOOM_BITS_PER_VALUE = 10  # with k=7: ~0.9% false-positive rate
+BLOOM_K = 7
+BLOOM_MAX_BITS = 4_000_000  # 500 KB cap per (file, column)
 # Retention policy (Iceberg's expire_snapshots shape): the newest
 # GEN_RETAIN generations are ALWAYS kept; older ones survive only
 # while younger than GEN_TTL_SECONDS — so a pinned reader has a
@@ -174,6 +188,110 @@ def file_column_stats(abs_path: str) -> dict:
     return out
 
 
+def _bloom_key(v) -> str | None:
+    """Canonical byte-encoding of a value for bloom hashing, shared by
+    the publish-time builder and the read-time prober (they must agree
+    exactly or pruning turns lossy). Type-prefixed so 1 and "1" don't
+    collide; floats and unsupported types are refused — equality
+    pruning on floats is a footgun, and an unprovable type must keep
+    the file."""
+    import datetime
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return f"i{v}"
+    if isinstance(v, str):
+        return f"s{v}"
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return "t" + v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, datetime.date):
+        return "d" + v.isoformat()
+    return None
+
+
+def _bloom_hashes(key: str) -> tuple[int, int]:
+    import hashlib
+
+    h = hashlib.blake2b(key.encode("utf-8"), digest_size=16).digest()
+    h1 = int.from_bytes(h[:8], "little")
+    h2 = int.from_bytes(h[8:], "little") | 1  # odd: full cycle mod m
+    return h1, h2
+
+
+def _bloom_build(keys: list[str]) -> bytes:
+    """m(8B LE) + k(8B LE) + bit array. m sized to the value count at
+    BLOOM_BITS_PER_VALUE, capped — past the cap the filter degrades
+    toward keep-everything, never toward wrong pruning."""
+    m = min(BLOOM_MAX_BITS, max(1024, BLOOM_BITS_PER_VALUE * len(keys)))
+    bits = bytearray((m + 7) // 8)
+    for key in keys:
+        h1, h2 = _bloom_hashes(key)
+        for i in range(BLOOM_K):
+            idx = (h1 + i * h2) % m
+            bits[idx >> 3] |= 1 << (idx & 7)
+    return (
+        m.to_bytes(8, "little") + BLOOM_K.to_bytes(8, "little") + bytes(bits)
+    )
+
+
+def _bloom_contains(blob: bytes, key: str) -> bool:
+    m = int.from_bytes(blob[:8], "little")
+    k = int.from_bytes(blob[8:16], "little")
+    bits = blob[16:]
+    h1, h2 = _bloom_hashes(key)
+    for i in range(k):
+        idx = (h1 + i * h2) % m
+        if not bits[idx >> 3] & (1 << (idx & 7)):
+            return False
+    return True
+
+
+def _build_file_blooms(
+    abs_path: str, cols: list[str], bloom_root: str, fname_base: str
+) -> dict[str, str]:
+    """Build and persist one bloom per requested column of one NEW
+    data file; returns {col: sidecar filename}. Reads only the named
+    columns (column-projected parquet read). A column whose type the
+    key encoding refuses (floats, nested) gets no bloom — readers
+    keep the file, conservative as always."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, str] = {}
+    if not cols:
+        return out
+    try:
+        pf = pq.ParquetFile(abs_path)
+        present = [c for c in cols if c in pf.schema_arrow.names]
+        if not present:
+            return out
+        tbl = pf.read(columns=present)
+    except Exception:
+        return out
+    os.makedirs(bloom_root, exist_ok=True)
+    for col in present:
+        vals = tbl.column(col).drop_null().to_pylist()
+        keys = []
+        ok = True
+        for v in vals:
+            kk = _bloom_key(v)
+            if kk is None:
+                ok = False  # unsupported type: no bloom for this col
+                break
+            keys.append(kk)
+        if not ok:
+            continue
+        fname = f"{fname_base}.{col}"
+        tmp = os.path.join(bloom_root, fname + ".tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(_bloom_build(keys))
+        os.replace(tmp, os.path.join(bloom_root, fname))
+        out[col] = fname
+    return out
+
+
 def _partition_values(rel: str) -> dict[str, str]:
     """Hive partition key=value segments of a relative file path —
     directory-encoded columns carry no footer stats, so equality
@@ -188,12 +306,12 @@ def _partition_values(rel: str) -> dict[str, str]:
     return out
 
 
-def _file_matches(rel: str, stats: dict, where) -> bool:
+def _file_matches(rel: str, stats: dict, where, blooms=None, bloom_load=None) -> bool:
     """Conservative containment test: False only when the file's footer
-    bounds (or partition-dir values) PROVE no row can satisfy the
-    conjunction. Missing stats keep the file. Comparisons are
-    null-rejecting (SQL semantics), so all-null columns — which carry
-    no min/max — are never wrongly pruned: their files stay."""
+    bounds, partition-dir values, or bloom sidecars PROVE no row can
+    satisfy the conjunction. Missing stats keep the file. Comparisons
+    are null-rejecting (SQL semantics), so all-null columns — which
+    carry no min/max — are never wrongly pruned: their files stay."""
     parts = _partition_values(rel)
     for col, op, val in where:
         if col in parts:
@@ -203,6 +321,18 @@ def _file_matches(rel: str, stats: dict, where) -> bool:
             if op == "in" and pv not in {str(v) for v in val}:
                 return False
             continue
+        # bloom probe: the only file-level evidence an equality on an
+        # unclustered high-cardinality column can act on (every file's
+        # min/max range covers every key)
+        if op in ("=", "in") and blooms and bloom_load and col in blooms:
+            blob = bloom_load(blooms[col])
+            if blob is not None:
+                probe = [val] if op == "=" else list(val)
+                keys = [_bloom_key(v) for v in probe]
+                if all(k is not None for k in keys) and not any(
+                    _bloom_contains(blob, k) for k in keys
+                ):
+                    return False
         b = stats.get(col)
         if not b:
             continue
@@ -400,22 +530,52 @@ def _expired(gens: dict, refs: dict | None = None) -> list[str]:
     ]
 
 
+def _bloom_refs(gens: dict) -> set[str]:
+    return {
+        f
+        for g in gens.values()
+        for e in (g.get("stats") or {}).values()
+        for f in (e.get("bloom") or {}).values()
+    }
+
+
 def _prune(path: str, m: dict) -> None:
-    """Drop expired generations and remove their snapshot dirs.
+    """Drop expired generations and remove their snapshot dirs (and
+    any bloom sidecars no surviving generation references).
     Hardlinks mean live data is untouched."""
+    dropped = False
     for k in _expired(m["gens"], m.get("refs")):
         root = m["gens"][k]["root"]
         del m["gens"][k]
+        dropped = True
         if root not in {g["root"] for g in m["gens"].values()}:
             shutil.rmtree(os.path.join(path, root), ignore_errors=True)
+    bdir = os.path.join(path, BLOOM_DIR)
+    if dropped and os.path.isdir(bdir):
+        live = _bloom_refs(m["gens"])
+        for f in os.listdir(bdir):
+            if f not in live and not f.endswith(".tmp"):
+                try:
+                    os.remove(os.path.join(bdir, f))
+                except OSError:
+                    pass
 
 
-def _collect_stats(data_root: str, rels: list[str], prior: dict) -> dict:
-    """{rel: {"size": bytes, "cols": {col: [min, max]}}} for a file
-    listing. Files are immutable once written, so stats already
-    recorded for the same rel (size-verified) carry forward without
-    touching the footer — per publish, only the NEW files cost a
-    footer read."""
+def _collect_stats(
+    data_root: str,
+    rels: list[str],
+    prior: dict,
+    bloom_cols: list[str] | None = None,
+    bloom_root: str | None = None,
+) -> dict:
+    """{rel: {"size": bytes, "cols": {col: [min, max]},
+    "bloom": {col: sidecar}}} for a file listing. Files are immutable
+    once written, so stats (and bloom references) already recorded for
+    the same rel (size-verified) carry forward without touching the
+    file — per publish, only the NEW files cost a footer read plus, if
+    bloom columns are configured, one projected read of those columns."""
+    import hashlib
+
     out = {}
     for rel in rels:
         p = os.path.join(data_root, rel)
@@ -427,7 +587,15 @@ def _collect_stats(data_root: str, rels: list[str], prior: dict) -> dict:
         if prev is not None and prev.get("size") == size:
             out[rel] = prev
         else:
-            out[rel] = {"size": size, "cols": file_column_stats(p)}
+            entry = {"size": size, "cols": file_column_stats(p)}
+            if bloom_cols and bloom_root is not None:
+                base = hashlib.md5(
+                    f"{rel}::{size}".encode("utf-8")
+                ).hexdigest()[:20]
+                b = _build_file_blooms(p, list(bloom_cols), bloom_root, base)
+                if b:
+                    entry["bloom"] = b
+            out[rel] = entry
     return out
 
 
@@ -451,7 +619,13 @@ def _publish(path: str, head: int, m: dict) -> int:
         "root": root,
         "files": rels,
         "created": time.time(),
-        "stats": _collect_stats(path, rels, _prior_stats(m["gens"])),
+        "stats": _collect_stats(
+            path,
+            rels,
+            _prior_stats(m["gens"]),
+            m.get("bloom_cols"),
+            os.path.join(path, BLOOM_DIR),
+        ),
     }
     _prune(path, m)
     _save_manifest(path, m)
@@ -471,11 +645,20 @@ def ensure_base_generation(path: str) -> int:
     return _publish(path, 1, {"head": 0, "gens": {}})
 
 
-def publish_generation(path: str) -> int:
+def publish_generation(path: str, bloom_cols: list[str] | None = None) -> int:
     """Snapshot the live state as a new head generation (immutable
     hardlinked copy under `_gen/`). Callers hold the artifact's
-    writer flock."""
+    writer flock.
+
+    `bloom_cols` configures point-lookup bloom sidecars for the named
+    columns — STICKY: recorded in the manifest, so every later publish
+    and every compaction rebuild keeps building them for new files
+    without the caller repeating itself. Only this publish's NEW files
+    pay the projected column read (carried files keep their blooms by
+    rel+size, same as footer stats)."""
     m = load_manifest(path) or {"head": 0, "gens": {}}
+    if bloom_cols:
+        m["bloom_cols"] = sorted(set(m.get("bloom_cols") or []) | set(bloom_cols))
     return _publish(path, int(m["head"]) + 1, m)
 
 
@@ -500,9 +683,16 @@ def carry_generations(path: str, staging: str) -> None:
         "root": root,
         "files": rels,
         "created": time.time(),
-        # compaction rewrote every file: all stats computed fresh from
-        # the staging footers (nothing to carry forward by rel path)
-        "stats": _collect_stats(staging, rels, {}),
+        # compaction rewrote every file: all stats (and blooms)
+        # computed fresh from the staging files — nothing to carry
+        # forward by rel path
+        "stats": _collect_stats(
+            staging,
+            rels,
+            {},
+            m.get("bloom_cols"),
+            os.path.join(staging, BLOOM_DIR),
+        ),
     }
     refs = dict(m.get("refs") or {})
     for k in _expired(gens, refs):
@@ -516,7 +706,22 @@ def carry_generations(path: str, staging: str) -> None:
                 g["files"],
                 os.path.join(staging, g["root"]),
             )
-    _save_manifest(staging, {"head": head + 1, "gens": gens, "refs": refs})
+    # carried generations keep referencing their bloom sidecars by
+    # name: hardlink those into staging's _bloom so the swap carries
+    # them with the data (the new head's blooms are already there)
+    carried = _bloom_refs(
+        {k: g for k, g in gens.items() if int(k) != head + 1}
+    )
+    if carried:
+        _link_tree(
+            os.path.join(path, BLOOM_DIR),
+            sorted(carried),
+            os.path.join(staging, BLOOM_DIR),
+        )
+    staged = {"head": head + 1, "gens": gens, "refs": refs}
+    if m.get("bloom_cols"):
+        staged["bloom_cols"] = m["bloom_cols"]
+    _save_manifest(staging, staged)
 
 
 def plan_generation_scan(
@@ -552,10 +757,29 @@ def plan_generation_scan(
     stats = g.get("stats") or {}
     rels = g["files"]
     if where:
+        bloom_cache: dict[str, bytes | None] = {}
+
+        def bloom_load(fname: str):
+            if fname not in bloom_cache:
+                try:
+                    with open(
+                        os.path.join(path, BLOOM_DIR, fname), "rb"
+                    ) as fh:
+                        bloom_cache[fname] = fh.read()
+                except OSError:
+                    bloom_cache[fname] = None  # missing sidecar: keep
+            return bloom_cache[fname]
+
         rels = [
             r
             for r in rels
-            if _file_matches(r, (stats.get(r) or {}).get("cols") or {}, where)
+            if _file_matches(
+                r,
+                (stats.get(r) or {}).get("cols") or {},
+                where,
+                (stats.get(r) or {}).get("bloom"),
+                bloom_load,
+            )
         ]
     return root, [os.path.join(root, f) for f in rels], len(g["files"])
 
