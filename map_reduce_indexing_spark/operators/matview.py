@@ -182,7 +182,13 @@ def _join_null_safe(
     the null group's derived columns). The right side's keys are
     renamed before the join: both frames usually share lineage (view
     and support derive from the same base scan), and same-name columns
-    would resolve to ONE attribute — a trivially-true predicate."""
+    would resolve to ONE attribute — a trivially-true predicate.
+    Empty key_cols (a global rollup) degenerates to a 1-row broadcast
+    join — LEFT on a true condition, not a cross join, so an EMPTY
+    right side (all values null -> no support rows) still keeps the
+    left row and coalesces to 0."""
+    if not key_cols:
+        return left.join(F.broadcast(right), F.lit(True), "left")
     tmp = {k: f"_mvk_{i}" for i, k in enumerate(key_cols)}
     r = right
     for k, t in tmp.items():

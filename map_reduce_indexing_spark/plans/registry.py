@@ -115,6 +115,13 @@ PRIORITY_WINDOW = [
     # agg tier keeps rel_q1 external. Its slot carries incremental
     # view maintenance.)
     "rel_matview_refresh",  # r9 second batch: incremental materialized aggregate
+    # r9 third batch: the lakehouse tier's remaining flagships go
+    # external — distinct-count IVM (support-table maintenance, the
+    # non-distributive aggregate), bloom-sidecar point lookup, and the
+    # named-tag pinned read.
+    "rel_matview_distinct",
+    "rel_bloom_point_lookup",
+    "rel_savepoint_pinned_read",
     # iterative graph analytics (round 8: damped power iteration over
     # the trade graph — the crawl-graph quality-prior class, never
     # external before because it didn't exist)
@@ -163,7 +170,6 @@ PRIORITY_WINDOW = [
     # stronger consumer of the same exact-verify cosine arithmetic, so
     # dedup_embedding_pairs (7 stable rounds) retires to the sweep
     "dedup_semantic_pairs",
-    "dedup_clusters",
     # similarity search + accuracy eval (r6 rotation: ann_lsh_topk
     # retired in favor of the PQ compression tier — its bucket-pruning
     # plan assertion stays in tests/test_session_index.py; r7 third
@@ -176,7 +182,6 @@ PRIORITY_WINDOW = [
     # report retires to the sweep after 1 external round
     "ann_ivf_trained_topk",
     "ann_ivf_pq_topk",
-    "ann_knn_batch_numpy",
     # (r9 rotation: ann_recall_eval retired after 4 stable rounds —
     # accuracy evaluation keeps dedup_lsh_recall_eval external and the
     # PQ recall bar lives in pytest; two trainer rows take the slots:
@@ -187,11 +192,12 @@ PRIORITY_WINDOW = [
     # event-flow analytics (r5 rotation: replaced dedup_exact,
     # dedup_simhash_pairs, rel_approx_percentiles — each family keeps
     # another in-window representative)
-    "rel_sessionize",
     # (r9 rotation: rel_funnel retired — funnel semantics keep their
     # STRICTER external consumer in the newly promoted stream_funnel,
     # whose exact-under-disorder state machine is oracle-checked
     # against the same batch funnel logic)
+    # r9 third batch: streaming x matview — the continuous aggregate
+    "stream_continuous_agg",
     "stream_funnel",
     # text analysis (r7 rotation: text_pmi_windowed promoted — the
     # flagship production PMI now reads the tokens artifact and
@@ -203,7 +209,6 @@ PRIORITY_WINDOW = [
     # external; text_quality retired after 3 stable rounds (quality
     # scoring stays sweep + artifact-equivalence covered)
     "text_decontaminate",
-    "text_pmi_windowed",
     # r7 third batch: text_shuffle_shards promoted — the training-export
     # permutation class had never been external; text_token_counts
     # retired after 6 stable rounds (token counting stays covered by the

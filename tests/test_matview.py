@@ -272,6 +272,10 @@ def test_rollup_serves_coarser_group_by_from_partials(spark, tmp_path):
     )
     # per-(grp,sub) distinct counts sum to 12*4=48 > 37: dedup matters
     assert got == want
+    # the GLOBAL rollup (sub_keys=[]): one row, full-table aggregates
+    g = rollup_matview(spark, view, []).collect()
+    assert len(g) == 1
+    assert (g[0].n, g[0].total, g[0].d_tag) == (600, sum(range(600)), 37)
     with pytest.raises(ValueError, match="not a subset"):
         rollup_matview(spark, view, ["grp", "nope"])
 

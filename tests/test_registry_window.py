@@ -56,9 +56,12 @@ def test_window_exercises_round5_families():
     # (rel_cdc_scd2 rotated out in the r9 second batch — SCD2 stays
     # external via stream_scd2_temporal_join, CDC via
     # rel_cdc_merge_upsert; see round9 second-batch test)
+    # (rel_sessionize rotated out in the r9 third batch — the
+    # sessionization family keeps its STRICTER streaming consumer
+    # stream_session_windows external; see round9 third-batch test)
     assert {
         "rel_cdc_merge_upsert",
-        "rel_sessionize",
+        "stream_session_windows",
     } <= w
     # family representatives that must stay
     # (dedup_simhash and rel_percentiles rotated out in r9 — pigeonhole
@@ -98,9 +101,10 @@ def test_window_exercises_round6_rotation():
     assert {"rel_join_semi", "rel_join_anti", "rel_join_asof"} <= w  # join family
     # windows: rank_parts itself rotated out in r8; range_frame carries
     assert "rel_window_range_frame" in w
-    # ann family (brute-force cosine's external row is the BLAS batch
-    # form since the r7 third batch; ann_recall_eval rotated out in r9)
-    assert "ann_knn_batch_numpy" in w
+    # ann family (ann_knn_batch_numpy itself rotated out in the r9
+    # third batch — the ANN tier keeps four external rows; see round9
+    # third-batch test)
+    assert {"ann_ivf_trained_topk", "ann_ivf_pq_topk"} <= w
     # streaming (cdc_upsert itself rotated out in r8; see round8 test)
     assert "stream_stateful_user_stats" in w
 
@@ -113,8 +117,9 @@ def test_window_exercises_round7_rotation():
     stays registered + oracle-backed and its family keeps another
     external representative."""
     w = set(PRIORITY_WINDOW)
+    # (text_pmi_windowed rotated out in the r9 third batch — the text
+    # tier keeps five external rows; see round9 third-batch test)
     assert {
-        "text_pmi_windowed",
         "dedup_fuzzy_names",
         "stream_scd2_temporal_join",
         "rel_retention_cohorts",
@@ -132,12 +137,11 @@ def test_window_exercises_round7_rotation():
         q = registry.get(name)
         assert q.export and q.oracle is not None
     assert {"search_term_lookup", "search_topk_per_term"} <= w
-    assert {"rel_anomaly_daily", "rel_sessionize"} <= w
+    assert "rel_anomaly_daily" in w  # (rel_sessionize out in r9 third)
     # (dedup_minhash_lsh_pairs was itself rotated out in the second r7
     # batch — the banding family's representative is now the recall
     # eval; see test_window_exercises_round7_second_batch)
     assert "dedup_lsh_recall_eval" in w
-    assert "text_pmi_windowed" in w  # text_quality rotated out in r8
 
 
 def test_every_exported_query_has_an_oracle():
@@ -176,9 +180,10 @@ def test_window_exercises_round7_second_batch():
     assert "dedup_minhash_lsh_pairs" not in w
     q = registry.get("dedup_minhash_lsh_pairs")
     assert q.export and q.oracle is not None
-    # (dedup_minhash_signatures itself rotated out in r9; the recall
-    # eval + clusters keep the banding path external)
-    assert {"dedup_lsh_recall_eval", "dedup_clusters"} <= w
+    # (dedup_minhash_signatures rotated out in r9; dedup_clusters in
+    # the r9 third batch — the recall eval plus the keeper, which
+    # consumes the full cluster path end-to-end, stay external)
+    assert {"dedup_lsh_recall_eval", "dedup_cluster_keep_best"} <= w
 
 
 def test_window_exercises_round7_third_batch():
@@ -198,9 +203,10 @@ def test_window_exercises_round7_third_batch():
     for name in retired:
         q = registry.get(name)
         assert q.export and q.oracle is not None
-    # (ann_recall_eval rotated out in r9)
-    assert {"ann_knn_batch_numpy", "ann_ivf_pq_topk"} <= w
-    assert "text_pmi_windowed" in w
+    # (ann_recall_eval rotated out in r9; ann_knn_batch_numpy and
+    # text_pmi_windowed in the r9 third batch)
+    assert "ann_ivf_pq_topk" in w
+    assert "text_bpe_merges" in w
 
 
 def test_window_exercises_round8_rotation():
@@ -233,7 +239,7 @@ def test_window_exercises_round8_rotation():
     # (rel_cdc_scd2 itself rotated out in the r9 second batch)
     assert {"rel_cdc_merge_upsert", "rel_window_range_frame"} <= w
     assert {"stream_scd2_temporal_join", "stream_stateful_user_stats"} <= w
-    assert {"text_pmi_windowed", "text_shuffle_shards"} <= w
+    assert "text_shuffle_shards" in w  # (pmi_windowed out in r9 third)
     assert "ann_ivf_pq_topk" in w  # (ann_recall_eval rotated out in r9)
 
 
@@ -326,8 +332,10 @@ def test_window_exercises_round9_rotation():
     # each retired row's family keeps an in-window representative
     # (rel_grouping_sets itself rotated out in the r9 second batch)
     assert {"rel_profile_drift", "rel_q1_pricing_summary"} <= w
-    assert {"dedup_lsh_recall_eval", "dedup_clusters"} <= w
-    assert {"stream_heavy_hitters", "stream_funnel", "rel_sessionize"} <= w
+    # (dedup_clusters itself rotated out in the r9 third batch — the
+    # keeper consumes the full cluster path end-to-end)
+    assert {"dedup_lsh_recall_eval", "dedup_cluster_keep_best"} <= w
+    assert {"stream_heavy_hitters", "stream_funnel"} <= w
     assert {"ann_ivf_trained_topk", "ann_ivf_pq_topk"} <= w
 
 
@@ -350,3 +358,45 @@ def test_round9_second_batch_rotation():
         assert q.export and q.oracle is not None
     assert {"stream_scd2_temporal_join", "rel_cdc_merge_upsert"} <= w
     assert "rel_q1_pricing_summary" in w
+
+
+def test_round9_third_batch_rotation():
+    """Round-9 third batch: the lakehouse tier's flagships go external
+    — distinct-count IVM (the non-distributive aggregate maintained
+    via support views), bloom-sidecar point lookup, the named-tag
+    pinned read, and the streaming continuous aggregate. Every retired
+    row stays registered + oracle-backed and its family keeps another
+    external representative."""
+    w = set(PRIORITY_WINDOW)
+    assert {
+        "rel_matview_distinct",
+        "rel_bloom_point_lookup",
+        "rel_savepoint_pinned_read",
+        "stream_continuous_agg",
+    } <= w
+    retired = {
+        "rel_sessionize",  # sessions: stream_session_windows (stricter)
+        "dedup_clusters",  # cluster path: dedup_cluster_keep_best (consumes it)
+        "ann_knn_batch_numpy",  # ANN keeps 4 external rows
+        "text_pmi_windowed",  # text keeps 5 external rows
+    }
+    assert retired.isdisjoint(w)
+    for name in retired:
+        q = registry.get(name)
+        assert q.export and q.oracle is not None
+    assert {"stream_session_windows", "dedup_cluster_keep_best"} <= w
+    assert {
+        "ann_ivf_trained_topk",
+        "ann_ivf_pq_topk",
+        "ann_kmeans_train_k64",
+        "ann_pq_train",
+    } <= w
+    assert {
+        "text_decontaminate",
+        "text_shuffle_shards",
+        "text_classifier_train",
+        "text_bpe_merges",
+        "text_lm_resample",
+    } <= w
+    # the new rows' own families
+    assert {"rel_matview_refresh", "rel_snapshot_pruned_scan"} <= w
