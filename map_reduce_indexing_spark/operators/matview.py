@@ -66,9 +66,15 @@ homomorphic aggregates, which is exactly what makes it exact:
   sidecar (the pinned generation is re-consumable because generations
   are immutable and retained), a torn state is impossible.
 
+- `avg` / `stddev` are DERIVED ratios over mergeable ingredients
+  (internal sum / non-null count / sum-of-squares columns — each a
+  sum-monoid), recomputed at every write and at rollup; stddev is the
+  SQL sample form, null below n=2. With integer/decimal inputs the
+  ingredients are exact, so incremental == full rebuild bit-for-bit.
+
 Spec shape: `aggs` maps output column -> (op, input column) with op in
-{"count", "sum", "min", "max", "count_distinct", "approx_distinct"};
-`("count", "*")` counts rows.
+{"count", "sum", "min", "max", "count_distinct", "approx_distinct",
+"avg", "stddev"}; `("count", "*")` counts rows.
 """
 
 from __future__ import annotations
@@ -88,7 +94,16 @@ from ..sources.generations import (
 
 MATVIEW_FILE = "_matview.json"
 
-_OPS = {"count", "sum", "min", "max", "count_distinct", "approx_distinct"}
+_OPS = {
+    "count",
+    "sum",
+    "min",
+    "max",
+    "count_distinct",
+    "approx_distinct",
+    "avg",
+    "stddev",
+}
 
 
 def _load_spec(view_path: str) -> dict:
@@ -97,17 +112,45 @@ def _load_spec(view_path: str) -> dict:
         return json.load(fh)
 
 
-def _split(aggs: dict) -> tuple[dict, dict, dict]:
-    """(mergeable, count_distinct, approx_distinct) sub-specs."""
-    merge, cd, hll = {}, {}, {}
+def _split(aggs: dict) -> tuple[dict, dict, dict, dict]:
+    """(mergeable, count_distinct, approx_distinct, derived)
+    sub-specs. `derived` holds avg/stddev — RATIOS of mergeable
+    pieces, stored as internal sum/count/sum-of-squares columns and
+    recomputed at every write (a ratio is not a monoid; its
+    ingredients are)."""
+    merge, cd, hll, der = {}, {}, {}, {}
     for out, (op, col) in aggs.items():
         if op == "count_distinct":
             cd[out] = col
         elif op == "approx_distinct":
             hll[out] = col
+        elif op in ("avg", "stddev"):
+            der[out] = (op, col)
         else:
             merge[out] = (op, col)
-    return merge, cd, hll
+    return merge, cd, hll, der
+
+
+def _physical(aggs: dict) -> dict:
+    """The stored MERGEABLE columns: the plain mergeable outputs plus
+    the internal ingredients backing each derived output (`_dvs_` sum,
+    `_dvn_` non-null count, `_dvq_` sum of squares for stddev).
+    Exactness note: with integer or decimal inputs every ingredient is
+    exact, so incremental == full rebuild bit-for-bit (the sum of
+    squares widens decimals — overflow surfaces as NULL, never as a
+    wrong number); with double inputs the partial sums are
+    order-sensitive like any float aggregate."""
+    merge, _cd, _hll, der = _split(aggs)
+    phys = dict(merge)
+    for out, (op, col) in der.items():
+        phys[f"_dvs_{out}"] = ("sum", col)
+        phys[f"_dvn_{out}"] = ("count", col)
+        if op == "stddev":
+            phys[f"_dvq_{out}"] = ("sumsq", col)
+    return phys
+
+
+_INTERNAL_PREFIXES = ("_sk_", "_dvs_", "_dvn_", "_dvq_")
 
 
 def _sk(out: str) -> str:
@@ -120,15 +163,17 @@ def _partial_agg(df: DataFrame, key_cols: list[str], aggs: dict) -> DataFrame:
     aggregate computes this with a map-side combine, so the exchange
     carries group cardinality, not row counts. count_distinct outputs
     are NOT here — they live in the support tables."""
-    merge, _cd, hll = _split(aggs)
+    _m, _cd, hll, _der = _split(aggs)
     exprs = []
-    for out, (op, col) in merge.items():
+    for out, (op, col) in _physical(aggs).items():
         if op == "count":
             exprs.append(
                 (F.count(F.lit(1)) if col == "*" else F.count(col)).alias(out)
             )
         elif op == "sum":
             exprs.append(F.sum(col).alias(out))
+        elif op == "sumsq":
+            exprs.append(F.sum(F.col(col) * F.col(col)).alias(out))
         elif op == "min":
             exprs.append(F.min(col).alias(out))
         elif op == "max":
@@ -160,10 +205,10 @@ def _merge_partials(
     (count-of-nonnull partials merge by summation, not re-counting —
     re-counting would count partial ROWS), min/max combine, HLL
     sketches union (register-wise max)."""
-    merge, _cd, hll = _split(aggs)
+    _m, _cd, hll, _der = _split(aggs)
     exprs = []
-    for out, (op, _col) in merge.items():
-        if op in ("count", "sum"):
+    for out, (op, _col) in _physical(aggs).items():
+        if op in ("count", "sum", "sumsq"):
             exprs.append(F.sum(out).alias(out))
         elif op == "min":
             exprs.append(F.min(out).alias(out))
@@ -209,9 +254,10 @@ def _attach_derived(
     """Materialize the SERVED columns onto the main frame: each
     count_distinct output is its support's per-group row count
     (null-safe join — group keys may legitimately be NULL), each
-    approx_distinct output is its sketch's estimate. Groups whose
+    approx_distinct output is its sketch's estimate, each avg/stddev
+    output is recomputed from its stored ingredients. Groups whose
     values were all NULL have no support rows: distinct count 0."""
-    _merge, cd, hll = _split(aggs)
+    _merge, cd, hll, der = _split(aggs)
     out = main
     for name, sup in supports.items():
         counts = sup.groupBy(*key_cols).agg(F.count(F.lit(1)).alias(name))
@@ -222,7 +268,23 @@ def _attach_derived(
             name,
             F.coalesce(F.hll_sketch_estimate(_sk(name)), F.lit(0)),
         )
+    for name, (op, _col) in der.items():
+        out = out.withColumn(name, _derived_expr(op, name))
     return out
+
+
+def _derived_expr(op: str, name: str) -> F.Column:
+    """avg = s/n (null when the group saw no non-null values); stddev
+    is the SAMPLE form sqrt((q - s^2/n) / (n-1)), null for n < 2 —
+    matching SQL STDDEV. Division happens once, in double, from exact
+    ingredients."""
+    s = F.col(f"_dvs_{name}").cast("double")
+    n = F.col(f"_dvn_{name}").cast("double")
+    if op == "avg":
+        return F.when(n > 0, s / n)
+    q = F.col(f"_dvq_{name}").cast("double")
+    var = (q - s * s / n) / (n - F.lit(1.0))
+    return F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0))))
 
 
 def _write_view(
@@ -278,7 +340,7 @@ def create_matview(
             raise ValueError(f"unsupported aggregate op {op!r} for {out!r}")
     gen = generation_head(base_path) if at is None else int(at)
     base = read_generation(spark, base_path, at=gen)
-    _merge, cd, _hll = _split(aggs)
+    _merge, cd, _hll, _der = _split(aggs)
     supports = {
         out: _support_partial(base, key_cols, col) for out, col in cd.items()
     }
@@ -305,8 +367,8 @@ def _stored_main(spark: SparkSession, view_path: str, aggs: dict) -> DataFrame:
     count_distinct / estimate columns are derived, so a refresh drops
     and recomputes them rather than merging them (a distinct count is
     not a monoid — that's what the supports are for)."""
-    _merge, cd, hll = _split(aggs)
-    return spark.read.parquet(view_path).drop(*cd, *hll)
+    _merge, cd, hll, der = _split(aggs)
+    return spark.read.parquet(view_path).drop(*cd, *hll, *der)
 
 
 def refresh_matview(spark: SparkSession, view_path: str) -> dict:
@@ -339,7 +401,7 @@ def refresh_matview(spark: SparkSession, view_path: str) -> dict:
     merged = _merge_partials(
         stored, _partial_agg(delta, key_cols, aggs), key_cols, aggs
     )
-    _m, cd, _h = _split(aggs)
+    _m, cd, _h, _der = _split(aggs)
     supports = {}
     for out, col in cd.items():
         stored_sup = spark.read.parquet(
@@ -365,7 +427,9 @@ def read_matview(spark: SparkSession, view_path: str) -> DataFrame:
     ratios like avg = sum/count are the caller's one-liner over these
     columns)."""
     df = spark.read.parquet(view_path)
-    return df.drop(*[c for c in df.columns if c.startswith("_sk_")])
+    return df.drop(
+        *[c for c in df.columns if c.startswith(_INTERNAL_PREFIXES)]
+    )
 
 
 def rollup_matview(
@@ -386,11 +450,11 @@ def rollup_matview(
             f"keys {key_cols!r}; the view cannot answer this grouping"
         )
     aggs = {k: tuple(v) for k, v in spec["aggs"].items()}
-    merge, cd, hll = _split(aggs)
+    _merge, cd, hll, der = _split(aggs)
     stored = spark.read.parquet(view_path)
     exprs = []
-    for out, (op, _col) in merge.items():
-        if op in ("count", "sum"):
+    for out, (op, _col) in _physical(aggs).items():
+        if op in ("count", "sum", "sumsq"):
             exprs.append(F.sum(out).alias(out))
         elif op == "min":
             exprs.append(F.min(out).alias(out))
@@ -403,6 +467,11 @@ def rollup_matview(
             ).alias(out)
         )
     rolled = stored.groupBy(*sub_keys).agg(*exprs)
+    for out, (op, _col) in der.items():
+        rolled = rolled.withColumn(out, _derived_expr(op, out))
+    rolled = rolled.drop(
+        *[c for c in rolled.columns if c.startswith(_INTERNAL_PREFIXES)]
+    )
     for out in cd:
         sup = spark.read.parquet(os.path.join(view_path, f"_support_{out}"))
         counts = (

@@ -432,6 +432,34 @@ def _resolve(m: dict, path: str, at) -> int:
     return int(at)
 
 
+def generation_at_timestamp(path: str, ts: float) -> int:
+    """Time travel by WALL CLOCK (Iceberg's `AS OF TIMESTAMP`): the
+    newest generation whose publish time is <= `ts` (a POSIX
+    timestamp). Raises if every retained generation is newer — the
+    moment asked about has aged out of retention (tag what you need
+    to keep, or raise GEN_TTL/GEN_RETAIN)."""
+    m = load_manifest(path)
+    if m is None:
+        raise ValueError(f"{path!r} has no generation manifest")
+    best = None
+    for k, g in m["gens"].items():
+        if float(g.get("created", 0.0)) <= ts and (
+            best is None or int(k) > best
+        ):
+            best = int(k)
+    if best is None:
+        oldest = min(
+            (float(g.get("created", 0.0)) for g in m["gens"].values()),
+            default=None,
+        )
+        raise ValueError(
+            f"no retained generation of {path!r} is as old as ts={ts} "
+            f"(oldest retained was published at {oldest}); the moment "
+            "has aged out — tag snapshots you need to keep"
+        )
+    return best
+
+
 _TAG_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_.\-]*$")
 
 

@@ -21,6 +21,9 @@ EXAMPLES = [
     ("examples/training_data_pipeline.py", ["/root/testdata/sf0.001"]),
     ("examples/event_analytics.py", ["/root/testdata/sf0.001"]),
     ("examples/vector_search.py", ["/root/testdata/sf0.001"]),
+    ("examples/embedding_pipeline.py", ["/root/testdata/sf0.001"]),
+    ("examples/snapshot_pipeline.py", []),
+    ("examples/lakehouse_tour.py", []),
 ]
 
 

@@ -148,7 +148,7 @@ def test_unsupported_agg_rejected(spark, tmp_path):
             str(tmp_path / "b"),
             str(tmp_path / "v"),
             ["grp"],
-            {"bad": ("avg", "v")},
+            {"bad": ("median", "v")},
         )
 
 
@@ -294,6 +294,98 @@ def test_null_group_keys_join_null_safe(spark, tmp_path):
     create_matview(spark, base, view, ["grp"], DAGGS)
     rows = {r.grp: r.d_tag for r in read_matview(spark, view).collect()}
     assert rows == {None: 2, "a": 1}
+
+
+def test_avg_stddev_incremental_equals_full(spark, tmp_path):
+    """Derived ratios: avg and SAMPLE stddev recomputed from exact
+    mergeable ingredients (sum / count / sum of squares over LONG
+    inputs), so incremental refresh must equal a from-scratch build
+    EXACTLY — and both must match Spark's own avg/stddev on the base."""
+    base = str(tmp_path / "b")
+    vi, vf = str(tmp_path / "vi"), str(tmp_path / "vf")
+    aggs = {
+        "n": ("count", "*"),
+        "mean_v": ("avg", "v"),
+        "sd_v": ("stddev", "v"),
+    }
+    _chunk(spark, 0, 40).coalesce(2).write.parquet(base)
+    publish_generation(base)
+    create_matview(spark, base, vi, ["grp"], aggs, row_keys=["rid"])
+    _chunk(spark, 40, 25).coalesce(1).write.mode("append").parquet(base)
+    publish_generation(base)
+    refresh_matview(spark, vi)
+    create_matview(spark, base, vf, ["grp"], aggs)
+    inc = sorted(tuple(r) for r in read_matview(spark, vi).collect())
+    full = sorted(tuple(r) for r in read_matview(spark, vf).collect())
+    assert inc == full  # bit-for-bit: exact ingredients
+    want = sorted(
+        (r.grp, r.n, r.mean_v, r.sd_v)
+        for r in read_generation(spark, base)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("v").alias("mean_v"),
+            F.stddev("v").alias("sd_v"),
+        )
+        .collect()
+    )
+    for (g1, n1, m1, s1), (g2, n2, m2, s2) in zip(inc, want):
+        assert (g1, n1) == (g2, n2)
+        assert abs(m1 - m2) < 1e-9 * max(1.0, abs(m2))
+        assert abs(s1 - s2) < 1e-6 * max(1.0, abs(s2))
+    # internal ingredient columns never leak to readers
+    assert not [
+        c for c in read_matview(spark, vi).columns if c.startswith("_dv")
+    ]
+
+
+def test_avg_stddev_small_group_semantics(spark, tmp_path):
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    df = spark.createDataFrame(
+        [(1, "one", 10), (2, "two", 4), (3, "two", 8), (4, "nul", None)],
+        "rid long, grp string, v long",
+    )
+    df.coalesce(1).write.parquet(base)
+    publish_generation(base)
+    create_matview(
+        spark, base, view,
+        ["grp"], {"mean_v": ("avg", "v"), "sd_v": ("stddev", "v")},
+    )
+    rows = {r.grp: (r.mean_v, r.sd_v) for r in read_matview(spark, view).collect()}
+    assert rows["one"] == (10.0, None)  # n=1: sample stddev undefined
+    assert rows["two"][0] == 6.0
+    assert abs(rows["two"][1] - 2.8284271247461903) < 1e-12
+    assert rows["nul"] == (None, None)  # all-null group: no ingredients
+
+
+def test_rollup_serves_avg_stddev(spark, tmp_path):
+    from map_reduce_indexing_spark.operators.matview import rollup_matview
+
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    df = spark.range(200).select(
+        (F.col("id") % 2).alias("g"),
+        (F.col("id") % 5).alias("h"),
+        (F.col("id") * 3 % 41).alias("v"),
+        F.col("id").alias("rid"),
+    )
+    df.coalesce(2).write.parquet(base)
+    publish_generation(base)
+    create_matview(
+        spark, base, view,
+        ["g", "h"], {"mean_v": ("avg", "v"), "sd_v": ("stddev", "v")},
+    )
+    got = sorted(
+        (r.g, r.mean_v, r.sd_v)
+        for r in rollup_matview(spark, view, ["g"]).collect()
+    )
+    want = sorted(
+        (r.g, r.m, r.s)
+        for r in df.groupBy("g")
+        .agg(F.avg("v").alias("m"), F.stddev("v").alias("s"))
+        .collect()
+    )
+    for (g1, m1, s1), (g2, m2, s2) in zip(got, want):
+        assert g1 == g2 and abs(m1 - m2) < 1e-9 and abs(s1 - s2) < 1e-6
 
 
 def test_exported_matview_query_matches_oracle(spark, duck):
