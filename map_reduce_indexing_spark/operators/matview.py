@@ -329,17 +329,30 @@ def create_matview(
     aggs: dict[str, tuple[str, str]],
     at: int | None = None,
     row_keys: list[str] | None = None,
+    where=None,
 ) -> int:
     """Materialize the partial-aggregate view of base generation `at`
     (head when None) at `view_path` and pin that generation in the
     sidecar. `row_keys` (e.g. ["doc_id"]) names the base's row
     identity for the compaction-crossing refresh fallback; omit it
-    and a refresh across a compaction refuses instead."""
+    and a refresh across a compaction refuses instead.
+
+    `where` makes it a FILTERED view — the same `[(col, op, val),
+    ...]` predicate language as `read_generation` (AND-list; an
+    element may itself be a list of triples = OR within the
+    conjunction): only matching rows enter the aggregates, persisted
+    in the sidecar so every refresh applies it to the delta too. A
+    filtered view stays exactly incremental because filtering
+    distributes over the append-only union: filter(A ∪ Δ) =
+    filter(A) ∪ filter(Δ). On the generations-managed base the
+    predicate also FILE-PRUNES each refresh's delta scan via the
+    manifest stats — a view over one tenant/month touches only that
+    slice's files."""
     for out, (op, _c) in aggs.items():
         if op not in _OPS:
             raise ValueError(f"unsupported aggregate op {op!r} for {out!r}")
     gen = generation_head(base_path) if at is None else int(at)
-    base = read_generation(spark, base_path, at=gen)
+    base = read_generation(spark, base_path, at=gen, where=where)
     _merge, cd, _hll, _der = _split(aggs)
     supports = {
         out: _support_partial(base, key_cols, col) for out, col in cd.items()
@@ -356,10 +369,29 @@ def create_matview(
             "key_cols": list(key_cols),
             "aggs": {k: list(v) for k, v in aggs.items()},
             "row_keys": list(row_keys or []),
+            "where": _where_json(where),
         },
         supports,
     )
     return gen
+
+
+def _where_json(where):
+    """The predicate in JSON-safe sidecar form (tuples -> lists, deep);
+    None when unfiltered. Values must be JSON-representable — use ISO
+    strings for dates in filtered-view specs (both the manifest's
+    stats and Spark's literal coercion compare them correctly)."""
+    if not where:
+        return None
+
+    def conv(x):
+        return [conv(e) for e in x] if isinstance(x, (list, tuple)) else x
+
+    return conv(list(where))
+
+
+def _where_from_spec(spec: dict):
+    return spec.get("where") or None
 
 
 def _stored_main(spark: SparkSession, view_path: str, aggs: dict) -> DataFrame:
@@ -395,6 +427,7 @@ def refresh_matview(spark: SparkSession, view_path: str) -> dict:
         since=pinned,
         until=head,
         key_cols=tuple(spec.get("row_keys") or ()),
+        where=_where_from_spec(spec),
     )
     n_files = len(delta_rels) if mode == "append" else -1
     stored = _stored_main(spark, view_path, aggs)

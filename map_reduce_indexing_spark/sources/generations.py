@@ -306,14 +306,35 @@ def _partition_values(rel: str) -> dict[str, str]:
     return out
 
 
+def _is_or_branch(term) -> bool:
+    """A `where` element is either one (col, op, val) triple — ANDed —
+    or a LIST of triples meaning OR of its branches (CNF). Detected
+    structurally: a triple's first element is a column name string, a
+    branch list's first element is itself a triple."""
+    return (
+        isinstance(term, (list, tuple))
+        and len(term) > 0
+        and isinstance(term[0], (list, tuple))
+    )
+
+
 def _file_matches(rel: str, stats: dict, where, blooms=None, bloom_load=None) -> bool:
     """Conservative containment test: False only when the file's footer
     bounds, partition-dir values, or bloom sidecars PROVE no row can
     satisfy the conjunction. Missing stats keep the file. Comparisons
     are null-rejecting (SQL semantics), so all-null columns — which
-    carry no min/max — are never wrongly pruned: their files stay."""
+    carry no min/max — are never wrongly pruned: their files stay.
+    An OR element prunes only when EVERY branch is provably empty."""
     parts = _partition_values(rel)
-    for col, op, val in where:
+    for term in where:
+        if _is_or_branch(term):
+            if not any(
+                _file_matches(rel, stats, [b], blooms, bloom_load)
+                for b in term
+            ):
+                return False
+            continue
+        col, op, val = term
         if col in parts:
             pv = parts[col]
             if op == "=" and str(val) != pv:
@@ -365,33 +386,45 @@ def _file_matches(rel: str, stats: dict, where, blooms=None, bloom_load=None) ->
     return True
 
 
+def _term_column(term):
+    from pyspark.sql import functions as F
+
+    if _is_or_branch(term):
+        e = _term_column(term[0])
+        for b in term[1:]:
+            e = e | _term_column(b)
+        return e
+    col, op, val = term
+    c = F.col(col)
+    if op == "=":
+        return c == F.lit(val)
+    if op == "<":
+        return c < F.lit(val)
+    if op == "<=":
+        return c <= F.lit(val)
+    if op == ">":
+        return c > F.lit(val)
+    if op == ">=":
+        return c >= F.lit(val)
+    if op == "in":
+        return c.isin(list(val))
+    if op == "between":
+        return (c >= F.lit(val[0])) & (c <= F.lit(val[1]))
+    raise ValueError(f"unsupported predicate op {op!r}")
+
+
 def _where_column(where):
     """The predicate as a pyspark Column — applied to the pruned scan
     so `read_generation(where=...)` is semantically a filtered read
     (pruning drops only provably-empty files; kept files still carry
-    non-matching rows)."""
+    non-matching rows). AND of terms; a term that is itself a list of
+    triples is the OR of its branches (CNF, mirroring
+    `_file_matches`)."""
     from pyspark.sql import functions as F
 
     expr = F.lit(True)
-    for col, op, val in where:
-        c = F.col(col)
-        if op == "=":
-            e = c == F.lit(val)
-        elif op == "<":
-            e = c < F.lit(val)
-        elif op == "<=":
-            e = c <= F.lit(val)
-        elif op == ">":
-            e = c > F.lit(val)
-        elif op == ">=":
-            e = c >= F.lit(val)
-        elif op == "in":
-            e = c.isin(list(val))
-        elif op == "between":
-            e = (c >= F.lit(val[0])) & (c <= F.lit(val[1]))
-        else:
-            raise ValueError(f"unsupported predicate op {op!r}")
-        expr = expr & e
+    for term in where:
+        expr = expr & _term_column(term)
     return expr
 
 
@@ -879,6 +912,7 @@ def generation_diff(
     since: int | str,
     until: int | str | None = None,
     key_cols: tuple[str, ...] = (),
+    where=None,
 ) -> DataFrame:
     """Rows ADDED between generations `since` (exclusive) and `until`
     (inclusive; head when None) — incremental consumption from
@@ -905,15 +939,32 @@ def generation_diff(
         root = os.path.join(path, gb["root"])
         if not delta:
             return read_generation(spark, path, at=u).limit(0)
-        return spark.read.option("basePath", root).parquet(
+        if where:
+            # the delta files' stats live in `until`'s manifest entry:
+            # a predicate (e.g. a filtered matview's) prunes the delta
+            # scan the same way it prunes a full generation read
+            stats = gb.get("stats") or {}
+            delta = [
+                f
+                for f in delta
+                if _file_matches(
+                    f, (stats.get(f) or {}).get("cols") or {}, where
+                )
+            ]
+            if not delta:
+                return read_generation(spark, path, at=u).limit(0).filter(
+                    _where_column(where)
+                )
+        df = spark.read.option("basePath", root).parquet(
             *[os.path.join(root, f) for f in delta]
         )
+        return df.filter(_where_column(where)) if where else df
     if not key_cols:
         raise ValueError(
             f"generations {since}..{u} of {path!r} span a compaction "
             "(file sets incomparable); pass key_cols= for an exact "
             "anti-join diff"
         )
-    newer = read_generation(spark, path, at=u)
+    newer = read_generation(spark, path, at=u, where=where)
     older = read_generation(spark, path, at=since).select(*key_cols)
     return newer.join(older, list(key_cols), "left_anti")

@@ -401,3 +401,59 @@ def test_exported_matview_query_matches_oracle(spark, duck):
         duck,
         get("rel_matview_refresh").oracle,
     )
+
+
+def test_filtered_view_refresh_equals_filtered_full(spark, tmp_path):
+    """A FILTERED view (where= in the spec): only matching rows enter
+    the aggregates, on create AND on every delta refresh — exact
+    because filtering distributes over the append-only union."""
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    _chunk(spark, 0, 30).coalesce(2).write.parquet(base)
+    publish_generation(base)
+    pred = [("v", ">=", 100), ("v", "<", 500)]
+    create_matview(
+        spark, base, view, ["grp"], AGGS, row_keys=["rid"], where=pred
+    )
+    for lo in (30, 60):
+        _chunk(spark, lo, 15).coalesce(1).write.mode("append").parquet(base)
+        publish_generation(base)
+        refresh_matview(spark, view)
+    got = _view_rows(spark, view)
+    want = sorted(
+        tuple(r)
+        for r in read_generation(spark, base)
+        .filter((F.col("v") >= 100) & (F.col("v") < 500))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("tag").alias("n_tag"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    )
+    assert got == want
+
+
+def test_filtered_view_prunes_delta_files(spark, tmp_path):
+    """The spec predicate reaches the DELTA SCAN's file pruning: an
+    appended file wholly outside the filter contributes nothing and
+    the refresh provably reads zero of its rows."""
+    from map_reduce_indexing_spark.sources.generations import generation_diff
+
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    _chunk(spark, 0, 20).coalesce(1).write.parquet(base)
+    publish_generation(base)
+    pred = [("v", "<", 200)]
+    create_matview(
+        spark, base, view, ["grp"], AGGS, row_keys=["rid"], where=pred
+    )
+    # append rows with v in [10_000, 10_150): entirely outside the pred
+    _chunk(spark, 1000, 15).coalesce(1).write.mode("append").parquet(base)
+    publish_generation(base)
+    d = generation_diff(spark, base, since=1, where=pred)
+    assert d.count() == 0  # pruned at the FILE level (stats prove it)
+    before = _view_rows(spark, view)
+    refresh_matview(spark, view)
+    assert _view_rows(spark, view) == before  # advanced pin, same answer

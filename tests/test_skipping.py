@@ -234,3 +234,39 @@ def test_no_stats_manifest_still_reads(spark, tmp_path):
     G._save_manifest(path, m)
     got = read_generation(spark, path, where=[("id", "<", 5)])
     assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_or_predicates_prune_and_stay_exact(spark, tmp_path):
+    """CNF: an element that is a LIST of triples is the OR of its
+    branches — a file survives if ANY branch might match, rows filter
+    by the same disjunction."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_indexing_spark.sources.generations import (
+        plan_generation_scan,
+        publish_generation,
+        read_generation,
+    )
+
+    base = str(tmp_path / "b")
+    spark.range(10_000).select(F.col("id").alias("k")).repartitionByRange(
+        10, "k"
+    ).write.parquet(base)
+    publish_generation(base)
+
+    pred = [[("k", "between", (100, 199)), ("k", "between", (8_500, 8_599))]]
+    _r, kept, total = plan_generation_scan(base, where=pred)
+    assert total == 10
+    assert 2 <= len(kept) <= 4  # both islands' files, nothing else
+    got = sorted(r.k for r in read_generation(spark, base, where=pred).collect())
+    assert got == list(range(100, 200)) + list(range(8_500, 8_600))
+
+    # OR combined with an AND term narrows further
+    pred2 = [
+        [("k", "between", (100, 199)), ("k", "between", (8_500, 8_599))],
+        ("k", ">=", 8_000),
+    ]
+    _r, kept2, _ = plan_generation_scan(base, where=pred2)
+    assert len(kept2) < len(kept)
+    got2 = sorted(r.k for r in read_generation(spark, base, where=pred2).collect())
+    assert got2 == list(range(8_500, 8_600))

@@ -127,3 +127,26 @@ def test_savepoint_pins_stores_and_feeds_generation_diff(spark, tmp_path):
     drop_savepoint([a, b], "sp1")
     assert list_tags(a) == {} and list_tags(b) == {}
     assert generation_head(a) == 2  # data untouched by tag lifecycle
+
+
+def test_time_travel_by_timestamp(spark, tmp_path):
+    from map_reduce_indexing_spark.sources.generations import (
+        generation_at_timestamp,
+    )
+
+    base = str(tmp_path / "b")
+    spark.range(3).coalesce(1).write.parquet(base)
+    publish_generation(base)
+    spark.range(3, 6).coalesce(1).write.mode("append").parquet(base)
+    publish_generation(base)
+    m = load_manifest(base)
+    t1 = float(m["gens"]["1"]["created"])
+    t2 = float(m["gens"]["2"]["created"])
+
+    assert generation_at_timestamp(base, t1) == 1  # inclusive at publish
+    assert generation_at_timestamp(base, (t1 + t2) / 2) in (1, 2)
+    assert generation_at_timestamp(base, t2 + 10.0) == 2  # future: head
+    with pytest.raises(ValueError, match="aged out"):
+        generation_at_timestamp(base, t1 - 10.0)  # before the first publish
+    g = generation_at_timestamp(base, t1)
+    assert read_generation(spark, base, at=g).count() == 3
