@@ -75,6 +75,7 @@ HEADLINE = [
     "rel_matview_refresh",     # incremental materialized aggregate (r9)
     "rel_matview_rollup_route",  # view routing: coarser GROUP BY from partials (r9)
     "rel_bloom_point_lookup",  # bloom-sidecar point lookup, metadata-path (r9)
+    "rel_generation_changes",  # row-level snapshot change feed (r9)
 ]
 
 

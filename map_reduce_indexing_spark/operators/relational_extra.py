@@ -1072,3 +1072,107 @@ def q_rel_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.col("price_dec").cast("double").alias("total_price"),
     )
+
+
+def orders_changes_demo(spark: SparkSession, sf_dir: str) -> str:
+    """A rewriting-maintenance lifecycle, built once per (application,
+    corpus content): generation 1 holds 70% of orders; a maintenance
+    job then REWRITES the store — inserting the %10==7 stripe,
+    deleting keys with %100==13, doubling the price where %100==11 —
+    published as generation 2. File sets are incomparable, so
+    generation_diff would refuse; generation_changes reconciles the
+    span row-by-row instead."""
+    from ..sources.generations import publish_generation
+    from .indexing import session_artifact_path
+
+    def build(path: str) -> None:
+        base = _os.path.join(path, "base")
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("priority"),
+            dec("o_totalprice").alias("price_dec"),
+        )
+        o.filter(F.col("o_orderkey") % 10 < 7).coalesce(2).write.parquet(base)
+        publish_generation(base)
+        for f in _os.listdir(base):
+            p = _os.path.join(base, f)
+            if _os.path.isfile(p) and not f.startswith(("_", ".")):
+                _os.remove(p)
+        v2 = o.filter(
+            (F.col("o_orderkey") % 10 < 8) & (F.col("o_orderkey") % 100 != 13)
+        ).withColumn(
+            "price_dec",
+            F.when(
+                F.col("o_orderkey") % 100 == 11, F.col("price_dec") * 2
+            ).otherwise(F.col("price_dec")),
+        )
+        v2.coalesce(2).write.mode("append").parquet(base)
+        publish_generation(base)
+
+    return session_artifact_path(
+        spark, sf_dir, "orders_changes_demo", "orders.parquet", build
+    )
+
+
+@register(
+    "rel_generation_changes",
+    oracle="""
+        WITH o AS (
+            SELECT o_orderkey, o_orderpriority AS priority,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS p
+            FROM orders
+        ),
+        g1 AS (SELECT * FROM o WHERE o_orderkey % 10 < 7),
+        g2 AS (
+            SELECT o_orderkey, priority,
+                   CASE WHEN o_orderkey % 100 = 11 THEN p * 2 ELSE p END AS p
+            FROM o WHERE o_orderkey % 10 < 8 AND o_orderkey % 100 <> 13
+        )
+        SELECT g2.o_orderkey, g2.priority, CAST(g2.p AS DOUBLE) AS total_price,
+               'insert' AS change_type
+        FROM g2 WHERE g2.o_orderkey NOT IN (SELECT o_orderkey FROM g1)
+        UNION ALL
+        SELECT g1.o_orderkey, g1.priority, CAST(g1.p AS DOUBLE),
+               'delete'
+        FROM g1 WHERE g1.o_orderkey NOT IN (SELECT o_orderkey FROM g2)
+        UNION ALL
+        SELECT g1.o_orderkey, g1.priority, CAST(g1.p AS DOUBLE),
+               'update_preimage'
+        FROM g1 JOIN g2 USING (o_orderkey) WHERE g1.p <> g2.p
+        UNION ALL
+        SELECT g2.o_orderkey, g2.priority, CAST(g2.p AS DOUBLE),
+               'update_postimage'
+        FROM g1 JOIN g2 USING (o_orderkey) WHERE g1.p <> g2.p
+    """,
+    tier="relational",
+    doc="A row-level CHANGE FEED between snapshots (the Delta-CDF "
+    "shape, sources/generations.py:generation_changes): a rewriting "
+    "maintenance job inserted one key stripe, deleted another, and "
+    "repriced a third between generations 1 and 2, making the file "
+    "sets incomparable — generation_diff correctly refuses such a "
+    "span, and the change feed reconciles it instead: ONE null-safe "
+    "full-outer join on the row key classifies insert / delete / "
+    "update (both images emitted), untouched rows absent. The oracle "
+    "reconstructs all four classes from the raw table, so the "
+    "external hash match certifies the classification exactly. At "
+    "100 TB this is how a downstream consumer (a feature store, a "
+    "search index) follows a store it cannot re-scan: one join "
+    "exchange per reconciliation, not a rebuild.",
+)
+def q_rel_generation_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.generations import generation_changes
+
+    root = orders_changes_demo(spark, sf_dir)
+    ch = generation_changes(
+        spark,
+        _os.path.join(root, "base"),
+        since=1,
+        until=2,
+        key_cols=("o_orderkey",),
+    )
+    return ch.select(
+        "o_orderkey",
+        "priority",
+        F.col("price_dec").cast("double").alias("total_price"),
+        "change_type",
+    )
