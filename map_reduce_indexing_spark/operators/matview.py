@@ -292,16 +292,23 @@ def _write_view(
     view_path: str,
     sidecar: dict,
     supports: dict[str, DataFrame] | None = None,
+    locked: bool = False,
 ) -> None:
     """Staged write + atomic swap of data, support tables, AND sidecar
     together, under the view's writer flock (same crash story as
-    compact_artifact: old view intact until the final rename pair)."""
+    compact_artifact: old view intact until the final rename pair).
+    `locked=True` when the caller already holds the flock — the lock
+    is per-fd, so re-entering from the same thread would deadlock."""
+    import contextlib
     import shutil
     import tempfile
 
     from .indexing import _chmod_staging, index_writer_lock
 
-    with index_writer_lock(view_path):
+    guard = (
+        contextlib.nullcontext() if locked else index_writer_lock(view_path)
+    )
+    with guard:
         staging = tempfile.mkdtemp(
             prefix="mri_matview_", dir=os.path.dirname(view_path) or "."
         )
@@ -410,7 +417,21 @@ def refresh_matview(spark: SparkSession, view_path: str) -> dict:
     {"from": g, "to": g', "delta_files": n, "refreshed": bool} —
     `delta_files` counts the files the refresh scanned (the
     append-only fast path; -1 marks the anti-join fallback across a
-    compaction, which scans both snapshots but stays exact)."""
+    compaction, which scans both snapshots but stays exact).
+
+    The ENTIRE refresh holds the view's writer flock, not just the
+    final swap: pin and stored partials must be read under the same
+    lock that writes them, or two concurrent refreshes of the same
+    span would each merge the delta into the other's already-merged
+    result — double counting. Serialized, the second refresher sees
+    the advanced pin and no-ops (tests/test_matview.py)."""
+    from .indexing import index_writer_lock
+
+    with index_writer_lock(view_path):
+        return _refresh_locked(spark, view_path)
+
+
+def _refresh_locked(spark: SparkSession, view_path: str) -> dict:
     spec = _load_spec(view_path)
     base_path, pinned = spec["base_path"], int(spec["base_gen"])
     head = generation_head(base_path)
@@ -448,7 +469,7 @@ def refresh_matview(spark: SparkSession, view_path: str) -> dict:
     merged = _attach_derived(merged, supports, key_cols, aggs)
     sidecar = dict(spec)
     sidecar["base_gen"] = head
-    _write_view(merged, view_path, sidecar, supports)
+    _write_view(merged, view_path, sidecar, supports, locked=True)
     return {
         "from": pinned, "to": head, "delta_files": n_files, "refreshed": True
     }

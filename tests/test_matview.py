@@ -457,3 +457,36 @@ def test_filtered_view_prunes_delta_files(spark, tmp_path):
     before = _view_rows(spark, view)
     refresh_matview(spark, view)
     assert _view_rows(spark, view) == before  # advanced pin, same answer
+
+
+def test_concurrent_refreshes_never_double_merge(spark, tmp_path):
+    """Two refreshes racing over the same span: without whole-refresh
+    locking each would merge the delta into the other's already-merged
+    partials (double counting). Serialized, exactly one refreshes and
+    the other no-ops on the advanced pin."""
+    import threading
+
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    _chunk(spark, 0, 30).coalesce(2).write.parquet(base)
+    publish_generation(base)
+    create_matview(spark, base, view, ["grp"], AGGS, row_keys=["rid"])
+    _chunk(spark, 30, 15).coalesce(1).write.mode("append").parquet(base)
+    publish_generation(base)
+
+    reports = []
+    errs = []
+
+    def go():
+        try:
+            reports.append(refresh_matview(spark, view))
+        except Exception as e:  # pragma: no cover - surfaced by assert
+            errs.append(e)
+
+    ts = [threading.Thread(target=go) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert sorted(r["refreshed"] for r in reports) == [False, True]
+    assert _view_rows(spark, view) == _full(spark, base)
