@@ -1176,3 +1176,34 @@ def q_rel_generation_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("price_dec").cast("double").alias("total_price"),
         "change_type",
     )
+
+
+@register(
+    "rel_metadata_count",
+    oracle="""
+        SELECT
+            CAST((SELECT COUNT(*) FROM orders
+                  WHERE o_orderkey % 10 < 7) AS BIGINT) AS n_pinned,
+            CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_head
+    """,
+    tier="relational",
+    doc="COUNT(*) answered from METADATA alone: the savepoint demo "
+    "store records each immutable file's exact footer row count in "
+    "the generation manifest at publish, so counting the tagged "
+    "snapshot and the live head launches ZERO Spark jobs and opens "
+    "ZERO data files (sources/generations.py:generation_row_count — "
+    "Iceberg's metadata-table move). The oracle recomputes both "
+    "counts from the raw table, certifying the recorded counts exact. "
+    "At 100 TB the most common query there is should not cost a "
+    "cluster job.",
+)
+def q_rel_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.generations import generation_row_count
+
+    root = orders_savepoint_demo(spark, sf_dir)
+    base = _os.path.join(root, "base")
+    n_pinned = generation_row_count(base, at="train-v1")
+    n_head = generation_row_count(base)
+    return spark.createDataFrame(
+        [(n_pinned, n_head)], "n_pinned long, n_head long"
+    )

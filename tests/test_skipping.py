@@ -270,3 +270,36 @@ def test_or_predicates_prune_and_stay_exact(spark, tmp_path):
     assert len(kept2) < len(kept)
     got2 = sorted(r.k for r in read_generation(spark, base, where=pred2).collect())
     assert got2 == list(range(8_500, 8_600))
+
+
+def test_metadata_only_row_counts(spark, tmp_path):
+    """COUNT(*) served from the manifest's recorded footer counts —
+    exact at every generation, including one whose manifest predates
+    the rows field (falls back to a footer read, still no Spark)."""
+    from map_reduce_indexing_spark.sources.generations import (
+        generation_row_count,
+        load_manifest,
+        publish_generation,
+        read_generation,
+    )
+    import map_reduce_indexing_spark.sources.generations as G
+    import json, os
+
+    base = str(tmp_path / "b")
+    spark.range(1234).coalesce(3).write.parquet(base)
+    publish_generation(base)
+    spark.range(1234, 1500).coalesce(1).write.mode("append").parquet(base)
+    publish_generation(base)
+
+    assert generation_row_count(base, at=1) == 1234
+    assert generation_row_count(base) == 1500
+    assert generation_row_count(base) == read_generation(spark, base).count()
+
+    # legacy manifest without the rows field: footer fallback
+    m = load_manifest(base)
+    for g in m["gens"].values():
+        for e in (g.get("stats") or {}).values():
+            e.pop("rows", None)
+    with open(os.path.join(base, G.GEN_FILE), "w") as fh:
+        json.dump(m, fh)
+    assert generation_row_count(base, at=1) == 1234
