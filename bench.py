@@ -76,6 +76,7 @@ HEADLINE = [
     "rel_matview_rollup_route",  # view routing: coarser GROUP BY from partials (r9)
     "rel_bloom_point_lookup",  # bloom-sidecar point lookup, metadata-path (r9)
     "rel_generation_changes",  # row-level snapshot change feed (r9)
+    "rel_metadata_count",      # manifest-served COUNT(*), zero Spark jobs (r9)
 ]
 
 
