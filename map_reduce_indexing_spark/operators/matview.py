@@ -334,7 +334,7 @@ def create_matview(
     view_path: str,
     key_cols: list[str],
     aggs: dict[str, tuple[str, str]],
-    at: int | None = None,
+    at: int | str | None = None,
     row_keys: list[str] | None = None,
     where=None,
 ) -> int:
@@ -355,10 +355,15 @@ def create_matview(
     predicate also FILE-PRUNES each refresh's delta scan via the
     manifest stats — a view over one tenant/month touches only that
     slice's files."""
+    from ..sources.generations import load_manifest, _resolve
+
     for out, (op, _c) in aggs.items():
         if op not in _OPS:
             raise ValueError(f"unsupported aggregate op {op!r} for {out!r}")
-    gen = generation_head(base_path) if at is None else int(at)
+    m = load_manifest(base_path)
+    if m is None:
+        raise ValueError(f"{base_path!r} has no generation manifest")
+    gen = _resolve(m, base_path, at)  # int, None (head), or a tag name
     base = read_generation(spark, base_path, at=gen, where=where)
     _merge, cd, _hll, _der = _split(aggs)
     supports = {

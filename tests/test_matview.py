@@ -490,3 +490,21 @@ def test_concurrent_refreshes_never_double_merge(spark, tmp_path):
     assert not errs
     assert sorted(r["refreshed"] for r in reports) == [False, True]
     assert _view_rows(spark, view) == _full(spark, base)
+
+
+def test_create_at_tag_pins_that_generation(spark, tmp_path):
+    from map_reduce_indexing_spark.sources.generations import tag_generation
+
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    _chunk(spark, 0, 20).coalesce(1).write.parquet(base)
+    publish_generation(base)
+    tag_generation(base, "train-v1")
+    _chunk(spark, 20, 10).coalesce(1).write.mode("append").parquet(base)
+    publish_generation(base)
+
+    gen = create_matview(spark, base, view, ["grp"], AGGS, at="train-v1")
+    assert gen == 1  # the tag's generation, not the head
+    n = sum(r.n for r in read_matview(spark, view).collect())
+    assert n == 20  # aggregates the tagged snapshot only
+    refresh_matview(spark, view)  # and refresh advances from the pin
+    assert sum(r.n for r in read_matview(spark, view).collect()) == 30
