@@ -897,7 +897,11 @@ def plan_generation_scan(
 
 
 def read_generation(
-    spark: SparkSession, path: str, at: int | str | None = None, where=None
+    spark: SparkSession,
+    path: str,
+    at: int | str | None = None,
+    where=None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """A DataFrame over exactly generation `at`'s files (head when
     None). basePath anchors partition-column discovery to the
@@ -912,7 +916,21 @@ def read_generation(
     stats (`plan_generation_scan`) and then applies the same predicate
     to the surviving rows, so the result is EXACTLY
     `read_generation(...).filter(pred)`: dropped files provably hold
-    no matching rows; kept files still filter row-level."""
+    no matching rows; kept files still filter row-level.
+
+    `merge_schema=True` unions the schemas of the generation's files
+    (SCHEMA EVOLUTION across appends: a later writer added a column,
+    earlier files serve NULL for it) — without it Spark takes one
+    file's footer as the schema and silently drops columns that file
+    lacks. Costs one footer read per file at planning; leave it off
+    for schema-stable stores."""
+
+    def _read(the_root, the_files):
+        r = spark.read.option("basePath", the_root)
+        if merge_schema:
+            r = r.option("mergeSchema", "true")
+        return r.parquet(*the_files)
+
     root, files, total = plan_generation_scan(path, at, where)
     if not all(os.path.exists(f) for f in files):
         # raced a swap: re-resolve once
@@ -920,10 +938,10 @@ def read_generation(
     if not files:
         if total:  # every file pruned: an empty frame with the schema
             root2, all_files, _ = plan_generation_scan(path, at)
-            df = spark.read.option("basePath", root2).parquet(*all_files)
+            df = _read(root2, all_files)
             return df.filter(_where_column(where)).limit(0)
         raise ValueError(f"generation has no data files in {path!r}")
-    df = spark.read.option("basePath", root).parquet(*files)
+    df = _read(root, files)
     if where:
         df = df.filter(_where_column(where))
     return df

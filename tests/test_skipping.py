@@ -303,3 +303,32 @@ def test_metadata_only_row_counts(spark, tmp_path):
     with open(os.path.join(base, G.GEN_FILE), "w") as fh:
         json.dump(m, fh)
     assert generation_row_count(base, at=1) == 1234
+
+
+def test_schema_evolution_across_generations(spark, tmp_path):
+    """A later append adds a column: merge_schema=True serves the
+    union schema (old files NULL for the new column) at the head, and
+    the earlier generation — pinned — still serves its own narrower
+    schema."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_indexing_spark.sources.generations import (
+        publish_generation,
+        read_generation,
+    )
+
+    base = str(tmp_path / "b")
+    spark.range(5).select(F.col("id").alias("k")).coalesce(1).write.parquet(
+        base
+    )
+    publish_generation(base)
+    spark.range(5, 8).select(
+        F.col("id").alias("k"), F.lit("en").alias("lang")
+    ).coalesce(1).write.mode("append").parquet(base)
+    publish_generation(base)
+
+    head = read_generation(spark, base, merge_schema=True)
+    assert set(head.columns) == {"k", "lang"}
+    rows = {r.k: r.lang for r in head.collect()}
+    assert rows[0] is None and rows[7] == "en"
+    assert read_generation(spark, base, at=1).columns == ["k"]
