@@ -1110,3 +1110,55 @@ def generation_changes(
         .unionByName(img(upd, "", "update_postimage"))
         .unionByName(deletes)
     )
+
+
+def describe_generations(spark: SparkSession, path: str) -> DataFrame:
+    """The store's snapshot history as a DataFrame — Iceberg's
+    `.snapshots` metadata table: one row per retained generation
+    (number, publish time, file count, exact row count, total bytes,
+    tags pointing at it, whether it is head). Built from the manifest
+    alone — no file listing, no data pages — so it is the cheap first
+    query of any investigation ("what changed, when, how big")."""
+    import datetime
+
+    m = load_manifest(path)
+    if m is None:
+        raise ValueError(f"{path!r} has no generation manifest")
+    refs = m.get("refs") or {}
+    by_gen: dict[int, list[str]] = {}
+    for name, g in refs.items():
+        by_gen.setdefault(int(g), []).append(name)
+    head = int(m["head"])
+    rows = []
+    for k in sorted(m["gens"], key=int):
+        g = m["gens"][k]
+        stats = g.get("stats") or {}
+        n_rows = 0
+        rows_known = True
+        total_bytes = 0
+        for rel in g["files"]:
+            e = stats.get(rel) or {}
+            total_bytes += int(e.get("size") or 0)
+            r = e.get("rows")
+            if r is None:
+                rows_known = False
+            else:
+                n_rows += int(r)
+        rows.append(
+            (
+                int(k),
+                datetime.datetime.fromtimestamp(
+                    float(g.get("created", 0.0)), datetime.timezone.utc
+                ).replace(tzinfo=None),
+                len(g["files"]),
+                n_rows if rows_known else None,
+                total_bytes,
+                ",".join(sorted(by_gen.get(int(k), []))) or None,
+                int(k) == head,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "generation int, published timestamp_ntz, n_files int, "
+        "n_rows long, bytes long, tags string, is_head boolean",
+    )

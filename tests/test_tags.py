@@ -150,3 +150,25 @@ def test_time_travel_by_timestamp(spark, tmp_path):
         generation_at_timestamp(base, t1 - 10.0)  # before the first publish
     g = generation_at_timestamp(base, t1)
     assert read_generation(spark, base, at=g).count() == 3
+
+
+def test_describe_generations_metadata_table(spark, tmp_path):
+    from map_reduce_indexing_spark.sources.generations import (
+        describe_generations,
+    )
+
+    base = str(tmp_path / "b")
+    spark.range(100).coalesce(2).write.parquet(base)
+    publish_generation(base)
+    tag_generation(base, "train-v1")
+    spark.range(100, 150).coalesce(1).write.mode("append").parquet(base)
+    publish_generation(base)
+
+    d = {r.generation: r for r in describe_generations(spark, base).collect()}
+    assert set(d) == {1, 2}
+    assert d[1].n_files == 2 and d[1].n_rows == 100
+    assert d[2].n_files == 3 and d[2].n_rows == 150
+    assert d[1].tags == "train-v1" and d[2].tags is None
+    assert (d[1].is_head, d[2].is_head) == (False, True)
+    assert d[1].bytes > 0 and d[2].bytes > d[1].bytes
+    assert d[1].published <= d[2].published
