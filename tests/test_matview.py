@@ -508,3 +508,55 @@ def test_create_at_tag_pins_that_generation(spark, tmp_path):
     assert n == 20  # aggregates the tagged snapshot only
     refresh_matview(spark, view)  # and refresh advances from the pin
     assert sum(r.n for r in read_matview(spark, view).collect()) == 30
+
+
+def test_filtered_view_with_iso_date_strings(spark, tmp_path):
+    """The sidecar is JSON, so date bounds in a filtered-view spec are
+    ISO STRINGS — the docstring's documented form. Both halves must
+    honor them: Spark coerces the string literal against the timestamp
+    column row-level, and the manifest's ISO-string stats compare
+    lexicographically file-level."""
+    import datetime
+
+    from map_reduce_indexing_spark.sources.generations import (
+        plan_generation_scan,
+    )
+
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    df = spark.createDataFrame(
+        [
+            (i, "g", datetime.datetime(1996, 1 + (i % 12), 15), i * 10)
+            for i in range(24)
+        ],
+        "rid long, grp string, ts timestamp, v long",
+    )
+    df.orderBy("ts").coalesce(1).write.parquet(base)
+    publish_generation(base)
+    pred = [("ts", "between", ("1996-03-01", "1996-06-30"))]
+    create_matview(
+        spark, base, view, ["grp"], {"n": ("count", "*")},
+        row_keys=["rid"], where=pred,
+    )
+    got = read_matview(spark, view).collect()[0].n
+    want = df.filter(
+        (F.col("ts") >= "1996-03-01") & (F.col("ts") <= "1996-06-30")
+    ).count()
+    assert got == want == 8  # months 3,4,5,6 x 2 rows
+
+    # refresh applies the same string-bound predicate to the delta
+    extra = spark.createDataFrame(
+        [(100, "g", datetime.datetime(1996, 4, 2), 1),
+         (101, "g", datetime.datetime(1996, 11, 2), 1)],
+        "rid long, grp string, ts timestamp, v long",
+    )
+    extra.coalesce(1).write.mode("append").parquet(base)
+    publish_generation(base)
+    refresh_matview(spark, view)
+    assert read_matview(spark, view).collect()[0].n == 9  # only April lands
+
+    # and the manifest's ISO stats still PRUNE with string bounds: a
+    # probe wholly before the data keeps zero files
+    _r, kept, total = plan_generation_scan(
+        base, where=[("ts", "between", ("1990-01-01", "1990-12-31"))]
+    )
+    assert total >= 2 and len(kept) == 0
