@@ -213,6 +213,53 @@ class IndexSession:
 
         return generation_head(self.index_path)
 
+    def letter_stats(self, refresh: bool = True) -> DataFrame:
+        """Per-letter index statistics (total term count, distinct
+        words, distinct documents) served from an INCREMENTALLY
+        MAINTAINED materialized view over the index's own generations
+        (operators/matview.py): the first call materializes it, later
+        calls merge only the files appended since — a dashboard over a
+        growing index never rescans it. `refresh=False` serves the
+        view as-is (at most one refresh behind).
+
+        The aggregate set is deliberately FOLD-INVARIANT: compaction
+        folds appended partial postings into one row per key, which
+        preserves sums and the distinct word/doc sets but not physical
+        row counts — so the view carries sum(cnt) and distinct counts,
+        never count(*). Across a compaction the refresh takes the
+        exact (word, doc_id) anti-join fallback; folded rows keep
+        their keys and their summed cnt, so the merged view still
+        equals a full recompute (tests/test_matview.py)."""
+        import os as _os
+
+        from .operators.indexing import index_writer_lock
+        from .operators.matview import (
+            create_matview,
+            read_matview,
+            refresh_matview,
+        )
+        from .sources.generations import ensure_base_generation
+
+        view = self.index_path.rstrip("/") + "_letter_stats"
+        if not _os.path.isfile(_os.path.join(view, "_matview.json")):
+            with index_writer_lock(self.index_path):
+                ensure_base_generation(self.index_path)
+            create_matview(
+                self.spark,
+                self.index_path,
+                view,
+                ["letter"],
+                {
+                    "total_cnt": ("sum", "cnt"),
+                    "n_words": ("count_distinct", "word"),
+                    "n_docs": ("count_distinct", "doc_id"),
+                },
+                row_keys=["word", "doc_id"],
+            )
+        elif refresh:
+            refresh_matview(self.spark, view)
+        return read_matview(self.spark, view)
+
     # -- query --------------------------------------------------------------
 
     def postings(self) -> DataFrame:

@@ -560,3 +560,48 @@ def test_filtered_view_with_iso_date_strings(spark, tmp_path):
         base, where=[("ts", "between", ("1990-01-01", "1990-12-31"))]
     )
     assert total >= 2 and len(kept) == 0
+
+
+def test_index_letter_stats_view_incremental_and_fold_invariant(
+    spark, tmp_path
+):
+    """The IVM tier applied to the reference's own artifact: the
+    per-letter stats view refreshes from the index's generations —
+    exact across appends AND across a real compaction (which FOLDS
+    partial postings: sums and distinct sets survive, so the
+    fold-invariant aggregate set stays equal to a full recompute)."""
+    from map_reduce_indexing_spark.api import IndexSession
+
+    def docs(lo, n, word):
+        return spark.createDataFrame(
+            [(lo + i, f"{word} zebra") for i in range(n)],
+            "doc_id long, text string",
+        )
+
+    s = IndexSession.build(spark, docs(0, 10, "alpha"), str(tmp_path / "ix"))
+
+    def full():
+        return sorted(
+            (r.letter, r.total_cnt, r.n_words, r.n_docs)
+            for r in s.postings()
+            .groupBy("letter")
+            .agg(
+                F.sum("cnt").alias("total_cnt"),
+                F.count_distinct("word").alias("n_words"),
+                F.count_distinct("doc_id").alias("n_docs"),
+            )
+            .collect()
+        )
+
+    def served():
+        return sorted(
+            (r.letter, r.total_cnt, r.n_words, r.n_docs)
+            for r in s.letter_stats().collect()
+        )
+
+    assert served() == full()
+    s.append(docs(100, 5, "beta"))  # delta refresh
+    assert served() == full()
+    s.compact()  # the folding rewrite: anti-join fallback span
+    s.append(docs(200, 3, "gamma"))
+    assert served() == full()
