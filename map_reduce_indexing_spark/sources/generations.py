@@ -767,7 +767,10 @@ def publish_generation(path: str, bloom_cols: list[str] | None = None) -> int:
     and every compaction rebuild keeps building them for new files
     without the caller repeating itself. Only this publish's NEW files
     pay the projected column read (carried files keep their blooms by
-    rel+size, same as footer stats)."""
+    rel+size, same as footer stats). Files published BEFORE a column
+    was added stay bloom-less — readers keep them, conservative — and
+    gain blooms at the next compaction, which rebuilds stats for every
+    rewritten file (the retrofit path)."""
     m = load_manifest(path) or {"head": 0, "gens": {}}
     if bloom_cols:
         m["bloom_cols"] = sorted(set(m.get("bloom_cols") or []) | set(bloom_cols))
