@@ -93,6 +93,11 @@ from ..sources.generations import (
 )
 
 MATVIEW_FILE = "_matview.json"
+# A refresh appends its delta partials to the support tables (staging
+# hardlinks the stored files — no answer-sized rewrite); once a
+# support has accumulated this many data files, the next refresh
+# folds it back to one row per (group, value).
+SUPPORT_FOLD_FILES = 32
 
 _OPS = {
     "count",
@@ -260,7 +265,12 @@ def _attach_derived(
     _merge, cd, hll, der = _split(aggs)
     out = main
     for name, sup in supports.items():
-        counts = sup.groupBy(*key_cols).agg(F.count(F.lit(1)).alias(name))
+        # count DISTINCT values, not rows: the append-maintained
+        # support may carry the same (group, value) pair in several
+        # partial files (folded only opportunistically)
+        counts = sup.groupBy(*key_cols).agg(
+            F.count_distinct("_v").alias(name)
+        )
         out = _join_null_safe(out, counts, key_cols)
         out = out.withColumn(name, F.coalesce(F.col(name), F.lit(0)))
     for name in hll:
@@ -315,9 +325,32 @@ def _write_view(
         _chmod_staging(staging)
         df.write.mode("overwrite").parquet(staging)
         for name, sup in (supports or {}).items():
-            sup.write.mode("overwrite").parquet(
-                os.path.join(staging, f"_support_{name}")
-            )
+            dst = os.path.join(staging, f"_support_{name}")
+            if isinstance(sup, tuple):
+                # ("append", existing_dir, delta_partials): the stored
+                # support rows are immutable partials, so staging
+                # HARDLINKS the old files (metadata-only — no
+                # answer-sized rewrite) and writes only the delta
+                # beside them. The crash story is unchanged: staging
+                # swaps wholesale.
+                _mode, src_dir, delta = sup
+                os.makedirs(dst, exist_ok=True)
+                for f in os.listdir(src_dir):
+                    if f.startswith(("_", ".")) or not os.path.isfile(
+                        os.path.join(src_dir, f)
+                    ):
+                        continue
+                    try:
+                        os.link(os.path.join(src_dir, f), os.path.join(dst, f))
+                    except OSError:
+                        import shutil as _sh
+
+                        _sh.copy2(
+                            os.path.join(src_dir, f), os.path.join(dst, f)
+                        )
+                delta.write.mode("append").parquet(dst)
+            else:
+                sup.write.mode("overwrite").parquet(dst)
         with open(os.path.join(staging, MATVIEW_FILE), "w") as fh:
             json.dump(sidecar, fh)
         old = view_path + ".old"
@@ -462,16 +495,32 @@ def _refresh_locked(spark: SparkSession, view_path: str) -> dict:
     )
     _m, cd, _h, _der = _split(aggs)
     supports = {}
+    supports_union = {}
     for out, col in cd.items():
-        stored_sup = spark.read.parquet(
-            os.path.join(view_path, f"_support_{out}")
+        sup_dir = os.path.join(view_path, f"_support_{out}")
+        stored_sup = spark.read.parquet(sup_dir)
+        delta_sup = _support_partial(delta, key_cols, col)
+        supports_union[out] = stored_sup.unionByName(delta_sup)
+        n_sup_files = sum(
+            1
+            for f in os.listdir(sup_dir)
+            if not f.startswith(("_", "."))
+            and os.path.isfile(os.path.join(sup_dir, f))
         )
-        supports[out] = (
-            stored_sup.unionByName(_support_partial(delta, key_cols, col))
-            .groupBy(*key_cols, "_v")
-            .agg(F.sum("_n").alias("_n"))
-        )
-    merged = _attach_derived(merged, supports, key_cols, aggs)
+        if n_sup_files > SUPPORT_FOLD_FILES:
+            # opportunistic fold: bound read amplification from the
+            # accumulated delta files (amortized — one answer-sized
+            # rewrite every SUPPORT_FOLD_FILES refreshes)
+            supports[out] = supports_union[out].groupBy(
+                *key_cols, "_v"
+            ).agg(F.sum("_n").alias("_n"))
+        else:
+            # the fast path: staging hardlinks the stored support's
+            # immutable partial files and writes ONLY the delta —
+            # refresh cost stays delta-sized even when the distinct
+            # answer itself is huge (no answer-sized rewrite)
+            supports[out] = ("append", sup_dir, delta_sup)
+    merged = _attach_derived(merged, supports_union, key_cols, aggs)
     sidecar = dict(spec)
     sidecar["base_gen"] = head
     _write_view(merged, view_path, sidecar, supports, locked=True)

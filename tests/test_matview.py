@@ -605,3 +605,75 @@ def test_index_letter_stats_view_incremental_and_fold_invariant(
     s.compact()  # the folding rewrite: anti-join fallback span
     s.append(docs(200, 3, "gamma"))
     assert served() == full()
+
+
+def test_support_refresh_appends_instead_of_rewriting(spark, tmp_path):
+    """The distinct-count support is append-maintained: a refresh
+    hardlinks the stored partial files into staging and writes only
+    the delta — the old filenames survive and the answer-sized state
+    is never rewritten (until the opportunistic fold bound)."""
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    _chunk(spark, 0, 30).coalesce(2).write.parquet(base)
+    publish_generation(base)
+    create_matview(spark, base, view, ["grp"], DAGGS, row_keys=["rid"])
+    sup = os.path.join(view, "_support_d_tag")
+
+    def files():
+        return {
+            f for f in os.listdir(sup)
+            if not f.startswith(("_", ".")) and f.endswith(".parquet")
+        }
+
+    before = files()
+    _chunk(spark, 30, 15).coalesce(1).write.mode("append").parquet(base)
+    publish_generation(base)
+    refresh_matview(spark, view)
+    after = files()
+    assert before <= after  # stored partials carried by name (hardlink)
+    assert len(after) > len(before)  # plus the delta's new file(s)
+    # correctness with duplicate (group, value) pairs across partials
+    got = sorted(
+        (r.grp, r.d_tag) for r in read_matview(spark, view).collect()
+    )
+    want = [
+        (r.grp, r.d)
+        for r in read_generation(spark, base)
+        .groupBy("grp")
+        .agg(F.count_distinct("tag").alias("d"))
+        .orderBy("grp")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_support_folds_past_the_file_bound(spark, tmp_path, monkeypatch):
+    import map_reduce_indexing_spark.operators.matview as MV
+
+    monkeypatch.setattr(MV, "SUPPORT_FOLD_FILES", 3)
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    _chunk(spark, 0, 12).coalesce(2).write.parquet(base)
+    publish_generation(base)
+    create_matview(spark, base, view, ["grp"], DAGGS, row_keys=["rid"])
+    sup = os.path.join(view, "_support_d_tag")
+    for i in range(5):  # every refresh appends one delta file
+        _chunk(spark, 100 + 10 * i, 6).coalesce(1).write.mode(
+            "append"
+        ).parquet(base)
+        publish_generation(base)
+        refresh_matview(spark, view)
+    n_files = sum(
+        1 for f in os.listdir(sup)
+        if not f.startswith(("_", ".")) and f.endswith(".parquet")
+    )
+    assert n_files <= MV.SUPPORT_FOLD_FILES + 2  # folded along the way
+    got = sorted(
+        (r.grp, r.d_tag) for r in read_matview(spark, view).collect()
+    )
+    want = sorted(
+        (r.grp, r.d)
+        for r in read_generation(spark, base)
+        .groupBy("grp")
+        .agg(F.count_distinct("tag").alias("d"))
+        .collect()
+    )
+    assert got == want
