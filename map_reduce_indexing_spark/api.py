@@ -226,10 +226,13 @@ class IndexSession:
         folds appended partial postings into one row per key, which
         preserves sums and the distinct word/doc sets but not physical
         row counts — so the view carries sum(cnt) and distinct counts,
-        never count(*). Across a compaction the refresh takes the
-        exact (word, doc_id) anti-join fallback; folded rows keep
-        their keys and their summed cnt, so the merged view still
-        equals a full recompute (tests/test_matview.py)."""
+        never count(*). Across a compaction the refresh REBUILDS from
+        the head snapshot (operators/matview.py:_rebuild_locked): a
+        fold changes cnt on keys that already existed at the pin, so
+        a key-level anti-join delta would silently drop the appended
+        cnt from total_cnt — the rebuild is exact for any rewrite and
+        scans only head (tests/test_matview.py, including the
+        append-duplicate-key-then-compact-before-refresh case)."""
         import os as _os
 
         from .operators.indexing import index_writer_lock

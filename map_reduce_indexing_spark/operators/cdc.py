@@ -310,8 +310,11 @@ def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_ev = load_table(spark, sf_dir, "events").filter(
             (F.col("ts") < cutoff) | F.col("ts").isNull()
         )
-        # One compact file per user-range; tiny frame, single writer.
-        _user_stats_agg(base_ev).coalesce(1).write.mode("overwrite").parquet(path)
+        # Plain partitioned write: the frame is GROUP-cardinality-sized
+        # (one row per user), which at 100 TB is hundreds of millions
+        # of rows — a coalesce(1) here would funnel them through one
+        # write task. AQE coalesces genuinely-small outputs on its own.
+        _user_stats_agg(base_ev).write.mode("overwrite").parquet(path)
 
     base_path = session_artifact_path(
         spark, sf_dir, "user_stats_base", "events.parquet", build

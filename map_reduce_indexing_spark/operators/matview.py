@@ -17,11 +17,18 @@ homomorphic aggregates, which is exactly what makes it exact:
   store contract throughout this repo), every supported aggregate is
   a commutative monoid over the row multiset, so
       merge(view@G1, agg(rows added in G1..G2)) == agg(rows@G2)
-  holds EXACTLY, not approximately. Deletions would break min/max
-  (not a monoid under removal) — `refresh` therefore consumes
-  `generation_diff`, which either proves the span append-only (file
-  containment) or falls back to an exact anti-join on caller-named
-  row keys, and never silently rescans.
+  holds EXACTLY, not approximately — *within an append-only span*.
+  Refresh therefore consumes `generation_diff`'s fast path, which
+  PROVES the span append-only by file containment; across any span
+  that rewrote files (compaction, delete) it REBUILDS the view from
+  the head snapshot instead. A rewrite may fold rows into existing
+  keys (compact_index sums duplicate (word, doc_id) partials) or
+  remove rows (delete_rows), and no key-level anti-join can recover
+  either: a key-only delta misses value changes on retained keys
+  (the appended cnt would silently vanish from sum aggregates), and
+  min/max are not monoids under removal. The rebuild is exact by
+  construction AND cheaper than the old both-snapshot anti-join —
+  it scans head once; the anti-join scanned head plus the old keys.
 
 - `count_distinct` — the textbook NON-distributive aggregate — is
   maintained EXACTLY via an auxiliary SUPPORT view (the standard IVM
@@ -72,6 +79,13 @@ homomorphic aggregates, which is exactly what makes it exact:
   SQL sample form, null below n=2. With integer/decimal inputs the
   ingredients are exact, so incremental == full rebuild bit-for-bit.
 
+- `create_matview_join` extends the tier to FACT ⋈ DIMS specs (every
+  real dashboard joins a fact to dimensions): refresh applies the
+  standard join-IVM telescoping delta — Σ_i (new ⋈ … ⋈ ΔR_i ⋈ … ⋈
+  old), each term delta-sized in ΔR_i, stable stores contributing no
+  term — so with dims stable the refresh is exactly ΔF ⋈ dims. Any
+  store whose span rewrote files triggers the same exact rebuild.
+
 Spec shape: `aggs` maps output column -> (op, input column) with op in
 {"count", "sum", "min", "max", "count_distinct", "approx_distinct",
 "avg", "stddev"}; `("count", "*")` counts rows.
@@ -93,6 +107,13 @@ from ..sources.generations import (
 )
 
 MATVIEW_FILE = "_matview.json"
+# Per-view ref on the BASE store: the pinned generation is tagged so
+# retention (GEN_RETAIN/GEN_TTL) can never expire it under writer
+# churn — without the tag a slow dashboard's view would eventually
+# refresh into "generation N not available" with no recovery short of
+# recreating the view. The tag moves to the new pin on every
+# successful refresh (the Iceberg ref rule, same as tag_generation).
+_VIEW_REF_PREFIX = "_mv_"
 # A refresh appends its delta partials to the support tables (staging
 # hardlinks the stored files — no answer-sized rewrite); once a
 # support has accumulated this many data files, the next refresh
@@ -115,6 +136,24 @@ def _load_spec(view_path: str) -> dict:
     p = os.path.join(view_path, MATVIEW_FILE)
     with open(p) as fh:
         return json.load(fh)
+
+
+def _view_ref(view_path: str) -> str:
+    import hashlib
+
+    digest = hashlib.md5(
+        os.path.abspath(view_path).encode("utf-8")
+    ).hexdigest()[:12]
+    return f"{_VIEW_REF_PREFIX}{digest}"
+
+
+def _pin_base(base_path: str, view_path: str, gen: int) -> None:
+    """Tag the view's pinned base generation under the view's own ref
+    name (re-tagging moves the ref — old pins re-enter normal TTL
+    retention at the base's next publish)."""
+    from ..sources.generations import tag_generation
+
+    tag_generation(base_path, _view_ref(view_path), at=gen)
 
 
 def _split(aggs: dict) -> tuple[dict, dict, dict, dict]:
@@ -140,6 +179,10 @@ def _physical(aggs: dict) -> dict:
     """The stored MERGEABLE columns: the plain mergeable outputs plus
     the internal ingredients backing each derived output (`_dvs_` sum,
     `_dvn_` non-null count, `_dvq_` sum of squares for stddev).
+    A spec with no mergeable/derived outputs at all (e.g. only
+    count_distinct) gets an internal `_mvc_rows` row count so the
+    grouped agg's expression list is never empty — GroupedData.agg()
+    with zero expressions raises.
     Exactness note: with integer or decimal inputs every ingredient is
     exact, so incremental == full rebuild bit-for-bit (the sum of
     squares widens decimals — overflow surfaces as NULL, never as a
@@ -152,10 +195,12 @@ def _physical(aggs: dict) -> dict:
         phys[f"_dvn_{out}"] = ("count", col)
         if op == "stddev":
             phys[f"_dvq_{out}"] = ("sumsq", col)
+    if not phys:
+        phys["_mvc_rows"] = ("count", "*")
     return phys
 
 
-_INTERNAL_PREFIXES = ("_sk_", "_dvs_", "_dvn_", "_dvq_")
+_INTERNAL_PREFIXES = ("_sk_", "_dvs_", "_dvn_", "_dvq_", "_mvc_")
 
 
 def _sk(out: str) -> str:
@@ -373,9 +418,14 @@ def create_matview(
 ) -> int:
     """Materialize the partial-aggregate view of base generation `at`
     (head when None) at `view_path` and pin that generation in the
-    sidecar. `row_keys` (e.g. ["doc_id"]) names the base's row
-    identity for the compaction-crossing refresh fallback; omit it
-    and a refresh across a compaction refuses instead.
+    sidecar AND as a named tag on the base store (so retention can
+    never expire the pin under writer churn; the tag moves forward on
+    every refresh). `row_keys` (e.g. ["doc_id"]) names the base's row
+    identity — recorded in the sidecar for consumers/debugging; the
+    refresh itself no longer needs it (a span that rewrote files
+    rebuilds from head, exact for folding AND deleting rewrites,
+    where a key-level anti-join silently missed value changes on
+    retained keys).
 
     `where` makes it a FILTERED view — the same `[(col, op, val),
     ...]` predicate language as `read_generation` (AND-list; an
@@ -397,6 +447,9 @@ def create_matview(
     if m is None:
         raise ValueError(f"{base_path!r} has no generation manifest")
     gen = _resolve(m, base_path, at)  # int, None (head), or a tag name
+    # pin BEFORE reading: from here retention cannot expire the
+    # generation the view is about to record as its base
+    _pin_base(base_path, view_path, gen)
     base = read_generation(spark, base_path, at=gen, where=where)
     _merge, cd, _hll, _der = _split(aggs)
     supports = {
@@ -449,13 +502,16 @@ def _stored_main(spark: SparkSession, view_path: str, aggs: dict) -> DataFrame:
 
 
 def refresh_matview(spark: SparkSession, view_path: str) -> dict:
-    """Advance the view to the base's current head generation by
-    merging the partial aggregates of exactly the rows added since the
-    pinned generation. Returns a report:
-    {"from": g, "to": g', "delta_files": n, "refreshed": bool} —
-    `delta_files` counts the files the refresh scanned (the
-    append-only fast path; -1 marks the anti-join fallback across a
-    compaction, which scans both snapshots but stays exact).
+    """Advance the view to the base's current head generation. Returns
+    a report: {"from": g, "to": g', "delta_files": n, "mode": m,
+    "refreshed": bool} — `mode` is "incremental" (the span is provably
+    append-only: merge the partial aggregates of exactly the appended
+    files, `delta_files` counts them) or "rebuild" (the span rewrote
+    files — a compaction may have FOLDED rows into existing keys, a
+    delete removed them; no key-level delta recovers either, so the
+    view recomputes from the head snapshot: always exact, and cheaper
+    than an anti-join that would scan head plus the old keys anyway;
+    `delta_files` is -1).
 
     The ENTIRE refresh holds the view's writer flock, not just the
     final swap: pin and stored partials must be read under the same
@@ -469,26 +525,77 @@ def refresh_matview(spark: SparkSession, view_path: str) -> dict:
         return _refresh_locked(spark, view_path)
 
 
+def _rebuild_locked(
+    spark: SparkSession, view_path: str, spec: dict, head: int
+) -> None:
+    """Recompute the view (and its supports) from base generation
+    `head` wholesale — the exact fallback for any span whose files
+    were rewritten. One head-snapshot scan; the old view swaps out
+    atomically like any refresh."""
+    base_path = spec["base_path"]
+    key_cols = spec["key_cols"]
+    aggs = {k: tuple(v) for k, v in spec["aggs"].items()}
+    base = read_generation(
+        spark, base_path, at=head, where=_where_from_spec(spec)
+    )
+    _m, cd, _h, _der = _split(aggs)
+    supports = {
+        out: _support_partial(base, key_cols, col) for out, col in cd.items()
+    }
+    view = _attach_derived(
+        _partial_agg(base, key_cols, aggs), supports, key_cols, aggs
+    )
+    sidecar = dict(spec)
+    sidecar["base_gen"] = head
+    _write_view(view, view_path, sidecar, supports, locked=True)
+
+
 def _refresh_locked(spark: SparkSession, view_path: str) -> dict:
     spec = _load_spec(view_path)
+    if spec.get("dims"):
+        return _refresh_join_locked(spark, view_path, spec)
     base_path, pinned = spec["base_path"], int(spec["base_gen"])
     head = generation_head(base_path)
     if head <= pinned:
         return {
-            "from": pinned, "to": pinned, "delta_files": 0, "refreshed": False
+            "from": pinned,
+            "to": pinned,
+            "delta_files": 0,
+            "mode": "noop",
+            "refreshed": False,
         }
     key_cols = spec["key_cols"]
     aggs = {k: tuple(v) for k, v in spec["aggs"].items()}
-    mode, delta_rels = diff_plan(base_path, since=pinned, until=head)
+    try:
+        mode, delta_rels = diff_plan(base_path, since=pinned, until=head)
+    except ValueError:
+        # the pinned generation is gone (a pre-tag view whose pin aged
+        # out, or a crash between tag-move and sidecar write): the
+        # incremental path is lost but the rebuild needs only head
+        mode, delta_rels = "rebuild", None
+    if mode != "append":
+        # a rewrite (compaction/delete) landed in the span: rows may
+        # have been FOLDED into keys that already existed at `pinned`
+        # (their new values invisible to any key-level anti-join) or
+        # deleted (min/max not retractable) — rebuild exactly
+        _pin_base(base_path, view_path, head)
+        _rebuild_locked(spark, view_path, spec, head)
+        return {
+            "from": pinned,
+            "to": head,
+            "delta_files": -1,
+            "mode": "rebuild",
+            "refreshed": True,
+        }
+    _pin_base(base_path, view_path, head)
     delta = generation_diff(
         spark,
         base_path,
         since=pinned,
         until=head,
-        key_cols=tuple(spec.get("row_keys") or ()),
         where=_where_from_spec(spec),
     )
-    n_files = len(delta_rels) if mode == "append" else -1
+    n_files = len(delta_rels)
     stored = _stored_main(spark, view_path, aggs)
     merged = _merge_partials(
         stored, _partial_agg(delta, key_cols, aggs), key_cols, aggs
@@ -525,8 +632,314 @@ def _refresh_locked(spark: SparkSession, view_path: str) -> dict:
     sidecar["base_gen"] = head
     _write_view(merged, view_path, sidecar, supports, locked=True)
     return {
-        "from": pinned, "to": head, "delta_files": n_files, "refreshed": True
+        "from": pinned,
+        "to": head,
+        "delta_files": n_files,
+        "mode": "incremental",
+        "refreshed": True,
     }
+
+
+def _join_chain(frames: list[DataFrame], dims_spec: list[dict]) -> DataFrame:
+    """frames[0] (the fact) inner-joined to frames[1:] (the dims) on
+    each dim's same-named equi keys, in spec order. A dim's `select`
+    projects it to (join keys + named columns) before the join —
+    column pruning the reader applies so a wide dim never rides the
+    exchange."""
+    out = frames[0]
+    for frame, d in zip(frames[1:], dims_spec):
+        right = frame
+        sel = d.get("select")
+        if sel:
+            keep = list(dict.fromkeys([*d["on"], *sel]))
+            right = right.select(*keep)
+        out = out.join(right, on=list(d["on"]), how="inner")
+    return out
+
+
+def create_matview_join(
+    spark: SparkSession,
+    view_path: str,
+    fact_path: str,
+    dims: list[dict],
+    key_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    at: int | str | None = None,
+    where=None,
+    row_keys: list[str] | None = None,
+) -> dict:
+    """Materialize an aggregate over FACT ⋈ DIMS — every store a
+    generations-managed artifact — and pin each store's generation
+    (in the sidecar AND as a per-view tag, so retention never expires
+    a pin). `dims` is a list of
+    `{"path": store, "on": [equi key cols], "select": [cols]}`
+    (`select` optional: project the dim to keys + named columns);
+    joins are INNER on same-named columns, in list order. `where`
+    (the `read_generation` predicate language) filters the FACT side
+    — it file-prunes every refresh's fact-delta scan via the
+    manifest stats, and filtering distributes over the append-only
+    union exactly as in the single-table view.
+
+    Refresh (see `_refresh_join_locked`) uses the standard join-IVM
+    TELESCOPING delta: with every input append-only over the span
+    (R_i@new = R_i@old ⊎ ΔR_i, inner join distributing over union),
+
+        J(new…) − J(old…) = Σ_i  R_0@new ⋈ … ⋈ R_{i-1}@new
+                                 ⋈ ΔR_i ⋈ R_{i+1}@old ⋈ … ⋈ R_k@old
+
+    — each term delta-sized in ΔR_i, and a stable store contributes
+    no term at all. With dims stable (the common case) the whole
+    refresh is ΔF ⋈ dims: one fact-delta file scan joined to the
+    dims, exactly VERDICT r9's "both delta-sized when one side is
+    stable". Any store whose span rewrote files → full rebuild from
+    all heads (exact for folding and deleting rewrites alike).
+    Returns {"fact_gen": g, "dim_gens": [g1, …]}."""
+    from ..sources.generations import _resolve, load_manifest
+
+    for out, (op, _c) in aggs.items():
+        if op not in _OPS:
+            raise ValueError(f"unsupported aggregate op {op!r} for {out!r}")
+    for d in dims:
+        if not d.get("on"):
+            raise ValueError("every dim needs a non-empty 'on' key list")
+    m = load_manifest(fact_path)
+    if m is None:
+        raise ValueError(f"{fact_path!r} has no generation manifest")
+    fact_gen = _resolve(m, fact_path, at)
+    _pin_base(fact_path, view_path, fact_gen)
+    dim_specs = []
+    dim_frames = []
+    for d in dims:
+        dm = load_manifest(d["path"])
+        if dm is None:
+            raise ValueError(f"{d['path']!r} has no generation manifest")
+        g = _resolve(dm, d["path"], d.get("at"))
+        _pin_base(d["path"], view_path, g)
+        dim_specs.append(
+            {
+                "path": os.path.abspath(d["path"]),
+                "on": list(d["on"]),
+                "select": list(d.get("select") or []),
+                "gen": g,
+            }
+        )
+        dim_frames.append(read_generation(spark, d["path"], at=g))
+    fact = read_generation(spark, fact_path, at=fact_gen, where=where)
+    joined = _join_chain([fact, *dim_frames], dim_specs)
+    _m, cd, _h, _der = _split(aggs)
+    supports = {
+        out: _support_partial(joined, key_cols, col)
+        for out, col in cd.items()
+    }
+    view = _attach_derived(
+        _partial_agg(joined, key_cols, aggs), supports, key_cols, aggs
+    )
+    _write_view(
+        view,
+        view_path,
+        {
+            "base_path": os.path.abspath(fact_path),
+            "base_gen": fact_gen,
+            "dims": dim_specs,
+            "key_cols": list(key_cols),
+            "aggs": {k: list(v) for k, v in aggs.items()},
+            "row_keys": list(row_keys or []),
+            "where": _where_json(where),
+        },
+        supports,
+    )
+    return {"fact_gen": fact_gen, "dim_gens": [d["gen"] for d in dim_specs]}
+
+
+def _rebuild_join_locked(
+    spark: SparkSession, view_path: str, spec: dict, heads: list[int]
+) -> None:
+    """Recompute the join view from every store's head generation —
+    the exact fallback when any span rewrote files."""
+    dims = spec["dims"]
+    key_cols = spec["key_cols"]
+    aggs = {k: tuple(v) for k, v in spec["aggs"].items()}
+    fact = read_generation(
+        spark, spec["base_path"], at=heads[0], where=_where_from_spec(spec)
+    )
+    dim_frames = [
+        read_generation(spark, d["path"], at=h)
+        for d, h in zip(dims, heads[1:])
+    ]
+    joined = _join_chain([fact, *dim_frames], dims)
+    _m, cd, _h, _der = _split(aggs)
+    supports = {
+        out: _support_partial(joined, key_cols, col)
+        for out, col in cd.items()
+    }
+    view = _attach_derived(
+        _partial_agg(joined, key_cols, aggs), supports, key_cols, aggs
+    )
+    sidecar = dict(spec)
+    sidecar["base_gen"] = heads[0]
+    sidecar["dims"] = [
+        {**d, "gen": h} for d, h in zip(dims, heads[1:])
+    ]
+    _write_view(view, view_path, sidecar, supports, locked=True)
+
+
+def _refresh_join_locked(
+    spark: SparkSession, view_path: str, spec: dict
+) -> dict:
+    """The telescoping-delta refresh (see create_matview_join). One
+    union of per-store delta terms feeds the same partial-merge and
+    support-append machinery as the single-table view."""
+    from functools import reduce
+
+    dims = spec["dims"]
+    paths = [spec["base_path"], *(d["path"] for d in dims)]
+    pins = [int(spec["base_gen"]), *(int(d["gen"]) for d in dims)]
+    heads = [generation_head(p) for p in paths]
+    if all(h <= p for h, p in zip(heads, pins)):
+        return {
+            "from": pins,
+            "to": pins,
+            "delta_files": 0,
+            "mode": "noop",
+            "refreshed": False,
+        }
+    heads = [max(h, p) for h, p in zip(heads, pins)]
+    modes = []
+    n_delta_files = 0
+    for p, pin, head in zip(paths, pins, heads):
+        if head <= pin:
+            modes.append(("noop", []))
+            continue
+        try:
+            mode, rels = diff_plan(p, since=pin, until=head)
+        except ValueError:
+            mode, rels = "rebuild", None
+        modes.append((mode, rels))
+        if mode == "append":
+            n_delta_files += len(rels)
+    key_cols = spec["key_cols"]
+    aggs = {k: tuple(v) for k, v in spec["aggs"].items()}
+    if any(mode not in ("append", "noop") for mode, _ in modes):
+        _repin_all(view_path, paths, heads)
+        _rebuild_join_locked(spark, view_path, spec, heads)
+        return {
+            "from": pins,
+            "to": heads,
+            "delta_files": -1,
+            "mode": "rebuild",
+            "refreshed": True,
+        }
+    _repin_all(view_path, paths, heads)
+    where = _where_from_spec(spec)
+
+    def at_new(j):
+        w = where if j == 0 else None
+        return read_generation(spark, paths[j], at=heads[j], where=w)
+
+    def at_old(j):
+        w = where if j == 0 else None
+        return read_generation(spark, paths[j], at=pins[j], where=w)
+
+    terms = []
+    for i, (mode, rels) in enumerate(modes):
+        if mode == "noop" or not rels:
+            continue  # stable store (or empty append): no term
+        delta_i = generation_diff(
+            spark,
+            paths[i],
+            since=pins[i],
+            until=heads[i],
+            where=where if i == 0 else None,
+        )
+        parts = [
+            at_new(j) if j < i else (delta_i if j == i else at_old(j))
+            for j in range(len(paths))
+        ]
+        terms.append(_join_chain(parts, dims))
+    if not terms:
+        # appends landed but every delta file was pruned by the fact
+        # predicate (or was empty): advance the pins, keep the data
+        sidecar = dict(spec)
+        sidecar["base_gen"] = heads[0]
+        sidecar["dims"] = [{**d, "gen": h} for d, h in zip(dims, heads[1:])]
+        stored = spark.read.parquet(view_path)
+        supports = {}
+        _m0, cd0, _h0, _d0 = _split(aggs)
+        for out in cd0:
+            sup_dir = os.path.join(view_path, f"_support_{out}")
+            supports[out] = spark.read.parquet(sup_dir)
+        _write_view(stored, view_path, sidecar, supports, locked=True)
+        return {
+            "from": pins,
+            "to": heads,
+            "delta_files": 0,
+            "mode": "incremental",
+            "refreshed": True,
+        }
+    delta_join = reduce(lambda a, b: a.unionByName(b), terms)
+    stored = _stored_main(spark, view_path, aggs)
+    merged = _merge_partials(
+        stored, _partial_agg(delta_join, key_cols, aggs), key_cols, aggs
+    )
+    _m, cd, _h, _der = _split(aggs)
+    supports = {}
+    supports_union = {}
+    for out, col in cd.items():
+        sup_dir = os.path.join(view_path, f"_support_{out}")
+        stored_sup = spark.read.parquet(sup_dir)
+        delta_sup = _support_partial(delta_join, key_cols, col)
+        supports_union[out] = stored_sup.unionByName(delta_sup)
+        n_sup_files = sum(
+            1
+            for f in os.listdir(sup_dir)
+            if not f.startswith(("_", "."))
+            and os.path.isfile(os.path.join(sup_dir, f))
+        )
+        if n_sup_files > SUPPORT_FOLD_FILES:
+            supports[out] = supports_union[out].groupBy(
+                *key_cols, "_v"
+            ).agg(F.sum("_n").alias("_n"))
+        else:
+            supports[out] = ("append", sup_dir, delta_sup)
+    merged = _attach_derived(merged, supports_union, key_cols, aggs)
+    sidecar = dict(spec)
+    sidecar["base_gen"] = heads[0]
+    sidecar["dims"] = [{**d, "gen": h} for d, h in zip(dims, heads[1:])]
+    _write_view(merged, view_path, sidecar, supports, locked=True)
+    return {
+        "from": pins,
+        "to": heads,
+        "delta_files": n_delta_files,
+        "mode": "incremental",
+        "refreshed": True,
+    }
+
+
+def _repin_all(view_path: str, paths: list[str], gens: list[int]) -> None:
+    for p, g in zip(paths, gens):
+        _pin_base(p, view_path, g)
+
+
+def drop_matview(view_path: str) -> None:
+    """Remove the view and release its pin tag on the base (the pinned
+    generation re-enters normal TTL retention at the base's next
+    publish)."""
+    import shutil
+
+    from ..sources.generations import drop_tag
+    from .indexing import index_writer_lock
+
+    with index_writer_lock(view_path):
+        try:
+            spec = _load_spec(view_path)
+        except OSError:
+            spec = None
+        if spec is not None:
+            try:
+                drop_tag(spec["base_path"], _view_ref(view_path))
+            except OSError:
+                pass
+        shutil.rmtree(view_path, ignore_errors=True)
 
 
 def read_matview(spark: SparkSession, view_path: str) -> DataFrame:

@@ -926,6 +926,208 @@ def q_rel_matview_rollup_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_orders_join_matview_demo(spark: SparkSession, sf_dir: str) -> str:
+    """The JOIN-IVM lifecycle (round 10), built once per (application,
+    corpus content): a lineitem FACT store (70% by l_orderkey as
+    generation 1) joined to an orders DIM store (80% by o_orderkey as
+    generation 1), with a per-priority aggregate view materialized
+    over FACT ⋈ DIM. Then: the remaining 30% of lineitem appended →
+    refresh #1 consumes ΔF ⋈ dim (delta files only — dims stable, no
+    other term in the telescoping sum); the remaining 20% of orders
+    appended → refresh #2 consumes F@new ⋈ ΔD, which must BACKFILL
+    every pre-existing fact row whose order was invisible to the
+    inner join until its dim row arrived. Both refreshes are
+    incremental (mode asserted); the exported query's oracle is the
+    FULL lineitem ⋈ orders aggregate, so the external hash match
+    certifies the telescoping delta rule end-to-end
+    (operators/matview.py:create_matview_join)."""
+    from ..sources.generations import publish_generation
+    from .indexing import session_artifact_path
+    from .matview import create_matview_join, refresh_matview
+
+    def build(path: str) -> None:
+        fact = _os.path.join(path, "fact")
+        dim = _os.path.join(path, "dim")
+        view = _os.path.join(path, "view")
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("orderkey"),
+            dec("l_quantity").alias("qty_dec"),
+            (_revenue()).alias("rev_dec"),
+        )
+        o = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        li.filter(F.col("orderkey") % 10 < 7).coalesce(4).write.parquet(fact)
+        publish_generation(fact)
+        o.filter(F.col("orderkey") % 5 < 4).coalesce(2).write.parquet(dim)
+        publish_generation(dim)
+        create_matview_join(
+            spark,
+            view,
+            fact,
+            [{"path": dim, "on": ["orderkey"], "select": ["priority"]}],
+            ["priority"],
+            {
+                "n_items": ("count", "*"),
+                "total_qty": ("sum", "qty_dec"),
+                "total_rev": ("sum", "rev_dec"),
+                "n_orders": ("count_distinct", "orderkey"),
+            },
+        )
+        li.filter(F.col("orderkey") % 10 >= 7).coalesce(2).write.mode(
+            "append"
+        ).parquet(fact)
+        publish_generation(fact)
+        r1 = refresh_matview(spark, view)
+        assert r1["mode"] == "incremental", r1  # ΔF ⋈ dim, fact files only
+        o.filter(F.col("orderkey") % 5 >= 4).coalesce(1).write.mode(
+            "append"
+        ).parquet(dim)
+        publish_generation(dim)
+        r2 = refresh_matview(spark, view)
+        assert r2["mode"] == "incremental", r2  # F@new ⋈ ΔD backfill
+
+    return session_artifact_path(
+        spark,
+        sf_dir,
+        "lineitem_orders_join_matview_demo",
+        "lineitem.parquet",
+        build,
+    )
+
+
+def orders_delete_demo(spark: SparkSession, sf_dir: str) -> str:
+    """The predicate-DELETE lifecycle (round 10), built once per
+    (application, corpus content): orders range-clustered by
+    o_orderdate into a generations store, then every 1996 order is
+    DELETED (sources/generations.py:delete_rows — the copy-on-write
+    form: manifest stats prune the listing to the date-overlapping
+    files, only those rewrite, survivors hardlink with their stats
+    intact, and the result publishes as a new generation). The build
+    asserts the delete actually pruned (rewritten < total files) and
+    that the full pre-delete snapshot is still pinned readable."""
+    from ..sources.generations import (
+        delete_rows,
+        generation_row_count,
+        publish_generation,
+        read_generation,
+    )
+    from ..sources.layout import write_range_clustered
+    from .indexing import session_artifact_path
+
+    def build(path: str) -> None:
+        base = _os.path.join(path, "base")
+        write_range_clustered(
+            _orders_projected(spark, sf_dir), "o_orderdate", base, 16
+        )
+        publish_generation(base)
+        pre = generation_row_count(base)
+        report = delete_rows(
+            spark,
+            base,
+            [("o_orderdate", "between", ("1996-01-01", "1996-12-31"))],
+        )
+        # the clustered layout makes the delete file-pruned: most
+        # files are provably 1996-free and survive as hardlinks
+        assert 0 < report["rewritten_files"] < 16, report
+        assert report["deleted_rows"] > 0, report
+        # snapshot isolation: the pre-delete generation still serves
+        # every row (cheap metadata-only check)
+        assert generation_row_count(base, at=report["generation"] - 1) == pre
+        assert read_generation(spark, base).filter(
+            F.col("o_orderdate").between("1996-01-01", "1996-12-31 23:59:59")
+        ).limit(1).count() == 0
+
+    return session_artifact_path(
+        spark, sf_dir, "orders_delete_demo", "orders.parquet", build
+    )
+
+
+@register(
+    "rel_delete_rows",
+    oracle="""
+        SELECT EXTRACT(year FROM o_orderdate) AS year,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        WHERE o_orderdate NOT BETWEEN TIMESTAMP '1996-01-01'
+                                  AND TIMESTAMP '1996-12-31'
+        GROUP BY 1
+    """,
+    tier="relational",
+    doc="Row-level predicate DELETE as a store operation "
+    "(sources/generations.py:delete_rows — retention/GDPR erasure in "
+    "copy-on-write form): every 1996 order is deleted from the "
+    "range-clustered generations store, where the manifest's footer "
+    "stats prune the rewrite to the date-overlapping files (asserted "
+    "<16 in the build) while survivors hardlink untouched with their "
+    "stats and blooms carried by rel+size; the result publishes as a "
+    "new generation, the pre-delete snapshot stays pinned-readable "
+    "(asserted), generation_changes emits the deleted rows, and a "
+    "matview across the span rebuilds exactly (tests/test_delete.py). "
+    "The oracle aggregates the full table MINUS the predicate, so the "
+    "external hash match proves the delete removed exactly the "
+    "matching rows and nothing else. At 100 TB a one-tenant/one-year "
+    "erasure rewrites that slice's files, never the store.",
+)
+def q_rel_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.generations import read_generation
+
+    root = orders_delete_demo(spark, sf_dir)
+    df = read_generation(spark, _os.path.join(root, "base"))
+    return df.groupBy(
+        F.year("o_orderdate").cast("long").alias("year")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("price_dec", "total_price"),
+    )
+
+
+@register(
+    "rel_matview_join_refresh",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS total_rev,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    """,
+    tier="relational",
+    doc="A materialized aggregate over FACT ⋈ DIM under incremental "
+    "view maintenance — the standard join-IVM telescoping delta "
+    "(operators/matview.py:create_matview_join): refresh #1 merges "
+    "ΔF ⋈ dim (dims stable → the fact's delta files are the ONLY "
+    "scan), refresh #2 merges F@new ⋈ ΔD (a late-arriving dimension "
+    "row must backfill every pre-existing fact row its key unlocks "
+    "for the inner join — the case single-table IVM cannot express). "
+    "The oracle aggregates the FULL lineitem ⋈ orders join, so the "
+    "external hash match proves incremental == full rebuild across "
+    "mixed fact/dim appends, including the COUNT(DISTINCT) support "
+    "across both refresh kinds. At 100 TB this is the dashboard "
+    "pattern: the fact grows daily, dims trickle, and no refresh "
+    "ever rescans history.",
+)
+def q_rel_matview_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .matview import read_matview
+
+    root = lineitem_orders_join_matview_demo(spark, sf_dir)
+    v = read_matview(spark, _os.path.join(root, "view"))
+    return v.select(
+        "priority",
+        "n_items",
+        F.col("total_qty").cast("double").alias("total_qty"),
+        F.col("total_rev").cast("double").alias("total_rev"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+    )
+
+
 def orders_savepoint_demo(spark: SparkSession, sf_dir: str) -> str:
     """A tagged-generation lifecycle, built once per (application,
     corpus content): 70% of orders published as generation 1 and

@@ -66,6 +66,7 @@ import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 GEN_FILE = "_generations.json"
 GEN_DIR = "_gen"  # underscore: invisible to Spark directory scans
@@ -136,6 +137,12 @@ def _norm_stat(v):
         # session-time values; a mixed compare would see
         # "...00.000000" < "...00.000000+00:00" and wrongly prune a
         # file whose min equals the predicate exactly.
+        # CONTRACT: a NAIVE datetime predicate value is interpreted as
+        # UTC (this repo's sessions pin spark.sql.session.timeZone to
+        # UTC, so naive == session time == UTC). On a session pinned
+        # to another zone, pass tz-AWARE values — they convert here —
+        # or pruning compares a session-local wall time against
+        # UTC-normalized footer stats, shifted by the offset.
         if v.tzinfo is not None:
             v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
         return v.isoformat(sep=" ", timespec="microseconds")
@@ -365,6 +372,48 @@ def _is_or_branch(term) -> bool:
     )
 
 
+_DATE_SHAPE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_DATETIME_SHAPE = re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}")
+
+
+def _stat_cmp(a, b) -> int | None:
+    """Order two normalized stat/predicate values; None = not provably
+    comparable, so the caller must KEEP the file (Spark's row filter
+    would coerce where Python raises TypeError — a planner crash or a
+    wrong prune are both worse than one kept file). The one shape
+    mismatch normalization CAN fix exactly: a date-only ISO string
+    against a datetime-shaped one (date column stats vs datetime
+    predicate or vice versa) widens the date to midnight — precisely
+    Spark's date→timestamp coercion — so a file whose max date equals
+    the predicate's lower bound is no longer wrongly pruned by the
+    lexicographic '1996-01-01' < '1996-01-01 00:00:00.000000'.
+    Plain strings never widen (a string column may legitimately hold
+    date-shaped values; raw comparison is Spark's string semantics)."""
+    if isinstance(a, str) and isinstance(b, str):
+        if _DATE_SHAPE.match(a) and _DATETIME_SHAPE.match(b):
+            a = a + " 00:00:00.000000"
+        elif _DATETIME_SHAPE.match(a) and _DATE_SHAPE.match(b):
+            b = b + " 00:00:00.000000"
+    try:
+        if a < b:
+            return -1
+        if b < a:
+            return 1
+        return 0
+    except TypeError:
+        return None
+
+
+def _lt(a, b) -> bool | None:
+    c = _stat_cmp(a, b)
+    return None if c is None else c < 0
+
+
+def _le(a, b) -> bool | None:
+    c = _stat_cmp(a, b)
+    return None if c is None else c <= 0
+
+
 def _file_matches(rel: str, stats: dict, where, blooms=None, bloom_load=None) -> bool:
     """Conservative containment test: False only when the file's footer
     bounds, partition-dir values, or bloom sidecars PROVE no row can
@@ -405,30 +454,36 @@ def _file_matches(rel: str, stats: dict, where, blooms=None, bloom_load=None) ->
         if not b:
             continue
         mn, mx = b
+        # every branch below prunes only on a PROVEN False — a
+        # tri-state None (incomparable types: int stats vs str
+        # predicate, which Spark's row filter would coerce but Python
+        # cannot order) keeps the file
         if op == "between":
             lo, hi = _norm_stat(val[0]), _norm_stat(val[1])
-            if lo is not None and lo > mx:
+            if lo is not None and _le(lo, mx) is False:
                 return False
-            if hi is not None and hi < mn:
+            if hi is not None and _le(mn, hi) is False:
                 return False
             continue
         if op == "in":
             vs = [x for x in (_norm_stat(v) for v in val) if x is not None]
-            if len(vs) == len(val) and not any(mn <= v <= mx for v in vs):
+            if len(vs) == len(val) and all(
+                _le(mn, v) is False or _le(v, mx) is False for v in vs
+            ):
                 return False
             continue
         v = _norm_stat(val)
         if v is None:
             continue
-        if op == "=" and not (mn <= v <= mx):
+        if op == "=" and (_le(mn, v) is False or _le(v, mx) is False):
             return False
-        if op == "<" and not (mn < v):
+        if op == "<" and _lt(mn, v) is False:
             return False
-        if op == "<=" and not (mn <= v):
+        if op == "<=" and _le(mn, v) is False:
             return False
-        if op == ">" and not (mx > v):
+        if op == ">" and _lt(v, mx) is False:
             return False
-        if op == ">=" and not (mx >= v):
+        if op == ">=" and _le(v, mx) is False:
             return False
     return True
 
@@ -798,13 +853,15 @@ def carry_generations(path: str, staging: str) -> None:
         "root": root,
         "files": rels,
         "created": time.time(),
-        # compaction rewrote every file: all stats (and blooms)
-        # computed fresh from the staging files — nothing to carry
-        # forward by rel path
+        # prior stats carry by rel+size: a compaction's rewritten
+        # files have fresh part names (never match — recomputed), but
+        # a SELECTIVE rewrite (delete_rows) hardlinks untouched files
+        # at their same rel paths, and those keep their stats and
+        # bloom sidecars without a footer re-read
         "stats": _collect_stats(
             staging,
             rels,
-            {},
+            _prior_stats(m["gens"]),
             m.get("bloom_cols"),
             os.path.join(staging, BLOOM_DIR),
         ),
@@ -821,18 +878,15 @@ def carry_generations(path: str, staging: str) -> None:
                 g["files"],
                 os.path.join(staging, g["root"]),
             )
-    # carried generations keep referencing their bloom sidecars by
-    # name: hardlink those into staging's _bloom so the swap carries
-    # them with the data (the new head's blooms are already there)
-    carried = _bloom_refs(
-        {k: g for k, g in gens.items() if int(k) != head + 1}
-    )
+    # carried generations — and any head stats entries that carried by
+    # rel+size — keep referencing bloom sidecars by name: hardlink
+    # those into staging's _bloom so the swap carries them with the
+    # data (blooms built fresh for rewritten files are already there)
+    sb = os.path.join(staging, BLOOM_DIR)
+    have = set(os.listdir(sb)) if os.path.isdir(sb) else set()
+    carried = _bloom_refs(gens) - have
     if carried:
-        _link_tree(
-            os.path.join(path, BLOOM_DIR),
-            sorted(carried),
-            os.path.join(staging, BLOOM_DIR),
-        )
+        _link_tree(os.path.join(path, BLOOM_DIR), sorted(carried), sb)
     staged = {"head": head + 1, "gens": gens, "refs": refs}
     if m.get("bloom_cols"):
         staged["bloom_cols"] = m["bloom_cols"]
@@ -919,7 +973,10 @@ def read_generation(
     stats (`plan_generation_scan`) and then applies the same predicate
     to the surviving rows, so the result is EXACTLY
     `read_generation(...).filter(pred)`: dropped files provably hold
-    no matching rows; kept files still filter row-level.
+    no matching rows; kept files still filter row-level. Datetime
+    predicate values: tz-aware values convert to UTC; NAIVE values are
+    interpreted AS UTC (this repo's sessions pin the session timezone
+    to UTC — on a differently-pinned session pass tz-aware values).
 
     `merge_schema=True` unions the schemas of the generation's files
     (SCHEMA EVOLUTION across appends: a later writer added a column,
@@ -996,10 +1053,18 @@ def generation_diff(
     is exactly the NEW files, so the scan reads only the delta and
     never touches the rows the consumer already has. Across a
     compaction boundary the file sets are incomparable (the rewrite
-    renames everything); with `key_cols` the diff falls back to an
-    exact LEFT ANTI join of the two snapshots on those keys (the
-    delta side is usually small — Spark broadcasts it under AQE),
-    otherwise this raises rather than silently rescanning."""
+    renames everything); with `key_cols` the diff falls back to a
+    LEFT ANTI join of the two snapshots on those keys — i.e. the
+    KEY-ADDED rows. That equals the row diff ONLY when the rewrite
+    preserved the row images of retained keys (a pure re-layout:
+    sort, cluster, file-merge without folding). A FOLDING rewrite —
+    compact_index sums duplicate (word, doc_id) partials into one
+    row — changes values on keys that already existed at `since`,
+    which no key-level anti-join can see; consumers that maintain
+    value aggregates across such spans must rebuild from `until`
+    instead (matview refresh does exactly that —
+    operators/matview.py:_rebuild_locked). Without `key_cols` this
+    raises rather than silently rescanning."""
     mode, _delta = diff_plan(path, since, until)
     m = load_manifest(path)
     since = _resolve(m, path, since)
@@ -1113,6 +1178,127 @@ def generation_changes(
         .unionByName(img(upd, "", "update_postimage"))
         .unionByName(deletes)
     )
+
+
+def delete_rows(spark: SparkSession, path: str, where) -> dict:
+    """Row-level predicate DELETE as a STORE operation (retention /
+    GDPR erasure): remove every row matching `where` (the
+    read_generation predicate language — AND-list of (col, op, val),
+    OR via nested lists) and publish the result as a new generation.
+
+    Scale shape — the Delta/Iceberg copy-on-write DELETE reduced to
+    its data-plane half:
+    - The manifest's footer stats + partition values prune the live
+      listing to the files that MAY hold matching rows; every other
+      file is HARDLINKED into staging untouched (metadata-only) and
+      keeps its recorded stats and bloom sidecars without a re-read.
+      A delete of one tenant/day rewrites that slice, never the store.
+    - Affected files are re-read and their NON-matching rows
+      rewritten (null predicate = not matched = kept, SQL semantics).
+    - The whole thing is the compact_artifact staged swap under the
+      writer flock: a crash leaves the old store (and old manifest)
+      intact; readers pinned to prior generations are untouched
+      (their snapshots are immutable hardlinks).
+    - Downstream: `diff_plan` classifies the span as a rewrite, so
+      matview refresh rebuilds (exact under removal — min/max are not
+      monoids under deletion) and `generation_changes` emits the
+      deleted rows as `change_type='delete'` (tests/test_delete.py).
+
+    Returns {"generation": new head, "rewritten_files": k,
+    "kept_files": m, "deleted_rows": n} — `deleted_rows` is exact and
+    metadata-derived (affected-file row counts from the manifest
+    minus rewritten-output row counts from the staged footers; both
+    sides are parquet-exact), so the report costs no extra scan."""
+    import tempfile
+
+    from ..operators.indexing import (
+        _chmod_staging,
+        _recover_index_locked,
+        index_writer_lock,
+    )
+
+    if not where:
+        raise ValueError("delete_rows requires a non-empty predicate")
+    with index_writer_lock(path):
+        _recover_index_locked(path)
+        m = load_manifest(path)
+        if m is None:
+            ensure_base_generation(path)
+            m = load_manifest(path)
+            if m is None:
+                raise ValueError(f"{path!r} has no data to delete from")
+        head = int(m["head"])
+        live = _data_files(path)
+        if set(live) != set(m["gens"][str(head)]["files"]):
+            # unpublished appends: pin the pre-delete state first so
+            # the delete span is exactly one generation and the CDF
+            # "before" image is well-defined
+            head = _publish(path, head + 1, m)
+            m = load_manifest(path)
+        g = m["gens"][str(head)]
+        stats = g.get("stats") or {}
+        affected = [
+            r
+            for r in live
+            if _file_matches(r, (stats.get(r) or {}).get("cols") or {}, where)
+        ]
+        kept = [r for r in live if r not in set(affected)]
+        if not affected:
+            return {
+                "generation": head,
+                "rewritten_files": 0,
+                "kept_files": len(kept),
+                "deleted_rows": 0,
+            }
+        staging = tempfile.mkdtemp(
+            prefix="mri_delete_", dir=os.path.dirname(path) or "."
+        )
+        _chmod_staging(staging)
+        # rows of the affected files that do NOT match the predicate
+        # survive; a NULL predicate is not-matched (SQL DELETE
+        # semantics), hence the coalesce
+        df = spark.read.option("basePath", path).parquet(
+            *[os.path.join(path, r) for r in affected]
+        )
+        keep_pred = ~F.coalesce(_where_column(where), F.lit(False))
+        part_cols = sorted(
+            {k for r in affected for k in _partition_values(r)}
+        )
+        writer = df.filter(keep_pred).write.mode("append")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(staging)
+        for f in os.listdir(staging):  # Spark success markers
+            if f.startswith("_") and os.path.isfile(os.path.join(staging, f)):
+                os.remove(os.path.join(staging, f))
+        _link_tree(path, kept, staging)
+        rewritten = _data_files(staging)
+        affected_rows = 0
+        for r in affected:
+            n = (stats.get(r) or {}).get("rows")
+            if n is None:
+                n = _file_num_rows(os.path.join(path, r))
+            affected_rows += int(n or 0)
+        kept_set = set(kept)
+        out_rows = sum(
+            int(_file_num_rows(os.path.join(staging, r)) or 0)
+            for r in rewritten
+            if r not in kept_set
+        )
+        carry_generations(path, staging)
+        import shutil as _sh
+
+        old = path + ".old"
+        _sh.rmtree(old, ignore_errors=True)
+        os.replace(path, old)
+        os.replace(staging, path)
+        _sh.rmtree(old)
+        return {
+            "generation": head + 1,
+            "rewritten_files": len(affected),
+            "kept_files": len(kept),
+            "deleted_rows": affected_rows - out_rows,
+        }
 
 
 def describe_generations(spark: SparkSession, path: str) -> DataFrame:

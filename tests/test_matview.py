@@ -4,8 +4,11 @@ operators/matview.py maintains a partial-aggregate view pinned to a
 base generation; refresh merges the partials of exactly the rows added
 since the pin. Pinned here: refresh == full recompute bit-for-bit
 after every append; the append-span refresh scans ONLY the delta
-files; a no-op refresh is a no-op; a compaction-crossing span falls
-back to the exact row-key anti-join (or refuses without row keys);
+files; a no-op refresh is a no-op; a span that rewrote files
+(compaction/delete) REBUILDS from head — exact even when the rewrite
+FOLDED rows into keys that already existed at the pin (the round-9
+anti-join fallback silently dropped those keys' value changes from
+sum aggregates — the round-10 regression test below);
 count/sum/min/max and null-skipping count(col) all merge correctly.
 """
 
@@ -93,21 +96,20 @@ def test_noop_refresh(spark, tmp_path):
     before = _view_rows(spark, view)
     report = refresh_matview(spark, view)
     assert report == {
-        "from": 1, "to": 1, "delta_files": 0, "refreshed": False
+        "from": 1, "to": 1, "delta_files": 0, "mode": "noop",
+        "refreshed": False,
     }
     assert _view_rows(spark, view) == before
 
 
-def test_refresh_across_compaction_antijoin_fallback(spark, tmp_path):
-    base, view = str(tmp_path / "b"), str(tmp_path / "v")
-    _chunk(spark, 0, 20).coalesce(2).write.parquet(base)
-    publish_generation(base)
-    create_matview(spark, base, view, ["grp"], AGGS, row_keys=["rid"])
-
-    # a compaction-style rewrite: same rows + 10 new, all files renamed
-    merged = read_generation(spark, base).unionByName(_chunk(spark, 500, 10))
-    staged = str(tmp_path / "staged")
-    merged.coalesce(1).write.parquet(staged)
+def _rewrite_all_files(spark, base: str, extra=None, tmp: str | None = None):
+    """Simulate a compaction: rewrite the live listing (optionally
+    with extra rows merged in) under new file names, then publish."""
+    merged = read_generation(spark, base)
+    if extra is not None:
+        merged = merged.unionByName(extra)
+    staged = tmp or (base.rstrip("/") + "_staged")
+    merged.coalesce(1).write.mode("overwrite").parquet(staged)
     for f in os.listdir(base):
         if not f.startswith(("_", ".")) and os.path.isfile(
             os.path.join(base, f)
@@ -118,13 +120,29 @@ def test_refresh_across_compaction_antijoin_fallback(spark, tmp_path):
             os.rename(os.path.join(staged, f), os.path.join(base, f))
     publish_generation(base)
 
+
+def test_refresh_across_compaction_rebuild_fallback(spark, tmp_path):
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    _chunk(spark, 0, 20).coalesce(2).write.parquet(base)
+    publish_generation(base)
+    create_matview(spark, base, view, ["grp"], AGGS, row_keys=["rid"])
+
+    # a compaction-style rewrite: same rows + 10 new, all files renamed
+    _rewrite_all_files(
+        spark, base, extra=_chunk(spark, 500, 10),
+        tmp=str(tmp_path / "staged"),
+    )
+
     report = refresh_matview(spark, view)
     assert report["refreshed"] is True
-    assert report["delta_files"] == -1  # the anti-join fallback
+    assert report["mode"] == "rebuild"
+    assert report["delta_files"] == -1
     assert _view_rows(spark, view) == _full(spark, base)
 
 
-def test_compaction_span_without_row_keys_refuses(spark, tmp_path):
+def test_compaction_span_without_row_keys_rebuilds(spark, tmp_path):
+    """Rewriting spans need no row keys anymore: the refresh rebuilds
+    from head (always exact) instead of refusing."""
     base, view = str(tmp_path / "b"), str(tmp_path / "v")
     _chunk(spark, 0, 10).coalesce(1).write.parquet(base)
     publish_generation(base)
@@ -137,8 +155,135 @@ def test_compaction_span_without_row_keys_refuses(spark, tmp_path):
         os.path.join(base, data[0]), os.path.join(base, "part-rewritten.parquet")
     )
     publish_generation(base)
-    with pytest.raises(ValueError, match="compaction"):
-        refresh_matview(spark, view)
+    report = refresh_matview(spark, view)
+    assert report["mode"] == "rebuild"
+    assert _view_rows(spark, view) == _full(spark, base)
+
+
+def test_folding_rewrite_before_refresh_keeps_sums_exact(spark, tmp_path):
+    """The round-9 defect (ADVICE r9, high): append rows whose KEYS
+    already exist (so a fold-style compaction sums them into existing
+    rows), compact BEFORE any refresh, then refresh. The key-level
+    anti-join delta saw no new keys and permanently under-counted
+    sum aggregates; the rebuild fallback must equal a full recompute."""
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    rows = [(i, f"g{i % 3}", 10 * i, f"t{i}") for i in range(12)]
+    spark.createDataFrame(
+        rows, "rid long, grp string, v long, tag string"
+    ).coalesce(1).write.parquet(base)
+    publish_generation(base)
+    create_matview(spark, base, view, ["grp"], AGGS, row_keys=["rid"])
+
+    # append DUPLICATE rids with new v values (partial rows for
+    # existing keys, the compact_index shape) ...
+    dup = spark.createDataFrame(
+        [(i, f"g{i % 3}", 1000, f"t{i}") for i in range(6)],
+        "rid long, grp string, v long, tag string",
+    )
+    dup.coalesce(1).write.mode("append").parquet(base)
+    publish_generation(base)
+
+    # ... then FOLD them (sum v per rid) in a rewrite, BEFORE the view
+    # ever saw the append — the folded keys all existed at the pin
+    folded = (
+        read_generation(spark, base)
+        .groupBy("rid", "grp", "tag")
+        .agg(F.sum("v").alias("v"))
+        .select("rid", "grp", "v", "tag")
+    )
+    staged = str(tmp_path / "staged")
+    folded.coalesce(1).write.parquet(staged)
+    for f in os.listdir(base):
+        if not f.startswith(("_", ".")) and os.path.isfile(
+            os.path.join(base, f)
+        ):
+            os.remove(os.path.join(base, f))
+    for f in os.listdir(staged):
+        if not f.startswith(("_", ".")):
+            os.rename(os.path.join(staged, f), os.path.join(base, f))
+    publish_generation(base)
+
+    report = refresh_matview(spark, view)
+    assert report["mode"] == "rebuild"
+    assert _view_rows(spark, view) == _full(spark, base)
+    # the appended 6 x 1000 must be IN the sums (the old anti-join
+    # path dropped them): total over g0 includes 1000s
+    by_grp = {r.grp: r.total for r in read_matview(spark, view).collect()}
+    assert by_grp["g0"] >= 2000
+
+
+def test_count_distinct_only_spec(spark, tmp_path):
+    """A spec with ONLY count_distinct outputs (no mergeable columns at
+    all) must create and refresh — the internal `_mvc_rows` count keeps
+    the grouped agg's expression list non-empty (ADVICE r9, medium)."""
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    _chunk(spark, 0, 20).coalesce(2).write.parquet(base)
+    publish_generation(base)
+    create_matview(
+        spark, base, view, ["grp"], {"d_tag": ("count_distinct", "tag")}
+    )
+    _chunk(spark, 20, 10).coalesce(1).write.mode("append").parquet(base)
+    publish_generation(base)
+    refresh_matview(spark, view)
+    got = sorted(
+        (r.grp, r.d_tag) for r in read_matview(spark, view).collect()
+    )
+    want = sorted(
+        (r.grp, r.d)
+        for r in read_generation(spark, base)
+        .groupBy("grp")
+        .agg(F.count_distinct("tag").alias("d"))
+        .collect()
+    )
+    assert got == want
+    # the internal row-count column never leaks into the served frame
+    assert all(
+        not c.startswith("_mvc_")
+        for c in read_matview(spark, view).columns
+    )
+
+
+def test_view_pin_tagged_against_retention(spark, tmp_path, monkeypatch):
+    """The view's pinned base generation is TAGGED (ADVICE r9, low):
+    under GEN_RETAIN=1 churn the untagged siblings expire but the pin
+    survives, so refresh still works; the tag moves forward with the
+    pin on every refresh."""
+    import map_reduce_indexing_spark.sources.generations as G
+    from map_reduce_indexing_spark.sources.generations import list_tags
+
+    monkeypatch.setattr(G, "GEN_RETAIN", 1)
+    monkeypatch.setattr(G, "GEN_TTL_SECONDS", 0.0)
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    _chunk(spark, 0, 10).coalesce(1).write.parquet(base)
+    publish_generation(base)
+    create_matview(spark, base, view, ["grp"], AGGS)
+    (pin1,) = set(list_tags(base).values())
+    assert pin1 == 1
+    # writer churn: three more publishes — without the tag, gen 1
+    # would expire (GEN_RETAIN=1, TTL=0)
+    for lo in (10, 20, 30):
+        _chunk(spark, lo, 5).coalesce(1).write.mode("append").parquet(base)
+        publish_generation(base)
+    m = G.load_manifest(base)
+    assert "1" in m["gens"]  # the pin survived retention
+    report = refresh_matview(spark, view)
+    assert report["refreshed"] is True
+    assert _view_rows(spark, view) == _full(spark, base)
+    assert set(list_tags(base).values()) == {report["to"]}  # tag moved
+
+
+def test_drop_matview_releases_pin(spark, tmp_path):
+    from map_reduce_indexing_spark.operators.matview import drop_matview
+    from map_reduce_indexing_spark.sources.generations import list_tags
+
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    _chunk(spark, 0, 10).coalesce(1).write.parquet(base)
+    publish_generation(base)
+    create_matview(spark, base, view, ["grp"], AGGS)
+    assert len(list_tags(base)) == 1
+    drop_matview(view)
+    assert list_tags(base) == {}
+    assert not os.path.isdir(view)
 
 
 def test_unsupported_agg_rejected(spark, tmp_path):
@@ -602,7 +747,7 @@ def test_index_letter_stats_view_incremental_and_fold_invariant(
     assert served() == full()
     s.append(docs(100, 5, "beta"))  # delta refresh
     assert served() == full()
-    s.compact()  # the folding rewrite: anti-join fallback span
+    s.compact()  # the folding rewrite: rebuild-from-head span
     s.append(docs(200, 3, "gamma"))
     assert served() == full()
 
@@ -677,3 +822,224 @@ def test_support_folds_past_the_file_bound(spark, tmp_path, monkeypatch):
         .collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------- joins
+
+
+def _fact(spark, lo: int, n: int):
+    # k cycles 0..4 so dim coverage is partial until the dim append
+    return spark.createDataFrame(
+        [(lo + i, (lo + i) % 5, (lo + i) * 10, f"u{(lo + i) % 7}")
+         for i in range(n)],
+        "rid long, k long, v long, user string",
+    )
+
+
+def _dim(spark, keys):
+    return spark.createDataFrame(
+        [(k, f"grp{k % 2}") for k in keys], "k long, grp string"
+    )
+
+
+JAGGS = {
+    "n": ("count", "*"),
+    "total": ("sum", "v"),
+    "hi": ("max", "v"),
+    "d_users": ("count_distinct", "user"),
+}
+
+
+def _join_full(spark, fact: str, dim: str):
+    f = read_generation(spark, fact)
+    d = read_generation(spark, dim)
+    return sorted(
+        tuple(r)
+        for r in f.join(d, on="k", how="inner")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.max("v").alias("hi"),
+            F.count_distinct("user").alias("d_users"),
+        )
+        .collect()
+    )
+
+
+def _join_view_rows(spark, view: str):
+    return sorted(
+        tuple(r)
+        for r in read_matview(spark, view)
+        .select("grp", "n", "total", "hi", "d_users")
+        .collect()
+    )
+
+
+def _setup_join(spark, tmp_path, dim_keys=(0, 1, 2)):
+    from map_reduce_indexing_spark.operators.matview import (
+        create_matview_join,
+    )
+
+    fact = str(tmp_path / "fact")
+    dim = str(tmp_path / "dim")
+    view = str(tmp_path / "view")
+    _fact(spark, 0, 30).coalesce(2).write.parquet(fact)
+    publish_generation(fact)
+    _dim(spark, list(dim_keys)).coalesce(1).write.parquet(dim)
+    publish_generation(dim)
+    create_matview_join(
+        spark, view, fact,
+        [{"path": dim, "on": ["k"], "select": ["grp"]}],
+        ["grp"], JAGGS,
+    )
+    return fact, dim, view
+
+
+def test_join_matview_create_equals_full(spark, tmp_path):
+    fact, dim, view = _setup_join(spark, tmp_path)
+    assert _join_view_rows(spark, view) == _join_full(spark, fact, dim)
+
+
+def test_join_matview_fact_delta_only(spark, tmp_path):
+    """Dims stable: the refresh is exactly ΔF ⋈ dims — one appended
+    fact file scanned, incremental == full recompute."""
+    fact, dim, view = _setup_join(spark, tmp_path)
+    _fact(spark, 30, 15).coalesce(1).write.mode("append").parquet(fact)
+    publish_generation(fact)
+    report = refresh_matview(spark, view)
+    assert report["mode"] == "incremental"
+    assert report["delta_files"] == 1
+    assert _join_view_rows(spark, view) == _join_full(spark, fact, dim)
+
+
+def test_join_matview_dim_append_backfills_old_fact_rows(spark, tmp_path):
+    """A dim append adds keys 3 and 4 — fact rows with those keys
+    existed since creation but were invisible to the inner join; the
+    F@new ⋈ ΔD term must pull them ALL in."""
+    fact, dim, view = _setup_join(spark, tmp_path)
+    _dim(spark, [3, 4]).coalesce(1).write.mode("append").parquet(dim)
+    publish_generation(dim)
+    report = refresh_matview(spark, view)
+    assert report["mode"] == "incremental"
+    assert _join_view_rows(spark, view) == _join_full(spark, fact, dim)
+
+
+def test_join_matview_both_sides_append_one_refresh(spark, tmp_path):
+    """Fact AND dim appended before one refresh: the telescoping sum
+    (ΔF ⋈ D@old ∪ F@new ⋈ ΔD) must count the ΔF⋈ΔD cross rows exactly
+    once."""
+    fact, dim, view = _setup_join(spark, tmp_path)
+    _fact(spark, 30, 20).coalesce(1).write.mode("append").parquet(fact)
+    publish_generation(fact)
+    _dim(spark, [3, 4]).coalesce(1).write.mode("append").parquet(dim)
+    publish_generation(dim)
+    report = refresh_matview(spark, view)
+    assert report["mode"] == "incremental"
+    assert _join_view_rows(spark, view) == _join_full(spark, fact, dim)
+    # second refresh: noop
+    report2 = refresh_matview(spark, view)
+    assert report2["refreshed"] is False
+
+
+def test_join_matview_sequential_appends_and_refreshes(spark, tmp_path):
+    fact, dim, view = _setup_join(spark, tmp_path)
+    for lo in (30, 50, 70):
+        _fact(spark, lo, 10).coalesce(1).write.mode("append").parquet(fact)
+        publish_generation(fact)
+        refresh_matview(spark, view)
+        assert _join_view_rows(spark, view) == _join_full(spark, fact, dim)
+    _dim(spark, [3]).coalesce(1).write.mode("append").parquet(dim)
+    publish_generation(dim)
+    refresh_matview(spark, view)
+    assert _join_view_rows(spark, view) == _join_full(spark, fact, dim)
+
+
+def test_join_matview_rewrite_any_store_rebuilds(spark, tmp_path):
+    """A rewrite on EITHER store's span (here the dim) forces the
+    exact full rebuild from all heads."""
+    fact, dim, view = _setup_join(spark, tmp_path)
+    _rewrite_all_files(
+        spark, dim, extra=_dim(spark, [3]), tmp=str(tmp_path / "st")
+    )
+    report = refresh_matview(spark, view)
+    assert report["mode"] == "rebuild"
+    assert _join_view_rows(spark, view) == _join_full(spark, fact, dim)
+
+
+def test_join_matview_rollup_routes(spark, tmp_path):
+    """Rollup routing works unchanged on join views: the stored
+    partials and supports answer the global grain without touching
+    either base."""
+    from map_reduce_indexing_spark.operators.matview import rollup_matview
+
+    fact, dim, view = _setup_join(spark, tmp_path)
+    _fact(spark, 30, 15).coalesce(1).write.mode("append").parquet(fact)
+    publish_generation(fact)
+    refresh_matview(spark, view)
+    rolled = rollup_matview(spark, view, [])
+    (r,) = rolled.collect()
+    f = read_generation(spark, fact)
+    d = read_generation(spark, dim)
+    (want,) = (
+        f.join(d, on="k", how="inner")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.max("v").alias("hi"),
+            F.count_distinct("user").alias("d_users"),
+        )
+        .collect()
+    )
+    assert (r.n, r.total, r.hi, r.d_users) == tuple(want)
+
+
+def test_join_matview_pins_every_store(spark, tmp_path):
+    from map_reduce_indexing_spark.sources.generations import list_tags
+
+    fact, dim, view = _setup_join(spark, tmp_path)
+    assert len(list_tags(fact)) == 1
+    assert len(list_tags(dim)) == 1
+    _fact(spark, 30, 5).coalesce(1).write.mode("append").parquet(fact)
+    publish_generation(fact)
+    report = refresh_matview(spark, view)
+    assert set(list_tags(fact).values()) == {report["to"][0]}
+
+
+def test_join_matview_filtered_fact(spark, tmp_path):
+    """The `where` predicate filters the FACT side and distributes
+    over refresh deltas exactly."""
+    from map_reduce_indexing_spark.operators.matview import (
+        create_matview_join,
+    )
+
+    fact = str(tmp_path / "fact")
+    dim = str(tmp_path / "dim")
+    view = str(tmp_path / "view")
+    _fact(spark, 0, 30).coalesce(2).write.parquet(fact)
+    publish_generation(fact)
+    _dim(spark, [0, 1, 2, 3, 4]).coalesce(1).write.parquet(dim)
+    publish_generation(dim)
+    create_matview_join(
+        spark, view, fact,
+        [{"path": dim, "on": ["k"], "select": ["grp"]}],
+        ["grp"], JAGGS, where=[("v", ">=", 100)],
+    )
+    _fact(spark, 30, 15).coalesce(1).write.mode("append").parquet(fact)
+    publish_generation(fact)
+    refresh_matview(spark, view)
+    f = read_generation(spark, fact).filter(F.col("v") >= 100)
+    d = read_generation(spark, dim)
+    want = sorted(
+        tuple(r)
+        for r in f.join(d, on="k", how="inner")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.max("v").alias("hi"),
+            F.count_distinct("user").alias("d_users"),
+        )
+        .collect()
+    )
+    assert _join_view_rows(spark, view) == want
