@@ -148,15 +148,10 @@ def index_writer_lock(path: str):
     enter: reads are safe against the swap via `recover_index`
     self-healing.
     """
-    import fcntl
+    from ..sources.commitio import IO
 
-    fd = os.open(path.rstrip("/") + ".lock", os.O_CREAT | os.O_RDWR, 0o644)
-    try:
-        fcntl.flock(fd, fcntl.LOCK_EX)
+    with IO.writer_lock(path):
         yield
-    finally:
-        fcntl.flock(fd, fcntl.LOCK_UN)
-        os.close(fd)
 
 
 def compact_index(spark: SparkSession, path: str) -> None:
@@ -231,9 +226,9 @@ def compact_artifact(spark: SparkSession, path: str, rewrite) -> None:
     the staging directory; crash-safety and locking semantics are
     exactly `compact_index`'s docstring — this IS that code, factored
     so each artifact only supplies its merge/layout step."""
-    import shutil
     import tempfile
 
+    from ..sources.commitio import IO
     from ..sources.generations import carry_generations
 
     with index_writer_lock(path):
@@ -247,13 +242,11 @@ def compact_artifact(spark: SparkSession, path: str, rewrite) -> None:
         # Snapshot support: relocate pinned generations into staging
         # (hardlinks; live path untouched) and stage the post-swap
         # manifest so data + generations commit atomically. No-op for
-        # stores that never published a generation.
-        carry_generations(path, staging)
-        old = path + ".old"
-        shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
-        os.replace(path, old)
-        os.replace(staging, path)
-        shutil.rmtree(old)
+        # stores that never published a generation. The session is
+        # passed through so a bulk rewrite's stats/bloom rebuild runs
+        # as one Spark job over the staged file list.
+        carry_generations(path, staging, spark=spark)
+        IO.publish_swap(path, staging)
 
 
 def recover_index(path: str) -> None:
@@ -269,9 +262,9 @@ def recover_index(path: str) -> None:
 
 
 def _recover_index_locked(path: str) -> None:
-    old = path + ".old"
-    if not os.path.exists(path) and os.path.isdir(old):
-        os.replace(old, path)
+    from ..sources.commitio import IO
+
+    IO.recover(path)
 
 
 def postings_for(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -355,9 +355,9 @@ def _write_view(
     `locked=True` when the caller already holds the flock — the lock
     is per-fd, so re-entering from the same thread would deadlock."""
     import contextlib
-    import shutil
     import tempfile
 
+    from ..sources.commitio import IO
     from .indexing import _chmod_staging, index_writer_lock
 
     guard = (
@@ -385,25 +385,15 @@ def _write_view(
                         os.path.join(src_dir, f)
                     ):
                         continue
-                    try:
-                        os.link(os.path.join(src_dir, f), os.path.join(dst, f))
-                    except OSError:
-                        import shutil as _sh
-
-                        _sh.copy2(
-                            os.path.join(src_dir, f), os.path.join(dst, f)
-                        )
+                    IO.link_or_copy(
+                        os.path.join(src_dir, f), os.path.join(dst, f)
+                    )
                 delta.write.mode("append").parquet(dst)
             else:
                 sup.write.mode("overwrite").parquet(dst)
         with open(os.path.join(staging, MATVIEW_FILE), "w") as fh:
             json.dump(sidecar, fh)
-        old = view_path + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(view_path):
-            os.replace(view_path, old)
-        os.replace(staging, view_path)
-        shutil.rmtree(old, ignore_errors=True)
+        IO.publish_swap(view_path, staging)
 
 
 def create_matview(

@@ -66,10 +66,11 @@ PRIORITY_WINDOW = [
     "index_corpus_stats",
     "index_letter_histogram",
     "search_term_lookup",
-    # (r8 rotation: search_and retired after 7 stable rounds — boolean
-    # AND stays externally covered by search_proximity, which is AND
-    # plus a positional constraint over the same semi-join path)
-    "search_proximity",  # r7 rotation: positional index gets external coverage (search_phrase retired — same positional artifact, proximity is the stricter consumer)
+    # (r10 rotation: search_proximity retired after 3 stable rounds —
+    # the positional artifact stays pytest+sweep-checked and the
+    # boolean/ranked search family keeps term_lookup, topk_per_term,
+    # and related_docs external; its slot carries the round-10
+    # join-IVM flagship)
     "search_topk_per_term",
     # (r9 rotation: index_heavy_hitters retired after 4 stable rounds —
     # the Misra-Gries machinery keeps its stricter external consumer in
@@ -90,8 +91,10 @@ PRIORITY_WINDOW = [
     "rel_q1_pricing_summary",
     "rel_q5_local_supplier",
     "rel_join_semi",
-    "rel_join_anti",
-    "rel_theta_join_bands",
+    # (r10 rotation: rel_join_anti and rel_theta_join_bands retired
+    # after 9 stable rounds — the join family keeps semi/asof/q5
+    # external; anti-join semantics also ride every generation_diff
+    # consumer. Their slots carry the lakehouse CDF + metadata reads.)
     "rel_join_asof",
     # (rel_cdc_scd2 rotated out in the r9 second batch — SCD2
     # semantics stay external via stream_scd2_temporal_join and the
@@ -99,7 +102,9 @@ PRIORITY_WINDOW = [
     # test. Its slot carries the manifest-skipping scan.)
     "rel_snapshot_pruned_scan",  # r9 second batch: manifest-level file skipping
     "rel_cdc_merge_upsert",  # r8 rotation: MERGE semantics had never been external
-    "rel_attribution_first_touch",  # r6 rotation: event-flow attribution
+    # (r10 rotation: rel_attribution_first_touch retired after 4
+    # stable rounds — event-flow keeps retention_cohorts + the
+    # streaming funnel external; its slot carries row-level DELETE)
     "rel_retention_cohorts",  # r7 rotation: cohort retention (rel_resample_daily retired after 1 stable round; time-series family keeps rel_anomaly_daily)
     # relational: distribution stats + grouping (r8 second batch:
     # rel_approx_distinct retired after 7 stable rounds — approx
@@ -115,6 +120,17 @@ PRIORITY_WINDOW = [
     # agg tier keeps rel_q1 external. Its slot carries incremental
     # view maintenance.)
     "rel_matview_refresh",  # r9 second batch: incremental materialized aggregate
+    # r10 rotation: the lakehouse tier completes its external surface —
+    # judge-verified-but-never-external rows promoted (rollup routing,
+    # row-level CDF, the delta-files-only diff scan, the metadata-only
+    # COUNT(*)) plus the round's two new store operations (join-IVM
+    # matviews, predicate DELETE)
+    "rel_matview_rollup_route",
+    "rel_generation_changes",
+    "rel_generation_diff_scan",
+    "rel_metadata_count",
+    "rel_matview_join_refresh",
+    "rel_delete_rows",
     # r9 third batch: the lakehouse tier's remaining flagships go
     # external — distinct-count IVM (support-table maintenance, the
     # non-distributive aggregate), bloom-sidecar point lookup, and the
@@ -145,7 +161,9 @@ PRIORITY_WINDOW = [
     # (r9 rotation: rel_json_parse retired after 4+ stable rounds —
     # the scalar/json surface stays sweep-checked; its slot goes to the
     # round-9 scale fix text_lm_resample, below with the text tier)
-    "rel_anomaly_daily",  # r6 rotation: event-flow z-score anomaly
+    # (r10 rotation: rel_anomaly_daily retired after 4 stable rounds —
+    # the time-series family keeps retention_cohorts and the
+    # distribution family rel_profile_drift external)
     # dedup family + LSH calibration eval (r7 rotation: dedup_fuzzy_names
     # promoted — blocked-Levenshtein had never been external;
     # dedup_ngram_jaccard retired — the quadratic calibration baseline's
@@ -157,7 +175,10 @@ PRIORITY_WINDOW = [
     # dedup_lsh_recall_eval's candidate path; its slot goes to the
     # LOSSLESS exact-Jaccard tier, never external before)
     "dedup_jaccard_prefix_pairs",
-    "dedup_common_passages",  # r7 second batch: substring-level dedup had never been external; dedup_minhash_lsh_pairs retired — banding stays external via dedup_lsh_recall_eval (same candidate code path) and dedup_clusters (consumes lsh_pairs end-to-end)
+    # (r10 rotation: dedup_common_passages retired after 3 stable
+    # rounds — gram-keyed lossless dedup keeps its external row via
+    # dedup_jaccard_prefix_pairs, and the passage query stays
+    # sweep-checked)
     "dedup_lsh_recall_eval",
     # (r9 rotation: dedup_simhash retired after 7+ stable rounds —
     # pigeonhole-banded Hamming stays externally covered by

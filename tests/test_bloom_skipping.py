@@ -207,3 +207,105 @@ def test_expiry_garbage_collects_unreferenced_sidecars(
     on_disk = set(os.listdir(os.path.join(base, BLOOM_DIR)))
     assert on_disk == live  # nothing orphaned, nothing referenced missing
     assert not (first & on_disk)  # the era-1 sidecar is gone
+
+
+def test_v2_cross_type_probe_keeps_file(spark, tmp_path):
+    """A probe whose Python type differs from the column's stored salt
+    must KEEP the file: Spark's row filter coerces cross-type equality
+    (string col '1' matches int 1), so pruning on a type-mismatched
+    bloom would be lossy. (v2 stores the salt in the blob precisely to
+    detect this.)"""
+    base = str(tmp_path / "b")
+    spark.createDataFrame([("1",)], "name string").coalesce(1).write.parquet(
+        base
+    )
+    publish_generation(base, bloom_cols=["name"])
+    _r, kept, _ = plan_generation_scan(base, where=[("name", "=", 1)])
+    assert len(kept) == 1  # int probe on string column: kept, not pruned
+
+
+def test_v1_legacy_sidecars_still_probe(spark, tmp_path):
+    """Sidecars written in the round-9 (blake2b, per-value) format are
+    still honored by the prober — losslessly for present keys, pruning
+    absent ones."""
+    import hashlib
+
+    base = str(tmp_path / "b")
+    _store(spark, base, n=5_000, files=2)
+    publish_generation(base, bloom_cols=["k"])
+    # overwrite every sidecar with the v1 format built from the same
+    # values (simulating a store published before the upgrade)
+    m = G.load_manifest(base)
+    g = m["gens"][str(m["head"])]
+    import pyarrow.parquet as pq
+
+    def v1_build(keys):
+        mm = min(
+            G.BLOOM_MAX_BITS, max(1024, G.BLOOM_BITS_PER_VALUE * len(keys))
+        )
+        bits = bytearray((mm + 7) // 8)
+        for key in keys:
+            h1, h2 = G._bloom_hashes(key)
+            for i in range(G.BLOOM_K):
+                idx = (h1 + i * h2) % mm
+                bits[idx >> 3] |= 1 << (idx & 7)
+        return (
+            mm.to_bytes(8, "little")
+            + G.BLOOM_K.to_bytes(8, "little")
+            + bytes(bits)
+        )
+
+    for rel, entry in g["stats"].items():
+        for col, fname in (entry.get("bloom") or {}).items():
+            vals = (
+                pq.ParquetFile(os.path.join(base, rel))
+                .read(columns=[col])
+                .column(col)
+                .drop_null()
+                .to_pylist()
+            )
+            keys = [G._bloom_key(v) for v in vals]
+            with open(os.path.join(base, G.BLOOM_DIR, fname), "wb") as fh:
+                fh.write(v1_build(keys))
+    _r, kept_p, total = plan_generation_scan(base, where=[("k", "=", 123)])
+    _r, kept_a, _ = plan_generation_scan(base, where=[("k", "=", 10**12)])
+    assert total == 2 and len(kept_p) >= 1 and len(kept_a) == 0
+    got = sorted(
+        r.k
+        for r in read_generation(spark, base, where=[("k", "=", 123)])
+        .collect()
+    )
+    assert got == [123]
+
+
+def test_bulk_publish_spark_job_equals_serial(spark, tmp_path, monkeypatch):
+    """The distributed stats/bloom build (one Spark job over the
+    new-file list) records byte-identical manifest entries and
+    equally-lossless sidecars as the serial path."""
+    import json
+
+    base_a = str(tmp_path / "a")
+    base_b = str(tmp_path / "bb")
+    df = spark.range(20_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    df.repartition(8, "k").write.parquet(base_a)
+    # identical listing: hardlink the files under the second store
+    os.makedirs(base_b)
+    for f in sorted(os.listdir(base_a)):
+        if not f.startswith(("_", ".")):
+            os.link(os.path.join(base_a, f), os.path.join(base_b, f))
+    monkeypatch.setattr(G, "STATS_SPARK_MIN_FILES", 4)
+    publish_generation(base_a, bloom_cols=["k"])              # thread pool
+    publish_generation(base_b, bloom_cols=["k"], spark=spark)  # Spark job
+    ma = G.load_manifest(base_a)["gens"]["1"]["stats"]
+    mb = G.load_manifest(base_b)["gens"]["1"]["stats"]
+    assert json.dumps(ma, sort_keys=True) == json.dumps(mb, sort_keys=True)
+    # sidecar bytes identical too (same values, same vectorized build)
+    for rel, entry in ma.items():
+        for col, fname in (entry.get("bloom") or {}).items():
+            pa = open(os.path.join(base_a, G.BLOOM_DIR, fname), "rb").read()
+            pb = open(os.path.join(base_b, G.BLOOM_DIR, fname), "rb").read()
+            assert pa == pb
+    _r, kept, _ = plan_generation_scan(base_b, where=[("k", "=", 444)])
+    assert len(kept) == 1

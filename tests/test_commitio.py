@@ -1,0 +1,149 @@
+"""The commit-protocol seam (round 10): sources/commitio.py.
+
+The artifact tier's durability rests on five primitives behind
+`commitio.IO` (writer_lock / publish_swap / recover / link_or_copy /
+save_json_atomic). These tests pin the POSIX backend's contract —
+the one any future object-store backend must also satisfy — with
+fault injection at each crash point of the swap, plus the routing
+fact that the artifact code paths actually go through the seam.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+
+from map_reduce_indexing_spark.sources.commitio import IO, PosixStoreIO
+
+
+def _mkstore(p, name, content):
+    d = p / name
+    d.mkdir()
+    (d / "data.txt").write_text(content)
+    return str(d)
+
+
+def test_publish_swap_replaces_and_cleans(tmp_path):
+    live = _mkstore(tmp_path, "live", "old")
+    staging = _mkstore(tmp_path, "staging", "new")
+    IO.publish_swap(live, staging)
+    assert open(os.path.join(live, "data.txt")).read() == "new"
+    assert not os.path.exists(staging)
+    assert not os.path.exists(live + ".old")
+
+
+def test_crash_inside_rename_gap_recovers(tmp_path):
+    """Crash point: after the live dir was renamed aside, before
+    staging moved in (the two-rename instant). recover() must restore
+    the old copy; the staged copy is discarded by whoever retries."""
+    live = _mkstore(tmp_path, "live", "old")
+    os.replace(live, live + ".old")  # the simulated half-done swap
+    assert not os.path.exists(live)
+    IO.recover(live)
+    assert open(os.path.join(live, "data.txt")).read() == "old"
+    assert not os.path.exists(live + ".old")
+
+
+def test_crash_before_old_cleanup_is_healed_by_next_swap(tmp_path):
+    """Crash point: both renames done, `.old` not yet deleted. A
+    reader sees the NEW copy (correct); recover() is a no-op (live
+    exists); the next publish_swap clears the leftover."""
+    live = _mkstore(tmp_path, "live", "new")
+    _mkstore(tmp_path, "live.old", "old")
+    IO.recover(live)
+    assert open(os.path.join(live, "data.txt")).read() == "new"
+    staging2 = _mkstore(tmp_path, "s2", "newer")
+    IO.publish_swap(live, staging2)
+    assert open(os.path.join(live, "data.txt")).read() == "newer"
+    assert not os.path.exists(live + ".old")
+
+
+def test_first_publish_has_no_live_dir(tmp_path):
+    live = str(tmp_path / "live")
+    staging = _mkstore(tmp_path, "staging", "v1")
+    IO.publish_swap(live, staging)
+    assert open(os.path.join(live, "data.txt")).read() == "v1"
+
+
+def test_save_json_atomic_keeps_old_on_failure(tmp_path):
+    target = str(tmp_path / "m.json")
+    IO.save_json_atomic(target, {"v": 1})
+
+    class Unserializable:
+        pass
+
+    try:
+        IO.save_json_atomic(target, {"v": Unserializable()})
+    except TypeError:
+        pass
+    assert json.load(open(target)) == {"v": 1}  # old content intact
+
+
+def test_link_or_copy_falls_back_to_copy(tmp_path, monkeypatch):
+    src = tmp_path / "a.bin"
+    src.write_bytes(b"payload")
+    dst = tmp_path / "b.bin"
+
+    def no_link(*a, **k):
+        raise OSError("EXDEV: cross-device")
+
+    monkeypatch.setattr(os, "link", no_link)
+    IO.link_or_copy(str(src), str(dst))
+    assert dst.read_bytes() == b"payload"
+    assert os.stat(dst).st_ino != os.stat(src).st_ino  # a real copy
+
+
+def test_writer_lock_excludes_threads(tmp_path):
+    path = str(tmp_path / "store")
+    os.makedirs(path)
+    order = []
+
+    def hold():
+        with IO.writer_lock(path):
+            order.append("a-in")
+            time.sleep(0.3)
+            order.append("a-out")
+
+    def contend():
+        time.sleep(0.1)
+        with IO.writer_lock(path):
+            order.append("b-in")
+
+    ta, tb = threading.Thread(target=hold), threading.Thread(target=contend)
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert order == ["a-in", "a-out", "b-in"]
+
+
+def test_artifact_paths_route_through_the_seam(tmp_path, monkeypatch):
+    """index_writer_lock, manifest saves, and the compaction swap all
+    call the IO instance — swap in a counting backend and watch the
+    calls arrive (the seam is real, not parallel code)."""
+    import map_reduce_indexing_spark.sources.commitio as C
+
+    calls = []
+
+    class Counting(PosixStoreIO):
+        def writer_lock(self, path):
+            calls.append(("lock", path))
+            return super().writer_lock(path)
+
+        def publish_swap(self, live, staging):
+            calls.append(("swap", live))
+            return super().publish_swap(live, staging)
+
+        def save_json_atomic(self, path, obj):
+            calls.append(("json", path))
+            return super().save_json_atomic(path, obj)
+
+    monkeypatch.setattr(C, "IO", Counting())
+    from map_reduce_indexing_spark.operators.indexing import (
+        index_writer_lock,
+    )
+
+    store = str(tmp_path / "s")
+    os.makedirs(store)
+    with index_writer_lock(store):
+        pass
+    assert ("lock", store) in calls

@@ -78,10 +78,12 @@ def test_window_exercises_round6_rotation():
     externally verified, and every r6-retired row's family keeps an
     in-window representative."""
     w = set(PRIORITY_WINDOW)
+    # (rel_attribution_first_touch and rel_anomaly_daily rotated out
+    # in r10 — event-flow keeps retention_cohorts + stream_funnel,
+    # time-series/distribution keep rel_profile_drift; see round10 test)
     assert {
-        "rel_attribution_first_touch",
-        "rel_anomaly_daily",
         "ann_ivf_pq_topk",
+        "rel_retention_cohorts",
     } <= w
     # retired rows stay registered + oracle-backed (sweep-checked)
     # (stream_session_windows, retired here in r6, was RE-promoted in
@@ -98,7 +100,9 @@ def test_window_exercises_round6_rotation():
         assert q.export and q.oracle is not None
     # each retired row's family representative still in window
     assert {"rel_q1_pricing_summary", "rel_q5_local_supplier"} <= w  # scan+agg / multi-join
-    assert {"rel_join_semi", "rel_join_anti", "rel_join_asof"} <= w  # join family
+    # (rel_join_anti and rel_theta_join_bands rotated out in r10 —
+    # the join family keeps semi/asof/q5; see round10 test)
+    assert {"rel_join_semi", "rel_join_asof"} <= w  # join family
     # windows: rank_parts itself rotated out in r8; range_frame carries
     assert "rel_window_range_frame" in w
     # ann family (ann_knn_batch_numpy itself rotated out in the r9
@@ -119,11 +123,12 @@ def test_window_exercises_round7_rotation():
     w = set(PRIORITY_WINDOW)
     # (text_pmi_windowed rotated out in the r9 third batch — the text
     # tier keeps five external rows; see round9 third-batch test)
+    # (search_proximity rotated out in r10 — the positional artifact
+    # stays pytest+sweep-checked; see round10 test)
     assert {
         "dedup_fuzzy_names",
         "stream_scd2_temporal_join",
         "rel_retention_cohorts",
-        "search_proximity",
     } <= w
     retired = {
         "search_phrase",  # positional artifact: search_proximity
@@ -137,7 +142,8 @@ def test_window_exercises_round7_rotation():
         q = registry.get(name)
         assert q.export and q.oracle is not None
     assert {"search_term_lookup", "search_topk_per_term"} <= w
-    assert "rel_anomaly_daily" in w  # (rel_sessionize out in r9 third)
+    # (rel_anomaly_daily rotated out in r10; rel_sessionize in r9 third)
+    assert "rel_retention_cohorts" in w
     # (dedup_minhash_lsh_pairs was itself rotated out in the second r7
     # batch — the banding family's representative is now the recall
     # eval; see test_window_exercises_round7_second_batch)
@@ -176,7 +182,9 @@ def test_window_exercises_round7_second_batch():
     lsh_candidate_pairs code path) and via dedup_clusters (which
     consumes q_dedup_minhash_lsh_pairs end-to-end)."""
     w = set(PRIORITY_WINDOW)
-    assert "dedup_common_passages" in w
+    # (dedup_common_passages itself rotated out in r10 — gram-keyed
+    # lossless dedup keeps dedup_jaccard_prefix_pairs external)
+    assert "dedup_jaccard_prefix_pairs" in w
     assert "dedup_minhash_lsh_pairs" not in w
     q = registry.get("dedup_minhash_lsh_pairs")
     assert q.export and q.oracle is not None
@@ -235,7 +243,8 @@ def test_window_exercises_round8_rotation():
         q = registry.get(name)
         assert q.export and q.oracle is not None
     # each retired row's family keeps an in-window representative
-    assert {"search_term_lookup", "search_proximity"} <= w
+    # (search_proximity itself rotated out in r10)
+    assert {"search_term_lookup", "search_topk_per_term"} <= w
     # (rel_cdc_scd2 itself rotated out in the r9 second batch)
     assert {"rel_cdc_merge_upsert", "rel_window_range_frame"} <= w
     assert {"stream_scd2_temporal_join", "stream_stateful_user_stats"} <= w
@@ -400,3 +409,51 @@ def test_round9_third_batch_rotation():
     } <= w
     # the new rows' own families
     assert {"rel_matview_refresh", "rel_snapshot_pruned_scan"} <= w
+
+
+def test_round10_rotation():
+    """Round-10 rotation (VERDICT r9 #6): the lakehouse tier completes
+    its external surface — the four judge-verified-but-never-external
+    rows (matview rollup routing, row-level CDF, the delta-files-only
+    diff scan, the metadata-only COUNT(*)) plus the round's two new
+    store operations (join-IVM matviews, predicate DELETE). Every
+    retired row stays registered + oracle-backed and its family keeps
+    another external representative."""
+    w = set(PRIORITY_WINDOW)
+    assert {
+        "rel_matview_rollup_route",
+        "rel_generation_changes",
+        "rel_generation_diff_scan",
+        "rel_metadata_count",
+        "rel_matview_join_refresh",
+        "rel_delete_rows",
+    } <= w
+    retired = {
+        "search_proximity",  # positional artifact: pytest + sweep
+        "rel_theta_join_bands",  # joins: semi/asof/q5
+        "rel_join_anti",  # anti rides every generation_diff consumer
+        "rel_attribution_first_touch",  # event-flow: cohorts + funnel
+        "rel_anomaly_daily",  # time-series: cohorts; dist: profile_drift
+        "dedup_common_passages",  # gram-keyed: jaccard_prefix_pairs
+    }
+    assert retired.isdisjoint(w)
+    for name in retired:
+        q = registry.get(name)
+        assert q.export and q.oracle is not None
+    # each retired row's family keeps an in-window representative
+    assert {"search_term_lookup", "search_topk_per_term",
+            "search_related_docs"} <= w
+    assert {"rel_join_semi", "rel_join_asof",
+            "rel_q5_local_supplier"} <= w
+    assert {"rel_retention_cohorts", "stream_funnel",
+            "rel_profile_drift"} <= w
+    assert {"dedup_jaccard_prefix_pairs", "dedup_exact_kept"} <= w
+    # the lakehouse tier's full external surface
+    assert {
+        "rel_snapshot_pruned_scan",
+        "rel_matview_refresh",
+        "rel_matview_distinct",
+        "rel_bloom_point_lookup",
+        "rel_savepoint_pinned_read",
+        "rel_cdc_merge_upsert",
+    } <= w

@@ -11,9 +11,14 @@ several file counts over the same 200k-row store:
 - kept files for a present key (expect 1 + rare false positives at
   the ~0.9% design fpp) and for an absent key (expect ~0);
 - the pruned read wall vs the full scan + filter wall;
-- publish-side bloom build cost (the one-time per-file column read).
+- publish-side bloom build cost (the one-time per-file column read),
+  for BOTH build paths: the serial/thread-pool writer-process build
+  and the distributed one-Spark-job-over-the-file-list build
+  (round 10: the per-value Python hash loop is gone — encoding and
+  hashing are vectorized via pyarrow/pandas/numpy — and bulk
+  publishes fan out to executor tasks).
 
-Usage: python tools/bloom_scale.py [files...]   (default 8 32 128)
+Usage: python tools/bloom_scale.py [files...]   (default 8 32 128 1024)
 Prints one JSON line per file count.
 """
 
@@ -41,7 +46,7 @@ ROWS = 200_000
 
 
 def main() -> None:
-    counts = [int(a) for a in sys.argv[1:]] or [8, 32, 128]
+    counts = [int(a) for a in sys.argv[1:]] or [8, 32, 128, 1024]
     spark = get_spark()
     for files in counts:
         work = tempfile.mkdtemp(prefix="mri_bloom_scale_")
@@ -54,6 +59,15 @@ def main() -> None:
             t0 = time.monotonic()
             publish_generation(base, bloom_cols=["k"])
             publish_s = time.monotonic() - t0
+            # the distributed build, on an identical hardlinked listing
+            base2 = os.path.join(work, "b2")
+            os.makedirs(base2)
+            for f in sorted(os.listdir(base)):
+                if not f.startswith(("_", ".")):
+                    os.link(os.path.join(base, f), os.path.join(base2, f))
+            t0 = time.monotonic()
+            publish_generation(base2, bloom_cols=["k"], spark=spark)
+            publish_spark_s = time.monotonic() - t0
 
             present = [("k", "=", ROWS // 3)]
             absent = [("k", "=", 10**15)]
@@ -79,6 +93,7 @@ def main() -> None:
                         "files": total,
                         "rows": ROWS,
                         "publish_with_blooms_sec": round(publish_s, 3),
+                        "publish_spark_job_sec": round(publish_spark_s, 3),
                         "kept_present_key": len(kept_p),
                         "kept_absent_key": len(kept_a),
                         "pruned_lookup_sec": round(pruned_s, 3),
