@@ -77,6 +77,8 @@ HEADLINE = [
     "rel_bloom_point_lookup",  # bloom-sidecar point lookup, metadata-path (r9)
     "rel_generation_changes",  # row-level snapshot change feed (r9)
     "rel_metadata_count",      # manifest-served COUNT(*), zero Spark jobs (r9)
+    "rel_matview_join_refresh",  # join-IVM: fact-delta + dim-backfill refresh (r10)
+    "rel_delete_rows",         # manifest-pruned copy-on-write DELETE (r10)
 ]
 
 

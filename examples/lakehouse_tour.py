@@ -18,7 +18,10 @@ One managed store, one lifecycle:
 4. maintain a materialized aggregate incrementally — counts, exact
    sums, and DISTINCT keys via the support-table IVM — refreshing
    with only the appended files, and answer a coarser GROUP BY from
-   the view's stored partials alone (routing).
+   the view's stored partials alone (routing);
+5. (round 10) DELETE one source's rows copy-on-write — the tagged
+   snapshot still serves every original row, and the view's next
+   refresh rebuilds exactly (a rewrite span is never key-diffed).
 
     python examples/lakehouse_tour.py
 """
@@ -136,6 +139,27 @@ def main() -> None:
         f"{total_row.n_authors} distinct authors (no base scan)"
     )
     assert total_row.n_docs == 9_000
+
+    # 5. (round 10) row-level DELETE: erase one source, copy-on-write —
+    #    only the files that MAY hold it rewrite (source is in every
+    #    file here, so all rewrite — see tests/test_delete.py for the
+    #    pruned case); the tagged snapshot
+    #    still serves every original row; the view rebuilds exactly
+    from map_reduce_indexing_spark.sources.generations import delete_rows
+
+    dreport = delete_rows(spark, store, [("source", "=", "1")])
+    print(
+        f"delete source=1: {dreport['deleted_rows']} rows gone, "
+        f"{dreport['rewritten_files']} file(s) rewritten, "
+        f"{dreport['kept_files']} untouched"
+    )
+    assert read_generation(spark, store, at="train-v1").count() == 5_000
+    report = refresh_matview(spark, view)
+    assert report["mode"] == "rebuild"  # a rewrite span: exact rebuild
+    assert "1" not in {
+        r.source for r in read_matview(spark, view).collect()
+    }
+    print("post-delete: pinned snapshot intact, view rebuilt exactly")
 
     spark.stop()
 

@@ -1085,6 +1085,92 @@ def q_rel_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_upsert_demo(spark: SparkSession, sf_dir: str) -> str:
+    """The store-level MERGE lifecycle (round 10), built once per
+    (application, corpus content): 90% of orders (o_orderkey % 10 < 9)
+    published as generation 1, then ONE upsert whose updates frame
+    carries both kinds of rows — the missing 10% (INSERTS) and a
+    repriced copy of the %10==0 slice (REPLACEMENTS, price doubled).
+    `upsert_rows` (sources/generations.py) prunes the rewrite via the
+    updates' key bounds, replaces matched rows wholesale via one
+    left-anti join, lands the updates as fresh files, and publishes.
+    The build asserts the exact updated/inserted counts and that the
+    pre-merge generation still serves the 90% row set."""
+    from ..sources.generations import (
+        generation_row_count,
+        publish_generation,
+        upsert_rows,
+    )
+    from .indexing import session_artifact_path
+
+    def build(path: str) -> None:
+        base = _os.path.join(path, "base")
+        o = _orders_projected(spark, sf_dir)
+        o.filter(F.col("o_orderkey") % 10 < 9).coalesce(4).write.parquet(base)
+        publish_generation(base)
+        pre_rows = generation_row_count(base)
+        updates = o.filter(F.col("o_orderkey") % 10 == 9).unionByName(
+            o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+                # cast back: decimal arithmetic widens, and upsert_rows
+                # refuses type drift (one generation, one physical type)
+                "price_dec",
+                (F.col("price_dec") * 2).cast("decimal(18,2)"),
+            )
+        )
+        n_ins = updates.filter(F.col("o_orderkey") % 10 == 9).count()
+        n_upd = updates.count() - n_ins
+        report = upsert_rows(spark, base, updates, ["o_orderkey"])
+        assert report["updated_rows"] == n_upd, report
+        assert report["inserted_rows"] == n_ins, report
+        assert generation_row_count(base, at=report["generation"] - 1) == pre_rows
+
+    return session_artifact_path(
+        spark, sf_dir, "orders_upsert_demo", "orders.parquet", build
+    )
+
+
+@register(
+    "rel_upsert_rows",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN o_orderkey % 10 = 0
+                             THEN 2 * CAST(o_totalprice AS DECIMAL(18,2))
+                             ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
+                    AS DOUBLE) AS total_price
+        FROM orders GROUP BY 1
+    """,
+    tier="relational",
+    doc="MERGE (upsert) as a STORE operation — the DML triad's third "
+    "verb (sources/generations.py:upsert_rows, beside delete_rows and "
+    "append+publish): one updates frame both INSERTS the missing 10% "
+    "of orders and REPLACES the %10==0 slice at doubled price, "
+    "copy-on-write bounded by the manifest (key bounds + bloom-probed "
+    "key lists prune the rewrite; survivors hardlink with carried "
+    "stats; matched rows drop via one left-anti join, updates land as "
+    "fresh files, everything swaps as a new generation). The oracle "
+    "recomputes the merged state from the raw table (CASE on the "
+    "repriced slice), so the external hash match proves replaced rows "
+    "carry exactly their postimages, inserts landed once, and nothing "
+    "else moved. The exact updated/inserted report and the pre-merge "
+    "snapshot's stability are asserted in the build; CDF emission and "
+    "matview-rebuild semantics in tests/test_upsert.py. At 100 TB "
+    "this is the daily-corrections pattern: the merge rewrites the "
+    "key-overlapping slice, never the store.",
+)
+def q_rel_upsert_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.generations import read_generation
+
+    root = orders_upsert_demo(spark, sf_dir)
+    df = read_generation(spark, _os.path.join(root, "base"))
+    return df.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("price_dec", "total_price"),
+    )
+
+
 @register(
     "rel_matview_join_refresh",
     oracle="""

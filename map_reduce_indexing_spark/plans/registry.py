@@ -131,6 +131,7 @@ PRIORITY_WINDOW = [
     "rel_metadata_count",
     "rel_matview_join_refresh",
     "rel_delete_rows",
+    "rel_upsert_rows",
     # r9 third batch: the lakehouse tier's remaining flagships go
     # external — distinct-count IVM (support-table maintenance, the
     # non-distributive aggregate), bloom-sidecar point lookup, and the
@@ -261,9 +262,12 @@ PRIORITY_WINDOW = [
     # r8 rotation: stream_session_windows promoted (watermarked gap
     # sessionization had never been external); stream_cdc_upsert
     # retired — upsert semantics stay external via the newly-promoted
-    # rel_cdc_merge_upsert, and the streaming family keeps the SCD2
-    # temporal join + stateful stats + the index sink
-    "stream_scd2_temporal_join",
+    # rel_cdc_merge_upsert
+    # (r10 rotation: stream_scd2_temporal_join retired after 3 stable
+    # rounds — the streaming family keeps five external rows
+    # (continuous_agg, funnel, session_windows, stateful, heavy
+    # hitters) and SCD2 semantics stay sweep-checked; its slot goes to
+    # the round's third store verb, rel_upsert_rows)
     "stream_session_windows",
     "stream_stateful_user_stats",
     # r8 third batch: stream_heavy_hitters promoted (mergeable MG

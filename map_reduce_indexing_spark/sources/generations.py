@@ -1505,6 +1505,198 @@ def delete_rows(spark: SparkSession, path: str, where) -> dict:
         }
 
 
+# Upsert key-probing bound: when the updates frame has at most this
+# many distinct keys (single-column case), the key LIST becomes an
+# `in` predicate so bloom sidecars can prune files the key-range
+# bounds cannot (an unclustered key's range covers every file).
+UPSERT_PROBE_KEYS = 10_000
+
+
+def upsert_rows(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> dict:
+    """MERGE (upsert) as a STORE operation: for every row of `updates`
+    whose key matches an existing row, REPLACE that row wholesale; the
+    rest INSERT — and publish the result as a new generation. With
+    delete_rows this completes the DML triad on generations stores.
+
+    Scale shape — copy-on-write MERGE bounded by the manifest:
+    - The updates' key BOUNDS (one tiny aggregate) plus, for small
+      single-column key sets, the key list itself (bloom-probed via
+      the ordinary `in` predicate machinery) prune the live listing
+      to the files that MAY hold a matching key; survivors hardlink
+      with their stats and sidecars carried. An upsert of one day's
+      corrections against a key-clustered store rewrites that slice.
+    - Affected files are re-read once and their NON-matching rows kept
+      (LEFT ANTI join on the keys — delta side broadcast under AQE);
+      the updates land as fresh files. Nothing else is touched.
+    - Same staged swap, same crash story, same downstream semantics:
+      diff_plan classifies the span as a rewrite → matviews rebuild;
+      generation_changes emits update_preimage/update_postimage for
+      replaced rows and insert for new keys; pinned readers keep the
+      pre-merge snapshot (tests/test_upsert.py).
+
+    Contract: `updates` must carry the store's full schema (selected
+    by name), be key-UNIQUE, and have no NULL keys — the store tier's
+    row-identity rules. Returns {"generation", "rewritten_files",
+    "kept_files", "updated_rows", "inserted_rows"} with the row
+    counts metadata-exact (manifest + staged footers, no extra scan)."""
+    import tempfile
+
+    from ..operators.indexing import (
+        _chmod_staging,
+        _recover_index_locked,
+        index_writer_lock,
+    )
+    from .commitio import IO
+
+    if not key_cols:
+        raise ValueError("upsert_rows requires key_cols")
+    with index_writer_lock(path):
+        _recover_index_locked(path)
+        m = load_manifest(path)
+        if m is None:
+            ensure_base_generation(path)
+            m = load_manifest(path)
+            if m is None:
+                raise ValueError(f"{path!r} has no data to merge into")
+        head = int(m["head"])
+        live = _data_files(path)
+        if set(live) != set(m["gens"][str(head)]["files"]):
+            head = _publish(path, head + 1, m)  # pin pending appends
+            m = load_manifest(path)
+        store_schema = spark.read.parquet(path).schema
+        store_cols = store_schema.names
+        missing = [c for c in store_cols if c not in updates.columns]
+        if missing:
+            raise ValueError(
+                f"updates lack store columns {missing} of {path!r}"
+            )
+        upd = updates.select(*store_cols)
+        # types must MATCH, not merely be castable: mixed physical
+        # parquet types within one generation (e.g. a decimal widened
+        # by arithmetic) fail at read time with
+        # PARQUET_COLUMN_DATA_TYPE_MISMATCH — refuse loudly instead
+        drift = [
+            f"{a.name}: store {a.dataType.simpleString()} "
+            f"vs updates {b.dataType.simpleString()}"
+            for a, b in zip(store_schema.fields, upd.schema.fields)
+            if a.dataType != b.dataType
+        ]
+        if drift:
+            raise ValueError(
+                f"updates' column types drift from {path!r}'s schema "
+                f"({'; '.join(drift)}); cast them to the store's types"
+            )
+        # keys: bounds always; the exact list too when small and
+        # single-column (unlocks bloom pruning on unclustered keys)
+        bounds = upd.agg(
+            *[F.min(k).alias(f"mn_{i}") for i, k in enumerate(key_cols)],
+            *[F.max(k).alias(f"mx_{i}") for i, k in enumerate(key_cols)],
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        if bounds["n"] == 0:
+            return {
+                "generation": head,
+                "rewritten_files": 0,
+                "kept_files": len(live),
+                "updated_rows": 0,
+                "inserted_rows": 0,
+            }
+        where = []
+        if len(key_cols) == 1:
+            k = key_cols[0]
+            key_rows = (
+                upd.select(k).distinct().limit(UPSERT_PROBE_KEYS + 1).collect()
+            )
+            if len(key_rows) <= UPSERT_PROBE_KEYS:
+                where.append((k, "in", tuple(r[0] for r in key_rows)))
+        if not where:
+            for i, k in enumerate(key_cols):
+                where.append(
+                    (k, "between", (bounds[f"mn_{i}"], bounds[f"mx_{i}"]))
+                )
+        g = m["gens"][str(head)]
+        stats = g.get("stats") or {}
+        bloom_cache: dict[str, bytes | None] = {}
+
+        def bloom_load(fname: str):
+            if fname not in bloom_cache:
+                try:
+                    with open(
+                        os.path.join(path, BLOOM_DIR, fname), "rb"
+                    ) as fh:
+                        bloom_cache[fname] = fh.read()
+                except OSError:
+                    bloom_cache[fname] = None
+            return bloom_cache[fname]
+
+        affected = [
+            r
+            for r in live
+            if _file_matches(
+                r,
+                (stats.get(r) or {}).get("cols") or {},
+                where,
+                (stats.get(r) or {}).get("bloom"),
+                bloom_load,
+            )
+        ]
+        kept = [r for r in live if r not in set(affected)]
+        staging = tempfile.mkdtemp(
+            prefix="mri_upsert_", dir=os.path.dirname(path) or "."
+        )
+        _chmod_staging(staging)
+        part_cols = sorted({k for r in live for k in _partition_values(r)})
+
+        def _write(df: DataFrame) -> None:
+            w = df.write.mode("append")
+            if part_cols:
+                w = w.partitionBy(*part_cols)
+            w.parquet(staging)
+            for f in os.listdir(staging):  # Spark success markers
+                fp = os.path.join(staging, f)
+                if f.startswith("_") and os.path.isfile(fp):
+                    os.remove(fp)
+
+        if affected:
+            df = spark.read.option("basePath", path).parquet(
+                *[os.path.join(path, r) for r in affected]
+            )
+            _write(df.join(upd.select(*key_cols), list(key_cols), "left_anti"))
+        survivors = set(_data_files(staging))
+        _write(upd)
+        update_files = [r for r in _data_files(staging) if r not in survivors]
+        _link_tree(path, kept, staging)
+        affected_rows = 0
+        for r in affected:
+            n = (stats.get(r) or {}).get("rows")
+            if n is None:
+                n = _file_num_rows(os.path.join(path, r))
+            affected_rows += int(n or 0)
+        remaining = sum(
+            int(_file_num_rows(os.path.join(staging, r)) or 0)
+            for r in survivors
+        )
+        n_updates = sum(
+            int(_file_num_rows(os.path.join(staging, r)) or 0)
+            for r in update_files
+        )
+        updated = affected_rows - remaining
+        carry_generations(path, staging, spark=spark)
+        IO.publish_swap(path, staging)
+        return {
+            "generation": head + 1,
+            "rewritten_files": len(affected),
+            "kept_files": len(kept),
+            "updated_rows": updated,
+            "inserted_rows": n_updates - updated,
+        }
+
+
 def describe_generations(spark: SparkSession, path: str) -> DataFrame:
     """The store's snapshot history as a DataFrame — Iceberg's
     `.snapshots` metadata table: one row per retained generation

@@ -123,11 +123,11 @@ def test_window_exercises_round7_rotation():
     w = set(PRIORITY_WINDOW)
     # (text_pmi_windowed rotated out in the r9 third batch — the text
     # tier keeps five external rows; see round9 third-batch test)
-    # (search_proximity rotated out in r10 — the positional artifact
-    # stays pytest+sweep-checked; see round10 test)
+    # (search_proximity and stream_scd2_temporal_join rotated out in
+    # r10 — the positional artifact stays pytest+sweep-checked, the
+    # streaming family keeps five external rows; see round10 test)
     assert {
         "dedup_fuzzy_names",
-        "stream_scd2_temporal_join",
         "rel_retention_cohorts",
     } <= w
     retired = {
@@ -247,7 +247,8 @@ def test_window_exercises_round8_rotation():
     assert {"search_term_lookup", "search_topk_per_term"} <= w
     # (rel_cdc_scd2 itself rotated out in the r9 second batch)
     assert {"rel_cdc_merge_upsert", "rel_window_range_frame"} <= w
-    assert {"stream_scd2_temporal_join", "stream_stateful_user_stats"} <= w
+    # (stream_scd2_temporal_join itself rotated out in r10)
+    assert {"stream_session_windows", "stream_stateful_user_stats"} <= w
     assert "text_shuffle_shards" in w  # (pmi_windowed out in r9 third)
     assert "ann_ivf_pq_topk" in w  # (ann_recall_eval rotated out in r9)
 
@@ -365,7 +366,10 @@ def test_round9_second_batch_rotation():
     for name in retired:
         q = registry.get(name)
         assert q.export and q.oracle is not None
-    assert {"stream_scd2_temporal_join", "rel_cdc_merge_upsert"} <= w
+    # (stream_scd2_temporal_join itself rotated out in r10 — SCD2
+    # stays sweep-checked; the CDC family keeps merge_upsert external
+    # plus the round-10 store-level rel_upsert_rows)
+    assert {"rel_upsert_rows", "rel_cdc_merge_upsert"} <= w
     assert "rel_q1_pricing_summary" in w
 
 
@@ -427,6 +431,7 @@ def test_round10_rotation():
         "rel_metadata_count",
         "rel_matview_join_refresh",
         "rel_delete_rows",
+        "rel_upsert_rows",
     } <= w
     retired = {
         "search_proximity",  # positional artifact: pytest + sweep
@@ -435,6 +440,7 @@ def test_round10_rotation():
         "rel_attribution_first_touch",  # event-flow: cohorts + funnel
         "rel_anomaly_daily",  # time-series: cohorts; dist: profile_drift
         "dedup_common_passages",  # gram-keyed: jaccard_prefix_pairs
+        "stream_scd2_temporal_join",  # streaming keeps 5 external rows
     }
     assert retired.isdisjoint(w)
     for name in retired:
@@ -448,6 +454,13 @@ def test_round10_rotation():
     assert {"rel_retention_cohorts", "stream_funnel",
             "rel_profile_drift"} <= w
     assert {"dedup_jaccard_prefix_pairs", "dedup_exact_kept"} <= w
+    assert {
+        "stream_continuous_agg",
+        "stream_funnel",
+        "stream_session_windows",
+        "stream_stateful_user_stats",
+        "stream_heavy_hitters",
+    } <= w
     # the lakehouse tier's full external surface
     assert {
         "rel_snapshot_pruned_scan",

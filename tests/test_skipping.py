@@ -332,3 +332,58 @@ def test_schema_evolution_across_generations(spark, tmp_path):
     rows = {r.k: r.lang for r in head.collect()}
     assert rows[0] is None and rows[7] == "en"
     assert read_generation(spark, base, at=1).columns == ["k"]
+
+
+def test_type_mismatched_predicate_keeps_file_instead_of_crashing():
+    """ADVICE r9 (medium): an int-stats column probed with a string
+    value (or vice versa) must conservatively KEEP the file — Spark's
+    row filter would coerce where raw Python comparison raises
+    TypeError and crashed the whole read."""
+    stats = {"k": [10, 99]}
+    # str predicate vs int stats: keep (never raise)
+    assert G._file_matches("f.parquet", stats, [("k", "=", "50")])
+    assert G._file_matches("f.parquet", stats, [("k", ">", "5")])
+    assert G._file_matches("f.parquet", stats, [("k", "between", ("a", "b"))])
+    # int predicate vs str stats: keep
+    assert G._file_matches("f.parquet", {"s": ["aa", "zz"]}, [("s", "=", 5)])
+    # provable prunes still prune with matching types
+    assert not G._file_matches("f.parquet", stats, [("k", "=", 500)])
+
+
+def test_date_stats_vs_datetime_predicate_boundary_kept():
+    """ADVICE r9 (medium): a DATE column's stats ('1996-01-01') probed
+    with a datetime value normalizing to '1996-01-01 00:00:00.000000'
+    compared lexicographically as date < datetime — wrongly pruning a
+    file whose max equals the predicate's lower bound. The date shape
+    now widens to midnight (Spark's own date->timestamp coercion)."""
+    stats = {"d": ["1995-06-01", "1996-01-01"]}  # a date column's stats
+    dt = datetime.datetime(1996, 1, 1)
+    # file max == lower bound: rows CAN match >= / = — must keep
+    assert G._file_matches("f.parquet", stats, [("d", ">=", dt)])
+    assert G._file_matches("f.parquet", stats, [("d", "=", dt)])
+    assert G._file_matches(
+        "f.parquet", stats,
+        [("d", "between", (dt, datetime.datetime(1996, 12, 31)))],
+    )
+    # and the reverse shape: datetime stats vs a DATE predicate value
+    ts_stats = {"t": [
+        "1995-06-01 00:00:00.000000", "1996-01-01 00:00:00.000000"
+    ]}
+    assert G._file_matches(
+        "f.parquet", ts_stats, [("t", ">=", datetime.date(1996, 1, 1))]
+    )
+    # provably-empty cases still prune across the shape mismatch
+    assert not G._file_matches(
+        "f.parquet", stats, [("d", ">", datetime.datetime(1996, 1, 1, 0, 0, 1))]
+    )
+    assert not G._file_matches(
+        "f.parquet", ts_stats, [("t", ">", datetime.date(1996, 1, 2))]
+    )
+
+
+def test_plain_strings_never_widen():
+    """A string column legitimately holding date-shaped values keeps
+    raw lexicographic semantics (Spark's string comparison)."""
+    stats = {"s": ["1996-01-01", "1996-01-01"]}
+    assert G._file_matches("f.parquet", stats, [("s", "=", "1996-01-01")])
+    assert not G._file_matches("f.parquet", stats, [("s", "=", "1996-01-02")])
