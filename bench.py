@@ -79,6 +79,7 @@ HEADLINE = [
     "rel_metadata_count",      # manifest-served COUNT(*), zero Spark jobs (r9)
     "rel_matview_join_refresh",  # join-IVM: fact-delta + dim-backfill refresh (r10)
     "rel_delete_rows",         # manifest-pruned copy-on-write DELETE (r10)
+    "rel_upsert_rows",         # store-level MERGE: bloom-pruned replace+insert (r10)
 ]
 
 
@@ -155,10 +156,30 @@ def contention_marker(spark, n_samples: int = 3) -> dict:
         t0 = time.perf_counter()
         _pyworker_job()
         pw.append(time.perf_counter() - t0)
+
+    # parquet_scan (round 10): a fixed columnar scan+agg over the SF
+    # dir's largest table. The round-10 lesson: a host I/O-contended
+    # regime leaves python_md5/spark_sum (pure CPU) FLAT while every
+    # scan-heavy query runs 15-40% slow — bisect-proven code-independent
+    # by re-running the prior round's commit in a worktree (SCALING.md).
+    # This marker pins the scan tier so that regime is visible in the
+    # run record instead of masquerading as a query regression.
+    def _scan_job():
+        spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).selectExpr(
+            "sum(l_extendedprice) AS s", "count(*) AS n"
+        ).write.format("noop").mode("overwrite").save()
+
+    _scan_job()  # warmup: footer cache + page cache
+    sc = []
+    for _ in range(n_samples):
+        t0 = time.perf_counter()
+        _scan_job()
+        sc.append(time.perf_counter() - t0)
     return {
         "python_md5": stats(py),
         "spark_sum": stats(sp),
         "python_worker": stats(pw),
+        "parquet_scan": stats(sc),
     }
 
 

@@ -156,7 +156,9 @@ def test_contention_marker_shape(spark):
     from bench import contention_marker
 
     m = contention_marker(spark, n_samples=1)
-    assert set(m) == {"python_md5", "spark_sum", "python_worker"}
+    assert set(m) == {
+        "python_md5", "spark_sum", "python_worker", "parquet_scan"
+    }
     for stats in m.values():
         assert stats["min"] <= stats["median"] <= stats["max"]
         assert stats["median"] > 0

@@ -124,6 +124,29 @@ PYWORKER_QUERIES = {
     "stream_funnel",
 }
 
+# Headliners whose wall is dominated by the parquet SCAN tier —
+# file-page reads + decompression — which the round-10 bisect showed
+# drifting independently of BOTH cpu markers (an I/O-contended host
+# regime left python_md5/spark_sum flat while every scan-heavy query
+# ran 15-40% slow on the PRIOR round's own commit; SCALING.md,
+# "Round-10 bench context"). When both runs carry the round-10
+# `parquet_scan` marker, these normalize by ITS ratio.
+SCAN_QUERIES = {
+    "rel_q1_pricing_summary",
+    "rel_q3_shipping_priority",
+    "rel_q5_local_supplier",
+    "rel_q18_large_orders",
+    "rel_q14_promo_revenue",
+    "rel_window_running_total",
+    "dedup_exact_kept",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "ann_knn_bruteforce",
+    "text_quality",
+    "text_token_counts",
+    "text_repetition",
+}
+
 
 def compare(old: dict, new: dict, threshold: float) -> int:
     oq, nq = old["queries"], new["queries"]
@@ -141,13 +164,22 @@ def compare(old: dict, new: dict, threshold: float) -> int:
     if opw and npw:
         pw_factor = npw / opw
         print(f"pyworker factor (new/old python_worker marker): {pw_factor:.2f}")
+    osc = marker_median(old, "parquet_scan")
+    nsc = marker_median(new, "parquet_scan")
+    scan_factor = None
+    if osc and nsc:
+        scan_factor = nsc / osc
+        print(f"scan factor (new/old parquet_scan marker): {scan_factor:.2f}")
     shared = sorted(set(oq) & set(nq))
     flagged = []
     print(f"{'query':36} {'old':>8} {'new':>8} {'norm_ratio':>10}")
     for q in shared:
-        factor = pw_factor if (q in PYWORKER_QUERIES and pw_factor) else (
-            nm / om if om and nm else 1.0
-        )
+        if q in PYWORKER_QUERIES and pw_factor:
+            factor = pw_factor
+        elif q in SCAN_QUERIES and scan_factor:
+            factor = scan_factor
+        else:
+            factor = nm / om if om and nm else 1.0
         norm = (nq[q] / factor) / oq[q] if oq[q] else float("inf")
         # regression only if the normalized new time clears the old
         # run's max AND the old time sits below the new run's min —
