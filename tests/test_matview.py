@@ -1043,3 +1043,98 @@ def test_join_matview_filtered_fact(spark, tmp_path):
         .collect()
     )
     assert _join_view_rows(spark, view) == want
+
+
+def test_join_matview_two_dims_telescoping(spark, tmp_path):
+    """Two dims: the telescoping sum has three per-store terms
+    (ΔF ⋈ D1@old ⋈ D2@old, F@new ⋈ ΔD1 ⋈ D2@old, F@new ⋈ D1@new ⋈
+    ΔD2) — every cross-delta row (ΔF⋈ΔD1, ΔF⋈ΔD2, ΔD1⋈ΔD2, and the
+    triple) must be counted exactly once when all three stores append
+    before one refresh."""
+    from map_reduce_indexing_spark.operators.matview import (
+        create_matview_join,
+        read_matview,
+    )
+
+    fact = str(tmp_path / "fact")
+    d1 = str(tmp_path / "d1")
+    d2 = str(tmp_path / "d2")
+    view = str(tmp_path / "view")
+    # fact: (rid, k joining d1, u joining d2, v)
+    def mk_fact(lo, n):
+        return spark.createDataFrame(
+            [(lo + i, (lo + i) % 5, (lo + i) % 7, (lo + i) * 10)
+             for i in range(n)],
+            "rid long, k long, u long, v long",
+        )
+
+    mk_fact(0, 40).coalesce(2).write.parquet(fact)
+    publish_generation(fact)
+    spark.createDataFrame(
+        [(k, f"g{k % 2}") for k in (0, 1, 2)], "k long, grp string"
+    ).coalesce(1).write.parquet(d1)
+    publish_generation(d1)
+    spark.createDataFrame(
+        [(u, f"t{u % 3}") for u in (0, 1, 2, 3)], "u long, tier string"
+    ).coalesce(1).write.parquet(d2)
+    publish_generation(d2)
+    create_matview_join(
+        spark, view, fact,
+        [
+            {"path": d1, "on": ["k"], "select": ["grp"]},
+            {"path": d2, "on": ["u"], "select": ["tier"]},
+        ],
+        ["grp", "tier"],
+        {"n": ("count", "*"), "total": ("sum", "v"),
+         "d_rids": ("count_distinct", "rid")},
+    )
+
+    def full():
+        f = read_generation(spark, fact)
+        a = read_generation(spark, d1)
+        b = read_generation(spark, d2)
+        return sorted(
+            tuple(r)
+            for r in f.join(a, "k").join(b, "u")
+            .groupBy("grp", "tier")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v").alias("total"),
+                F.count_distinct("rid").alias("d_rids"),
+            )
+            .collect()
+        )
+
+    def served():
+        return sorted(
+            tuple(r)
+            for r in read_matview(spark, view)
+            .select("grp", "tier", "n", "total", "d_rids")
+            .collect()
+        )
+
+    assert served() == full()
+    # ALL THREE stores append before one refresh
+    mk_fact(100, 30).coalesce(1).write.mode("append").parquet(fact)
+    publish_generation(fact)
+    spark.createDataFrame(
+        [(3, "g1"), (4, "g0")], "k long, grp string"
+    ).coalesce(1).write.mode("append").parquet(d1)
+    publish_generation(d1)
+    spark.createDataFrame(
+        [(4, "t1"), (5, "t2"), (6, "t0")], "u long, tier string"
+    ).coalesce(1).write.mode("append").parquet(d2)
+    publish_generation(d2)
+    report = refresh_matview(spark, view)
+    assert report["mode"] == "incremental", report
+    assert served() == full()
+    # and again with only the middle dim appending
+    spark.createDataFrame(
+        [(5, "g1")], "k long, grp string"
+    ).coalesce(1).write.mode("append").parquet(d1)
+    publish_generation(d1)
+    # fact keys cover k in 0..4 only; k=5 never joins — view unchanged
+    # but pins must advance and the refresh stay exact
+    report = refresh_matview(spark, view)
+    assert report["refreshed"] is True
+    assert served() == full()

@@ -8,7 +8,10 @@ the sf0.1 orders table, a FIXED-SIZE delta appended, then:
 
 - full   = create_matview from scratch over the whole base (what a
            rebuild-the-dashboard job pays);
-- refresh = refresh_matview consuming only the appended files.
+- refresh = refresh_matview consuming only the appended files;
+- join_refresh (round 10) = the same fixed delta refreshed through a
+  FACT ⋈ DIM view (create_matview_join; dim stable) — the telescoping
+  delta's common case, which must stay flat as the fact grows.
 
 The view carries the full aggregate menu: count, exact-decimal sum,
 min/max, COUNT DISTINCT (support-table IVM — the support merge is
@@ -129,6 +132,36 @@ def main() -> None:
             rep = refresh_matview(spark, os.path.join(work, "v_inc"))
             refresh_s = time.monotonic() - t0
 
+            # join-IVM (round 10): fact ⋈ priority-dim, dim stable —
+            # the refresh is ΔF ⋈ dim and must stay delta-sized. The
+            # view was pinned at the pre-delta generation, so this
+            # refresh consumes exactly the same appended file.
+            from map_reduce_indexing_spark.operators.matview import (
+                create_matview_join,
+            )
+
+            dim = os.path.join(work, "dim")
+            read_generation(spark, base, at=1).select(
+                "o_orderpriority"
+            ).distinct().select(
+                "o_orderpriority",
+                F.substring("o_orderpriority", 1, 1).alias("prio_band"),
+            ).coalesce(1).write.parquet(dim)
+            publish_generation(dim)
+            create_matview_join(
+                spark, os.path.join(work, "v_join"), base,
+                [{"path": dim, "on": ["o_orderpriority"],
+                  "select": ["prio_band"]}],
+                ["prio_band"],
+                {"n": ("count", "*"), "total": ("sum", "price_dec"),
+                 "n_custs": ("count_distinct", "o_custkey")},
+                at=1,
+            )
+            t0 = time.monotonic()
+            jrep = refresh_matview(spark, os.path.join(work, "v_join"))
+            join_refresh_s = time.monotonic() - t0
+            assert jrep["mode"] == "incremental", jrep
+
             # manifest skipping on the same clustered store
             import datetime
 
@@ -160,6 +193,7 @@ def main() -> None:
                         "full_rebuild_sec": round(full_s, 3),
                         "refresh_sec": round(refresh_s, 3),
                         "refresh_delta_files": rep["delta_files"],
+                        "join_refresh_sec": round(join_refresh_s, 3),
                         "skip_kept_files": len(kept),
                         "skip_total_files": total,
                         "pruned_read_sec": round(pruned_s, 3),
