@@ -19,16 +19,25 @@ homomorphic aggregates, which is exactly what makes it exact:
       merge(view@G1, agg(rows added in G1..G2)) == agg(rows@G2)
   holds EXACTLY, not approximately — *within an append-only span*.
   Refresh therefore consumes `generation_diff`'s fast path, which
-  PROVES the span append-only by file containment; across any span
-  that rewrote files (compaction, delete) it REBUILDS the view from
-  the head snapshot instead. A rewrite may fold rows into existing
-  keys (compact_index sums duplicate (word, doc_id) partials) or
-  remove rows (delete_rows), and no key-level anti-join can recover
-  either: a key-only delta misses value changes on retained keys
-  (the appended cnt would silently vanish from sum aggregates), and
-  min/max are not monoids under removal. The rebuild is exact by
-  construction AND cheaper than the old both-snapshot anti-join —
-  it scans head once; the anti-join scanned head plus the old keys.
+  PROVES the span append-only by file containment. A rewrite may
+  fold rows into existing keys (compact_index sums duplicate
+  (word, doc_id) partials) or remove rows (delete_rows/upsert_rows),
+  and no key-level anti-join can recover either: a key-only delta
+  misses value changes on retained keys (the appended cnt would
+  silently vanish from sum aggregates). Across rewriting spans the
+  refresh picks, in order:
+  (1) RETRACTION (round 10): when every aggregate is an abelian
+      GROUP under removal — count/sum, the avg/stddev ingredients,
+      and count_distinct via its multiplicity-carrying support — and
+      the spec has row keys plus a count(*) group-liveness anchor,
+      the refresh consumes the row-level change feed (which scans
+      only the span's DIFFERING files), applies postimages/inserts,
+      retracts preimages/deletes, and drops groups whose row count
+      hits zero. A 2-of-1000-file delete costs those two files' two
+      versions plus answer-sized state — never the base.
+  (2) REBUILD from the head snapshot otherwise (min/max and HLL
+      registers are not retractable; no row keys = no change feed):
+      exact by construction, one head scan.
 
 - `count_distinct` — the textbook NON-distributive aggregate — is
   maintained EXACTLY via an auxiliary SUPPORT view (the standard IVM
@@ -540,6 +549,142 @@ def _rebuild_locked(
     _write_view(view, view_path, sidecar, supports, locked=True)
 
 
+_NONRETRACTABLE_OPS = {"min", "max", "approx_distinct"}
+
+
+def _retraction_plan(aggs: dict, row_keys: list) -> str | None:
+    """The count(*) output name that anchors group liveness for a
+    CDF-retraction refresh, or None when the spec cannot retract:
+    min/max are not monoids under removal, HLL registers only grow,
+    and without row keys there is no change feed; without a count(*)
+    output there is no way to drop groups whose last row was deleted
+    (a rebuild would not emit them)."""
+    if not row_keys:
+        return None
+    if any(op in _NONRETRACTABLE_OPS for op, _c in aggs.values()):
+        return None
+    for out, (op, col) in _physical(aggs).items():
+        if op == "count" and col == "*":
+            return out
+    return None
+
+
+def _signed_partial(
+    plus: DataFrame, minus: DataFrame, key_cols: list[str], aggs: dict
+) -> DataFrame:
+    """Partial aggregates of (postimages+inserts) MINUS
+    (preimages+deletes) in one pass: each applied row carries a sign,
+    counts sum the sign, sums add the row's value or its NEGATION —
+    negation, not multiplication, so decimal types stay EXACTLY the
+    stored columns' types (a sign multiply would widen precision and
+    creep the view's schema per refresh)."""
+    signed = plus.withColumn("_sg", F.lit(1)).unionByName(
+        minus.withColumn("_sg", F.lit(-1))
+    )
+    pos = F.col("_sg") > 0
+    exprs = []
+    for out, (op, col) in _physical(aggs).items():
+        if op == "count" and col == "*":
+            e = F.sum("_sg")
+        elif op == "count":
+            e = F.sum(
+                F.when(F.col(col).isNotNull(), F.col("_sg")).otherwise(
+                    F.lit(0)
+                )
+            )
+        elif op == "sum":
+            e = F.sum(F.when(pos, F.col(col)).otherwise(-F.col(col)))
+        elif op == "sumsq":
+            sq = F.col(col) * F.col(col)
+            e = F.sum(F.when(pos, sq).otherwise(-sq))
+        else:  # pragma: no cover - guarded by _retraction_plan
+            raise ValueError(f"non-retractable op {op!r}")
+        exprs.append(e.alias(out))
+    return signed.groupBy(*key_cols).agg(*exprs)
+
+
+def _refresh_retract_locked(
+    spark: SparkSession,
+    view_path: str,
+    spec: dict,
+    pinned: int,
+    head: int,
+    rows_out: str,
+) -> dict:
+    """Refresh across a REWRITING span without rebuilding: consume the
+    row-level change feed (which scans only the span's DIFFERING
+    files — sources/generations.py:_changed_sides), apply postimages
+    and inserts positively, RETRACT preimages and deletes, and drop
+    groups whose row count reaches zero (a rebuild would not emit
+    them). Exact for every retractable spec: counts and sums (and the
+    avg/stddev ingredients) are abelian-group aggregates, and the
+    count_distinct supports carry per-(group, value) multiplicities
+    that decrement to zero and drop. This closes the last rebuild
+    trigger for the common DML spans: a delete/upsert that rewrote 2
+    of 1000 files now costs those 2 files' two versions plus
+    answer-sized state — never the base. With int/decimal inputs the
+    arithmetic is exact, so retraction == rebuild bit-for-bit
+    (tests/test_matview.py); double inputs share the usual float
+    order-sensitivity of any partial-sum path."""
+    from ..sources.generations import _where_column, generation_changes
+
+    base_path = spec["base_path"]
+    key_cols = spec["key_cols"]
+    aggs = {k: tuple(v) for k, v in spec["aggs"].items()}
+    where = _where_from_spec(spec)
+    ch = generation_changes(
+        spark,
+        base_path,
+        since=pinned,
+        until=head,
+        key_cols=tuple(spec["row_keys"]),
+    )
+    if where:
+        # a filtered view sees only predicate-matching images; an
+        # update moving a row across the predicate boundary becomes a
+        # pure insert or pure retraction here — exactly the filtered
+        # rebuild's semantics (filtering distributes over the images)
+        ch = ch.filter(_where_column(where))
+    plus = ch.filter(
+        F.col("change_type").isin("insert", "update_postimage")
+    ).drop("change_type")
+    minus = ch.filter(
+        F.col("change_type").isin("delete", "update_preimage")
+    ).drop("change_type")
+    stored = _stored_main(spark, view_path, aggs)
+    delta = _signed_partial(plus, minus, key_cols, aggs)
+    merged = _merge_partials(stored, delta, key_cols, aggs).filter(
+        F.col(rows_out) > 0
+    )
+    _m, cd, _h, _der = _split(aggs)
+    supports = {}
+    for out, col in cd.items():
+        sup_dir = os.path.join(view_path, f"_support_{out}")
+        stored_sup = spark.read.parquet(sup_dir)
+        delta_sup = _support_partial(plus, key_cols, col).unionByName(
+            _support_partial(minus, key_cols, col).withColumn(
+                "_n", -F.col("_n")
+            )
+        )
+        supports[out] = (
+            stored_sup.unionByName(delta_sup)
+            .groupBy(*key_cols, "_v")
+            .agg(F.sum("_n").alias("_n"))
+            .filter(F.col("_n") > 0)
+        )
+    merged = _attach_derived(merged, supports, key_cols, aggs)
+    sidecar = dict(spec)
+    sidecar["base_gen"] = head
+    _write_view(merged, view_path, sidecar, supports, locked=True)
+    return {
+        "from": pinned,
+        "to": head,
+        "delta_files": -1,
+        "mode": "retract",
+        "refreshed": True,
+    }
+
+
 def _refresh_locked(spark: SparkSession, view_path: str) -> dict:
     spec = _load_spec(view_path)
     if spec.get("dims"):
@@ -564,11 +709,29 @@ def _refresh_locked(spark: SparkSession, view_path: str) -> dict:
         # incremental path is lost but the rebuild needs only head
         mode, delta_rels = "rebuild", None
     if mode != "append":
-        # a rewrite (compaction/delete) landed in the span: rows may
-        # have been FOLDED into keys that already existed at `pinned`
-        # (their new values invisible to any key-level anti-join) or
-        # deleted (min/max not retractable) — rebuild exactly
+        # a rewrite (compaction/delete/upsert) landed in the span —
+        # folds change values on retained keys, deletes remove rows,
+        # and no key-level anti-join can see either. Retractable specs
+        # (counts/sums/derived ratios/count_distinct supports, with
+        # row keys and a count(*) anchor) refresh from the row-level
+        # change feed, which scans only the span's DIFFERING files;
+        # everything else rebuilds exactly from head.
         _pin_base(base_path, view_path, head)
+        rows_out = (
+            _retraction_plan(
+                {k: tuple(v) for k, v in spec["aggs"].items()},
+                spec.get("row_keys") or [],
+            )
+            if mode == "antijoin"
+            else None
+        )
+        if rows_out is not None:
+            try:
+                return _refresh_retract_locked(
+                    spark, view_path, spec, pinned, head, rows_out
+                )
+            except ValueError:
+                pass  # e.g. pinned gen aged out mid-plan: rebuild
         _rebuild_locked(spark, view_path, spec, head)
         return {
             "from": pinned,

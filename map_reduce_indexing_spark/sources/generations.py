@@ -1315,6 +1315,50 @@ def generation_diff(
     return newer.join(older, list(key_cols), "left_anti")
 
 
+def _changed_sides(
+    spark: SparkSession, path: str, since, until
+) -> tuple[DataFrame, DataFrame]:
+    """(new-side, old-side) frames for a change feed, each restricted
+    to the files NOT shared with the other snapshot (shared = same rel
+    path and same recorded size — immutable files, so identical
+    content). Either side may legitimately be empty (pure append, pure
+    delete): an empty restriction reads the full generation limit(0)
+    so the schema survives."""
+    m = load_manifest(path)
+    if m is None:
+        raise ValueError(f"{path!r} has no generation manifest")
+    a, b = _resolve(m, path, since), _resolve(m, path, until)
+    ga, gb = m["gens"].get(str(a)), m["gens"].get(str(b))
+    if ga is None or gb is None:
+        missing = a if ga is None else b
+        raise ValueError(
+            f"generation {missing} of {path!r} is not available "
+            f"(retained: {sorted(int(k) for k in m['gens'])})"
+        )
+
+    def size_of(g, rel):
+        return ((g.get("stats") or {}).get(rel) or {}).get("size")
+
+    shared = {
+        rel
+        for rel in set(ga["files"]) & set(gb["files"])
+        # a missing recorded size is treated as changed (conservative)
+        if size_of(ga, rel) is not None
+        and size_of(ga, rel) == size_of(gb, rel)
+    }
+
+    def side(g, gen_no):
+        rels = [r for r in g["files"] if r not in shared]
+        if not rels:
+            return read_generation(spark, path, at=gen_no).limit(0)
+        root = path if g["root"] == "." else os.path.join(path, g["root"])
+        return spark.read.option("basePath", root).parquet(
+            *[os.path.join(root, r) for r in rels]
+        )
+
+    return side(gb, b), side(ga, a)
+
+
 def generation_changes(
     spark: SparkSession,
     path: str,
@@ -1335,18 +1379,28 @@ def generation_changes(
 
     Where `generation_diff` answers the append-only question with a
     files-only scan, this answers the general one — including spans
-    where a rewrite UPDATED or DELETED rows — at the cost of reading
-    both snapshots. Use the diff when the span is append-only (the
-    planner tells you via `diff_plan`); use changes to reconcile
-    across a rewriting maintenance job. Keys are assumed unique per
-    snapshot (the stores' row-identity contract); null keys match
-    null keys (eqNullSafe)."""
+    where a rewrite UPDATED or DELETED rows. Use the diff when the
+    span is append-only (the planner tells you via `diff_plan`); use
+    changes to reconcile across a rewriting maintenance job. Keys are
+    assumed unique per snapshot (the stores' row-identity contract);
+    null keys match null keys (eqNullSafe).
+
+    Cost (round 10): DELTA-SIZED, not both-snapshot-sized. Files are
+    immutable, so a file present in BOTH snapshots (same rel path,
+    same recorded size) holds byte-identical rows in both — those rows
+    cannot be changes, and under per-snapshot key uniqueness their
+    keys cannot have a second image hiding in a changed file on the
+    side where the shared file exists. The scan therefore restricts
+    each side to its DIFFERING files (old-only on the old side,
+    new-only on the new side) before the full-outer join: a delete or
+    upsert that rewrote 2 of 1000 files joins those 2 files' two
+    versions, never the store (tests/test_changes.py pins equality
+    with the unrestricted form)."""
     from pyspark.sql import functions as F
 
     if not key_cols:
         raise ValueError("generation_changes requires key_cols")
-    new = read_generation(spark, path, at=until)
-    old = read_generation(spark, path, at=since)
+    new, old = _changed_sides(spark, path, since, until)
     shared = [c for c in new.columns if c in set(old.columns)]
     keys = list(key_cols)
     cmp_cols = list(compare_cols) or [c for c in shared if c not in keys]

@@ -96,3 +96,76 @@ def test_change_feed_empty_on_identical_snapshots(spark, tmp_path):
     publish_generation(base)  # same files, new generation
     ch = generation_changes(spark, base, since=1, until=2, key_cols=("k",))
     assert ch.count() == 0
+
+
+def test_change_feed_scans_only_differing_files(spark, tmp_path):
+    """Round 10: the change feed restricts each side to the files NOT
+    shared between the snapshots (immutable files — shared rel+size =
+    identical rows), so a 1-of-4-file upsert joins one file's two
+    versions, never the store. Pinned: (a) the restricted result
+    equals a manual full-outer reconciliation of the FULL snapshots,
+    (b) the physical scan reads no shared file."""
+    import os as _o
+
+    from map_reduce_indexing_spark.sources.generations import (
+        upsert_rows,
+    )
+
+    base = str(tmp_path / "b")
+    for lo in (0, 10, 20, 30):
+        spark.createDataFrame(
+            [(lo + i, (lo + i) * 10) for i in range(10)],
+            "rid long, v long",
+        ).coalesce(1).write.mode("append").parquet(base)
+    publish_generation(base)
+    upd = spark.createDataFrame(
+        [(12, 999), (13, 999), (100, 1)], "rid long, v long"
+    )
+    rep = upsert_rows(spark, base, upd, ["rid"])
+    assert rep["rewritten_files"] == 1  # rid-disjoint layout
+
+    ch = generation_changes(spark, base, since=1, key_cols=("rid",))
+    got = sorted((r.rid, r.change_type, r.v) for r in ch.collect())
+    assert got == [
+        (12, "update_postimage", 999),
+        (12, "update_preimage", 120),
+        (13, "update_postimage", 999),
+        (13, "update_preimage", 130),
+        (100, "insert", 1),
+    ]
+    # physical restriction: the three untouched files appear in NEITHER
+    # side's scan
+    scanned = {_o.path.basename(f) for f in ch.inputFiles()}
+    from map_reduce_indexing_spark.sources.generations import load_manifest
+
+    m = load_manifest(base)
+    g1, g2 = m["gens"]["1"], m["gens"]["2"]
+    shared = set(g1["files"]) & set(g2["files"])
+    assert len(shared) == 3
+    assert all(_o.path.basename(r) not in scanned for r in shared)
+
+
+def test_change_feed_restriction_handles_pure_append_and_pure_rewrite(
+    spark, tmp_path
+):
+    from map_reduce_indexing_spark.sources.generations import delete_rows
+
+    base = str(tmp_path / "b")
+    spark.createDataFrame(
+        [(i, i * 10) for i in range(10)], "rid long, v long"
+    ).coalesce(1).write.parquet(base)
+    publish_generation(base)
+    # pure append: old side is empty after restriction
+    spark.createDataFrame(
+        [(100, 1)], "rid long, v long"
+    ).coalesce(1).write.mode("append").parquet(base)
+    publish_generation(base)
+    ch = generation_changes(spark, base, since=1, until=2, key_cols=("rid",))
+    assert [(r.rid, r.change_type) for r in ch.collect()] == [
+        (100, "insert")
+    ]
+    # delete spanning the whole store: every file differs
+    delete_rows(spark, base, [("rid", ">=", 0)])
+    ch2 = generation_changes(spark, base, since=2, key_cols=("rid",))
+    assert ch2.filter(ch2.change_type != "delete").count() == 0
+    assert ch2.count() == 11

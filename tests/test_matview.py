@@ -1138,3 +1138,227 @@ def test_join_matview_two_dims_telescoping(spark, tmp_path):
     report = refresh_matview(spark, view)
     assert report["refreshed"] is True
     assert served() == full()
+
+
+# -------------------------------------------------- retraction refresh
+
+RAGGS = {
+    "n": ("count", "*"),
+    "n_tag": ("count", "tag"),
+    "total": ("sum", "v"),
+    "mean_v": ("avg", "v"),
+    "sd_v": ("stddev", "v"),
+    "d_tag": ("count_distinct", "tag"),
+}
+
+
+def _rfull(spark, base):
+    return sorted(
+        (r.grp, r.n, r.n_tag, r.total,
+         None if r.m is None else round(r.m, 9),
+         None if r.s is None else round(r.s, 9), r.d)
+        for r in read_generation(spark, base)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("tag").alias("n_tag"),
+            F.sum("v").alias("total"),
+            F.avg("v").alias("m"),
+            F.stddev("v").alias("s"),
+            F.count_distinct("tag").alias("d"),
+        )
+        .collect()
+    )
+
+
+def _rview(spark, view):
+    return sorted(
+        (r.grp, r.n, r.n_tag, r.total,
+         None if r.mean_v is None else round(r.mean_v, 9),
+         None if r.sd_v is None else round(r.sd_v, 9), r.d_tag)
+        for r in read_matview(spark, view).collect()
+    )
+
+
+def test_retraction_refresh_across_upsert(spark, tmp_path):
+    """A rewriting span with a fully retractable spec refreshes from
+    the change feed (mode 'retract'), not a rebuild — and lands
+    exactly on the full recompute, including avg/stddev ingredients
+    and the count_distinct support decrements."""
+    from map_reduce_indexing_spark.sources.generations import upsert_rows
+
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    _chunk(spark, 0, 40).coalesce(4).write.parquet(base)
+    publish_generation(base)
+    create_matview(spark, base, view, ["grp"], RAGGS, row_keys=["rid"])
+    upd = spark.createDataFrame(
+        [(i, f"g{i % 3}", 7777, f"t{i + 50}") for i in range(6)]
+        + [(500 + i, f"g{i % 3}", 11, None) for i in range(3)],
+        "rid long, grp string, v long, tag string",
+    )
+    upsert_rows(spark, base, upd, ["rid"])
+    report = refresh_matview(spark, view)
+    assert report["mode"] == "retract", report
+    assert _rview(spark, view) == _rfull(spark, base)
+
+
+def test_retraction_refresh_across_delete_drops_empty_groups(
+    spark, tmp_path
+):
+    from map_reduce_indexing_spark.sources.generations import delete_rows
+
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    _chunk(spark, 0, 30).coalesce(2).write.parquet(base)
+    publish_generation(base)
+    create_matview(spark, base, view, ["grp"], RAGGS, row_keys=["rid"])
+    # g1 = rids with rid % 3 == 1: delete ALL of them — the group must
+    # VANISH from the view (a rebuild would not emit it)
+    delete_rows(spark, base, [("grp", "=", "g1")])
+    report = refresh_matview(spark, view)
+    assert report["mode"] == "retract", report
+    assert _rview(spark, view) == _rfull(spark, base)
+    assert "g1" not in {r.grp for r in read_matview(spark, view).collect()}
+
+
+def test_retraction_refresh_across_fold(spark, tmp_path):
+    """The ADVICE-r9 fold case under the retraction path: duplicate
+    keys appended then folded before any refresh — the change feed
+    sees the folds as updates (and the appended rows as... nothing:
+    they never existed at the pin), and retraction lands exactly."""
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    rows = [(i, f"g{i % 3}", 10 * i, f"t{i}") for i in range(12)]
+    spark.createDataFrame(
+        rows, "rid long, grp string, v long, tag string"
+    ).coalesce(1).write.parquet(base)
+    publish_generation(base)
+    create_matview(spark, base, view, ["grp"], RAGGS, row_keys=["rid"])
+    dup = spark.createDataFrame(
+        [(i, f"g{i % 3}", 1000, f"t{i}") for i in range(6)],
+        "rid long, grp string, v long, tag string",
+    )
+    dup.coalesce(1).write.mode("append").parquet(base)
+    publish_generation(base)
+    folded = (
+        read_generation(spark, base)
+        .groupBy("rid", "grp", "tag")
+        .agg(F.sum("v").alias("v"))
+        .select("rid", "grp", "v", "tag")
+    )
+    staged = str(tmp_path / "staged")
+    folded.coalesce(1).write.parquet(staged)
+    for f in os.listdir(base):
+        if not f.startswith(("_", ".")) and os.path.isfile(
+            os.path.join(base, f)
+        ):
+            os.remove(os.path.join(base, f))
+    for f in os.listdir(staged):
+        if not f.startswith(("_", ".")):
+            os.rename(os.path.join(staged, f), os.path.join(base, f))
+    publish_generation(base)
+    report = refresh_matview(spark, view)
+    assert report["mode"] == "retract", report
+    assert _rview(spark, view) == _rfull(spark, base)
+    by_grp = {r.grp: r.total for r in read_matview(spark, view).collect()}
+    assert by_grp["g0"] >= 2000  # the folded 1000s are IN the sums
+
+
+def test_retraction_filtered_view(spark, tmp_path):
+    """A filtered retractable view across an upsert that moves rows
+    ACROSS the predicate boundary: an update from non-matching to
+    matching must act as a pure insert, the reverse as a pure
+    retraction."""
+    from map_reduce_indexing_spark.sources.generations import upsert_rows
+
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    _chunk(spark, 0, 30).coalesce(2).write.parquet(base)
+    publish_generation(base)
+    create_matview(
+        spark, base, view, ["grp"],
+        {"n": ("count", "*"), "total": ("sum", "v")},
+        row_keys=["rid"], where=[("v", ">=", 100)],
+    )
+    # rid 5 (v=50, outside) -> v=500 (enters); rid 20 (v=200, inside)
+    # -> v=5 (leaves); rid 25 (v=250, inside) -> v=9999 (stays, new v)
+    upd = spark.createDataFrame(
+        [(5, "g2", 500, "t5"), (20, "g2", 5, None), (25, "g1", 9999, "t25")],
+        "rid long, grp string, v long, tag string",
+    )
+    upsert_rows(spark, base, upd, ["rid"])
+    report = refresh_matview(spark, view)
+    assert report["mode"] == "retract", report
+    got = sorted(
+        (r.grp, r.n, r.total)
+        for r in read_matview(spark, view).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in read_generation(spark, base)
+        .filter(F.col("v") >= 100)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .collect()
+    )
+    assert got == want
+
+
+def test_min_max_specs_still_rebuild(spark, tmp_path):
+    from map_reduce_indexing_spark.sources.generations import delete_rows
+
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    _chunk(spark, 0, 20).coalesce(2).write.parquet(base)
+    publish_generation(base)
+    create_matview(spark, base, view, ["grp"], AGGS, row_keys=["rid"])
+    delete_rows(spark, base, [("v", ">=", 150)])
+    report = refresh_matview(spark, view)
+    assert report["mode"] == "rebuild"  # min/max not retractable
+    assert _view_rows(spark, view) == _full(spark, base)
+
+
+def test_no_count_star_anchor_rebuilds(spark, tmp_path):
+    from map_reduce_indexing_spark.sources.generations import delete_rows
+
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    _chunk(spark, 0, 20).coalesce(2).write.parquet(base)
+    publish_generation(base)
+    create_matview(
+        spark, base, view, ["grp"], {"total": ("sum", "v")},
+        row_keys=["rid"],
+    )
+    delete_rows(spark, base, [("v", ">=", 150)])
+    report = refresh_matview(spark, view)
+    assert report["mode"] == "rebuild"  # no group-liveness anchor
+    got = sorted(
+        (r.grp, r.total) for r in read_matview(spark, view).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in read_generation(spark, base)
+        .groupBy("grp").agg(F.sum("v").alias("total")).collect()
+    )
+    assert got == want
+
+
+def test_retraction_then_append_refresh_composes(spark, tmp_path):
+    """retract (across an upsert) then the ordinary append fast path:
+    the stored state the retraction wrote must merge cleanly with a
+    later append-only delta."""
+    from map_reduce_indexing_spark.sources.generations import upsert_rows
+
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    _chunk(spark, 0, 30).coalesce(2).write.parquet(base)
+    publish_generation(base)
+    create_matview(spark, base, view, ["grp"], RAGGS, row_keys=["rid"])
+    upsert_rows(
+        spark, base,
+        spark.createDataFrame(
+            [(2, "g2", 123456, "tX")],
+            "rid long, grp string, v long, tag string",
+        ),
+        ["rid"],
+    )
+    assert refresh_matview(spark, view)["mode"] == "retract"
+    _chunk(spark, 100, 10).coalesce(1).write.mode("append").parquet(base)
+    publish_generation(base)
+    report = refresh_matview(spark, view)
+    assert report["mode"] == "incremental"
+    assert _rview(spark, view) == _rfull(spark, base)
