@@ -572,15 +572,23 @@ def _retraction_plan(aggs: dict, row_keys: list) -> str | None:
 def _signed_partial(
     plus: DataFrame, minus: DataFrame, key_cols: list[str], aggs: dict
 ) -> DataFrame:
-    """Partial aggregates of (postimages+inserts) MINUS
-    (preimages+deletes) in one pass: each applied row carries a sign,
-    counts sum the sign, sums add the row's value or its NEGATION —
-    negation, not multiplication, so decimal types stay EXACTLY the
-    stored columns' types (a sign multiply would widen precision and
-    creep the view's schema per refresh)."""
-    signed = plus.withColumn("_sg", F.lit(1)).unionByName(
-        minus.withColumn("_sg", F.lit(-1))
+    return _signed_agg(
+        plus.withColumn("_sg", F.lit(1)).unionByName(
+            minus.withColumn("_sg", F.lit(-1))
+        ),
+        key_cols,
+        aggs,
     )
+
+
+def _signed_agg(
+    signed: DataFrame, key_cols: list[str], aggs: dict
+) -> DataFrame:
+    """Partial aggregates of a SIGNED row frame (`_sg` = +1 applied /
+    -1 retracted) in one pass: counts sum the sign, sums add the row's
+    value or its NEGATION — negation, not multiplication, so decimal
+    types stay EXACTLY the stored columns' types (a sign multiply
+    would widen precision and creep the view's schema per refresh)."""
     pos = F.col("_sg") > 0
     exprs = []
     for out, (op, col) in _physical(aggs).items():
@@ -805,6 +813,8 @@ def _join_chain(frames: list[DataFrame], dims_spec: list[dict]) -> DataFrame:
         sel = d.get("select")
         if sel:
             keep = list(dict.fromkeys([*d["on"], *sel]))
+            if "_sg" in right.columns:  # signed delta: the sign rides
+                keep.append("_sg")
             right = right.select(*keep)
         out = out.join(right, on=list(d["on"]), how="inner")
     return out
@@ -843,10 +853,14 @@ def create_matview_join(
     — each term delta-sized in ΔR_i, and a stable store contributes
     no term at all. With dims stable (the common case) the whole
     refresh is ΔF ⋈ dims: one fact-delta file scan joined to the
-    dims, exactly VERDICT r9's "both delta-sized when one side is
-    stable". Any store whose span rewrote files → full rebuild from
-    all heads (exact for folding and deleting rewrites alike).
-    Returns {"fact_gen": g, "dim_gens": [g1, …]}."""
+    dims. The identity holds in the ℤ-multiset algebra for ANY
+    Δ_i = new_i − old_i, so a REWRITTEN store (delete/upsert/dim
+    update) contributes its signed change feed instead and the view
+    RETRACTS incrementally — when the spec is retractable (no
+    min/max/HLL; `row_keys` for the fact, each dim's `row_keys` or
+    its join keys; a count(*) liveness anchor). Otherwise a rewritten
+    span rebuilds from all heads (exact for folding and deleting
+    rewrites alike). Returns {"fact_gen": g, "dim_gens": [g1, …]}."""
     from ..sources.generations import _resolve, load_manifest
 
     for out, (op, _c) in aggs.items():
@@ -873,6 +887,7 @@ def create_matview_join(
                 "path": os.path.abspath(d["path"]),
                 "on": list(d["on"]),
                 "select": list(d.get("select") or []),
+                "row_keys": list(d.get("row_keys") or []),
                 "gen": g,
             }
         )
@@ -936,12 +951,47 @@ def _rebuild_join_locked(
     _write_view(view, view_path, sidecar, supports, locked=True)
 
 
+def _signed_changes(
+    spark: SparkSession, path: str, since: int, until: int, keys, where
+) -> DataFrame:
+    """A store's span as ONE signed row frame: inserts and
+    update-postimages +1, deletes and update-preimages -1 — the
+    ℤ-multiset delta new − old, scanned from only the span's differing
+    files (generation_changes)."""
+    from ..sources.generations import _where_column, generation_changes
+
+    ch = generation_changes(
+        spark, path, since=since, until=until, key_cols=tuple(keys)
+    )
+    if where:
+        ch = ch.filter(_where_column(where))
+    return ch.withColumn(
+        "_sg",
+        F.when(
+            F.col("change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(-1)),
+    ).drop("change_type")
+
+
 def _refresh_join_locked(
     spark: SparkSession, view_path: str, spec: dict
 ) -> dict:
-    """The telescoping-delta refresh (see create_matview_join). One
-    union of per-store delta terms feeds the same partial-merge and
-    support-append machinery as the single-table view."""
+    """The telescoping-delta refresh (see create_matview_join), in the
+    ℤ-multiset algebra: J(new…) − J(old…) = Σ_i (new_{<i} ⋈ Δ_i ⋈
+    old_{>i}) holds for ANY per-store delta Δ_i = new_i − old_i, not
+    just appends, because inner join is bilinear over signed
+    multisets. An append-only store contributes its new files (+1);
+    a REWRITTEN store (delete/upsert/dim update) contributes its
+    signed change feed — so a dimension UPDATE (reprice, re-tier)
+    retracts the old attribute's joined rows and applies the new
+    one's, incrementally, when the aggregate spec is retractable
+    (same conditions as the single-table path: no min/max/HLL, row
+    keys — the fact's from the spec, each dim's from its `row_keys`
+    or its join keys — and a count(*) liveness anchor). Non-
+    retractable specs rebuild on any rewritten span, as before. One
+    union of per-store terms feeds the same partial-merge (plain) or
+    signed-merge (retraction) machinery as the single-table view."""
     from functools import reduce
 
     dims = spec["dims"]
@@ -972,7 +1022,14 @@ def _refresh_join_locked(
             n_delta_files += len(rels)
     key_cols = spec["key_cols"]
     aggs = {k: tuple(v) for k, v in spec["aggs"].items()}
-    if any(mode not in ("append", "noop") for mode, _ in modes):
+    rewriting = any(mode == "antijoin" for mode, _ in modes)
+    unplannable = any(mode == "rebuild" for mode, _ in modes)
+    rows_out = (
+        _retraction_plan(aggs, spec.get("row_keys") or [])
+        if rewriting and not unplannable
+        else None
+    )
+    if (rewriting and rows_out is None) or unplannable:
         _repin_all(view_path, paths, heads)
         _rebuild_join_locked(spark, view_path, spec, heads)
         return {
@@ -993,17 +1050,32 @@ def _refresh_join_locked(
         w = where if j == 0 else None
         return read_generation(spark, paths[j], at=pins[j], where=w)
 
+    store_keys = [list(spec.get("row_keys") or [])]
+    for d in dims:
+        store_keys.append(list(d.get("row_keys") or d["on"]))
     terms = []
     for i, (mode, rels) in enumerate(modes):
-        if mode == "noop" or not rels:
+        if mode == "noop" or (mode == "append" and not rels):
             continue  # stable store (or empty append): no term
-        delta_i = generation_diff(
-            spark,
-            paths[i],
-            since=pins[i],
-            until=heads[i],
-            where=where if i == 0 else None,
-        )
+        if mode == "append":
+            delta_i = generation_diff(
+                spark,
+                paths[i],
+                since=pins[i],
+                until=heads[i],
+                where=where if i == 0 else None,
+            )
+            if rewriting:  # signed algebra: appends are +1 rows
+                delta_i = delta_i.withColumn("_sg", F.lit(1))
+        else:  # a rewritten span: the store's signed change feed
+            delta_i = _signed_changes(
+                spark,
+                paths[i],
+                pins[i],
+                heads[i],
+                store_keys[i],
+                where if i == 0 else None,
+            )
         parts = [
             at_new(j) if j < i else (delta_i if j == i else at_old(j))
             for j in range(len(paths))
@@ -1031,15 +1103,35 @@ def _refresh_join_locked(
         }
     delta_join = reduce(lambda a, b: a.unionByName(b), terms)
     stored = _stored_main(spark, view_path, aggs)
-    merged = _merge_partials(
-        stored, _partial_agg(delta_join, key_cols, aggs), key_cols, aggs
-    )
+    if rewriting:
+        merged = _merge_partials(
+            stored, _signed_agg(delta_join, key_cols, aggs), key_cols, aggs
+        ).filter(F.col(rows_out) > 0)
+    else:
+        merged = _merge_partials(
+            stored, _partial_agg(delta_join, key_cols, aggs), key_cols, aggs
+        )
     _m, cd, _h, _der = _split(aggs)
     supports = {}
     supports_union = {}
     for out, col in cd.items():
         sup_dir = os.path.join(view_path, f"_support_{out}")
         stored_sup = spark.read.parquet(sup_dir)
+        if rewriting:
+            delta_sup = (
+                delta_join.filter(F.col(col).isNotNull())
+                .groupBy(*key_cols, F.col(col).alias("_v"))
+                .agg(F.sum("_sg").alias("_n"))
+            )
+            folded = (
+                stored_sup.unionByName(delta_sup)
+                .groupBy(*key_cols, "_v")
+                .agg(F.sum("_n").alias("_n"))
+                .filter(F.col("_n") > 0)
+            )
+            supports[out] = folded
+            supports_union[out] = folded
+            continue
         delta_sup = _support_partial(delta_join, key_cols, col)
         supports_union[out] = stored_sup.unionByName(delta_sup)
         n_sup_files = sum(
@@ -1062,8 +1154,8 @@ def _refresh_join_locked(
     return {
         "from": pins,
         "to": heads,
-        "delta_files": n_delta_files,
-        "mode": "incremental",
+        "delta_files": -1 if rewriting else n_delta_files,
+        "mode": "retract" if rewriting else "incremental",
         "refreshed": True,
     }
 

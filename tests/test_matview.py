@@ -1362,3 +1362,144 @@ def test_retraction_then_append_refresh_composes(spark, tmp_path):
     report = refresh_matview(spark, view)
     assert report["mode"] == "incremental"
     assert _rview(spark, view) == _rfull(spark, base)
+
+
+def test_join_matview_retracts_across_dim_update(spark, tmp_path):
+    """A dimension UPDATE (k=1 moves from grp g1 to gNEW) on a
+    retractable join view refreshes by RETRACTION: the old attribute's
+    joined fact rows retract, the new one's apply — no rebuild, exact
+    vs full recompute. (JAGGS has a max — use a retractable spec.)"""
+    from map_reduce_indexing_spark.operators.matview import (
+        create_matview_join,
+    )
+    from map_reduce_indexing_spark.sources.generations import upsert_rows
+
+    fact = str(tmp_path / "fact")
+    dim = str(tmp_path / "dim")
+    view = str(tmp_path / "view")
+    _fact(spark, 0, 40).coalesce(2).write.parquet(fact)
+    publish_generation(fact)
+    _dim(spark, [0, 1, 2, 3, 4]).coalesce(1).write.parquet(dim)
+    publish_generation(dim)
+    raggs = {
+        "n": ("count", "*"),
+        "total": ("sum", "v"),
+        "d_users": ("count_distinct", "user"),
+    }
+    create_matview_join(
+        spark, view, fact,
+        [{"path": dim, "on": ["k"], "select": ["grp"]}],
+        ["grp"], raggs, row_keys=["rid"],
+    )
+    upsert_rows(
+        spark, dim,
+        spark.createDataFrame([(1, "gNEW")], "k long, grp string"),
+        ["k"],
+    )
+    report = refresh_matview(spark, view)
+    assert report["mode"] == "retract", report
+    got = sorted(
+        tuple(r)
+        for r in read_matview(spark, view)
+        .select("grp", "n", "total", "d_users").collect()
+    )
+    f = read_generation(spark, fact)
+    d = read_generation(spark, dim)
+    want = sorted(
+        tuple(r)
+        for r in f.join(d, "k").groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.count_distinct("user").alias("d_users"),
+        ).collect()
+    )
+    assert got == want
+    assert "gNEW" in {r[0] for r in got}
+    # a second refresh no-ops
+    assert refresh_matview(spark, view)["refreshed"] is False
+
+
+def test_join_matview_retracts_mixed_append_and_fact_delete(
+    spark, tmp_path
+):
+    """One refresh spanning a fact DELETE and a dim APPEND: the signed
+    telescoping must retract the deleted fact rows against the OLD dim
+    and backfill the dim's new keys against the NEW (post-delete)
+    fact, landing exactly on the full recompute."""
+    from map_reduce_indexing_spark.operators.matview import (
+        create_matview_join,
+    )
+    from map_reduce_indexing_spark.sources.generations import delete_rows
+
+    fact = str(tmp_path / "fact")
+    dim = str(tmp_path / "dim")
+    view = str(tmp_path / "view")
+    _fact(spark, 0, 40).coalesce(2).write.parquet(fact)
+    publish_generation(fact)
+    _dim(spark, [0, 1, 2]).coalesce(1).write.parquet(dim)
+    publish_generation(dim)
+    raggs = {
+        "n": ("count", "*"),
+        "total": ("sum", "v"),
+        "d_users": ("count_distinct", "user"),
+    }
+    create_matview_join(
+        spark, view, fact,
+        [{"path": dim, "on": ["k"], "select": ["grp"]}],
+        ["grp"], raggs, row_keys=["rid"],
+    )
+    delete_rows(spark, fact, [("v", ">=", 250)])
+    _dim(spark, [3, 4]).coalesce(1).write.mode("append").parquet(dim)
+    publish_generation(dim)
+    report = refresh_matview(spark, view)
+    assert report["mode"] == "retract", report
+    got = sorted(
+        tuple(r)
+        for r in read_matview(spark, view)
+        .select("grp", "n", "total", "d_users").collect()
+    )
+    f = read_generation(spark, fact)
+    d = read_generation(spark, dim)
+    want = sorted(
+        tuple(r)
+        for r in f.join(d, "k").groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.count_distinct("user").alias("d_users"),
+        ).collect()
+    )
+    assert got == want
+
+
+def test_join_matview_nonretractable_rewrite_still_rebuilds(
+    spark, tmp_path
+):
+    """JAGGS carries a max: a dim rewrite must keep the rebuild path
+    (already covered by test_join_matview_rewrite_any_store_rebuilds —
+    this pins the MODE with row_keys present, proving retraction
+    doesn't overreach)."""
+    from map_reduce_indexing_spark.operators.matview import (
+        create_matview_join,
+    )
+    from map_reduce_indexing_spark.sources.generations import upsert_rows
+
+    fact = str(tmp_path / "fact")
+    dim = str(tmp_path / "dim")
+    view = str(tmp_path / "view")
+    _fact(spark, 0, 30).coalesce(2).write.parquet(fact)
+    publish_generation(fact)
+    _dim(spark, [0, 1, 2, 3, 4]).coalesce(1).write.parquet(dim)
+    publish_generation(dim)
+    create_matview_join(
+        spark, view, fact,
+        [{"path": dim, "on": ["k"], "select": ["grp"]}],
+        ["grp"], JAGGS, row_keys=["rid"],  # JAGGS: has max -> rebuild
+    )
+    upsert_rows(
+        spark, dim,
+        spark.createDataFrame([(2, "gX")], "k long, grp string"),
+        ["k"],
+    )
+    report = refresh_matview(spark, view)
+    assert report["mode"] == "rebuild", report
+    assert _join_view_rows(spark, view) == _join_full(spark, fact, dim)
