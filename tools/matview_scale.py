@@ -11,7 +11,12 @@ the sf0.1 orders table, a FIXED-SIZE delta appended, then:
 - refresh = refresh_matview consuming only the appended files;
 - join_refresh (round 10) = the same fixed delta refreshed through a
   FACT ⋈ DIM view (create_matview_join; dim stable) — the telescoping
-  delta's common case, which must stay flat as the fact grows.
+  delta's common case, which must stay flat as the fact grows;
+- retract vs rebuild (round 10 second wave) = a FIXED-SIZE predicate
+  delete (one order-date day) refreshed two ways: the retraction path
+  (signed change feed over only the rewritten files) on a retractable
+  spec, and the full rebuild a non-retractable spec pays — the gap is
+  the whole point of retraction and must WIDEN with the base.
 
 The view carries the full aggregate menu: count, exact-decimal sum,
 min/max, COUNT DISTINCT (support-table IVM — the support merge is
@@ -162,6 +167,56 @@ def main() -> None:
             join_refresh_s = time.monotonic() - t0
             assert jrep["mode"] == "incremental", jrep
 
+            # retraction vs rebuild across a fixed-size DELETE span:
+            # two views over the same base — retractable spec (counts/
+            # sums/distinct) vs the full menu (min/max forces rebuild)
+            from map_reduce_indexing_spark.sources.generations import (
+                delete_rows,
+            )
+
+            # two retractable shapes: group-sized state (counts/sums/
+            # avg — the shape retraction exists for) and answer-sized
+            # state (a count_distinct support that must fold)
+            create_matview(
+                spark, base, os.path.join(work, "v_retract"),
+                ["o_orderpriority"],
+                {"n": ("count", "*"), "total": ("sum", "price_dec"),
+                 "mean_price": ("avg", "price_dec")},
+                row_keys=["o_orderkey"],
+            )
+            create_matview(
+                spark, base, os.path.join(work, "v_retract_cd"),
+                ["o_orderpriority"],
+                {"n": ("count", "*"), "total": ("sum", "price_dec"),
+                 "n_custs": ("count_distinct", "o_custkey")},
+                row_keys=["o_orderkey"],
+            )
+            create_matview(
+                spark, base, os.path.join(work, "v_rebuild"),
+                ["o_orderpriority"], AGGS, row_keys=["o_orderkey"],
+            )
+            import datetime as _dt
+
+            drep = delete_rows(
+                spark, base,
+                [("o_orderdate", "between",
+                  (_dt.datetime(1995, 3, 1), _dt.datetime(1995, 3, 2)))],
+            )
+            t0 = time.monotonic()
+            rrep = refresh_matview(spark, os.path.join(work, "v_retract"))
+            retract_s = time.monotonic() - t0
+            assert rrep["mode"] == "retract", rrep
+            t0 = time.monotonic()
+            rcrep = refresh_matview(
+                spark, os.path.join(work, "v_retract_cd")
+            )
+            retract_cd_s = time.monotonic() - t0
+            assert rcrep["mode"] == "retract", rcrep
+            t0 = time.monotonic()
+            brep = refresh_matview(spark, os.path.join(work, "v_rebuild"))
+            rebuild_span_s = time.monotonic() - t0
+            assert brep["mode"] == "rebuild", brep
+
             # manifest skipping on the same clustered store
             import datetime
 
@@ -194,6 +249,10 @@ def main() -> None:
                         "refresh_sec": round(refresh_s, 3),
                         "refresh_delta_files": rep["delta_files"],
                         "join_refresh_sec": round(join_refresh_s, 3),
+                        "delete_rewrote_files": drep["rewritten_files"],
+                        "retract_refresh_sec": round(retract_s, 3),
+                        "retract_distinct_sec": round(retract_cd_s, 3),
+                        "rebuild_refresh_sec": round(rebuild_span_s, 3),
                         "skip_kept_files": len(kept),
                         "skip_total_files": total,
                         "pruned_read_sec": round(pruned_s, 3),
