@@ -1449,6 +1449,202 @@ def events_continuous_agg_demo(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# CDC apply: a change stream MERGED into a generations store per batch
+# ---------------------------------------------------------------------------
+
+def run_cdc_apply(
+    spark: SparkSession,
+    src_dir: str,
+    store_path: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    checkpoint: str | None = None,
+    glob: str = "*.parquet",
+    schema=None,
+    max_files_per_trigger: int = 1,
+) -> list[dict]:
+    """The CDC-into-lakehouse loop (the Debezium→Delta MERGE shape):
+    a file-source stream of row VERSIONS keyed by `key_cols`, applied
+    to a generations store one microbatch at a time with
+    last-writer-wins semantics under `order_cols` — robust to
+    OUT-OF-ORDER delivery both within a batch and across batches:
+
+    - within a batch, only each key's newest version survives (window
+      over the order columns);
+    - against the store, a candidate whose order key is not strictly
+      newer than the stored row's is DROPPED (a late-arriving stale
+      update can never regress a row — the property a plain
+      replace-on-match upsert lacks);
+    - survivors merge via `upsert_rows` (manifest/bloom-pruned
+      copy-on-write), publishing one pinnable generation per batch,
+      so downstream matviews retract-refresh per batch and pinned
+      readers see consistent states.
+
+    The final store state is therefore the GLOBAL maximum-order
+    version per key, whatever the batch partitioning — which is what
+    makes the exported query's oracle (a plain window over the raw
+    table) exact. Returns the per-batch upsert reports."""
+    from ..operators.indexing import index_writer_lock
+    from ..sources.generations import (
+        ensure_base_generation,
+        publish_generation,
+        read_generation,
+        upsert_rows,
+    )
+
+    reports: list[dict] = []
+    ordering = [F.col(c).desc_nulls_last() for c in order_cols]
+
+    def ord_struct():
+        # comparison struct with a not-null FLAG before each order
+        # column: a NULL order value must rank SMALLEST (matching
+        # desc_nulls_last above and the oracle's NULLS LAST), but a
+        # raw struct comparison with a null field yields NULL and
+        # would silently drop a genuinely-newer candidate
+        fields = []
+        for c in order_cols:
+            fields.append(F.col(c).isNotNull().cast("int"))
+            fields.append(F.col(c))
+        return F.struct(*fields)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*key_cols).orderBy(*ordering)
+        newest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if not os.path.isdir(store_path):
+            with index_writer_lock(store_path):
+                newest.write.parquet(store_path)
+                publish_generation(store_path)
+            reports.append(
+                {"batch": batch_id, "inserted_rows": newest.count(),
+                 "updated_rows": 0, "stale_dropped": True}
+            )
+            return
+        with index_writer_lock(store_path):
+            ensure_base_generation(store_path)
+        # drop candidates not strictly newer than the stored version:
+        # null-safe tuple comparison via a left join on the keys
+        stored = read_generation(spark, store_path).select(
+            *key_cols,
+            ord_struct().alias("_cur_ord"),
+        )
+        cand = newest.withColumn("_new_ord", ord_struct())
+        fresh = (
+            cand.join(stored, on=list(key_cols), how="left")
+            .filter(
+                F.col("_cur_ord").isNull()
+                | (F.col("_new_ord") > F.col("_cur_ord"))
+            )
+            .drop("_cur_ord", "_new_ord")
+        )
+        rep = upsert_rows(spark, store_path, fresh, key_cols)
+        rep["batch"] = batch_id
+        reports.append(rep)
+
+    reader = spark.readStream.option("pathGlobFilter", glob).option(
+        "maxFilesPerTrigger", str(max_files_per_trigger)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    stream = reader.parquet(src_dir)
+    writer = stream.writeStream.foreachBatch(sink)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.trigger(availableNow=True).start()
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return reports
+
+
+def events_cdc_apply_demo(spark: SparkSession, sf_dir: str) -> str:
+    """Built once per (application, corpus content): the events table
+    treated as a CDC stream of per-user row versions — hash-split into
+    4 source files (NO time ordering across batches, deliberately:
+    the apply's stale-drop is what keeps the result exact), streamed
+    one file per microbatch into a generations store keyed by
+    user_id, ordered by (ts, event_id). The final store = each user's
+    globally newest event."""
+    from ..operators.indexing import session_artifact_path
+
+    def build(path: str) -> None:
+        src = os.path.join(path, "src")
+        store = os.path.join(path, "store")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("value").cast("decimal(18,2)").alias("value_dec"),
+            "ts",
+        )
+        ev.repartition(4, "event_id").write.parquet(src)
+        reports = run_cdc_apply(
+            spark,
+            src,
+            store,
+            key_cols=["user_id"],
+            order_cols=["ts", "event_id"],
+            checkpoint=os.path.join(path, "ckpt"),
+            schema=ev.schema,
+        )
+        assert len(reports) >= 2  # several batches actually merged
+
+    return session_artifact_path(
+        spark, sf_dir, "events_cdc_apply", "events.parquet", build
+    )
+
+
+@register(
+    "stream_cdc_apply",
+    oracle="""
+        SELECT user_id,
+               event_type AS last_type,
+               CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value,
+               ts AS last_ts
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id
+                ORDER BY ts DESC NULLS LAST, event_id DESC
+            ) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    tier="streaming",
+    doc="CDC APPLY into the store tier (streaming/events.py:"
+    "run_cdc_apply — the Debezium-to-lakehouse MERGE loop): the "
+    "events table is replayed as a change stream of per-user row "
+    "versions, hash-split so batches arrive in NO time order, and "
+    "each microbatch merges via upsert_rows with last-writer-wins "
+    "under (ts, event_id) — newest-per-key within the batch, "
+    "stale-vs-stored candidates dropped, one published generation "
+    "per batch. The oracle is the global newest-version-per-user "
+    "window over the raw table, so the external hash match proves "
+    "the out-of-order apply converges to exactly the ordered "
+    "result. At 100 TB this is the canonical CDC ingestion pattern: "
+    "each merge rewrites only the key-overlapping files "
+    "(bloom/bounds-pruned), downstream views retract-refresh per "
+    "batch, and pinned readers keep consistent snapshots.",
+)
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.generations import read_generation
+
+    root = events_cdc_apply_demo(spark, sf_dir)
+    df = read_generation(spark, os.path.join(root, "store"))
+    return df.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("value_dec").cast("double").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
 @register(
     "stream_continuous_agg",
     oracle="""
