@@ -1751,6 +1751,37 @@ def upsert_rows(
         }
 
 
+def optimize_store(
+    spark: SparkSession,
+    path: str,
+    cluster_by: list[str],
+    n_files: int = 16,
+) -> int:
+    """OPTIMIZE ... CLUSTER BY as a store operation: rewrite the live
+    data range-clustered on `cluster_by` (repartitionByRange + sort
+    within files, the layout that makes footer min/max an effective
+    coarse index) behind the standard compact_artifact staged swap —
+    retained generations carry, stats/blooms rebuild for the new
+    files (executor-parallel via the publish fan-out), pinned readers
+    keep their snapshots, and downstream consumers see an ordinary
+    rewrite span (matviews retract or rebuild per their spec). Row
+    images are PRESERVED exactly (a pure re-layout — no fold, no
+    dedup), so even `generation_diff`'s key-level fallback stays
+    sound across this span. Returns the new head generation."""
+    from ..operators.indexing import compact_artifact
+
+    def rewrite(df: DataFrame, staging: str) -> None:
+        (
+            df.repartitionByRange(n_files, *cluster_by)
+            .sortWithinPartitions(*cluster_by)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+
+    compact_artifact(spark, path, rewrite)
+    return generation_head(path)
+
+
 def describe_generations(spark: SparkSession, path: str) -> DataFrame:
     """The store's snapshot history as a DataFrame — Iceberg's
     `.snapshots` metadata table: one row per retained generation

@@ -331,3 +331,69 @@ def test_generation_diff_reads_only_the_delta(spark, tmp_path):
     )
     anti_ids = {r.doc_id for r in anti.select("doc_id").distinct().collect()}
     assert anti_ids == set(range(200, 206)) | {300, 301}
+
+
+def test_optimize_store_reclusters_and_preserves_everything(spark, tmp_path):
+    """OPTIMIZE as a store verb (round 10): a hash-scattered store is
+    rewritten range-clustered; range predicates then PRUNE files where
+    before they kept everything; the pre-optimize pinned generation
+    still serves byte-identical rows; row images are preserved so a
+    matview across the span stays exact."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_indexing_spark.operators.matview import (
+        create_matview,
+        read_matview,
+        refresh_matview,
+    )
+    from map_reduce_indexing_spark.sources.generations import (
+        optimize_store,
+        plan_generation_scan,
+        publish_generation,
+    )
+
+    base = str(tmp_path / "b")
+    df = spark.range(40_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp"),
+        (F.col("id") * 3).alias("v"),
+    )
+    df.repartition(8).write.parquet(base)  # round-robin: ranges overlap
+    publish_generation(base)
+    pre = generation_head(base)
+    before = sorted(tuple(r) for r in read_generation(spark, base).collect())
+    _r, kept0, total0 = plan_generation_scan(
+        base, where=[("k", "between", (100, 199))]
+    )
+    assert len(kept0) == total0  # scattered layout: nothing prunable
+
+    view = str(tmp_path / "v")
+    create_matview(
+        spark, base, view, ["grp"],
+        {"n": ("count", "*"), "total": ("sum", "v")}, row_keys=["k"],
+    )
+
+    head = optimize_store(spark, base, ["k"], n_files=8)
+    assert head == pre + 1
+    _r, kept1, total1 = plan_generation_scan(
+        base, where=[("k", "between", (100, 199))]
+    )
+    assert len(kept1) < total1  # clustered: the range prunes
+    assert len(kept1) <= 2
+    # rows byte-identical; the pinned pre-optimize snapshot intact
+    assert sorted(
+        tuple(r) for r in read_generation(spark, base).collect()
+    ) == before
+    assert sorted(
+        tuple(r) for r in read_generation(spark, base, at=pre).collect()
+    ) == before
+    # matview across the re-layout span stays exact
+    refresh_matview(spark, view)
+    got = sorted(tuple(r) for r in read_matview(spark, view).collect())
+    want = sorted(
+        tuple(r)
+        for r in read_generation(spark, base)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .collect()
+    )
+    assert got == want
