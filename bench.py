@@ -80,6 +80,7 @@ HEADLINE = [
     "rel_matview_join_refresh",  # join-IVM: fact-delta + dim-backfill refresh (r10)
     "rel_delete_rows",         # manifest-pruned copy-on-write DELETE (r10)
     "rel_upsert_rows",         # store-level MERGE: bloom-pruned replace+insert (r10)
+    "stream_cdc_apply",        # per-batch CDC merge loop, out-of-order exact (r10)
 ]
 
 

@@ -21,7 +21,8 @@ One managed store, one lifecycle:
    the view's stored partials alone (routing);
 5. (round 10) DELETE one source's rows copy-on-write — the tagged
    snapshot still serves every original row, and the view's next
-   refresh rebuilds exactly (a rewrite span is never key-diffed).
+   refresh RETRACTS exactly (the signed change feed over only the
+   rewritten files; a rewrite span is never key-diffed).
 
     python examples/lakehouse_tour.py
 """
@@ -155,11 +156,14 @@ def main() -> None:
     )
     assert read_generation(spark, store, at="train-v1").count() == 5_000
     report = refresh_matview(spark, view)
-    assert report["mode"] == "rebuild"  # a rewrite span: exact rebuild
+    # the spec is fully retractable (counts/sums/distinct supports +
+    # row keys), so the rewrite span refreshes by RETRACTION — the
+    # change feed over only the rewritten files — not a rebuild
+    assert report["mode"] == "retract"
     assert "1" not in {
         r.source for r in read_matview(spark, view).collect()
     }
-    print("post-delete: pinned snapshot intact, view rebuilt exactly")
+    print("post-delete: pinned snapshot intact, view retracted exactly")
 
     spark.stop()
 
