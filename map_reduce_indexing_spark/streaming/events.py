@@ -1348,6 +1348,7 @@ def run_continuous_aggregate(
     glob: str = "*.parquet",
     schema=None,
     max_files_per_trigger: int = 1,
+    dims: list[dict] | None = None,
 ) -> list[dict]:
     """The TimescaleDB continuous-aggregate shape on the snapshot tier:
     a file-source stream lands each microbatch in a generations-managed
@@ -1359,10 +1360,20 @@ def run_continuous_aggregate(
     costs one microbatch of rows regardless of how large the store has
     grown — the whole point at 100 TB of accumulated events.
 
+    `dims` (round 10) makes the continuous view a JOIN matview: each
+    microbatch's refresh is ΔF ⋈ dims via the telescoping delta
+    (create_matview_join) — the streaming half of the fact-join-dims
+    dashboard, with dim appends/updates between batches handled by
+    the same telescoping/retraction machinery.
+
     Returns the per-batch refresh reports (delta_files per refresh —
     the delta-only claim, asserted in tests)."""
     from ..operators.indexing import index_writer_lock
-    from ..operators.matview import create_matview, refresh_matview
+    from ..operators.matview import (
+        create_matview,
+        create_matview_join,
+        refresh_matview,
+    )
     from ..sources.generations import ensure_base_generation, publish_generation
 
     reports: list[dict] = []
@@ -1374,6 +1385,15 @@ def run_continuous_aggregate(
             publish_generation(store_path)
         if os.path.isfile(os.path.join(view_path, "_matview.json")):
             reports.append(refresh_matview(spark, view_path))
+        elif dims:
+            rep = create_matview_join(
+                spark, view_path, store_path, dims, key_cols, aggs,
+                row_keys=row_keys,
+            )
+            reports.append(
+                {"from": 0, "to": rep["fact_gen"], "delta_files": -2,
+                 "refreshed": True}
+            )
         else:
             gen = create_matview(
                 spark, store_path, view_path, key_cols, aggs, row_keys=row_keys
