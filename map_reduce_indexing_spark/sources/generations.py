@@ -1660,16 +1660,19 @@ def upsert_rows(
                 "updated_rows": 0,
                 "inserted_rows": 0,
             }
+        # per-key-column pruning term: the distinct value LIST when
+        # small (bloom-probable — the only lever on an unclustered
+        # key), the min/max bounds otherwise. Per-column lists are a
+        # conservative cross-product superset of the composite keys,
+        # which is exactly what lossless pruning needs.
         where = []
-        if len(key_cols) == 1:
-            k = key_cols[0]
+        for i, k in enumerate(key_cols):
             key_rows = (
                 upd.select(k).distinct().limit(UPSERT_PROBE_KEYS + 1).collect()
             )
             if len(key_rows) <= UPSERT_PROBE_KEYS:
                 where.append((k, "in", tuple(r[0] for r in key_rows)))
-        if not where:
-            for i, k in enumerate(key_cols):
+            else:
                 where.append(
                     (k, "between", (bounds[f"mn_{i}"], bounds[f"mx_{i}"]))
                 )

@@ -198,3 +198,30 @@ def test_upsert_refuses_type_drift(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="drift"):
         upsert_rows(spark, base, widened, ["rid"])
+
+
+def test_upsert_multi_column_keys_prune_and_stay_exact(spark, tmp_path):
+    """Composite keys: per-column value lists prune conservatively
+    (cross-product superset) and the merge stays exact."""
+    base = str(tmp_path / "b")
+    # 4 files disjoint in tenant: tenant 0..3
+    for t in range(4):
+        spark.createDataFrame(
+            [(t, i, t * 1000 + i) for i in range(10)],
+            "tenant long, seq long, val long",
+        ).coalesce(1).write.mode("append").parquet(base)
+    publish_generation(base)
+    upd = spark.createDataFrame(
+        [(1, 3, 99999), (1, 50, 42)],  # one replace, one insert
+        "tenant long, seq long, val long",
+    )
+    report = upsert_rows(spark, base, upd, ["tenant", "seq"])
+    # tenant=1's file is the only candidate (per-column in-list on
+    # tenant prunes the other three by their footer bounds)
+    assert report["rewritten_files"] == 1
+    assert report["updated_rows"] == 1 and report["inserted_rows"] == 1
+    got = {(r.tenant, r.seq): r.val
+           for r in read_generation(spark, base).collect()}
+    assert got[(1, 3)] == 99999 and got[(1, 50)] == 42
+    assert got[(2, 3)] == 2003  # untouched
+    assert len(got) == 41
