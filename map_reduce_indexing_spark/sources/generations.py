@@ -1559,11 +1559,45 @@ def delete_rows(spark: SparkSession, path: str, where) -> dict:
         }
 
 
-# Upsert key-probing bound: when the updates frame has at most this
-# many distinct keys (single-column case), the key LIST becomes an
+# Upsert key-probing bound: when a key column has at most this many
+# distinct values in the updates frame, its value LIST becomes an
 # `in` predicate so bloom sidecars can prune files the key-range
 # bounds cannot (an unclustered key's range covers every file).
 UPSERT_PROBE_KEYS = 10_000
+
+
+def key_prune_where(
+    delta: DataFrame, key_cols: list[str], bounds=None
+) -> list:
+    """The read_generation predicate that bounds which store files MAY
+    hold rows whose keys appear in `delta`: per key column, the
+    distinct value list when small (bloom-probable — the only lever
+    on an unclustered key; per-column lists are a conservative
+    cross-product superset of the composite keys, which is what
+    lossless pruning needs), min/max bounds otherwise. Shared by
+    `upsert_rows` (prune the rewrite) and the streaming CDC apply
+    (prune the stale-version check) — both would otherwise scan the
+    store per merge."""
+    from pyspark.sql import functions as _F
+
+    if bounds is None:
+        bounds = delta.agg(
+            *[_F.min(k).alias(f"mn_{i}") for i, k in enumerate(key_cols)],
+            *[_F.max(k).alias(f"mx_{i}") for i, k in enumerate(key_cols)],
+            _F.count(_F.lit(1)).alias("n"),
+        ).first()
+    where = []
+    for i, k in enumerate(key_cols):
+        key_rows = (
+            delta.select(k).distinct().limit(UPSERT_PROBE_KEYS + 1).collect()
+        )
+        if len(key_rows) <= UPSERT_PROBE_KEYS:
+            where.append((k, "in", tuple(r[0] for r in key_rows)))
+        else:
+            where.append(
+                (k, "between", (bounds[f"mn_{i}"], bounds[f"mx_{i}"]))
+            )
+    return where
 
 
 def upsert_rows(
@@ -1660,22 +1694,7 @@ def upsert_rows(
                 "updated_rows": 0,
                 "inserted_rows": 0,
             }
-        # per-key-column pruning term: the distinct value LIST when
-        # small (bloom-probable — the only lever on an unclustered
-        # key), the min/max bounds otherwise. Per-column lists are a
-        # conservative cross-product superset of the composite keys,
-        # which is exactly what lossless pruning needs.
-        where = []
-        for i, k in enumerate(key_cols):
-            key_rows = (
-                upd.select(k).distinct().limit(UPSERT_PROBE_KEYS + 1).collect()
-            )
-            if len(key_rows) <= UPSERT_PROBE_KEYS:
-                where.append((k, "in", tuple(r[0] for r in key_rows)))
-            else:
-                where.append(
-                    (k, "between", (bounds[f"mn_{i}"], bounds[f"mx_{i}"]))
-                )
+        where = key_prune_where(upd, key_cols, bounds)
         g = m["gens"][str(head)]
         stats = g.get("stats") or {}
         bloom_cache: dict[str, bytes | None] = {}

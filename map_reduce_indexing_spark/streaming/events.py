@@ -1548,9 +1548,26 @@ def run_cdc_apply(
             return
         with index_writer_lock(store_path):
             ensure_base_generation(store_path)
-        # drop candidates not strictly newer than the stored version:
-        # null-safe tuple comparison via a left join on the keys
-        stored = read_generation(spark, store_path).select(
+        # drop candidates not strictly newer than the stored version.
+        # The stored side reads ONLY the files that may hold the
+        # batch's keys (the same per-key-column list/bounds pruning
+        # upsert_rows uses — bloom-probable on unclustered keys):
+        # pruning is conservative, so a stored version can never hide
+        # in a pruned file, and a key with no kept file is genuinely
+        # new. Without this the stale check would scan the store per
+        # microbatch.
+        from ..sources.generations import (
+            key_prune_where,
+            plan_generation_scan,
+        )
+
+        where = key_prune_where(newest, key_cols)
+        root, files, _total = plan_generation_scan(store_path, where=where)
+        if files:
+            stored_rows = spark.read.option("basePath", root).parquet(*files)
+        else:
+            stored_rows = read_generation(spark, store_path).limit(0)
+        stored = stored_rows.select(
             *key_cols,
             ord_struct().alias("_cur_ord"),
         )
