@@ -194,6 +194,24 @@ class IndexSession:
         retention GEN_RETAIN — sources/generations.py)."""
         compact_index(self.spark, self.index_path)
 
+    def delete_docs(self, doc_ids: list) -> dict:
+        """Remove documents from the index — the takedown/erasure verb
+        the reference never had (its ./index files only ever grow):
+        every posting of the named doc_ids is deleted copy-on-write
+        (sources/generations.py:delete_rows — only the files that may
+        hold them rewrite; here the index is letter-partitioned and
+        doc postings span letters, so expect a broad rewrite — rare
+        operation, exact result). Searches stop returning the
+        documents immediately; pinned generations still serve them
+        (tag a snapshot first if you need a retention record); the
+        letter_stats view rebuilds exactly on its next refresh.
+        Returns the delete report."""
+        from .sources.generations import delete_rows
+
+        return delete_rows(
+            self.spark, self.index_path, [("doc_id", "in", list(doc_ids))]
+        )
+
     def postings_at(self, generation: int | str | None = None) -> DataFrame:
         """`postings()` against a PINNED generation — two queries at
         the same generation see the same rows even while appends and
@@ -388,6 +406,21 @@ class VectorStore:
         from .operators.similarity import compact_vector_store
 
         compact_vector_store(self.spark, self.path, retrain=retrain)
+
+    def delete_ids(self, ids: list) -> dict:
+        """Remove vectors by id copy-on-write (delete_rows on the
+        bucketed store: partition-dir and stats pruning keep untouched
+        cells' files by name). Lookups stop returning them
+        immediately; pinned generations still serve them. The
+        quantizer/codebook sidecars are unchanged (they are learned
+        layouts, not row state) — retrain at the next
+        `compact(retrain=True)` if the deletion shifted the
+        distribution. Returns the delete report."""
+        from .sources.generations import delete_rows
+
+        return delete_rows(
+            self.spark, self.path, [("vec_id", "in", list(ids))]
+        )
 
     def vectors(self) -> DataFrame:
         from .operators.similarity import read_vector_store

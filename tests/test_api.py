@@ -381,3 +381,66 @@ def test_adhoc_sql_surface(spark):
         """,
     ).collect()
     assert len(top) == 3 and all(r["n"] > 0 for r in top)
+
+
+def test_delete_docs_removes_from_search_keeps_pinned(spark, tmp_path):
+    """Round 10: the takedown verb — deleted documents vanish from
+    every search surface immediately; a tagged pre-delete snapshot
+    still serves them; letter_stats stays exact after its refresh."""
+    from map_reduce_indexing_spark.api import IndexSession
+    from map_reduce_indexing_spark.sources.generations import (
+        tag_generation,
+    )
+
+    docs = spark.createDataFrame(
+        [("d1", "apple banana"), ("d2", "apple cherry")],
+        "doc_id string, text string",
+    )
+    s = IndexSession.build(spark, docs, str(tmp_path / "ix"))
+    s.append(
+        spark.createDataFrame(
+            [("d3", "banana date")], "doc_id string, text string"
+        )
+    )  # appends publish generations; build alone does not
+    tag_generation(s.index_path, "pre-takedown")
+    report = s.delete_docs(["d2"])
+    assert report["deleted_rows"] == 2  # apple + cherry postings
+    assert {r.doc_id for r in s.lookup("apple").collect()} == {"d1"}
+    assert s.lookup("cherry").count() == 0
+    # pinned snapshot still serves the deleted doc
+    pinned = s.postings_at("pre-takedown")
+    assert {r.doc_id for r in pinned.collect()} >= {"d1", "d2", "d3"}
+    # the stats view recovers exactly
+    stats = {
+        r.letter: (r.total_cnt, r.n_docs)
+        for r in s.letter_stats().collect()
+    }
+    assert "c" not in stats  # cherry's letter group vanished entirely
+    assert stats["a"] == (1, 1)  # apple only in d1 now
+
+
+def test_vector_store_delete_ids(spark, tmp_path):
+    from map_reduce_indexing_spark.api import VectorStore
+
+    import random
+
+    random.seed(7)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(64)])
+            for i in range(200)]
+    vecs = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    vs = VectorStore.build(spark, vecs, str(tmp_path / "vs"))
+    report = vs.delete_ids([5, 6, 7])
+    # build alone publishes no generation; the delete auto-pins the
+    # pre-delete state as its own generation first
+    pre = report["generation"] - 1
+    assert report["deleted_rows"] == 3
+    assert vs.vectors().filter("vec_id in (5,6,7)").count() == 0
+    assert vs.vectors().count() == 197
+    # pinned pre-delete snapshot intact
+    assert vs.vectors_at(pre).count() == 200
+    # lookups still work over the post-delete store: querying with a
+    # surviving vector's own values guarantees a non-empty bucket
+    q = rows[10][1]
+    top = vs.topk(q, k=5).collect()  # one pruned-bucket scan: sparse
+    assert top and top[0].vec_id == 10  # self-match leads
+    assert not {5, 6, 7} & {r.vec_id for r in top}
