@@ -36,9 +36,20 @@ export_shards manifest pattern applied inward:
 - `generation_diff(since, until)` is the incremental consumer: in an
   append-only span it reads ONLY the files added after `since`;
   across a compaction it anti-joins the two snapshots on caller-named
-  keys (or refuses, never silently rescans). The live path is never mutated pre-swap:
-  a crash discards staging and leaves the old store (and old
-  manifest) intact, exactly the existing crash-safety story.
+  keys — exact only for row-image-preserving rewrites (see its
+  docstring) — or refuses, never silently rescans;
+  `generation_changes` is the general row-level feed (insert/delete/
+  update images), delta-sized since round 10 (each side scans only
+  the span's differing files). The live path is never mutated
+  pre-swap: a crash discards staging and leaves the old store (and
+  old manifest) intact, exactly the existing crash-safety story.
+- Round 10 adds the DML verbs on top of the same machinery:
+  `delete_rows` (manifest-pruned copy-on-write predicate DELETE),
+  `upsert_rows` (MERGE: key-list/bounds-pruned replace-or-insert),
+  `optimize_store` (re-clustering compaction), and the streaming CDC
+  apply loop in streaming/events.py — all publishing ordinary
+  generations, so snapshots, tags, change feeds, and matview
+  refreshes compose with them unchanged.
 - `read_generation(spark, path, at=N)` reads exactly generation N's
   files (basePath-anchored so Hive partition columns survive), with
   one re-resolve retry for a reader racing the swap's rename gap.
