@@ -1,0 +1,232 @@
+"""Publish-time data-quality EXPECTATIONS over generations stores.
+
+The reference pipeline ingests whatever the mapper emits — there is no
+admission control anywhere in helper_map.c/helper_reduce.c, so one
+malformed producer poisons every downstream artifact and nothing
+records that it happened. At 100 TB that failure mode is the norm,
+not the exception (a fraction of every real crawl/feed batch is
+broken), so the extension tier gives the store an admission gate in
+the Delta Live Tables / Great Expectations shape:
+
+    append_with_expectations(spark, store, df, {
+        "price_cap":  [("price_dec", "<=", 300000)],
+        "date_range": [("o_orderdate", "<", datetime(1998, 6, 1))],
+    }, mode="quarantine")
+
+- Each expectation is a predicate in the store's own `where` language
+  (AND-list of ``(col, op, val)`` triples, OR via nested lists — the
+  exact grammar `read_generation` prunes and filters with, compiled
+  by the same `_where_column`, so gate semantics and read semantics
+  can never drift). A row PASSES an expectation iff the predicate is
+  TRUE; NULL is a violation (the row cannot prove it conforms —
+  CHECK-constraint semantics inverted for admission).
+
+- Modes:
+  * ``"fail"``       — all-or-nothing batch admission: any violation
+                       raises ExpectationError with per-expectation
+                       counts and NOTHING is written.
+  * ``"drop"``       — passing rows append; violations are counted
+                       in the audit and discarded.
+  * ``"quarantine"`` — passing rows append; each violating row lands
+                       in the store's ``_quarantine/`` sub-store
+                       (underscore-prefixed: invisible to data scans,
+                       itself generations-managed) tagged with
+                       `_violations` (comma-joined sorted names of
+                       every failed expectation) and
+                       `_src_generation` (the admitted generation it
+                       was split from) — re-admittable after repair.
+
+- The AUDIT is durable: the new generation's manifest entry records
+  mode, per-expectation violation counts, and the row split, so
+  `expectation_audit(store)` answers "what did the gate do" from one
+  JSON read — no data scan, same posture as the manifest's exact row
+  counts.
+
+Scale shape: the gate is ONE map-side-combined aggregation over the
+batch (per-expectation violation counts — a handful of sum(when)
+columns in whole-stage codegen) plus the writes, each a plain
+filtered append; nothing shuffles on data size and nothing collects
+beyond the k-expectation count row. The batch lineage is evaluated
+once per pass (count, admit write, quarantine write) — callers with
+expensive upstream lineage should persist the batch first, same as
+any multi-consumer frame.
+
+Reference basis: the unchecked append at helper_reduce.c:241 (any
+mapper output is folded in verbatim); SURVEY.md §2.12 lists the
+resulting silent-corruption defect class this gate closes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .generations import (
+    _data_files,
+    _publish,
+    _save_manifest,
+    _where_column,
+    load_manifest,
+    publish_generation,
+    read_generation,
+)
+
+QUARANTINE_DIR = "_quarantine"
+_MODES = ("fail", "drop", "quarantine")
+
+
+class ExpectationError(ValueError):
+    """Raised in mode='fail' when a batch has violations; carries
+    {expectation name: violation count} as `.counts`."""
+
+    def __init__(self, counts: dict[str, int]):
+        self.counts = counts
+        super().__init__(
+            "batch rejected: "
+            + ", ".join(f"{k}={v}" for k, v in sorted(counts.items()))
+        )
+
+
+def _violation_flags(expectations: dict) -> list[tuple[str, F.Column]]:
+    """(name, violated?) per expectation, name-sorted so `_violations`
+    strings and audit ordering are deterministic. Violated = NOT
+    coalesce(pred, FALSE): a NULL predicate cannot prove conformance."""
+    if not expectations:
+        raise ValueError("expectations must be a non-empty dict")
+    out = []
+    for name in sorted(expectations):
+        if "," in name or not name:
+            raise ValueError(f"expectation name {name!r} must be a comma-free slug")
+        pred = _where_column(expectations[name])
+        out.append((name, ~F.coalesce(pred, F.lit(False))))
+    return out
+
+
+def _strip_markers(path: str) -> None:
+    # Spark leaves _SUCCESS markers on direct appends; data reads
+    # ignore underscore files, but the store keeps its listing clean.
+    for f in os.listdir(path):
+        p = os.path.join(path, f)
+        if f.startswith("_") and os.path.isfile(p) and not f.endswith(".json"):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
+
+def append_with_expectations(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    expectations: dict,
+    mode: str = "quarantine",
+    partition_by: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+) -> dict:
+    """Gate `df` through `expectations` and append the admitted rows
+    to the generations store at `path` as a new published generation.
+    Returns the audit dict also recorded in the manifest entry:
+    {"generation", "mode", "rows_in", "rows_appended",
+     "rows_quarantined"|"rows_dropped", "violations": {name: n}}."""
+    if mode not in _MODES:
+        raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
+    flags = _violation_flags(expectations)
+    bad = flags[0][1]
+    for _, fl in flags[1:]:
+        bad = bad | fl
+
+    # Pass 1 — the gate: per-expectation violation counts + row split,
+    # one map-side-combined aggregate, one driver row.
+    counts_row = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(bad.cast("long")).alias("_bad"),
+        *[F.sum(fl.cast("long")).alias(name) for name, fl in flags],
+    ).first()
+    rows_in = int(counts_row["_n"] or 0)
+    n_bad = int(counts_row["_bad"] or 0)
+    violations = {name: int(counts_row[name] or 0) for name, _ in flags}
+
+    if mode == "fail" and n_bad:
+        raise ExpectationError({k: v for k, v in violations.items() if v})
+
+    from ..operators.indexing import _recover_index_locked, index_writer_lock
+
+    os.makedirs(path, exist_ok=True)
+    with index_writer_lock(path):
+        _recover_index_locked(path)
+        m = load_manifest(path)
+        if m is None:
+            m = {"head": 0, "gens": {}}
+            if _data_files(path):
+                # pre-existing unpublished state: pin it first so this
+                # append's generation diff is exactly this batch
+                _publish(path, 1, m)
+                m = load_manifest(path)
+        elif set(_data_files(path)) != set(
+            m["gens"][str(m["head"])]["files"]
+        ):
+            _publish(path, int(m["head"]) + 1, m)
+            m = load_manifest(path)
+
+        admitted = df.filter(~bad) if n_bad else df
+        if rows_in - n_bad > 0 or not m["gens"]:
+            w = admitted.write.mode("append")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(path)
+            _strip_markers(path)
+        head = publish_generation(path, bloom_cols=bloom_cols, spark=spark)
+
+        audit = {
+            "mode": mode,
+            "rows_in": rows_in,
+            "rows_appended": rows_in - n_bad,
+            "violations": violations,
+        }
+        if mode == "quarantine":
+            audit["rows_quarantined"] = n_bad
+            if n_bad:
+                qpath = os.path.join(path, QUARANTINE_DIR)
+                names_expr = F.concat_ws(
+                    ",", *[F.when(fl, F.lit(name)) for name, fl in flags]
+                )
+                qdf = (
+                    df.filter(bad)
+                    .withColumn("_violations", names_expr)
+                    .withColumn("_src_generation", F.lit(head))
+                )
+                qdf.write.mode("append").parquet(qpath)
+                _strip_markers(qpath)
+                publish_generation(qpath)
+        elif mode == "drop":
+            audit["rows_dropped"] = n_bad
+
+        m = load_manifest(path)
+        m["gens"][str(head)]["expectations"] = audit
+        _save_manifest(path, m)
+    return {"generation": head, **audit}
+
+
+def read_quarantine(
+    spark: SparkSession, path: str, at: int | str | None = None
+) -> DataFrame:
+    """The store's quarantine sub-store as a DataFrame (original
+    columns + `_violations` + `_src_generation`)."""
+    return read_generation(spark, os.path.join(path, QUARANTINE_DIR), at=at)
+
+
+def expectation_audit(path: str, at: int | str | None = None) -> dict:
+    """The admission audit for one generation (head when None) from
+    ONE manifest read — {} for generations published by other verbs."""
+    from .generations import _resolve
+
+    m = load_manifest(path)
+    if m is None:
+        raise ValueError(f"{path!r} has no generation manifest")
+    g = _resolve(m, path, at)
+    entry = m["gens"].get(str(g))
+    if entry is None:
+        raise ValueError(f"generation {g} of {path!r} is not available")
+    return dict(entry.get("expectations") or {})

@@ -1,0 +1,163 @@
+"""Publish-time expectations (round 10 third wave).
+
+sources/expectations.py:append_with_expectations — the admission gate
+over generations stores. Pinned here: the three modes' row routing
+(quarantine split, drop, all-or-nothing fail), multi-violation
+tagging, NULL-is-a-violation semantics, the durable manifest audit,
+quarantine being invisible to data scans, and gate+store composition
+(diff of the admitted generation == the admitted rows exactly).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_indexing_spark.sources.expectations import (
+    ExpectationError,
+    append_with_expectations,
+    expectation_audit,
+    read_quarantine,
+)
+from map_reduce_indexing_spark.sources.generations import (
+    generation_diff,
+    generation_head,
+    read_generation,
+)
+
+EXPECT = {
+    "score_cap": [("score", "<=", 100)],
+    "known_kind": [("kind", "in", ["a", "b"])],
+}
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, kind string, score bigint")
+
+
+GOOD = [(1, "a", 10), (2, "b", 99)]
+BAD_SCORE = [(3, "a", 150)]
+BAD_KIND = [(4, "z", 5)]
+BAD_BOTH = [(5, "z", 999)]
+
+
+def test_quarantine_split_and_audit(spark, tmp_path):
+    store = str(tmp_path / "store")
+    out = append_with_expectations(
+        spark,
+        store,
+        _batch(spark, GOOD + BAD_SCORE + BAD_KIND + BAD_BOTH),
+        EXPECT,
+        mode="quarantine",
+    )
+    assert out["rows_in"] == 5
+    assert out["rows_appended"] == 2
+    assert out["rows_quarantined"] == 3
+    assert out["violations"] == {"score_cap": 2, "known_kind": 2}
+
+    # admitted rows only, and the quarantine dir is invisible to scans
+    admitted = read_generation(spark, store)
+    assert sorted(r.id for r in admitted.collect()) == [1, 2]
+
+    q = read_quarantine(spark, store).collect()
+    tags = {r.id: r._violations for r in q}
+    assert tags == {
+        3: "score_cap",
+        4: "known_kind",
+        5: "known_kind,score_cap",  # name-sorted multi-violation tag
+    }
+    assert {r._src_generation for r in q} == {out["generation"]}
+
+    # audit is durable and metadata-served
+    audit = expectation_audit(store)
+    assert audit["mode"] == "quarantine"
+    assert audit["violations"] == {"score_cap": 2, "known_kind": 2}
+    assert audit["rows_appended"] == 2
+
+
+def test_drop_mode(spark, tmp_path):
+    store = str(tmp_path / "store")
+    out = append_with_expectations(
+        spark, store, _batch(spark, GOOD + BAD_SCORE), EXPECT, mode="drop"
+    )
+    assert out["rows_dropped"] == 1
+    assert read_generation(spark, store).count() == 2
+    assert not os.path.isdir(os.path.join(store, "_quarantine"))
+
+
+def test_fail_mode_writes_nothing(spark, tmp_path):
+    store = str(tmp_path / "store")
+    with pytest.raises(ExpectationError) as ei:
+        append_with_expectations(
+            spark, store, _batch(spark, GOOD + BAD_BOTH), EXPECT, mode="fail"
+        )
+    assert ei.value.counts == {"score_cap": 1, "known_kind": 1}
+    assert not os.path.exists(os.path.join(store, "_generations.json"))
+
+    # a clean batch in fail mode admits normally
+    out = append_with_expectations(
+        spark, store, _batch(spark, GOOD), EXPECT, mode="fail"
+    )
+    assert out["rows_appended"] == 2
+    assert read_generation(spark, store).count() == 2
+
+
+def test_null_is_a_violation(spark, tmp_path):
+    store = str(tmp_path / "store")
+    rows = [(1, "a", 10), (2, None, 5), (3, "a", None)]
+    out = append_with_expectations(
+        spark, store, _batch(spark, rows), EXPECT, mode="quarantine"
+    )
+    assert out["rows_appended"] == 1
+    assert out["violations"] == {"score_cap": 1, "known_kind": 1}
+    q = {r.id: r._violations for r in read_quarantine(spark, store).collect()}
+    assert q == {2: "known_kind", 3: "score_cap"}
+
+
+def test_gate_composes_with_diff(spark, tmp_path):
+    """Each gated append is exactly one generation whose diff is the
+    admitted rows — the downstream incremental consumers (matview
+    refresh, CDC) see only what the gate admitted."""
+    store = str(tmp_path / "store")
+    append_with_expectations(
+        spark, store, _batch(spark, GOOD), EXPECT, mode="quarantine"
+    )
+    g1 = generation_head(store)
+    append_with_expectations(
+        spark,
+        store,
+        _batch(spark, [(6, "b", 42)] + BAD_SCORE),
+        EXPECT,
+        mode="quarantine",
+    )
+    g2 = generation_head(store)
+    delta = generation_diff(spark, store, since=g1, until=g2)
+    assert [(r.id, r.score) for r in delta.collect()] == [(6, 42)]
+    # per-generation audits stay separate
+    assert expectation_audit(store, at=g1)["rows_appended"] == 2
+    assert expectation_audit(store, at=g2)["violations"]["score_cap"] == 1
+
+
+def test_or_predicates_and_clean_batch(spark, tmp_path):
+    """CNF OR branches work in expectations; an all-clean quarantine
+    batch creates no quarantine store at all."""
+    store = str(tmp_path / "store")
+    exp = {"a_or_high": [[("kind", "=", "a"), ("score", ">", 50)]]}
+    out = append_with_expectations(
+        spark,
+        store,
+        _batch(spark, [(1, "a", 1), (2, "b", 99), (3, "b", 10)]),
+        exp,
+        mode="quarantine",
+    )
+    assert out["rows_appended"] == 2
+    assert out["violations"] == {"a_or_high": 1}
+
+    store2 = str(tmp_path / "store2")
+    out2 = append_with_expectations(
+        spark, store2, _batch(spark, GOOD), EXPECT, mode="quarantine"
+    )
+    assert out2["rows_quarantined"] == 0
+    assert not os.path.isdir(os.path.join(store2, "_quarantine"))
