@@ -1318,3 +1318,101 @@ def q_dedup_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_PREFIX_T)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup over a generations store (round 10 third wave)
+# ---------------------------------------------------------------------------
+
+# The appended batch in the incremental-dedup demo: every 10th doc_id.
+_INCR_DELTA_MOD, _INCR_DELTA_REM = 10, 7
+
+
+def documents_incremental_store(spark: SparkSession, sf_dir: str) -> str:
+    """A generations-managed documents store built once per
+    (application, corpus content): 90% of the corpus becomes
+    generation 1, the remaining 10% (doc_id % 10 == 7 — 'tonight's
+    crawl batch') is appended as generation 2. The incremental-dedup
+    query consumes the span via generation_diff, so the demo exercises
+    the real store plumbing, not a filter re-derivation."""
+    from ..sources.generations import publish_generation
+    from .indexing import session_artifact_path
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        is_delta = (
+            F.col("doc_id") % _INCR_DELTA_MOD == F.lit(_INCR_DELTA_REM)
+        )
+        docs.filter(~is_delta).coalesce(4).write.parquet(path)
+        publish_generation(path)
+        docs.filter(is_delta).coalesce(1).write.mode("append").parquet(path)
+        publish_generation(path)
+
+    return session_artifact_path(
+        spark, sf_dir, "documents_incremental_store", "documents.parquet", build
+    )
+
+
+def _sig_bands(sig: DataFrame) -> DataFrame:
+    band_hashes = F.array(*[F.expr(h) for _, h in _band_exprs("sig", "spark")])
+    return sig.select(
+        "doc_id", F.posexplode(band_hashes).alias("band_idx", "band_hash")
+    )
+
+
+@register(
+    "dedup_incremental_lsh_pairs",
+    oracle=f"""
+        WITH sig AS ({DUCK_MINHASH_SIG}),
+        bands AS (
+            {' UNION ALL '.join(
+                f"SELECT doc_id, {b} AS band_idx, {h} AS band_hash FROM sig"
+                for b, h in _band_exprs('sig', 'duck')
+            )})
+        SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
+                        GREATEST(a.doc_id, b.doc_id) AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id <> b.doc_id
+        WHERE (a.doc_id % {_INCR_DELTA_MOD} = {_INCR_DELTA_REM})
+           OR (b.doc_id % {_INCR_DELTA_MOD} = {_INCR_DELTA_REM})
+    """,
+    tier="llm",
+    doc="INCREMENTAL corpus dedup — the operation a 100 TB training "
+    "pipeline actually runs nightly: LSH candidate pairs touching "
+    "ONLY the newly appended batch (new-vs-corpus and new-vs-new), "
+    "never re-pairing the settled corpus against itself. The batch "
+    "is delivered by generation_diff over the managed documents "
+    "store (provably exactly the appended files), its signatures are "
+    "computed from the batch alone (shingle+hash work is DELTA-sized), "
+    "and the only full-corpus touch is one scan of the maintained "
+    "signature artifact on the probe side of the band equi-join — vs "
+    "a from-scratch dedup whose band join re-shuffles the whole "
+    "corpus and re-emits every old-old pair. The oracle recomputes "
+    "the full band join and filters to delta-touching pairs, so the "
+    "hash match proves the incremental path finds EXACTLY the pairs "
+    "the batch introduced.",
+)
+def q_dedup_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.generations import generation_diff
+    from .tokens import _null_fill, build_tokenized_docs, gram_expr
+
+    store = documents_incremental_store(spark, sf_dir)
+    batch = generation_diff(spark, store, since=1, until=2)
+    shingles = build_tokenized_docs(_null_fill(batch)).select(
+        "doc_id", F.explode(F.expr(gram_expr(SHINGLE_K, True))).alias("s")
+    )
+    delta_bands = _sig_bands(minhash_signatures(spark, sf_dir, shingles=shingles))
+    corpus_bands = _sig_bands(session_signatures(spark, sf_dir))
+    pairs = corpus_bands.alias("a").join(
+        F.broadcast(delta_bands.alias("b")),
+        on=[
+            F.col("a.band_idx") == F.col("b.band_idx"),
+            F.col("a.band_hash") == F.col("b.band_hash"),
+            F.col("a.doc_id") != F.col("b.doc_id"),
+        ],
+    )
+    return pairs.select(
+        F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+        F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+    ).distinct()

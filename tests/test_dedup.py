@@ -408,3 +408,35 @@ def test_prefix_filter_completeness_property():
                     )
 
     run()
+
+
+def test_incremental_lsh_equals_full_restricted_to_delta(spark):
+    """The incremental path (delta signatures vs corpus artifact) finds
+    exactly the pairs the batch introduced: the full from-scratch band
+    join's pairs restricted to delta-touching ones. Also pins that the
+    store span really is the append fast path (the diff scans only the
+    appended files, not the corpus)."""
+    from map_reduce_indexing_spark.operators.dedup import (
+        _INCR_DELTA_MOD,
+        _INCR_DELTA_REM,
+        documents_incremental_store,
+        lsh_candidate_pairs,
+        q_dedup_incremental_lsh_pairs,
+        session_signatures,
+    )
+    from map_reduce_indexing_spark.sources.generations import diff_plan
+
+    sf = "/root/testdata/sf0.001"
+    incr = {
+        (r.doc_a, r.doc_b)
+        for r in q_dedup_incremental_lsh_pairs(spark, sf).collect()
+    }
+    full = lsh_candidate_pairs(session_signatures(spark, sf)).collect()
+    is_delta = lambda d: d % _INCR_DELTA_MOD == _INCR_DELTA_REM
+    expected = {
+        (r.doc_a, r.doc_b) for r in full if is_delta(r.doc_a) or is_delta(r.doc_b)
+    }
+    assert incr == expected and incr
+
+    kind, rels = diff_plan(documents_incremental_store(spark, sf), 1, 2)
+    assert kind == "append" and len(rels) == 1
