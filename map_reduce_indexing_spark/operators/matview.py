@@ -95,9 +95,20 @@ homomorphic aggregates, which is exactly what makes it exact:
   term — so with dims stable the refresh is exactly ΔF ⋈ dims. Any
   store whose span rewrote files triggers the same exact rebuild.
 
+- `"hist:<lo>:<hi>:<nbins>"` (round 10 third wave) materializes an
+  equal-width HISTOGRAM of a numeric column per group, stored as
+  nbins+2 internal bin-count columns (underflow / interior / overflow;
+  NULLs count nowhere) and served as one array<long>. Bin counts are
+  plain sum-monoids, so the histogram merges incrementally AND
+  retracts — the maintainable distribution statistic: `hist_quantile`
+  serves interpolated percentiles from the view at declared-bin-width
+  resolution, where exact percentiles are unmaintainable and exact
+  distinct supports rewrite answer-sized state.
+
 Spec shape: `aggs` maps output column -> (op, input column) with op in
 {"count", "sum", "min", "max", "count_distinct", "approx_distinct",
-"avg", "stddev"}; `("count", "*")` counts rows.
+"avg", "stddev", "hist:<lo>:<hi>:<nbins>"}; `("count", "*")` counts
+rows.
 """
 
 from __future__ import annotations
@@ -139,6 +150,54 @@ _OPS = {
     "avg",
     "stddev",
 }
+# The histogram aggregate (round 10 third wave): op string
+# "hist:<lo>:<hi>:<nbins>" over a numeric column stores nbins+2 bin
+# counts (index 0 = underflow v < lo, 1..nbins = equal-width interior
+# bins over [lo, hi), nbins+1 = overflow v >= hi; NULLs count nowhere)
+# and serves them as ONE array<long> column. Bin counts are plain
+# sum-monoids, so the histogram is fully RETRACTABLE — the
+# distribution-statistics answer to the r10 finding that exact
+# count_distinct maintenance is support-bound: percentiles served
+# from the view (hist_quantile) refresh at group-sized cost under
+# append, delete, AND upsert, with a fixed, declared resolution.
+_HIST_PREFIX = "hist:"
+
+
+def _hist_params(op: str) -> tuple[float, float, int]:
+    """(lo, hi, nbins) parsed from a 'hist:<lo>:<hi>:<nbins>' op."""
+    parts = op.split(":")
+    if len(parts) != 4:
+        raise ValueError(f"malformed hist op {op!r}: want hist:<lo>:<hi>:<n>")
+    lo, hi, nbins = float(parts[1]), float(parts[2]), int(parts[3])
+    if not (hi > lo) or nbins < 1:
+        raise ValueError(f"hist op {op!r} needs hi > lo and nbins >= 1")
+    return lo, hi, nbins
+
+
+def _valid_op(op: str) -> bool:
+    if op in _OPS:
+        return True
+    if op.startswith(_HIST_PREFIX):
+        _hist_params(op)
+        return True
+    return False
+
+
+def _bin_cond(col: str, lo: float, hi: float, nbins: int, i: int):
+    """Row-level membership test for bin `i` of a hist aggregate. The
+    interior index is least(floor((v - lo)/w), nbins-1): the clamp
+    absorbs the one float-rounding edge where (v - lo)/w for v just
+    under `hi` rounds up to nbins exactly — without it that row would
+    fall between interior and overflow. The SQL oracle mirrors the
+    same expression, so both engines bin identically bit-for-bit."""
+    v = F.col(col).cast("double")
+    if i == 0:
+        return v < F.lit(lo)
+    if i == nbins + 1:
+        return v >= F.lit(hi)
+    w = (hi - lo) / nbins
+    idx = F.least(F.floor((v - F.lit(lo)) / F.lit(w)), F.lit(nbins - 1))
+    return (v >= F.lit(lo)) & (v < F.lit(hi)) & (idx == F.lit(i - 1))
 
 
 def _load_spec(view_path: str) -> dict:
@@ -177,7 +236,7 @@ def _split(aggs: dict) -> tuple[dict, dict, dict, dict]:
             cd[out] = col
         elif op == "approx_distinct":
             hll[out] = col
-        elif op in ("avg", "stddev"):
+        elif op in ("avg", "stddev") or op.startswith(_HIST_PREFIX):
             der[out] = (op, col)
         else:
             merge[out] = (op, col)
@@ -200,6 +259,11 @@ def _physical(aggs: dict) -> dict:
     merge, _cd, _hll, der = _split(aggs)
     phys = dict(merge)
     for out, (op, col) in der.items():
+        if op.startswith(_HIST_PREFIX):
+            lo, hi, nb = _hist_params(op)
+            for i in range(nb + 2):
+                phys[f"_hb_{out}_{i}"] = ("bin", (col, lo, hi, nb, i))
+            continue
         phys[f"_dvs_{out}"] = ("sum", col)
         phys[f"_dvn_{out}"] = ("count", col)
         if op == "stddev":
@@ -209,7 +273,7 @@ def _physical(aggs: dict) -> dict:
     return phys
 
 
-_INTERNAL_PREFIXES = ("_sk_", "_dvs_", "_dvn_", "_dvq_", "_mvc_")
+_INTERNAL_PREFIXES = ("_sk_", "_dvs_", "_dvn_", "_dvq_", "_mvc_", "_hb_")
 
 
 def _sk(out: str) -> str:
@@ -233,6 +297,12 @@ def _partial_agg(df: DataFrame, key_cols: list[str], aggs: dict) -> DataFrame:
             exprs.append(F.sum(col).alias(out))
         elif op == "sumsq":
             exprs.append(F.sum(F.col(col) * F.col(col)).alias(out))
+        elif op == "bin":
+            exprs.append(
+                F.sum(
+                    F.when(_bin_cond(*col), F.lit(1)).otherwise(F.lit(0))
+                ).alias(out)
+            )
         elif op == "min":
             exprs.append(F.min(col).alias(out))
         elif op == "max":
@@ -267,7 +337,7 @@ def _merge_partials(
     _m, _cd, hll, _der = _split(aggs)
     exprs = []
     for out, (op, _col) in _physical(aggs).items():
-        if op in ("count", "sum", "sumsq"):
+        if op in ("count", "sum", "sumsq", "bin"):
             exprs.append(F.sum(out).alias(out))
         elif op == "min":
             exprs.append(F.min(out).alias(out))
@@ -342,6 +412,11 @@ def _derived_expr(op: str, name: str) -> F.Column:
     is the SAMPLE form sqrt((q - s^2/n) / (n-1)), null for n < 2 —
     matching SQL STDDEV. Division happens once, in double, from exact
     ingredients."""
+    if op.startswith(_HIST_PREFIX):
+        _lo, _hi, nb = _hist_params(op)
+        return F.array(
+            *[F.col(f"_hb_{name}_{i}").cast("long") for i in range(nb + 2)]
+        )
     s = F.col(f"_dvs_{name}").cast("double")
     n = F.col(f"_dvn_{name}").cast("double")
     if op == "avg":
@@ -440,7 +515,7 @@ def create_matview(
     from ..sources.generations import load_manifest, _resolve
 
     for out, (op, _c) in aggs.items():
-        if op not in _OPS:
+        if not _valid_op(op):
             raise ValueError(f"unsupported aggregate op {op!r} for {out!r}")
     m = load_manifest(base_path)
     if m is None:
@@ -605,6 +680,10 @@ def _signed_agg(
         elif op == "sumsq":
             sq = F.col(col) * F.col(col)
             e = F.sum(F.when(pos, sq).otherwise(-sq))
+        elif op == "bin":
+            e = F.sum(
+                F.when(_bin_cond(*col), F.col("_sg")).otherwise(F.lit(0))
+            )
         else:  # pragma: no cover - guarded by _retraction_plan
             raise ValueError(f"non-retractable op {op!r}")
         exprs.append(e.alias(out))
@@ -864,7 +943,7 @@ def create_matview_join(
     from ..sources.generations import _resolve, load_manifest
 
     for out, (op, _c) in aggs.items():
-        if op not in _OPS:
+        if not _valid_op(op):
             raise ValueError(f"unsupported aggregate op {op!r} for {out!r}")
     for d in dims:
         if not d.get("on"):
@@ -1220,7 +1299,7 @@ def rollup_matview(
     stored = spark.read.parquet(view_path)
     exprs = []
     for out, (op, _col) in _physical(aggs).items():
-        if op in ("count", "sum", "sumsq"):
+        if op in ("count", "sum", "sumsq", "bin"):
             exprs.append(F.sum(out).alias(out))
         elif op == "min":
             exprs.append(F.min(out).alias(out))
@@ -1249,3 +1328,79 @@ def rollup_matview(
         rolled = _join_null_safe(rolled, counts, sub_keys)
         rolled = rolled.withColumn(out, F.coalesce(F.col(out), F.lit(0)))
     return rolled
+
+
+def hist_bins(df: DataFrame, name: str, key_cols: list[str]) -> DataFrame:
+    """A hist output unpacked to rows: (key cols…, bin, n) with `bin`
+    the 0-based index into the stored array (0 = underflow,
+    1..nbins = interior, nbins+1 = overflow). Zero bins are kept —
+    filter n > 0 for the sparse form."""
+    return df.select(
+        *key_cols, F.posexplode(name).alias("bin", "n")
+    )
+
+
+def hist_quantile(
+    df: DataFrame,
+    name: str,
+    op: str,
+    key_cols: list[str],
+    ps: list[float],
+) -> DataFrame:
+    """Interpolated quantiles served FROM the materialized histogram —
+    the view's payoff: percentile dashboards that refresh at
+    group-sized cost under append, delete, and upsert (vs exact
+    percentiles, which are not maintainable at all, and vs
+    count_distinct-style supports, which rewrite answer-sized state).
+
+    For each p in `ps`: with interior-bin mass only (underflow and
+    overflow carry no position — callers size [lo, hi) to cover the
+    domain), target = p * total; the quantile lands in the first bin
+    whose running total reaches target, linearly interpolated within
+    it: q = lo + w * (bin0 + (target - cum_before) / n_bin). Exact
+    integer bin counts + one double interpolation per output mean the
+    formula is reproducible bit-for-bit by the SQL oracle. Resolution
+    is the declared bin width — the classic histogram-quantile
+    tradeoff, chosen at view creation.
+
+    Output: (key cols…, p, q). Groups with zero interior mass emit no
+    rows. The per-group window runs over nbins rows of
+    group-cardinality-sized state — never the base."""
+    from pyspark.sql import Window
+
+    lo, hi, nb = _hist_params(op)
+    w = (hi - lo) / nb
+    b = df.select(
+        *key_cols,
+        F.posexplode(F.slice(F.col(name), 2, nb)).alias("_i", "_n"),
+    )
+    grp = Window.partitionBy(*key_cols)
+    win = grp.orderBy("_i")
+    b = b.withColumn("_cum", F.sum("_n").over(win)).withColumn(
+        "_tot", F.sum("_n").over(grp)
+    )
+    out = None
+    for p in ps:
+        target = F.lit(float(p)) * F.col("_tot").cast("double")
+        hit = (
+            b.filter(
+                (F.col("_tot") > 0)
+                & (F.col("_n") > 0)
+                & (F.col("_cum").cast("double") >= target)
+            )
+            .withColumn(
+                "_rk",
+                F.row_number().over(win),
+            )
+            .filter(F.col("_rk") == 1)
+        )
+        q = F.lit(lo) + F.lit(w) * (
+            F.col("_i").cast("double")
+            + (target - (F.col("_cum") - F.col("_n")).cast("double"))
+            / F.col("_n").cast("double")
+        )
+        one = hit.select(
+            *key_cols, F.lit(float(p)).alias("p"), q.alias("q")
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

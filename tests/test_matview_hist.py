@@ -1,0 +1,174 @@
+"""The histogram matview aggregate (round 10 third wave).
+
+operators/matview.py: op "hist:<lo>:<hi>:<nbins>" stores nbins+2
+bin counts per group (underflow / interior / overflow; NULLs count
+nowhere) as sum-monoid ingredients and serves one array<long>.
+Pinned here: create == direct recompute, incremental append ==
+rebuild, RETRACTION across a delete span == rebuild (bin counts are
+signed-summable), rollup re-adds bins element-wise, and
+hist_quantile's interpolation against hand-computed values.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_indexing_spark.operators.matview import (
+    create_matview,
+    hist_bins,
+    hist_quantile,
+    read_matview,
+    refresh_matview,
+    rollup_matview,
+)
+from map_reduce_indexing_spark.sources.generations import (
+    delete_rows,
+    publish_generation,
+    read_generation,
+)
+
+HIST_OP = "hist:0:100:10"  # width-10 bins over [0, 100)
+AGGS = {"n": ("count", "*"), "h": (HIST_OP, "v")}
+
+
+def _chunk(spark, lo: int, n: int):
+    # values fan across underflow (<0), all interior bins, overflow
+    # (>=100), and NULLs
+    rows = []
+    for i in range(n):
+        rid = lo + i
+        v = None if rid % 13 == 0 else (rid * 7) % 130 - 10
+        rows.append((rid, f"g{rid % 3}", v))
+    return spark.createDataFrame(rows, "rid long, grp string, v long")
+
+
+def _direct(spark, base: str):
+    """The histogram recomputed from the base with independent logic
+    (CASE/floor, not the view's bin expressions)."""
+    df = read_generation(spark, base)
+    idx = (
+        F.when(F.col("v") < 0, F.lit(0))
+        .when(F.col("v") >= 100, F.lit(11))
+        .otherwise(F.least(F.floor(F.col("v") / 10), F.lit(9)) + 1)
+    )
+    per_bin = (
+        df.filter(F.col("v").isNotNull())
+        .groupBy("grp", idx.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = {}
+    for r in per_bin.collect():
+        out.setdefault(r.grp, [0] * 12)[int(r.bin)] = r.n
+    return out
+
+
+def _served(spark, view: str):
+    return {
+        r.grp: list(r.h) for r in read_matview(spark, view).collect()
+    }
+
+
+def test_create_matches_direct_recompute(spark, tmp_path):
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    _chunk(spark, 0, 60).coalesce(2).write.parquet(base)
+    publish_generation(base)
+    create_matview(spark, base, view, ["grp"], AGGS, row_keys=["rid"])
+    assert _served(spark, view) == _direct(spark, base)
+    # sum of bins == non-null row count per group
+    nn = {
+        r.grp: r.c
+        for r in read_generation(spark, base)
+        .filter(F.col("v").isNotNull())
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert {g: sum(h) for g, h in _served(spark, view).items()} == nn
+
+
+def test_append_refresh_equals_rebuild(spark, tmp_path):
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    _chunk(spark, 0, 40).coalesce(2).write.parquet(base)
+    publish_generation(base)
+    create_matview(spark, base, view, ["grp"], AGGS, row_keys=["rid"])
+    _chunk(spark, 40, 35).coalesce(1).write.mode("append").parquet(base)
+    publish_generation(base)
+    rep = refresh_matview(spark, view)
+    assert rep["mode"] == "incremental"
+    assert _served(spark, view) == _direct(spark, base)
+
+
+def test_delete_span_retracts_bins_exactly(spark, tmp_path):
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    _chunk(spark, 0, 60).coalesce(3).write.parquet(base)
+    publish_generation(base)
+    create_matview(spark, base, view, ["grp"], AGGS, row_keys=["rid"])
+    delete_rows(spark, base, [("v", "between", (25, 55))])
+    rep = refresh_matview(spark, view)
+    assert rep["mode"] == "retract"
+    assert _served(spark, view) == _direct(spark, base)
+
+
+def test_rollup_re_adds_bins(spark, tmp_path):
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    df = _chunk(spark, 0, 60).withColumn(
+        "sub", (F.col("rid") % 2).cast("string")
+    )
+    df.coalesce(2).write.parquet(base)
+    publish_generation(base)
+    create_matview(
+        spark, base, view, ["grp", "sub"], AGGS, row_keys=["rid"]
+    )
+    rolled = {
+        r.grp: list(r.h)
+        for r in rollup_matview(spark, view, ["grp"]).collect()
+    }
+    assert rolled == _direct(spark, base)
+    # global rollup: one row, element-wise total
+    g = rollup_matview(spark, view, []).collect()
+    assert len(g) == 1
+    tot = [0] * 12
+    for h in _direct(spark, base).values():
+        tot = [a + b for a, b in zip(tot, h)]
+    assert list(g[0].h) == tot
+
+
+def test_hist_bins_and_quantile(spark, tmp_path):
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    # one group, a hand-computable shape: 10 rows in bin [0,10),
+    # 30 in [10,20), 60 in [20,30)
+    rows = (
+        [(i, "g", 5) for i in range(10)]
+        + [(100 + i, "g", 15) for i in range(30)]
+        + [(200 + i, "g", 25) for i in range(60)]
+    )
+    spark.createDataFrame(rows, "rid long, grp string, v long").coalesce(
+        1
+    ).write.parquet(base)
+    publish_generation(base)
+    create_matview(spark, base, view, ["grp"], AGGS, row_keys=["rid"])
+
+    b = hist_bins(read_matview(spark, view), "h", ["grp"]).collect()
+    assert {(r.bin, r.n) for r in b if r.n > 0} == {(1, 10), (2, 30), (3, 60)}
+
+    q = hist_quantile(
+        read_matview(spark, view), "h", HIST_OP, ["grp"], [0.5, 0.9]
+    ).collect()
+    got = {r.p: r.q for r in q}
+    # p50: target 50; cum(bin1)=10, cum(bin2)=40, lands in bin3
+    # (0-based interior idx 2): 20 + 10*(50-40)/60
+    assert got[0.5] == pytest.approx(20 + 10 * (50 - 40) / 60)
+    # p90: target 90 -> bin3: 20 + 10*(90-40)/60
+    assert got[0.9] == pytest.approx(20 + 10 * (90 - 40) / 60)
+
+
+def test_malformed_hist_op_rejected(spark, tmp_path):
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    _chunk(spark, 0, 10).coalesce(1).write.parquet(base)
+    publish_generation(base)
+    for bad in ("hist:10:0:5", "hist:0:100:0", "hist:0:100"):
+        with pytest.raises(ValueError):
+            create_matview(
+                spark, base, view, ["grp"], {"h": (bad, "v")}
+            )
