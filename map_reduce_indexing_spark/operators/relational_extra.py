@@ -1632,3 +1632,172 @@ def q_rel_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "expectation string, n_violations long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram matviews (round 10 third wave): maintainable distribution stats
+# ---------------------------------------------------------------------------
+
+# 24 width-25000 bins over [0, 600000) — covers every o_totalprice in
+# the fixture, so the under/overflow bins stay empty (kept anyway:
+# they are part of the operator's contract).
+_HIST_LO, _HIST_HI, _HIST_NB = 0, 600000, 24
+_HIST_OP = f"hist:{_HIST_LO}:{_HIST_HI}:{_HIST_NB}"
+_HIST_W = (_HIST_HI - _HIST_LO) / _HIST_NB  # 25000.0
+_HIST_CUT = "1998-01-01"  # the lifecycle's DELETE predicate
+
+
+def orders_hist_demo(spark: SparkSession, sf_dir: str) -> str:
+    """The histogram view's FULL maintenance lifecycle, built once per
+    (application, corpus content): 70% of orders becomes generation 1
+    and the per-priority histogram view materializes against it; the
+    other 30% appends (generation 2, incremental refresh — bin counts
+    merge by element-wise add); then every 1998+ order is DELETED
+    (generation 3, RETRACTION refresh — bin counts are signed-summable,
+    so the refresh consumes the change feed's preimages instead of
+    rebuilding). The exported queries read the twice-refreshed view;
+    their oracles aggregate the surviving rows from the raw table, so
+    the external hash match certifies merge AND retraction exact."""
+    import datetime
+
+    from ..sources.generations import delete_rows, publish_generation
+    from .indexing import session_artifact_path
+    from .matview import create_matview, refresh_matview
+
+    def build(path: str) -> None:
+        base = _os.path.join(path, "base")
+        view = _os.path.join(path, "view")
+        o = _orders_projected(spark, sf_dir)
+        o.filter(F.col("o_orderkey") % 10 < 7).coalesce(4).write.parquet(base)
+        publish_generation(base)
+        create_matview(
+            spark,
+            base,
+            view,
+            ["o_orderpriority"],
+            {
+                "n_orders": ("count", "*"),
+                "price_hist": (_HIST_OP, "price_dec"),
+            },
+            row_keys=["o_orderkey"],
+        )
+        o.filter(F.col("o_orderkey") % 10 >= 7).coalesce(2).write.mode(
+            "append"
+        ).parquet(base)
+        publish_generation(base)
+        rep = refresh_matview(spark, view)
+        assert rep["mode"] == "incremental", rep
+        delete_rows(
+            spark,
+            base,
+            [("o_orderdate", ">=", datetime.datetime(1998, 1, 1))],
+        )
+        rep = refresh_matview(spark, view)
+        assert rep["mode"] == "retract", rep
+
+    return session_artifact_path(
+        spark, sf_dir, "orders_hist_demo", "orders.parquet", build
+    )
+
+
+# Surviving rows + double-cast price, shared by both oracles. The bin
+# expression mirrors _bin_cond's least(floor((v-lo)/w), nb-1) clamp
+# exactly, so both engines bin identically bit-for-bit.
+_SQL_HIST_F = f"""
+    SELECT o_orderpriority AS priority,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS p
+    FROM orders WHERE o_orderdate < TIMESTAMP '{_HIST_CUT}'
+"""
+_SQL_HIST_BIN = (
+    f"CASE WHEN p < {_HIST_LO} THEN 0 "
+    f"WHEN p >= {_HIST_HI} THEN {_HIST_NB + 1} "
+    f"ELSE LEAST(CAST(FLOOR((p - {_HIST_LO}) / {_HIST_W}) AS BIGINT), "
+    f"{_HIST_NB - 1}) + 1 END"
+)
+
+
+@register(
+    "rel_matview_histogram",
+    oracle=f"""
+        WITH f AS ({_SQL_HIST_F})
+        SELECT priority,
+               {_SQL_HIST_BIN} AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM f WHERE p IS NOT NULL GROUP BY 1, 2
+    """,
+    tier="relational",
+    doc="A MAINTAINABLE per-group histogram (operators/matview.py op "
+    "'hist:lo:hi:nbins'): bin counts are plain sum-monoids stored as "
+    "view ingredients, so the distribution statistic merges on append "
+    "AND retracts on delete — this view survived an incremental "
+    "append refresh and then a RETRACTION refresh across a DELETE "
+    "span (the lifecycle in orders_hist_demo), and the oracle "
+    "recomputes the bins from the surviving raw rows, certifying "
+    "both refreshes exact. This closes the r10 finding that exact "
+    "count_distinct maintenance is answer-sized under retraction: "
+    "distribution stats at declared resolution refresh at "
+    "group x nbins cost — the view state a 100 TB percentile "
+    "dashboard actually wants.",
+)
+def q_rel_matview_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .matview import hist_bins, read_matview
+
+    root = orders_hist_demo(spark, sf_dir)
+    v = read_matview(spark, _os.path.join(root, "view"))
+    b = hist_bins(v, "price_hist", ["o_orderpriority"])
+    return b.filter(F.col("n") > 0).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n").alias("n_rows"),
+    )
+
+
+@register(
+    "rel_matview_hist_quantile",
+    oracle=f"""
+        WITH f AS ({_SQL_HIST_F}),
+        i AS (
+            SELECT priority,
+                   LEAST(CAST(FLOOR((p - {_HIST_LO}) / {_HIST_W}) AS BIGINT),
+                         {_HIST_NB - 1}) AS _i
+            FROM f WHERE p >= {_HIST_LO} AND p < {_HIST_HI}
+        ),
+        b AS (
+            SELECT priority, _i, CAST(COUNT(*) AS BIGINT) AS _n
+            FROM i GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT priority, _i, _n,
+                   SUM(_n) OVER (PARTITION BY priority ORDER BY _i) AS _cum,
+                   SUM(_n) OVER (PARTITION BY priority) AS _tot
+            FROM b
+        )
+        SELECT priority, CAST(pp AS DOUBLE) AS p,
+               {_HIST_LO} + {_HIST_W} * (CAST(_i AS DOUBLE)
+                   + (CAST(pp AS DOUBLE) * CAST(_tot AS DOUBLE)
+                      - CAST(_cum - _n AS DOUBLE)) / CAST(_n AS DOUBLE))
+                   AS q
+        FROM c CROSS JOIN (VALUES (0.5), (0.95)) AS ps(pp)
+        WHERE CAST(_cum AS DOUBLE) >= CAST(pp AS DOUBLE) * CAST(_tot AS DOUBLE)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY priority, pp ORDER BY _i) = 1
+    """,
+    tier="relational",
+    doc="PERCENTILES SERVED FROM THE MATERIALIZED HISTOGRAM "
+    "(matview.hist_quantile): p50/p95 order value per priority, "
+    "linearly interpolated within the covering bin — resolution is "
+    "the declared bin width, cost is a window over group x nbins "
+    "stored rows, never the base. The oracle replicates the same "
+    "interpolation over bins recomputed from the surviving raw rows "
+    "(the view is post-append, post-delete), so the hash match pins "
+    "both the maintained bin counts and the serving arithmetic. "
+    "Exact percentiles are unmaintainable under updates; this is the "
+    "maintainable answer a refresh-per-microbatch dashboard needs.",
+)
+def q_rel_matview_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .matview import hist_quantile, read_matview
+
+    root = orders_hist_demo(spark, sf_dir)
+    v = read_matview(spark, _os.path.join(root, "view"))
+    return hist_quantile(
+        v, "price_hist", _HIST_OP, ["o_orderpriority"], [0.5, 0.95]
+    ).select(F.col("o_orderpriority").alias("priority"), "p", "q")
