@@ -1416,3 +1416,76 @@ def q_dedup_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         F.least("a.doc_id", "b.doc_id").alias("doc_a"),
         F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
     ).distinct()
+
+
+def docs_pipeline_demo(spark: SparkSession, sf_dir: str) -> str:
+    """The chained-ETL lifecycle (sources/pipeline.py), built once per
+    (application, corpus content): a source documents store publishes
+    90% of the corpus, the per-doc stats destination store runs once
+    (full build), the remaining 10% appends, and the pipeline runs
+    again — asserted to consume ONLY the delta span. The exported
+    query reads the destination; its oracle recomputes the stats from
+    the raw table, so the hash match proves two incremental runs ==
+    one full transform."""
+    from ..sources.generations import publish_generation
+    from ..sources.pipeline import run_incremental_pipeline
+    from .indexing import session_artifact_path
+    from .tokens import _null_fill, build_tokenized_docs
+
+    def transform(df: DataFrame) -> DataFrame:
+        return build_tokenized_docs(_null_fill(df)).select(
+            "doc_id", "lang", "n_norm_tokens", "n_chars"
+        )
+
+    def build(path: str) -> None:
+        import os as _o
+
+        src = _o.path.join(path, "src")
+        dst = _o.path.join(path, "stats")
+        docs = load_table(spark, sf_dir, "documents")
+        is_delta = (
+            F.col("doc_id") % _INCR_DELTA_MOD == F.lit(_INCR_DELTA_REM)
+        )
+        docs.filter(~is_delta).coalesce(4).write.parquet(src)
+        publish_generation(src)
+        run_incremental_pipeline(spark, src, dst, transform)
+        docs.filter(is_delta).coalesce(1).write.mode("append").parquet(src)
+        publish_generation(src)
+        rep = run_incremental_pipeline(spark, src, dst, transform)
+        assert rep["mode"] == "append" and rep["src_from"] == 1, rep
+
+    return session_artifact_path(
+        spark, sf_dir, "docs_pipeline_demo", "documents.parquet", build
+    )
+
+
+@register(
+    "text_incremental_pipeline",
+    oracle=f"""
+        SELECT doc_id, lang,
+               CAST(len({DUCK_TOKENS_LIST}) AS BIGINT) AS n_norm_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    """,
+    tier="llm",
+    doc="CHAINED INCREMENTAL ETL between generations stores "
+    "(sources/pipeline.py): the per-doc stats store is a transform of "
+    "the documents store that advanced in two runs — a full first "
+    "build, then a run that consumed ONLY the appended batch "
+    "(exactly-once bookmarks recorded inside the destination's "
+    "generation entries, in the same atomic manifest save that "
+    "records the generation). The oracle recomputes the stats from "
+    "the raw table, so the hash match proves delta-run composition == "
+    "one full transform. At 100 TB this is nightly ETL that reads one "
+    "night's files per stage instead of re-reading the lake — the "
+    "medallion pattern on the repo's own store primitive, where the "
+    "reference regenerates its derived store wholesale per run "
+    "(helper_reduce.c).",
+)
+def q_text_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _o
+
+    from ..sources.generations import read_generation
+
+    root = docs_pipeline_demo(spark, sf_dir)
+    return read_generation(spark, _o.path.join(root, "stats"))

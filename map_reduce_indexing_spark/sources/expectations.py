@@ -66,7 +66,6 @@ from pyspark.sql import functions as F
 from .generations import (
     _data_files,
     _publish,
-    _save_manifest,
     _where_column,
     load_manifest,
     publish_generation,
@@ -170,15 +169,6 @@ def append_with_expectations(
             _publish(path, int(m["head"]) + 1, m)
             m = load_manifest(path)
 
-        admitted = df.filter(~bad) if n_bad else df
-        if rows_in - n_bad > 0 or not m["gens"]:
-            w = admitted.write.mode("append")
-            if partition_by:
-                w = w.partitionBy(*partition_by)
-            w.parquet(path)
-            _strip_markers(path)
-        head = publish_generation(path, bloom_cols=bloom_cols, spark=spark)
-
         audit = {
             "mode": mode,
             "rows_in": rows_in,
@@ -187,25 +177,37 @@ def append_with_expectations(
         }
         if mode == "quarantine":
             audit["rows_quarantined"] = n_bad
-            if n_bad:
-                qpath = os.path.join(path, QUARANTINE_DIR)
-                names_expr = F.concat_ws(
-                    ",", *[F.when(fl, F.lit(name)) for name, fl in flags]
-                )
-                qdf = (
-                    df.filter(bad)
-                    .withColumn("_violations", names_expr)
-                    .withColumn("_src_generation", F.lit(head))
-                )
-                qdf.write.mode("append").parquet(qpath)
-                _strip_markers(qpath)
-                publish_generation(qpath)
         elif mode == "drop":
             audit["rows_dropped"] = n_bad
 
-        m = load_manifest(path)
-        m["gens"][str(head)]["expectations"] = audit
-        _save_manifest(path, m)
+        admitted = df.filter(~bad) if n_bad else df
+        if rows_in - n_bad > 0 or not m["gens"]:
+            w = admitted.write.mode("append")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(path)
+            _strip_markers(path)
+        # the audit rides the SAME manifest save that records the
+        # generation — a crash can never separate the two
+        head = publish_generation(
+            path,
+            bloom_cols=bloom_cols,
+            spark=spark,
+            entry_extra={"expectations": audit},
+        )
+        if mode == "quarantine" and n_bad:
+            qpath = os.path.join(path, QUARANTINE_DIR)
+            names_expr = F.concat_ws(
+                ",", *[F.when(fl, F.lit(name)) for name, fl in flags]
+            )
+            qdf = (
+                df.filter(bad)
+                .withColumn("_violations", names_expr)
+                .withColumn("_src_generation", F.lit(head))
+            )
+            qdf.write.mode("append").parquet(qpath)
+            _strip_markers(qpath)
+            publish_generation(qpath)
     return {"generation": head, **audit}
 
 

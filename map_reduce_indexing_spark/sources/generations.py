@@ -979,10 +979,18 @@ def _prior_stats(gens: dict) -> dict:
 
 
 def _publish(
-    path: str, head: int, m: dict, spark: SparkSession | None = None
+    path: str,
+    head: int,
+    m: dict,
+    spark: SparkSession | None = None,
+    entry_extra: dict | None = None,
 ) -> int:
     """Hardlink the live listing into `_gen/g{head}` and record it —
-    the generation's file paths are immutable from this moment on."""
+    the generation's file paths are immutable from this moment on.
+    `entry_extra` merges caller metadata (an expectations audit, a
+    pipeline's consumed-span bookmark) into the generation entry
+    INSIDE the same manifest save — one atomic record, so a crash can
+    never leave a published generation separated from its metadata."""
     import time
 
     rels = _data_files(path)
@@ -1001,6 +1009,7 @@ def _publish(
             os.path.join(path, BLOOM_DIR),
             spark=spark,
         ),
+        **(entry_extra or {}),
     }
     _prune(path, m)
     _save_manifest(path, m)
@@ -1024,6 +1033,7 @@ def publish_generation(
     path: str,
     bloom_cols: list[str] | None = None,
     spark: SparkSession | None = None,
+    entry_extra: dict | None = None,
 ) -> int:
     """Snapshot the live state as a new head generation (immutable
     hardlinked copy under `_gen/`). Callers hold the artifact's
@@ -1045,11 +1055,16 @@ def publish_generation(
     m = load_manifest(path) or {"head": 0, "gens": {}}
     if bloom_cols:
         m["bloom_cols"] = sorted(set(m.get("bloom_cols") or []) | set(bloom_cols))
-    return _publish(path, int(m["head"]) + 1, m, spark=spark)
+    return _publish(
+        path, int(m["head"]) + 1, m, spark=spark, entry_extra=entry_extra
+    )
 
 
 def carry_generations(
-    path: str, staging: str, spark: SparkSession | None = None
+    path: str,
+    staging: str,
+    spark: SparkSession | None = None,
+    entry_extra: dict | None = None,
 ) -> None:
     """Compaction support, called on the STAGING directory after the
     rewrite and before the swap (the live path is never touched):
@@ -1084,6 +1099,7 @@ def carry_generations(
             os.path.join(staging, BLOOM_DIR),
             spark=spark,
         ),
+        **(entry_extra or {}),
     }
     refs = dict(m.get("refs") or {})
     for k in _expired(gens, refs):

@@ -1,0 +1,135 @@
+"""Incremental store-to-store pipelines (round 10 third wave).
+
+sources/pipeline.py:run_incremental_pipeline — chained ETL over
+generations stores with exactly-once bookmarks derived from the
+destination manifest. Pinned here: first run == full transform;
+subsequent runs consume ONLY the source delta and the chained result
+equals transform(full source); a completed span re-runs as a noop
+(exactly-once); a source REWRITE span rebuilds the destination
+exactly (or refuses under on_rewrite='error'); two-stage chains
+compose; the bookmark survives the destination's own compaction
+carry.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_indexing_spark.sources.generations import (
+    delete_rows,
+    generation_head,
+    publish_generation,
+    read_generation,
+)
+from map_reduce_indexing_spark.sources.pipeline import (
+    pipeline_bookmark,
+    run_incremental_pipeline,
+)
+
+
+def _rows(spark, lo, n):
+    return spark.createDataFrame(
+        [(lo + i, (lo + i) % 5, f"w{(lo + i) % 7}") for i in range(n)],
+        "rid long, k long, w string",
+    )
+
+
+def _double(df):
+    return df.select("rid", (F.col("k") * 2).alias("k2"), "w")
+
+
+def _collect(spark, path):
+    return sorted(tuple(r) for r in read_generation(spark, path).collect())
+
+
+def test_first_run_then_delta_only(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _rows(spark, 0, 20).coalesce(2).write.parquet(src)
+    publish_generation(src)
+    rep = run_incremental_pipeline(spark, src, dst, _double)
+    assert rep["mode"] == "append" and rep["src_to"] == 1
+    assert _collect(spark, dst) == sorted(
+        tuple(r) for r in _double(_rows(spark, 0, 20)).collect()
+    )
+
+    _rows(spark, 20, 10).coalesce(1).write.mode("append").parquet(src)
+    publish_generation(src)
+    rep = run_incremental_pipeline(spark, src, dst, _double)
+    assert rep["mode"] == "append" and rep["src_from"] == 1
+    assert _collect(spark, dst) == sorted(
+        tuple(r) for r in _double(_rows(spark, 0, 30)).collect()
+    )
+    # the destination advanced exactly one generation per run
+    assert generation_head(dst) == 2
+
+
+def test_rerun_is_noop(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _rows(spark, 0, 10).coalesce(1).write.parquet(src)
+    publish_generation(src)
+    run_incremental_pipeline(spark, src, dst, _double)
+    before = _collect(spark, dst)
+    rep = run_incremental_pipeline(spark, src, dst, _double)
+    assert rep["mode"] == "noop"
+    assert _collect(spark, dst) == before
+    assert pipeline_bookmark(dst, src) == 1
+
+
+def test_source_rewrite_rebuilds_exactly(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _rows(spark, 0, 30).coalesce(3).write.parquet(src)
+    publish_generation(src)
+    run_incremental_pipeline(spark, src, dst, _double)
+    delete_rows(spark, src, [("rid", "between", (5, 14))])
+    rep = run_incremental_pipeline(spark, src, dst, _double)
+    assert rep["mode"] == "rebuild"
+    expected = sorted(
+        tuple(r)
+        for r in _double(
+            _rows(spark, 0, 30).filter(~F.col("rid").between(5, 14))
+        ).collect()
+    )
+    assert _collect(spark, dst) == expected
+    # and the next append after the rebuild is back to delta-sized
+    _rows(spark, 30, 5).coalesce(1).write.mode("append").parquet(src)
+    publish_generation(src)
+    rep = run_incremental_pipeline(spark, src, dst, _double)
+    assert rep["mode"] == "append"
+    assert len(_collect(spark, dst)) == 25
+
+
+def test_on_rewrite_error_refuses(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _rows(spark, 0, 10).coalesce(2).write.parquet(src)
+    publish_generation(src)
+    run_incremental_pipeline(spark, src, dst, _double)
+    delete_rows(spark, src, [("rid", "=", 3)])
+    with pytest.raises(ValueError, match="rewrote files"):
+        run_incremental_pipeline(
+            spark, src, dst, _double, on_rewrite="error"
+        )
+
+
+def test_two_stage_chain(spark, tmp_path):
+    """bronze -> silver -> gold: stage 2 consumes stage 1's
+    generations with the same delta discipline."""
+    src = str(tmp_path / "bronze")
+    mid = str(tmp_path / "silver")
+    out = str(tmp_path / "gold")
+    _rows(spark, 0, 20).coalesce(2).write.parquet(src)
+    publish_generation(src)
+    run_incremental_pipeline(spark, src, mid, _double)
+    filt = lambda df: df.filter(F.col("k2") > 2)
+    run_incremental_pipeline(spark, mid, out, filt)
+
+    _rows(spark, 20, 10).coalesce(1).write.mode("append").parquet(src)
+    publish_generation(src)
+    r1 = run_incremental_pipeline(spark, src, mid, _double)
+    r2 = run_incremental_pipeline(spark, mid, out, filt)
+    assert r1["mode"] == "append" and r2["mode"] == "append"
+    expected = sorted(
+        tuple(r)
+        for r in filt(_double(_rows(spark, 0, 30))).collect()
+    )
+    assert _collect(spark, out) == expected
