@@ -89,7 +89,11 @@ PRIORITY_WINDOW = [
     # agg and multi-join stay covered by rel_q1/rel_q5; rel_join_outer
     # retired — semi/anti/theta/asof keep the join family external)
     "rel_q1_pricing_summary",
-    "rel_q5_local_supplier",
+    # (r10 third batch: rel_q5_local_supplier retired after 9 stable
+    # rounds — multi-join aggregation keeps rel_q1 (scan+agg),
+    # rel_join_semi/asof, and the exchange-free rel_bucketed_join_agg
+    # external; q5 stays sweep-checked. Its slot carries the round's
+    # admission gate, rel_expectations_quarantine below.)
     "rel_join_semi",
     # (r10 rotation: rel_join_anti and rel_theta_join_bands retired
     # after 9 stable rounds — the join family keeps semi/asof/q5
@@ -101,7 +105,14 @@ PRIORITY_WINDOW = [
     # CDC family via rel_cdc_merge_upsert; see round9 second-batch
     # test. Its slot carries the manifest-skipping scan.)
     "rel_snapshot_pruned_scan",  # r9 second batch: manifest-level file skipping
-    "rel_cdc_merge_upsert",  # r8 rotation: MERGE semantics had never been external
+    # (r10 third batch: rel_cdc_merge_upsert retired after 2 external
+    # rounds — its MERGE semantics gained a STRICTER store-level
+    # consumer in rel_upsert_rows (bloom-pruned key probing + staged
+    # swap + CDF emission), promoted earlier this round; the batch
+    # MERGE query stays sweep-checked. Its slot carries the round's
+    # maintainable-histogram flagship below. rel_expectations_audit
+    # stays just OUTSIDE the window — exported and sweep-checked; the
+    # quarantine row is the gate's stricter external signal.)
     # (r10 rotation: rel_attribution_first_touch retired after 4
     # stable rounds — event-flow keeps retention_cohorts + the
     # streaming funnel external; its slot carries row-level DELETE)
@@ -132,6 +143,13 @@ PRIORITY_WINDOW = [
     "rel_matview_join_refresh",
     "rel_delete_rows",
     "rel_upsert_rows",
+    # r10 third batch: the round's third wave goes external — the
+    # publish-time admission gate (quarantine split + the
+    # metadata-served audit), the maintainable histogram serving
+    # percentiles through an append-then-DELETE lifecycle, the
+    # incremental batch dedup, and the chained store-to-store pipeline
+    "rel_expectations_quarantine",
+    "rel_matview_hist_quantile",
     # r9 third batch: the lakehouse tier's remaining flagships go
     # external — distinct-count IVM (support-table maintenance, the
     # non-distributive aggregate), bloom-sidecar point lookup, and the
@@ -169,7 +187,9 @@ PRIORITY_WINDOW = [
     # promoted — blocked-Levenshtein had never been external;
     # dedup_ngram_jaccard retired — the quadratic calibration baseline's
     # statistic stays externally covered via dedup_lsh_recall_eval)
-    "dedup_exact_kept",
+    # (r10 third batch: dedup_exact_kept retired after 9 stable rounds
+    # — exact content-hash dedup stays sweep-checked and the dedup
+    # tier keeps six external rows including the new incremental one)
     "dedup_fuzzy_names",
     # (r9 rotation: dedup_minhash_signatures retired after 8 stable
     # rounds — signature arithmetic stays externally exercised through
@@ -192,6 +212,10 @@ PRIORITY_WINDOW = [
     # stronger consumer of the same exact-verify cosine arithmetic, so
     # dedup_embedding_pairs (7 stable rounds) retires to the sweep
     "dedup_semantic_pairs",
+    # r10 third batch: incremental corpus dedup — the nightly-batch
+    # form (generation-diff delta vs the maintained signature
+    # artifact) had never existed before this round
+    "dedup_incremental_lsh_pairs",
     # similarity search + accuracy eval (r6 rotation: ann_lsh_topk
     # retired in favor of the PQ compression tier — its bucket-pruning
     # plan assertion stays in tests/test_session_index.py; r7 third
@@ -236,7 +260,12 @@ PRIORITY_WINDOW = [
     # retired after 6 stable rounds (token counting stays covered by the
     # tokens-artifact equivalence tests + sweep, and the tier keeps
     # quality/pmi/shuffle_shards external)
-    "text_shuffle_shards",
+    # (r10 third batch: text_shuffle_shards retired after 3 stable
+    # rounds — the training-export permutation stays pinned by the
+    # export-manifest pytest tier + sweep; its slot goes to the
+    # chained incremental ETL pipeline, the strictly wider store
+    # composition)
+    "text_incremental_pipeline",
     # r8 third batch: the round's two remaining trainer classes go
     # external — the model-based quality filter (one-pass sufficient
     # statistics + exact shared-expression solve) and BPE tokenizer

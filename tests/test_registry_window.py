@@ -59,16 +59,20 @@ def test_window_exercises_round5_families():
     # (rel_sessionize rotated out in the r9 third batch — the
     # sessionization family keeps its STRICTER streaming consumer
     # stream_session_windows external; see round9 third-batch test)
+    # (rel_cdc_merge_upsert rotated out in the r10 third batch — MERGE
+    # keeps its STRICTER store-level consumer rel_upsert_rows external)
     assert {
-        "rel_cdc_merge_upsert",
+        "rel_upsert_rows",
         "stream_session_windows",
     } <= w
     # family representatives that must stay
     # (dedup_simhash and rel_percentiles rotated out in r9 — pigeonhole
     # Hamming stays external via multimodal machinery + sweep,
     # distribution stats via rel_profile_drift; see round9 test)
+    # (dedup_exact_kept rotated out in the r10 third batch after 9
+    # stable rounds — the dedup tier keeps six external rows)
     assert {
-        "dedup_exact_kept",
+        "dedup_jaccard_prefix_pairs",
         "search_topk_per_term",
     } <= w
 
@@ -99,7 +103,9 @@ def test_window_exercises_round6_rotation():
         q = registry.get(name)
         assert q.export and q.oracle is not None
     # each retired row's family representative still in window
-    assert {"rel_q1_pricing_summary", "rel_q5_local_supplier"} <= w  # scan+agg / multi-join
+    # (rel_q5_local_supplier rotated out in the r10 third batch after
+    # 9 stable rounds — multi-join agg keeps rel_bucketed_join_agg)
+    assert {"rel_q1_pricing_summary", "rel_bucketed_join_agg"} <= w  # scan+agg / multi-join
     # (rel_join_anti and rel_theta_join_bands rotated out in r10 —
     # the join family keeps semi/asof/q5; see round10 test)
     assert {"rel_join_semi", "rel_join_asof"} <= w  # join family
@@ -202,7 +208,11 @@ def test_window_exercises_round7_third_batch():
     w = set(PRIORITY_WINDOW)
     # (ann_kmeans_train itself rotated out in r8 — its training loop
     # stays external inside ann_ivf_trained_topk; see round8 test)
-    assert "text_shuffle_shards" in w
+    # (text_shuffle_shards itself rotated out in the r10 third batch —
+    # the export/permutation class stays pinned by the export-manifest
+    # pytest tier, and the text tier's store-composition row is now
+    # text_incremental_pipeline)
+    assert "text_incremental_pipeline" in w
     retired = {
         "ann_knn_bruteforce",  # exact cosine: ann_knn_batch_numpy + evals
         "text_token_counts",  # token stats: artifact tests + sweep
@@ -224,9 +234,11 @@ def test_window_exercises_round8_rotation():
     train/eval decontamination. Every retired row stays registered +
     oracle-backed and its family keeps another external representative."""
     w = set(PRIORITY_WINDOW)
+    # (rel_cdc_merge_upsert rotated out in the r10 third batch — MERGE
+    # stays external via the store-level rel_upsert_rows)
     assert {
         "ann_ivf_trained_topk",
-        "rel_cdc_merge_upsert",
+        "rel_upsert_rows",
         "stream_session_windows",
         "multimodal_audio_meta",
         "text_decontaminate",
@@ -245,11 +257,13 @@ def test_window_exercises_round8_rotation():
     # each retired row's family keeps an in-window representative
     # (search_proximity itself rotated out in r10)
     assert {"search_term_lookup", "search_topk_per_term"} <= w
-    # (rel_cdc_scd2 itself rotated out in the r9 second batch)
-    assert {"rel_cdc_merge_upsert", "rel_window_range_frame"} <= w
+    # (rel_cdc_scd2 itself rotated out in the r9 second batch;
+    # rel_cdc_merge_upsert in the r10 third batch)
+    assert {"rel_upsert_rows", "rel_window_range_frame"} <= w
     # (stream_scd2_temporal_join itself rotated out in r10)
     assert {"stream_session_windows", "stream_stateful_user_stats"} <= w
-    assert "text_shuffle_shards" in w  # (pmi_windowed out in r9 third)
+    # (text_shuffle_shards out in the r10 third batch; pipeline row carries)
+    assert "text_incremental_pipeline" in w
     assert "ann_ivf_pq_topk" in w  # (ann_recall_eval rotated out in r9)
 
 
@@ -367,9 +381,10 @@ def test_round9_second_batch_rotation():
         q = registry.get(name)
         assert q.export and q.oracle is not None
     # (stream_scd2_temporal_join itself rotated out in r10 — SCD2
-    # stays sweep-checked; the CDC family keeps merge_upsert external
-    # plus the round-10 store-level rel_upsert_rows)
-    assert {"rel_upsert_rows", "rel_cdc_merge_upsert"} <= w
+    # stays sweep-checked; rel_cdc_merge_upsert followed in the r10
+    # third batch — the CDC family's external row is the store-level
+    # rel_upsert_rows, its strictly stricter consumer)
+    assert "rel_upsert_rows" in w
     assert "rel_q1_pricing_summary" in w
 
 
@@ -404,9 +419,11 @@ def test_round9_third_batch_rotation():
         "ann_kmeans_train_k64",
         "ann_pq_train",
     } <= w
+    # (text_shuffle_shards itself rotated out in the r10 third batch —
+    # the tier keeps five external rows incl. the pipeline)
     assert {
         "text_decontaminate",
-        "text_shuffle_shards",
+        "text_incremental_pipeline",
         "text_classifier_train",
         "text_bpe_merges",
         "text_lm_resample",
@@ -449,11 +466,13 @@ def test_round10_rotation():
     # each retired row's family keeps an in-window representative
     assert {"search_term_lookup", "search_topk_per_term",
             "search_related_docs"} <= w
+    # (rel_q5_local_supplier itself rotated out in the r10 third batch)
     assert {"rel_join_semi", "rel_join_asof",
-            "rel_q5_local_supplier"} <= w
+            "rel_q1_pricing_summary"} <= w
     assert {"rel_retention_cohorts", "stream_funnel",
             "rel_profile_drift"} <= w
-    assert {"dedup_jaccard_prefix_pairs", "dedup_exact_kept"} <= w
+    # (dedup_exact_kept itself rotated out in the r10 third batch)
+    assert {"dedup_jaccard_prefix_pairs", "dedup_incremental_lsh_pairs"} <= w
     assert {
         "stream_continuous_agg",
         "stream_funnel",
@@ -462,11 +481,52 @@ def test_round10_rotation():
         "stream_heavy_hitters",
     } <= w
     # the lakehouse tier's full external surface
+    # (rel_cdc_merge_upsert itself rotated out in the r10 third batch
+    # — the store-level rel_upsert_rows is the stricter MERGE row)
     assert {
         "rel_snapshot_pruned_scan",
         "rel_matview_refresh",
         "rel_matview_distinct",
         "rel_bloom_point_lookup",
         "rel_savepoint_pinned_read",
-        "rel_cdc_merge_upsert",
+        "rel_upsert_rows",
     } <= w
+
+
+def test_round10_third_batch_rotation():
+    """Round-10 third batch: the session's four new classes go
+    external — the publish-time admission gate (quarantine split),
+    the maintainable histogram serving percentiles through an
+    append-then-DELETE lifecycle, incremental batch dedup over a
+    generations store, and the chained store-to-store incremental
+    pipeline. Every retired row stays registered + oracle-backed and
+    its family keeps another external representative."""
+    w = set(PRIORITY_WINDOW)
+    assert {
+        "rel_expectations_quarantine",
+        "rel_matview_hist_quantile",
+        "dedup_incremental_lsh_pairs",
+        "text_incremental_pipeline",
+    } <= w
+    retired = {
+        "rel_q5_local_supplier",  # multi-join agg: q1 + bucketed_join_agg
+        "dedup_exact_kept",  # exact dedup: sweep; tier keeps 6 rows
+        "text_shuffle_shards",  # export permutation: pytest tier + sweep
+        "rel_cdc_merge_upsert",  # MERGE: rel_upsert_rows (store-level)
+    }
+    assert retired.isdisjoint(w)
+    for name in retired:
+        q = registry.get(name)
+        assert q.export and q.oracle is not None
+    # the gate's audit row sits just outside the window, still exported
+    q = registry.get("rel_expectations_audit")
+    assert q.export and q.oracle is not None
+    assert "rel_expectations_audit" not in w
+    # each retired row's family keeps an in-window representative
+    assert {"rel_q1_pricing_summary", "rel_bucketed_join_agg"} <= w
+    assert {"dedup_jaccard_prefix_pairs", "dedup_fuzzy_names"} <= w
+    assert {"text_decontaminate", "text_incremental_pipeline"} <= w
+    assert "rel_upsert_rows" in w
+    # the histogram row joins the matview family's external surface
+    assert {"rel_matview_refresh", "rel_matview_hist_quantile",
+            "rel_matview_join_refresh"} <= w
