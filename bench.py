@@ -81,6 +81,10 @@ HEADLINE = [
     "rel_delete_rows",         # manifest-pruned copy-on-write DELETE (r10)
     "rel_upsert_rows",         # store-level MERGE: bloom-pruned replace+insert (r10)
     "stream_cdc_apply",        # per-batch CDC merge loop, out-of-order exact (r10)
+    "rel_expectations_quarantine",  # publish-time admission gate + quarantine split (r10)
+    "rel_matview_hist_quantile",  # maintained histogram -> served percentiles (r10)
+    "dedup_incremental_lsh_pairs",  # delta-vs-corpus batch dedup via generation diff (r10)
+    "text_incremental_pipeline",  # chained store-to-store incremental ETL (r10)
 ]
 
 
