@@ -1513,8 +1513,8 @@ def orders_gated_store(spark: SparkSession, sf_dir: str) -> str:
     """Orders admitted through append_with_expectations in quarantine
     mode, built once per (application, corpus content): passing rows
     become generation 1 of the managed store, violating rows land in
-    the _quarantine sub-store tagged with the sorted names of every
-    expectation they failed, and the manifest generation entry records
+    the .quarantine sibling store tagged with the sorted names of
+    every expectation they failed, and the manifest generation entry records
     the per-expectation violation counts durably."""
     import datetime
 
@@ -1574,8 +1574,9 @@ _SQL_V_DATE = (
     doc="The PUBLISH-TIME ADMISSION GATE (sources/expectations.py — "
     "the Delta Live Tables expectations shape): orders append through "
     "two declared expectations; violating rows are split into the "
-    "store's _quarantine sub-store (underscore-prefixed, invisible to "
-    "data scans, itself generations-managed) tagged with the "
+    "store's .quarantine SIBLING store (outside the swap path, so "
+    "compaction/delete can never destroy it; itself "
+    "generations-managed) tagged with the "
     "name-sorted list of every expectation they failed. The query "
     "aggregates the quarantine by violation tag; the oracle recomputes "
     "the split from the raw table, so the hash match proves the gate "

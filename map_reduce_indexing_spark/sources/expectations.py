@@ -28,9 +28,13 @@ the Delta Live Tables / Great Expectations shape:
   * ``"drop"``       — passing rows append; violations are counted
                        in the audit and discarded.
   * ``"quarantine"`` — passing rows append; each violating row lands
-                       in the store's ``_quarantine/`` sub-store
-                       (underscore-prefixed: invisible to data scans,
-                       itself generations-managed) tagged with
+                       in the store's ``<path>.quarantine`` SIBLING
+                       store (outside the store directory, like its
+                       ``.lock`` — a compaction/delete swap replaces
+                       the store dir wholesale and would destroy a
+                       nested sub-store; the sibling survives every
+                       swap and is itself generations-managed),
+                       tagged with
                        `_violations` (comma-joined sorted names of
                        every failed expectation) and
                        `_src_generation` (the admitted generation it
@@ -72,8 +76,15 @@ from .generations import (
     read_generation,
 )
 
-QUARANTINE_DIR = "_quarantine"
+QUARANTINE_SUFFIX = ".quarantine"
 _MODES = ("fail", "drop", "quarantine")
+
+
+def quarantine_path(path: str) -> str:
+    """The store's quarantine sibling: OUTSIDE the store directory so
+    publish_swap (compaction, delete, optimize — which replace the
+    store dir wholesale) can never destroy it."""
+    return path.rstrip("/") + QUARANTINE_SUFFIX
 
 
 class ExpectationError(ValueError):
@@ -196,7 +207,7 @@ def append_with_expectations(
             entry_extra={"expectations": audit},
         )
         if mode == "quarantine" and n_bad:
-            qpath = os.path.join(path, QUARANTINE_DIR)
+            qpath = quarantine_path(path)
             names_expr = F.concat_ws(
                 ",", *[F.when(fl, F.lit(name)) for name, fl in flags]
             )
@@ -214,9 +225,9 @@ def append_with_expectations(
 def read_quarantine(
     spark: SparkSession, path: str, at: int | str | None = None
 ) -> DataFrame:
-    """The store's quarantine sub-store as a DataFrame (original
+    """The store's quarantine sibling as a DataFrame (original
     columns + `_violations` + `_src_generation`)."""
-    return read_generation(spark, os.path.join(path, QUARANTINE_DIR), at=at)
+    return read_generation(spark, quarantine_path(path), at=at)
 
 
 def expectation_audit(path: str, at: int | str | None = None) -> dict:

@@ -4,8 +4,8 @@ sources/expectations.py:append_with_expectations — the admission gate
 over generations stores. Pinned here: the three modes' row routing
 (quarantine split, drop, all-or-nothing fail), multi-violation
 tagging, NULL-is-a-violation semantics, the durable manifest audit,
-quarantine being invisible to data scans, and gate+store composition
-(diff of the admitted generation == the admitted rows exactly).
+the quarantine sibling surviving store swaps, and gate+store
+composition (diff of the admitted generation == the admitted rows).
 """
 
 from __future__ import annotations
@@ -57,7 +57,7 @@ def test_quarantine_split_and_audit(spark, tmp_path):
     assert out["rows_quarantined"] == 3
     assert out["violations"] == {"score_cap": 2, "known_kind": 2}
 
-    # admitted rows only, and the quarantine dir is invisible to scans
+    # admitted rows only; the quarantine lives in a SIBLING store
     admitted = read_generation(spark, store)
     assert sorted(r.id for r in admitted.collect()) == [1, 2]
 
@@ -84,7 +84,7 @@ def test_drop_mode(spark, tmp_path):
     )
     assert out["rows_dropped"] == 1
     assert read_generation(spark, store).count() == 2
-    assert not os.path.isdir(os.path.join(store, "_quarantine"))
+    assert not os.path.isdir(store + ".quarantine")
 
 
 def test_fail_mode_writes_nothing(spark, tmp_path):
@@ -160,4 +160,29 @@ def test_or_predicates_and_clean_batch(spark, tmp_path):
         spark, store2, _batch(spark, GOOD), EXPECT, mode="quarantine"
     )
     assert out2["rows_quarantined"] == 0
-    assert not os.path.isdir(os.path.join(store2, "_quarantine"))
+    assert not os.path.isdir(store2 + ".quarantine")
+
+
+def test_quarantine_survives_store_swaps(spark, tmp_path):
+    """Compaction/delete/optimize replace the store DIRECTORY via
+    publish_swap — the quarantine is a sibling precisely so those
+    swaps cannot destroy it."""
+    from map_reduce_indexing_spark.sources.generations import delete_rows
+
+    store = str(tmp_path / "store")
+    append_with_expectations(
+        spark,
+        store,
+        _batch(spark, GOOD + BAD_SCORE + BAD_BOTH),
+        EXPECT,
+        mode="quarantine",
+    )
+    before = sorted(
+        (r.id, r._violations) for r in read_quarantine(spark, store).collect()
+    )
+    delete_rows(spark, store, [("id", "=", 1)])
+    assert read_generation(spark, store).count() == 1
+    after = sorted(
+        (r.id, r._violations) for r in read_quarantine(spark, store).collect()
+    )
+    assert after == before and before
