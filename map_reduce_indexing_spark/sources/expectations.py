@@ -114,6 +114,34 @@ def _violation_flags(expectations: dict) -> list[tuple[str, F.Column]]:
     return out
 
 
+def gate_eval(df: DataFrame, expectations: dict):
+    """The gate's evaluation pass, shared with the pipeline runner:
+    (flags, bad-row predicate, rows_in, n_bad, {name: violations}) —
+    per-expectation violation counts from ONE map-side-combined
+    aggregate, one driver row."""
+    flags = _violation_flags(expectations)
+    bad = flags[0][1]
+    for _, fl in flags[1:]:
+        bad = bad | fl
+    counts_row = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(bad.cast("long")).alias("_bad"),
+        *[F.sum(fl.cast("long")).alias(name) for name, fl in flags],
+    ).first()
+    rows_in = int(counts_row["_n"] or 0)
+    n_bad = int(counts_row["_bad"] or 0)
+    violations = {name: int(counts_row[name] or 0) for name, _ in flags}
+    return flags, bad, rows_in, n_bad, violations
+
+
+def violation_tags(flags) -> F.Column:
+    """`_violations`: comma-joined, name-sorted names of every failed
+    expectation for a row (concat_ws skips the NULLs of passed ones)."""
+    return F.concat_ws(
+        ",", *[F.when(fl, F.lit(name)) for name, fl in flags]
+    )
+
+
 def _strip_markers(path: str) -> None:
     # Spark leaves _SUCCESS markers on direct appends; data reads
     # ignore underscore files, but the store keeps its listing clean.
@@ -142,21 +170,7 @@ def append_with_expectations(
      "rows_quarantined"|"rows_dropped", "violations": {name: n}}."""
     if mode not in _MODES:
         raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
-    flags = _violation_flags(expectations)
-    bad = flags[0][1]
-    for _, fl in flags[1:]:
-        bad = bad | fl
-
-    # Pass 1 — the gate: per-expectation violation counts + row split,
-    # one map-side-combined aggregate, one driver row.
-    counts_row = df.agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum(bad.cast("long")).alias("_bad"),
-        *[F.sum(fl.cast("long")).alias(name) for name, fl in flags],
-    ).first()
-    rows_in = int(counts_row["_n"] or 0)
-    n_bad = int(counts_row["_bad"] or 0)
-    violations = {name: int(counts_row[name] or 0) for name, _ in flags}
+    flags, bad, rows_in, n_bad, violations = gate_eval(df, expectations)
 
     if mode == "fail" and n_bad:
         raise ExpectationError({k: v for k, v in violations.items() if v})
@@ -208,12 +222,9 @@ def append_with_expectations(
         )
         if mode == "quarantine" and n_bad:
             qpath = quarantine_path(path)
-            names_expr = F.concat_ws(
-                ",", *[F.when(fl, F.lit(name)) for name, fl in flags]
-            )
             qdf = (
                 df.filter(bad)
-                .withColumn("_violations", names_expr)
+                .withColumn("_violations", violation_tags(flags))
                 .withColumn("_src_generation", F.lit(head))
             )
             qdf.write.mode("append").parquet(qpath)

@@ -55,6 +55,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .generations import (
     diff_plan,
@@ -89,14 +90,33 @@ def run_incremental_pipeline(
     transform,
     on_rewrite: str = "rebuild",
     partition_by: list[str] | None = None,
+    expectations: dict | None = None,
+    expect_mode: str = "quarantine",
 ) -> dict:
     """Advance `dst_path` to `src_path`'s head by transforming only
     the unconsumed source rows. Returns {"mode": "noop" | "append" |
     "rebuild", "src_from": g0, "src_to": g1, "generation": dst gen}.
     See the module docstring for the transform contract and the
-    exactly-once/crash story."""
+    exactly-once/crash story.
+
+    `expectations` gates the TRANSFORMED output (the medallion
+    promotion gate: bronze rows may be arbitrarily dirty, the silver
+    store admits only rows proving the declared predicates) with the
+    append_with_expectations semantics: `expect_mode` "quarantine"
+    routes rejects to the destination's `.quarantine` sibling tagged
+    with their failed expectations, "drop" discards them, "fail"
+    raises BEFORE anything is written — and since the bookmark only
+    advances with a publish, a failed run leaves the span unconsumed:
+    the retry after fixing the source re-reads exactly the same delta
+    (exactly-once is preserved through failures). The audit rides the
+    destination's generation entry under "expectations", same as the
+    direct gate."""
     if on_rewrite not in ("rebuild", "error"):
         raise ValueError(f"on_rewrite must be rebuild|error, got {on_rewrite!r}")
+    if expect_mode not in ("fail", "drop", "quarantine"):
+        raise ValueError(
+            f"expect_mode must be fail|drop|quarantine, got {expect_mode!r}"
+        )
     from ..operators.indexing import _recover_index_locked, index_writer_lock
 
     os.makedirs(dst_path, exist_ok=True)
@@ -142,6 +162,41 @@ def run_incremental_pipeline(
         if not isinstance(out, DataFrame):
             raise TypeError("transform must return a DataFrame")
 
+        rejects = None
+        if expectations:
+            from .expectations import (
+                ExpectationError,
+                gate_eval,
+                violation_tags,
+            )
+
+            flags, bad, rows_in, n_bad, violations = gate_eval(
+                out, expectations
+            )
+            if expect_mode == "fail" and n_bad:
+                # nothing written, bookmark not advanced: the retry
+                # re-reads this exact span
+                raise ExpectationError(
+                    {k: v for k, v in violations.items() if v}
+                )
+            audit = {
+                "mode": expect_mode,
+                "rows_in": rows_in,
+                "rows_appended": rows_in - n_bad,
+                "violations": violations,
+            }
+            if expect_mode == "quarantine":
+                audit["rows_quarantined"] = n_bad
+                if n_bad:
+                    rejects = out.filter(bad).withColumn(
+                        "_violations", violation_tags(flags)
+                    )
+            elif expect_mode == "drop":
+                audit["rows_dropped"] = n_bad
+            entry["expectations"] = audit
+            if n_bad:
+                out = out.filter(~bad)
+
         if mode == "rebuild":
             # staged overwrite, same swap discipline as compaction:
             # the destination's prior generations stay pinned/readable
@@ -182,6 +237,22 @@ def run_incremental_pipeline(
                     if not f.endswith(".json"):
                         os.remove(os.path.join(dst_path, f))
             gen = publish_generation(dst_path, spark=spark, entry_extra=entry)
+        if rejects is not None:
+            from .expectations import quarantine_path
+
+            qpath = quarantine_path(dst_path)
+            rejects.withColumn("_src_generation", F.lit(gen)).write.mode(
+                "append"
+            ).parquet(qpath)
+            for f in os.listdir(qpath):
+                p = os.path.join(qpath, f)
+                if (
+                    f.startswith("_")
+                    and os.path.isfile(p)
+                    and not f.endswith(".json")
+                ):
+                    os.remove(p)
+            publish_generation(qpath)
         return {
             "mode": mode if since > 0 else "append",
             "src_from": since,

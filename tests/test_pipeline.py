@@ -133,3 +133,77 @@ def test_two_stage_chain(spark, tmp_path):
         for r in filt(_double(_rows(spark, 0, 30))).collect()
     )
     assert _collect(spark, out) == expected
+
+
+def test_gated_pipeline_quarantines_transformed_rejects(spark, tmp_path):
+    """The medallion promotion gate: the silver store admits only
+    transformed rows proving the expectations; rejects land in the
+    destination's .quarantine sibling, tagged; the audit rides the
+    destination generation entry; a later delta run gates again."""
+    from map_reduce_indexing_spark.sources.expectations import (
+        ExpectationError,
+        expectation_audit,
+        read_quarantine,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    exp = {"k2_cap": [("k2", "<=", 6)]}
+    _rows(spark, 0, 10).coalesce(1).write.parquet(src)  # k in 0..4, k2 in 0..8
+    publish_generation(src)
+    rep = run_incremental_pipeline(
+        spark, src, dst, _double, expectations=exp
+    )
+    admitted = read_generation(spark, dst)
+    assert admitted.filter(F.col("k2") > 6).count() == 0
+    q = read_quarantine(spark, dst)
+    assert {r._violations for r in q.collect()} == {"k2_cap"}
+    assert q.count() + admitted.count() == 10
+    audit = expectation_audit(dst)
+    assert audit["rows_quarantined"] == q.count()
+
+    # the delta run gates too, and audits stay per-generation
+    _rows(spark, 10, 5).coalesce(1).write.mode("append").parquet(src)
+    publish_generation(src)
+    rep = run_incremental_pipeline(
+        spark, src, dst, _double, expectations=exp
+    )
+    assert rep["mode"] == "append" and rep["src_from"] == 1
+    assert expectation_audit(dst)["rows_in"] == 5
+    total = read_generation(spark, dst).count() + read_quarantine(
+        spark, dst
+    ).count()
+    assert total == 15
+
+
+def test_gated_pipeline_fail_mode_preserves_the_span(spark, tmp_path):
+    """expect_mode='fail' aborts BEFORE writing; the bookmark did not
+    advance, so the retry consumes the same span (exactly-once through
+    failures)."""
+    from map_reduce_indexing_spark.sources.expectations import (
+        ExpectationError,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _rows(spark, 0, 10).coalesce(1).write.parquet(src)
+    publish_generation(src)
+    with pytest.raises(ExpectationError):
+        run_incremental_pipeline(
+            spark,
+            src,
+            dst,
+            _double,
+            expectations={"k2_cap": [("k2", "<=", 6)]},
+            expect_mode="fail",
+        )
+    assert pipeline_bookmark(dst, src) == 0
+    # retry with a satisfiable gate consumes the SAME span
+    rep = run_incremental_pipeline(
+        spark,
+        src,
+        dst,
+        _double,
+        expectations={"k2_cap": [("k2", "<=", 100)]},
+        expect_mode="fail",
+    )
+    assert rep["src_from"] == 0 and rep["src_to"] == 1
+    assert read_generation(spark, dst).count() == 10
