@@ -1721,3 +1721,133 @@ def q_stream_continuous_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_ts",
         "last_ts",
     )
+
+
+def run_gated_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    store_path: str,
+    expectations: dict,
+    mode: str = "quarantine",
+    checkpoint: str | None = None,
+    glob: str = "*.parquet",
+    schema=None,
+    max_files_per_trigger: int = 1,
+) -> list[dict]:
+    """STREAMING ADMISSION: every microbatch passes through
+    `append_with_expectations` (sources/expectations.py) on its way
+    into the generations store — the gate-at-the-edge posture a 100 TB
+    ingest needs, where a malformed producer must be split off the
+    moment it arrives, not found in tomorrow's batch audit. Per batch:
+    admitted rows publish one pinnable generation whose manifest entry
+    carries the admission audit; rejects land in the store's
+    `.quarantine` sibling tagged with their failed expectations (mode
+    "quarantine"), are dropped ("drop"), or FAIL the streaming query
+    before anything is written ("fail" — the checkpoint then replays
+    the same batch after the producer is fixed, so admission stays
+    exactly-once through failures). Returns the per-batch audits."""
+    reports: list[dict] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..sources.expectations import append_with_expectations
+
+        rep = append_with_expectations(
+            spark, store_path, batch_df, expectations, mode=mode
+        )
+        rep["batch"] = batch_id
+        reports.append(rep)
+
+    reader = spark.readStream.option("pathGlobFilter", glob).option(
+        "maxFilesPerTrigger", str(max_files_per_trigger)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    stream = reader.parquet(src_dir)
+    writer = stream.writeStream.foreachBatch(sink)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.trigger(availableNow=True).start()
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return reports
+
+
+_GATE_VALUE_CAP = 300
+_GATE_TYPES = ["click", "purchase", "signup", "view"]
+
+
+def events_gated_ingest_demo(spark: SparkSession, sf_dir: str) -> str:
+    """Built once per (application, corpus content): the events table
+    replayed as a 4-file stream through run_gated_ingest with two
+    expectations — a value cap and an allowed-type list (error events
+    violate; expensive error events violate both). Every microbatch
+    publishes one audited generation; the quarantine sibling
+    accumulates the rejects."""
+    from ..operators.indexing import session_artifact_path
+
+    def build(path: str) -> None:
+        src = os.path.join(path, "src")
+        store = os.path.join(path, "store")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("value").cast("decimal(18,2)").alias("value_dec"),
+            "ts",
+        )
+        ev.repartition(4, "event_id").write.parquet(src)
+        reports = run_gated_ingest(
+            spark,
+            src,
+            store,
+            {
+                "value_cap": [("value_dec", "<=", _GATE_VALUE_CAP)],
+                "known_type": [("event_type", "in", _GATE_TYPES)],
+            },
+            checkpoint=os.path.join(path, "ckpt"),
+            schema=ev.schema,
+        )
+        assert len(reports) >= 2  # several gated batches landed
+
+    return session_artifact_path(
+        spark, sf_dir, "events_gated_ingest", "events.parquet", build
+    )
+
+
+@register(
+    "stream_gated_ingest",
+    oracle=f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_value
+        FROM events
+        WHERE CAST(value AS DECIMAL(18,2)) <= {_GATE_VALUE_CAP}
+          AND event_type IN ({', '.join(repr(t) for t in _GATE_TYPES)})
+        GROUP BY event_type
+    """,
+    tier="streaming",
+    doc="GATED STREAMING INGEST (streaming/events.py:run_gated_ingest "
+    "over sources/expectations.py): the events table streams in one "
+    "file per microbatch and every batch is admitted through two "
+    "declared expectations — rejects split to the store's .quarantine "
+    "sibling, each admitted batch publishing one generation whose "
+    "manifest entry carries the admission audit. The query aggregates "
+    "the admitted store; the oracle aggregates the raw table under "
+    "the same predicates, so the hash match proves per-batch gating "
+    "across the whole stream == one global filter. The gate cost is "
+    "one map-side-combined aggregate per batch — at 100 TB ingest the "
+    "edge check is batch-sized, and 'how dirty was the feed' is a "
+    "manifest read, not a cluster job.",
+)
+def q_stream_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.generations import read_generation
+
+    root = events_gated_ingest_demo(spark, sf_dir)
+    df = read_generation(spark, os.path.join(root, "store"))
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_dec").cast("double").alias("total_value"),
+    )

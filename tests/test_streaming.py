@@ -482,3 +482,41 @@ def test_stream_funnel_matches_batch_funnel_on_shuffled_fixture(spark, tmp_path)
     }
     for uid, times in want.items():
         assert got.get(uid, (None, None, None)) == times
+
+
+def test_gated_ingest_per_batch_audits_and_quarantine(spark, tmp_path):
+    """run_gated_ingest: every microbatch is admitted through the
+    expectations gate — per-batch audits land in the store manifest,
+    rejects accumulate in the .quarantine sibling with tags, and the
+    admitted store equals the globally filtered stream."""
+    from map_reduce_indexing_spark.sources.expectations import (
+        read_quarantine,
+    )
+    from map_reduce_indexing_spark.sources.generations import (
+        read_generation,
+    )
+    from map_reduce_indexing_spark.streaming.events import run_gated_ingest
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    rows = [(i, f"u{i % 3}", i * 10) for i in range(40)]  # v in 0..390
+    df = spark.createDataFrame(rows, "id long, u string, v long")
+    df.repartition(4, "id").write.parquet(src)
+    reports = run_gated_ingest(
+        spark,
+        src,
+        store,
+        {"v_cap": [("v", "<=", 200)]},
+        checkpoint=str(tmp_path / "ckpt"),
+        schema=df.schema,
+    )
+    assert len(reports) >= 2
+    assert sum(r["rows_in"] for r in reports) == 40
+    admitted = read_generation(spark, store)
+    assert admitted.count() == 21  # v in 0..200
+    assert admitted.filter("v > 200").count() == 0
+    q = read_quarantine(spark, store)
+    assert q.count() == 19
+    assert {r._violations for r in q.collect()} == {"v_cap"}
+    # one audited generation per non-empty batch
+    assert sum(r["rows_quarantined"] for r in reports) == 19
