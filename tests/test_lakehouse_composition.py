@@ -251,3 +251,118 @@ def _expected_at_savepoint(spark, fact: str, dim: str):
         )
         .collect()
     )
+
+
+def test_third_wave_composition(spark, tmp_path):
+    """The round-10 third wave composed end-to-end: a GATED bronze
+    store (dirty batches split at admission), an incremental PIPELINE
+    promoting bronze to silver with its own gate, a HISTOGRAM matview
+    over silver, then a predicate DELETE on silver retracting the
+    bins — asserting at every step that the maintained state equals a
+    from-scratch recompute and the audits/bookmarks are consistent."""
+    from map_reduce_indexing_spark.sources.expectations import (
+        append_with_expectations,
+        expectation_audit,
+        read_quarantine,
+    )
+    from map_reduce_indexing_spark.sources.pipeline import (
+        pipeline_bookmark,
+        run_incremental_pipeline,
+    )
+    from map_reduce_indexing_spark.operators.matview import (
+        create_matview,
+        hist_quantile,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    view = str(tmp_path / "view")
+    gate = {"amount_cap": [("amount", "<=", 400)]}
+
+    # two gated bronze ingests (second batch has violations)
+    append_with_expectations(
+        spark, bronze, _events(spark, 0, 50), gate, mode="quarantine"
+    )
+    append_with_expectations(
+        spark, bronze, _events(spark, 50, 50), gate, mode="quarantine"
+    )
+    n_bronze = read_generation(spark, bronze).count()
+    n_quar = read_quarantine(spark, bronze).count()
+    assert n_bronze + n_quar == 100
+    assert expectation_audit(bronze)["rows_in"] == 50
+
+    # promote bronze -> silver incrementally, with a promotion gate
+    promote = lambda df: df.withColumn(
+        "amount2", (F.col("amount") * 2).cast("long")
+    )
+    sgate = {"even_user": [("user", "in", ["u0", "u2"])]}
+    run_incremental_pipeline(
+        spark, bronze, silver, promote, expectations=sgate
+    )
+    assert pipeline_bookmark(silver, bronze) == 2
+    silver_df = read_generation(spark, silver)
+    expected_silver = (
+        promote(read_generation(spark, bronze))
+        .filter(F.col("user").isin("u0", "u2"))
+    )
+    assert sorted(map(tuple, silver_df.collect())) == sorted(
+        map(tuple, expected_silver.collect())
+    )
+
+    # histogram view over silver
+    create_matview(
+        spark,
+        silver,
+        view,
+        ["user"],
+        {"n": ("count", "*"), "h": ("hist:0:800:8", "amount2")},
+        row_keys=["event_id"],
+    )
+
+    def direct_hist():
+        df = read_generation(spark, silver)
+        idx = (
+            F.when(F.col("amount2") < 0, F.lit(0))
+            .when(F.col("amount2") >= 800, F.lit(9))
+            .otherwise(
+                F.least(F.floor(F.col("amount2") / 100), F.lit(7)) + 1
+            )
+        )
+        out = {}
+        for r in (
+            df.groupBy("user", idx.alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ):
+            out.setdefault(r.user, [0] * 10)[int(r.b)] = r.n
+        return out
+
+    served = lambda: {
+        r.user: list(r.h) for r in read_matview(spark, view).collect()
+    }
+    assert served() == direct_hist()
+
+    # a third bronze ingest flows bronze -> silver -> view
+    append_with_expectations(
+        spark, bronze, _events(spark, 100, 30), gate, mode="quarantine"
+    )
+    rep = run_incremental_pipeline(
+        spark, bronze, silver, promote, expectations=sgate
+    )
+    assert rep["mode"] == "append" and rep["src_from"] == 2
+    rep = refresh_matview(spark, view)
+    assert rep["mode"] == "incremental"
+    assert served() == direct_hist()
+
+    # predicate DELETE on silver: the pipeline sees a rewrite span
+    # (rebuild), the view retracts — both exact
+    delete_rows(spark, silver, [("amount2", "between", (100, 300))])
+    rep = refresh_matview(spark, view)
+    assert rep["mode"] == "retract"
+    assert served() == direct_hist()
+
+    # quantiles still serve from the maintained bins
+    q = hist_quantile(
+        read_matview(spark, view), "h", "hist:0:800:8", ["user"], [0.5]
+    )
+    assert q.count() == len(served())

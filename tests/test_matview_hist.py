@@ -172,3 +172,76 @@ def test_malformed_hist_op_rejected(spark, tmp_path):
             create_matview(
                 spark, base, view, ["grp"], {"h": (bad, "v")}
             )
+
+
+def test_hist_in_join_matview(spark, tmp_path):
+    """The histogram aggregate flows through join matviews: fact-delta
+    incremental refresh and a fact-delete retraction both land exactly
+    on the direct fact⋈dim recompute."""
+    from map_reduce_indexing_spark.operators.matview import (
+        create_matview_join,
+    )
+
+    fact = str(tmp_path / "fact")
+    dim = str(tmp_path / "dim")
+    view = str(tmp_path / "view")
+
+    def mk_fact(spark, lo, n):
+        return spark.createDataFrame(
+            [(lo + i, (lo + i) % 4, ((lo + i) * 7) % 120 - 10)
+             for i in range(n)],
+            "rid long, k long, v long",
+        )
+
+    mk_fact(spark, 0, 40).coalesce(2).write.parquet(fact)
+    publish_generation(fact)
+    spark.createDataFrame(
+        [(k, f"g{k % 2}") for k in range(4)], "k long, grp string"
+    ).coalesce(1).write.parquet(dim)
+    publish_generation(dim)
+    create_matview_join(
+        spark,
+        view,
+        fact,
+        [{"path": dim, "on": ["k"], "select": ["grp"]}],
+        ["grp"],
+        AGGS,
+        row_keys=["rid"],
+    )
+
+    def direct():
+        f = read_generation(spark, fact)
+        d = read_generation(spark, dim)
+        j = f.join(d, on="k", how="inner")
+        idx = (
+            F.when(F.col("v") < 0, F.lit(0))
+            .when(F.col("v") >= 100, F.lit(11))
+            .otherwise(F.least(F.floor(F.col("v") / 10), F.lit(9)) + 1)
+        )
+        per_bin = (
+            j.filter(F.col("v").isNotNull())
+            .groupBy("grp", idx.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        out = {}
+        for r in per_bin.collect():
+            out.setdefault(r.grp, [0] * 12)[int(r.bin)] = r.n
+        return out
+
+    def served():
+        return {
+            r.grp: list(r.h) for r in read_matview(spark, view).collect()
+        }
+
+    assert served() == direct()
+    # fact append: incremental
+    mk_fact(spark, 40, 20).coalesce(1).write.mode("append").parquet(fact)
+    publish_generation(fact)
+    rep = refresh_matview(spark, view)
+    assert rep["mode"] == "incremental"
+    assert served() == direct()
+    # fact delete: retraction through the join
+    delete_rows(spark, fact, [("v", "between", (30, 70))])
+    rep = refresh_matview(spark, view)
+    assert rep["mode"] in ("retract", "rebuild")
+    assert served() == direct()
