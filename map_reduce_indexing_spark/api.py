@@ -448,9 +448,16 @@ class VectorStore:
         k: int = 10,
         serving: str = "exact",
         nprobe: int = 1,
+        where=None,
     ) -> DataFrame:
         from .operators.similarity import vector_store_topk
 
         return vector_store_topk(
-            self.spark, self.path, qv, k, serving=serving, nprobe=nprobe
+            self.spark,
+            self.path,
+            qv,
+            k,
+            serving=serving,
+            nprobe=nprobe,
+            where=where,
         )

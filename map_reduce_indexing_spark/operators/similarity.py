@@ -158,24 +158,24 @@ def _with_bucket(
     col: str = "bucket",
     centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """(vec_id, v) -> + the routing key for the store layout: the
-    8-bit hyperplane bucket ("bucket") or the IVF cell ("cell" —
-    against the store's TRAINED centroids when given, else the pinned
-    defaults)."""
+    """(vec_id, v, metadata...) -> + the routing key for the store
+    layout: the 8-bit hyperplane bucket ("bucket") or the IVF cell
+    ("cell" — against the store's TRAINED centroids when given, else
+    the pinned defaults). Extra input columns are KEPT (round 10
+    third wave): metadata riding the store partitions is what makes
+    vector_store_topk(where=...) a filtered-ANN scan instead of a
+    post-join."""
     if col == "bucket":
         expr = spark_lsh_bucket("v")
     elif centroids is not None:
         # Trained quantizer: route through assign_nearest so a store
         # built with a large-k model (> ASSIGN_LITERAL_MAX_K) assigns
-        # via the broadcast path instead of a megabyte literal plan.
-        return assign_nearest(
-            vectors.select("vec_id", "v"), centroids, out_col=col
-        )
+        # via the broadcast path instead of a megabyte literal plan
+        # (both assignment paths pass non-vector columns through).
+        return assign_nearest(vectors, centroids, out_col=col)
     else:
         expr = spark_ivf_cell("v")
-    return vectors.select("vec_id", "v").withColumn(
-        col, F.expr(expr).cast("long")
-    )
+    return vectors.withColumn(col, F.expr(expr).cast("long"))
 
 
 QUANTIZER_FILE = "_quantizer.json"  # leading "_": invisible to Spark scans
@@ -607,6 +607,7 @@ def vector_store_topk(
     exclude_vec_id: int | None = None,
     serving: str = "exact",
     nprobe: int = 1,
+    where=None,
 ) -> DataFrame:
     """Serving lookup against a maintained store: cosine top-k within
     the query's bucket — one pruned partition scan (PartitionFilters
@@ -620,7 +621,18 @@ def vector_store_topk(
     a crashed compactor still routes correctly. `nprobe` > 1 widens
     the scan to the n most likely partitions (nearest cells / lowest-
     margin bucket flips) — the standard recall knob; the scan stays
-    partition-pruned (`col IN (probes)`)."""
+    partition-pruned (`col IN (probes)`).
+
+    `where` (the store predicate grammar — AND-list of (col, op, val)
+    triples, OR via nested lists) makes this a FILTERED ANN lookup
+    over the store's metadata columns (build_vector_store keeps every
+    extra input column beside vec_id/v): the predicate applies DURING
+    the pruned partition scan, before the top-k cut, so "nearest
+    among rows matching P" costs the same one-partition scan. The
+    standard filtered-ANN caveat applies and is the caller's knob: a
+    selective predicate thins the probed partition's candidates, so
+    pair it with a larger `nprobe` to keep recall (candidates ~
+    selectivity x partition size x nprobe)."""
     store = read_vector_store(spark, path)
     col = "cell" if "cell" in store.columns else "bucket"
     # sidecars are read after the healed read: a store mid-swap carries
@@ -631,6 +643,10 @@ def vector_store_topk(
         if len(probes) == 1
         else F.col(col).isin(probes)
     )
+    if where:
+        from ..sources.generations import _where_column
+
+        df = df.filter(_where_column(where))
     if exclude_vec_id is not None:
         df = df.filter(F.col("vec_id") != exclude_vec_id)
     if serving == "pq":
@@ -2732,3 +2748,83 @@ def pca_project(df: DataFrame, comps, mean, vec_col: str = "v", out_col: str = "
     return df.withColumn("cv", F.expr(f"array({centered})")).withColumn(
         out_col, F.expr("array(" + ", ".join(dots) + ")")
     ).drop("cv")
+
+
+# ---------------------------------------------------------------------------
+# Filtered ANN (round 10 third wave): predicate + vector search in one scan
+# ---------------------------------------------------------------------------
+
+FILTER_LABEL = 3  # the demo's metadata predicate
+FILTERED_K = 5
+
+
+def labeled_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, label, cell): the IVF store WITH its metadata column
+    riding the same cell partitions — the layout filtered ANN wants,
+    where the predicate applies during the pruned partition scan
+    instead of joining a separate metadata table afterwards."""
+    from .indexing import session_artifact_df
+
+    def build(path: str) -> None:
+        (
+            embeddings_double(spark, sf_dir)
+            .select("vec_id", "v", "label")
+            .withColumn("cell", F.expr(spark_ivf_cell("v")).cast("long"))
+            .repartition("cell")
+            .write.partitionBy("cell")
+            .parquet(path)
+        )
+
+    return session_artifact_df(
+        spark, sf_dir, "labeled_emb_store", "embeddings.parquet", build
+    )
+
+
+@register(
+    "ann_filtered_topk",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, v, label, {duck_ivf_cell('v')} AS cell
+                   FROM ({DUCK_EMB})),
+        q AS (SELECT v AS qv, cell AS qcell FROM e
+              WHERE vec_id = {QUERY_VEC_ID})
+        SELECT vec_id, label, {duck_cosine('v', 'qv')} AS cosine
+        FROM e CROSS JOIN q
+        WHERE e.cell = q.qcell AND e.label = {FILTER_LABEL}
+          AND vec_id <> {QUERY_VEC_ID}
+        ORDER BY cosine DESC, vec_id LIMIT {FILTERED_K}
+    """,
+    tier="llm",
+    doc="FILTERED ANN — 'nearest neighbors among rows matching P' "
+    "(the retrieval shape every RAG/curation pipeline runs: similar "
+    "docs in the same language / license / domain): the metadata "
+    "column rides the cell-partitioned store, so the predicate "
+    "applies DURING the one pruned partition scan, before the top-k "
+    "cut — no post-join against a metadata table, no second pass. "
+    "Also exposed on the maintained-store path as "
+    "vector_store_topk(where=...) / VectorStore.topk(where=...), "
+    "where the documented recall knob is nprobe (a selective "
+    "predicate thins candidates; probing more partitions restores "
+    "them). The oracle replicates cell routing + predicate + exact "
+    "cosine in SQL, pinning the whole serving plan.",
+)
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qrow = _probe_row(
+        query_vector(spark, sf_dir)
+        .withColumn("qcell", F.expr(spark_ivf_cell("qv")).cast("long"))
+    )
+    return (
+        labeled_ivf_store(spark, sf_dir)
+        .filter(
+            (F.col("cell") == int(qrow.qcell))
+            & (F.col("label") == FILTER_LABEL)
+            & (F.col("vec_id") != QUERY_VEC_ID)
+        )
+        .withColumn("qv", _qv_literal(qrow.qv))
+        .select(
+            "vec_id",
+            "label",
+            F.expr(spark_cosine("v", "qv")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(FILTERED_K)
+    )

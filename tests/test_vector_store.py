@@ -649,3 +649,50 @@ def test_compact_retrain_rejects_lsh_layout(spark, tmp_path):
     vs = VectorStore.build(spark, _vectors(spark, 0, 60), path)
     with pytest.raises(Exception, match="IVF|cell"):
         vs.compact(retrain=True)
+
+
+def test_filtered_topk_applies_predicate_in_the_pruned_scan(spark, tmp_path):
+    """vector_store_topk(where=...) — filtered ANN on the maintained
+    store: metadata columns ride the partitions, the predicate applies
+    before the top-k cut, and a wider nprobe restores candidates the
+    filter thinned away."""
+    from map_reduce_indexing_spark.operators.similarity import (
+        build_vector_store,
+        vector_store_topk,
+    )
+
+    store = str(tmp_path / "store")
+    vecs = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+            "label",
+        )
+    )
+    build_vector_store(spark, vecs, store, layout="lsh")
+    qv = _probe(spark)
+
+    labels = {r.vec_id: r.label for r in vecs.select("vec_id", "label").collect()}
+    hits = vector_store_topk(
+        spark, store, qv, k=50, nprobe=8,
+        where=[("label", "=", 3)], exclude_vec_id=0,
+    ).collect()
+    assert hits and all(labels[r.vec_id] == 3 for r in hits)
+
+    # the filtered result == the unfiltered result restricted to the
+    # label, for the same probed partitions
+    unfiltered = vector_store_topk(
+        spark, store, qv, k=10_000, nprobe=8, exclude_vec_id=0
+    ).collect()
+    expected = [r.vec_id for r in unfiltered if labels[r.vec_id] == 3][: len(hits)]
+    assert [r.vec_id for r in hits] == expected
+
+    # widening nprobe can only add candidates
+    n1 = len(vector_store_topk(
+        spark, store, qv, k=10_000, nprobe=1, where=[("label", "=", 3)]
+    ).collect())
+    n8 = len(vector_store_topk(
+        spark, store, qv, k=10_000, nprobe=8, where=[("label", "=", 3)]
+    ).collect())
+    assert n8 >= n1
