@@ -1802,3 +1802,85 @@ def q_rel_matview_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist_quantile(
         v, "price_hist", _HIST_OP, ["o_orderpriority"], [0.5, 0.95]
     ).select(F.col("o_orderpriority").alias("priority"), "p", "q")
+
+
+def orders_readmit_demo(spark: SparkSession, sf_dir: str) -> str:
+    """The repair loop end-to-end, built once per (application, corpus
+    content): orders gate through the price cap (over-cap rows
+    quarantine), then `readmit` repairs them by clamping the price to
+    the cap and re-gates — the quarantine drains and the store ends
+    holding EVERY order, clamped. The exported query's oracle
+    recomputes that final state from the raw table (LEAST against the
+    cap), so the hash match pins the whole gate→repair→readmit cycle."""
+    from ..sources.expectations import (
+        append_with_expectations,
+        readmit,
+    )
+    from .indexing import session_artifact_path
+
+    def build(path: str) -> None:
+        exp = {"price_cap": [("price_dec", "<=", _EXPECT_PRICE_CAP)]}
+        append_with_expectations(
+            spark,
+            path,
+            _orders_projected(spark, sf_dir),
+            exp,
+            mode="quarantine",
+        )
+        rep = readmit(
+            spark,
+            path,
+            exp,
+            fix=lambda df: df.withColumn(
+                "price_dec",
+                F.least(
+                    F.col("price_dec"),
+                    F.lit(_EXPECT_PRICE_CAP).cast("decimal(18,2)"),
+                ),
+            ),
+        )
+        assert rep["still_quarantined"] == 0, rep
+
+    return session_artifact_path(
+        spark, sf_dir, "orders_readmit_demo", "orders.parquet", build
+    )
+
+
+@register(
+    "rel_expectations_readmit",
+    oracle=f"""
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               -- CASE, not LEAST: DuckDB's LEAST coerces DECIMAL
+               -- operands to DOUBLE, losing the exact-sum discipline
+               CAST(SUM(CASE
+                   WHEN CAST(o_totalprice AS DECIMAL(18,2))
+                        > {_EXPECT_PRICE_CAP}
+                   THEN CAST({_EXPECT_PRICE_CAP} AS DECIMAL(18,2))
+                   ELSE CAST(o_totalprice AS DECIMAL(18,2))
+               END) AS DOUBLE) AS total_price
+        FROM orders GROUP BY o_orderpriority
+    """,
+    tier="relational",
+    doc="QUARANTINE RE-ADMISSION (sources/expectations.py:readmit — "
+    "the repair loop the quarantine exists for): over-cap orders were "
+    "split at admission, repaired by clamping to the cap, re-gated, "
+    "and appended as an audited 'readmit' generation; the quarantine "
+    "drained to zero. The query aggregates the final store; the "
+    "oracle recomputes it from the raw table with the same clamp, so "
+    "the hash match proves no row was lost, duplicated, or left "
+    "unrepaired across the gate→quarantine→repair→readmit cycle. At "
+    "100 TB this is the operational answer to 'a producer shipped a "
+    "bad field for a week': repair the reject pile and re-admit it, "
+    "without re-ingesting the source.",
+)
+def q_rel_expectations_readmit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.generations import read_generation
+
+    path = orders_readmit_demo(spark, sf_dir)
+    return read_generation(spark, path).groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("price_dec", "total_price"),
+    )

@@ -254,3 +254,102 @@ def expectation_audit(path: str, at: int | str | None = None) -> dict:
     if entry is None:
         raise ValueError(f"generation {g} of {path!r} is not available")
     return dict(entry.get("expectations") or {})
+
+
+def readmit(
+    spark: SparkSession,
+    path: str,
+    expectations: dict,
+    fix=None,
+) -> dict:
+    """Close the repair loop: pull every quarantined row, optionally
+    repair it (`fix(df) -> df`, a row-wise transform over the ORIGINAL
+    columns — the tag columns are stripped first and re-derived), and
+    re-gate the batch through `expectations`:
+
+    - rows that now pass APPEND to the store as a new audited
+      generation (entry carries "readmitted": True, so the lineage is
+      distinguishable from a fresh ingest);
+    - rows that still fail become the quarantine's new content —
+      re-tagged against the CURRENT expectations and stamped with the
+      new source generation — via a wholesale rewrite of the
+      quarantine sibling (quarantines are reject-sized by assumption;
+      the rewrite publishes a normal generation, so the pre-repair
+      quarantine stays pinnable).
+
+    `expectations` is passed explicitly (the gate never persists its
+    predicates — predicate values like datetimes are not JSON-safe,
+    and the repair's bar may legitimately differ from admission's).
+    Returns {"readmitted": n, "still_quarantined": n,
+    "violations": {name: n}} — violations counted over the REPAIRED
+    batch. No-op ({} counts) when the store has no quarantine."""
+    import shutil
+    import tempfile
+
+    from ..operators.indexing import (
+        _chmod_staging,
+        _recover_index_locked,
+        index_writer_lock,
+    )
+    from .commitio import IO
+    from .generations import carry_generations
+
+    qpath = quarantine_path(path)
+    if not os.path.isdir(qpath):
+        return {"readmitted": 0, "still_quarantined": 0, "violations": {}}
+    q = read_generation(spark, qpath).drop("_violations", "_src_generation")
+    fixed = fix(q) if fix is not None else q
+    if not isinstance(fixed, DataFrame):
+        raise TypeError("fix must return a DataFrame")
+
+    flags, bad, rows_in, n_bad, violations = gate_eval(fixed, expectations)
+
+    with index_writer_lock(path):
+        _recover_index_locked(path)
+        head = None
+        if rows_in - n_bad > 0:
+            fixed.filter(~bad).write.mode("append").parquet(path)
+            _strip_markers(path)
+            head = publish_generation(
+                path,
+                entry_extra={
+                    "expectations": {
+                        "mode": "readmit",
+                        "rows_in": rows_in,
+                        "rows_appended": rows_in - n_bad,
+                        "violations": violations,
+                        "readmitted": True,
+                    }
+                },
+            )
+        # rewrite the quarantine to exactly the still-failing rows
+        # (staged swap under its own lock; carry keeps prior
+        # generations pinnable)
+        with index_writer_lock(qpath):
+            staging = tempfile.mkdtemp(
+                prefix="mri_readmit_", dir=os.path.dirname(qpath) or "."
+            )
+            _chmod_staging(staging)
+            still = (
+                fixed.filter(bad)
+                .withColumn("_violations", violation_tags(flags))
+                .withColumn(
+                    "_src_generation",
+                    F.lit(head if head is not None else 0),
+                )
+            )
+            still.write.mode("overwrite").parquet(staging)
+            for f in os.listdir(staging):
+                if f.startswith("_") and os.path.isfile(
+                    os.path.join(staging, f)
+                ):
+                    os.remove(os.path.join(staging, f))
+            carry_generations(qpath, staging)
+            IO.publish_swap(qpath, staging)
+            if load_manifest(qpath) is None:
+                publish_generation(qpath)
+    return {
+        "readmitted": rows_in - n_bad,
+        "still_quarantined": n_bad,
+        "violations": violations,
+    }

@@ -186,3 +186,56 @@ def test_quarantine_survives_store_swaps(spark, tmp_path):
         (r.id, r._violations) for r in read_quarantine(spark, store).collect()
     )
     assert after == before and before
+
+
+def test_readmit_repairs_and_regates(spark, tmp_path):
+    """readmit closes the repair loop: quarantined rows are fixed,
+    re-gated, appended as an audited 'readmit' generation; rows the
+    fix did not cure stay quarantined with fresh tags; a second
+    readmit with a curing fix drains the quarantine."""
+    from map_reduce_indexing_spark.sources.expectations import readmit
+
+    store = str(tmp_path / "store")
+    append_with_expectations(
+        spark,
+        store,
+        _batch(spark, GOOD + BAD_SCORE + BAD_KIND + BAD_BOTH),
+        EXPECT,
+        mode="quarantine",
+    )
+    assert read_quarantine(spark, store).count() == 3
+
+    # fix only the score problem: cap scores at 100
+    cap_fix = lambda df: df.withColumn(
+        "score", F.least(F.col("score"), F.lit(100))
+    )
+    rep = readmit(spark, store, EXPECT, fix=cap_fix)
+    # id 3 (score-only) is cured; ids 4 and 5 still have bad kind
+    assert rep["readmitted"] == 1
+    assert rep["still_quarantined"] == 2
+    assert sorted(r.id for r in read_generation(spark, store).collect()) == [
+        1, 2, 3,
+    ]
+    q = {r.id: r._violations for r in read_quarantine(spark, store).collect()}
+    assert q == {4: "known_kind", 5: "known_kind"}  # score now capped
+    # the readmit generation is audited and distinguishable
+    audit = expectation_audit(store)
+    assert audit.get("readmitted") is True and audit["rows_appended"] == 1
+
+    # second repair cures the kind too: quarantine drains
+    kind_fix = lambda df: cap_fix(df).withColumn("kind", F.lit("a"))
+    rep = readmit(spark, store, EXPECT, fix=kind_fix)
+    assert rep["readmitted"] == 2 and rep["still_quarantined"] == 0
+    assert read_quarantine(spark, store).count() == 0
+    assert read_generation(spark, store).count() == 5
+
+
+def test_readmit_noop_without_quarantine(spark, tmp_path):
+    from map_reduce_indexing_spark.sources.expectations import readmit
+
+    store = str(tmp_path / "store")
+    append_with_expectations(
+        spark, store, _batch(spark, GOOD), EXPECT, mode="quarantine"
+    )
+    rep = readmit(spark, store, EXPECT)
+    assert rep == {"readmitted": 0, "still_quarantined": 0, "violations": {}}
