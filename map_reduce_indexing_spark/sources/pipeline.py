@@ -259,3 +259,36 @@ def run_incremental_pipeline(
             "src_to": src_head,
             "generation": gen,
         }
+
+
+def pipeline_runs(spark: SparkSession, dst_path: str) -> DataFrame:
+    """The destination's run history as a DataFrame — one row per
+    pipeline-published generation: (generation, src, since, until,
+    mode, plus the admission audit columns when the run was gated).
+    ONE manifest read, no data files opened — the lineage answer
+    ('what did last night's run consume, and how dirty was it')
+    served from metadata, like expectation_audit and
+    generation_row_count."""
+    m = load_manifest(dst_path)
+    rows = []
+    for g in sorted((m or {"gens": {}})["gens"], key=int):
+        e = (m["gens"][g]).get("pipeline")
+        if not e:
+            continue
+        exp = (m["gens"][g]).get("expectations") or {}
+        rows.append(
+            (
+                int(g),
+                e["src"],
+                int(e["since"]),
+                int(e["until"]),
+                e.get("mode"),
+                int(exp["rows_in"]) if "rows_in" in exp else None,
+                int(exp["rows_appended"]) if "rows_appended" in exp else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "generation long, src string, since long, until long, "
+        "mode string, gated_rows_in long, gated_rows_appended long",
+    )

@@ -207,3 +207,24 @@ def test_gated_pipeline_fail_mode_preserves_the_span(spark, tmp_path):
     )
     assert rep["src_from"] == 0 and rep["src_to"] == 1
     assert read_generation(spark, dst).count() == 10
+
+
+def test_pipeline_runs_lineage(spark, tmp_path):
+    from map_reduce_indexing_spark.sources.pipeline import pipeline_runs
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _rows(spark, 0, 10).coalesce(1).write.parquet(src)
+    publish_generation(src)
+    run_incremental_pipeline(spark, src, dst, _double)
+    _rows(spark, 10, 5).coalesce(1).write.mode("append").parquet(src)
+    publish_generation(src)
+    run_incremental_pipeline(
+        spark, src, dst, _double,
+        expectations={"k2_cap": [("k2", "<=", 100)]},
+    )
+    runs = pipeline_runs(spark, dst).orderBy("generation").collect()
+    assert [(r.since, r.until, r.mode) for r in runs] == [
+        (0, 1, "append"), (1, 2, "append"),
+    ]
+    assert runs[0].gated_rows_in is None
+    assert runs[1].gated_rows_in == 5 and runs[1].gated_rows_appended == 5
