@@ -1884,3 +1884,50 @@ def q_rel_expectations_readmit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("price_dec", "total_price"),
     )
+
+
+@register(
+    "rel_metadata_minmax",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+               MIN(o_orderdate) AS first_date,
+               MAX(o_orderdate) AS last_date
+        FROM orders
+    """,
+    tier="relational",
+    doc="Exact MIN/MAX served from METADATA (sources/generations.py:"
+    "generation_column_bounds, the companion to the manifest-served "
+    "COUNT(*)): the global min/max of a column is the fold of the "
+    "per-file footer bounds recorded at publish — zero Spark jobs, "
+    "zero data pages, NULL-skipping by parquet's own stats semantics. "
+    "The oracle recomputes all five values from the raw table, "
+    "certifying the recorded bounds exact. At 100 TB 'what key/date "
+    "range does this table cover' — the first question every "
+    "incremental consumer asks — should not cost a cluster job.",
+)
+def q_rel_metadata_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from ..sources.generations import (
+        generation_column_bounds,
+        generation_row_count,
+    )
+
+    path = orders_snapshot_store(spark, sf_dir)
+    n = generation_row_count(path)
+    kmin, kmax = generation_column_bounds(path, "o_orderkey")
+    dmin, dmax = generation_column_bounds(path, "o_orderdate")
+    row = (
+        n,
+        int(kmin),
+        int(kmax),
+        datetime.datetime.fromisoformat(dmin),
+        datetime.datetime.fromisoformat(dmax),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_rows long, min_key long, max_key long, "
+        "first_date timestamp, last_date timestamp",
+    )

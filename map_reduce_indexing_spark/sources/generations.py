@@ -487,6 +487,58 @@ def generation_row_count(path: str, at: int | str | None = None) -> int:
     return total
 
 
+def generation_column_bounds(
+    path: str, col: str, at: int | str | None = None
+) -> tuple:
+    """Exact (min, max) of a column over a generation from METADATA
+    alone — zero Spark jobs, zero data pages: the global min is the
+    min of the recorded per-file footer minimums (files are immutable,
+    footers fold all row groups, NULLs never enter parquet min/max —
+    matching SQL MIN/MAX null-skipping). A file whose stats lack the
+    column (written pre-stats, or all-NULL there) costs one footer
+    re-read; if the footer also has nothing, the file provably holds
+    no non-NULL values and contributes nothing. Returns (None, None)
+    when no file holds a non-NULL value.
+
+    Exactness caveat (documented, not hidden): parquet writers may
+    TRUNCATE binary/string statistics on very long values — the
+    recorded bounds stay VALID (writers widen the max when truncating)
+    but are not guaranteed to be attained values, so treat string
+    bounds as bounds; numeric/temporal stats are exact. The companion
+    to generation_row_count: at 100 TB, 'what date range does this
+    table cover' should not launch a cluster job."""
+    from ..operators.indexing import recover_index
+
+    recover_index(path)
+    m = load_manifest(path)
+    if m is None:
+        raise ValueError(f"{path!r} has no generation manifest")
+    n = _resolve(m, path, at)
+    g = m["gens"].get(str(n))
+    if g is None:
+        raise ValueError(
+            f"generation {n} of {path!r} is not available "
+            f"(retained: {sorted(int(k) for k in m['gens'])})"
+        )
+    root = path if g["root"] == "." else os.path.join(path, g["root"])
+    stats = g.get("stats") or {}
+    lo = hi = None
+    for rel in g["files"]:
+        ent = ((stats.get(rel) or {}).get("cols") or {}).get(col)
+        if ent is None:
+            pv = _partition_values(rel)
+            if col in pv:
+                ent = [pv[col], pv[col]]
+            else:
+                ent = file_column_stats(os.path.join(root, rel)).get(col)
+        if ent is None:
+            continue  # no non-NULL values of col in this file
+        mn, mx = ent[0], ent[1]
+        lo = mn if lo is None or _stat_cmp(mn, lo) == -1 else lo
+        hi = mx if hi is None or _stat_cmp(mx, hi) == 1 else hi
+    return (lo, hi)
+
+
 def _partition_values(rel: str) -> dict[str, str]:
     """Hive partition key=value segments of a relative file path —
     directory-encoded columns carry no footer stats, so equality

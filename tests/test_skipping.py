@@ -387,3 +387,25 @@ def test_plain_strings_never_widen():
     stats = {"s": ["1996-01-01", "1996-01-01"]}
     assert G._file_matches("f.parquet", stats, [("s", "=", "1996-01-01")])
     assert not G._file_matches("f.parquet", stats, [("s", "=", "1996-01-02")])
+
+
+def test_generation_column_bounds_metadata_only(spark, tmp_path):
+    """generation_column_bounds: exact NULL-skipping min/max from the
+    manifest's footer stats, with the all-NULL-file and absent-column
+    edge cases."""
+    from map_reduce_indexing_spark.sources.generations import (
+        generation_column_bounds,
+        publish_generation,
+    )
+
+    store = str(tmp_path / "s")
+    spark.createDataFrame(
+        [(5, "b"), (9, None)], "v long, t string"
+    ).coalesce(1).write.parquet(store)
+    spark.createDataFrame(
+        [(None, "a"), (None, "z")], "v long, t string"
+    ).coalesce(1).write.mode("append").parquet(store)
+    publish_generation(store)
+    assert generation_column_bounds(store, "v") == (5, 9)
+    assert generation_column_bounds(store, "t") == ("a", "z")
+    assert generation_column_bounds(store, "missing") == (None, None)
