@@ -1931,3 +1931,53 @@ def q_rel_metadata_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, min_key long, max_key long, "
         "first_date timestamp, last_date timestamp",
     )
+
+
+@register(
+    "rel_metadata_count_pruned",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(TRUE AS BOOLEAN) AS bounded_plan
+        FROM orders
+        WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                              AND TIMESTAMP '1996-12-31'
+    """,
+    tier="relational",
+    doc="PREDICATE COUNT(*) served mostly from METADATA "
+    "(sources/generations.py:generation_predicate_count — the "
+    "aggregate-pushdown half of the manifest move): on the range-"
+    "clustered store, files the footer bounds prove FULLY inside the "
+    "date range (with recorded zero null counts) contribute exact "
+    "manifest row counts unopened; only the boundary files scan. The "
+    "emitted boolean asserts the plan shape: metadata counted at "
+    "least one file and at most the two boundary files (plus one for "
+    "layout slack) were opened, out of 16 — so the external hash "
+    "match certifies both the exact count and the split. At "
+    "100 TB a clustered range count is two boundary-file scans plus "
+    "one manifest read, at any store size.",
+)
+def q_rel_metadata_count_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from ..sources.generations import generation_predicate_count
+
+    path = orders_snapshot_store(spark, sf_dir)
+    rep = generation_predicate_count(
+        spark,
+        path,
+        [
+            (
+                "o_orderdate",
+                "between",
+                (
+                    datetime.datetime(1996, 1, 1),
+                    datetime.datetime(1996, 12, 31),
+                ),
+            )
+        ],
+    )
+    bounded = rep["files_metadata"] >= 1 and rep["files_scanned"] <= 3
+    return spark.createDataFrame(
+        [(rep["count"], bounded)],
+        "n_orders long, bounded_plan boolean",
+    )

@@ -206,6 +206,37 @@ def file_column_stats(abs_path: str) -> dict:
     return out
 
 
+def file_null_counts(abs_path: str) -> dict:
+    """{column: total null count} for every top-level primitive column
+    whose null statistics are present in EVERY row group (else the
+    column is omitted — an unknown null count is not zero). Metadata-
+    only, like file_column_stats; recorded per new file at publish so
+    full-file predicate proofs (_file_all_match) can require
+    null-free columns without touching data."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(abs_path).metadata
+    except Exception:
+        return {}
+    out: dict[str, int] = {}
+    bad: set[str] = set()
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        for j in range(rg.num_columns):
+            col = rg.column(j)
+            name = col.path_in_schema
+            if "." in name or name in bad:
+                continue
+            s = col.statistics
+            if s is None or s.null_count is None:
+                bad.add(name)
+                out.pop(name, None)
+                continue
+            out[name] = out.get(name, 0) + int(s.null_count)
+    return out
+
+
 def _bloom_key(v) -> str | None:
     """v1 (legacy) canonical key encoding — kept ONLY to probe sidecars
     written before the vectorized v2 format below; v2 stores a type
@@ -947,6 +978,7 @@ def _stats_entry(
         "size": size,
         "rows": _file_num_rows(p),
         "cols": file_column_stats(p),
+        "nulls": file_null_counts(p),
     }
     if bloom_cols and bloom_root is not None:
         base = hashlib.md5(f"{rel}::{size}".encode("utf-8")).hexdigest()[:20]
@@ -1933,3 +1965,114 @@ def describe_generations(spark: SparkSession, path: str) -> DataFrame:
         "generation int, published timestamp_ntz, n_files int, "
         "n_rows long, bytes long, tags string, is_head boolean",
     )
+
+
+def _file_all_match(rel: str, entry: dict, where) -> bool:
+    """Prove every row of a file satisfies the conjunction — the dual
+    of `_file_matches` (which proves no row can). True only on definite
+    evidence: partition-dir equality, or footer bounds strictly inside
+    the predicate AND a recorded zero null count for the column (a
+    NULL row fails a SQL predicate, so an unknown null count blocks
+    the proof). Anything unprovable returns False — the file then
+    takes the ordinary scan path, never a wrong count. String-stat
+    truncation only weakens proofs (parquet widens a truncated max and
+    lowers a truncated min), so a True here is always sound."""
+    stats = (entry or {}).get("cols") or {}
+    nulls = (entry or {}).get("nulls") or {}
+    parts = _partition_values(rel)
+
+    def term_proven(term) -> bool:
+        if _is_or_branch(term):
+            return any(term_proven(b) for b in term)
+        col, op, val = term
+        if col in parts:
+            if op == "=":
+                return str(val) == parts[col]
+            if op == "in":
+                return parts[col] in {str(v) for v in val}
+            return False
+        b = stats.get(col)
+        if not b or nulls.get(col) != 0:
+            return False
+        mn, mx = b
+        if op == "between":
+            lo, hi = _norm_stat(val[0]), _norm_stat(val[1])
+            return (
+                lo is not None
+                and hi is not None
+                and _le(lo, mn) is True
+                and _le(mx, hi) is True
+            )
+        v = _norm_stat(val)
+        if v is None:
+            return False
+        if op == "=":
+            return _stat_cmp(mn, v) == 0 and _stat_cmp(mx, v) == 0
+        if op == "in":
+            vs = [_norm_stat(x) for x in val]
+            return _stat_cmp(mn, mx) == 0 and any(
+                x is not None and _stat_cmp(mn, x) == 0 for x in vs
+            )
+        if op == "<":
+            return _lt(mx, v) is True
+        if op == "<=":
+            return _le(mx, v) is True
+        if op == ">":
+            return _lt(v, mn) is True
+        if op == ">=":
+            return _le(v, mn) is True
+        return False
+
+    return all(term_proven(t) for t in where)
+
+
+def generation_predicate_count(
+    spark: SparkSession, path: str, where, at: int | str | None = None
+) -> dict:
+    """COUNT(*) under a predicate, served from metadata wherever the
+    manifest can PROVE it: files whose footer bounds place every row
+    inside the predicate (and whose recorded null counts are zero for
+    the predicate columns) contribute their exact manifest row counts
+    without being opened; only the BOUNDARY files — kept by pruning
+    but not fully covered — are scanned and filtered. On a clustered
+    store a range predicate reduces to interior-files-by-metadata plus
+    two boundary-file scans, at ANY store size — the aggregate-
+    pushdown half of the Iceberg-manifest move (generation_row_count
+    is the unpredicated case). Returns {"count", "files_total",
+    "files_pruned", "files_metadata", "files_scanned"}."""
+    from ..operators.indexing import recover_index
+
+    recover_index(path)
+    m = load_manifest(path)
+    if m is None:
+        raise ValueError(f"{path!r} has no generation manifest")
+    n = _resolve(m, path, at)
+    g = m["gens"][str(n)]
+    root = path if g["root"] == "." else os.path.join(path, g["root"])
+    stats = g.get("stats") or {}
+    kept = [
+        r
+        for r in g["files"]
+        if _file_matches(r, (stats.get(r) or {}).get("cols") or {}, where)
+    ]
+    full, boundary = [], []
+    for r in kept:
+        (full if _file_all_match(r, stats.get(r) or {}, where) else boundary).append(r)
+    total = 0
+    for r in full:
+        rows = (stats.get(r) or {}).get("rows")
+        if rows is None:
+            rows = _file_num_rows(os.path.join(root, r))
+        total += int(rows or 0)
+    if boundary:
+        df = spark.read.option("basePath", root).parquet(
+            *[os.path.join(root, r) for r in boundary]
+        )
+        total += df.filter(_where_column(where)).count()
+    return {
+        "count": total,
+        "files_total": len(g["files"]),
+        "files_pruned": len(g["files"]) - len(kept),
+        "files_metadata": len(full),
+        "files_scanned": len(boundary),
+    }

@@ -409,3 +409,45 @@ def test_generation_column_bounds_metadata_only(spark, tmp_path):
     assert generation_column_bounds(store, "v") == (5, 9)
     assert generation_column_bounds(store, "t") == ("a", "z")
     assert generation_column_bounds(store, "missing") == (None, None)
+
+
+def test_predicate_count_metadata_split(spark, tmp_path):
+    """generation_predicate_count: interior files of a clustered store
+    count from the manifest, boundary files scan, the total is exact,
+    and unknown null counts force the scan path (never a wrong
+    count)."""
+    from map_reduce_indexing_spark.sources.generations import (
+        generation_predicate_count,
+        publish_generation,
+        read_generation,
+    )
+
+    store = str(tmp_path / "s")
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(1000)], "v long, k long"
+    )
+    df.repartitionByRange(10, "v").write.parquet(store)
+    publish_generation(store)
+    rep = generation_predicate_count(
+        spark, store, [("v", "between", (150, 850))]
+    )
+    assert rep["count"] == 701
+    assert rep["files_metadata"] >= 5  # interior files never opened
+    assert rep["files_scanned"] <= 3
+    assert rep["files_pruned"] >= 1
+    # exactness against a plain filter
+    assert (
+        read_generation(spark, store).filter("v between 150 and 850").count()
+        == rep["count"]
+    )
+    # a column with NULLs: files holding nulls can still be metadata-
+    # counted only when the null count is recorded zero
+    store2 = str(tmp_path / "s2")
+    spark.createDataFrame(
+        [(i, None if i % 3 == 0 else i) for i in range(90)],
+        "rid long, v long",
+    ).coalesce(2).write.parquet(store2)
+    publish_generation(store2)
+    rep2 = generation_predicate_count(spark, store2, [("v", ">=", 0)])
+    assert rep2["count"] == 60  # NULLs fail the predicate
+    assert rep2["files_metadata"] == 0  # null-bearing files must scan
