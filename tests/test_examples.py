@@ -24,6 +24,7 @@ EXAMPLES = [
     ("examples/embedding_pipeline.py", ["/root/testdata/sf0.001"]),
     ("examples/snapshot_pipeline.py", []),
     ("examples/lakehouse_tour.py", []),
+    ("examples/medallion_pipeline.py", []),
 ]
 
 
