@@ -187,7 +187,11 @@ def run_incremental_pipeline(
             }
             if expect_mode == "quarantine":
                 audit["rows_quarantined"] = n_bad
-                if n_bad:
+                # a rebuild's reject set is COMPLETE (every destination
+                # row was recomputed), so it must replace the
+                # quarantine even when empty — stale rejects would
+                # otherwise outlive the rows they came from
+                if n_bad or mode == "rebuild":
                     rejects = out.filter(bad).withColumn(
                         "_violations", violation_tags(flags)
                     )
@@ -241,18 +245,52 @@ def run_incremental_pipeline(
             from .expectations import quarantine_path
 
             qpath = quarantine_path(dst_path)
-            rejects.withColumn("_src_generation", F.lit(gen)).write.mode(
-                "append"
-            ).parquet(qpath)
-            for f in os.listdir(qpath):
-                p = os.path.join(qpath, f)
-                if (
-                    f.startswith("_")
-                    and os.path.isfile(p)
-                    and not f.endswith(".json")
-                ):
-                    os.remove(p)
-            publish_generation(qpath)
+            rejects = rejects.withColumn("_src_generation", F.lit(gen))
+            if mode == "rebuild" and not os.path.isdir(qpath):
+                # nothing to replace and (if the set is empty) nothing
+                # to create — fresh rejects fall through to the append
+                rejects = rejects if n_bad else None
+            if rejects is None:
+                pass
+            elif mode == "rebuild" and os.path.isdir(qpath):
+                # a rebuild recomputed EVERY destination row, so its
+                # rejects are the quarantine's complete new content —
+                # appending would duplicate rows earlier runs already
+                # quarantined. Staged overwrite, prior generations
+                # stay pinnable (same shape as readmit's rewrite).
+                import tempfile
+
+                from ..operators.indexing import _chmod_staging
+                from .commitio import IO
+                from .generations import carry_generations
+
+                with index_writer_lock(qpath):
+                    staging = tempfile.mkdtemp(
+                        prefix="mri_pipeq_",
+                        dir=os.path.dirname(qpath) or ".",
+                    )
+                    _chmod_staging(staging)
+                    rejects.write.mode("overwrite").parquet(staging)
+                    for f in os.listdir(staging):
+                        if f.startswith("_") and os.path.isfile(
+                            os.path.join(staging, f)
+                        ):
+                            os.remove(os.path.join(staging, f))
+                    carry_generations(qpath, staging)
+                    IO.publish_swap(qpath, staging)
+                    if load_manifest(qpath) is None:
+                        publish_generation(qpath)
+            else:
+                rejects.write.mode("append").parquet(qpath)
+                for f in os.listdir(qpath):
+                    p = os.path.join(qpath, f)
+                    if (
+                        f.startswith("_")
+                        and os.path.isfile(p)
+                        and not f.endswith(".json")
+                    ):
+                        os.remove(p)
+                publish_generation(qpath)
         return {
             "mode": mode if since > 0 else "append",
             "src_from": since,

@@ -228,3 +228,38 @@ def test_pipeline_runs_lineage(spark, tmp_path):
     ]
     assert runs[0].gated_rows_in is None
     assert runs[1].gated_rows_in == 5 and runs[1].gated_rows_appended == 5
+
+
+def test_gated_rebuild_replaces_the_quarantine(spark, tmp_path):
+    """A rebuild recomputes every destination row, so its reject set
+    REPLACES the quarantine (an append would duplicate rows earlier
+    runs already quarantined), and a rebuild whose rejects are empty
+    CLEARS a stale quarantine."""
+    from map_reduce_indexing_spark.sources.expectations import (
+        read_quarantine,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    exp = {"k2_cap": [("k2", "<=", 4)]}
+    _rows(spark, 0, 20).coalesce(2).write.parquet(src)  # k2 in 0..8
+    publish_generation(src)
+    run_incremental_pipeline(spark, src, dst, _double, expectations=exp)
+    q0 = read_quarantine(spark, dst).count()
+    assert q0 == 8  # k in {3,4} fail the cap
+
+    # source rewrite -> gated rebuild: quarantine REPLACED, not doubled
+    delete_rows(spark, src, [("rid", "=", 3)])  # k=3 row removed
+    rep = run_incremental_pipeline(
+        spark, src, dst, _double, expectations=exp
+    )
+    assert rep["mode"] == "rebuild"
+    assert read_quarantine(spark, dst).count() == 7
+
+    # delete every failing source row -> the next rebuild CLEARS it
+    delete_rows(spark, src, [("k", ">=", 3)])
+    rep = run_incremental_pipeline(
+        spark, src, dst, _double, expectations=exp
+    )
+    assert rep["mode"] == "rebuild"
+    assert read_quarantine(spark, dst).count() == 0
+    assert read_generation(spark, dst).count() == 12  # k in 0..2
