@@ -1068,13 +1068,17 @@ def _publish(
     m: dict,
     spark: SparkSession | None = None,
     entry_extra: dict | None = None,
+    manifest_extra: dict | None = None,
 ) -> int:
     """Hardlink the live listing into `_gen/g{head}` and record it —
     the generation's file paths are immutable from this moment on.
     `entry_extra` merges caller metadata (an expectations audit, a
     pipeline's consumed-span bookmark) into the generation entry
     INSIDE the same manifest save — one atomic record, so a crash can
-    never leave a published generation separated from its metadata."""
+    never leave a published generation separated from its metadata.
+    `manifest_extra` merges top-level keys the same way — for state
+    that must OUTLIVE retention (generation entries expire with their
+    generations; e.g. the pipeline bookmark map)."""
     import time
 
     rels = _data_files(path)
@@ -1095,6 +1099,7 @@ def _publish(
         ),
         **(entry_extra or {}),
     }
+    m.update(manifest_extra or {})
     _prune(path, m)
     _save_manifest(path, m)
     return head
@@ -1118,6 +1123,7 @@ def publish_generation(
     bloom_cols: list[str] | None = None,
     spark: SparkSession | None = None,
     entry_extra: dict | None = None,
+    manifest_extra: dict | None = None,
 ) -> int:
     """Snapshot the live state as a new head generation (immutable
     hardlinked copy under `_gen/`). Callers hold the artifact's
@@ -1140,7 +1146,12 @@ def publish_generation(
     if bloom_cols:
         m["bloom_cols"] = sorted(set(m.get("bloom_cols") or []) | set(bloom_cols))
     return _publish(
-        path, int(m["head"]) + 1, m, spark=spark, entry_extra=entry_extra
+        path,
+        int(m["head"]) + 1,
+        m,
+        spark=spark,
+        entry_extra=entry_extra,
+        manifest_extra=manifest_extra,
     )
 
 
@@ -1149,6 +1160,7 @@ def carry_generations(
     staging: str,
     spark: SparkSession | None = None,
     entry_extra: dict | None = None,
+    manifest_extra: dict | None = None,
 ) -> None:
     """Compaction support, called on the STAGING directory after the
     rewrite and before the swap (the live path is never touched):
@@ -1209,6 +1221,10 @@ def carry_generations(
     staged = {"head": head + 1, "gens": gens, "refs": refs}
     if m.get("bloom_cols"):
         staged["bloom_cols"] = m["bloom_cols"]
+    for k, v in m.items():
+        if k not in ("head", "gens", "refs", "bloom_cols"):
+            staged[k] = v  # caller-recorded top-level state carries
+    staged.update(manifest_extra or {})
     _save_manifest(staging, staged)
 
 

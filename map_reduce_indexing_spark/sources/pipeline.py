@@ -75,7 +75,11 @@ def pipeline_bookmark(dst_path: str, src_path: str) -> int:
     if m is None:
         return 0
     src_abs = os.path.abspath(src_path)
-    best = 0
+    # the top-level map is the durable record (generation entries
+    # expire with retention; this key survives every publish, carry,
+    # and swap); the per-entry records are the per-run lineage and
+    # keep old manifests working
+    best = int((m.get("pipelines") or {}).get(src_abs, 0))
     for g in m["gens"].values():
         p = g.get("pipeline")
         if p and p.get("src") == src_abs:
@@ -146,14 +150,24 @@ def run_incremental_pipeline(
                     )
                 mode = "rebuild"
 
+        src_abs = os.path.abspath(src_path)
         entry = {
             "pipeline": {
-                "src": os.path.abspath(src_path),
+                "src": src_abs,
                 "since": since,
                 "until": src_head,
                 "mode": mode,
             }
         }
+        # bookmark map: top-level so RETENTION can never expire it —
+        # without this, a dst whose newest generations came from
+        # non-pipeline verbs (delete, compaction) could age every
+        # pipeline entry past GEN_TTL and reset the bookmark to 0,
+        # making the next run duplicate the whole source
+        m0 = load_manifest(dst_path)
+        marks = dict((m0 or {}).get("pipelines") or {})
+        marks[src_abs] = src_head
+        top = {"pipelines": marks}
         if mode == "rebuild" or since == 0:
             batch = read_generation(spark, src_path, at=src_head)
         else:
@@ -226,7 +240,13 @@ def run_incremental_pipeline(
             # carry_generations records the rebuilt listing as the new
             # head INSIDE the staged manifest — the bookmark rides that
             # same save, and the swap publishes data + manifest together
-            carry_generations(dst_path, staging, spark=spark, entry_extra=entry)
+            carry_generations(
+                dst_path,
+                staging,
+                spark=spark,
+                entry_extra=entry,
+                manifest_extra=top,
+            )
             IO.publish_swap(dst_path, staging)
             gen = generation_head(dst_path)
         else:
@@ -240,7 +260,9 @@ def run_incremental_pipeline(
                 ):
                     if not f.endswith(".json"):
                         os.remove(os.path.join(dst_path, f))
-            gen = publish_generation(dst_path, spark=spark, entry_extra=entry)
+            gen = publish_generation(
+                dst_path, spark=spark, entry_extra=entry, manifest_extra=top
+            )
         if rejects is not None:
             from .expectations import quarantine_path
 

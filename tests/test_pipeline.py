@@ -263,3 +263,32 @@ def test_gated_rebuild_replaces_the_quarantine(spark, tmp_path):
     assert rep["mode"] == "rebuild"
     assert read_quarantine(spark, dst).count() == 0
     assert read_generation(spark, dst).count() == 12  # k in 0..2
+
+
+def test_bookmark_survives_retention_and_dst_mutations(
+    spark, tmp_path, monkeypatch
+):
+    """The durable bookmark: non-pipeline writes on the destination
+    (deletes) churn its generations, and with the TTL forced to zero
+    retention expires the generation that carried the pipeline entry —
+    the top-level bookmark map must still prevent a duplicate
+    re-consume."""
+    from map_reduce_indexing_spark.sources import generations as G
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _rows(spark, 0, 10).coalesce(1).write.parquet(src)
+    publish_generation(src)
+    run_incremental_pipeline(spark, src, dst, _double)
+    assert pipeline_bookmark(dst, src) == 1
+
+    monkeypatch.setattr(G, "GEN_TTL_SECONDS", 0.0)
+    for rid in (0, 1, 2, 3):
+        delete_rows(spark, dst, [("rid", "=", rid)])
+    m = G.load_manifest(dst)
+    # the generation carrying the pipeline entry is gone...
+    assert not any(g.get("pipeline") for g in m["gens"].values())
+    # ...but the bookmark survives, so the rerun is a noop
+    assert pipeline_bookmark(dst, src) == 1
+    rep = run_incremental_pipeline(spark, src, dst, _double)
+    assert rep["mode"] == "noop"
+    assert read_generation(spark, dst).count() == 6  # no duplicates
