@@ -292,3 +292,26 @@ def test_bookmark_survives_retention_and_dst_mutations(
     rep = run_incremental_pipeline(spark, src, dst, _double)
     assert rep["mode"] == "noop"
     assert read_generation(spark, dst).count() == 6  # no duplicates
+
+
+def test_multi_source_fan_in_independent_bookmarks(spark, tmp_path):
+    """Two sources feeding ONE destination keep independent bookmarks
+    (the map is keyed by source path): each source's delta lands once,
+    and advancing one source never re-consumes the other."""
+    a, b, dst = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "dst")
+    _rows(spark, 0, 10).coalesce(1).write.parquet(a)
+    publish_generation(a)
+    _rows(spark, 100, 5).coalesce(1).write.parquet(b)
+    publish_generation(b)
+    run_incremental_pipeline(spark, a, dst, _double)
+    run_incremental_pipeline(spark, b, dst, _double)
+    assert read_generation(spark, dst).count() == 15
+
+    _rows(spark, 10, 3).coalesce(1).write.mode("append").parquet(a)
+    publish_generation(a)
+    rep_a = run_incremental_pipeline(spark, a, dst, _double)
+    rep_b = run_incremental_pipeline(spark, b, dst, _double)
+    assert rep_a["mode"] == "append" and rep_a["src_from"] == 1
+    assert rep_b["mode"] == "noop"
+    assert read_generation(spark, dst).count() == 18
+    assert pipeline_bookmark(dst, a) == 2 and pipeline_bookmark(dst, b) == 1
