@@ -19,15 +19,19 @@ source rows published since its last run —
   non-distributive transform (documented contract, like matview
   row_keys).
 
-- EXACTLY-ONCE bookkeeping is derived state, not a side file: every
-  pipeline publish records {"pipeline": {"src": path, "since": g0,
-  "until": g1}} INSIDE the destination's generation entry — the same
-  atomic manifest save that records the generation itself
-  (generations.py:_publish entry_extra), so a crash can never leave
-  output rows whose consumed span went unrecorded (the duplicate-
-  apply failure) or a recorded span whose rows were lost. The next
-  run resumes from the MAX recorded `until`; re-running a completed
-  span is a no-op.
+- EXACTLY-ONCE bookkeeping lives in the destination manifest, not a
+  side file, written in the SAME atomic save that records the
+  generation (generations.py:_publish entry_extra/manifest_extra) —
+  so a crash can never leave output rows whose consumed span went
+  unrecorded (the duplicate-apply failure) or a recorded span whose
+  rows were lost. Two records per run: the per-generation entry
+  {"pipeline": {"src", "since", "until", "mode"}} (run lineage,
+  expires with its generation) and a TOP-LEVEL {"pipelines": {src:
+  until}} map (the durable bookmark — retention expires generation
+  entries, and without the map a destination churned by non-pipeline
+  verbs would eventually reset to 0 and re-consume the source). The
+  next run resumes from the max of both; a completed span re-runs as
+  a no-op.
 
 - A source span that REWROTE files (compaction fold, delete, upsert)
   is not a union-delta, so per-delta transforms don't compose across
