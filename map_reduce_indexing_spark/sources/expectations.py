@@ -50,10 +50,15 @@ Scale shape: the gate is ONE map-side-combined aggregation over the
 batch (per-expectation violation counts — a handful of sum(when)
 columns in whole-stage codegen) plus the writes, each a plain
 filtered append; nothing shuffles on data size and nothing collects
-beyond the k-expectation count row. The batch lineage is evaluated
-once per pass (count, admit write, quarantine write) — callers with
-expensive upstream lineage should persist the batch first, same as
-any multi-consumer frame.
+beyond the k-expectation count row. The batch is localCheckpoint-ed
+BEFORE the gate, so the violation counts, the admit write, and the
+quarantine write all split ONE materialization of the lineage — this
+is a correctness requirement, not a cost optimization: a
+non-deterministic upstream (rand, current-time columns, source files
+changing mid-run) re-evaluated per action could route a row into the
+store on one evaluation and the quarantine on another, or into
+neither. Callers invoking `gate_eval` directly owe it an already-
+pinned (checkpointed/persisted) or deterministic frame.
 
 Reference basis: the unchecked append at helper_reduce.c:241 (any
 mapper output is folded in verbatim); SURVEY.md §2.12 lists the
@@ -170,6 +175,16 @@ def append_with_expectations(
      "rows_quarantined"|"rows_dropped", "violations": {name: n}}."""
     if mode not in _MODES:
         raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
+    # Pin ONE evaluation of the batch lineage before the gate: the
+    # violation counts, the admit write, and the quarantine write must
+    # all see the SAME rows, and a non-deterministic upstream (rand,
+    # current_timestamp, source files changing mid-run) evaluated once
+    # per action could disagree — rows lost or double-routed between
+    # store and quarantine. localCheckpoint materializes the batch
+    # once (executor memory/disk, lineage truncated; the context
+    # cleaner reclaims it on GC); batches are microbatch-sized by
+    # contract, so the pin is bounded.
+    df = df.localCheckpoint(eager=True)
     flags, bad, rows_in, n_bad, violations = gate_eval(df, expectations)
 
     if mode == "fail" and n_bad:
@@ -302,6 +317,10 @@ def readmit(
     if not isinstance(fixed, DataFrame):
         raise TypeError("fix must return a DataFrame")
 
+    # same single-evaluation pin as append_with_expectations: the
+    # re-gate's counts, the readmit append, and the quarantine rewrite
+    # must split ONE materialization of the repaired batch
+    fixed = fixed.localCheckpoint(eager=True)
     flags, bad, rows_in, n_bad, violations = gate_eval(fixed, expectations)
 
     with index_writer_lock(path):

@@ -22,9 +22,19 @@ source rows published since its last run —
 - EXACTLY-ONCE bookkeeping lives in the destination manifest, not a
   side file, written in the SAME atomic save that records the
   generation (generations.py:_publish entry_extra/manifest_extra) —
-  so a crash can never leave output rows whose consumed span went
-  unrecorded (the duplicate-apply failure) or a recorded span whose
-  rows were lost. Two records per run: the per-generation entry
+  so a crash can never leave a recorded span whose rows were lost.
+  The converse window (output appended, crash BEFORE the publish
+  records it) leaves unpublished orphan files with the bookmark
+  unadvanced; the next run's orphan sweep deletes live-minus-head
+  files under the writer lock before re-reading the span (safe: no
+  published generation references an unpublished file), so the retry
+  lands exactly once. Bookmarks are keyed by `os.path.realpath` of
+  the source (a symlinked alias of one source must hit the SAME
+  bookmark, not a fresh 0); `on_first_run="error"` additionally
+  refuses a bookmark-less full-source read into a destination that
+  already has published data — the posture for declared
+  single-source destinations (the default "append" keeps multi-source
+  fan-in working). Two records per run: the per-generation entry
   {"pipeline": {"src", "since", "until", "mode"}} (run lineage,
   expires with its generation) and a TOP-LEVEL {"pipelines": {src:
   until}} map (the durable bookmark — retention expires generation
@@ -71,6 +81,17 @@ from .generations import (
 )
 
 
+def _src_keys(src_path: str) -> list[str]:
+    """Bookmark keys for one source, most-canonical first. realpath is
+    THE key (a symlinked or re-mounted alias of one source must
+    resolve to the SAME bookmark — an alias starting from 0 would
+    full-read the source onto the destination a second time); abspath
+    rides along for manifests written before the realpath fix."""
+    rp = os.path.realpath(src_path)
+    ap = os.path.abspath(src_path)
+    return [rp] if rp == ap else [rp, ap]
+
+
 def pipeline_bookmark(dst_path: str, src_path: str) -> int:
     """The highest source generation the destination has consumed —
     derived from the destination's generation entries (one manifest
@@ -78,15 +99,16 @@ def pipeline_bookmark(dst_path: str, src_path: str) -> int:
     m = load_manifest(dst_path)
     if m is None:
         return 0
-    src_abs = os.path.abspath(src_path)
+    keys = set(_src_keys(src_path))
     # the top-level map is the durable record (generation entries
     # expire with retention; this key survives every publish, carry,
     # and swap); the per-entry records are the per-run lineage and
     # keep old manifests working
-    best = int((m.get("pipelines") or {}).get(src_abs, 0))
+    marks = m.get("pipelines") or {}
+    best = max((int(marks.get(k, 0)) for k in keys), default=0)
     for g in m["gens"].values():
         p = g.get("pipeline")
-        if p and p.get("src") == src_abs:
+        if p and p.get("src") in keys:
             best = max(best, int(p["until"]))
     return best
 
@@ -100,6 +122,7 @@ def run_incremental_pipeline(
     partition_by: list[str] | None = None,
     expectations: dict | None = None,
     expect_mode: str = "quarantine",
+    on_first_run: str = "append",
 ) -> dict:
     """Advance `dst_path` to `src_path`'s head by transforming only
     the unconsumed source rows. Returns {"mode": "noop" | "append" |
@@ -125,13 +148,58 @@ def run_incremental_pipeline(
         raise ValueError(
             f"expect_mode must be fail|drop|quarantine, got {expect_mode!r}"
         )
+    if on_first_run not in ("append", "error"):
+        raise ValueError(
+            f"on_first_run must be append|error, got {on_first_run!r}"
+        )
     from ..operators.indexing import _recover_index_locked, index_writer_lock
+    from .generations import _data_files
 
     os.makedirs(dst_path, exist_ok=True)
     with index_writer_lock(dst_path):
         _recover_index_locked(dst_path)
+        # Orphan sweep: a prior run that crashed BETWEEN its output
+        # append and its publish leaves data files on the live listing
+        # that no generation records — and its bookmark unadvanced, so
+        # the retry re-transforms the same span and the next publish
+        # would fold BOTH copies in (permanent duplicates). Every store
+        # verb publishes atomically, so live-minus-head files in a
+        # pipeline destination are exactly that crash residue: delete
+        # them (no published reader can reference an unpublished file).
+        # A destination with data but NO manifest is pre-pipeline
+        # content, not residue — the first publish pins it as the base
+        # generation, same as append_with_expectations' adoption path.
+        m_live = load_manifest(dst_path)
+        head_entry = (
+            m_live["gens"].get(str(m_live["head"])) if m_live else None
+        )
+        if head_entry is not None:
+            head_files = set(head_entry["files"])
+            for rel in _data_files(dst_path):
+                if rel not in head_files:
+                    try:
+                        os.remove(os.path.join(dst_path, rel))
+                    except OSError:
+                        pass
         src_head = generation_head(src_path)
         since = pipeline_bookmark(dst_path, src_path)
+        if (
+            since == 0
+            and on_first_run == "error"
+            and head_entry is not None
+            and head_entry["files"]
+        ):
+            # first run of THIS source against a destination that
+            # already holds published data: a full source read would
+            # append wholesale. Legitimate for multi-source fan-in
+            # (the default posture) — refused when the caller declares
+            # the destination single-source (on_first_run='error').
+            raise ValueError(
+                f"no bookmark for source {src_path!r} but destination "
+                f"{dst_path!r} already has published data; a first run "
+                "appends the FULL source head (on_first_run='error'). "
+                "Pass on_first_run='append' for multi-source fan-in."
+            )
         if since >= src_head:
             return {
                 "mode": "noop",
@@ -154,7 +222,7 @@ def run_incremental_pipeline(
                     )
                 mode = "rebuild"
 
-        src_abs = os.path.abspath(src_path)
+        src_abs = _src_keys(src_path)[0]
         entry = {
             "pipeline": {
                 "src": src_abs,
@@ -170,6 +238,8 @@ def run_incremental_pipeline(
         # making the next run duplicate the whole source
         m0 = load_manifest(dst_path)
         marks = dict((m0 or {}).get("pipelines") or {})
+        for alias in _src_keys(src_path)[1:]:
+            marks.pop(alias, None)  # fold legacy abspath keys into realpath
         marks[src_abs] = src_head
         top = {"pipelines": marks}
         if mode == "rebuild" or since == 0:
@@ -188,6 +258,10 @@ def run_incremental_pipeline(
                 violation_tags,
             )
 
+            # single-evaluation pin (see expectations.py): the gate
+            # counts, the admit write, and the quarantine write must
+            # split ONE materialization of the transformed delta
+            out = out.localCheckpoint(eager=True)
             flags, bad, rows_in, n_bad, violations = gate_eval(
                 out, expectations
             )

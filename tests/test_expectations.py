@@ -239,3 +239,39 @@ def test_readmit_noop_without_quarantine(spark, tmp_path):
     )
     rep = readmit(spark, store, EXPECT)
     assert rep == {"readmitted": 0, "still_quarantined": 0, "violations": {}}
+
+
+def test_gate_pins_nondeterministic_batch(spark, tmp_path):
+    """Round-11 determinism pin: the gate's counts, the admit write,
+    and the quarantine write must split ONE evaluation of the batch.
+    A rand()-bearing lineage evaluated per action would route rows
+    inconsistently (lost or double-routed); with the localCheckpoint
+    pin the audit, the store, and the quarantine agree exactly."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_indexing_spark.sources.expectations import (
+        append_with_expectations,
+        read_quarantine,
+    )
+    from map_reduce_indexing_spark.sources.generations import read_generation
+
+    store = str(tmp_path / "store")
+    base = spark.range(500).select(
+        F.col("id").alias("rid"), F.rand().alias("score")
+    )
+    rep = append_with_expectations(
+        spark, store, base, {"score_cap": [("score", "<=", 0.5)]}
+    )
+    kept = read_generation(spark, store)
+    quar = read_quarantine(spark, store)
+    assert rep["rows_in"] == 500
+    assert kept.count() == rep["rows_appended"]
+    assert quar.count() == rep["rows_quarantined"]
+    assert rep["rows_appended"] + rep["rows_quarantined"] == 500
+    kept_ids = {r.rid for r in kept.select("rid").collect()}
+    quar_ids = {r.rid for r in quar.select("rid").collect()}
+    assert kept_ids.isdisjoint(quar_ids)
+    assert len(kept_ids | quar_ids) == 500
+    # and the split respected the pinned values, not a re-roll
+    assert kept.filter(F.col("score") > 0.5).count() == 0
+    assert quar.filter(F.col("score") <= 0.5).count() == 0

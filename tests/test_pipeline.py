@@ -315,3 +315,71 @@ def test_multi_source_fan_in_independent_bookmarks(spark, tmp_path):
     assert rep_b["mode"] == "noop"
     assert read_generation(spark, dst).count() == 18
     assert pipeline_bookmark(dst, a) == 2 and pipeline_bookmark(dst, b) == 1
+
+
+def test_crash_orphans_swept_before_retry(spark, tmp_path):
+    """Round-11 crash-window fix: a run that crashed BETWEEN its
+    output append and its publish leaves unpublished orphan files with
+    the bookmark unadvanced. The retry must sweep them under the
+    writer lock and land the span exactly once — without the sweep the
+    retry's append plus the orphans would fold into one generation as
+    permanent duplicate rows."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _rows(spark, 0, 20).coalesce(2).write.parquet(src)
+    publish_generation(src)
+    run_incremental_pipeline(spark, src, dst, _double)
+
+    _rows(spark, 20, 10).coalesce(1).write.mode("append").parquet(src)
+    publish_generation(src)
+    # simulate the crash residue: the delta's transformed output is on
+    # the destination's live listing, but no publish recorded it
+    _double(_rows(spark, 20, 10)).coalesce(1).write.mode("append").parquet(dst)
+    assert pipeline_bookmark(dst, src) == 1  # bookmark unadvanced
+
+    rep = run_incremental_pipeline(spark, src, dst, _double)
+    assert rep["mode"] == "append" and rep["src_from"] == 1
+    assert _collect(spark, dst) == sorted(
+        tuple(r) for r in _double(_rows(spark, 0, 30)).collect()
+    )
+
+
+def test_symlinked_source_shares_bookmark(spark, tmp_path):
+    """Bookmarks key by realpath: a symlinked alias of an
+    already-consumed source must resolve to the SAME bookmark (an
+    alias starting at 0 would re-append the full source)."""
+    import os
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _rows(spark, 0, 12).coalesce(1).write.parquet(src)
+    publish_generation(src)
+    run_incremental_pipeline(spark, src, dst, _double)
+    alias = str(tmp_path / "src_alias")
+    os.symlink(src, alias)
+    rep = run_incremental_pipeline(spark, alias, dst, _double)
+    assert rep["mode"] == "noop"
+    assert read_generation(spark, dst).count() == 12
+    assert pipeline_bookmark(dst, alias) == 1
+
+
+def test_on_first_run_error_refuses_nonempty_destination(spark, tmp_path):
+    """A declared single-source destination refuses a bookmark-less
+    full-source read when it already holds published data (the
+    aliased-path / different-mount duplication guard); the default
+    posture still allows multi-source fan-in."""
+    a, b, dst = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "dst")
+    _rows(spark, 0, 10).coalesce(1).write.parquet(a)
+    publish_generation(a)
+    _rows(spark, 50, 5).coalesce(1).write.parquet(b)
+    publish_generation(b)
+    run_incremental_pipeline(spark, a, dst, _double)
+    with pytest.raises(ValueError, match="on_first_run"):
+        run_incremental_pipeline(
+            spark, b, dst, _double, on_first_run="error"
+        )
+    assert read_generation(spark, dst).count() == 10  # nothing written
+    # the same source with its bookmark present is never refused
+    rep = run_incremental_pipeline(spark, a, dst, _double, on_first_run="error")
+    assert rep["mode"] == "noop"
+    # default posture: fan-in proceeds
+    run_incremental_pipeline(spark, b, dst, _double)
+    assert read_generation(spark, dst).count() == 15
