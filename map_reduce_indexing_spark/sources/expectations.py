@@ -167,14 +167,53 @@ def append_with_expectations(
     mode: str = "quarantine",
     partition_by: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    idempotency: tuple[str, int] | None = None,
 ) -> dict:
     """Gate `df` through `expectations` and append the admitted rows
     to the generations store at `path` as a new published generation.
     Returns the audit dict also recorded in the manifest entry:
     {"generation", "mode", "rows_in", "rows_appended",
-     "rows_quarantined"|"rows_dropped", "violations": {name: n}}."""
+     "rows_quarantined"|"rows_dropped", "violations": {name: n}}.
+
+    `idempotency=(key, batch_id)` makes the append REPLAY-SAFE for
+    at-least-once callers (streaming foreachBatch): the store manifest
+    records the last applied batch id per key at the TOP LEVEL
+    (`applied_batches` — survives retention, carries through
+    compaction swaps) inside the SAME atomic save that publishes the
+    generation, and a call whose batch_id <= the recorded id returns
+    {"replayed": True} without writing anything. Batch ids must be
+    monotone per key (structured streaming's contract). The
+    quarantine split is written and published — with its OWN
+    applied-batch record — BEFORE the main publish, so every crash
+    point replays cleanly: before the quarantine publish, nothing is
+    recorded anywhere (full redo); between the two publishes, the
+    redo skips only the quarantine write; after the main publish, the
+    whole call is a no-op."""
     if mode not in _MODES:
         raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
+
+    def _already_applied(manifest) -> bool:
+        if idempotency is None or manifest is None:
+            return False
+        key, batch_id = idempotency
+        rec = (manifest.get("applied_batches") or {}).get(str(key))
+        return rec is not None and int(batch_id) <= int(rec)
+
+    def _applied_extra(manifest) -> dict | None:
+        if idempotency is None:
+            return None
+        key, batch_id = idempotency
+        marks = dict((manifest or {}).get("applied_batches") or {})
+        marks[str(key)] = int(batch_id)
+        return {"applied_batches": marks}
+
+    # cheap pre-check outside the lock (authoritative re-check under
+    # it): a replayed batch skips the gate materialization entirely
+    if _already_applied(load_manifest(path)):
+        from .generations import generation_head
+
+        return {"generation": generation_head(path), "mode": mode,
+                "replayed": True}
     # Pin ONE evaluation of the batch lineage before the gate: the
     # violation counts, the admit write, and the quarantine write must
     # all see the SAME rows, and a non-deterministic upstream (rand,
@@ -196,6 +235,9 @@ def append_with_expectations(
     with index_writer_lock(path):
         _recover_index_locked(path)
         m = load_manifest(path)
+        if _already_applied(m):
+            return {"generation": int(m["head"]), "mode": mode,
+                    "replayed": True}
         if m is None:
             m = {"head": 0, "gens": {}}
             if _data_files(path):
@@ -220,6 +262,27 @@ def append_with_expectations(
         elif mode == "drop":
             audit["rows_dropped"] = n_bad
 
+        # the generation the main publish below will produce — we hold
+        # the writer lock, so nothing can move the head under us
+        next_gen = int(m["head"]) + 1
+        if mode == "quarantine" and n_bad:
+            # quarantine FIRST, with its own applied-batch record: a
+            # crash between the two publishes replays the batch, the
+            # redo sees the quarantine already recorded and skips only
+            # this write (main-after-quarantine would instead lose the
+            # batch's rejects forever on the same crash)
+            qpath = quarantine_path(path)
+            qm = load_manifest(qpath) if os.path.isdir(qpath) else None
+            if not _already_applied(qm):
+                qdf = (
+                    df.filter(bad)
+                    .withColumn("_violations", violation_tags(flags))
+                    .withColumn("_src_generation", F.lit(next_gen))
+                )
+                qdf.write.mode("append").parquet(qpath)
+                _strip_markers(qpath)
+                publish_generation(qpath, manifest_extra=_applied_extra(qm))
+
         admitted = df.filter(~bad) if n_bad else df
         if rows_in - n_bad > 0 or not m["gens"]:
             w = admitted.write.mode("append")
@@ -227,24 +290,16 @@ def append_with_expectations(
                 w = w.partitionBy(*partition_by)
             w.parquet(path)
             _strip_markers(path)
-        # the audit rides the SAME manifest save that records the
-        # generation — a crash can never separate the two
+        # the audit AND the applied-batch bookmark ride the SAME
+        # manifest save that records the generation — a crash can
+        # never separate the three
         head = publish_generation(
             path,
             bloom_cols=bloom_cols,
             spark=spark,
             entry_extra={"expectations": audit},
+            manifest_extra=_applied_extra(m),
         )
-        if mode == "quarantine" and n_bad:
-            qpath = quarantine_path(path)
-            qdf = (
-                df.filter(bad)
-                .withColumn("_violations", violation_tags(flags))
-                .withColumn("_src_generation", F.lit(head))
-            )
-            qdf.write.mode("append").parquet(qpath)
-            _strip_markers(qpath)
-            publish_generation(qpath)
     return {"generation": head, **audit}
 
 

@@ -1744,15 +1744,34 @@ def run_gated_ingest(
     `.quarantine` sibling tagged with their failed expectations (mode
     "quarantine"), are dropped ("drop"), or FAIL the streaming query
     before anything is written ("fail" — the checkpoint then replays
-    the same batch after the producer is fixed, so admission stays
-    exactly-once through failures). Returns the per-batch audits."""
+    the same batch after the producer is fixed). Returns the per-batch
+    audits.
+
+    Admission is exactly-once in ALL THREE modes when `checkpoint` is
+    set: foreachBatch is at-least-once (a crash after the store
+    publish but before the checkpoint's offset commit replays the
+    batch on restart), so the sink passes (checkpoint, batch_id) as
+    the append's idempotency key — the store manifest records the
+    last applied batch id inside the same atomic publish, and a
+    replayed batch returns {"replayed": True} without writing
+    (sources/expectations.py:append_with_expectations). Without a
+    checkpoint there is no replay bookkeeping and a re-run of the
+    whole query re-appends everything — one-shot use only."""
     reports: list[dict] = []
+    idem_key = os.path.realpath(checkpoint) if checkpoint is not None else None
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         from ..sources.expectations import append_with_expectations
 
         rep = append_with_expectations(
-            spark, store_path, batch_df, expectations, mode=mode
+            spark,
+            store_path,
+            batch_df,
+            expectations,
+            mode=mode,
+            idempotency=(
+                (idem_key, int(batch_id)) if idem_key is not None else None
+            ),
         )
         rep["batch"] = batch_id
         reports.append(rep)

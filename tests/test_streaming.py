@@ -520,3 +520,130 @@ def test_gated_ingest_per_batch_audits_and_quarantine(spark, tmp_path):
     assert {r._violations for r in q.collect()} == {"v_cap"}
     # one audited generation per non-empty batch
     assert sum(r["rows_quarantined"] for r in reports) == 19
+
+
+def test_gated_ingest_replay_idempotent_after_crash(spark, tmp_path):
+    """Round-11 exactly-once fix: a crash AFTER a batch's generation
+    publishes but BEFORE the streaming checkpoint commits the offset
+    replays that batch on restart (foreachBatch is at-least-once).
+    Simulated here by deleting the newest checkpoint commit marker and
+    restarting the stream: the replayed batch must be skipped via the
+    manifest's applied-batch bookmark — no duplicate rows, no
+    duplicate generation, in BOTH the store and its quarantine."""
+    import os
+
+    from map_reduce_indexing_spark.sources.expectations import (
+        read_quarantine,
+    )
+    from map_reduce_indexing_spark.sources.generations import (
+        generation_head,
+        read_generation,
+    )
+    from map_reduce_indexing_spark.streaming.events import run_gated_ingest
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [(i, f"u{i % 3}", i * 10) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, u string, v long")
+    df.repartition(4, "id").write.parquet(src)
+    expectations = {"v_cap": [("v", "<=", 200)]}
+    run_gated_ingest(
+        spark, src, store, expectations, checkpoint=ckpt, schema=df.schema
+    )
+    head0 = generation_head(store)
+    n0 = read_generation(spark, store).count()
+    q0 = read_quarantine(spark, store).count()
+    assert n0 == 21 and q0 == 19
+
+    # crash window: the last batch's publish landed, its offset commit
+    # did not — drop the newest commit marker and restart
+    commits = os.path.join(ckpt, "commits")
+    newest = max(
+        (f for f in os.listdir(commits) if not f.startswith(".")), key=int
+    )
+    os.remove(os.path.join(commits, newest))
+    crc = os.path.join(commits, f".{newest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    reports = run_gated_ingest(
+        spark, src, store, expectations, checkpoint=ckpt, schema=df.schema
+    )
+    assert any(r.get("replayed") for r in reports)
+    assert generation_head(store) == head0
+    assert read_generation(spark, store).count() == n0
+    assert read_quarantine(spark, store).count() == q0
+
+
+def test_gated_ingest_replay_redo_completes_quarantine_window(spark, tmp_path):
+    """The crash BETWEEN the quarantine publish and the main publish:
+    the redo must skip the already-recorded quarantine write and still
+    land the admitted rows — no lost rejects, no doubled rejects."""
+    from map_reduce_indexing_spark.sources.expectations import (
+        append_with_expectations,
+        quarantine_path,
+        read_quarantine,
+    )
+    from map_reduce_indexing_spark.sources.generations import (
+        generation_head,
+        load_manifest,
+        read_generation,
+    )
+
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(20)], "id long, v long"
+    )
+    # first: a clean full apply records batch 0 everywhere
+    rep = append_with_expectations(
+        spark, store, df, {"v_cap": [("v", "<=", 100)]},
+        idempotency=("ck", 0),
+    )
+    assert rep["rows_appended"] == 11 and rep["rows_quarantined"] == 9
+    # replay of batch 0 is a no-op end to end
+    rep2 = append_with_expectations(
+        spark, store, df, {"v_cap": [("v", "<=", 100)]},
+        idempotency=("ck", 0),
+    )
+    assert rep2.get("replayed") is True
+    assert generation_head(store) == rep["generation"]
+    assert read_generation(spark, store).count() == 11
+    assert read_quarantine(spark, store).count() == 9
+    # quarantine recorded its own bookmark inside the same publish
+    assert (load_manifest(quarantine_path(store)).get("applied_batches"))[
+        "ck"
+    ] == 0
+
+    # now the mid-crash shape for batch 1: quarantine published with
+    # its record, main store did not (simulated by a quarantine-only
+    # apply of the batch's rejects, as the crashed run left it)
+    df1 = spark.createDataFrame(
+        [(100 + i, 90 + i * 10) for i in range(6)], "id long, v long"
+    )  # v: 90..140 -> 2 pass, 4 reject
+    from pyspark.sql import functions as F
+
+    from map_reduce_indexing_spark.sources.generations import (
+        publish_generation,
+    )
+
+    qpath = quarantine_path(store)
+    crashed_rejects = (
+        df1.filter(F.col("v") > 100)
+        .withColumn("_violations", F.lit("v_cap"))
+        .withColumn("_src_generation", F.lit(generation_head(store) + 1))
+    )
+    crashed_rejects.write.mode("append").parquet(qpath)
+    qm = load_manifest(qpath)
+    marks = dict(qm.get("applied_batches") or {})
+    marks["ck"] = 1
+    publish_generation(qpath, manifest_extra={"applied_batches": marks})
+
+    # the restart replays batch 1: main store must append its admitted
+    # rows; the quarantine write must be skipped (already recorded)
+    rep3 = append_with_expectations(
+        spark, store, df1, {"v_cap": [("v", "<=", 100)]},
+        idempotency=("ck", 1),
+    )
+    assert rep3.get("replayed") is None
+    assert read_generation(spark, store).count() == 13
+    assert read_quarantine(spark, store).count() == 13  # 9 + 4, not 9 + 8
