@@ -85,6 +85,11 @@ HEADLINE = [
     "rel_matview_hist_quantile",  # maintained histogram -> served percentiles (r10)
     "dedup_incremental_lsh_pairs",  # delta-vs-corpus batch dedup via generation diff (r10)
     "text_incremental_pipeline",  # chained store-to-store incremental ETL (r10)
+    "rel_concurrent_append",   # optimistic lock-free appends via manifest CAS (r11)
+    "stream_autocompact_ingest",  # gated ingest + publish-time small-file policy (r11)
+    "stream_gated_ingest",     # exactly-once gated admission, replay-idempotent (r11)
+    "ann_filtered_topk",       # predicate pushed inside the pruned IVF cell scan (r11)
+    "rel_expectations_readmit",  # quarantine repair loop: fix -> re-gate -> append (r11)
 ]
 
 
@@ -180,11 +185,59 @@ def contention_marker(spark, n_samples: int = 3) -> dict:
         t0 = time.perf_counter()
         _scan_job()
         sc.append(time.perf_counter() - t0)
+
+    # manifest_read (round 11): the driver-bound manifest tier —
+    # build+publish a tiny generations store ONCE (unmeasured), then
+    # time open+parse of its manifest, the metadata-only count, and
+    # the tiny createDataFrame that metadata-served queries end with
+    # (rel_metadata_count's whole runtime lives here: zero Spark jobs,
+    # pure driver work + one JSON read). Round-10's rel_metadata_count
+    # flag (+32%) had no marker covering this tier; now the regime is
+    # pinned in the run record like the scan tier.
+    def _manifest_store() -> str:
+        import tempfile
+
+        from map_reduce_indexing_spark.sources.generations import (
+            publish_generation,
+        )
+
+        d = tempfile.mkdtemp(prefix="mri_bench_manifest_")
+        store = os.path.join(d, "store")
+        spark.range(0, 10_000, 1, 4).selectExpr(
+            "id", "id % 97 AS k"
+        ).write.parquet(store)
+        publish_generation(store)
+        return store
+
+    store = _manifest_store()
+
+    def _manifest_job():
+        from map_reduce_indexing_spark.sources.generations import (
+            generation_row_count,
+            load_manifest,
+        )
+
+        m = load_manifest(store)
+        n = generation_row_count(store)
+        spark.createDataFrame(
+            [(n, len(m["gens"]))], "n long, gens int"
+        ).collect()
+
+    _manifest_job()  # warmup: session state for createDataFrame
+    mf = []
+    for _ in range(n_samples):
+        t0 = time.perf_counter()
+        _manifest_job()
+        mf.append(time.perf_counter() - t0)
+    import shutil as _shutil
+
+    _shutil.rmtree(os.path.dirname(store), ignore_errors=True)
     return {
         "python_md5": stats(py),
         "spark_sum": stats(sp),
         "python_worker": stats(pw),
         "parquet_scan": stats(sc),
+        "manifest_read": stats(mf),
     }
 
 

@@ -250,13 +250,15 @@ def compact_artifact(spark: SparkSession, path: str, rewrite) -> None:
 
 
 def recover_index(path: str) -> None:
-    """Heal a compact_index crash: if the live path is missing but the
-    renamed-aside copy exists, restore it. The restore itself takes the
-    writer lock (re-checking under it), so a reader racing a LIVE
-    compactor's two-rename window blocks instead of resurrecting the
-    `.old` copy the compactor is about to delete; the no-op fast path
-    stays lock-free."""
-    if not os.path.exists(path) and os.path.isdir(path + ".old"):
+    """Heal a crashed swap: if the backend reports crash residue (a
+    stranded `.old` copy under POSIX, a swap journal under CAS),
+    restore/complete it. The heal itself takes the writer lock
+    (re-checking under it), so a reader racing a LIVE rewriter's swap
+    window blocks instead of interfering; the no-op fast path stays
+    lock-free."""
+    from ..sources.commitio import IO
+
+    if IO.needs_recovery(path):
         with index_writer_lock(path):
             _recover_index_locked(path)
 

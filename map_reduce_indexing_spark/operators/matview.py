@@ -1364,8 +1364,14 @@ def hist_quantile(
     tradeoff, chosen at view creation.
 
     Output: (key cols…, p, q). Groups with zero interior mass emit no
-    rows. The per-group window runs over nbins rows of
-    group-cardinality-sized state — never the base."""
+    rows. SINGLE-PASS over |ps| (round 11): the percentile targets
+    ride as one exploded array against the shared cumulative frame and
+    one row_number window over (keys, p) picks each first-reaching
+    bin — plan size is CONSTANT in |ps| (three window specs total),
+    where the previous form unioned one filtered-window branch per
+    requested percentile. Values are bit-identical: the same exact
+    integer bin counts and the same one-double interpolation per
+    output row."""
     from pyspark.sql import Window
 
     lo, hi, nb = _hist_params(op)
@@ -1379,28 +1385,25 @@ def hist_quantile(
     b = b.withColumn("_cum", F.sum("_n").over(win)).withColumn(
         "_tot", F.sum("_n").over(grp)
     )
-    out = None
-    for p in ps:
-        target = F.lit(float(p)) * F.col("_tot").cast("double")
-        hit = (
-            b.filter(
-                (F.col("_tot") > 0)
-                & (F.col("_n") > 0)
-                & (F.col("_cum").cast("double") >= target)
-            )
-            .withColumn(
-                "_rk",
-                F.row_number().over(win),
-            )
-            .filter(F.col("_rk") == 1)
-        )
-        q = F.lit(lo) + F.lit(w) * (
-            F.col("_i").cast("double")
-            + (target - (F.col("_cum") - F.col("_n")).cast("double"))
-            / F.col("_n").cast("double")
-        )
-        one = hit.select(
-            *key_cols, F.lit(float(p)).alias("p"), q.alias("q")
-        )
-        out = one if out is None else out.unionByName(one)
-    return out
+    ps_arr = F.array(*[F.lit(float(p)) for p in ps])
+    e = b.filter((F.col("_tot") > 0) & (F.col("_n") > 0)).select(
+        *key_cols,
+        "_i",
+        "_n",
+        "_cum",
+        "_tot",
+        F.explode(ps_arr).alias("p"),
+    )
+    target = F.col("p") * F.col("_tot").cast("double")
+    win_p = Window.partitionBy(*key_cols, "p").orderBy("_i")
+    hit = (
+        e.filter(F.col("_cum").cast("double") >= target)
+        .withColumn("_rk", F.row_number().over(win_p))
+        .filter(F.col("_rk") == 1)
+    )
+    q = F.lit(lo) + F.lit(w) * (
+        F.col("_i").cast("double")
+        + (target - (F.col("_cum") - F.col("_n")).cast("double"))
+        / F.col("_n").cast("double")
+    )
+    return hit.select(*key_cols, "p", q.alias("q"))

@@ -1981,3 +1981,96 @@ def q_rel_metadata_count_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(rep["count"], bounded)],
         "n_orders long, bounded_plan boolean",
     )
+
+
+def orders_concurrent_append_demo(spark: SparkSession, sf_dir: str) -> str:
+    """Optimistic concurrent appends (round 11), built once per
+    (application, corpus content): THREE writer threads race
+    `generations.append_rows` into one empty store under the
+    object-store CAS backend (sources/commitio.py:CASStoreIO — no
+    flock, no hardlinks; appenders co-hold the shared lease and
+    compose through the conditional manifest put, losers retry). Each
+    writer appends a disjoint third of orders (o_orderkey % 3). The
+    build asserts all three generations landed (head == 3), the final
+    row count is exact (nothing lost to a clobbered manifest save,
+    nothing doubled by a retry), and the per-generation listings are
+    disjoint unions."""
+    import threading
+
+    from ..sources.commitio import CASStoreIO, using_backend
+    from ..sources.generations import (
+        generation_head,
+        generation_row_count,
+        load_manifest,
+        append_rows,
+    )
+    from .indexing import session_artifact_path
+
+    def build(path: str) -> None:
+        base = _os.path.join(path, "base")
+        o = _orders_projected(spark, sf_dir)
+        total = o.count()
+        with using_backend(CASStoreIO()):
+            barrier = threading.Barrier(3)
+            errors: list[Exception] = []
+
+            def writer(slot: int) -> None:
+                try:
+                    df = o.filter(F.col("o_orderkey") % 3 == slot).coalesce(2)
+                    barrier.wait()
+                    append_rows(spark, base, df)
+                except Exception as e:  # pragma: no cover - surfaced below
+                    errors.append(e)
+
+            threads = [
+                threading.Thread(target=writer, args=(s,)) for s in range(3)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert not errors, errors
+            assert generation_head(base) == 3
+            # exact manifest-served row count: nothing lost or doubled
+            assert generation_row_count(base) == total
+            m = load_manifest(base)
+            assert len(m["gens"][str(m["head"])]["files"]) >= 3
+
+    return session_artifact_path(
+        spark, sf_dir, "orders_concurrent_append_demo", "orders.parquet", build
+    )
+
+
+@register(
+    "rel_concurrent_append",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tier="relational",
+    doc="OPTIMISTIC CONCURRENT APPENDS (round 11 —"
+    " sources/generations.py:append_rows over commitio.CASStoreIO): "
+    "three writer threads race disjoint thirds of orders into ONE "
+    "store with no writer flock — object-store semantics, where "
+    "exclusion is replaced by a conditional manifest put (Iceberg's "
+    "optimistic commit): losers re-read the head and retry, appends "
+    "compose because each writer's files are new objects. The build "
+    "asserts head==3 and the manifest-exact row count; the query "
+    "aggregates the final store and the oracle the raw table, so the "
+    "external hash proves the interleaved publishes lost and doubled "
+    "nothing. At 100 TB this is two independent pipelines landing on "
+    "one table without queueing on a lock service.",
+)
+def q_rel_concurrent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.generations import read_generation
+
+    root = orders_concurrent_append_demo(spark, sf_dir)
+    df = read_generation(spark, _os.path.join(root, "base"))
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("price_dec", "total_price"),
+    )

@@ -116,7 +116,13 @@ PRIORITY_WINDOW = [
     # (r10 rotation: rel_attribution_first_touch retired after 4
     # stable rounds — event-flow keeps retention_cohorts + the
     # streaming funnel external; its slot carries row-level DELETE)
-    "rel_retention_cohorts",  # r7 rotation: cohort retention (rel_resample_daily retired after 1 stable round; time-series family keeps rel_anomaly_daily)
+    # (r11 rotation: rel_retention_cohorts retired after 4 stable
+    # rounds — event-flow keeps stream_funnel external and the
+    # distribution family rel_profile_drift; cohorts stay sweep-
+    # checked. Its slot carries the repair loop's close: quarantined
+    # rows fixed and re-gated back into the store, never external
+    # before despite being judge-verified in r10.)
+    "rel_expectations_readmit",
     # relational: distribution stats + grouping (r8 second batch:
     # rel_approx_distinct retired after 7 stable rounds — approx
     # distribution stats keep rel_percentiles external; its slot goes
@@ -190,7 +196,13 @@ PRIORITY_WINDOW = [
     # (r10 third batch: dedup_exact_kept retired after 9 stable rounds
     # — exact content-hash dedup stays sweep-checked and the dedup
     # tier keeps six external rows including the new incremental one)
-    "dedup_fuzzy_names",
+    # (r11 rotation: dedup_fuzzy_names retired after 4 stable rounds —
+    # blocked-Levenshtein stays sweep-checked; the dedup tier keeps
+    # four external rows. Its slot carries round 11's store flagship:
+    # optimistic concurrent appends under the object-store CAS
+    # backend — two lock-free writers land on one store, the external
+    # hash proving nothing was lost or doubled.)
+    "rel_concurrent_append",
     # (r9 rotation: dedup_minhash_signatures retired after 8 stable
     # rounds — signature arithmetic stays externally exercised through
     # dedup_lsh_recall_eval's candidate path; its slot goes to the
@@ -211,7 +223,13 @@ PRIORITY_WINDOW = [
     # dedup composition (learned-cell blocking) is the strictly
     # stronger consumer of the same exact-verify cosine arithmetic, so
     # dedup_embedding_pairs (7 stable rounds) retires to the sweep
-    "dedup_semantic_pairs",
+    # (r11 rotation: dedup_semantic_pairs retired after 3 stable
+    # rounds — learned-cell blocking keeps its exact-verify cosine
+    # arithmetic externally exercised via ann_filtered_topk's pruned
+    # cell scans and the recall evals; the SemDeDup composition stays
+    # sweep-checked. Its slot carries the filtered ANN row, judge-
+    # verified in r10 but never external.)
+    "ann_filtered_topk",
     # r10 third batch: incremental corpus dedup — the nightly-batch
     # form (generation-diff delta vs the maintained signature
     # artifact) had never existed before this round
@@ -226,7 +244,13 @@ PRIORITY_WINDOW = [
     # composition (Lloyd training + cell-pruned serving in one query)
     # subsumes ann_kmeans_train's external signal, so the pure training
     # report retires to the sweep after 1 external round
-    "ann_ivf_trained_topk",
+    # (r11 rotation: ann_ivf_trained_topk retired after 3 stable
+    # rounds — the train-then-serve composition keeps external cover
+    # via ann_ivf_pq_topk (trained coarse quantizer + PQ) and
+    # ann_kmeans_train_k64. Its slot carries the exactly-once gated
+    # streaming ingest, promoted after the round-11 replay-idempotency
+    # fix per the r10 verdict's explicit direction.)
+    "stream_gated_ingest",
     "ann_ivf_pq_topk",
     # (r9 rotation: ann_recall_eval retired after 4 stable rounds —
     # accuracy evaluation keeps dedup_lsh_recall_eval external and the
@@ -297,7 +321,13 @@ PRIORITY_WINDOW = [
     # (continuous_agg, funnel, session_windows, stateful, heavy
     # hitters) and SCD2 semantics stay sweep-checked; its slot goes to
     # the round's third store verb, rel_upsert_rows)
-    "stream_session_windows",
+    # (r11 rotation: stream_session_windows retired after 3 stable
+    # rounds — watermarked sessionization stays sweep-checked and the
+    # streaming family keeps six external rows. Its slot carries the
+    # auto-compacted streaming ingest: the manifest-recorded
+    # small-file policy firing optimize_store at publish time, round
+    # 11's second store flagship.)
+    "stream_autocompact_ingest",
     "stream_stateful_user_stats",
     # r8 third batch: stream_heavy_hitters promoted (mergeable MG
     # summaries in applyInPandasWithState — same state API family as

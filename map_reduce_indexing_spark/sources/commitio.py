@@ -41,10 +41,39 @@ import contextlib
 import json
 import os
 import shutil
+import time
+
+
+# The store-manifest filename. commitio needs it for swap validation;
+# generations.py aliases its GEN_FILE to this constant so the two
+# layers cannot drift.
+MANIFEST_NAME = "_generations.json"
+
+
+class CommitConflict(RuntimeError):
+    """A conditional manifest put found the head moved: another writer
+    published between this writer's read and its save. The caller
+    re-reads the head and retries (append/append composes — disjoint
+    new files — see generations.append_rows) or serializes (rewrites)."""
 
 
 class PosixStoreIO:
     """flock + hardlink + rename: the single-host backend."""
+
+    # flock-excluded writers never see a moved head, so saves are
+    # unconditional; optimistic verbs must hold the writer lock here
+    supports_cas = False
+
+    def needs_recovery(self, path: str) -> bool:
+        """Lock-free fast probe: is there crash residue a writer/reader
+        must heal before touching this store? (The heal itself runs
+        under the writer lock and re-checks.)"""
+        return not os.path.exists(path) and os.path.isdir(path + ".old")
+
+    def append_lease(self, path: str):
+        """Append-scope lease. POSIX has no shared/exclusive split
+        here — appends serialize on the same flock as rewrites."""
+        return self.writer_lock(path)
 
     @contextlib.contextmanager
     def writer_lock(self, path: str):
@@ -98,7 +127,297 @@ class PosixStoreIO:
         os.replace(tmp, path)
 
 
-# The process-wide backend. Swapping in an object-store implementation
-# is a one-line assignment (or monkeypatch in tests); every artifact
-# code path routes through this name.
-IO = PosixStoreIO()
+class CASStoreIO:
+    """The object-store-semantics backend (round 11): no hardlinks, no
+    flock, no atomic directory rename — the three POSIX affordances a
+    100 TB S3/GCS deployment does not have. Every primitive is
+    re-derived from what object stores DO give:
+
+    - `link_or_copy` -> a physical copy, always (server-side COPY; an
+      immutable file's bytes exist twice rather than sharing an
+      inode). Pinned-read byte-stability therefore rests on the copy,
+      not the link — the property the parametrized lakehouse suite
+      re-proves under this backend.
+    - `writer_lock` -> a LEASE: put-if-absent creation of
+      `<path>.lease` (S3 If-None-Match / GCS x-goog-if-generation-
+      match:0), polled on contention, stealable after `lease_ttl`
+      seconds (crashed-holder takeover; real deployments heartbeat
+      the lease). Rewrites still serialize on this; appends under a
+      CAS backend may instead run lock-free through the manifest CAS
+      (generations.append_rows).
+    - `save_json_atomic` -> a CONDITIONAL put: the manifest carries a
+      `_cas` version token; a save whose token does not match the
+      live file's raises CommitConflict instead of overwriting (the
+      Iceberg commit protocol's pointer swap). The check-and-replace
+      instant is emulated with a sibling flock standing in for the
+      STORE's server-side atomicity — the artifact code never touches
+      it and cannot rely on it.
+    - `publish_swap` -> there is no atomic directory swap; the swap
+      becomes a journaled copy: write `<live>.swapjournal` (the
+      intent record), delete the live prefix, copy staging in, delete
+      staging, clear the journal. A crash at ANY point is healed by
+      `recover` replaying the journal (staging is kept until the
+      journal clears, so the redo always has a complete source).
+      Readers in the copy window re-resolve, same contract as the
+      POSIX two-rename instant — on a real object store this window
+      is instead closed by the manifest pointer flip.
+
+    The byte economics differ from POSIX on purpose: carries and swaps
+    pay physical copies here (an object store pays server-side copies
+    or nothing, since immutable objects need no relocation at all).
+    What the backend proves is the CONTRACT — crash recovery at every
+    fault point, pinned-read stability without inode sharing, and
+    conflict detection without a lock — not the byte cost."""
+
+    supports_cas = True
+    lease_timeout = 120.0  # seconds to wait for a contended lease
+    lease_ttl = 900.0  # stale-lease takeover age (crashed holder)
+    _poll = 0.05
+
+    def _lease_path(self, path: str) -> str:
+        return path.rstrip("/") + ".lease"
+
+    def _shared_dir(self, path: str) -> str:
+        return path.rstrip("/") + ".lease.shared"
+
+    def _exclusive_held(self, path: str) -> bool:
+        lease = self._lease_path(path)
+        try:
+            age = time.time() - os.path.getmtime(lease)
+        except OSError:
+            return False
+        if age > self.lease_ttl:
+            # crashed holder: steal (emulates conditional
+            # delete-if-unchanged; the race window is the
+            # emulation's, not the protocol's)
+            try:
+                os.remove(lease)
+            except OSError:
+                pass
+            return False
+        return True
+
+    @contextlib.contextmanager
+    def writer_lock(self, path: str):
+        """EXCLUSIVE lease (rewrites, compactions, locked verbs):
+        put-if-absent creation of `<path>.lease`, then DRAIN the
+        shared append leases — optimistic appenders in flight finish
+        placing+publishing before the rewrite reads its input, and no
+        new appender can enter (they re-check the exclusive marker
+        after registering)."""
+        lease = self._lease_path(path)
+        deadline = time.monotonic() + self.lease_timeout
+        while True:
+            try:
+                fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, json.dumps({"pid": os.getpid()}).encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                if not self._exclusive_held(path):
+                    continue  # released or stolen: retry immediately
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"lease {lease!r} held past {self.lease_timeout}s"
+                    )
+                time.sleep(self._poll)
+        try:
+            shared = self._shared_dir(path)
+            while os.path.isdir(shared):
+                live = []
+                for f in os.listdir(shared):
+                    p = os.path.join(shared, f)
+                    try:
+                        if time.time() - os.path.getmtime(p) > self.lease_ttl:
+                            os.remove(p)  # crashed appender
+                        else:
+                            live.append(f)
+                    except OSError:
+                        pass
+                if not live:
+                    break
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"shared leases under {shared!r} did not drain"
+                    )
+                time.sleep(self._poll)
+            yield
+        finally:
+            try:
+                os.remove(lease)
+            except OSError:
+                pass
+
+    @contextlib.contextmanager
+    def append_lease(self, path: str):
+        """SHARED lease: any number of optimistic appenders co-hold
+        (they compose through the conditional manifest put); only the
+        exclusive writer lease excludes them. Two-phase entry: wait
+        out any exclusive holder, register, then RE-CHECK — an
+        exclusive lease acquired between the check and the
+        registration wins and the appender backs off."""
+        import uuid
+
+        shared = self._shared_dir(path)
+        my = os.path.join(shared, uuid.uuid4().hex)
+        deadline = time.monotonic() + self.lease_timeout
+        while True:
+            if self._exclusive_held(path):
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"exclusive lease on {path!r} held past "
+                        f"{self.lease_timeout}s"
+                    )
+                time.sleep(self._poll)
+                continue
+            os.makedirs(shared, exist_ok=True)
+            with open(my, "w") as fh:
+                fh.write(json.dumps({"pid": os.getpid()}))
+            if self._exclusive_held(path):
+                try:
+                    os.remove(my)
+                except OSError:
+                    pass
+                time.sleep(self._poll)
+                continue
+            break
+        try:
+            yield
+        finally:
+            try:
+                os.remove(my)
+            except OSError:
+                pass
+
+    def _journal_path(self, live: str) -> str:
+        return live.rstrip("/") + ".swapjournal"
+
+    def needs_recovery(self, path: str) -> bool:
+        return os.path.exists(self._journal_path(path))
+
+    @staticmethod
+    def _manifest_cas(root: str) -> int | None:
+        """The `_cas` token of a directory's store manifest, None when
+        the directory has no manifest (plain artifacts)."""
+        p = os.path.join(root, MANIFEST_NAME)
+        try:
+            with open(p) as fh:
+                return int(json.load(fh).get("_cas", 0))
+        except (OSError, ValueError):
+            return None
+
+    def publish_swap(self, live: str, staging: str) -> None:
+        """Journaled copy-swap, CAS-VALIDATED: a staged rewrite was
+        derived from the manifest version it loaded (`staged _cas ==
+        loaded + 1` — carry_generations saves the staged manifest at
+        the fresh staging path, which bumps the carried token once).
+        If the live manifest moved since (an optimistic append
+        published mid-rewrite), replacing the directory would ERASE
+        that commit — raise CommitConflict instead and let the
+        rewriter re-stage from the new head. Plain artifacts (no
+        manifest) skip the check; their writers are lease-serialized
+        on both sides."""
+        s = self._manifest_cas(staging)
+        if s is not None:
+            l = self._manifest_cas(live)
+            if l is not None and l != s - 1:
+                raise CommitConflict(
+                    f"{live!r}: staged rewrite derived from manifest "
+                    f"version {s - 1}, live is {l} (a concurrent "
+                    "publish landed); re-stage from the new head"
+                )
+        journal = self._journal_path(live)
+        tmp = journal + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"staging": os.path.abspath(staging)}, fh)
+        os.replace(tmp, journal)  # one object PUT: the intent record
+        self._replay_swap(live, journal)
+
+    def _replay_swap(self, live: str, journal: str) -> None:
+        with open(journal) as fh:
+            staging = json.load(fh)["staging"]
+        if os.path.isdir(staging):
+            shutil.rmtree(live, ignore_errors=True)
+            shutil.copytree(staging, live)
+            shutil.rmtree(staging)
+        # staging gone -> the copy completed before a crash; fall
+        # through to clearing the intent record either way
+        os.remove(journal)
+
+    def recover(self, path: str) -> None:
+        journal = self._journal_path(path)
+        if os.path.exists(journal):
+            self._replay_swap(path, journal)
+
+    def link_or_copy(self, src: str, dst: str) -> None:
+        shutil.copy2(src, dst)
+
+    def save_json_atomic(self, path: str, obj) -> None:
+        """Conditional put: `obj['_cas']` must equal the live file's
+        version or CommitConflict raises. The sibling flock emulates
+        the store's server-side check-and-replace atomicity (a real
+        conditional PUT is atomic at the service); artifact code never
+        sees it. On success the caller's dict gets the bumped token,
+        so load -> mutate -> save chains compose."""
+        if not isinstance(obj, dict):
+            raise TypeError("CAS manifest saves require a dict payload")
+        import fcntl
+
+        guard = path + ".caslock"
+        fd = os.open(guard, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            if os.path.exists(path):
+                try:
+                    with open(path) as fh:
+                        live_cas = int(json.load(fh).get("_cas", 0))
+                except (ValueError, OSError):
+                    live_cas = 0
+                if int(obj.get("_cas", 0)) != live_cas:
+                    raise CommitConflict(
+                        f"{path!r}: expected version {obj.get('_cas', 0)}, "
+                        f"live is {live_cas} (another writer published)"
+                    )
+                obj["_cas"] = live_cas + 1
+            else:
+                # create = put-if-absent: any carried token is valid
+                # (a staged manifest copies the live store's token but
+                # lands at a fresh staging path); keep the chain
+                # monotone so post-swap readers see versions advance
+                obj["_cas"] = int(obj.get("_cas", 0)) + 1
+            tmp = path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(obj, fh)
+            os.replace(tmp, path)
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
+
+# The process-wide backend. PosixStoreIO is the single-host default;
+# CASStoreIO is the object-store-semantics backend (select with
+# MRI_STORE_IO=cas, set_backend(), or the using_backend() context
+# manager — tests parametrize the whole lakehouse suite over both).
+# Every artifact code path late-imports this name, so a swap reaches
+# all of them. Backends interpret their own crash residue (.old dirs
+# vs .swapjournal files): switch backends only on a cleanly published
+# store.
+IO = (
+    CASStoreIO() if os.environ.get("MRI_STORE_IO") == "cas" else PosixStoreIO()
+)
+
+
+def set_backend(backend) -> None:
+    global IO
+    IO = backend
+
+
+@contextlib.contextmanager
+def using_backend(backend):
+    global IO
+    prev = IO
+    IO = backend
+    try:
+        yield backend
+    finally:
+        IO = prev

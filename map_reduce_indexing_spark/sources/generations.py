@@ -79,7 +79,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-GEN_FILE = "_generations.json"
+from .commitio import MANIFEST_NAME as GEN_FILE  # noqa: E402 — one name
 GEN_DIR = "_gen"  # underscore: invisible to Spark directory scans
 # File-skipping stats: per-file column [min, max] harvested from the
 # parquet FOOTER at publish time (metadata-only — no data pages read)
@@ -889,6 +889,12 @@ def _link_tree(src_root: str, rels: list[str], dst_root: str) -> None:
 
     for rel in rels:
         dst = os.path.join(dst_root, rel)
+        if os.path.exists(dst):
+            # immutable-from-birth files never need re-placing; under
+            # optimistic concurrency a competing publish may have
+            # already snapshotted a shared rel (same bytes) — an
+            # overwrite would race its pinned readers for nothing
+            continue
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         IO.link_or_copy(os.path.join(src_root, rel), dst)
 
@@ -1153,6 +1159,137 @@ def publish_generation(
         entry_extra=entry_extra,
         manifest_extra=manifest_extra,
     )
+
+
+def append_rows(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    partition_by: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    max_retries: int = 8,
+) -> int:
+    """APPEND `df` to the store and publish it as a new generation —
+    with OPTIMISTIC concurrency under a CAS-capable commit backend
+    (commitio.CASStoreIO): two writers appending to one store run
+    LOCK-FREE and both land, Iceberg's optimistic-commit shape reduced
+    to this repo's manifest.
+
+    Protocol: write the batch to a private staging dir, relocate the
+    (collision-free: Spark part names carry task UUIDs) files into the
+    store, then publish. The publish's conditional manifest put
+    detects a concurrent head move (commitio.CommitConflict); the
+    retry re-reads the head and republishes — appends compose because
+    each writer's files are NEW objects nobody else references, so
+    the merged listing is simply the union. The staging copy is kept
+    until the publish lands, so a concurrent REWRITE's swap clobbering
+    our not-yet-published files is healed by re-placing them from
+    staging on the retry.
+
+    Conflict matrix (documented contract, pinned in
+    tests/test_concurrent_append.py):
+    - append/append: both land, LOCK-FREE under CAS — appenders
+      co-hold the SHARED lease and compose through the conditional
+      manifest put (loser retries; each writer's files are new
+      objects nobody else references, so the merged listing is the
+      union). A generation published mid-append may already LIST the
+      other writer's placed files (a generation is a snapshot of the
+      live listing) — no rows are ever lost or doubled.
+    - append/rewrite: the rewrite's EXCLUSIVE lease drains in-flight
+      shared leases before reading its input and blocks new appenders
+      until the swap lands; the CAS-validated swap
+      (commitio.CASStoreIO.publish_swap) additionally refuses to
+      erase a publish that slipped in anyway.
+    - rewrite/rewrite: serialize on the exclusive lease, unchanged.
+
+    Under the POSIX backend (no CAS — flock is the exclusion story)
+    the verb degrades to the classic locked append: same result,
+    writers queue. Returns the published generation number.
+
+    Placement is per-file atomic (copy to a dot-prefixed temp sibling,
+    rename over the final name): listings and readers never see a
+    half-copied object — the emulation of an object PUT's atomicity.
+    A failed attempt may leave extra hardlinks in the competing
+    publish's `_gen/g{n}` snapshot dir; snapshot reads are LIST-driven
+    (plan_generation_scan), so unreferenced files there are inert and
+    are collected when the generation's root is pruned."""
+    import tempfile
+    import uuid
+
+    from ..operators.indexing import (
+        _chmod_staging,
+        _recover_index_locked,
+        index_writer_lock,
+    )
+    from .commitio import IO, CommitConflict
+
+    os.makedirs(path, exist_ok=True)
+    staging = tempfile.mkdtemp(
+        prefix="mri_append_", dir=os.path.dirname(path) or "."
+    )
+    _chmod_staging(staging)
+    try:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(staging)
+        rels = [
+            r
+            for r in _data_files(staging)
+            if not os.path.basename(r).startswith("_")
+        ]
+
+        def _place() -> None:
+            for rel in rels:
+                dst = os.path.join(path, rel)
+                if os.path.exists(dst):
+                    continue
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                tmp = os.path.join(
+                    os.path.dirname(dst),
+                    f".{os.path.basename(dst)}.{uuid.uuid4().hex}.place",
+                )
+                IO.link_or_copy(os.path.join(staging, rel), tmp)
+                os.replace(tmp, dst)
+
+        if not getattr(IO, "supports_cas", False):
+            with index_writer_lock(path):
+                _recover_index_locked(path)
+                _place()
+                return publish_generation(
+                    path, bloom_cols=bloom_cols, spark=spark
+                )
+        if IO.needs_recovery(path):
+            # a rewriter crashed mid-swap: heal under the exclusive
+            # lease (which also drains other appenders) before joining
+            with index_writer_lock(path):
+                _recover_index_locked(path)
+        with IO.append_lease(path):
+            _place()
+            last: Exception = CommitConflict("unreached")
+            for _ in range(max_retries):
+                try:
+                    head = publish_generation(
+                        path, bloom_cols=bloom_cols, spark=spark
+                    )
+                except CommitConflict as e:
+                    last = e
+                    continue
+                # verify OUR files are listed (an interleaving this
+                # protocol doesn't model would surface here, loudly,
+                # instead of silently dropping the batch)
+                entry = load_manifest(path)["gens"][str(head)]
+                missing = set(rels) - set(entry["files"])
+                if not missing:
+                    return head
+                last = CommitConflict(
+                    f"published generation {head} lost {len(missing)} "
+                    "placed files"
+                )
+                _place()
+            raise last
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def carry_generations(
@@ -1903,7 +2040,7 @@ def upsert_rows(
 def optimize_store(
     spark: SparkSession,
     path: str,
-    cluster_by: list[str],
+    cluster_by: list[str] | None,
     n_files: int = 16,
 ) -> int:
     """OPTIMIZE ... CLUSTER BY as a store operation: rewrite the live
@@ -1916,19 +2053,97 @@ def optimize_store(
     rewrite span (matviews retract or rebuild per their spec). Row
     images are PRESERVED exactly (a pure re-layout — no fold, no
     dedup), so even `generation_diff`'s key-level fallback stays
-    sound across this span. Returns the new head generation."""
+    sound across this span. Returns the new head generation.
+
+    `cluster_by=None` skips the clustering: a pure small-file fold
+    into `n_files` (the auto-compaction default for stores with no
+    declared sort key — bin-packing, Delta's OPTIMIZE without
+    ZORDER)."""
     from ..operators.indexing import compact_artifact
 
     def rewrite(df: DataFrame, staging: str) -> None:
-        (
-            df.repartitionByRange(n_files, *cluster_by)
-            .sortWithinPartitions(*cluster_by)
-            .write.mode("overwrite")
-            .parquet(staging)
-        )
+        if cluster_by:
+            out = df.repartitionByRange(
+                n_files, *cluster_by
+            ).sortWithinPartitions(*cluster_by)
+        else:
+            out = df.repartition(n_files)
+        out.write.mode("overwrite").parquet(staging)
 
     compact_artifact(spark, path, rewrite)
     return generation_head(path)
+
+
+def set_compaction_policy(
+    path: str,
+    max_files: int,
+    n_files: int = 16,
+    cluster_by: list[str] | None = None,
+    min_file_bytes: int | None = None,
+) -> None:
+    """Record a SMALL-FILE POLICY in the store manifest: when the head
+    generation holds more than `max_files` data files — or, if
+    `min_file_bytes` is set, when the median file is smaller than it —
+    `maybe_autocompact` folds the store to `n_files` files (clustered
+    on `cluster_by` when given). The policy is manifest state, so it
+    survives retention, publishes, and compaction carries, and every
+    publisher of the store sees the same trigger — the missing glue
+    between per-microbatch gated ingest (one generation per batch,
+    file counts growing without bound) and `optimize_store` (which
+    only ever fired when someone remembered to call it)."""
+    from ..operators.indexing import _recover_index_locked, index_writer_lock
+
+    if max_files < 1 or n_files < 1:
+        raise ValueError("max_files and n_files must be >= 1")
+    with index_writer_lock(path):
+        _recover_index_locked(path)
+        ensure_base_generation(path)
+        m = load_manifest(path)
+        if m is None:
+            raise ValueError(
+                f"{path!r} has no published data; set the policy after "
+                "the first publish (or pass it to the ingest runner)"
+            )
+        m["compact_policy"] = {
+            "max_files": int(max_files),
+            "n_files": int(n_files),
+            "cluster_by": list(cluster_by) if cluster_by else None,
+            "min_file_bytes": (
+                int(min_file_bytes) if min_file_bytes is not None else None
+            ),
+        }
+        _save_manifest(path, m)
+
+
+def maybe_autocompact(spark: SparkSession, path: str) -> int | None:
+    """Fire the store's recorded compaction policy if its trigger
+    holds: returns the new head generation after an optimize, None
+    when no policy is set or the store is within bounds. Publishers
+    call this AFTER their publish (gated ingest per microbatch,
+    pipelines per run); the check is one manifest read, the optimize
+    is the standard staged swap — pinned readers and matview
+    consumers see an ordinary rewrite span."""
+    m = load_manifest(path)
+    pol = (m or {}).get("compact_policy")
+    if not pol:
+        return None
+    g = m["gens"].get(str(m["head"]))
+    if g is None:
+        return None
+    files = g["files"]
+    trigger = len(files) > int(pol["max_files"])
+    if not trigger and pol.get("min_file_bytes"):
+        stats = g.get("stats") or {}
+        sizes = sorted(
+            int((stats.get(r) or {}).get("size") or 0) for r in files
+        )
+        if sizes and sizes[len(sizes) // 2] < int(pol["min_file_bytes"]):
+            trigger = len(files) > int(pol["n_files"])
+    if not trigger:
+        return None
+    return optimize_store(
+        spark, path, pol.get("cluster_by"), n_files=int(pol["n_files"])
+    )
 
 
 def describe_generations(spark: SparkSession, path: str) -> DataFrame:

@@ -391,12 +391,22 @@ def run_incremental_pipeline(
                     ):
                         os.remove(p)
                 publish_generation(qpath)
-        return {
+        result = {
             "mode": mode if since > 0 else "append",
             "src_from": since,
             "src_to": src_head,
             "generation": gen,
         }
+    # outside the writer lock (optimize takes its own): fire the
+    # destination's recorded small-file policy, if any — nightly
+    # pipelines appending one generation per run are the other
+    # unbounded-file-count shape besides streaming ingest
+    from .generations import maybe_autocompact
+
+    new_head = maybe_autocompact(spark, dst_path)
+    if new_head is not None:
+        result["compacted_to"] = new_head
+    return result
 
 
 def pipeline_runs(spark: SparkSession, dst_path: str) -> DataFrame:

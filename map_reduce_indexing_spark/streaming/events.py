@@ -1733,6 +1733,7 @@ def run_gated_ingest(
     glob: str = "*.parquet",
     schema=None,
     max_files_per_trigger: int = 1,
+    compact_policy: dict | None = None,
 ) -> list[dict]:
     """STREAMING ADMISSION: every microbatch passes through
     `append_with_expectations` (sources/expectations.py) on its way
@@ -1756,12 +1757,26 @@ def run_gated_ingest(
     replayed batch returns {"replayed": True} without writing
     (sources/expectations.py:append_with_expectations). Without a
     checkpoint there is no replay bookkeeping and a re-run of the
-    whole query re-appends everything — one-shot use only."""
+    whole query re-appends everything — one-shot use only.
+
+    `compact_policy` ({"max_files": n, "n_files": k, "cluster_by":
+    [...]?, "min_file_bytes": b?}) records a small-file policy in the
+    store manifest on the first batch and fires
+    `generations.maybe_autocompact` after every admitted batch — one
+    generation per microbatch is exactly the shape that grows file
+    counts without bound, and this is the publish-time trigger that
+    keeps the store read-efficient while pinned readers and matview
+    consumers see ordinary rewrite spans."""
     reports: list[dict] = []
     idem_key = os.path.realpath(checkpoint) if checkpoint is not None else None
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         from ..sources.expectations import append_with_expectations
+        from ..sources.generations import (
+            load_manifest,
+            maybe_autocompact,
+            set_compaction_policy,
+        )
 
         rep = append_with_expectations(
             spark,
@@ -1774,6 +1789,13 @@ def run_gated_ingest(
             ),
         )
         rep["batch"] = batch_id
+        if compact_policy is not None and not rep.get("replayed"):
+            m = load_manifest(store_path)
+            if m is not None and "compact_policy" not in m:
+                set_compaction_policy(store_path, **compact_policy)
+            new_head = maybe_autocompact(spark, store_path)
+            if new_head is not None:
+                rep["compacted_to"] = new_head
         reports.append(rep)
 
     reader = spark.readStream.option("pathGlobFilter", glob).option(
@@ -1865,6 +1887,93 @@ def q_stream_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.generations import read_generation
 
     root = events_gated_ingest_demo(spark, sf_dir)
+    df = read_generation(spark, os.path.join(root, "store"))
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_dec").cast("double").alias("total_value"),
+    )
+
+
+def events_autocompact_ingest_demo(spark: SparkSession, sf_dir: str) -> str:
+    """Publish-time auto-compaction under streaming ingest (round 11),
+    built once per (application, corpus content): the events table
+    replayed as a 16-file stream through run_gated_ingest with a
+    SMALL-FILE POLICY ({max_files: 6 -> fold to 2}) recorded in the
+    store manifest on the first batch — one generation per microbatch
+    is the unbounded-file-count shape, and the policy is the
+    publish-time trigger that keeps the store read-efficient
+    (generations.set_compaction_policy / maybe_autocompact). The
+    build asserts the policy FIRED repeatedly and the head file count
+    stayed bounded the whole run."""
+    from ..operators.indexing import session_artifact_path
+    from ..sources.generations import load_manifest
+
+    def build(path: str) -> None:
+        src = os.path.join(path, "src")
+        store = os.path.join(path, "store")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("value").cast("decimal(18,2)").alias("value_dec"),
+            "ts",
+        )
+        ev.repartition(16, "event_id").write.parquet(src)
+        reports = run_gated_ingest(
+            spark,
+            src,
+            store,
+            {
+                "value_cap": [("value_dec", "<=", _GATE_VALUE_CAP)],
+                "known_type": [("event_type", "in", _GATE_TYPES)],
+            },
+            checkpoint=os.path.join(path, "ckpt"),
+            schema=ev.schema,
+            compact_policy={"max_files": 6, "n_files": 2},
+        )
+        assert len(reports) >= 10
+        assert sum(1 for r in reports if "compacted_to" in r) >= 2
+        m = load_manifest(store)
+        assert len(m["gens"][str(m["head"])]["files"]) <= 7
+        assert m["compact_policy"]["max_files"] == 6  # survived the swaps
+
+    return session_artifact_path(
+        spark, sf_dir, "events_autocompact_ingest", "events.parquet", build
+    )
+
+
+@register(
+    "stream_autocompact_ingest",
+    oracle=f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_value
+        FROM events
+        WHERE CAST(value AS DECIMAL(18,2)) <= {_GATE_VALUE_CAP}
+          AND event_type IN ({', '.join(repr(t) for t in _GATE_TYPES)})
+        GROUP BY event_type
+    """,
+    tier="streaming",
+    doc="AUTO-COMPACTED STREAMING INGEST (round 11 — "
+    "streaming/events.py:run_gated_ingest with a compact_policy over "
+    "generations.set_compaction_policy/maybe_autocompact): the events "
+    "table streams in one file per microbatch through the expectations "
+    "gate while a manifest-recorded small-file policy fires "
+    "optimize_store whenever the head exceeds 6 files, folding to 2 — "
+    "the build asserts the policy fired repeatedly and the file count "
+    "stayed bounded. The query aggregates the admitted store; the "
+    "oracle applies the same gate to the raw table, so the hash match "
+    "proves the repeated rewrite spans preserved every admitted row "
+    "exactly (compaction is a pure re-layout). At 100 TB per-"
+    "microbatch publishes without this trigger drown the scan planner "
+    "in small files; with it the store self-maintains at publish "
+    "time.",
+)
+def q_stream_autocompact_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.generations import read_generation
+
+    root = events_autocompact_ingest_demo(spark, sf_dir)
     df = read_generation(spark, os.path.join(root, "store"))
     return df.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -71,3 +71,20 @@ def assert_df_matches_oracle(spark_df, duck_con, sql: str, *, float_tol: float =
         assert not mism.any().any(), sp_sorted[mism.any(axis=1)].head(5).to_string()
     else:  # caller handles per-column tolerance
         raise NotImplementedError
+
+
+@pytest.fixture(params=["posix", "cas"])
+def io_backend(request):
+    """Run a test under BOTH commit-protocol backends: the POSIX
+    default (flock + hardlink + rename) and the object-store-semantics
+    CAS backend (lease + copy + journaled swap + conditional manifest
+    put). The lakehouse suites (generations, matview, delete, upsert,
+    pipeline, expectations) opt in with a module-level autouse shim —
+    every store verb they drive must behave identically when hardlink
+    sharing, flock exclusion, and atomic directory rename are all
+    taken away."""
+    from map_reduce_indexing_spark.sources import commitio as C
+
+    backend = C.PosixStoreIO() if request.param == "posix" else C.CASStoreIO()
+    with C.using_backend(backend):
+        yield request.param

@@ -157,7 +157,11 @@ def test_contention_marker_shape(spark):
 
     m = contention_marker(spark, n_samples=1)
     assert set(m) == {
-        "python_md5", "spark_sum", "python_worker", "parquet_scan"
+        "python_md5",
+        "spark_sum",
+        "python_worker",
+        "parquet_scan",
+        "manifest_read",
     }
     for stats in m.values():
         assert stats["min"] <= stats["median"] <= stats["max"]

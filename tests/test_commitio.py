@@ -147,3 +147,165 @@ def test_artifact_paths_route_through_the_seam(tmp_path, monkeypatch):
     with index_writer_lock(store):
         pass
     assert ("lock", store) in calls
+
+
+# ---------------------------------------------------------------------------
+# CASStoreIO (round 11): the object-store-semantics backend — no
+# hardlinks, no flock, no atomic directory rename. Same fault points,
+# re-proved against the journaled-copy swap, the lease, and the
+# conditional manifest put.
+# ---------------------------------------------------------------------------
+
+from map_reduce_indexing_spark.sources.commitio import (  # noqa: E402
+    CASStoreIO,
+    CommitConflict,
+    using_backend,
+)
+
+
+def test_cas_publish_swap_replaces_and_cleans(tmp_path):
+    io = CASStoreIO()
+    live = _mkstore(tmp_path, "live", "old")
+    staging = _mkstore(tmp_path, "staging", "new")
+    io.publish_swap(live, staging)
+    assert open(os.path.join(live, "data.txt")).read() == "new"
+    assert not os.path.exists(staging)
+    assert not os.path.exists(live + ".swapjournal")
+
+
+def test_cas_crash_after_journal_before_copy_recovers_forward(tmp_path):
+    """Crash point: intent journal written, live not yet replaced.
+    recover() must ROLL FORWARD from the intact staging copy (the
+    journal is the commit record — object-store swaps recover forward,
+    unlike the POSIX two-rename which restores the old copy)."""
+    io = CASStoreIO()
+    live = _mkstore(tmp_path, "live", "old")
+    staging = _mkstore(tmp_path, "staging", "new")
+    with open(live + ".swapjournal", "w") as fh:
+        json.dump({"staging": staging}, fh)
+    io.recover(live)
+    assert open(os.path.join(live, "data.txt")).read() == "new"
+    assert not os.path.exists(staging)
+    assert not os.path.exists(live + ".swapjournal")
+
+
+def test_cas_crash_mid_copy_recovers_forward(tmp_path):
+    """Crash point: live deleted, copy half-done (staging intact).
+    The redo re-copies from staging wholesale."""
+    io = CASStoreIO()
+    live = _mkstore(tmp_path, "live", "partial")
+    staging = _mkstore(tmp_path, "staging", "new")
+    (tmp_path / "staging" / "extra.txt").write_text("more")
+    with open(live + ".swapjournal", "w") as fh:
+        json.dump({"staging": staging}, fh)
+    os.remove(os.path.join(live, "data.txt"))  # the half-done state
+    io.recover(live)
+    assert open(os.path.join(live, "data.txt")).read() == "new"
+    assert open(os.path.join(live, "extra.txt")).read() == "more"
+
+
+def test_cas_crash_after_copy_before_journal_clear(tmp_path):
+    """Crash point: copy complete, staging deleted, journal not yet
+    cleared. recover() just clears the intent record (live is whole —
+    staging is only ever deleted after the copy finished)."""
+    io = CASStoreIO()
+    live = _mkstore(tmp_path, "live", "new")
+    gone = str(tmp_path / "staging_gone")
+    with open(live + ".swapjournal", "w") as fh:
+        json.dump({"staging": gone}, fh)
+    io.recover(live)
+    assert open(os.path.join(live, "data.txt")).read() == "new"
+    assert not os.path.exists(live + ".swapjournal")
+
+
+def test_cas_save_json_requires_matching_version(tmp_path):
+    """The conditional put: a save whose token does not match the live
+    file raises CommitConflict and leaves the live manifest untouched
+    — the primitive optimistic concurrent appends retry on."""
+    io = CASStoreIO()
+    target = str(tmp_path / "m.json")
+    m = {"head": 1}
+    io.save_json_atomic(target, m)
+    assert m["_cas"] == 1  # caller's dict got the bumped token
+
+    stale = {"head": 2}  # built without loading: token 0, live is 1
+    try:
+        io.save_json_atomic(target, stale)
+        raise AssertionError("expected CommitConflict")
+    except CommitConflict:
+        pass
+    assert json.load(open(target))["head"] == 1
+
+    m["head"] = 3  # load -> mutate -> save chains compose
+    io.save_json_atomic(target, m)
+    assert json.load(open(target))["head"] == 3
+    assert json.load(open(target))["_cas"] == 2
+
+
+def test_cas_create_is_put_if_absent_with_carried_token(tmp_path):
+    """A staged manifest carries the live store's token but lands at a
+    fresh path (carry_generations writes into staging): creation must
+    accept any token and keep the version chain monotone."""
+    io = CASStoreIO()
+    target = str(tmp_path / "staged.json")
+    io.save_json_atomic(target, {"head": 5, "_cas": 7})
+    assert json.load(open(target))["_cas"] == 8
+
+
+def test_cas_lease_excludes_threads(tmp_path):
+    io = CASStoreIO()
+    path = str(tmp_path / "store")
+    os.makedirs(path)
+    order = []
+
+    def hold():
+        with io.writer_lock(path):
+            order.append("a-in")
+            time.sleep(0.3)
+            order.append("a-out")
+
+    def contend():
+        time.sleep(0.1)
+        with io.writer_lock(path):
+            order.append("b-in")
+
+    ta, tb = threading.Thread(target=hold), threading.Thread(target=contend)
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert order == ["a-in", "a-out", "b-in"]
+
+
+def test_cas_stale_lease_is_stolen(tmp_path):
+    """A crashed holder's lease (older than lease_ttl) is taken over
+    instead of deadlocking the store forever."""
+    io = CASStoreIO()
+    io.lease_ttl = 0.2
+    path = str(tmp_path / "store")
+    os.makedirs(path)
+    lease = path + ".lease"
+    with open(lease, "w") as fh:
+        fh.write("{}")
+    old = time.time() - 10
+    os.utime(lease, (old, old))
+    with io.writer_lock(path):
+        pass  # acquired by takeover
+    assert not os.path.exists(lease)
+
+
+def test_cas_link_or_copy_never_shares_inodes(tmp_path):
+    io = CASStoreIO()
+    src = tmp_path / "a.bin"
+    src.write_bytes(b"payload")
+    dst = tmp_path / "b.bin"
+    io.link_or_copy(str(src), str(dst))
+    assert dst.read_bytes() == b"payload"
+    assert os.stat(dst).st_ino != os.stat(src).st_ino
+
+
+def test_using_backend_swaps_and_restores(tmp_path):
+    import map_reduce_indexing_spark.sources.commitio as C
+
+    prev = C.IO
+    cas = CASStoreIO()
+    with using_backend(cas):
+        assert C.IO is cas
+    assert C.IO is prev

@@ -1,0 +1,181 @@
+"""Optimistic concurrent appends (round 11, VERDICT task 3).
+
+generations.append_rows under the CAS backend: two writers appending
+to ONE store run lock-free through the conditional manifest put and
+BOTH land — no files lost, no rows doubled, CDF complete. The
+conflict matrix: append/append composes via CAS retry;
+append/rewrite — the rewrite's exclusive lease drains shared append
+leases and the CAS-validated swap refuses to erase an interleaved
+publish; rewrite/rewrite serialize. Under the POSIX backend the verb
+degrades to the classic locked append (same results, writers queue).
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from map_reduce_indexing_spark.sources.commitio import (
+    CASStoreIO,
+    using_backend,
+)
+from map_reduce_indexing_spark.sources.generations import (
+    append_rows,
+    generation_changes,
+    generation_head,
+    load_manifest,
+    optimize_store,
+    publish_generation,
+    read_generation,
+)
+
+
+def _frame(spark, lo, n, tag):
+    return spark.createDataFrame(
+        [(lo + i, tag, (lo + i) % 7) for i in range(n)],
+        "id long, src string, k long",
+    )
+
+
+def _ids(spark, path, at=None):
+    return sorted(
+        r.id for r in read_generation(spark, path, at=at).select("id").collect()
+    )
+
+
+def test_concurrent_appends_both_land_lock_free(spark, tmp_path):
+    with using_backend(CASStoreIO()):
+        path = str(tmp_path / "store")
+        results: dict[str, int] = {}
+        barrier = threading.Barrier(2)
+        errors: list[Exception] = []
+
+        def writer(tag: str, lo: int):
+            try:
+                df = _frame(spark, lo, 40, tag)
+                barrier.wait()
+                results[tag] = append_rows(spark, path, df)
+            except Exception as e:  # surfaced by the assert below
+                errors.append(e)
+
+        ta = threading.Thread(target=writer, args=("a", 0))
+        tb = threading.Thread(target=writer, args=("b", 1000))
+        ta.start(); tb.start(); ta.join(); tb.join()
+        assert not errors, errors
+        # both landed as distinct generations
+        assert sorted(results.values()) != [results["a"], results["a"]]
+        assert generation_head(path) == max(results.values())
+        # every row exactly once
+        assert _ids(spark, path) == sorted(
+            list(range(40)) + list(range(1000, 1040))
+        )
+        # no files lost: the head listing covers both writers' files
+        m = load_manifest(path)
+        head_files = m["gens"][str(m["head"])]["files"]
+        assert len(head_files) >= 2
+        # CDF complete: first generation plus the inserts of the
+        # first->head span cover all 80 rows exactly
+        changes = generation_changes(
+            spark,
+            path,
+            min(results.values()),
+            max(results.values()),
+            key_cols=["id"],
+        )
+        inserted = changes.filter("change_type = 'insert'")
+        base = read_generation(spark, path, at=min(results.values()))
+        assert base.count() + inserted.count() == 80
+        assert changes.filter("change_type != 'insert'").count() == 0
+
+
+def test_many_concurrent_appenders(spark, tmp_path):
+    """Four appenders racing: all four generations land, the final
+    store is the exact union."""
+    with using_backend(CASStoreIO()):
+        path = str(tmp_path / "store")
+        barrier = threading.Barrier(4)
+        errors: list[Exception] = []
+
+        def writer(lo: int):
+            try:
+                df = _frame(spark, lo, 10, f"w{lo}")
+                barrier.wait()
+                append_rows(spark, path, df)
+            except Exception as e:
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=writer, args=(lo,))
+            for lo in (0, 100, 200, 300)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        assert generation_head(path) == 4
+        expect = sorted(
+            i + lo for lo in (0, 100, 200, 300) for i in range(10)
+        )
+        assert _ids(spark, path) == expect
+
+
+def test_append_during_rewrite_neither_loses(spark, tmp_path):
+    """append/rewrite interleaving: the appender and a compacting
+    rewriter race; the exclusive lease drains the shared lease (or the
+    appender waits), and whichever order lands, the final head has the
+    base rows (compacted) plus the appended batch — nothing erased by
+    the swap."""
+    with using_backend(CASStoreIO()):
+        path = str(tmp_path / "store")
+        _frame(spark, 0, 60, "base").repartition(6).write.parquet(path)
+        publish_generation(path)
+        barrier = threading.Barrier(2)
+        errors: list[Exception] = []
+
+        def appender():
+            try:
+                df = _frame(spark, 5000, 20, "late")
+                barrier.wait()
+                append_rows(spark, path, df)
+            except Exception as e:
+                errors.append(e)
+
+        def rewriter():
+            try:
+                barrier.wait()
+                optimize_store(spark, path, ["id"], n_files=2)
+            except Exception as e:
+                errors.append(e)
+
+        ta = threading.Thread(target=appender)
+        tb = threading.Thread(target=rewriter)
+        ta.start(); tb.start(); ta.join(); tb.join()
+        assert not errors, errors
+        assert _ids(spark, path) == sorted(
+            list(range(60)) + list(range(5000, 5020))
+        )
+
+
+def test_posix_backend_appends_still_serialize_correctly(spark, tmp_path):
+    """The same verb under the POSIX backend: writers queue on the
+    flock, results identical."""
+    path = str(tmp_path / "store")
+    barrier = threading.Barrier(2)
+    errors: list[Exception] = []
+
+    def writer(tag, lo):
+        try:
+            df = _frame(spark, lo, 15, tag)
+            barrier.wait()
+            append_rows(spark, path, df)
+        except Exception as e:
+            errors.append(e)
+
+    ta = threading.Thread(target=writer, args=("a", 0))
+    tb = threading.Thread(target=writer, args=("b", 500))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert not errors, errors
+    assert generation_head(path) == 2
+    assert _ids(spark, path) == sorted(list(range(15)) + list(range(500, 515)))

@@ -223,3 +223,9 @@ def test_delete_requires_predicate(spark, tmp_path):
     publish_generation(base)
     with pytest.raises(ValueError, match="predicate"):
         delete_rows(spark, base, [])
+
+
+@pytest.fixture(autouse=True)
+def _both_io_backends(io_backend):
+    """Round 11: every test in this module runs under BOTH commit
+    backends (see conftest.io_backend) — POSIX and object-store CAS."""

@@ -275,3 +275,9 @@ def test_gate_pins_nondeterministic_batch(spark, tmp_path):
     # and the split respected the pinned values, not a re-roll
     assert kept.filter(F.col("score") > 0.5).count() == 0
     assert quar.filter(F.col("score") <= 0.5).count() == 0
+
+
+@pytest.fixture(autouse=True)
+def _both_io_backends(io_backend):
+    """Round 11: every test in this module runs under BOTH commit
+    backends (see conftest.io_backend) — POSIX and object-store CAS."""

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from map_reduce_indexing_spark.api import IndexSession, VectorStore
@@ -397,3 +398,9 @@ def test_optimize_store_reclusters_and_preserves_everything(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+@pytest.fixture(autouse=True)
+def _both_io_backends(io_backend):
+    """Round 11: every test in this module runs under BOTH commit
+    backends (see conftest.io_backend) — POSIX and object-store CAS."""

@@ -1503,3 +1503,9 @@ def test_join_matview_nonretractable_rewrite_still_rebuilds(
     report = refresh_matview(spark, view)
     assert report["mode"] == "rebuild", report
     assert _join_view_rows(spark, view) == _join_full(spark, fact, dim)
+
+
+@pytest.fixture(autouse=True)
+def _both_io_backends(io_backend):
+    """Round 11: every test in this module runs under BOTH commit
+    backends (see conftest.io_backend) — POSIX and object-store CAS."""

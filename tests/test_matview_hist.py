@@ -245,3 +245,25 @@ def test_hist_in_join_matview(spark, tmp_path):
     rep = refresh_matview(spark, view)
     assert rep["mode"] in ("retract", "rebuild")
     assert served() == direct()
+
+
+def test_hist_quantile_plan_constant_in_percentile_count(spark, tmp_path):
+    """Round-11 single-pass form: the number of Window nodes in the
+    plan must not grow with |ps| (the old form unioned one filtered
+    window branch per requested percentile)."""
+    from map_reduce_indexing_spark.operators.matview import hist_quantile
+
+    df = spark.createDataFrame(
+        [("a", [0, 0] + [1] * 32)], "k string, h array<long>"
+    )
+
+    def n_windows(ps):
+        plan = hist_quantile(
+            df, "h", "hist:0:32:32", ["k"], ps
+        )._jdf.queryExecution().optimizedPlan().toString()
+        return plan.count("Window ")
+
+    one = n_windows([0.5])
+    many = n_windows([i / 20 for i in range(1, 20)])
+    assert one == many
+    assert one <= 3

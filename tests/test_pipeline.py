@@ -383,3 +383,9 @@ def test_on_first_run_error_refuses_nonempty_destination(spark, tmp_path):
     # default posture: fan-in proceeds
     run_incremental_pipeline(spark, b, dst, _double)
     assert read_generation(spark, dst).count() == 15
+
+
+@pytest.fixture(autouse=True)
+def _both_io_backends(io_backend):
+    """Round 11: every test in this module runs under BOTH commit
+    backends (see conftest.io_backend) — POSIX and object-store CAS."""

@@ -61,9 +61,12 @@ def test_window_exercises_round5_families():
     # stream_session_windows external; see round9 third-batch test)
     # (rel_cdc_merge_upsert rotated out in the r10 third batch — MERGE
     # keeps its STRICTER store-level consumer rel_upsert_rows external)
+    # (stream_session_windows rotated out in r11 — the streaming
+    # family keeps six external rows incl. the stateful tier's
+    # stream_stateful_user_stats; see round11 test)
     assert {
         "rel_upsert_rows",
-        "stream_session_windows",
+        "stream_stateful_user_stats",
     } <= w
     # family representatives that must stay
     # (dedup_simhash and rel_percentiles rotated out in r9 — pigeonhole
@@ -85,9 +88,11 @@ def test_window_exercises_round6_rotation():
     # (rel_attribution_first_touch and rel_anomaly_daily rotated out
     # in r10 — event-flow keeps retention_cohorts + stream_funnel,
     # time-series/distribution keep rel_profile_drift; see round10 test)
+    # (rel_retention_cohorts rotated out in r11 — event-flow keeps
+    # stream_funnel + rel_profile_drift; see round11 test)
     assert {
         "ann_ivf_pq_topk",
-        "rel_retention_cohorts",
+        "rel_profile_drift",
     } <= w
     # retired rows stay registered + oracle-backed (sweep-checked)
     # (stream_session_windows, retired here in r6, was RE-promoted in
@@ -114,7 +119,9 @@ def test_window_exercises_round6_rotation():
     # ann family (ann_knn_batch_numpy itself rotated out in the r9
     # third batch — the ANN tier keeps four external rows; see round9
     # third-batch test)
-    assert {"ann_ivf_trained_topk", "ann_ivf_pq_topk"} <= w
+    # (ann_ivf_trained_topk rotated out in r11 — train-then-serve
+    # stays external via ann_ivf_pq_topk + ann_kmeans_train_k64)
+    assert {"ann_kmeans_train_k64", "ann_ivf_pq_topk"} <= w
     # streaming (cdc_upsert itself rotated out in r8; see round8 test)
     assert "stream_stateful_user_stats" in w
 
@@ -132,9 +139,12 @@ def test_window_exercises_round7_rotation():
     # (search_proximity and stream_scd2_temporal_join rotated out in
     # r10 — the positional artifact stays pytest+sweep-checked, the
     # streaming family keeps five external rows; see round10 test)
+    # (dedup_fuzzy_names and rel_retention_cohorts rotated out in r11
+    # — the dedup tier keeps four external rows, event-flow keeps
+    # stream_funnel; see round11 test)
     assert {
-        "dedup_fuzzy_names",
-        "rel_retention_cohorts",
+        "dedup_jaccard_prefix_pairs",
+        "stream_funnel",
     } <= w
     retired = {
         "search_phrase",  # positional artifact: search_proximity
@@ -148,8 +158,9 @@ def test_window_exercises_round7_rotation():
         q = registry.get(name)
         assert q.export and q.oracle is not None
     assert {"search_term_lookup", "search_topk_per_term"} <= w
-    # (rel_anomaly_daily rotated out in r10; rel_sessionize in r9 third)
-    assert "rel_retention_cohorts" in w
+    # (rel_anomaly_daily rotated out in r10; rel_sessionize in r9 third;
+    # rel_retention_cohorts itself in r11 — rel_profile_drift carries)
+    assert "rel_profile_drift" in w
     # (dedup_minhash_lsh_pairs was itself rotated out in the second r7
     # batch — the banding family's representative is now the recall
     # eval; see test_window_exercises_round7_second_batch)
@@ -236,10 +247,13 @@ def test_window_exercises_round8_rotation():
     w = set(PRIORITY_WINDOW)
     # (rel_cdc_merge_upsert rotated out in the r10 third batch — MERGE
     # stays external via the store-level rel_upsert_rows)
+    # (ann_ivf_trained_topk and stream_session_windows rotated out in
+    # r11 — train-then-serve stays external via ann_ivf_pq_topk +
+    # ann_kmeans_train_k64, the streaming family keeps six rows)
     assert {
-        "ann_ivf_trained_topk",
+        "ann_ivf_pq_topk",
         "rel_upsert_rows",
-        "stream_session_windows",
+        "stream_stateful_user_stats",
         "multimodal_audio_meta",
         "text_decontaminate",
     } <= w
@@ -260,8 +274,9 @@ def test_window_exercises_round8_rotation():
     # (rel_cdc_scd2 itself rotated out in the r9 second batch;
     # rel_cdc_merge_upsert in the r10 third batch)
     assert {"rel_upsert_rows", "rel_window_range_frame"} <= w
-    # (stream_scd2_temporal_join itself rotated out in r10)
-    assert {"stream_session_windows", "stream_stateful_user_stats"} <= w
+    # (stream_scd2_temporal_join itself rotated out in r10;
+    # stream_session_windows in r11 — the stateful tier carries)
+    assert {"stream_heavy_hitters", "stream_stateful_user_stats"} <= w
     # (text_shuffle_shards out in the r10 third batch; pipeline row carries)
     assert "text_incremental_pipeline" in w
     assert "ann_ivf_pq_topk" in w  # (ann_recall_eval rotated out in r9)
@@ -290,10 +305,13 @@ def test_round8_third_batch_rotation():
     heavy hitters. Every retired row stays registered + oracle-backed
     and its family keeps another external representative."""
     w = set(PRIORITY_WINDOW)
+    # (dedup_semantic_pairs rotated out in r11 — its exact-verify
+    # cosine arithmetic stays external via ann_filtered_topk's pruned
+    # cell scans; see round11 test)
     assert {
         "search_related_docs",
         "text_classifier_train",
-        "dedup_semantic_pairs",
+        "ann_filtered_topk",
         "rel_triangles_trade",
         "text_bpe_merges",
         "stream_heavy_hitters",
@@ -312,8 +330,10 @@ def test_round8_third_batch_rotation():
         assert q.export and q.oracle is not None
     # each retired row's family keeps an in-window representative
     assert {"search_topk_per_term", "search_related_docs"} <= w
-    # (rel_json_parse and dedup_simhash rotated out in r9)
-    assert "dedup_semantic_pairs" in w
+    # (rel_json_parse and dedup_simhash rotated out in r9;
+    # dedup_semantic_pairs itself in r11 — cluster_keep_best carries
+    # quality-aware resolution, ann_filtered_topk the cosine path)
+    assert "dedup_cluster_keep_best" in w
     assert "multimodal_audio_meta" in w
     assert {"index_postings", "index_letter_histogram"} <= w
     assert {"stream_stateful_user_stats", "stream_heavy_hitters"} <= w
@@ -360,7 +380,8 @@ def test_window_exercises_round9_rotation():
     # keeper consumes the full cluster path end-to-end)
     assert {"dedup_lsh_recall_eval", "dedup_cluster_keep_best"} <= w
     assert {"stream_heavy_hitters", "stream_funnel"} <= w
-    assert {"ann_ivf_trained_topk", "ann_ivf_pq_topk"} <= w
+    # (ann_ivf_trained_topk rotated out in r11; pq_topk + kmeans carry)
+    assert {"ann_kmeans_train_k64", "ann_ivf_pq_topk"} <= w
 
 
 def test_round9_second_batch_rotation():
@@ -412,9 +433,12 @@ def test_round9_third_batch_rotation():
     for name in retired:
         q = registry.get(name)
         assert q.export and q.oracle is not None
-    assert {"stream_session_windows", "dedup_cluster_keep_best"} <= w
+    # (stream_session_windows itself rotated out in r11 — the
+    # streaming family keeps six external rows)
+    assert {"stream_stateful_user_stats", "dedup_cluster_keep_best"} <= w
+    # (ann_ivf_trained_topk rotated out in r11 — filtered_topk joins)
     assert {
-        "ann_ivf_trained_topk",
+        "ann_filtered_topk",
         "ann_ivf_pq_topk",
         "ann_kmeans_train_k64",
         "ann_pq_train",
@@ -469,14 +493,17 @@ def test_round10_rotation():
     # (rel_q5_local_supplier itself rotated out in the r10 third batch)
     assert {"rel_join_semi", "rel_join_asof",
             "rel_q1_pricing_summary"} <= w
-    assert {"rel_retention_cohorts", "stream_funnel",
-            "rel_profile_drift"} <= w
+    # (rel_retention_cohorts itself rotated out in r11)
+    assert {"stream_funnel", "rel_profile_drift"} <= w
     # (dedup_exact_kept itself rotated out in the r10 third batch)
     assert {"dedup_jaccard_prefix_pairs", "dedup_incremental_lsh_pairs"} <= w
+    # (stream_session_windows itself rotated out in r11 — replaced in
+    # the family by the two round-11 ingest rows)
     assert {
         "stream_continuous_agg",
         "stream_funnel",
-        "stream_session_windows",
+        "stream_gated_ingest",
+        "stream_autocompact_ingest",
         "stream_stateful_user_stats",
         "stream_heavy_hitters",
     } <= w
@@ -524,9 +551,62 @@ def test_round10_third_batch_rotation():
     assert "rel_expectations_audit" not in w
     # each retired row's family keeps an in-window representative
     assert {"rel_q1_pricing_summary", "rel_bucketed_join_agg"} <= w
-    assert {"dedup_jaccard_prefix_pairs", "dedup_fuzzy_names"} <= w
+    # (dedup_fuzzy_names itself rotated out in r11)
+    assert {"dedup_jaccard_prefix_pairs", "dedup_cluster_keep_best"} <= w
     assert {"text_decontaminate", "text_incremental_pipeline"} <= w
     assert "rel_upsert_rows" in w
     # the histogram row joins the matview family's external surface
     assert {"rel_matview_refresh", "rel_matview_hist_quantile",
             "rel_matview_join_refresh"} <= w
+
+
+def test_round11_rotation():
+    """Round-11 rotation (VERDICT r10 #6): the judge-verified but
+    never-external round-10 rows go external — filtered ANN, the
+    (now replay-idempotent) gated streaming ingest, and the
+    quarantine repair loop — plus the round's two new store flagships:
+    optimistic concurrent appends under the object-store CAS backend
+    and the auto-compacted streaming ingest. Every retired row stays
+    registered + oracle-backed and its family keeps another external
+    representative."""
+    w = set(PRIORITY_WINDOW)
+    assert {
+        "ann_filtered_topk",
+        "stream_gated_ingest",
+        "rel_expectations_readmit",
+        "rel_concurrent_append",
+        "stream_autocompact_ingest",
+    } <= w
+    retired = {
+        "rel_retention_cohorts",  # event-flow: stream_funnel + drift
+        "dedup_fuzzy_names",  # dedup tier keeps four external rows
+        "dedup_semantic_pairs",  # cosine path: ann_filtered_topk
+        "ann_ivf_trained_topk",  # train-then-serve: pq_topk + kmeans
+        "stream_session_windows",  # streaming keeps six external rows
+    }
+    assert retired.isdisjoint(w)
+    for name in retired:
+        q = registry.get(name)
+        assert q.export and q.oracle is not None
+    # each retired row's family keeps an in-window representative
+    assert {"stream_funnel", "rel_profile_drift"} <= w
+    assert {
+        "dedup_jaccard_prefix_pairs",
+        "dedup_lsh_recall_eval",
+        "dedup_cluster_keep_best",
+        "dedup_incremental_lsh_pairs",
+    } <= w
+    assert {"ann_ivf_pq_topk", "ann_kmeans_train_k64", "ann_pq_train"} <= w
+    assert {
+        "stream_continuous_agg",
+        "stream_stateful_user_stats",
+        "stream_heavy_hitters",
+    } <= w
+    # the admission-gate family now has its full lifecycle external:
+    # batch gate -> streaming gate -> repair/readmit -> auto-compaction
+    assert {
+        "rel_expectations_quarantine",
+        "rel_expectations_readmit",
+        "stream_gated_ingest",
+        "stream_autocompact_ingest",
+    } <= w

@@ -225,3 +225,9 @@ def test_upsert_multi_column_keys_prune_and_stay_exact(spark, tmp_path):
     assert got[(1, 3)] == 99999 and got[(1, 50)] == 42
     assert got[(2, 3)] == 2003  # untouched
     assert len(got) == 41
+
+
+@pytest.fixture(autouse=True)
+def _both_io_backends(io_backend):
+    """Round 11: every test in this module runs under BOTH commit
+    backends (see conftest.io_backend) — POSIX and object-store CAS."""

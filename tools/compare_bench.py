@@ -147,6 +147,16 @@ SCAN_QUERIES = {
     "text_repetition",
 }
 
+# Headliners whose wall is driver-bound manifest work — one JSON read
+# plus a tiny createDataFrame, zero Spark jobs (metadata-served
+# aggregates). Round-10's rel_metadata_count flag (+32%, spreads
+# disjoint) sat in this tier with NO covering marker; the round-11
+# `manifest_read` marker pins it. When both runs carry it, these
+# normalize by ITS ratio.
+MANIFEST_QUERIES = {
+    "rel_metadata_count",
+}
+
 
 def compare(old: dict, new: dict, threshold: float) -> int:
     oq, nq = old["queries"], new["queries"]
@@ -170,6 +180,15 @@ def compare(old: dict, new: dict, threshold: float) -> int:
     if osc and nsc:
         scan_factor = nsc / osc
         print(f"scan factor (new/old parquet_scan marker): {scan_factor:.2f}")
+    omf = marker_median(old, "manifest_read")
+    nmf = marker_median(new, "manifest_read")
+    manifest_factor = None
+    if omf and nmf:
+        manifest_factor = nmf / omf
+        print(
+            f"manifest factor (new/old manifest_read marker): "
+            f"{manifest_factor:.2f}"
+        )
     shared = sorted(set(oq) & set(nq))
     flagged = []
     print(f"{'query':36} {'old':>8} {'new':>8} {'norm_ratio':>10}")
@@ -178,6 +197,8 @@ def compare(old: dict, new: dict, threshold: float) -> int:
             factor = pw_factor
         elif q in SCAN_QUERIES and scan_factor:
             factor = scan_factor
+        elif q in MANIFEST_QUERIES and manifest_factor:
+            factor = manifest_factor
         else:
             factor = nm / om if om and nm else 1.0
         norm = (nq[q] / factor) / oq[q] if oq[q] else float("inf")
