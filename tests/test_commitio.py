@@ -309,3 +309,80 @@ def test_using_backend_swaps_and_restores(tmp_path):
     with using_backend(cas):
         assert C.IO is cas
     assert C.IO is prev
+
+
+def test_cas_conditional_put_across_processes(tmp_path):
+    """Two PROCESSES hammer conditional puts on one manifest: every
+    successful save is a load->increment->save round that survived the
+    CAS, so the final counter equals the number of successes — lost
+    updates are impossible by construction (the POSIX backend's
+    last-write-wins would lose increments here)."""
+    import subprocess
+    import sys
+
+    target = str(tmp_path / "m.json")
+    io = CASStoreIO()
+    io.save_json_atomic(target, {"n": 0})
+    worker = r"""
+import json, sys
+sys.path.insert(0, "/root/repo")
+from map_reduce_indexing_spark.sources.commitio import CASStoreIO, CommitConflict
+io = CASStoreIO()
+target = sys.argv[1]
+done = 0
+while done < 25:
+    with open(target) as fh:
+        m = json.load(fh)
+    m["n"] += 1
+    try:
+        io.save_json_atomic(target, m)
+        done += 1
+    except CommitConflict:
+        continue
+print(done)
+"""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker, target],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for _ in range(2)
+    ]
+    outs = [p.communicate(timeout=120) for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    assert json.load(open(target))["n"] == 50
+    assert json.load(open(target))["_cas"] == 51  # one bump per success
+
+
+def test_cas_lease_excludes_across_processes(tmp_path):
+    """A lease held by ANOTHER interpreter blocks this process's
+    writer_lock until released (put-if-absent is process-agnostic)."""
+    import subprocess
+    import sys
+
+    path = str(tmp_path / "store")
+    os.makedirs(path)
+    holder = r"""
+import sys, time
+sys.path.insert(0, "/root/repo")
+from map_reduce_indexing_spark.sources.commitio import CASStoreIO
+io = CASStoreIO()
+with io.writer_lock(sys.argv[1]):
+    print("held", flush=True)
+    time.sleep(1.0)
+"""
+    p = subprocess.Popen(
+        [sys.executable, "-c", holder, path],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+    assert p.stdout.readline().strip() == "held"
+    io = CASStoreIO()
+    t0 = time.monotonic()
+    with io.writer_lock(path):
+        waited = time.monotonic() - t0
+    assert waited > 0.4  # blocked until the other process released
+    p.communicate(timeout=30)
+    assert p.returncode == 0
