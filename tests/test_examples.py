@@ -25,6 +25,7 @@ EXAMPLES = [
     ("examples/snapshot_pipeline.py", []),
     ("examples/lakehouse_tour.py", []),
     ("examples/medallion_pipeline.py", []),
+    ("examples/concurrent_lakehouse.py", []),
 ]
 
 
