@@ -307,16 +307,31 @@ class CASStoreIO:
             return None
 
     def publish_swap(self, live: str, staging: str) -> None:
-        """Journaled copy-swap, CAS-VALIDATED: a staged rewrite was
-        derived from the manifest version it loaded (`staged _cas ==
-        loaded + 1` — carry_generations saves the staged manifest at
-        the fresh staging path, which bumps the carried token once).
-        If the live manifest moved since (an optimistic append
-        published mid-rewrite), replacing the directory would ERASE
-        that commit — raise CommitConflict instead and let the
-        rewriter re-stage from the new head. Plain artifacts (no
-        manifest) skip the check; their writers are lease-serialized
-        on both sides."""
+        """Journaled DIFF swap, CAS-VALIDATED — the object-store
+        publish shape: immutable objects are never rewritten, so the
+        swap (1) PLACES the files staging adds (per-file atomic:
+        copy to a dot-temp sibling, rename — an object PUT), (2)
+        FLIPS the manifest (one atomic replace — the pointer), (3)
+        GCs the files staging dropped. Files present in BOTH trees at
+        the same rel path and size — every carried `_gen/` snapshot —
+        are NEVER TOUCHED, so a reader pinned to a retained
+        generation has no unreadable window at all (the POSIX
+        two-rename instant and the naive delete-then-copy emulation
+        both had one); a reader mid-flip sees wholly-old or wholly-new
+        state through whichever manifest it loaded. A crash at any
+        step is healed by `recover` re-running the journaled plan
+        (staging is kept until the journal clears; every step is
+        idempotent).
+
+        CAS validation: the staged rewrite was derived from the
+        manifest version it loaded (`staged _cas == loaded + 1` —
+        carry_generations saves the staged manifest at the fresh
+        staging path, bumping the carried token once). If the live
+        manifest moved since (an optimistic append published
+        mid-rewrite), the flip would ERASE that commit — raise
+        CommitConflict and let the rewriter re-stage from the new
+        head. Plain artifacts (no manifest) skip the check; their
+        writers are lease-serialized on both sides."""
         s = self._manifest_cas(staging)
         if s is not None:
             l = self._manifest_cas(live)
@@ -333,14 +348,75 @@ class CASStoreIO:
         os.replace(tmp, journal)  # one object PUT: the intent record
         self._replay_swap(live, journal)
 
+    @staticmethod
+    def _tree(root: str) -> dict[str, int]:
+        """{rel path: size} for EVERY regular file under root —
+        including underscore/dot entries (sidecars, snapshots, the
+        manifest); this is the full object listing, not the data
+        view."""
+        out: dict[str, int] = {}
+        for r, _dirs, files in os.walk(root):
+            for f in files:
+                p = os.path.join(r, f)
+                try:
+                    out[os.path.relpath(p, root)] = os.stat(p).st_size
+                except OSError:
+                    pass  # racing temp file: not part of either tree
+        return out
+
     def _replay_swap(self, live: str, journal: str) -> None:
+        import uuid
+
         with open(journal) as fh:
             staging = json.load(fh)["staging"]
         if os.path.isdir(staging):
-            shutil.rmtree(live, ignore_errors=True)
-            shutil.copytree(staging, live)
+            want = self._tree(staging)
+            have = self._tree(live) if os.path.isdir(live) else {}
+            manifest_rel = MANIFEST_NAME if MANIFEST_NAME in want else None
+
+            def place(rel: str) -> None:
+                dst = os.path.join(live, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                tmp = os.path.join(
+                    os.path.dirname(dst),
+                    f".{os.path.basename(dst)}.{uuid.uuid4().hex}.swap",
+                )
+                shutil.copy2(os.path.join(staging, rel), tmp)
+                os.replace(tmp, dst)  # per-object atomic PUT
+
+            # 1. place adds/changes, the manifest LAST (the flip).
+            # The size-equality skip applies ONLY under the immutable
+            # snapshot trees (_gen/, _bloom/ — files there are
+            # immutable-from-birth, and not touching them is what
+            # closes the pinned-reader window); anything else could be
+            # a mutable same-size sidecar (matview.json) and is always
+            # re-placed, per-file atomically.
+            def carried(rel: str, size: int) -> bool:
+                return rel.startswith(("_gen/", "_bloom/", "_gen\\", "_bloom\\")) and (
+                    have.get(rel) == size
+                )
+
+            for rel, size in want.items():
+                if rel != manifest_rel and not carried(rel, size):
+                    place(rel)
+            if manifest_rel is not None:
+                place(manifest_rel)
+            # 2. GC what the rewrite dropped
+            for rel in have:
+                if rel not in want:
+                    try:
+                        os.remove(os.path.join(live, rel))
+                    except OSError:
+                        pass
+            # prune now-empty dirs (cosmetic: object stores have none)
+            for r, dirs, files in os.walk(live, topdown=False):
+                if not dirs and not files and r != live:
+                    try:
+                        os.rmdir(r)
+                    except OSError:
+                        pass
             shutil.rmtree(staging)
-        # staging gone -> the copy completed before a crash; fall
+        # staging gone -> the placement completed before a crash; fall
         # through to clearing the intent record either way
         os.remove(journal)
 
