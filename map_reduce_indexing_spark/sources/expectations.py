@@ -241,15 +241,41 @@ def append_with_expectations(
         if m is None:
             m = {"head": 0, "gens": {}}
             if _data_files(path):
-                # pre-existing unpublished state: pin it first so this
-                # append's generation diff is exactly this batch
-                _publish(path, 1, m)
-                m = load_manifest(path)
+                if idempotency is not None:
+                    # a replay-safe stream owns this store exclusively:
+                    # unpublished files can only be a crashed batch's
+                    # half-written output (its offset never committed,
+                    # so THIS call is its redo) — pinning them would
+                    # duplicate the batch. Delete instead.
+                    for rel in _data_files(path):
+                        try:
+                            os.remove(os.path.join(path, rel))
+                        except OSError:
+                            pass
+                else:
+                    # pre-existing unpublished state: pin it first so
+                    # this append's generation diff is exactly this
+                    # batch (the adoption path for stores that held
+                    # data before gating began)
+                    _publish(path, 1, m)
+                    m = load_manifest(path)
         elif set(_data_files(path)) != set(
             m["gens"][str(m["head"])]["files"]
         ):
-            _publish(path, int(m["head"]) + 1, m)
-            m = load_manifest(path)
+            head_files = set(m["gens"][str(m["head"])]["files"])
+            if idempotency is not None:
+                # same reasoning: live-minus-head in a replay-safe
+                # stream's store is the crashed predecessor of THIS
+                # redo, not data to adopt
+                for rel in _data_files(path):
+                    if rel not in head_files:
+                        try:
+                            os.remove(os.path.join(path, rel))
+                        except OSError:
+                            pass
+            else:
+                _publish(path, int(m["head"]) + 1, m)
+                m = load_manifest(path)
 
         audit = {
             "mode": mode,

@@ -1075,6 +1075,7 @@ def _publish(
     spark: SparkSession | None = None,
     entry_extra: dict | None = None,
     manifest_extra: dict | None = None,
+    add_files: list[str] | None = None,
 ) -> int:
     """Hardlink the live listing into `_gen/g{head}` and record it —
     the generation's file paths are immutable from this moment on.
@@ -1084,10 +1085,23 @@ def _publish(
     never leave a published generation separated from its metadata.
     `manifest_extra` merges top-level keys the same way — for state
     that must OUTLIVE retention (generation entries expire with their
-    generations; e.g. the pipeline bookmark map)."""
+    generations; e.g. the pipeline bookmark map).
+
+    `add_files` switches the listing from the DIRECTORY SCAN (the
+    locked verbs' semantic: a generation is a snapshot of the live
+    state, which the flock guarantees is exactly head + this verb's
+    writes) to the PRECISE form `head files + add_files` — required by
+    optimistic appends, where the directory may also hold another
+    writer's in-flight placements or a crashed writer's residue, and
+    folding either into the listing would publish rows whose writer
+    never committed (phantoms that duplicate on its retry)."""
     import time
 
-    rels = _data_files(path)
+    if add_files is not None:
+        prev = m["gens"].get(str(m.get("head", 0)))
+        rels = sorted(set(prev["files"] if prev else []) | set(add_files))
+    else:
+        rels = _data_files(path)
     root = os.path.join(GEN_DIR, f"g{head}")
     _link_tree(path, rels, os.path.join(path, root))
     m["head"] = head
@@ -1130,6 +1144,7 @@ def publish_generation(
     spark: SparkSession | None = None,
     entry_extra: dict | None = None,
     manifest_extra: dict | None = None,
+    add_files: list[str] | None = None,
 ) -> int:
     """Snapshot the live state as a new head generation (immutable
     hardlinked copy under `_gen/`). Callers hold the artifact's
@@ -1147,7 +1162,11 @@ def publish_generation(
 
     `spark` (optional) distributes a BULK publish's stats/bloom build
     as one Spark job over the new-file list (>= STATS_SPARK_MIN_FILES
-    new files); smaller publishes fan out on a thread pool."""
+    new files); smaller publishes fan out on a thread pool.
+
+    `add_files` publishes the PRECISE listing `head + add_files`
+    instead of snapshotting the directory — the optimistic-append form
+    (see _publish)."""
     m = load_manifest(path) or {"head": 0, "gens": {}}
     if bloom_cols:
         m["bloom_cols"] = sorted(set(m.get("bloom_cols") or []) | set(bloom_cols))
@@ -1158,6 +1177,7 @@ def publish_generation(
         spark=spark,
         entry_extra=entry_extra,
         manifest_extra=manifest_extra,
+        add_files=add_files,
     )
 
 
@@ -1192,9 +1212,12 @@ def append_rows(
       co-hold the SHARED lease and compose through the conditional
       manifest put (loser retries; each writer's files are new
       objects nobody else references, so the merged listing is the
-      union). A generation published mid-append may already LIST the
-      other writer's placed files (a generation is a snapshot of the
-      live listing) — no rows are ever lost or doubled.
+      union). Listings are PRECISE (`head + this writer's files`,
+      never a directory scan): another writer's in-flight placements
+      — or a crashed writer's residue — can never be folded into a
+      generation they didn't commit (phantom rows that would
+      duplicate on that writer's retry). Crashed-placement residue
+      is invisible to every read and is reclaimed by `vacuum_store`.
     - append/rewrite: the rewrite's EXCLUSIVE lease drains in-flight
       shared leases before reading its input and blocks new appenders
       until the swap lands; the CAS-validated swap
@@ -1257,7 +1280,7 @@ def append_rows(
                 _recover_index_locked(path)
                 _place()
                 return publish_generation(
-                    path, bloom_cols=bloom_cols, spark=spark
+                    path, bloom_cols=bloom_cols, spark=spark, add_files=rels
                 )
         if IO.needs_recovery(path):
             # a rewriter crashed mid-swap: heal under the exclusive
@@ -1270,7 +1293,10 @@ def append_rows(
             for _ in range(max_retries):
                 try:
                     head = publish_generation(
-                        path, bloom_cols=bloom_cols, spark=spark
+                        path,
+                        bloom_cols=bloom_cols,
+                        spark=spark,
+                        add_files=rels,
                     )
                 except CommitConflict as e:
                     last = e
@@ -2144,6 +2170,104 @@ def maybe_autocompact(spark: SparkSession, path: str) -> int | None:
     return optimize_store(
         spark, path, pol.get("cluster_by"), n_files=int(pol["n_files"])
     )
+
+
+def vacuum_store(path: str, grace_seconds: float = 3600.0) -> dict:
+    """GC by MANIFEST REACHABILITY — the object-store answer to crash
+    residue (a failed optimistic commit leaves only orphan files; the
+    manifest never references them, so reads are already correct and
+    the only cost is storage). Deletes, under the exclusive writer
+    lease (which drains in-flight appenders, so nothing mid-placement
+    can be mistaken for garbage):
+
+    - live data files not in the HEAD generation's listing (a crashed
+      appender's placed-but-never-published batch);
+    - `_gen/` snapshot roots no retained generation claims (failed
+      optimistic attempts' link trees; expired roots are normally
+      pruned at publish, this catches strays);
+    - `_bloom/` sidecars nothing references;
+    - dot-prefixed `.place`/`.swap` placement temps.
+
+    Everything must also be OLDER than `grace_seconds` (defense in
+    depth against clock-adjacent writers; the lease already excludes
+    live ones). Returns {"data_files", "snapshot_dirs",
+    "bloom_sidecars", "temp_files"} removal counts. Pinned readers
+    are untouched by construction: they read retained generations'
+    listings, which are exactly what vacuum keeps."""
+    import time
+
+    from ..operators.indexing import _recover_index_locked, index_writer_lock
+
+    removed = {
+        "data_files": 0,
+        "snapshot_dirs": 0,
+        "bloom_sidecars": 0,
+        "temp_files": 0,
+    }
+    with index_writer_lock(path):
+        _recover_index_locked(path)
+        m = load_manifest(path)
+        if m is None:
+            raise ValueError(
+                f"{path!r} has no generation manifest; vacuum reasons "
+                "from manifest reachability and cannot run without one"
+            )
+        now = time.time()
+
+        def expendable(p: str) -> bool:
+            try:
+                return now - os.path.getmtime(p) > grace_seconds
+            except OSError:
+                return False
+
+        head_entry = m["gens"].get(str(m["head"]))
+        head_files = set(head_entry["files"]) if head_entry else set()
+        # legacy manifests may pin generations at root "." (top-level
+        # files ARE the snapshot): those files are reachable too
+        for g in m["gens"].values():
+            if g["root"] == ".":
+                head_files |= set(g["files"])
+        for rel in _data_files(path):
+            p = os.path.join(path, rel)
+            if rel not in head_files and expendable(p):
+                try:
+                    os.remove(p)
+                    removed["data_files"] += 1
+                except OSError:
+                    pass
+        keep_roots = {g["root"] for g in m["gens"].values()}
+        gen_dir = os.path.join(path, GEN_DIR)
+        if os.path.isdir(gen_dir):
+            for d in os.listdir(gen_dir):
+                rel = os.path.join(GEN_DIR, d)
+                p = os.path.join(path, rel)
+                if rel not in keep_roots and expendable(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed["snapshot_dirs"] += 1
+        refs = _bloom_refs(m["gens"])
+        bdir = os.path.join(path, BLOOM_DIR)
+        if os.path.isdir(bdir):
+            for f in os.listdir(bdir):
+                p = os.path.join(bdir, f)
+                if f not in refs and expendable(p):
+                    try:
+                        os.remove(p)
+                        removed["bloom_sidecars"] += 1
+                    except OSError:
+                        pass
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.startswith(".") and (
+                    f.endswith(".place") or f.endswith(".swap")
+                ):
+                    p = os.path.join(root, f)
+                    if expendable(p):
+                        try:
+                            os.remove(p)
+                            removed["temp_files"] += 1
+                        except OSError:
+                            pass
+    return removed
 
 
 def describe_generations(spark: SparkSession, path: str) -> DataFrame:

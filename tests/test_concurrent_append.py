@@ -179,3 +179,93 @@ def test_posix_backend_appends_still_serialize_correctly(spark, tmp_path):
     assert not errors, errors
     assert generation_head(path) == 2
     assert _ids(spark, path) == sorted(list(range(15)) + list(range(500, 515)))
+
+
+def test_crashed_placement_never_becomes_phantom_rows(spark, tmp_path):
+    """A writer that crashed after PLACING files but before publishing
+    must not leak those rows into anyone else's generation: listings
+    are precise (head + the publisher's own files), so the residue is
+    invisible to every read, the crashed writer's retry lands its
+    batch exactly once, and vacuum_store reclaims the orphans."""
+    import os
+    import time
+
+    from map_reduce_indexing_spark.sources.generations import vacuum_store
+
+    with using_backend(CASStoreIO()):
+        path = str(tmp_path / "store")
+        append_rows(spark, path, _frame(spark, 0, 20, "base"))
+        # simulate the crash residue: files placed, publish never ran
+        residue_src = str(tmp_path / "residue")
+        _frame(spark, 9000, 10, "crashed").coalesce(1).write.parquet(
+            residue_src
+        )
+        placed = []
+        for f in os.listdir(residue_src):
+            if f.startswith(("_", ".")):
+                continue
+            dst = os.path.join(path, f"crashed-{f}")
+            os.rename(os.path.join(residue_src, f), dst)
+            placed.append(dst)
+
+        # another writer publishes: its generation must NOT contain
+        # the crashed writer's rows
+        append_rows(spark, path, _frame(spark, 100, 5, "later"))
+        assert _ids(spark, path) == sorted(
+            list(range(20)) + list(range(100, 105))
+        )
+
+        # the crashed writer retries (fresh append_rows of its batch):
+        # the rows land exactly once
+        append_rows(spark, path, _frame(spark, 9000, 10, "crashed"))
+        assert _ids(spark, path) == sorted(
+            list(range(20)) + list(range(100, 105)) + list(range(9000, 9010))
+        )
+
+        # vacuum reclaims the orphan files (age the residue past grace)
+        old = time.time() - 100
+        for p in placed:
+            os.utime(p, (old, old))
+        rep = vacuum_store(path, grace_seconds=50)
+        assert rep["data_files"] == len(placed)
+        assert not any(os.path.exists(p) for p in placed)
+        # nothing reachable was touched
+        assert _ids(spark, path) == sorted(
+            list(range(20)) + list(range(100, 105)) + list(range(9000, 9010))
+        )
+
+
+def test_vacuum_keeps_everything_reachable(spark, tmp_path):
+    """vacuum with zero garbage removes nothing, pinned reads stay
+    byte-stable, and fresh residue inside the grace window survives."""
+    import os
+    import time
+
+    from map_reduce_indexing_spark.sources.generations import (
+        tag_generation,
+        vacuum_store,
+    )
+
+    path = str(tmp_path / "store")
+    append_rows(spark, path, _frame(spark, 0, 30, "a"))
+    tag_generation(path, "pin")
+    append_rows(spark, path, _frame(spark, 100, 10, "b"))
+    pinned = _ids(spark, path, at="pin")
+    rep = vacuum_store(path, grace_seconds=0)
+    assert rep == {
+        "data_files": 0,
+        "snapshot_dirs": 0,
+        "bloom_sidecars": 0,
+        "temp_files": 0,
+    }
+    # fresh residue inside the grace window is NOT reclaimed
+    orphan = os.path.join(path, "fresh-orphan.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"x")
+    rep = vacuum_store(path, grace_seconds=3600)
+    assert rep["data_files"] == 0 and os.path.exists(orphan)
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    rep = vacuum_store(path, grace_seconds=3600)
+    assert rep["data_files"] == 1 and not os.path.exists(orphan)
+    assert _ids(spark, path, at="pin") == pinned

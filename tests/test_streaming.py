@@ -647,3 +647,47 @@ def test_gated_ingest_replay_redo_completes_quarantine_window(spark, tmp_path):
     assert rep3.get("replayed") is None
     assert read_generation(spark, store).count() == 13
     assert read_quarantine(spark, store).count() == 13  # 9 + 4, not 9 + 8
+
+
+def test_gated_ingest_redo_sweeps_half_written_batch(spark, tmp_path):
+    """The third crash window: admitted rows WRITTEN but the publish
+    never ran (and so no batch id was recorded). The redo must sweep
+    the unpublished residue before re-applying — without it the batch
+    would land twice (once as the pinned orphan generation, once as
+    the redo's append)."""
+    from map_reduce_indexing_spark.sources.expectations import (
+        append_with_expectations,
+    )
+    from map_reduce_indexing_spark.sources.generations import (
+        generation_head,
+        read_generation,
+    )
+
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(20)], "id long, v long"
+    )
+    exp = {"v_cap": [("v", "<=", 100)]}
+    # batch 0 applies cleanly
+    append_with_expectations(spark, store, df, exp, idempotency=("ck", 0))
+    n0 = read_generation(spark, store).count()
+
+    # batch 1 crashes mid-write: admitted rows on disk, no publish,
+    # no record
+    df1 = spark.createDataFrame(
+        [(100 + i, i) for i in range(8)], "id long, v long"
+    )
+    df1.coalesce(1).write.mode("append").parquet(store)
+    head_before = generation_head(store)
+
+    # the restart replays batch 1 through the sink's idempotent append
+    rep = append_with_expectations(
+        spark, store, df1, exp, idempotency=("ck", 1)
+    )
+    assert rep.get("replayed") is None and rep["rows_appended"] == 8
+    assert generation_head(store) == head_before + 1
+    got = sorted(r.id for r in read_generation(spark, store).collect())
+    assert got == sorted(
+        [i for i in range(20) if i * 10 <= 100] + list(range(100, 108))
+    )
+    assert read_generation(spark, store).count() == n0 + 8  # not + 16
