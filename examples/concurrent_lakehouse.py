@@ -138,6 +138,24 @@ def main() -> None:
         assert pinned == 6000 and live == 4000
 
         describe_generations(spark, store).show(truncate=False)
+
+        # -- 6. vacuum: GC by manifest reachability ------------------
+        from map_reduce_indexing_spark.sources.generations import (
+            vacuum_store,
+        )
+
+        # plant crash residue: a placed-but-never-published file
+        orphan = os.path.join(store, "orphan-crashed-writer.parquet")
+        with open(orphan, "wb") as fh:
+            fh.write(b"\x00" * 64)
+        os.utime(orphan, (0, 0))  # aged past any grace window
+        rep = vacuum_store(store, grace_seconds=60)
+        print(
+            "== vacuum ==\n  reclaimed:",
+            {k: v for k, v in rep.items() if v},
+        )
+        assert not os.path.exists(orphan)
+        assert generation_row_count(store, at="after-race") == 6000
     spark.stop()
     print("OK")
 

@@ -22,17 +22,18 @@ primitives (and nothing else):
 flock, hardlink, `os.replace` — which is also exactly the reference's
 deployment shape (its ./index appends weren't even locked, SURVEY.md
 §2.12). On real 100 TB object storage (S3/GCS) neither flock nor
-hardlink nor atomic directory rename exists; SCALING.md ("commit
-protocol at object-storage scale", round 10) records what an
-`ObjectStoreIO` backend substitutes for each primitive — optimistic
-manifest compare-and-swap for 1/2/3 (Iceberg's commit protocol:
-immutable files + a pointer CAS make the lock and the directory swap
-unnecessary), server-side copy (or manifest-level reference, since
-generation files are immutable-from-birth) for 4, and
-put-if-absent/versioned-put for 5. The interface is deliberately this
-small so that backend is a drop-in; no second backend ships here —
-the seam is the deliverable, and the POSIX fault-injection tests
-(tests/test_commitio.py) pin the contract any backend must satisfy.
+hardlink nor atomic directory rename exists; `CASStoreIO` (round 11)
+is the backend with THOSE semantics — put-if-absent leases (exclusive
+for rewrites, SHARED for optimistic appends), conditional manifest
+puts via a `_cas` version token, journaled diff swaps that never
+touch immutable snapshot files, physical copies for relocation —
+emulated locally so every store verb's crash story can be proven
+without the POSIX affordances (the lakehouse suites run parametrized
+over both backends; SCALING.md "Round 11: the CAS backend ships" maps
+each primitive to its real S3/GCS counterpart). Select with
+`set_backend` / `using_backend` / `MRI_STORE_IO=cas`. The POSIX
+fault-injection tests plus the CAS journal/lease/conflict tests
+(tests/test_commitio.py) pin the contract both backends satisfy.
 """
 
 from __future__ import annotations
@@ -153,14 +154,15 @@ class CASStoreIO:
       STORE's server-side atomicity — the artifact code never touches
       it and cannot rely on it.
     - `publish_swap` -> there is no atomic directory swap; the swap
-      becomes a journaled copy: write `<live>.swapjournal` (the
-      intent record), delete the live prefix, copy staging in, delete
-      staging, clear the journal. A crash at ANY point is healed by
-      `recover` replaying the journal (staging is kept until the
-      journal clears, so the redo always has a complete source).
-      Readers in the copy window re-resolve, same contract as the
-      POSIX two-rename instant — on a real object store this window
-      is instead closed by the manifest pointer flip.
+      becomes a journaled DIFF: write `<live>.swapjournal` (the
+      intent record), place the files staging ADDS per-file
+      atomically, flip the manifest last, GC the files staging
+      dropped, clear the journal. Immutable `_gen/`/`_bloom/` files
+      common to both trees are never touched, so PINNED readers have
+      no unreadable window at all; a crash at ANY point is healed by
+      `recover` re-running the journaled plan (staging is kept until
+      the journal clears, and every step is idempotent). On a real
+      object store the same shape is uploads + one pointer CAS.
 
     The byte economics differ from POSIX on purpose: carries and swaps
     pay physical copies here (an object store pays server-side copies
