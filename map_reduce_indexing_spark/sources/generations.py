@@ -1188,6 +1188,8 @@ def append_rows(
     partition_by: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     max_retries: int = 8,
+    expectations: dict | None = None,
+    expect_mode: str = "quarantine",
 ) -> int:
     """APPEND `df` to the store and publish it as a new generation —
     with OPTIMISTIC concurrency under a CAS-capable commit backend
@@ -1235,7 +1237,19 @@ def append_rows(
     A failed attempt may leave extra hardlinks in the competing
     publish's `_gen/g{n}` snapshot dir; snapshot reads are LIST-driven
     (plan_generation_scan), so unreferenced files there are inert and
-    are collected when the generation's root is pruned."""
+    are collected when the generation's root is pruned.
+
+    `expectations` gates the batch with the
+    `append_with_expectations` semantics BEFORE the optimistic append
+    — the concurrent form of publish-time admission: fail raises with
+    nothing written, drop discards violations, quarantine routes them
+    (tagged) to the store's `.quarantine` sibling via a nested
+    optimistic append, so N independent GATED writers still compose
+    lock-free; the audit rides the generation entry. Crash semantics
+    without an idempotency key are the plain verb's: a caller retry
+    re-appends its batch (residue is invisible — precise listings —
+    and vacuumable); replay-safe streams should keep using
+    `append_with_expectations(idempotency=...)`."""
     import tempfile
     import uuid
 
@@ -1245,6 +1259,45 @@ def append_rows(
         index_writer_lock,
     )
     from .commitio import IO, CommitConflict
+
+    entry_extra = None
+    rejects = None
+    if expectations:
+        from .expectations import (
+            ExpectationError,
+            gate_eval,
+            violation_tags,
+        )
+
+        if expect_mode not in ("fail", "drop", "quarantine"):
+            raise ValueError(
+                f"expect_mode must be fail|drop|quarantine, got {expect_mode!r}"
+            )
+        # single-evaluation pin (see expectations.py): counts, admit
+        # write, and quarantine write split one materialization
+        df = df.localCheckpoint(eager=True)
+        flags, bad, rows_in, n_bad, violations = gate_eval(df, expectations)
+        if expect_mode == "fail" and n_bad:
+            raise ExpectationError(
+                {k: v for k, v in violations.items() if v}
+            )
+        audit = {
+            "mode": expect_mode,
+            "rows_in": rows_in,
+            "rows_appended": rows_in - n_bad,
+            "violations": violations,
+        }
+        if expect_mode == "quarantine":
+            audit["rows_quarantined"] = n_bad
+            if n_bad:
+                rejects = df.filter(bad).withColumn(
+                    "_violations", violation_tags(flags)
+                )
+        elif expect_mode == "drop":
+            audit["rows_dropped"] = n_bad
+        entry_extra = {"expectations": audit}
+        if n_bad:
+            df = df.filter(~bad)
 
     os.makedirs(path, exist_ok=True)
     staging = tempfile.mkdtemp(
@@ -1275,13 +1328,33 @@ def append_rows(
                 IO.link_or_copy(os.path.join(staging, rel), tmp)
                 os.replace(tmp, dst)
 
+        def _route_rejects(head: int) -> int:
+            # gated quarantine split: a NESTED append (optimistic
+            # under CAS, locked under POSIX) on the sibling store, so
+            # concurrent gated writers' reject batches compose the
+            # same way their admitted batches do
+            if rejects is not None:
+                from .expectations import quarantine_path
+
+                append_rows(
+                    spark,
+                    quarantine_path(path),
+                    rejects.withColumn("_src_generation", F.lit(head)),
+                )
+            return head
+
         if not getattr(IO, "supports_cas", False):
             with index_writer_lock(path):
                 _recover_index_locked(path)
                 _place()
-                return publish_generation(
-                    path, bloom_cols=bloom_cols, spark=spark, add_files=rels
+                head = publish_generation(
+                    path,
+                    bloom_cols=bloom_cols,
+                    spark=spark,
+                    add_files=rels,
+                    entry_extra=entry_extra,
                 )
+            return _route_rejects(head)
         if IO.needs_recovery(path):
             # a rewriter crashed mid-swap: heal under the exclusive
             # lease (which also drains other appenders) before joining
@@ -1290,6 +1363,7 @@ def append_rows(
         with IO.append_lease(path):
             _place()
             last: Exception = CommitConflict("unreached")
+            head = None
             for _ in range(max_retries):
                 try:
                     head = publish_generation(
@@ -1297,6 +1371,7 @@ def append_rows(
                         bloom_cols=bloom_cols,
                         spark=spark,
                         add_files=rels,
+                        entry_extra=entry_extra,
                     )
                 except CommitConflict as e:
                     last = e
@@ -1307,13 +1382,16 @@ def append_rows(
                 entry = load_manifest(path)["gens"][str(head)]
                 missing = set(rels) - set(entry["files"])
                 if not missing:
-                    return head
+                    break
                 last = CommitConflict(
                     f"published generation {head} lost {len(missing)} "
                     "placed files"
                 )
+                head = None
                 _place()
-            raise last
+            if head is None:
+                raise last
+        return _route_rejects(head)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
 

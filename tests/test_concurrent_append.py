@@ -269,3 +269,76 @@ def test_vacuum_keeps_everything_reachable(spark, tmp_path):
     rep = vacuum_store(path, grace_seconds=3600)
     assert rep["data_files"] == 1 and not os.path.exists(orphan)
     assert _ids(spark, path, at="pin") == pinned
+
+
+def test_concurrent_gated_appends_compose(spark, tmp_path):
+    """append_rows(expectations=...): the gate composes with the
+    optimistic append — two GATED writers race lock-free, admitted
+    rows land exactly once in the store, each batch's rejects land
+    tagged in the quarantine sibling (itself appended optimistically),
+    and each generation entry carries its own audit."""
+    from map_reduce_indexing_spark.sources.expectations import (
+        read_quarantine,
+    )
+
+    with using_backend(CASStoreIO()):
+        path = str(tmp_path / "store")
+        exp = {"k_cap": [("k", "<=", 3)]}  # k in 0..6 -> 4/7 pass
+        barrier = threading.Barrier(2)
+        errors: list[Exception] = []
+
+        def writer(tag, lo):
+            try:
+                df = _frame(spark, lo, 35, tag)
+                barrier.wait()
+                append_rows(spark, path, df, expectations=exp)
+            except Exception as e:
+                errors.append(e)
+
+        ta = threading.Thread(target=writer, args=("a", 0))
+        tb = threading.Thread(target=writer, args=("b", 700))
+        ta.start(); tb.start(); ta.join(); tb.join()
+        assert not errors, errors
+
+        def expect_ids(lo):
+            return [lo + i for i in range(35) if (lo + i) % 7 <= 3]
+
+        assert _ids(spark, path) == sorted(expect_ids(0) + expect_ids(700))
+        q = read_quarantine(spark, path)
+        q_ids = sorted(r.id for r in q.select("id").collect())
+        assert q_ids == sorted(
+            [i for i in range(35) if i % 7 > 3]
+            + [700 + i for i in range(35) if (700 + i) % 7 > 3]
+        )
+        assert {r._violations for r in q.collect()} == {"k_cap"}
+        # both generations carry their own audit
+        m = load_manifest(path)
+        audits = [
+            g["expectations"]
+            for g in m["gens"].values()
+            if "expectations" in g
+        ]
+        assert len(audits) == 2
+        assert all(a["rows_in"] == 35 for a in audits)
+        assert sum(a["rows_quarantined"] for a in audits) == len(q_ids)
+
+
+def test_gated_append_fail_mode_writes_nothing(spark, tmp_path):
+    with using_backend(CASStoreIO()):
+        import os
+
+        from map_reduce_indexing_spark.sources.expectations import (
+            ExpectationError,
+        )
+
+        path = str(tmp_path / "store")
+        with pytest.raises(ExpectationError):
+            append_rows(
+                spark,
+                path,
+                _frame(spark, 0, 10, "x"),
+                expectations={"k_cap": [("k", "<=", 3)]},
+                expect_mode="fail",
+            )
+        assert load_manifest(path) is None
+        assert not os.path.exists(path + ".quarantine")
