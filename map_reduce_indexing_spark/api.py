@@ -231,6 +231,44 @@ class IndexSession:
 
         return generation_head(self.index_path)
 
+    def set_compaction_policy(
+        self,
+        max_files: int,
+        n_files: int = 16,
+        cluster_by: list[str] | None = None,
+        min_file_bytes: int | None = None,
+    ) -> None:
+        """Record the store's small-file policy in its manifest (see
+        generations.set_compaction_policy); `maintain()` — and every
+        policy-aware publisher — fires it when the trigger holds."""
+        from .sources.generations import set_compaction_policy
+
+        set_compaction_policy(
+            self.index_path, max_files, n_files, cluster_by, min_file_bytes
+        )
+
+    def maintain(self, vacuum_grace_seconds: float = 3600.0) -> dict:
+        """The one call a scheduler runs: fire the recorded compaction
+        policy if its trigger holds, then vacuum unreachable crash
+        residue (generations.maybe_autocompact + vacuum_store).
+        Returns {"compacted_to": new generation or None, "vacuum":
+        removal counts}; a no-op on a store with no manifest yet."""
+        from .sources.generations import (
+            load_manifest,
+            maybe_autocompact,
+            vacuum_store,
+        )
+
+        if load_manifest(self.index_path) is None:
+            return {"compacted_to": None, "vacuum": {}}
+        gen = maybe_autocompact(self.spark, self.index_path)
+        return {
+            "compacted_to": gen,
+            "vacuum": vacuum_store(
+                self.index_path, grace_seconds=vacuum_grace_seconds
+            ),
+        }
+
     def letter_stats(self, refresh: bool = True) -> DataFrame:
         """Per-letter index statistics (total term count, distinct
         words, distinct documents) served from an INCREMENTALLY
@@ -441,6 +479,39 @@ class VectorStore:
         from .sources.generations import generation_head
 
         return generation_head(self.path)
+
+    def set_compaction_policy(
+        self,
+        max_files: int,
+        n_files: int = 16,
+        cluster_by: list[str] | None = None,
+        min_file_bytes: int | None = None,
+    ) -> None:
+        """Record the store's small-file policy (see IndexSession)."""
+        from .sources.generations import set_compaction_policy
+
+        set_compaction_policy(
+            self.path, max_files, n_files, cluster_by, min_file_bytes
+        )
+
+    def maintain(self, vacuum_grace_seconds: float = 3600.0) -> dict:
+        """Fire the recorded compaction policy + vacuum unreachable
+        residue (see IndexSession.maintain)."""
+        from .sources.generations import (
+            load_manifest,
+            maybe_autocompact,
+            vacuum_store,
+        )
+
+        if load_manifest(self.path) is None:
+            return {"compacted_to": None, "vacuum": {}}
+        gen = maybe_autocompact(self.spark, self.path)
+        return {
+            "compacted_to": gen,
+            "vacuum": vacuum_store(
+                self.path, grace_seconds=vacuum_grace_seconds
+            ),
+        }
 
     def topk(
         self,

@@ -218,14 +218,22 @@ def _chmod_staging(staging: str) -> None:
     os.chmod(staging, 0o777 & ~_UMASK)
 
 
-def compact_artifact(spark: SparkSession, path: str, rewrite) -> None:
+def compact_artifact(spark: SparkSession, path: str, rewrite, df_source=None) -> None:
     """The locked read -> rewrite -> staged-swap engine behind every
     persisted artifact's compaction (count index above, bucketed
     vector store in operators/similarity.py). `rewrite(df, staging)`
     writes the compacted form of the artifact's current contents to
     the staging directory; crash-safety and locking semantics are
     exactly `compact_index`'s docstring — this IS that code, factored
-    so each artifact only supplies its merge/layout step."""
+    so each artifact only supplies its merge/layout step.
+
+    `df_source(spark) -> DataFrame` overrides the input read (called
+    under the lock). The default is the live directory scan — the
+    index artifacts' semantic, where an append's rows are visible the
+    moment they land; generation-store rewrites pass a precise
+    head-listing read instead (generations.optimize_store), so a
+    crashed optimistic placement can never be folded into the
+    compacted store."""
     import tempfile
 
     from ..sources.commitio import IO
@@ -233,7 +241,7 @@ def compact_artifact(spark: SparkSession, path: str, rewrite) -> None:
 
     with index_writer_lock(path):
         _recover_index_locked(path)
-        df = spark.read.parquet(path)
+        df = df_source(spark) if df_source is not None else spark.read.parquet(path)
         staging = tempfile.mkdtemp(
             prefix="mri_compact_", dir=os.path.dirname(path) or "."
         )

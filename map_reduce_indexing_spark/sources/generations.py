@@ -2162,19 +2162,61 @@ def optimize_store(
     `cluster_by=None` skips the clustering: a pure small-file fold
     into `n_files` (the auto-compaction default for stores with no
     declared sort key — bin-packing, Delta's OPTIMIZE without
-    ZORDER)."""
+    ZORDER).
+
+    Hive-partitioned stores (the bucketed vector/fact layouts) keep
+    their partition directories: the rewrite repartitions ON the
+    partition columns and writes `partitionBy` them, folding each
+    directory's small files without flattening the layout the store's
+    pruned reads depend on.
+
+    Input is the HEAD GENERATION'S LISTING when the store has a
+    manifest (precise — a crashed optimistic placement on the live
+    listing is residue for vacuum_store, never input to the rewrite);
+    manifest-less artifacts keep the live directory scan."""
     from ..operators.indexing import compact_artifact
 
+    m0 = load_manifest(path)
+    head_rels = (
+        (m0["gens"].get(str(m0["head"])) or {}).get("files")
+        if m0 is not None
+        else None
+    )
+    part_cols = sorted(
+        {k for rel in (head_rels or _data_files(path)) for k in _partition_values(rel)}
+    )
+
+    def df_source(spark_: SparkSession) -> DataFrame:
+        # called UNDER the writer lock: re-resolve the head there so
+        # a publish landing between our plan and the lock is included
+        m = load_manifest(path)
+        rels = (
+            (m["gens"].get(str(m["head"])) or {}).get("files")
+            if m is not None
+            else None
+        )
+        if rels:
+            return spark_.read.option("basePath", path).parquet(
+                *[os.path.join(path, r) for r in rels]
+            )
+        return spark_.read.parquet(path)
+
     def rewrite(df: DataFrame, staging: str) -> None:
-        if cluster_by:
+        if part_cols:
+            out = df.repartition(n_files, *part_cols)
+            if cluster_by:
+                out = out.sortWithinPartitions(*cluster_by)
+            w = out.write.partitionBy(*part_cols)
+        elif cluster_by:
             out = df.repartitionByRange(
                 n_files, *cluster_by
             ).sortWithinPartitions(*cluster_by)
+            w = out.write
         else:
-            out = df.repartition(n_files)
-        out.write.mode("overwrite").parquet(staging)
+            w = df.repartition(n_files).write
+        w.mode("overwrite").parquet(staging)
 
-    compact_artifact(spark, path, rewrite)
+    compact_artifact(spark, path, rewrite, df_source=df_source)
     return generation_head(path)
 
 
@@ -2227,9 +2269,16 @@ def maybe_autocompact(spark: SparkSession, path: str) -> int | None:
     pipelines per run); the check is one manifest read, the optimize
     is the standard staged swap — pinned readers and matview
     consumers see an ordinary rewrite span."""
+    from ..operators.indexing import _recover_index_locked, index_writer_lock
+
     m = load_manifest(path)
     pol = (m or {}).get("compact_policy")
     if not pol:
+        return None
+    if int(pol.get("last_fired_gen", 0)) >= int(m["head"]):
+        # nothing published since the last fold: firing again cannot
+        # shrink anything (and a layout whose partition-dir count
+        # exceeds max_files would otherwise re-fold on every call)
         return None
     g = m["gens"].get(str(m["head"]))
     if g is None:
@@ -2245,9 +2294,18 @@ def maybe_autocompact(spark: SparkSession, path: str) -> int | None:
             trigger = len(files) > int(pol["n_files"])
     if not trigger:
         return None
-    return optimize_store(
+    new_head = optimize_store(
         spark, path, pol.get("cluster_by"), n_files=int(pol["n_files"])
     )
+    with index_writer_lock(path):
+        _recover_index_locked(path)
+        m2 = load_manifest(path)
+        if m2 is not None and m2.get("compact_policy"):
+            p2 = dict(m2["compact_policy"])
+            p2["last_fired_gen"] = int(generation_head(path))
+            m2["compact_policy"] = p2
+            _save_manifest(path, m2)
+    return new_head
 
 
 def vacuum_store(path: str, grace_seconds: float = 3600.0) -> dict:
