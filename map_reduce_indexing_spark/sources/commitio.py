@@ -142,9 +142,13 @@ class CASStoreIO:
     - `writer_lock` -> a LEASE: put-if-absent creation of
       `<path>.lease` (S3 If-None-Match / GCS x-goog-if-generation-
       match:0), polled on contention, stealable after `lease_ttl`
-      seconds (crashed-holder takeover; real deployments heartbeat
-      the lease). Rewrites still serialize on this; appends under a
-      CAS backend may instead run lock-free through the manifest CAS
+      seconds WITHOUT A HEARTBEAT (crashed-holder takeover). Holders
+      HEARTBEAT: a daemon thread refreshes the lease's mtime every
+      ttl/3 (`_heartbeat`), so a legitimate verb that outruns the TTL
+      — a 100 TB compaction — keeps its exclusion; only a holder that
+      stopped refreshing (crashed process, dead host) is taken over.
+      Rewrites still serialize on this; appends under a CAS backend
+      may instead run lock-free through the manifest CAS
       (generations.append_rows).
     - `save_json_atomic` -> a CONDITIONAL put: the manifest carries a
       `_cas` version token; a save whose token does not match the
@@ -178,6 +182,42 @@ class CASStoreIO:
 
     def _lease_path(self, path: str) -> str:
         return path.rstrip("/") + ".lease"
+
+    def _heartbeat(self, lease_file: str):
+        """Keep a held lease ALIVE past `lease_ttl`: a daemon thread
+        refreshes the file's mtime every ttl/3 until cancelled, so
+        takeover (mtime age > lease_ttl) fires only on a CRASHED
+        holder — never on a legitimate long verb (a 100 TB compaction
+        easily outruns a fixed TTL; r11 left it as the one
+        wasted-work window, the CAS put catching the commit but not
+        the re-stage cost). On S3/GCS this is the holder re-PUTting
+        its lease object on a timer (same put-if-match pattern as the
+        manifest); the emulation touches mtime, which is exactly what
+        `_exclusive_held`/the shared-lease drain age-check read.
+        Returns a zero-arg cancel callable; losing the file (stolen
+        after a long GC pause, removed by takeover) just ends the
+        refresh — the conditional manifest put remains the
+        correctness backstop."""
+        import threading
+
+        stop = threading.Event()
+        interval = max(self.lease_ttl / 3.0, 0.02)
+
+        def run() -> None:
+            while not stop.wait(interval):
+                try:
+                    os.utime(lease_file)
+                except OSError:
+                    return
+        t = threading.Thread(
+            target=run, daemon=True, name="mri-lease-heartbeat"
+        )
+        t.start()
+
+        def cancel() -> None:
+            stop.set()
+
+        return cancel
 
     def _shared_dir(self, path: str) -> str:
         return path.rstrip("/") + ".lease.shared"
@@ -223,6 +263,7 @@ class CASStoreIO:
                         f"lease {lease!r} held past {self.lease_timeout}s"
                     )
                 time.sleep(self._poll)
+        stop_hb = self._heartbeat(lease)
         try:
             shared = self._shared_dir(path)
             while os.path.isdir(shared):
@@ -245,6 +286,7 @@ class CASStoreIO:
                 time.sleep(self._poll)
             yield
         finally:
+            stop_hb()
             try:
                 os.remove(lease)
             except OSError:
@@ -283,9 +325,11 @@ class CASStoreIO:
                 time.sleep(self._poll)
                 continue
             break
+        stop_hb = self._heartbeat(my)
         try:
             yield
         finally:
+            stop_hb()
             try:
                 os.remove(my)
             except OSError:

@@ -78,6 +78,7 @@ from .generations import (
     _where_column,
     load_manifest,
     publish_generation,
+    reachable_files,
     read_generation,
 )
 
@@ -147,6 +148,70 @@ def violation_tags(flags) -> F.Column:
     )
 
 
+# Current-time expressions are DETERMINISTIC to Catalyst (evaluated
+# once per execution by ComputeCurrentTime) but the gate runs MULTIPLE
+# executions over one lineage (count, admit write, quarantine write) —
+# each gets its own "now", which is exactly the divergence the pin
+# exists to prevent. Plan-string scan catches them where
+# QueryPlan.deterministic cannot.
+_TIME_EXPRS = (
+    "current_timestamp",
+    "current_date",
+    "localtimestamp",
+    "now()",
+    "current_timezone",
+    "unix_timestamp()",
+)
+
+
+def _plan_needs_pin(df: DataFrame) -> bool:
+    """True when re-evaluating `df`'s lineage per action could yield
+    different rows: Catalyst reports a non-deterministic expression
+    anywhere in the analyzed plan (rand, uuid,
+    monotonically_increasing_id, a UDF marked non-deterministic), or a
+    current-time expression appears (per-execution 'now'). Unknown
+    (no JVM plan handle) => True: keep the pin."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if not bool(plan.deterministic()):
+            return True
+        text = plan.toString().lower()
+        return any(e in text for e in _TIME_EXPRS)
+    except Exception:
+        return True
+
+
+def pin_once(df: DataFrame, pin_batch="auto") -> DataFrame:
+    """The gate's single-evaluation pin, CONDITIONAL (r11 verdict task
+    2): localCheckpoint materializes the batch so the violation
+    counts, the admit write, and the quarantine write split ONE
+    evaluation — a correctness requirement when the lineage is
+    non-deterministic, pure cost when it is not (r11 measured the
+    unconditional pin as a real per-batch tax on plainly-deterministic
+    foreachBatch parquet batches). `pin_batch`:
+
+    - "auto" (default): pin only when `_plan_needs_pin` says
+      re-evaluation could diverge; a deterministic plan is evaluated
+      per action instead (cheaper than materializing for
+      microbatch-sized inputs).
+    - True: always pin (the r10/r11 behavior) — required when the
+      SOURCE FILES themselves may be rewritten mid-call (plan-level
+      checks cannot see storage churn; streaming file sources are
+      offset-pinned and safe, raw directory reads under a concurrent
+      compactor are not).
+    - False: never pin; the caller guarantees a deterministic, stable
+      batch."""
+    if pin_batch is True:
+        return df.localCheckpoint(eager=True)
+    if pin_batch is False:
+        return df
+    if pin_batch != "auto":
+        raise ValueError(
+            f"pin_batch must be 'auto', True, or False, got {pin_batch!r}"
+        )
+    return df.localCheckpoint(eager=True) if _plan_needs_pin(df) else df
+
+
 def _strip_markers(path: str) -> None:
     # Spark leaves _SUCCESS markers on direct appends; data reads
     # ignore underscore files, but the store keeps its listing clean.
@@ -168,6 +233,7 @@ def append_with_expectations(
     partition_by: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     idempotency: tuple[str, int] | None = None,
+    pin_batch="auto",
 ) -> dict:
     """Gate `df` through `expectations` and append the admitted rows
     to the generations store at `path` as a new published generation.
@@ -222,8 +288,11 @@ def append_with_expectations(
     # store and quarantine. localCheckpoint materializes the batch
     # once (executor memory/disk, lineage truncated; the context
     # cleaner reclaims it on GC); batches are microbatch-sized by
-    # contract, so the pin is bounded.
-    df = df.localCheckpoint(eager=True)
+    # contract, so the pin is bounded — and CONDITIONAL since round
+    # 12: a plan Catalyst proves deterministic (and free of
+    # per-execution time expressions) skips the materialization
+    # entirely (pin_once / pin_batch="auto").
+    df = pin_once(df, pin_batch)
     flags, bad, rows_in, n_bad, violations = gate_eval(df, expectations)
 
     if mode == "fail" and n_bad:
@@ -259,16 +328,17 @@ def append_with_expectations(
                     # data before gating began)
                     _publish(path, 1, m)
                     m = load_manifest(path)
-        elif set(_data_files(path)) != set(
-            m["gens"][str(m["head"])]["files"]
-        ):
-            head_files = set(m["gens"][str(m["head"])]["files"])
+        elif set(_data_files(path)) != reachable_files(m):
             if idempotency is not None:
-                # same reasoning: live-minus-head in a replay-safe
+                # same reasoning: live-minus-reachable in a replay-safe
                 # stream's store is the crashed predecessor of THIS
-                # redo, not data to adopt
+                # redo, not data to adopt. Reachable = head files PLUS
+                # any retained generation pinned at root "." (its
+                # files ARE the snapshot — deleting them would break
+                # its pinned readers; see generations.reachable_files)
+                keep = reachable_files(m)
                 for rel in _data_files(path):
-                    if rel not in head_files:
+                    if rel not in keep:
                         try:
                             os.remove(os.path.join(path, rel))
                         except OSError:
@@ -398,10 +468,12 @@ def readmit(
     if not isinstance(fixed, DataFrame):
         raise TypeError("fix must return a DataFrame")
 
-    # same single-evaluation pin as append_with_expectations: the
-    # re-gate's counts, the readmit append, and the quarantine rewrite
-    # must split ONE materialization of the repaired batch
-    fixed = fixed.localCheckpoint(eager=True)
+    # same single-evaluation pin as append_with_expectations (and the
+    # same conditional skip): the re-gate's counts, the readmit
+    # append, and the quarantine rewrite must split ONE evaluation of
+    # the repaired batch — a user `fix` built from deterministic
+    # column expressions skips the materialization
+    fixed = pin_once(fixed)
     flags, bad, rows_in, n_bad, violations = gate_eval(fixed, expectations)
 
     with index_writer_lock(path):

@@ -918,6 +918,25 @@ def _expired(gens: dict, refs: dict | None = None) -> list[str]:
     ]
 
 
+def reachable_files(m: dict | None) -> set[str]:
+    """Every top-level data file some RETAINED generation's listing
+    references: the head's files, plus the files of any generation
+    pinned at root "." (legacy manifests where the top-level files ARE
+    the snapshot — no `_gen/` copy exists, so deleting them breaks
+    that generation's pinned/time-travel readers). live-minus-THIS set
+    is crash residue; live-minus-head alone is not (r11 advice: the
+    pipeline orphan sweep and the gated-idempotency redo cleanup both
+    used the narrower set)."""
+    if m is None:
+        return set()
+    head_entry = m["gens"].get(str(m.get("head", 0)))
+    out = set(head_entry["files"]) if head_entry else set()
+    for g in m["gens"].values():
+        if g["root"] == ".":
+            out |= set(g["files"])
+    return out
+
+
 def _bloom_refs(gens: dict) -> set[str]:
     return {
         f
@@ -927,19 +946,33 @@ def _bloom_refs(gens: dict) -> set[str]:
     }
 
 
-def _prune(path: str, m: dict) -> None:
-    """Drop expired generations and remove their snapshot dirs (and
-    any bloom sidecars no surviving generation references).
-    Hardlinks mean live data is untouched."""
-    dropped = False
+def _prune_entries(m: dict) -> list[str]:
+    """Drop expired generations from the manifest DICT only; return
+    the snapshot roots no surviving generation references. Physical
+    deletion is the caller's SECOND step, taken only after the
+    manifest save commits — under a CAS backend the save can lose
+    (CommitConflict), and a loser that had already rmtree'd snapshot
+    roots would have destroyed state the WINNER's committed manifest
+    may still reference (r11 advice: a TTL-boundary divergence between
+    racing writers)."""
+    drop_roots = []
     for k in _expired(m["gens"], m.get("refs")):
         root = m["gens"][k]["root"]
         del m["gens"][k]
-        dropped = True
         if root not in {g["root"] for g in m["gens"].values()}:
-            shutil.rmtree(os.path.join(path, root), ignore_errors=True)
+            drop_roots.append(root)
+    return drop_roots
+
+
+def _prune_physical(path: str, m: dict, drop_roots: list[str]) -> None:
+    """Remove the snapshot dirs `_prune_entries` unreferenced (and any
+    bloom sidecars no surviving generation references). Called only
+    AFTER the manifest recording the drops has committed. Hardlinks
+    mean live data is untouched."""
+    for root in drop_roots:
+        shutil.rmtree(os.path.join(path, root), ignore_errors=True)
     bdir = os.path.join(path, BLOOM_DIR)
-    if dropped and os.path.isdir(bdir):
+    if drop_roots and os.path.isdir(bdir):
         live = _bloom_refs(m["gens"])
         for f in os.listdir(bdir):
             if f not in live and not f.endswith(".tmp"):
@@ -1120,8 +1153,14 @@ def _publish(
         **(entry_extra or {}),
     }
     m.update(manifest_extra or {})
-    _prune(path, m)
+    # retention: drop expired entries from the dict BEFORE the save so
+    # the committed manifest records them gone, but delete the bytes
+    # only AFTER it commits — a losing optimistic publish (CAS
+    # CommitConflict) must not have performed destructive deletions
+    # for a manifest state that never landed
+    drop_roots = _prune_entries(m)
     _save_manifest(path, m)
+    _prune_physical(path, m, drop_roots)
     return head
 
 
@@ -1190,6 +1229,7 @@ def append_rows(
     max_retries: int = 8,
     expectations: dict | None = None,
     expect_mode: str = "quarantine",
+    pin_batch="auto",
 ) -> int:
     """APPEND `df` to the store and publish it as a new generation —
     with OPTIMISTIC concurrency under a CAS-capable commit backend
@@ -1266,6 +1306,7 @@ def append_rows(
         from .expectations import (
             ExpectationError,
             gate_eval,
+            pin_once,
             violation_tags,
         )
 
@@ -1273,9 +1314,10 @@ def append_rows(
             raise ValueError(
                 f"expect_mode must be fail|drop|quarantine, got {expect_mode!r}"
             )
-        # single-evaluation pin (see expectations.py): counts, admit
-        # write, and quarantine write split one materialization
-        df = df.localCheckpoint(eager=True)
+        # single-evaluation pin (see expectations.pin_once): counts,
+        # admit write, and quarantine write split one evaluation;
+        # deterministic plans skip the materialization (pin_batch)
+        df = pin_once(df, pin_batch)
         flags, bad, rows_in, n_bad, violations = gate_eval(df, expectations)
         if expect_mode == "fail" and n_bad:
             raise ExpectationError(
@@ -1300,6 +1342,19 @@ def append_rows(
             df = df.filter(~bad)
 
     os.makedirs(path, exist_ok=True)
+    # ADOPTION (r11 advice, high): a store holding pre-existing data
+    # files but NO manifest must pin that state as the base generation
+    # BEFORE this verb's precise-listing publish — otherwise the first
+    # publish lists only the new batch, the pre-existing rows vanish
+    # from every generation read, and vacuum_store later deletes them
+    # as "unreachable residue". Mirrors append_with_expectations'
+    # adoption branch; the exclusive lock also drains concurrent
+    # optimistic appenders, and ensure_base_generation re-checks the
+    # manifest under it (losers of this race become a no-op).
+    if load_manifest(path) is None and _data_files(path):
+        with index_writer_lock(path):
+            _recover_index_locked(path)
+            ensure_base_generation(path)
     staging = tempfile.mkdtemp(
         prefix="mri_append_", dir=os.path.dirname(path) or "."
     )
@@ -2356,13 +2411,7 @@ def vacuum_store(path: str, grace_seconds: float = 3600.0) -> dict:
             except OSError:
                 return False
 
-        head_entry = m["gens"].get(str(m["head"]))
-        head_files = set(head_entry["files"]) if head_entry else set()
-        # legacy manifests may pin generations at root "." (top-level
-        # files ARE the snapshot): those files are reachable too
-        for g in m["gens"].values():
-            if g["root"] == ".":
-                head_files |= set(g["files"])
+        head_files = reachable_files(m)
         for rel in _data_files(path):
             p = os.path.join(path, rel)
             if rel not in head_files and expendable(p):

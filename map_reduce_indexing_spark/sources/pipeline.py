@@ -153,7 +153,7 @@ def run_incremental_pipeline(
             f"on_first_run must be append|error, got {on_first_run!r}"
         )
     from ..operators.indexing import _recover_index_locked, index_writer_lock
-    from .generations import _data_files
+    from .generations import _data_files, reachable_files
 
     os.makedirs(dst_path, exist_ok=True)
     with index_writer_lock(dst_path):
@@ -174,9 +174,13 @@ def run_incremental_pipeline(
             m_live["gens"].get(str(m_live["head"])) if m_live else None
         )
         if head_entry is not None:
-            head_files = set(head_entry["files"])
+            # reachable = head + any retained generation pinned at
+            # root "." (its files ARE the snapshot — see
+            # generations.reachable_files); deleting live-minus-HEAD
+            # alone would break that generation's pinned readers
+            keep = reachable_files(m_live)
             for rel in _data_files(dst_path):
-                if rel not in head_files:
+                if rel not in keep:
                     try:
                         os.remove(os.path.join(dst_path, rel))
                     except OSError:
