@@ -232,12 +232,40 @@ def contention_marker(spark, n_samples: int = 3) -> dict:
     import shutil as _shutil
 
     _shutil.rmtree(os.path.dirname(store), ignore_errors=True)
+
+    # band_join (round 12): the shuffle/join tier — a fixed synthetic
+    # two-sided equi-join on (band_idx, band_hash) pinned to SORT-MERGE
+    # (the hint defeats AQE's broadcast conversion, so BOTH sides pay a
+    # real exchange + sort every run). Added per the r11 verdict: the
+    # driver's dedup_incremental_lsh_pairs 15 s mode was not pinnable
+    # by any existing marker (the query is pure JVM, join-bound); this
+    # marker makes a shuffle-tier host regime visible in the run
+    # record the way parquet_scan did for the scan tier.
+    def _band_join_job():
+        a = spark.range(0, 400_000, 1, 32).selectExpr(
+            "id % 16 AS band_idx", "id % 9973 AS band_hash", "id AS doc"
+        )
+        b = spark.range(0, 100_000, 1, 32).selectExpr(
+            "id % 16 AS band_idx", "id % 9973 AS band_hash",
+            "id + 1000000 AS doc",
+        )
+        a.join(b.hint("merge"), ["band_idx", "band_hash"]).selectExpr(
+            "count(*) AS n"
+        ).write.format("noop").mode("overwrite").save()
+
+    _band_join_job()  # warmup: codegen for the join shape
+    bj = []
+    for _ in range(n_samples):
+        t0 = time.perf_counter()
+        _band_join_job()
+        bj.append(time.perf_counter() - t0)
     return {
         "python_md5": stats(py),
         "spark_sum": stats(sp),
         "python_worker": stats(pw),
         "parquet_scan": stats(sc),
         "manifest_read": stats(mf),
+        "band_join": stats(bj),
     }
 
 

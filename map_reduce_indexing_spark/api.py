@@ -119,6 +119,31 @@ def funnel(
     return f if per_user else funnel_summary(f, steps)
 
 
+def maintain_store(
+    spark: SparkSession, path: str, vacuum_grace_seconds: float = 3600.0
+) -> dict:
+    """The one call a scheduler runs against ANY generations store:
+    fire the recorded compaction policy if its trigger holds, then
+    vacuum unreachable crash residue (generations.maybe_autocompact +
+    vacuum_store). Returns {"compacted_to": new generation or None,
+    "vacuum": removal counts}; a no-op on a store with no manifest
+    yet. IndexSession.maintain / VectorStore.maintain are this
+    function bound to their paths."""
+    from .sources.generations import (
+        load_manifest,
+        maybe_autocompact,
+        vacuum_store,
+    )
+
+    if load_manifest(path) is None:
+        return {"compacted_to": None, "vacuum": {}}
+    gen = maybe_autocompact(spark, path)
+    return {
+        "compacted_to": gen,
+        "vacuum": vacuum_store(path, grace_seconds=vacuum_grace_seconds),
+    }
+
+
 class IndexSession:
     """A persisted letter-partitioned inverted index plus its query
     surface — the engine's equivalent of the reference's ./index
@@ -249,25 +274,10 @@ class IndexSession:
 
     def maintain(self, vacuum_grace_seconds: float = 3600.0) -> dict:
         """The one call a scheduler runs: fire the recorded compaction
-        policy if its trigger holds, then vacuum unreachable crash
-        residue (generations.maybe_autocompact + vacuum_store).
-        Returns {"compacted_to": new generation or None, "vacuum":
-        removal counts}; a no-op on a store with no manifest yet."""
-        from .sources.generations import (
-            load_manifest,
-            maybe_autocompact,
-            vacuum_store,
+        policy + vacuum unreachable residue (see maintain_store)."""
+        return maintain_store(
+            self.spark, self.index_path, vacuum_grace_seconds
         )
-
-        if load_manifest(self.index_path) is None:
-            return {"compacted_to": None, "vacuum": {}}
-        gen = maybe_autocompact(self.spark, self.index_path)
-        return {
-            "compacted_to": gen,
-            "vacuum": vacuum_store(
-                self.index_path, grace_seconds=vacuum_grace_seconds
-            ),
-        }
 
     def letter_stats(self, refresh: bool = True) -> DataFrame:
         """Per-letter index statistics (total term count, distinct
@@ -496,22 +506,8 @@ class VectorStore:
 
     def maintain(self, vacuum_grace_seconds: float = 3600.0) -> dict:
         """Fire the recorded compaction policy + vacuum unreachable
-        residue (see IndexSession.maintain)."""
-        from .sources.generations import (
-            load_manifest,
-            maybe_autocompact,
-            vacuum_store,
-        )
-
-        if load_manifest(self.path) is None:
-            return {"compacted_to": None, "vacuum": {}}
-        gen = maybe_autocompact(self.spark, self.path)
-        return {
-            "compacted_to": gen,
-            "vacuum": vacuum_store(
-                self.path, grace_seconds=vacuum_grace_seconds
-            ),
-        }
+        residue (see maintain_store)."""
+        return maintain_store(self.spark, self.path, vacuum_grace_seconds)
 
     def topk(
         self,

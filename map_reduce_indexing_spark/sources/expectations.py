@@ -234,6 +234,7 @@ def append_with_expectations(
     bloom_cols: list[str] | None = None,
     idempotency: tuple[str, int] | None = None,
     pin_batch="auto",
+    schema_mode: str = "strict",
 ) -> dict:
     """Gate `df` through `expectations` and append the admitted rows
     to the generations store at `path` as a new published generation.
@@ -297,6 +298,17 @@ def append_with_expectations(
 
     if mode == "fail" and n_bad:
         raise ExpectationError({k: v for k, v in violations.items() if v})
+
+    # schema gate (round 12): same contract as append_rows — strict
+    # rejects drift before anything is written; evolve records the
+    # additive/widened schema with the publish
+    from .generations import check_schema_evolution, declared_schema
+
+    schema_sj = check_schema_evolution(
+        declared_schema(load_manifest(path)),
+        df.schema.jsonValue(),
+        schema_mode,
+    )
 
     from ..operators.indexing import _recover_index_locked, index_writer_lock
 
@@ -395,6 +407,7 @@ def append_with_expectations(
             spark=spark,
             entry_extra={"expectations": audit},
             manifest_extra=_applied_extra(m),
+            schema=schema_sj,
         )
     return {"generation": head, **audit}
 

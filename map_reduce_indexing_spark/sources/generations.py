@@ -918,6 +918,145 @@ def _expired(gens: dict, refs: dict | None = None) -> list[str]:
     ]
 
 
+class SchemaEvolutionError(ValueError):
+    """A writer's batch schema is incompatible with the store's
+    declared schema under the requested schema_mode."""
+
+
+# Lossless primitive promotions an EVOLVE append may declare for an
+# existing column (Iceberg's type-promotion table, the subset that is
+# exactly representable): integer chain upward, float->double.
+_WIDEN_ORDER = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+
+
+def _canon_type(t):
+    """A field type's canonical comparison form: nullability and
+    metadata stripped recursively (two writers of the SAME logical
+    schema routinely disagree on nullable flags — createDataFrame says
+    nullable, range() says not — and that must not read as drift)."""
+    if isinstance(t, dict):
+        return {
+            k: _canon_type(v)
+            for k, v in t.items()
+            if k
+            not in ("nullable", "metadata", "containsNull", "valueContainsNull")
+        }
+    if isinstance(t, list):
+        return [_canon_type(x) for x in t]
+    return t
+
+
+def _schema_fields(sj: dict) -> dict[str, object]:
+    """{name: canonical type} of a recorded schema json."""
+    return {f["name"]: _canon_type(f["type"]) for f in sj["fields"]}
+
+
+def _type_widens(old_t, new_t) -> bool:
+    """May a column recorded as `old_t` be served as `new_t`? Only the
+    lossless primitive promotions qualify."""
+    if not isinstance(old_t, str) or not isinstance(new_t, str):
+        return False
+    if old_t in _WIDEN_ORDER and new_t in _WIDEN_ORDER:
+        return _WIDEN_ORDER[old_t] < _WIDEN_ORDER[new_t]
+    return old_t == "float" and new_t == "double"
+
+
+def check_schema_evolution(
+    declared: dict | None, new_sj: dict, schema_mode: str = "strict"
+) -> dict:
+    """Validate a writer's batch schema against the store's DECLARED
+    head schema and return the schema json to record with the publish.
+
+    - declared None (store predates schema tracking, or first write):
+      adopt the batch schema as the baseline.
+    - identical field mapping (name -> canonical type; column ORDER
+      and nullability never matter — parquet is name-addressed):
+      return the declared json so the recorded schema id is reused.
+    - differs under "strict": raise — the single most common silent
+      lakehouse corruption is a producer drifting its schema into a
+      shared table unannounced.
+    - differs under "evolve": allow ADDED columns (old files serve
+      NULL) and WIDENED primitives (byte<short<integer<long,
+      float->double; old files' values cast losslessly on read);
+      dropped columns and any other type change raise — removals and
+      lossy rewrites need an explicit full rewrite, not an append."""
+    if schema_mode not in ("strict", "evolve"):
+        raise ValueError(
+            f"schema_mode must be strict|evolve, got {schema_mode!r}"
+        )
+    if declared is None:
+        return new_sj
+    old_f, new_f = _schema_fields(declared), _schema_fields(new_sj)
+    if old_f == new_f:
+        return declared
+    problems = []
+    for name, ot in old_f.items():
+        if name not in new_f:
+            problems.append(f"column {name!r} dropped")
+        elif new_f[name] != ot and not _type_widens(ot, new_f[name]):
+            problems.append(
+                f"column {name!r} changed {ot!r} -> {new_f[name]!r} "
+                "(not a lossless widening)"
+            )
+    added = sorted(set(new_f) - set(old_f))
+    if schema_mode == "strict":
+        drift = problems + [f"column {a!r} added" for a in added]
+        raise SchemaEvolutionError(
+            "batch schema differs from the store's declared schema "
+            f"({'; '.join(drift)}); pass schema_mode='evolve' to accept "
+            "additive/widening changes"
+        )
+    if problems:
+        raise SchemaEvolutionError(
+            "schema evolution rejected: " + "; ".join(problems)
+        )
+    return new_sj
+
+
+def _register_schema(m: dict, sj: dict) -> int:
+    """Record `sj` in the manifest's schema table (top-level `schemas`
+    — survives retention like the bookmark map) and return its id;
+    json-equal schemas reuse their id, so schema-stable stores carry
+    exactly one entry forever."""
+    schemas = m.setdefault("schemas", {})
+    canon = json.dumps(_canon_type(sj), sort_keys=True)
+    for k, v in schemas.items():
+        if json.dumps(_canon_type(v), sort_keys=True) == canon:
+            return int(k)
+    sid = 1 + max((int(k) for k in schemas), default=0)
+    schemas[str(sid)] = sj
+    return sid
+
+
+def declared_schema(m: dict | None) -> dict | None:
+    """The head generation's recorded schema json (None when the store
+    predates schema tracking)."""
+    if not m:
+        return None
+    e = m["gens"].get(str(m.get("head", 0)))
+    sid = (e or {}).get("schema_id")
+    if sid is None:
+        return None
+    return (m.get("schemas") or {}).get(str(sid))
+
+
+def store_schema(path: str, at: int | str | None = None):
+    """The declared schema of generation `at` (head when None) as a
+    pyspark StructType — one manifest read, no footer opens. None when
+    that generation predates schema tracking."""
+    from pyspark.sql.types import StructType
+
+    m = load_manifest(path)
+    if m is None:
+        return None
+    g = m["gens"].get(str(_resolve(m, path, at)))
+    sid = (g or {}).get("schema_id")
+    if sid is None:
+        return None
+    sj = (m.get("schemas") or {}).get(str(sid))
+    return StructType.fromJson(sj) if sj else None
+
+
 def reachable_files(m: dict | None) -> set[str]:
     """Every top-level data file some RETAINED generation's listing
     references: the head's files, plus the files of any generation
@@ -1109,6 +1248,7 @@ def _publish(
     entry_extra: dict | None = None,
     manifest_extra: dict | None = None,
     add_files: list[str] | None = None,
+    schema: dict | None = None,
 ) -> int:
     """Hardlink the live listing into `_gen/g{head}` and record it —
     the generation's file paths are immutable from this moment on.
@@ -1137,21 +1277,55 @@ def _publish(
         rels = _data_files(path)
     root = os.path.join(GEN_DIR, f"g{head}")
     _link_tree(path, rels, os.path.join(path, root))
+    prev_entry = m["gens"].get(str(m.get("head", 0)))
+    prev_sid = (prev_entry or {}).get("schema_id")
+    stats = _collect_stats(
+        path,
+        rels,
+        _prior_stats(m["gens"]),
+        m.get("bloom_cols"),
+        os.path.join(path, BLOOM_DIR),
+        spark=spark,
+    )
     m["head"] = head
-    m["gens"][str(head)] = {
+    entry = {
         "root": root,
         "files": rels,
         "created": time.time(),
-        "stats": _collect_stats(
-            path,
-            rels,
-            _prior_stats(m["gens"]),
-            m.get("bloom_cols"),
-            os.path.join(path, BLOOM_DIR),
-            spark=spark,
-        ),
+        "stats": stats,
         **(entry_extra or {}),
     }
+    prev_files = set(prev_entry["files"]) if prev_entry else set()
+    new_rels = (
+        set(add_files) if add_files is not None else set(rels) - prev_files
+    )
+    if schema is not None:
+        # SCHEMA EVOLUTION (round 12): record the declared schema per
+        # generation (top-level `schemas` table + entry `schema_id`)
+        # and stamp each file's stats entry with the schema it was
+        # WRITTEN under — files NEW in this publish get this publish's
+        # id, carried entries keep theirs, and legacy carried entries
+        # (published before tracking, or by schema-less internal
+        # publishes) are stamped with the PREVIOUS head's id, the
+        # schema current when they landed. Readers group files by this
+        # stamp to reconcile mixed-schema listings without a single
+        # footer open.
+        sid = _register_schema(m, schema)
+        entry["schema_id"] = sid
+        legacy_sid = prev_sid if prev_sid is not None else sid
+        for rel, ent in stats.items():
+            if "schema_id" not in ent:
+                ent["schema_id"] = sid if rel in new_rels else legacy_sid
+    elif prev_sid is not None:
+        # a schema-less publish (directory snapshot, internal verbs) on
+        # a tracked store carries the declared schema forward — its new
+        # files are presumed written under it (the locked verbs read
+        # and rewrite the store's own rows)
+        entry["schema_id"] = prev_sid
+        for ent in stats.values():
+            if "schema_id" not in ent:
+                ent["schema_id"] = prev_sid
+    m["gens"][str(head)] = entry
     m.update(manifest_extra or {})
     # retention: drop expired entries from the dict BEFORE the save so
     # the committed manifest records them gone, but delete the bytes
@@ -1184,6 +1358,7 @@ def publish_generation(
     entry_extra: dict | None = None,
     manifest_extra: dict | None = None,
     add_files: list[str] | None = None,
+    schema: dict | None = None,
 ) -> int:
     """Snapshot the live state as a new head generation (immutable
     hardlinked copy under `_gen/`). Callers hold the artifact's
@@ -1217,6 +1392,7 @@ def publish_generation(
         entry_extra=entry_extra,
         manifest_extra=manifest_extra,
         add_files=add_files,
+        schema=schema,
     )
 
 
@@ -1230,6 +1406,7 @@ def append_rows(
     expectations: dict | None = None,
     expect_mode: str = "quarantine",
     pin_batch="auto",
+    schema_mode: str = "strict",
 ) -> int:
     """APPEND `df` to the store and publish it as a new generation —
     with OPTIMISTIC concurrency under a CAS-capable commit backend
@@ -1341,6 +1518,22 @@ def append_rows(
         if n_bad:
             df = df.filter(~bad)
 
+    # SCHEMA check (round 12): validate the batch against the store's
+    # declared schema before anything is written. strict (default)
+    # rejects any drift; evolve accepts added columns and lossless
+    # widenings, recording the new schema with the publish (readers
+    # reconcile mixed listings — see _read_reconciled). Under a lost
+    # CAS race the publish re-reads the manifest, but the schema
+    # declaration rides this writer's batch either way; CONCURRENT
+    # conflicting evolutions are a user error (last publish wins the
+    # declared schema; files stay stamped with what they were written
+    # under, so no read breaks).
+    schema_sj = check_schema_evolution(
+        declared_schema(load_manifest(path)),
+        df.schema.jsonValue(),
+        schema_mode,
+    )
+
     os.makedirs(path, exist_ok=True)
     # ADOPTION (r11 advice, high): a store holding pre-existing data
     # files but NO manifest must pin that state as the base generation
@@ -1395,6 +1588,10 @@ def append_rows(
                     spark,
                     quarantine_path(path),
                     rejects.withColumn("_src_generation", F.lit(head)),
+                    # rejects inherit the main store's (possibly
+                    # evolving) shape plus the tag columns; the
+                    # quarantine must follow, not reject the reject
+                    schema_mode="evolve",
                 )
             return head
 
@@ -1408,6 +1605,7 @@ def append_rows(
                     spark=spark,
                     add_files=rels,
                     entry_extra=entry_extra,
+                    schema=schema_sj,
                 )
             return _route_rejects(head)
         if IO.needs_recovery(path):
@@ -1427,6 +1625,7 @@ def append_rows(
                         spark=spark,
                         add_files=rels,
                         entry_extra=entry_extra,
+                        schema=schema_sj,
                     )
                 except CommitConflict as e:
                     last = e
@@ -1457,6 +1656,7 @@ def carry_generations(
     spark: SparkSession | None = None,
     entry_extra: dict | None = None,
     manifest_extra: dict | None = None,
+    schema: dict | None = None,
 ) -> None:
     """Compaction support, called on the STAGING directory after the
     rewrite and before the swap (the live path is never touched):
@@ -1474,7 +1674,7 @@ def carry_generations(
     rels = _data_files(staging)
     root = os.path.join(GEN_DIR, f"g{head + 1}")
     gens = dict(m["gens"])
-    gens[str(head + 1)] = {
+    new_entry = {
         "root": root,
         "files": rels,
         "created": time.time(),
@@ -1493,6 +1693,26 @@ def carry_generations(
         ),
         **(entry_extra or {}),
     }
+    prev_sid = (m["gens"].get(str(head)) or {}).get("schema_id")
+    if schema is not None:
+        # the caller declares the rewrite's output schema (a pipeline
+        # rebuild whose transform output evolved): register it and
+        # stamp this rewrite's fresh files with it
+        sid = _register_schema(m, schema)
+        new_entry["schema_id"] = sid
+        for ent in new_entry["stats"].values():
+            if "schema_id" not in ent:
+                ent["schema_id"] = sid
+    elif prev_sid is not None:
+        # a rewrite preserves the declared schema: its input is the
+        # (reconciled) store read, so rewritten files are written
+        # under the head schema; selectively-carried files keep their
+        # own stamps via the stats carry above
+        new_entry["schema_id"] = prev_sid
+        for ent in new_entry["stats"].values():
+            if "schema_id" not in ent:
+                ent["schema_id"] = prev_sid
+    gens[str(head + 1)] = new_entry
     refs = dict(m.get("refs") or {})
     for k in _expired(gens, refs):
         del gens[k]  # dropped = simply not carried; live path untouched
@@ -1584,6 +1804,76 @@ def plan_generation_scan(
     return root, [os.path.join(root, f) for f in rels], len(g["files"])
 
 
+def _align_to(df: DataFrame, target) -> DataFrame:
+    """Project `df` onto the target StructType: missing columns become
+    typed NULLs (added-column evolution), present columns cast to the
+    target type (a no-op unless widened — byte/short/int->long,
+    float->double — which is lossless by the evolution rules). Columns
+    `df` has beyond the target are dropped (they belong to a NEWER
+    schema than the generation being served — pinned reads stay
+    byte-stable)."""
+    cols = []
+    for f in target.fields:
+        if f.name in df.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+def _read_reconciled(
+    spark: SparkSession, root: str, g: dict, m: dict, rels: list[str]
+) -> DataFrame | None:
+    """The schema-evolution read path: when a generation's listing
+    spans files written under DIFFERENT schemas (the manifest's
+    per-file schema_id stamps — zero footer opens to find out), read
+    each schema group as its own parquet scan and align every group to
+    the generation's DECLARED schema (null-fill added columns, cast
+    widened ones), unioned by name. Returns None when the listing is
+    schema-uniform (or untracked) — the caller's plain read is then
+    both correct and cheaper, which keeps schema-stable stores at
+    exactly their pre-evolution plan. Group count is the number of
+    schema VERSIONS live in the listing (tiny by construction: a
+    compaction folds everything back to one), so the union adds no
+    per-file planning cost and each group's scan prunes/pushes down
+    independently."""
+    from pyspark.sql.types import StructType
+
+    sid = g.get("schema_id")
+    if sid is None:
+        return None
+    stats = g.get("stats") or {}
+    groups: dict[object, list[str]] = {}
+    for rel in rels:
+        fsid = (stats.get(rel) or {}).get("schema_id")
+        groups.setdefault(fsid, []).append(rel)
+    if set(groups) <= {sid}:
+        return None
+    sj = (m.get("schemas") or {}).get(str(sid))
+    if sj is None:
+        return None
+    target = StructType.fromJson(sj)
+    out = None
+    for fsid, fs in sorted(
+        groups.items(), key=lambda kv: (kv[0] is None, kv[0] or 0)
+    ):
+        r = spark.read.option("basePath", root)
+        gsj = (
+            (m.get("schemas") or {}).get(str(fsid))
+            if fsid is not None
+            else None
+        )
+        if gsj is not None:
+            # read the group under the schema its files were WRITTEN
+            # with (no footer sampling, no first-file ordering hazard);
+            # the alignment below projects it onto the target
+            r = r.schema(StructType.fromJson(gsj))
+        df = r.parquet(*[os.path.join(root, f) for f in fs])
+        df = _align_to(df, target)
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
 def read_generation(
     spark: SparkSession,
     path: str,
@@ -1616,7 +1906,24 @@ def read_generation(
     lacks. Costs one footer read per file at planning; leave it off
     for schema-stable stores."""
 
+    def _entry():
+        m = load_manifest(path)
+        return m, m["gens"][str(_resolve(m, path, at))]
+
     def _read(the_root, the_files):
+        # schema-evolution reconciliation first (a no-op returning
+        # None on schema-uniform listings — the overwhelmingly common
+        # case, which keeps its exact pre-evolution plan)
+        m, g = _entry()
+        rec = _read_reconciled(
+            spark,
+            the_root,
+            g,
+            m,
+            [os.path.relpath(f, the_root) for f in the_files],
+        )
+        if rec is not None:
+            return rec
         r = spark.read.option("basePath", the_root)
         if merge_schema:
             r = r.option("mergeSchema", "true")
@@ -1723,9 +2030,11 @@ def generation_diff(
                 return read_generation(spark, path, at=u).limit(0).filter(
                     _where_column(where)
                 )
-        df = spark.read.option("basePath", root).parquet(
-            *[os.path.join(root, f) for f in delta]
-        )
+        df = _read_reconciled(spark, root, gb, m, delta)
+        if df is None:
+            df = spark.read.option("basePath", root).parquet(
+                *[os.path.join(root, f) for f in delta]
+            )
         return df.filter(_where_column(where)) if where else df
     if not key_cols:
         raise ValueError(
@@ -1770,14 +2079,33 @@ def _changed_sides(
         and size_of(ga, rel) == size_of(gb, rel)
     }
 
+    # change feeds across an EVOLVED span align both sides to the
+    # NEWER generation's declared schema (the consumer's shape): old
+    # images serve NULL for added columns and cast through widenings,
+    # so the downstream image-compare always sees one schema
+    from pyspark.sql.types import StructType
+
+    tgt_sj = (
+        (m.get("schemas") or {}).get(str(gb.get("schema_id")))
+        if gb.get("schema_id") is not None
+        else None
+    )
+    tgt = StructType.fromJson(tgt_sj) if tgt_sj else None
+
     def side(g, gen_no):
         rels = [r for r in g["files"] if r not in shared]
         if not rels:
-            return read_generation(spark, path, at=gen_no).limit(0)
-        root = path if g["root"] == "." else os.path.join(path, g["root"])
-        return spark.read.option("basePath", root).parquet(
-            *[os.path.join(root, r) for r in rels]
-        )
+            df = read_generation(spark, path, at=gen_no).limit(0)
+        else:
+            root = (
+                path if g["root"] == "." else os.path.join(path, g["root"])
+            )
+            df = _read_reconciled(spark, root, g, m, rels)
+            if df is None:
+                df = spark.read.option("basePath", root).parquet(
+                    *[os.path.join(root, r) for r in rels]
+                )
+        return _align_to(df, tgt) if tgt is not None else df
 
     return side(gb, b), side(ga, a)
 
@@ -1941,10 +2269,14 @@ def delete_rows(spark: SparkSession, path: str, where) -> dict:
         _chmod_staging(staging)
         # rows of the affected files that do NOT match the predicate
         # survive; a NULL predicate is not-matched (SQL DELETE
-        # semantics), hence the coalesce
-        df = spark.read.option("basePath", path).parquet(
-            *[os.path.join(path, r) for r in affected]
-        )
+        # semantics), hence the coalesce. Mixed-schema listings (an
+        # evolved store) reconcile to the declared schema first, so
+        # the rewrite emits head-schema files
+        df = _read_reconciled(spark, path, g, m, affected)
+        if df is None:
+            df = spark.read.option("basePath", path).parquet(
+                *[os.path.join(path, r) for r in affected]
+            )
         keep_pred = ~F.coalesce(_where_column(where), F.lit(False))
         part_cols = sorted(
             {k for r in affected for k in _partition_values(r)}
@@ -2079,8 +2411,14 @@ def upsert_rows(
         if set(live) != set(m["gens"][str(head)]["files"]):
             head = _publish(path, head + 1, m)  # pin pending appends
             m = load_manifest(path)
-        store_schema = spark.read.parquet(path).schema
-        store_cols = store_schema.names
+        sj = declared_schema(m)
+        if sj is not None:
+            from pyspark.sql.types import StructType
+
+            store_struct = StructType.fromJson(sj)
+        else:
+            store_struct = spark.read.parquet(path).schema
+        store_cols = store_struct.names
         missing = [c for c in store_cols if c not in updates.columns]
         if missing:
             raise ValueError(
@@ -2094,7 +2432,7 @@ def upsert_rows(
         drift = [
             f"{a.name}: store {a.dataType.simpleString()} "
             f"vs updates {b.dataType.simpleString()}"
-            for a, b in zip(store_schema.fields, upd.schema.fields)
+            for a, b in zip(store_struct.fields, upd.schema.fields)
             if a.dataType != b.dataType
         ]
         if drift:
@@ -2162,9 +2500,13 @@ def upsert_rows(
                     os.remove(fp)
 
         if affected:
-            df = spark.read.option("basePath", path).parquet(
-                *[os.path.join(path, r) for r in affected]
-            )
+            # evolved stores reconcile the affected slice to the
+            # declared schema before the anti-join rewrite
+            df = _read_reconciled(spark, path, g, m, affected)
+            if df is None:
+                df = spark.read.option("basePath", path).parquet(
+                    *[os.path.join(path, r) for r in affected]
+                )
             _write(df.join(upd.select(*key_cols), list(key_cols), "left_anti"))
         survivors = set(_data_files(staging))
         _write(upd)
@@ -2245,12 +2587,16 @@ def optimize_store(
         # called UNDER the writer lock: re-resolve the head there so
         # a publish landing between our plan and the lock is included
         m = load_manifest(path)
-        rels = (
-            (m["gens"].get(str(m["head"])) or {}).get("files")
-            if m is not None
-            else None
-        )
+        g = m["gens"].get(str(m["head"])) if m is not None else None
+        rels = (g or {}).get("files")
         if rels:
+            # an evolved store's listing reconciles to the declared
+            # schema, so the compaction folds every file back to ONE
+            # schema version (the retrofit path for schema evolution,
+            # same as it is for blooms)
+            rec = _read_reconciled(spark_, path, g, m, rels)
+            if rec is not None:
+                return rec
             return spark_.read.option("basePath", path).parquet(
                 *[os.path.join(path, r) for r in rels]
             )
@@ -2605,9 +2951,11 @@ def generation_predicate_count(
             rows = _file_num_rows(os.path.join(root, r))
         total += int(rows or 0)
     if boundary:
-        df = spark.read.option("basePath", root).parquet(
-            *[os.path.join(root, r) for r in boundary]
-        )
+        df = _read_reconciled(spark, root, g, m, boundary)
+        if df is None:
+            df = spark.read.option("basePath", root).parquet(
+                *[os.path.join(root, r) for r in boundary]
+            )
         total += df.filter(_where_column(where)).count()
     return {
         "count": total,

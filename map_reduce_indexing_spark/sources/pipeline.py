@@ -240,6 +240,8 @@ def run_incremental_pipeline(
         # non-pipeline verbs (delete, compaction) could age every
         # pipeline entry past GEN_TTL and reset the bookmark to 0,
         # making the next run duplicate the whole source
+        from .generations import check_schema_evolution, declared_schema
+
         m0 = load_manifest(dst_path)
         marks = dict((m0 or {}).get("pipelines") or {})
         for alias in _src_keys(src_path)[1:]:
@@ -253,6 +255,21 @@ def run_incremental_pipeline(
         out = transform(batch)
         if not isinstance(out, DataFrame):
             raise TypeError("transform must return a DataFrame")
+        # a derived store follows its transform's output shape: when
+        # the SOURCE evolved (schema evolution flows through the
+        # transform — added columns, widened types), the destination
+        # evolves WITH it rather than rejecting its own pipeline; the
+        # evolve rules still refuse drops/narrowing on the APPEND
+        # path, where they signal a transform bug against data the
+        # destination already holds. A REBUILD rewrites every row, so
+        # its output schema simply becomes the declared schema.
+        out_schema = (
+            out.schema.jsonValue()
+            if mode == "rebuild" or since == 0 and m0 is None
+            else check_schema_evolution(
+                declared_schema(m0), out.schema.jsonValue(), "evolve"
+            )
+        )
 
         rejects = None
         if expectations:
@@ -328,6 +345,7 @@ def run_incremental_pipeline(
                 spark=spark,
                 entry_extra=entry,
                 manifest_extra=top,
+                schema=out_schema,
             )
             IO.publish_swap(dst_path, staging)
             gen = generation_head(dst_path)
@@ -343,7 +361,11 @@ def run_incremental_pipeline(
                     if not f.endswith(".json"):
                         os.remove(os.path.join(dst_path, f))
             gen = publish_generation(
-                dst_path, spark=spark, entry_extra=entry, manifest_extra=top
+                dst_path,
+                spark=spark,
+                entry_extra=entry,
+                manifest_extra=top,
+                schema=out_schema,
             )
         if rejects is not None:
             from .expectations import quarantine_path

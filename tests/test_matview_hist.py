@@ -267,3 +267,35 @@ def test_hist_quantile_plan_constant_in_percentile_count(spark, tmp_path):
     many = n_windows([i / 20 for i in range(1, 20)])
     assert one == many
     assert one <= 3
+
+
+def test_hist_quantile_paths_identical(spark, tmp_path, monkeypatch):
+    """Round 12: hist_quantile serves small percentile lists through
+    the union plan and large ones through the single-pass plan — the
+    two paths must be value-IDENTICAL on the same view (same integer
+    bin counts, same one-double interpolation)."""
+    from map_reduce_indexing_spark.operators import matview as MV
+    from map_reduce_indexing_spark.sources.generations import append_rows
+
+    base = str(tmp_path / "base")
+    view = str(tmp_path / "view")
+    df = spark.range(0, 500).selectExpr(
+        "id % 3 AS grp", "CAST(id % 97 AS DOUBLE) AS x"
+    )
+    append_rows(spark, base, df)
+    MV.create_matview(
+        spark, base, view, ["grp"], {"h": ("hist:0:100:10", "x")}
+    )
+    v = MV.read_matview(spark, view)
+    ps = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    assert len(ps) > MV.HIST_QUANTILE_UNION_MAX
+
+    def rows(df_):
+        return sorted(
+            (r.grp, r.p, round(r.q, 12)) for r in df_.collect()
+        )
+
+    single = rows(MV.hist_quantile(v, "h", "hist:0:100:10", ["grp"], ps))
+    monkeypatch.setattr(MV, "HIST_QUANTILE_UNION_MAX", 100)
+    union = rows(MV.hist_quantile(v, "h", "hist:0:100:10", ["grp"], ps))
+    assert single == union

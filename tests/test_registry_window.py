@@ -39,10 +39,11 @@ def test_window_exercises_eval_layer_and_ntz_path():
     TIMESTAMP_NTZ normalization path)."""
     # (ann_recall_eval itself rotated out in r9 — accuracy evaluation
     # keeps dedup_lsh_recall_eval external; see round9 test)
-    assert {
-        "dedup_lsh_recall_eval",
-        "rel_window_range_frame",
-    } <= set(PRIORITY_WINDOW)
+    # (rel_window_range_frame itself rotated out in r12 after 6 stable
+    # rounds — the NTZ normalization path stays pinned by pytest +
+    # sweep, and window serving stays external via
+    # rel_matview_hist_quantile's three-window plan; see round12 test)
+    assert "dedup_lsh_recall_eval" in set(PRIORITY_WINDOW)
 
 
 def test_window_exercises_round5_families():
@@ -114,8 +115,9 @@ def test_window_exercises_round6_rotation():
     # (rel_join_anti and rel_theta_join_bands rotated out in r10 —
     # the join family keeps semi/asof/q5; see round10 test)
     assert {"rel_join_semi", "rel_join_asof"} <= w  # join family
-    # windows: rank_parts itself rotated out in r8; range_frame carries
-    assert "rel_window_range_frame" in w
+    # windows: rank_parts rotated out in r8, range_frame in r12; the
+    # hist-quantile serving plan (three window specs) carries the tier
+    assert "rel_matview_hist_quantile" in w
     # ann family (ann_knn_batch_numpy itself rotated out in the r9
     # third batch — the ANN tier keeps four external rows; see round9
     # third-batch test)
@@ -272,8 +274,9 @@ def test_window_exercises_round8_rotation():
     # (search_proximity itself rotated out in r10)
     assert {"search_term_lookup", "search_topk_per_term"} <= w
     # (rel_cdc_scd2 itself rotated out in the r9 second batch;
-    # rel_cdc_merge_upsert in the r10 third batch)
-    assert {"rel_upsert_rows", "rel_window_range_frame"} <= w
+    # rel_cdc_merge_upsert in the r10 third batch;
+    # rel_window_range_frame in r12)
+    assert {"rel_upsert_rows", "rel_matview_hist_quantile"} <= w
     # (stream_scd2_temporal_join itself rotated out in r10;
     # stream_session_windows in r11 — the stateful tier carries)
     assert {"stream_heavy_hitters", "stream_stateful_user_stats"} <= w
@@ -349,9 +352,10 @@ def test_window_exercises_round9_rotation():
     stays registered + oracle-backed and its family keeps another
     external representative."""
     w = set(PRIORITY_WINDOW)
+    # (ann_pq_train itself rotated out in r12 — PQ codebooks stay
+    # external via ann_ivf_pq_topk; see round12 test)
     assert {
         "ann_kmeans_train_k64",
-        "ann_pq_train",
         "dedup_jaccard_prefix_pairs",
         "rel_bucketed_join_agg",
         "stream_funnel",
@@ -417,10 +421,12 @@ def test_round9_third_batch_rotation():
     row stays registered + oracle-backed and its family keeps another
     external representative."""
     w = set(PRIORITY_WINDOW)
+    # (rel_savepoint_pinned_read itself rotated out in r12 — pinned
+    # reads stay external via rel_snapshot_pruned_scan and the @1
+    # time-travel reference in rel_store_sql_travel; see round12 test)
     assert {
         "rel_matview_distinct",
         "rel_bloom_point_lookup",
-        "rel_savepoint_pinned_read",
         "stream_continuous_agg",
     } <= w
     retired = {
@@ -436,12 +442,12 @@ def test_round9_third_batch_rotation():
     # (stream_session_windows itself rotated out in r11 — the
     # streaming family keeps six external rows)
     assert {"stream_stateful_user_stats", "dedup_cluster_keep_best"} <= w
-    # (ann_ivf_trained_topk rotated out in r11 — filtered_topk joins)
+    # (ann_ivf_trained_topk rotated out in r11 — filtered_topk joins;
+    # ann_pq_train out in r12 — PQ stays external via ann_ivf_pq_topk)
     assert {
         "ann_filtered_topk",
         "ann_ivf_pq_topk",
         "ann_kmeans_train_k64",
-        "ann_pq_train",
     } <= w
     # (text_shuffle_shards itself rotated out in the r10 third batch —
     # the tier keeps five external rows incl. the pipeline)
@@ -510,12 +516,13 @@ def test_round10_rotation():
     # the lakehouse tier's full external surface
     # (rel_cdc_merge_upsert itself rotated out in the r10 third batch
     # — the store-level rel_upsert_rows is the stricter MERGE row)
+    # (rel_savepoint_pinned_read itself rotated out in r12; see
+    # round12 test)
     assert {
         "rel_snapshot_pruned_scan",
         "rel_matview_refresh",
         "rel_matview_distinct",
         "rel_bloom_point_lookup",
-        "rel_savepoint_pinned_read",
         "rel_upsert_rows",
     } <= w
 
@@ -596,7 +603,7 @@ def test_round11_rotation():
         "dedup_cluster_keep_best",
         "dedup_incremental_lsh_pairs",
     } <= w
-    assert {"ann_ivf_pq_topk", "ann_kmeans_train_k64", "ann_pq_train"} <= w
+    assert {"ann_ivf_pq_topk", "ann_kmeans_train_k64"} <= w
     assert {
         "stream_continuous_agg",
         "stream_stateful_user_stats",
@@ -610,3 +617,45 @@ def test_round11_rotation():
         "stream_gated_ingest",
         "stream_autocompact_ingest",
     } <= w
+
+
+def test_round12_rotation():
+    """Round-12 rotation (VERDICT r11 #6): the round's three new store
+    capabilities go external — schema evolution (evolved store read
+    whose hash pins null-fill + widening reconciliation), the SQL
+    catalog surface (spark.sql over registered views with inline
+    @generation time travel), and the scheduled-maintenance lifecycle
+    (one maintain_store call: policy-fired fold + residue vacuum).
+    Every retired row stays registered + oracle-backed and its family
+    keeps another external representative."""
+    w = set(PRIORITY_WINDOW)
+    assert {
+        "rel_schema_evolution",
+        "rel_store_sql_travel",
+        "rel_store_maintenance",
+    } <= w
+    retired = {
+        # pinned reads: rel_snapshot_pruned_scan + the @1 reference
+        # inside rel_store_sql_travel carry the family
+        "rel_savepoint_pinned_read",
+        # PQ training: ann_ivf_pq_topk trains AND serves the codebooks
+        "ann_pq_train",
+        # window frames: hist_quantile's three-window serving plan and
+        # search_topk_per_term keep the window family external
+        "rel_window_range_frame",
+    }
+    assert retired.isdisjoint(w)
+    for name in retired:
+        q = registry.get(name)
+        assert q.export and q.oracle is not None
+    # the new rows are exported and oracle-backed
+    for name in (
+        "rel_schema_evolution",
+        "rel_store_sql_travel",
+        "rel_store_maintenance",
+    ):
+        q = registry.get(name)
+        assert q.export and q.oracle is not None
+    # family representatives for the retired rows
+    assert {"rel_snapshot_pruned_scan", "ann_ivf_pq_topk"} <= w
+    assert {"search_topk_per_term", "rel_matview_hist_quantile"} <= w

@@ -157,6 +157,18 @@ MANIFEST_QUERIES = {
     "rel_metadata_count",
 }
 
+# Headliners whose wall is dominated by a two-sided shuffle equi-join
+# (the LSH band joins). The r11 driver run's
+# dedup_incremental_lsh_pairs row sat 19.5x over r10 with a bimodal
+# 1.2-15.9 s spread on untouched pure-JVM code, and NO marker covered
+# the shuffle/join tier — the round-12 `band_join` marker (a fixed
+# sort-merge join micro-job, bench.py) pins it. When both runs carry
+# it, these normalize by ITS ratio.
+JOIN_QUERIES = {
+    "dedup_incremental_lsh_pairs",
+    "dedup_minhash_lsh_pairs",
+}
+
 
 def compare(old: dict, new: dict, threshold: float) -> int:
     oq, nq = old["queries"], new["queries"]
@@ -189,6 +201,12 @@ def compare(old: dict, new: dict, threshold: float) -> int:
             f"manifest factor (new/old manifest_read marker): "
             f"{manifest_factor:.2f}"
         )
+    obj = marker_median(old, "band_join")
+    nbj = marker_median(new, "band_join")
+    join_factor = None
+    if obj and nbj:
+        join_factor = nbj / obj
+        print(f"join factor (new/old band_join marker): {join_factor:.2f}")
     shared = sorted(set(oq) & set(nq))
     flagged = []
     print(f"{'query':36} {'old':>8} {'new':>8} {'norm_ratio':>10}")
@@ -199,6 +217,8 @@ def compare(old: dict, new: dict, threshold: float) -> int:
             factor = scan_factor
         elif q in MANIFEST_QUERIES and manifest_factor:
             factor = manifest_factor
+        elif q in JOIN_QUERIES and join_factor:
+            factor = join_factor
         else:
             factor = nm / om if om and nm else 1.0
         norm = (nq[q] / factor) / oq[q] if oq[q] else float("inf")
