@@ -90,6 +90,9 @@ HEADLINE = [
     "stream_gated_ingest",     # exactly-once gated admission, replay-idempotent (r11)
     "ann_filtered_topk",       # predicate pushed inside the pruned IVF cell scan (r11)
     "rel_expectations_readmit",  # quarantine repair loop: fix -> re-gate -> append (r11)
+    "rel_schema_evolution",    # mixed-schema reconciled read (null-fill + widen) (r12)
+    "rel_store_sql_travel",    # spark.sql over store views, inline @gen travel (r12)
+    "rel_store_maintenance",   # maintain(): policy fold + residue vacuum (r12)
 ]
 
 

@@ -1040,6 +1040,110 @@ def declared_schema(m: dict | None) -> dict | None:
     return (m.get("schemas") or {}).get(str(sid))
 
 
+def schema_history(path: str) -> dict:
+    """The store's schema lineage from ONE manifest read:
+    {"schemas": {id: {name: typeName}}, "generations": {gen:
+    schema_id}} — which schema each retained generation declared and
+    what each version looks like. None-valued generations predate
+    schema tracking. The describe_generations companion for the
+    evolution tier."""
+    m = load_manifest(path)
+    if m is None:
+        raise ValueError(f"{path!r} has no generation manifest")
+    schemas = {
+        int(k): {f["name"]: f["type"] for f in v["fields"]}
+        for k, v in (m.get("schemas") or {}).items()
+    }
+    gens = {
+        int(k): g.get("schema_id") for k, g in m["gens"].items()
+    }
+    return {"schemas": schemas, "generations": gens}
+
+
+def drop_columns(spark: SparkSession, path: str, cols: list[str]) -> int:
+    """Remove columns from a generations store — the schema change an
+    EVOLVE append deliberately refuses (a drop silently changes what
+    existing rows mean under append semantics; it must be an explicit
+    REWRITE). Copy-on-write: the head listing is read RECONCILED
+    (mixed-schema stores fold to one version here, same as OPTIMIZE),
+    rewritten without the dropped columns behind the standard staged
+    swap, and the NARROWED schema is registered with the publish —
+    pinned readers of earlier generations keep the wide snapshots
+    (their immutable files and their recorded schemas both survive
+    retention). Hive partition columns are refused (dropping one
+    means re-laying out the store — use optimize_store with a new
+    layout first). Returns the new head generation."""
+    import tempfile
+
+    from ..operators.indexing import (
+        _chmod_staging,
+        _recover_index_locked,
+        index_writer_lock,
+    )
+    from .commitio import IO
+
+    if not cols:
+        raise ValueError("drop_columns requires at least one column")
+    with index_writer_lock(path):
+        _recover_index_locked(path)
+        m = load_manifest(path)
+        if m is None:
+            ensure_base_generation(path)
+            m = load_manifest(path)
+            if m is None:
+                raise ValueError(f"{path!r} has no data")
+        head = int(m["head"])
+        live = _data_files(path)
+        if set(live) != set(m["gens"][str(head)]["files"]):
+            head = _publish(path, head + 1, m)  # pin pending appends
+            m = load_manifest(path)
+        g = m["gens"][str(head)]
+        rels = g["files"]
+        part_cols = sorted(
+            {k for rel in rels for k in _partition_values(rel)}
+        )
+        bad = [c for c in cols if c in part_cols]
+        if bad:
+            raise ValueError(
+                f"cannot drop partition column(s) {bad} of {path!r}; "
+                "re-layout with optimize_store first"
+            )
+        df = _read_reconciled(spark, path, g, m, rels)
+        if df is None:
+            df = spark.read.option("basePath", path).parquet(
+                *[os.path.join(path, r) for r in rels]
+            )
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"columns {missing} not in {path!r}'s schema "
+                f"({df.columns})"
+            )
+        if len(cols) >= len(df.columns):
+            raise ValueError("cannot drop every column of a store")
+        out = df.drop(*cols)
+        staging = tempfile.mkdtemp(
+            prefix="mri_dropcols_", dir=os.path.dirname(path) or "."
+        )
+        _chmod_staging(staging)
+        w = out.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(staging)
+        for f in os.listdir(staging):
+            fp = os.path.join(staging, f)
+            if f.startswith("_") and os.path.isfile(fp):
+                os.remove(fp)
+        carry_generations(
+            path,
+            staging,
+            spark=spark,
+            schema=out.schema.jsonValue(),
+        )
+        IO.publish_swap(path, staging)
+    return generation_head(path)
+
+
 def store_schema(path: str, at: int | str | None = None):
     """The declared schema of generation `at` (head when None) as a
     pyspark StructType — one manifest read, no footer opens. None when
@@ -1466,7 +1570,14 @@ def append_rows(
     without an idempotency key are the plain verb's: a caller retry
     re-appends its batch (residue is invisible — precise listings —
     and vacuumable); replay-safe streams should keep using
-    `append_with_expectations(idempotency=...)`."""
+    `append_with_expectations(idempotency=...)`.
+
+    `schema_mode` (round 12): "strict" (default) refuses a batch whose
+    schema drifts from the store's declared schema; "evolve" accepts
+    added columns and lossless widenings, recording the new schema
+    with the publish (see check_schema_evolution / _read_reconciled).
+    `pin_batch` controls the gated path's single-evaluation pin (see
+    expectations.pin_once)."""
     import tempfile
     import uuid
 

@@ -296,3 +296,88 @@ def test_register_store_and_store_sql(spark, tmp_path):
     )
     r = df.first()
     assert (r.n_head, r.n_g1, r.n_tag) == (10, 6, 6)
+
+
+def test_drop_columns_rewrite(spark, tmp_path):
+    from map_reduce_indexing_spark.sources.generations import (
+        drop_columns,
+        schema_history,
+    )
+
+    path = _build_evolved(spark, tmp_path)  # head: id, v(long), w
+    wide = {r.id: (r.v, r.w) for r in read_generation(spark, path).collect()}
+    pre_head = generation_head(path)
+    new_head = drop_columns(spark, path, ["w"])
+    assert new_head == pre_head + 1
+    head = read_generation(spark, path)
+    assert dict(head.dtypes) == {"id": "bigint", "v": "bigint"}
+    assert {r.id: r.v for r in head.collect()} == {
+        k: v for k, (v, _w) in wide.items()
+    }
+    # pinned pre-drop generation still serves the wide shape
+    g2 = read_generation(spark, path, at=pre_head)
+    assert "w" in g2.columns
+    assert {r.id: (r.v, r.w) for r in g2.collect()} == wide
+    # lineage is queryable
+    hist = schema_history(path)
+    assert hist["generations"][new_head] != hist["generations"][pre_head]
+    assert "w" not in hist["schemas"][hist["generations"][new_head]]
+    # appends after the drop follow the narrowed schema strictly
+    with pytest.raises(SchemaEvolutionError):
+        append_rows(spark, path, _v2(spark, 900, 1))
+    append_rows(
+        spark,
+        path,
+        spark.createDataFrame([(900, 1)], "id long, v long"),
+    )
+    assert read_generation(spark, path).count() == 11
+
+
+def test_drop_columns_refusals(spark, tmp_path):
+    from map_reduce_indexing_spark.sources.generations import drop_columns
+
+    path = str(tmp_path / "store")
+    append_rows(spark, path, _v2(spark, 0, 4), schema_mode="evolve")
+    with pytest.raises(ValueError):
+        drop_columns(spark, path, [])
+    with pytest.raises(ValueError):
+        drop_columns(spark, path, ["nope"])
+    with pytest.raises(ValueError):
+        drop_columns(spark, path, ["id", "v", "w"])  # every column
+    # partitioned store: dropping the partition column is refused
+    p2 = str(tmp_path / "parted")
+    append_rows(
+        spark,
+        p2,
+        spark.createDataFrame(
+            [(i, i % 2, f"s{i}") for i in range(6)],
+            "id long, bucket long, s string",
+        ),
+        partition_by=["bucket"],
+    )
+    with pytest.raises(ValueError):
+        drop_columns(spark, p2, ["bucket"])
+
+
+def test_evolve_partitioned_store(spark, tmp_path):
+    path = str(tmp_path / "store")
+    b1 = spark.createDataFrame(
+        [(i, i % 2, i * 10) for i in range(6)],
+        "id long, bucket long, v int",
+    )
+    append_rows(spark, path, b1, partition_by=["bucket"])
+    b2 = spark.createDataFrame(
+        [(100 + i, i % 2, (i + 1) * 1000, f"w{i}") for i in range(4)],
+        "id long, bucket long, v long, w string",
+    )
+    append_rows(
+        spark, path, b2, partition_by=["bucket"], schema_mode="evolve"
+    )
+    head = read_generation(spark, path)
+    assert dict(head.dtypes)["v"] == "bigint"
+    assert head.count() == 10
+    # partition pruning still works through the reconciled read
+    assert head.filter(F.col("bucket") == 0).count() == 5
+    got = {r.id: (r.v, r.w) for r in head.collect()}
+    assert got[0] == (0, None)
+    assert got[101] == (2000, "w1")
