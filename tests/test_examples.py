@@ -26,6 +26,7 @@ EXAMPLES = [
     ("examples/lakehouse_tour.py", []),
     ("examples/medallion_pipeline.py", []),
     ("examples/concurrent_lakehouse.py", []),
+    ("examples/schema_evolution_tour.py", []),
 ]
 
 

@@ -381,3 +381,34 @@ def test_evolve_partitioned_store(spark, tmp_path):
     got = {r.id: (r.v, r.w) for r in head.collect()}
     assert got[0] == (0, None)
     assert got[101] == (2000, "w1")
+
+
+def test_reconciled_read_keeps_pushdown_and_pruning(spark, tmp_path):
+    """Scale guard: the schema-reconciled union must not cost the plan
+    its parquet pushdown — a filter on a shared column reaches the
+    scan of EVERY schema group (Catalyst pushes through the union and
+    the alignment projections), and a manifest-prunable predicate
+    still skips whole files before Spark ever plans."""
+    path = _build_evolved(spark, tmp_path)
+    df = read_generation(spark, path).filter(F.col("id") >= 3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln
+    ]
+    assert len(pushed) >= 2  # one scan per schema group
+    for ln in pushed:
+        assert "GreaterThanOrEqual(id,3)" in ln, ln
+    # filter on the ADDED column: old-group rows are typed NULLs, so
+    # the predicate constant-folds there and the result is exact
+    assert df.filter(F.col("w").isNotNull()).count() == 4
+    # manifest pruning: a predicate provably excluding the old files
+    # never reads them (the kept listing is schema-uniform, so the
+    # read takes the fast path too)
+    from map_reduce_indexing_spark.sources.generations import (
+        plan_generation_scan,
+    )
+
+    _root, kept, total = plan_generation_scan(
+        path, None, [("id", ">=", 100)]
+    )
+    assert 0 < len(kept) < total
