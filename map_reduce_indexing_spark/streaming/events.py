@@ -1734,6 +1734,7 @@ def run_gated_ingest(
     schema=None,
     max_files_per_trigger: int = 1,
     compact_policy: dict | None = None,
+    schema_mode: str = "strict",
 ) -> list[dict]:
     """STREAMING ADMISSION: every microbatch passes through
     `append_with_expectations` (sources/expectations.py) on its way
@@ -1787,6 +1788,11 @@ def run_gated_ingest(
             idempotency=(
                 (idem_key, int(batch_id)) if idem_key is not None else None
             ),
+            # a stream's batches share one source schema; schema_mode
+            # matters on RESTART after the producer evolved (a
+            # restarted query reads a wider source schema) — 'evolve'
+            # lets the store follow, 'strict' (default) stops it
+            schema_mode=schema_mode,
         )
         rep["batch"] = batch_id
         if compact_policy is not None and not rep.get("replayed"):
