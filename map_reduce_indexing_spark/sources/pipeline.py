@@ -276,13 +276,16 @@ def run_incremental_pipeline(
             from .expectations import (
                 ExpectationError,
                 gate_eval,
+                pin_once,
                 violation_tags,
             )
 
-            # single-evaluation pin (see expectations.py): the gate
-            # counts, the admit write, and the quarantine write must
-            # split ONE materialization of the transformed delta
-            out = out.localCheckpoint(eager=True)
+            # single-evaluation pin (see expectations.pin_once): the
+            # gate counts, the admit write, and the quarantine write
+            # must split ONE evaluation of the transformed delta —
+            # skipped when the transform's plan is provably
+            # deterministic (the common projection/filter ETL stage)
+            out = pin_once(out)
             flags, bad, rows_in, n_bad, violations = gate_eval(
                 out, expectations
             )
