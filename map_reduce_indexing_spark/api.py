@@ -36,6 +36,7 @@ from .operators.indexing import (
     write_index,
 )
 from .operators.search import search_and, search_not, search_or, term_lookup
+from .sources.catalog import register_store, store_sql  # noqa: F401 — public
 from .sources.corpus import read_corpus_dir
 
 

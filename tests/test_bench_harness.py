@@ -162,6 +162,7 @@ def test_contention_marker_shape(spark):
         "python_worker",
         "parquet_scan",
         "manifest_read",
+        "band_join",  # round 12: the shuffle/join-tier marker
     }
     for stats in m.values():
         assert stats["min"] <= stats["median"] <= stats["max"]
