@@ -302,13 +302,17 @@ def append_with_expectations(
     # schema gate (round 12): same contract as append_rows — strict
     # rejects drift before anything is written; evolve records the
     # additive/widened schema with the publish
-    from .generations import check_schema_evolution, declared_schema
-
-    schema_sj = check_schema_evolution(
-        declared_schema(load_manifest(path)),
-        df.schema.jsonValue(),
-        schema_mode,
+    from .generations import (
+        check_layout,
+        check_schema_evolution,
+        declared_schema,
     )
+
+    m_pre = load_manifest(path)
+    schema_sj = check_schema_evolution(
+        declared_schema(m_pre), df.schema.jsonValue(), schema_mode
+    )
+    check_layout(m_pre, path, partition_by)
 
     from ..operators.indexing import _recover_index_locked, index_writer_lock
 

@@ -1161,6 +1161,44 @@ def store_schema(path: str, at: int | str | None = None):
     return StructType.fromJson(sj) if sj else None
 
 
+def store_layout(m: dict | None, path: str) -> list[str] | None:
+    """The store's CURRENT partition layout: sorted partition-column
+    names of the head listing (manifest when present, live scan
+    otherwise); None when the store holds no data yet (the first
+    append defines the layout)."""
+    if m is not None:
+        g = m["gens"].get(str(m.get("head", 0)))
+        rels = (g or {}).get("files") or []
+    else:
+        rels = _data_files(path) if os.path.isdir(path) else []
+    if not rels:
+        return None
+    return sorted({k for rel in rels for k in _partition_values(rel)})
+
+
+def check_layout(
+    m: dict | None, path: str, partition_by: list[str] | None
+) -> None:
+    """Refuse an append whose partition layout differs from the
+    store's (round 12): Spark cannot plan ONE parquet relation over
+    conflicting directory structures, so a mismatched append does not
+    just read oddly — it makes every subsequent head read fail with
+    'Conflicting directory structures detected'. The guard turns the
+    corruption into a loud refusal; changing a store's layout is a
+    REWRITE (`optimize_store(partition_by=[...])`, which re-lands the
+    data under the new scheme while pinned generations keep their
+    old-layout snapshots)."""
+    have = store_layout(m, path)
+    want = sorted(partition_by or [])
+    if have is not None and have != want:
+        raise ValueError(
+            f"append layout {want or 'unpartitioned'} conflicts with "
+            f"{path!r}'s existing layout {have or 'unpartitioned'}; "
+            "mixed layouts make the store unreadable — re-layout with "
+            "optimize_store(partition_by=[...]) first"
+        )
+
+
 def reachable_files(m: dict | None) -> set[str]:
     """Every top-level data file some RETAINED generation's listing
     references: the head's files, plus the files of any generation
@@ -1639,11 +1677,13 @@ def append_rows(
     # conflicting evolutions are a user error (last publish wins the
     # declared schema; files stay stamped with what they were written
     # under, so no read breaks).
+    m_pre = load_manifest(path)
     schema_sj = check_schema_evolution(
-        declared_schema(load_manifest(path)),
-        df.schema.jsonValue(),
-        schema_mode,
+        declared_schema(m_pre), df.schema.jsonValue(), schema_mode
     )
+    # layout guard (round 12): a mismatched partition_by would make
+    # every later read fail on conflicting directory structures
+    check_layout(m_pre, path, partition_by)
 
     os.makedirs(path, exist_ok=True)
     # ADOPTION (r11 advice, high): a store holding pre-existing data
@@ -2654,6 +2694,7 @@ def optimize_store(
     path: str,
     cluster_by: list[str] | None,
     n_files: int = 16,
+    partition_by: list[str] | None = None,
 ) -> int:
     """OPTIMIZE ... CLUSTER BY as a store operation: rewrite the live
     data range-clustered on `cluster_by` (repartitionByRange + sort
@@ -2678,6 +2719,16 @@ def optimize_store(
     directory's small files without flattening the layout the store's
     pruned reads depend on.
 
+    `partition_by` (round 12) OVERRIDES the layout — PARTITION
+    EVOLUTION as an explicit rewrite: pass a new column list to
+    re-land the store under that directory scheme (or `[]` to
+    flatten). Directory-encoded values are restored into the data by
+    the read, so nothing is lost; pinned generations keep their
+    old-layout snapshots (each generation reads against its own
+    immutable root, so layouts never mix in one scan); and the
+    appender layout guard (`check_layout`) starts enforcing the new
+    scheme — the verb a mismatched append's error message points at.
+
     Input is the HEAD GENERATION'S LISTING when the store has a
     manifest (precise — a crashed optimistic placement on the live
     listing is residue for vacuum_store, never input to the rewrite);
@@ -2690,9 +2741,24 @@ def optimize_store(
         if m0 is not None
         else None
     )
-    part_cols = sorted(
-        {k for rel in (head_rels or _data_files(path)) for k in _partition_values(rel)}
-    )
+    # `partition_by` (round 12) OVERRIDES the layout: PARTITION
+    # EVOLUTION as a rewrite — the store re-lands under the new
+    # directory scheme (or flat, partition_by=[]), pinned generations
+    # keep their old-layout snapshots (each generation's read is
+    # anchored to its own root, so layouts never mix within one scan),
+    # and the appender layout guard starts enforcing the new scheme.
+    # Directory-encoded columns are restored into the data by the
+    # reconciled/basePath read, so re-layout loses nothing.
+    if partition_by is not None:
+        part_cols = sorted(partition_by)
+    else:
+        part_cols = sorted(
+            {
+                k
+                for rel in (head_rels or _data_files(path))
+                for k in _partition_values(rel)
+            }
+        )
 
     def df_source(spark_: SparkSession) -> DataFrame:
         # called UNDER the writer lock: re-resolve the head there so

@@ -270,6 +270,13 @@ def run_incremental_pipeline(
                 declared_schema(m0), out.schema.jsonValue(), "evolve"
             )
         )
+        if mode != "rebuild":
+            # layout guard (round 12): an append under a different
+            # partition scheme would corrupt every later read; a
+            # rebuild rewrites wholesale, so it may change the layout
+            from .generations import check_layout
+
+            check_layout(m0, dst_path, partition_by)
 
         rejects = None
         if expectations:

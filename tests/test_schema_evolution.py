@@ -412,3 +412,90 @@ def test_reconciled_read_keeps_pushdown_and_pruning(spark, tmp_path):
         path, None, [("id", ">=", 100)]
     )
     assert 0 < len(kept) < total
+
+
+def test_partition_evolution_relayout(spark, tmp_path):
+    """Round 12: changing a store's partition layout is an explicit
+    rewrite (optimize_store(partition_by=...)); appends under the
+    wrong layout are refused BEFORE anything lands (a mismatched
+    append would make every later read fail on conflicting directory
+    structures)."""
+    from map_reduce_indexing_spark.sources.generations import (
+        optimize_store,
+        plan_generation_scan,
+    )
+
+    path = str(tmp_path / "store")
+    flat = spark.createDataFrame(
+        [(i, i % 3, i * 10) for i in range(12)],
+        "id long, bucket long, v long",
+    )
+    append_rows(spark, path, flat)  # unpartitioned era
+    pre_head = generation_head(path)
+    # a partitioned append against the flat layout is refused loudly
+    with pytest.raises(ValueError, match="layout"):
+        append_rows(
+            spark,
+            path,
+            spark.createDataFrame([(100, 0, 1)], "id long, bucket long, v long"),
+            partition_by=["bucket"],
+        )
+    assert generation_head(path) == pre_head  # nothing written
+    # the explicit re-layout verb
+    optimize_store(spark, path, cluster_by=["id"], n_files=2,
+                   partition_by=["bucket"])
+    head = read_generation(spark, path)
+    assert head.count() == 12
+    assert {r.id for r in head.filter(F.col("bucket") == 1).collect()} == {
+        1, 4, 7, 10,
+    }
+    # partition pruning now fires on the new layout
+    _root, kept, total = plan_generation_scan(path, None, [("bucket", "=", 1)])
+    assert 0 < len(kept) < total
+    # pinned pre-layout generation still reads (its own flat snapshot)
+    g_old = read_generation(spark, path, at=pre_head)
+    assert g_old.count() == 12
+    # appends must follow the NEW layout now
+    with pytest.raises(ValueError, match="layout"):
+        append_rows(
+            spark,
+            path,
+            spark.createDataFrame([(100, 0, 1)], "id long, bucket long, v long"),
+        )
+    append_rows(
+        spark,
+        path,
+        spark.createDataFrame([(100, 0, 1)], "id long, bucket long, v long"),
+        partition_by=["bucket"],
+    )
+    assert read_generation(spark, path).count() == 13
+    # and the store can flatten again
+    optimize_store(spark, path, cluster_by=None, n_files=2, partition_by=[])
+    flat_again = read_generation(spark, path)
+    assert flat_again.count() == 13
+    assert "bucket" in flat_again.columns
+
+
+def test_gated_append_layout_guard(spark, tmp_path):
+    from map_reduce_indexing_spark.sources.expectations import (
+        append_with_expectations,
+    )
+
+    path = str(tmp_path / "store")
+    exp = {"nonneg": [("id", ">=", 0)]}
+    append_with_expectations(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(i, i % 2) for i in range(6)], "id long, bucket long"
+        ),
+        exp,
+        partition_by=["bucket"],
+    )
+    with pytest.raises(ValueError, match="layout"):
+        append_with_expectations(
+            spark,
+            path,
+            spark.createDataFrame([(9, 1)], "id long, bucket long"),
+            exp,  # no partition_by: conflicts with the bucketed layout
+        )
