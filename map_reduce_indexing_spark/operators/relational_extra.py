@@ -2328,3 +2328,89 @@ def q_rel_store_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("price_dec", "total_price"),
     )
+
+
+def orders_relayout_demo(spark: SparkSession, sf_dir: str) -> str:
+    """Partition evolution end-to-end, built once per (application,
+    corpus content): orders land FLAT, the store re-lands partitioned
+    by o_orderpriority via optimize_store(partition_by=...), a
+    priority-partitioned batch appends under the new scheme, and the
+    build asserts (a) the layout guard refused a flat append after the
+    re-layout, (b) partition pruning fires on the new directories,
+    (c) the pre-layout pinned generation still reads."""
+    from ..sources.generations import (
+        append_rows,
+        generation_head,
+        optimize_store,
+        plan_generation_scan,
+        read_generation,
+    )
+    from .indexing import session_artifact_path
+
+    def build(path: str) -> None:
+        store = _os.path.join(path, "store")
+        base = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderpriority",
+            dec("o_totalprice").alias("price_dec"),
+        )
+        is_late = F.col("o_orderkey") % 10 == 0
+        append_rows(spark, store, base.filter(~is_late))  # flat era
+        flat_head = generation_head(store)
+        optimize_store(
+            spark, store, cluster_by=["o_orderkey"], n_files=2,
+            partition_by=["o_orderpriority"],
+        )
+        try:
+            append_rows(spark, store, base.filter(is_late))
+            raise AssertionError("layout guard should have refused")
+        except ValueError:
+            pass
+        append_rows(
+            spark, store, base.filter(is_late),
+            partition_by=["o_orderpriority"],
+        )
+        _root, kept, total = plan_generation_scan(
+            store, None, [("o_orderpriority", "=", "1-URGENT")]
+        )
+        assert 0 < len(kept) < total, (len(kept), total)
+        assert read_generation(spark, store, at=flat_head).count() > 0
+
+    return session_artifact_path(
+        spark, sf_dir, "orders_relayout_demo", "orders.parquet", build
+    )
+
+
+@register(
+    "rel_partition_evolution",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        GROUP BY 1
+    """,
+    tier="relational",
+    doc="PARTITION EVOLUTION (round 12 — generations.optimize_store("
+    "partition_by=...) + check_layout): the store's layout changes "
+    "from flat to priority-partitioned as an explicit rewrite; the "
+    "layout guard refuses the flat append that would have corrupted "
+    "every later read, the conforming append lands under the new "
+    "scheme, pruning fires on the new directories, and the pre-layout "
+    "pinned generation stays readable (all asserted in the build). "
+    "The exported aggregate of the final store hash-matches the raw "
+    "table, proving the re-layout and the guarded appends lost and "
+    "doubled nothing.",
+)
+def q_rel_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.generations import read_generation
+
+    root = orders_relayout_demo(spark, sf_dir)
+    df = read_generation(spark, _os.path.join(root, "store"))
+    return df.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("price_dec", "total_price"),
+    )
