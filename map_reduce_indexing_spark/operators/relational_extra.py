@@ -2414,3 +2414,82 @@ def q_rel_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("price_dec", "total_price"),
     )
+
+
+_DV_CAP = 450000.00
+
+
+def orders_dv_demo(spark: SparkSession, sf_dir: str) -> str:
+    """Merge-on-read DELETE end-to-end, built once per (application,
+    corpus content): orders land as one generation, delete_rows_dv
+    removes the over-cap rows as a deletion VECTOR (no data rewrite —
+    the build asserts the head listing is byte-identical and
+    rewritten_files == 0), a later append proves the vector carries,
+    and the metadata-only COUNT stays exact."""
+    from ..sources.generations import (
+        append_rows,
+        delete_rows_dv,
+        generation_row_count,
+        load_manifest,
+    )
+    from .indexing import session_artifact_path
+
+    def build(path: str) -> None:
+        store = _os.path.join(path, "store")
+        base = _orders_projected(spark, sf_dir)
+        is_late = F.col("o_orderkey") % 10 == 0
+        append_rows(spark, store, base.filter(~is_late))
+        m0 = load_manifest(store)
+        files0 = m0["gens"][str(m0["head"])]["files"]
+        n0 = generation_row_count(store)
+        rep = delete_rows_dv(
+            spark, store, [("price_dec", ">", _DV_CAP)]
+        )
+        assert rep["rewritten_files"] == 0, rep
+        assert rep["deleted_rows"] > 0, rep
+        m1 = load_manifest(store)
+        assert m1["gens"][str(m1["head"])]["files"] == files0
+        assert generation_row_count(store) == n0 - rep["deleted_rows"]
+        append_rows(spark, store, base.filter(is_late))
+
+    return session_artifact_path(
+        spark, sf_dir, "orders_dv_demo", "orders.parquet", build
+    )
+
+
+@register(
+    "rel_delete_dv",
+    oracle=f"""
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        WHERE o_orderkey % 10 = 0
+           OR CAST(o_totalprice AS DECIMAL(18,2)) <= {_DV_CAP}
+        GROUP BY 1
+    """,
+    tier="relational",
+    doc="MERGE-ON-READ DELETE — deletion vectors (round 12, "
+    "generations.delete_rows_dv): the over-cap rows disappear as a "
+    "(file_name, row_index) sidecar with ZERO data rewritten (the "
+    "build asserts the head listing is byte-identical and "
+    "rewritten_files == 0 — at 100 TB, erasing 3 rows from a 1 GB "
+    "file costs a sidecar row, not a gigabyte), a later append "
+    "carries the vector, reads apply it as one broadcast anti-join, "
+    "and the metadata-only COUNT stays exact via the recorded "
+    "per-file deletion counts. The oracle recomputes the surviving "
+    "rows from the raw table, so the external hash pins the vector's "
+    "row-level exactness through the append.",
+)
+def q_rel_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.generations import read_generation
+
+    root = orders_dv_demo(spark, sf_dir)
+    df = read_generation(spark, _os.path.join(root, "store"))
+    return df.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("price_dec", "total_price"),
+    )

@@ -438,9 +438,13 @@ class CASStoreIO:
             # a mutable same-size sidecar (matview.json) and is always
             # re-placed, per-file atomically.
             def carried(rel: str, size: int) -> bool:
-                return rel.startswith(("_gen/", "_bloom/", "_gen\\", "_bloom\\")) and (
-                    have.get(rel) == size
-                )
+                # _dv/ sidecars are immutable-from-birth too (a new
+                # vector is a NEW directory), so they get the same
+                # pinned-reader no-touch guarantee as snapshots
+                return rel.startswith(
+                    ("_gen/", "_bloom/", "_dv/",
+                     "_gen\\", "_bloom\\", "_dv\\")
+                ) and (have.get(rel) == size)
 
             for rel, size in want.items():
                 if rel != manifest_rel and not carried(rel, size):

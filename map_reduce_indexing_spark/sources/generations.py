@@ -514,7 +514,10 @@ def generation_row_count(path: str, at: int | str | None = None) -> int:
                 raise ValueError(
                     f"cannot determine row count of {rel!r} in {path!r}"
                 )
-        total += int(rows)
+        # deletion vectors: the manifest records per-file deleted
+        # counts, so the metadata-only COUNT(*) stays exact under
+        # merge-on-read deletes
+        total += int(rows) - _dv_count(g, rel)
     return total
 
 
@@ -1161,6 +1164,102 @@ def store_schema(path: str, at: int | str | None = None):
     return StructType.fromJson(sj) if sj else None
 
 
+DV_DIR = "_dv"  # deletion-vector sidecars (underscore: invisible to scans)
+
+
+def _dv_refs(gens: dict) -> set[str]:
+    """Sidecar directories some retained generation's deletion vector
+    references (GC protection, same shape as _bloom_refs)."""
+    return {
+        g["dv"]["file"] for g in gens.values() if g.get("dv")
+    }
+
+
+def _dv_count(g: dict, rel: str) -> int:
+    """Rows deleted from `rel` by generation g's deletion vector (0
+    when none) — keyed by BASENAME, which is invariant across snapshot
+    relocation (hardlinks/copies keep names)."""
+    return int(
+        ((g.get("dv") or {}).get("per_file") or {}).get(
+            os.path.basename(rel), 0
+        )
+    )
+
+
+def _dv_anti(df: DataFrame, side: DataFrame) -> DataFrame:
+    """Drop the rows a deletion-vector sidecar names: anti-join on the
+    parquet reader's (file_name, row_index) metadata — positions are
+    stable because generation files are immutable. The sidecar is
+    deleted-rows-sized and broadcast, so the filter costs no shuffle
+    of the data side."""
+    cols = df.columns
+    keyed = df.select(
+        "*",
+        F.col("_metadata.file_name").alias("__dv_f"),
+        F.col("_metadata.row_index").alias("__dv_p"),
+    )
+    out = keyed.join(
+        F.broadcast(side),
+        (keyed["__dv_f"] == side["fname"]) & (keyed["__dv_p"] == side["pos"]),
+        "left_anti",
+    )
+    return out.select(*cols)
+
+
+def _read_listing(
+    spark: SparkSession,
+    root: str,
+    g: dict,
+    m: dict,
+    rels: list[str],
+    store_path: str,
+) -> DataFrame:
+    """THE generation-listing reader every verb shares: schema-group
+    reconciliation (see _read_reconciled) composed with deletion-
+    vector filtering (merge-on-read DELETE). Fast paths preserved: a
+    schema-uniform, DV-free listing is one plain basePath read —
+    byte-for-byte the pre-evolution plan."""
+    dv = g.get("dv")
+    needed = bool(dv) and any(_dv_count(g, r) > 0 for r in rels)
+    if not needed:
+        rec = _read_reconciled(spark, root, g, m, rels)
+        if rec is not None:
+            return rec
+        return spark.read.option("basePath", root).parquet(
+            *[os.path.join(root, r) for r in rels]
+        )
+    from pyspark.sql.types import StructType
+
+    side = spark.read.parquet(os.path.join(store_path, dv["file"]))
+    sid = g.get("schema_id")
+    sj = (m.get("schemas") or {}).get(str(sid)) if sid is not None else None
+    target = StructType.fromJson(sj) if sj else None
+    stats = g.get("stats") or {}
+    groups: dict[object, list[str]] = {}
+    for rel in rels:
+        fsid = (stats.get(rel) or {}).get("schema_id")
+        groups.setdefault(fsid, []).append(rel)
+    out = None
+    for fsid, fs in sorted(
+        groups.items(), key=lambda kv: (kv[0] is None, kv[0] or 0)
+    ):
+        r = spark.read.option("basePath", root)
+        gsj = (
+            (m.get("schemas") or {}).get(str(fsid))
+            if fsid is not None
+            else None
+        )
+        if gsj is not None:
+            r = r.schema(StructType.fromJson(gsj))
+        df = r.parquet(*[os.path.join(root, f) for f in fs])
+        if any(_dv_count(g, f) > 0 for f in fs):
+            df = _dv_anti(df, side)
+        if target is not None:
+            df = _align_to(df, target)
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
 def store_layout(m: dict | None, path: str) -> list[str] | None:
     """The store's CURRENT partition layout: sorted partition-column
     names of the head listing (manifest when present, live scan
@@ -1261,6 +1360,12 @@ def _prune_physical(path: str, m: dict, drop_roots: list[str]) -> None:
                     os.remove(os.path.join(bdir, f))
                 except OSError:
                     pass
+    dvdir = os.path.join(path, DV_DIR)
+    if drop_roots and os.path.isdir(dvdir):
+        live_dv = {os.path.basename(r) for r in _dv_refs(m["gens"])}
+        for d in os.listdir(dvdir):
+            if d not in live_dv:
+                shutil.rmtree(os.path.join(dvdir, d), ignore_errors=True)
 
 
 # Publish-side stats build fan-out thresholds: below THREAD_MIN files
@@ -1437,6 +1542,16 @@ def _publish(
         "stats": stats,
         **(entry_extra or {}),
     }
+    if (
+        prev_entry is not None
+        and prev_entry.get("dv")
+        and "dv" not in entry
+    ):
+        # deletion vectors CARRY across appends: the old files (and
+        # their deleted positions) are still in the new listing — a
+        # publish that dropped the vector would resurrect the rows.
+        # Rewrites (carry_generations) fold vectors away instead.
+        entry["dv"] = prev_entry["dv"]
     prev_files = set(prev_entry["files"]) if prev_entry else set()
     new_rels = (
         set(add_files) if add_files is not None else set(rels) - prev_files
@@ -1885,6 +2000,18 @@ def carry_generations(
     carried = _bloom_refs(gens) - have
     if carried:
         _link_tree(os.path.join(path, BLOOM_DIR), sorted(carried), sb)
+    # retained generations' DELETION-VECTOR sidecars travel with the
+    # swap the same way blooms do; the new head entry has no vector —
+    # the rewrite's input was DV-filtered, so its files are clean
+    for ref in _dv_refs(gens):
+        src = os.path.join(path, ref)
+        if os.path.isdir(src):
+            dv_rels = [
+                os.path.relpath(os.path.join(r2, f2), src)
+                for r2, _d2, fs2 in os.walk(src)
+                for f2 in fs2
+            ]
+            _link_tree(src, dv_rels, os.path.join(staging, ref))
     staged = {"head": head + 1, "gens": gens, "refs": refs}
     if m.get("bloom_cols"):
         staged["bloom_cols"] = m["bloom_cols"]
@@ -2062,23 +2189,17 @@ def read_generation(
         return m, m["gens"][str(_resolve(m, path, at))]
 
     def _read(the_root, the_files):
-        # schema-evolution reconciliation first (a no-op returning
-        # None on schema-uniform listings — the overwhelmingly common
-        # case, which keeps its exact pre-evolution plan)
+        # the shared listing reader: schema-group reconciliation +
+        # deletion-vector filtering, each a no-op (plain single scan)
+        # on stores that use neither
         m, g = _entry()
-        rec = _read_reconciled(
-            spark,
-            the_root,
-            g,
-            m,
-            [os.path.relpath(f, the_root) for f in the_files],
-        )
-        if rec is not None:
-            return rec
-        r = spark.read.option("basePath", the_root)
-        if merge_schema:
-            r = r.option("mergeSchema", "true")
-        return r.parquet(*the_files)
+        rels = [os.path.relpath(f, the_root) for f in the_files]
+        if merge_schema and not g.get("dv") and g.get("schema_id") is None:
+            r = spark.read.option("basePath", the_root).option(
+                "mergeSchema", "true"
+            )
+            return r.parquet(*the_files)
+        return _read_listing(spark, the_root, g, m, rels, path)
 
     root, files, total = plan_generation_scan(path, at, where)
     if not all(os.path.exists(f) for f in files):
@@ -2102,8 +2223,10 @@ def diff_plan(
     """Planner-side classification of a generation span:
     `("append", delta_rels)` when every `since` file is still in
     `until`'s listing (the span is provably append-only and the diff
-    is exactly the new files), else `("antijoin", None)` (a compaction
-    rewrote the listing; only a row-key anti-join is exact). Pure
+    is exactly the new files AND the deletion vector is unchanged —
+    a DV delete changes rows without touching files), else
+    `("antijoin", None)` (a compaction rewrote the listing, or a
+    vector landed; only a row-key anti-join is exact). Pure
     manifest read — callers (generation_diff, matview refresh) use it
     to know the scan cost before running anything."""
     m = load_manifest(path)
@@ -2119,7 +2242,10 @@ def diff_plan(
             f"(retained: {sorted(int(k) for k in m['gens'])})"
         )
     old_files, new_files = set(ga["files"]), list(gb["files"])
-    if old_files <= set(new_files):
+    same_dv = (ga.get("dv") or {}).get("file") == (gb.get("dv") or {}).get(
+        "file"
+    )
+    if old_files <= set(new_files) and same_dv:
         return "append", [f for f in new_files if f not in old_files]
     return "antijoin", None
 
@@ -2181,11 +2307,7 @@ def generation_diff(
                 return read_generation(spark, path, at=u).limit(0).filter(
                     _where_column(where)
                 )
-        df = _read_reconciled(spark, root, gb, m, delta)
-        if df is None:
-            df = spark.read.option("basePath", root).parquet(
-                *[os.path.join(root, f) for f in delta]
-            )
+        df = _read_listing(spark, root, gb, m, delta, path)
         return df.filter(_where_column(where)) if where else df
     if not key_cols:
         raise ValueError(
@@ -2225,9 +2347,14 @@ def _changed_sides(
     shared = {
         rel
         for rel in set(ga["files"]) & set(gb["files"])
-        # a missing recorded size is treated as changed (conservative)
+        # a missing recorded size is treated as changed (conservative);
+        # a file whose DELETION-VECTOR count differs between the
+        # snapshots changed logically even though its bytes did not
+        # (vectors only accumulate per file, so equal counts = equal
+        # deleted sets within a file's lifetime)
         if size_of(ga, rel) is not None
         and size_of(ga, rel) == size_of(gb, rel)
+        and _dv_count(ga, rel) == _dv_count(gb, rel)
     }
 
     # change feeds across an EVOLVED span align both sides to the
@@ -2251,11 +2378,10 @@ def _changed_sides(
             root = (
                 path if g["root"] == "." else os.path.join(path, g["root"])
             )
-            df = _read_reconciled(spark, root, g, m, rels)
-            if df is None:
-                df = spark.read.option("basePath", root).parquet(
-                    *[os.path.join(root, r) for r in rels]
-                )
+            # DV-aware: each side serves ITS generation's logical rows
+            # (a DV'd-out row appears only on the old side, so the
+            # image compare classifies it as a delete)
+            df = _read_listing(spark, root, g, m, rels, path)
         return _align_to(df, tgt) if tgt is not None else df
 
     return side(gb, b), side(ga, a)
@@ -2406,28 +2532,31 @@ def delete_rows(spark: SparkSession, path: str, where) -> dict:
             for r in live
             if _file_matches(r, (stats.get(r) or {}).get("cols") or {}, where)
         ]
-        kept = [r for r in live if r not in set(affected)]
         if not affected:
             return {
                 "generation": head,
                 "rewritten_files": 0,
-                "kept_files": len(kept),
+                "kept_files": len(live),
                 "deleted_rows": 0,
             }
+        # a rewrite FOLDS deletion vectors away (the new head drops
+        # the vector), so every DV-bearing file must be rewritten too
+        # — hardlinking one would resurrect its deleted rows
+        affected = sorted(
+            set(affected) | {r for r in live if _dv_count(g, r) > 0}
+        )
+        kept = [r for r in live if r not in set(affected)]
         staging = tempfile.mkdtemp(
             prefix="mri_delete_", dir=os.path.dirname(path) or "."
         )
         _chmod_staging(staging)
         # rows of the affected files that do NOT match the predicate
         # survive; a NULL predicate is not-matched (SQL DELETE
-        # semantics), hence the coalesce. Mixed-schema listings (an
-        # evolved store) reconcile to the declared schema first, so
-        # the rewrite emits head-schema files
-        df = _read_reconciled(spark, path, g, m, affected)
-        if df is None:
-            df = spark.read.option("basePath", path).parquet(
-                *[os.path.join(path, r) for r in affected]
-            )
+        # semantics), hence the coalesce. The shared listing reader
+        # reconciles mixed schemas to the declared one and applies
+        # any deletion vector, so the rewrite emits clean head-schema
+        # files
+        df = _read_listing(spark, path, g, m, affected, path)
         keep_pred = ~F.coalesce(_where_column(where), F.lit(False))
         part_cols = sorted(
             {k for r in affected for k in _partition_values(r)}
@@ -2446,7 +2575,9 @@ def delete_rows(spark: SparkSession, path: str, where) -> dict:
             n = (stats.get(r) or {}).get("rows")
             if n is None:
                 n = _file_num_rows(os.path.join(path, r))
-            affected_rows += int(n or 0)
+            # logical rows: physical minus any deletion-vector entries
+            # (the rewrite's input was DV-filtered)
+            affected_rows += int(n or 0) - _dv_count(g, r)
         kept_set = set(kept)
         out_rows = sum(
             int(_file_num_rows(os.path.join(staging, r)) or 0)
@@ -2462,6 +2593,175 @@ def delete_rows(spark: SparkSession, path: str, where) -> dict:
             "rewritten_files": len(affected),
             "kept_files": len(kept),
             "deleted_rows": affected_rows - out_rows,
+        }
+
+
+def delete_rows_dv(spark: SparkSession, path: str, where) -> dict:
+    """MERGE-ON-READ row-level DELETE — deletion vectors (round 12):
+    publish a new generation with the SAME file listing plus a
+    sidecar naming the deleted rows by (file_name, row_index), the
+    Delta/Iceberg DV shape. Where copy-on-write `delete_rows` rewrites
+    every possibly-matching file, this writes only the deleted
+    positions — at 100 TB, erasing 3 rows from a 1 GB file costs a
+    sidecar row, not a gigabyte rewrite. The trade: every read of a
+    DV-bearing generation pays one BROADCAST anti-join (sidecar is
+    deleted-rows-sized; the data side never shuffles), and the next
+    compaction folds the vector away physically (`optimize_store`
+    reads DV-filtered, so its rewrite lands clean files — schedule it
+    via the store's compaction policy when vectors accumulate).
+
+    Semantics are exactly `delete_rows`': rows PROVING the predicate
+    (the store grammar; NULL = not matched = kept) disappear from the
+    new head; pinned earlier generations keep serving them; the span
+    reads as a REWRITE downstream (diff_plan refuses the append fast
+    path when the vector changed, so matviews rebuild and
+    generation_changes emits the deletes); counts stay metadata-exact
+    (manifest row counts minus per-file vector counts). Vectors
+    ACCUMULATE: a second DV delete unions new positions into a fresh
+    self-contained sidecar (old generations keep referencing theirs;
+    unreferenced sidecars are vacuumed). Positions are stable because
+    generation files are immutable; file identity is the BASENAME
+    (invariant across snapshot hardlinks/copies). Returns
+    {"generation", "rewritten_files": 0, "kept_files", "deleted_rows"}.
+    """
+    import tempfile
+    import uuid
+
+    from ..operators.indexing import (
+        _recover_index_locked,
+        index_writer_lock,
+    )
+    from .commitio import IO
+
+    if not where:
+        raise ValueError("delete_rows_dv requires a non-empty predicate")
+    with index_writer_lock(path):
+        _recover_index_locked(path)
+        m = load_manifest(path)
+        if m is None:
+            ensure_base_generation(path)
+            m = load_manifest(path)
+            if m is None:
+                raise ValueError(f"{path!r} has no data to delete from")
+        head = int(m["head"])
+        live = _data_files(path)
+        if set(live) != set(m["gens"][str(head)]["files"]):
+            head = _publish(path, head + 1, m)  # pin pending appends
+            m = load_manifest(path)
+        g = m["gens"][str(head)]
+        stats = g.get("stats") or {}
+        affected = [
+            r
+            for r in g["files"]
+            if _file_matches(r, (stats.get(r) or {}).get("cols") or {}, where)
+        ]
+        report = {
+            "generation": head,
+            "rewritten_files": 0,
+            "kept_files": len(g["files"]),
+            "deleted_rows": 0,
+        }
+        if not affected:
+            return report
+        # matched positions per schema group (aligned so the predicate
+        # sees the declared types; a group lacking a predicate column
+        # serves typed NULLs there — NULL never proves, rows kept)
+        from pyspark.sql.types import StructType
+
+        sid = g.get("schema_id")
+        sj = (
+            (m.get("schemas") or {}).get(str(sid))
+            if sid is not None
+            else None
+        )
+        target = StructType.fromJson(sj) if sj else None
+        groups: dict[object, list[str]] = {}
+        for rel in affected:
+            fsid = (stats.get(rel) or {}).get("schema_id")
+            groups.setdefault(fsid, []).append(rel)
+        pred = F.coalesce(_where_column(where), F.lit(False))
+        matches = None
+        for fsid, fs in groups.items():
+            r = spark.read.option("basePath", path)
+            gsj = (
+                (m.get("schemas") or {}).get(str(fsid))
+                if fsid is not None
+                else None
+            )
+            if gsj is not None:
+                r = r.schema(StructType.fromJson(gsj))
+            df = r.parquet(*[os.path.join(path, f) for f in fs])
+            meta = [
+                F.col("_metadata.file_name").alias("fname"),
+                F.col("_metadata.row_index").alias("pos"),
+            ]
+            if target is not None:
+                data_cols = [
+                    (
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        if f.name in df.columns
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                    )
+                    for f in target.fields
+                ]
+            else:
+                data_cols = [F.col(c) for c in df.columns]
+            one = df.select(*meta, *data_cols).filter(pred).select(
+                "fname", "pos"
+            )
+            matches = one if matches is None else matches.unionByName(one)
+        prev_dv = g.get("dv")
+        if prev_dv is not None:
+            prev_side = spark.read.parquet(
+                os.path.join(path, prev_dv["file"])
+            )
+            matches = matches.join(
+                F.broadcast(prev_side), ["fname", "pos"], "left_anti"
+            )
+            combined = matches.unionByName(prev_side).localCheckpoint(
+                eager=True
+            )
+            n_new = combined.count() - int(prev_dv["rows"])
+        else:
+            combined = matches.localCheckpoint(eager=True)
+            n_new = combined.count()
+        if n_new == 0:
+            return report
+        # self-contained sidecar for THIS generation (old generations
+        # keep referencing theirs; orphans vacuum). Land the files,
+        # then flip the manifest — the object-store publish order.
+        dv_rel = os.path.join(DV_DIR, f"g{head + 1}_{uuid.uuid4().hex[:8]}")
+        dv_abs = os.path.join(path, dv_rel)
+        combined.coalesce(1).write.parquet(dv_abs)
+        for f in os.listdir(dv_abs):
+            fp = os.path.join(dv_abs, f)
+            if f.startswith("_") and os.path.isfile(fp):
+                os.remove(fp)
+        per_file = {
+            r["fname"]: int(r["n"])
+            for r in combined.groupBy("fname")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        total = sum(per_file.values())
+        new_head = _publish(
+            path,
+            head + 1,
+            m,
+            add_files=[],  # precise: same listing as head
+            entry_extra={
+                "dv": {
+                    "file": dv_rel,
+                    "rows": total,
+                    "per_file": per_file,
+                }
+            },
+        )
+        return {
+            "generation": new_head,
+            "rewritten_files": 0,
+            "kept_files": len(g["files"]),
+            "deleted_rows": int(n_new),
         }
 
 
@@ -2633,6 +2933,11 @@ def upsert_rows(
                 bloom_load,
             )
         ]
+        # DV-bearing files must rewrite too: the merged head drops the
+        # vector, and hardlinking one would resurrect its deleted rows
+        affected = sorted(
+            set(affected) | {r for r in live if _dv_count(g, r) > 0}
+        )
         kept = [r for r in live if r not in set(affected)]
         staging = tempfile.mkdtemp(
             prefix="mri_upsert_", dir=os.path.dirname(path) or "."
@@ -2651,13 +2956,10 @@ def upsert_rows(
                     os.remove(fp)
 
         if affected:
-            # evolved stores reconcile the affected slice to the
-            # declared schema before the anti-join rewrite
-            df = _read_reconciled(spark, path, g, m, affected)
-            if df is None:
-                df = spark.read.option("basePath", path).parquet(
-                    *[os.path.join(path, r) for r in affected]
-                )
+            # the shared listing reader: evolved stores reconcile to
+            # the declared schema, deletion vectors apply — the merged
+            # head lands clean files
+            df = _read_listing(spark, path, g, m, affected, path)
             _write(df.join(upd.select(*key_cols), list(key_cols), "left_anti"))
         survivors = set(_data_files(staging))
         _write(upd)
@@ -2668,7 +2970,9 @@ def upsert_rows(
             n = (stats.get(r) or {}).get("rows")
             if n is None:
                 n = _file_num_rows(os.path.join(path, r))
-            affected_rows += int(n or 0)
+            # logical rows: physical minus any deletion-vector entries
+            # (the rewrite's input was DV-filtered)
+            affected_rows += int(n or 0) - _dv_count(g, r)
         remaining = sum(
             int(_file_num_rows(os.path.join(staging, r)) or 0)
             for r in survivors
@@ -2767,16 +3071,12 @@ def optimize_store(
         g = m["gens"].get(str(m["head"])) if m is not None else None
         rels = (g or {}).get("files")
         if rels:
-            # an evolved store's listing reconciles to the declared
-            # schema, so the compaction folds every file back to ONE
-            # schema version (the retrofit path for schema evolution,
+            # the shared listing reader: an evolved store's listing
+            # reconciles to the declared schema and any deletion
+            # vector applies — the compaction folds BOTH back to one
+            # clean schema version with no vector (the retrofit path,
             # same as it is for blooms)
-            rec = _read_reconciled(spark_, path, g, m, rels)
-            if rec is not None:
-                return rec
-            return spark_.read.option("basePath", path).parquet(
-                *[os.path.join(path, r) for r in rels]
-            )
+            return _read_listing(spark_, path, g, m, rels, path)
         return spark_.read.parquet(path)
 
     def rewrite(df: DataFrame, staging: str) -> None:
@@ -2916,6 +3216,7 @@ def vacuum_store(path: str, grace_seconds: float = 3600.0) -> dict:
         "data_files": 0,
         "snapshot_dirs": 0,
         "bloom_sidecars": 0,
+        "dv_sidecars": 0,
         "temp_files": 0,
     }
     with index_writer_lock(path):
@@ -2963,6 +3264,17 @@ def vacuum_store(path: str, grace_seconds: float = 3600.0) -> dict:
                         removed["bloom_sidecars"] += 1
                     except OSError:
                         pass
+        # deletion-vector sidecar dirs nothing references (a crashed
+        # delete_rows_dv that landed its sidecar but never published,
+        # or vectors of expired generations)
+        dv_live = {os.path.basename(r) for r in _dv_refs(m["gens"])}
+        dvdir = os.path.join(path, DV_DIR)
+        if os.path.isdir(dvdir):
+            for d in os.listdir(dvdir):
+                p = os.path.join(dvdir, d)
+                if d not in dv_live and expendable(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed["dv_sidecars"] += 1
         for root, _dirs, files in os.walk(path):
             for f in files:
                 if f.startswith(".") and (
@@ -3120,7 +3432,15 @@ def generation_predicate_count(
     ]
     full, boundary = [], []
     for r in kept:
-        (full if _file_all_match(r, stats.get(r) or {}, where) else boundary).append(r)
+        # a file with DELETION-VECTOR entries is never fully-covered
+        # by its footer stats (the vector may have removed matching
+        # rows) — scan it DV-filtered like a boundary file
+        if _dv_count(g, r) == 0 and _file_all_match(
+            r, stats.get(r) or {}, where
+        ):
+            full.append(r)
+        else:
+            boundary.append(r)
     total = 0
     for r in full:
         rows = (stats.get(r) or {}).get("rows")
@@ -3128,11 +3448,7 @@ def generation_predicate_count(
             rows = _file_num_rows(os.path.join(root, r))
         total += int(rows or 0)
     if boundary:
-        df = _read_reconciled(spark, root, g, m, boundary)
-        if df is None:
-            df = spark.read.option("basePath", root).parquet(
-                *[os.path.join(root, r) for r in boundary]
-            )
+        df = _read_listing(spark, root, g, m, boundary, path)
         total += df.filter(_where_column(where)).count()
     return {
         "count": total,
