@@ -220,7 +220,7 @@ class IndexSession:
         retention GEN_RETAIN — sources/generations.py)."""
         compact_index(self.spark, self.index_path)
 
-    def delete_docs(self, doc_ids: list) -> dict:
+    def delete_docs(self, doc_ids: list, mode: str = "cow") -> dict:
         """Remove documents from the index — the takedown/erasure verb
         the reference never had (its ./index files only ever grow):
         every posting of the named doc_ids is deleted copy-on-write
@@ -231,10 +231,16 @@ class IndexSession:
         documents immediately; pinned generations still serve them
         (tag a snapshot first if you need a retention record); the
         letter_stats view rebuilds exactly on its next refresh.
-        Returns the delete report."""
-        from .sources.generations import delete_rows
+        Returns the delete report.
 
-        return delete_rows(
+        `mode="dv"` (round 12) deletes MERGE-ON-READ instead: a
+        deletion-vector sidecar, zero postings rewritten — the right
+        call when the doc set is small against a large index; the
+        vector folds away at the next compact()."""
+        from .sources.generations import delete_rows, delete_rows_dv
+
+        verb = delete_rows_dv if mode == "dv" else delete_rows
+        return verb(
             self.spark, self.index_path, [("doc_id", "in", list(doc_ids))]
         )
 
@@ -456,7 +462,7 @@ class VectorStore:
 
         compact_vector_store(self.spark, self.path, retrain=retrain)
 
-    def delete_ids(self, ids: list) -> dict:
+    def delete_ids(self, ids: list, mode: str = "cow") -> dict:
         """Remove vectors by id copy-on-write (delete_rows on the
         bucketed store: partition-dir and stats pruning keep untouched
         cells' files by name). Lookups stop returning them
@@ -464,10 +470,13 @@ class VectorStore:
         quantizer/codebook sidecars are unchanged (they are learned
         layouts, not row state) — retrain at the next
         `compact(retrain=True)` if the deletion shifted the
-        distribution. Returns the delete report."""
-        from .sources.generations import delete_rows
+        distribution. Returns the delete report. `mode="dv"` deletes
+        merge-on-read (deletion-vector sidecar, zero files rewritten;
+        folds at the next compact)."""
+        from .sources.generations import delete_rows, delete_rows_dv
 
-        return delete_rows(
+        verb = delete_rows_dv if mode == "dv" else delete_rows
+        return verb(
             self.spark, self.path, [("vec_id", "in", list(ids))]
         )
 

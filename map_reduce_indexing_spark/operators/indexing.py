@@ -115,8 +115,25 @@ def write_index(
 
 
 def read_index(spark: SparkSession, path: str) -> DataFrame:
+    """The index artifact's LIVE read (appends visible the moment they
+    land — the reference's semantic). If the store's head generation
+    carries a deletion vector (IndexSession.delete_docs(mode='dv')),
+    it applies here too: the vector names (file, row_index) positions
+    in published immutable files, so the live scan anti-joins the same
+    broadcast sidecar the generation reader uses; unpublished appended
+    files are untouched by construction (a vector can only reference
+    files that existed at its publish)."""
+    from ..sources.generations import _dv_anti, load_manifest
+
     recover_index(path)
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    m = load_manifest(path)
+    g = (m or {}).get("gens", {}).get(str((m or {}).get("head", 0)))
+    dv = (g or {}).get("dv")
+    if dv:
+        side = spark.read.parquet(os.path.join(path, dv["file"]))
+        df = _dv_anti(df, side)
+    return df
 
 
 @contextmanager
@@ -241,7 +258,24 @@ def compact_artifact(spark: SparkSession, path: str, rewrite, df_source=None) ->
 
     with index_writer_lock(path):
         _recover_index_locked(path)
-        df = df_source(spark) if df_source is not None else spark.read.parquet(path)
+        if df_source is not None:
+            df = df_source(spark)
+        else:
+            # live directory scan, DV-aware: a head deletion vector
+            # (delete_docs/delete_ids mode='dv') must not survive the
+            # fold — the rewrite reads the LOGICAL rows so its output
+            # files are clean and the new entry carries no vector
+            from ..sources.generations import _dv_anti, load_manifest
+
+            df = spark.read.parquet(path)
+            m0 = load_manifest(path)
+            g0 = (m0 or {}).get("gens", {}).get(
+                str((m0 or {}).get("head", 0))
+            )
+            dv = (g0 or {}).get("dv")
+            if dv:
+                side = spark.read.parquet(os.path.join(path, dv["file"]))
+                df = _dv_anti(df, side)
         staging = tempfile.mkdtemp(
             prefix="mri_compact_", dir=os.path.dirname(path) or "."
         )

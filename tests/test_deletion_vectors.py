@@ -236,3 +236,30 @@ def test_dv_on_evolved_store(spark, tmp_path):
     ids = _ids(spark, path)
     assert set(range(10)) <= set(ids)  # old rows untouched (NULL tag)
     assert ids == list(range(10)) + [101, 103, 105]
+
+
+def test_api_dv_delete_docs(spark, tmp_path):
+    """IndexSession.delete_docs(mode='dv'): takedown without touching
+    a single posting file; searches stop immediately; compact() folds
+    the vector away."""
+    from map_reduce_indexing_spark.api import IndexSession
+
+    docs = spark.createDataFrame(
+        [("d1", "alpha beta"), ("d2", "beta gamma"), ("d3", "alpha")],
+        "doc_id string, text string",
+    )
+    idx = IndexSession.build(spark, docs, str(tmp_path / "idx"))
+    idx.append(
+        spark.createDataFrame([("d4", "beta")], "doc_id string, text string")
+    )
+    m0 = load_manifest(idx.index_path)
+    files0 = m0["gens"][str(m0["head"])]["files"]
+    rep = idx.delete_docs(["d2"], mode="dv")
+    assert rep["rewritten_files"] == 0
+    m1 = load_manifest(idx.index_path)
+    assert m1["gens"][str(m1["head"])]["files"] == files0
+    assert {r.doc_id for r in idx.lookup("beta").collect()} == {"d1", "d4"}
+    idx.compact()
+    m2 = load_manifest(idx.index_path)
+    assert "dv" not in m2["gens"][str(m2["head"])]
+    assert {r.doc_id for r in idx.lookup("beta").collect()} == {"d1", "d4"}
