@@ -93,6 +93,8 @@ HEADLINE = [
     "rel_schema_evolution",    # mixed-schema reconciled read (null-fill + widen) (r12)
     "rel_store_sql_travel",    # spark.sql over store views, inline @gen travel (r12)
     "rel_store_maintenance",   # maintain(): policy fold + residue vacuum (r12)
+    "rel_delete_dv",           # merge-on-read DELETE: vector sidecar, 0 rewrites (r12)
+    "rel_partition_evolution", # re-layout rewrite + append layout guard (r12)
 ]
 
 
