@@ -256,6 +256,7 @@ def test_vacuum_keeps_everything_reachable(spark, tmp_path):
         "data_files": 0,
         "snapshot_dirs": 0,
         "bloom_sidecars": 0,
+        "dv_sidecars": 0,
         "temp_files": 0,
     }
     # fresh residue inside the grace window is NOT reclaimed
