@@ -2493,3 +2493,75 @@ def q_rel_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("price_dec", "total_price"),
     )
+
+
+def orders_dropcol_demo(spark: SparkSession, sf_dir: str) -> str:
+    """Column retirement end-to-end, built once per (application,
+    corpus content): orders land wide, `drop_columns` retires
+    o_custkey as an explicit rewrite (evolve-appends refuse drops),
+    and the build asserts the head schema narrowed while the pinned
+    pre-drop generation still serves the wide shape."""
+    from ..sources.generations import (
+        append_rows,
+        drop_columns,
+        generation_head,
+        read_generation,
+        store_schema,
+    )
+    from .indexing import session_artifact_path
+
+    def build(path: str) -> None:
+        store = _os.path.join(path, "store")
+        append_rows(
+            spark,
+            store,
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey",
+                "o_custkey",
+                "o_orderpriority",
+                dec("o_totalprice").alias("price_dec"),
+            ),
+        )
+        wide_gen = generation_head(store)
+        drop_columns(spark, store, ["o_custkey"])
+        assert "o_custkey" not in store_schema(store).fieldNames()
+        assert "o_custkey" in read_generation(
+            spark, store, at=wide_gen
+        ).columns
+
+    return session_artifact_path(
+        spark, sf_dir, "orders_dropcol_demo", "orders.parquet", build
+    )
+
+
+@register(
+    "rel_drop_columns",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        GROUP BY 1
+    """,
+    tier="relational",
+    doc="COLUMN RETIREMENT (round 12 — generations.drop_columns): the "
+    "schema change evolve-appends refuse becomes an explicit rewrite "
+    "— the head re-lands under the narrowed schema while the pinned "
+    "pre-drop generation keeps serving the wide shape from its "
+    "immutable snapshot + recorded schema (asserted in the build). "
+    "The exported aggregate of the post-drop store hash-matches the "
+    "raw table, proving the rewrite dropped exactly the column and "
+    "none of the rows.",
+)
+def q_rel_drop_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.generations import read_generation
+
+    root = orders_dropcol_demo(spark, sf_dir)
+    df = read_generation(spark, _os.path.join(root, "store"))
+    return df.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("price_dec", "total_price"),
+    )

@@ -229,11 +229,31 @@ class CASStoreIO:
         except OSError:
             return False
         if age > self.lease_ttl:
-            # crashed holder: steal (emulates conditional
-            # delete-if-unchanged; the race window is the
-            # emulation's, not the protocol's)
+            # crashed holder (no heartbeat past the TTL): steal via
+            # RENAME-then-verify — the rename is the atomic claim
+            # (exactly one racing waiter wins it; losers get ENOENT
+            # and re-poll), emulating the store's conditional
+            # delete-if-unchanged. After claiming, re-check the
+            # claimed file's age: if a live holder refreshed between
+            # our stat and our rename, hand the lease straight back.
+            import uuid
+
+            claimed = f"{lease}.steal.{uuid.uuid4().hex}"
             try:
-                os.remove(lease)
+                os.rename(lease, claimed)
+            except OSError:
+                return False  # another waiter won the claim
+            try:
+                if time.time() - os.path.getmtime(claimed) <= self.lease_ttl:
+                    # fresh after all (heartbeat landed mid-steal):
+                    # restore; if the holder already re-created its
+                    # lease the restore fails and the claim discards
+                    try:
+                        os.rename(claimed, lease)
+                        return True
+                    except OSError:
+                        pass
+                os.remove(claimed)
             except OSError:
                 pass
             return False

@@ -365,3 +365,60 @@ def test_gated_append_deterministic_batch_still_exact(spark, tmp_path):
     assert rep["rows_quarantined"] == 3
     assert _ids(spark, store) == list(range(7))
     assert read_quarantine(spark, store).count() == 3
+
+
+def test_stale_lease_steal_is_single_winner(tmp_path):
+    """Round-12 polish (r11 what's-wrong #3): the stale-lease steal is
+    a RENAME claim — many waiters racing one crashed lease produce
+    exactly serialized critical sections, never a double-grant."""
+    io = CASStoreIO()
+    io.lease_ttl = 0.25
+    io.lease_timeout = 20.0
+    path = str(tmp_path / "store")
+    os.makedirs(path)
+    lease = io._lease_path(path)
+    with open(lease, "w") as fh:
+        fh.write(json.dumps({"pid": 0}))
+    old = time.time() - 10 * io.lease_ttl
+    os.utime(lease, (old, old))  # a crashed holder
+
+    inside = []
+    overlap = []
+    gate = threading.Lock()
+
+    def worker(i):
+        with io.writer_lock(path):
+            with gate:
+                inside.append(i)
+                if len(inside) > 1:
+                    overlap.append(tuple(inside))
+            time.sleep(0.05)
+            with gate:
+                inside.remove(i)
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(30)
+    assert not overlap, overlap
+
+
+def test_steal_hands_back_a_freshened_lease(tmp_path):
+    """A lease that looked stale but was heartbeat-refreshed between
+    the waiter's stat and its rename claim is handed straight back."""
+    io = CASStoreIO()
+    io.lease_ttl = 100.0
+    path = str(tmp_path / "store")
+    os.makedirs(path)
+    lease = io._lease_path(path)
+    with open(lease, "w") as fh:
+        fh.write(json.dumps({"pid": 0}))
+    # fresh mtime, but force the steal branch by lying about the age:
+    # monkey-drive _exclusive_held's internals via a tiny ttl window
+    io.lease_ttl = 0.2
+    time.sleep(0.3)  # now looks stale
+    os.utime(lease)  # heartbeat lands "mid-steal" (before the claim)
+    io.lease_ttl = 100.0
+    assert io._exclusive_held(path) is True
+    assert os.path.exists(lease)
