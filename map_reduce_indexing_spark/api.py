@@ -36,7 +36,13 @@ from .operators.indexing import (
     write_index,
 )
 from .operators.search import search_and, search_not, search_or, term_lookup
-from .sources.catalog import register_store, store_sql  # noqa: F401 — public
+from .sources.catalog import (  # noqa: F401 — public surface
+    attach_catalog,
+    load_catalog,
+    register_store,
+    save_catalog,
+    store_sql,
+)
 from .sources.corpus import read_corpus_dir
 
 

@@ -32,6 +32,7 @@ analyst surface over the store tier it also added.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,6 +78,62 @@ def register_store(
         name
     )
     return name
+
+
+def save_catalog(catalog_path: str, stores: dict[str, str]) -> dict:
+    """Persist a {view name: store path} CATALOG as one JSON file
+    (atomic replace via the commit seam, same discipline as every
+    manifest) so a team's store names outlive the session that
+    registered them. Merges into an existing catalog (same name ->
+    path updated); a None path removes the entry. Returns the saved
+    mapping."""
+    import json
+
+    from .commitio import IO
+
+    for name in stores:
+        if not _NAME_RE.match(name):
+            raise ValueError(f"store name {name!r} must be a SQL identifier")
+    # read-modify-write of the RAW document: under the CAS backend it
+    # carries the `_cas` version token, so concurrent catalog edits
+    # conflict loudly instead of overwriting each other
+    try:
+        with open(catalog_path) as fh:
+            doc = json.load(fh)
+    except OSError:
+        doc = {}
+    cur = dict(doc.get("stores") or {})
+    for name, p in stores.items():
+        if p is None:
+            cur.pop(name, None)
+        else:
+            cur[name] = os.path.abspath(p)
+    doc["stores"] = cur
+    IO.save_json_atomic(catalog_path, doc)
+    return cur
+
+
+def load_catalog(catalog_path: str) -> dict[str, str]:
+    """The persisted {view name: store path} mapping (empty when the
+    file does not exist yet)."""
+    import json
+
+    try:
+        with open(catalog_path) as fh:
+            return dict(json.load(fh).get("stores") or {})
+    except OSError:
+        return {}
+
+
+def attach_catalog(spark: SparkSession, catalog_path: str) -> dict[str, str]:
+    """Register EVERY catalogued store as a head temp view in this
+    session (the one line a new analyst session runs) and return the
+    mapping — pair with `store_sql(..., stores=load_catalog(p))` for
+    time-travel references over the same names."""
+    stores = load_catalog(catalog_path)
+    for name, p in stores.items():
+        register_store(spark, name, p)
+    return stores
 
 
 def store_sql(

@@ -499,3 +499,41 @@ def test_gated_append_layout_guard(spark, tmp_path):
             spark.createDataFrame([(9, 1)], "id long, bucket long"),
             exp,  # no partition_by: conflicts with the bucketed layout
         )
+
+
+def test_catalog_persistence(spark, tmp_path):
+    """save_catalog / load_catalog / attach_catalog: store names
+    outlive the session that registered them (one JSON, atomic)."""
+    from map_reduce_indexing_spark.sources.catalog import (
+        attach_catalog,
+        load_catalog,
+        save_catalog,
+        store_sql,
+    )
+
+    s1 = str(tmp_path / "s1")
+    s2 = str(tmp_path / "s2")
+    append_rows(spark, s1, _v1(spark, 0, 4))
+    append_rows(spark, s2, _v1(spark, 100, 6))
+    cat = str(tmp_path / "catalog.json")
+    save_catalog(cat, {"alpha": s1, "beta": s2})
+    assert set(load_catalog(cat)) == {"alpha", "beta"}
+    # merge + removal semantics
+    save_catalog(cat, {"beta": None})
+    assert set(load_catalog(cat)) == {"alpha"}
+    save_catalog(cat, {"beta": s2})
+    # a "fresh session" (same spark here) attaches by one call
+    attached = attach_catalog(spark, cat)
+    assert set(attached) == {"alpha", "beta"}
+    assert spark.sql("SELECT count(*) AS n FROM alpha").first().n == 4
+    # and the same names drive time travel through store_sql
+    append_rows(spark, s2, _v1(spark, 200, 2))
+    r = store_sql(
+        spark,
+        "SELECT (SELECT count(*) FROM beta) AS now_n, "
+        "(SELECT count(*) FROM beta@1) AS then_n",
+        load_catalog(cat),
+    ).first()
+    assert (r.now_n, r.then_n) == (8, 6)
+    with pytest.raises(ValueError):
+        save_catalog(cat, {"not a name": s1})
