@@ -1111,11 +1111,13 @@ def drop_columns(spark: SparkSession, path: str, cols: list[str]) -> int:
                 f"cannot drop partition column(s) {bad} of {path!r}; "
                 "re-layout with optimize_store first"
             )
-        df = _read_reconciled(spark, path, g, m, rels)
-        if df is None:
-            df = spark.read.option("basePath", path).parquet(
-                *[os.path.join(path, r) for r in rels]
-            )
+        # the SHARED listing reader (r12 advice, high): schema
+        # reconciliation AND deletion-vector filtering — a plain or
+        # reconciled-only read here would rewrite the physical rows of
+        # DV-bearing files and publish a vector-free head, silently
+        # resurrecting every DV-deleted row (all sibling rewrite verbs
+        # read through _read_listing; this one was the gap)
+        df = _read_listing(spark, path, g, m, rels, path)
         missing = [c for c in cols if c not in df.columns]
         if missing:
             raise ValueError(

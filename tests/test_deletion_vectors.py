@@ -238,6 +238,34 @@ def test_dv_on_evolved_store(spark, tmp_path):
     assert ids == list(range(10)) + [101, 103, 105]
 
 
+def test_drop_columns_on_dv_store(spark, tmp_path):
+    """drop_columns on a DV-bearing store (r12 advice, high): the
+    rewrite's input must be the DV-FILTERED listing — a plain read
+    would rewrite the physical rows including DV-deleted ones and
+    publish a vector-free head, silently resurrecting every deleted
+    row."""
+    from map_reduce_indexing_spark.sources.generations import drop_columns
+
+    path = str(tmp_path / "store")
+    append_rows(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(i, i % 7, f"t{i}") for i in range(30)],
+            "id long, k long, tag string",
+        ),
+    )
+    delete_rows_dv(spark, path, [("id", "<", 5)])
+    drop_columns(spark, path, ["tag"])
+    df = read_generation(spark, path)
+    assert df.columns == ["id", "k"]
+    assert sorted(r.id for r in df.collect()) == list(range(5, 30))
+    # the rewrite folded the vector away: clean head, exact count
+    m = load_manifest(path)
+    assert "dv" not in m["gens"][str(m["head"])]
+    assert generation_row_count(path) == 25
+
+
 def test_api_dv_delete_docs(spark, tmp_path):
     """IndexSession.delete_docs(mode='dv'): takedown without touching
     a single posting file; searches stop immediately; compact() folds
