@@ -343,6 +343,41 @@ def compact_errors(errors: dict) -> dict:
     return out
 
 
+# The driver archives the LAST 2000 characters of stdout; the final
+# JSON line must fit under that with margin or the archived record is
+# front-truncated mid-JSON and unparseable (exactly BENCH_r12's
+# "parsed": null — 63 queries at default json.dumps spacing hit 2015
+# chars). Budget below the cap to leave room for a stray warning line.
+COMPACT_BUDGET = 1950
+
+
+def compact_line(full: dict, local_name: str, budget: int = COMPACT_BUDGET) -> str:
+    """The final-stdout-line JSON, GUARANTEED under `budget` chars:
+    tight separators, per-query values at 2 decimals (full precision
+    lives in the local payload), and — only if a grown headline list
+    ever outruns even that — the fastest queries drop from the line
+    (slowest-first kept; `queries_omitted` records the count, the
+    local file always carries every query)."""
+    base = {k: full[k] for k in ("metric", "value", "unit", "sf")}
+    base["local"] = local_name
+    if full.get("errors"):
+        base.update(compact_errors(full["errors"]))
+    q = {k: round(v, 2) for k, v in full["queries"].items()}
+    by_cost = sorted(q, key=lambda k: -q[k])
+    keep = len(q)
+    while keep >= 0:
+        line = dict(base)
+        kept = sorted(by_cost[:keep])  # stable name order for diffing
+        line["queries"] = {k: q[k] for k in kept}
+        if keep < len(q):
+            line["queries_omitted"] = len(q) - keep
+        s = json.dumps(line, separators=(",", ":"))
+        if len(s) <= budget:
+            return s
+        keep -= max(1, len(q) // 10)
+    return json.dumps(base, separators=(",", ":"))
+
+
 def next_round_no(repo_dir: str) -> int:
     """1 + the highest round number among the driver's BENCH_r{N}.json
     archives — so the local payload this run writes lands beside the
@@ -408,11 +443,7 @@ def main() -> None:
             json.dump(full, f)
     except OSError as e:  # read-only checkout: compact line still lands
         print(f"WARNING: could not write {local_name}: {e}", file=sys.stderr)
-    compact = {k: full[k] for k in ("metric", "value", "unit", "queries", "sf")}
-    compact["local"] = local_name
-    if errors:
-        compact.update(compact_errors(errors))
-    print(json.dumps(compact))
+    print(compact_line(full, local_name))
     spark.stop()
     # Non-zero exit only if NOTHING ran; partial results are still signal.
     if not times:

@@ -275,14 +275,24 @@ class IndexSession:
         n_files: int = 16,
         cluster_by: list[str] | None = None,
         min_file_bytes: int | None = None,
+        max_deleted_ratio: float | None = None,
+        max_dv_rows: int | None = None,
     ) -> None:
-        """Record the store's small-file policy in its manifest (see
-        generations.set_compaction_policy); `maintain()` — and every
-        policy-aware publisher — fires it when the trigger holds."""
+        """Record the store's small-file + deletion-vector policy in
+        its manifest (see generations.set_compaction_policy);
+        `maintain()` — and every policy-aware publisher — fires it
+        when any trigger holds (file count, median size, or DV
+        growth)."""
         from .sources.generations import set_compaction_policy
 
         set_compaction_policy(
-            self.index_path, max_files, n_files, cluster_by, min_file_bytes
+            self.index_path,
+            max_files,
+            n_files,
+            cluster_by,
+            min_file_bytes,
+            max_deleted_ratio=max_deleted_ratio,
+            max_dv_rows=max_dv_rows,
         )
 
     def maintain(self, vacuum_grace_seconds: float = 3600.0) -> dict:

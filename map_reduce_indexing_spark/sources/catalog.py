@@ -46,6 +46,34 @@ _NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 _TRAVEL_RE = re.compile(
     r"\b([A-Za-z_][A-Za-z0-9_]*)@(ts\d+(?:\.\d+)?|[A-Za-z_][A-Za-z0-9_.\-]*|\d+)"
 )
+# spans the travel rewrite must NEVER touch (r12 advice): string
+# literals (single-quoted, '' and backslash escapes), quoted
+# identifiers (double-quote / backtick), and comments — a registered
+# store name inside `WHERE note = 'ping ostore@3'` is data, and
+# rewriting it would silently change the predicate
+_LITERAL_RE = re.compile(
+    r"""'(?:[^'\\]|''|\\.)*'     # string literal
+      | "(?:[^"\\]|""|\\.)*"     # double-quoted identifier
+      | `(?:[^`]|``)*`           # backtick identifier
+      | --[^\n]*                 # line comment
+      | /\*.*?\*/                # block comment
+    """,
+    re.S | re.X,
+)
+
+
+def _sub_outside_literals(sql: str, repl) -> str:
+    """Apply the travel substitution only OUTSIDE quoted literals,
+    quoted identifiers, and comments: literal spans pass through
+    verbatim, code spans get `_TRAVEL_RE.sub(repl, ...)`."""
+    out: list[str] = []
+    pos = 0
+    for m in _LITERAL_RE.finditer(sql):
+        out.append(_TRAVEL_RE.sub(repl, sql[pos : m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(_TRAVEL_RE.sub(repl, sql[pos:]))
+    return "".join(out)
 
 
 def _resolve_selector(path: str, sel: str):
@@ -162,7 +190,7 @@ def store_sql(
             mangled[key] = view
         return mangled[key]
 
-    rewritten = _TRAVEL_RE.sub(sub, sql)
+    rewritten = _sub_outside_literals(sql, sub)
     for name, path in stores.items():
         register_store(spark, name, path)
     return spark.sql(rewritten)

@@ -219,6 +219,26 @@ class CASStoreIO:
 
         return cancel
 
+    @staticmethod
+    def _restore_claim(claimed: str, lease: str) -> bool:
+        """Hand a mid-steal-claimed lease back WITHOUT clobbering: link
+        the claimed file back to the lease name (atomic, fails EEXIST
+        when another waiter already created a fresh lease there) and
+        remove the claim. True = restored (the original holder keeps
+        its exclusion, its heartbeat keeps refreshing the same inode);
+        False = a new lease exists — the claim must discard, never
+        overwrite (two holders at once otherwise). Extracted so the
+        clobber case is directly testable."""
+        try:
+            os.link(claimed, lease)
+        except OSError:
+            return False  # EEXIST (new lease) or claimed vanished
+        try:
+            os.remove(claimed)
+        except OSError:
+            pass
+        return True
+
     def _shared_dir(self, path: str) -> str:
         return path.rstrip("/") + ".lease.shared"
 
@@ -246,13 +266,17 @@ class CASStoreIO:
             try:
                 if time.time() - os.path.getmtime(claimed) <= self.lease_ttl:
                     # fresh after all (heartbeat landed mid-steal):
-                    # restore; if the holder already re-created its
-                    # lease the restore fails and the claim discards
-                    try:
-                        os.rename(claimed, lease)
+                    # restore with a NON-CLOBBERING primitive. A plain
+                    # rename would silently REPLACE a lease another
+                    # waiter created via O_CREAT|O_EXCL during the
+                    # steal window (POSIX rename overwrites), leaving
+                    # two processes holding the exclusive lease;
+                    # os.link fails EEXIST in exactly that case, and
+                    # the fresh-after-all holder's claim then simply
+                    # discards (its heartbeat dies on ENOENT and the
+                    # manifest CAS remains its correctness backstop).
+                    if self._restore_claim(claimed, lease):
                         return True
-                    except OSError:
-                        pass
                 os.remove(claimed)
             except OSError:
                 pass

@@ -363,6 +363,15 @@ def append_with_expectations(
                 _publish(path, int(m["head"]) + 1, m)
                 m = load_manifest(path)
 
+        # authoritative guard re-check UNDER the lock (r12 advice,
+        # low): the pre-lock validation raced other writers — a
+        # conflicting layout change or schema evolution that landed
+        # since must refuse here, not publish a mixed store
+        schema_sj = check_schema_evolution(
+            declared_schema(m), df.schema.jsonValue(), schema_mode
+        )
+        check_layout(m, path, partition_by)
+
         audit = {
             "mode": mode,
             "rows_in": rows_in,

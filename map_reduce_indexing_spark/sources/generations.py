@@ -641,23 +641,32 @@ def _le(a, b) -> bool | None:
     return None if c is None else c <= 0
 
 
-def _file_matches(rel: str, stats: dict, where, blooms=None, bloom_load=None) -> bool:
+def _file_matches(
+    rel: str, stats: dict, where, blooms=None, bloom_load=None, renames=None
+) -> bool:
     """Conservative containment test: False only when the file's footer
     bounds, partition-dir values, or bloom sidecars PROVE no row can
     satisfy the conjunction. Missing stats keep the file. Comparisons
     are null-rejecting (SQL semantics), so all-null columns — which
     carry no min/max — are never wrongly pruned: their files stay.
-    An OR element prunes only when EVERY branch is provably empty."""
+    An OR element prunes only when EVERY branch is provably empty.
+    `renames` (round 13): a predicate on a RENAMED logical column
+    translates to the physical name the file's stats/blooms were
+    recorded under (lossless: retired names are never re-added) —
+    without it, old files simply keep (conservative)."""
     parts = _partition_values(rel)
     for term in where:
         if _is_or_branch(term):
             if not any(
-                _file_matches(rel, stats, [b], blooms, bloom_load)
+                _file_matches(rel, stats, [b], blooms, bloom_load, renames)
                 for b in term
             ):
                 return False
             continue
         col, op, val = term
+        if renames and col not in parts and col not in stats:
+            have = list(stats) + list(blooms or {}) + list(parts)
+            col = _physical_name(col, have, renames) or col
         if col in parts:
             pv = parts[col]
             if op == "=" and str(val) != pv:
@@ -1167,6 +1176,17 @@ def store_schema(path: str, at: int | str | None = None):
 
 
 DV_DIR = "_dv"  # deletion-vector sidecars (underscore: invisible to scans)
+# Broadcast guard for the DV read path (round 13): a deletion-vector
+# sidecar is broadcast to every task only while it is provably small.
+# Above this row count (~50 MB at (file_name, row_index) widths) the
+# anti-join degrades to a SHUFFLE hash join instead — at a 100 TB
+# store with a few percent of rows deleted, an unconditional broadcast
+# of a multi-hundred-million-row sidecar is an executor OOM, not a
+# slowdown. The companion policy trigger (set_compaction_policy's
+# max_deleted_ratio / max_dv_rows) is what keeps vectors from ever
+# GETTING that large on a maintained store; this guard is the backstop
+# for the window before the fold fires.
+DV_BROADCAST_MAX_ROWS = 1_000_000
 
 
 def _dv_refs(gens: dict) -> set[str]:
@@ -1188,20 +1208,35 @@ def _dv_count(g: dict, rel: str) -> int:
     )
 
 
-def _dv_anti(df: DataFrame, side: DataFrame) -> DataFrame:
+def _dv_side_hinted(side: DataFrame, dv_rows: int | None) -> DataFrame:
+    """The sidecar frame with the join strategy the vector's SIZE
+    justifies: broadcast while provably small (deleted-rows-sized, no
+    shuffle of the data side), SHUFFLE hash join above
+    DV_BROADCAST_MAX_ROWS — a huge vector degrades to an exchange
+    instead of an executor OOM. `dv_rows` is the manifest's recorded
+    vector row count (metadata-exact); None = unknown = conservative
+    shuffle."""
+    if dv_rows is not None and 0 <= dv_rows <= DV_BROADCAST_MAX_ROWS:
+        return F.broadcast(side)
+    return side.hint("shuffle_hash")
+
+
+def _dv_anti(df: DataFrame, side: DataFrame, dv_rows: int | None = None) -> DataFrame:
     """Drop the rows a deletion-vector sidecar names: anti-join on the
     parquet reader's (file_name, row_index) metadata — positions are
     stable because generation files are immutable. The sidecar is
-    deleted-rows-sized and broadcast, so the filter costs no shuffle
-    of the data side."""
+    broadcast while small (the common case: the filter costs no
+    shuffle of the data side) and shuffle-joined above the broadcast
+    guard (see _dv_side_hinted)."""
     cols = df.columns
     keyed = df.select(
         "*",
         F.col("_metadata.file_name").alias("__dv_f"),
         F.col("_metadata.row_index").alias("__dv_p"),
     )
+    side = _dv_side_hinted(side, dv_rows)
     out = keyed.join(
-        F.broadcast(side),
+        side,
         (keyed["__dv_f"] == side["fname"]) & (keyed["__dv_p"] == side["pos"]),
         "left_anti",
     )
@@ -1255,9 +1290,9 @@ def _read_listing(
             r = r.schema(StructType.fromJson(gsj))
         df = r.parquet(*[os.path.join(root, f) for f in fs])
         if any(_dv_count(g, f) > 0 for f in fs):
-            df = _dv_anti(df, side)
+            df = _dv_anti(df, side, int(dv.get("rows") or 0))
         if target is not None:
-            df = _align_to(df, target)
+            df = _align_to(df, target, m.get("renames"))
         out = df if out is None else out.unionByName(df)
     return out
 
@@ -1866,6 +1901,17 @@ def append_rows(
         if not getattr(IO, "supports_cas", False):
             with index_writer_lock(path):
                 _recover_index_locked(path)
+                # authoritative guard re-check UNDER the lock (r12
+                # advice, low): the pre-staging validation read m_pre
+                # before exclusion — a writer that landed since could
+                # have changed the layout or evolved the schema, and
+                # two guards validated against the same stale manifest
+                # would otherwise both pass
+                m_now = load_manifest(path)
+                check_layout(m_now, path, partition_by)
+                schema_sj = check_schema_evolution(
+                    declared_schema(m_now), df.schema.jsonValue(), schema_mode
+                )
                 _place()
                 head = publish_generation(
                     path,
@@ -1886,6 +1932,22 @@ def append_rows(
             last: Exception = CommitConflict("unreached")
             head = None
             for _ in range(max_retries):
+                # guard re-check per attempt (r12 advice, low): a
+                # concurrent append that WON the CAS race may have
+                # changed the layout or evolved the schema since the
+                # pre-staging validation; re-validating against the
+                # fresh manifest makes the guard hold under
+                # concurrency (a conflicting loser raises loudly —
+                # its placed files are invisible residue for vacuum —
+                # instead of publishing a mixed-layout store). The
+                # residual check-to-save window is closed by the CAS
+                # itself: if another writer lands between this check
+                # and our save, our save conflicts and re-enters here.
+                m_now = load_manifest(path)
+                check_layout(m_now, path, partition_by)
+                schema_sj = check_schema_evolution(
+                    declared_schema(m_now), df.schema.jsonValue(), schema_mode
+                )
                 try:
                     head = publish_generation(
                         path,
@@ -2084,18 +2146,41 @@ def plan_generation_scan(
     return root, [os.path.join(root, f) for f in rels], len(g["files"])
 
 
-def _align_to(df: DataFrame, target) -> DataFrame:
+def _physical_name(logical: str, have: list[str], renames: dict) -> str | None:
+    """Resolve a LOGICAL column name to the physical name present in
+    `have` (a file group's columns), walking the rename chain
+    (manifest `renames`: one {new: old} step per declared rename;
+    chains stay linear because retired physical names can never be
+    re-added — check_schema_evolution's guard). None = the column
+    genuinely does not exist in this group (added later: NULL-fill)."""
+    cur = logical
+    seen = set()
+    while cur not in have:
+        nxt = renames.get(cur)
+        if nxt is None or nxt in seen:
+            return None
+        seen.add(nxt)
+        cur = nxt
+    return cur
+
+
+def _align_to(df: DataFrame, target, renames: dict | None = None) -> DataFrame:
     """Project `df` onto the target StructType: missing columns become
     typed NULLs (added-column evolution), present columns cast to the
     target type (a no-op unless widened — byte/short/int->long,
-    float->double — which is lossless by the evolution rules). Columns
-    `df` has beyond the target are dropped (they belong to a NEWER
-    schema than the generation being served — pinned reads stay
+    float->double — which is lossless by the evolution rules), and a
+    column RENAMED since the file was written is served from its
+    physical (old) name via the manifest's rename chain (round 13 —
+    parquet is name-addressed, so without the projection old files
+    would silently serve NULL for the new name, losing history).
+    Columns `df` has beyond the target are dropped (they belong to a
+    NEWER schema than the generation being served — pinned reads stay
     byte-stable)."""
     cols = []
     for f in target.fields:
-        if f.name in df.columns:
-            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        phys = _physical_name(f.name, df.columns, renames or {})
+        if phys is not None:
+            cols.append(F.col(phys).cast(f.dataType).alias(f.name))
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     return df.select(*cols)
@@ -2149,7 +2234,7 @@ def _read_reconciled(
             # the alignment below projects it onto the target
             r = r.schema(StructType.fromJson(gsj))
         df = r.parquet(*[os.path.join(root, f) for f in fs])
-        df = _align_to(df, target)
+        df = _align_to(df, target, m.get("renames"))
         out = df if out is None else out.unionByName(df)
     return out
 
@@ -2384,7 +2469,7 @@ def _changed_sides(
             # (a DV'd-out row appears only on the old side, so the
             # image compare classifies it as a delete)
             df = _read_listing(spark, root, g, m, rels, path)
-        return _align_to(df, tgt) if tgt is not None else df
+        return _align_to(df, tgt, m.get("renames")) if tgt is not None else df
 
     return side(gb, b), side(ga, a)
 
@@ -2698,14 +2783,15 @@ def delete_rows_dv(spark: SparkSession, path: str, where) -> dict:
                 F.col("_metadata.row_index").alias("pos"),
             ]
             if target is not None:
-                data_cols = [
-                    (
-                        F.col(f.name).cast(f.dataType).alias(f.name)
-                        if f.name in df.columns
+                renames = m.get("renames") or {}
+                data_cols = []
+                for f in target.fields:
+                    phys = _physical_name(f.name, df.columns, renames)
+                    data_cols.append(
+                        F.col(phys).cast(f.dataType).alias(f.name)
+                        if phys is not None
                         else F.lit(None).cast(f.dataType).alias(f.name)
                     )
-                    for f in target.fields
-                ]
             else:
                 data_cols = [F.col(c) for c in df.columns]
             one = df.select(*meta, *data_cols).filter(pred).select(
@@ -2718,7 +2804,9 @@ def delete_rows_dv(spark: SparkSession, path: str, where) -> dict:
                 os.path.join(path, prev_dv["file"])
             )
             matches = matches.join(
-                F.broadcast(prev_side), ["fname", "pos"], "left_anti"
+                _dv_side_hinted(prev_side, int(prev_dv.get("rows") or 0)),
+                ["fname", "pos"],
+                "left_anti",
             )
             combined = matches.unionByName(prev_side).localCheckpoint(
                 eager=True
@@ -3106,6 +3194,8 @@ def set_compaction_policy(
     n_files: int = 16,
     cluster_by: list[str] | None = None,
     min_file_bytes: int | None = None,
+    max_deleted_ratio: float | None = None,
+    max_dv_rows: int | None = None,
 ) -> None:
     """Record a SMALL-FILE POLICY in the store manifest: when the head
     generation holds more than `max_files` data files — or, if
@@ -3116,11 +3206,29 @@ def set_compaction_policy(
     publisher of the store sees the same trigger — the missing glue
     between per-microbatch gated ingest (one generation per batch,
     file counts growing without bound) and `optimize_store` (which
-    only ever fired when someone remembered to call it)."""
+    only ever fired when someone remembered to call it).
+
+    `max_deleted_ratio` / `max_dv_rows` (round 13) bound DELETION-
+    VECTOR growth — the trigger a merge-on-read workload needs: DV
+    deletes add no data files, so a store whose file count stays
+    within bounds would otherwise NEVER fire the fold while its vector
+    (and every read's anti-join side) grows without limit. Both are
+    computed from manifest metadata alone (the vector's recorded row
+    count; physical rows from the per-file footer counts): the fold
+    fires when deleted/physical exceeds the ratio, or when the vector
+    exceeds the absolute row count — whichever is set, either
+    triggers. Pair with the read-path broadcast guard
+    (DV_BROADCAST_MAX_ROWS): the policy keeps vectors small on a
+    maintained store, the guard keeps an unmaintained one from
+    OOMing."""
     from ..operators.indexing import _recover_index_locked, index_writer_lock
 
     if max_files < 1 or n_files < 1:
         raise ValueError("max_files and n_files must be >= 1")
+    if max_deleted_ratio is not None and not (0.0 < max_deleted_ratio < 1.0):
+        raise ValueError("max_deleted_ratio must be in (0, 1)")
+    if max_dv_rows is not None and max_dv_rows < 1:
+        raise ValueError("max_dv_rows must be >= 1")
     with index_writer_lock(path):
         _recover_index_locked(path)
         ensure_base_generation(path)
@@ -3136,6 +3244,14 @@ def set_compaction_policy(
             "cluster_by": list(cluster_by) if cluster_by else None,
             "min_file_bytes": (
                 int(min_file_bytes) if min_file_bytes is not None else None
+            ),
+            "max_deleted_ratio": (
+                float(max_deleted_ratio)
+                if max_deleted_ratio is not None
+                else None
+            ),
+            "max_dv_rows": (
+                int(max_dv_rows) if max_dv_rows is not None else None
             ),
         }
         _save_manifest(path, m)
@@ -3172,6 +3288,24 @@ def maybe_autocompact(spark: SparkSession, path: str) -> int | None:
         )
         if sizes and sizes[len(sizes) // 2] < int(pol["min_file_bytes"]):
             trigger = len(files) > int(pol["n_files"])
+    # deletion-vector triggers (round 13): a DV-only workload adds no
+    # files, so the file-count/size triggers never see it — the fold
+    # must also fire on the VECTOR's metadata (recorded row count vs
+    # the listing's physical footer rows). The optimize reads
+    # DV-filtered, so firing folds the vector away physically.
+    dv = g.get("dv")
+    if not trigger and dv:
+        dv_rows = int(dv.get("rows") or 0)
+        if pol.get("max_dv_rows") is not None:
+            trigger = dv_rows > int(pol["max_dv_rows"])
+        if not trigger and pol.get("max_deleted_ratio") is not None:
+            stats = g.get("stats") or {}
+            phys = sum(
+                int((stats.get(r) or {}).get("rows") or 0) for r in files
+            )
+            trigger = (
+                phys > 0 and dv_rows / phys > float(pol["max_deleted_ratio"])
+            )
     if not trigger:
         return None
     new_head = optimize_store(

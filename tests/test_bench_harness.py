@@ -183,3 +183,51 @@ def test_compact_errors_stay_under_tail_budget():
     assert all(len(m) <= 80 and "\n" not in m for m in out["errors"].values())
     assert out["errors_truncated"] == 20
     assert len(json.dumps(out)) < 1200
+
+
+def test_compact_line_fits_tail_budget_at_r12_scale():
+    """r12's driver record was unparseable: 63 queries at default
+    json.dumps spacing hit 2015 chars, past the 2000-char stdout
+    tail. compact_line must fit the budget for the REAL r12 payload
+    and keep every query at that scale."""
+    import json
+    import os
+
+    import bench
+
+    full = json.load(
+        open(os.path.join(os.path.dirname(bench.__file__), "BENCH_LOCAL_r12.json"))
+    )
+    s = bench.compact_line(full, "BENCH_LOCAL_r13.json")
+    assert len(s) <= bench.COMPACT_BUDGET
+    doc = json.loads(s)
+    assert doc["metric"] == "headline_total"
+    assert len(doc["queries"]) == len(full["queries"])  # nothing dropped
+    assert "queries_omitted" not in doc
+
+
+def test_compact_line_degrades_gracefully_when_huge():
+    """A pathological 300-query headline list still yields a parseable
+    line: the fastest rows drop, the slowest stay, the omission is
+    recorded."""
+    import json
+
+    import bench
+
+    full = {
+        "metric": "headline_total",
+        "value": 1.0,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {
+            f"very_long_query_name_padding_{i:04d}": i / 100.0
+            for i in range(300)
+        },
+    }
+    s = bench.compact_line(full, "BENCH_LOCAL_r99.json")
+    assert len(s) <= bench.COMPACT_BUDGET
+    doc = json.loads(s)
+    assert doc["queries_omitted"] > 0
+    kept = doc["queries"]
+    # slowest-first retention: the max-cost query always survives
+    assert "very_long_query_name_padding_0299" in kept

@@ -343,3 +343,74 @@ def test_gated_append_fail_mode_writes_nothing(spark, tmp_path):
             )
         assert load_manifest(path) is None
         assert not os.path.exists(path + ".quarantine")
+
+
+@pytest.mark.parametrize("cas", [False, True])
+def test_layout_guard_holds_under_append_race(spark, tmp_path, monkeypatch, cas):
+    """r12 advice (low): the layout/schema guards validated a manifest
+    read BEFORE exclusion — a concurrent append that landed a
+    different partition layout in that window must make this append
+    REFUSE under the lock / CAS retry, not publish the mixed-layout
+    store the guard exists to prevent. The hook injects the
+    conflicting writer exactly between this writer's pre-check and
+    its publish."""
+    import contextlib
+
+    from map_reduce_indexing_spark.operators import indexing as IX
+    from map_reduce_indexing_spark.sources import commitio as C
+
+    ctx = using_backend(CASStoreIO()) if cas else contextlib.nullcontext()
+    with ctx:
+        path = str(tmp_path / "store")
+        flat = spark.createDataFrame([(1, "a")], "id long, k string")
+        part = spark.createDataFrame([(2, "b")], "id long, k string")
+        orig = IX._chmod_staging
+        fired = []
+
+        def hook(staging):
+            orig(staging)
+            if not fired:
+                fired.append(1)
+                append_rows(spark, path, part, partition_by=["k"])
+
+        monkeypatch.setattr(IX, "_chmod_staging", hook)
+        with pytest.raises(ValueError, match="layout"):
+            append_rows(spark, path, flat)
+        # the store kept the winner's layout and exactly its rows
+        assert _ids(spark, path) == [2]
+        assert C.IO is C.IO  # silence linters; backend restored by ctx
+
+
+@pytest.mark.parametrize("cas", [False, True])
+def test_schema_guard_holds_under_append_race(spark, tmp_path, monkeypatch, cas):
+    """Same window, schema half: a strict append racing a writer that
+    evolved the schema must refuse against the FRESH declared schema,
+    not the pre-staging one."""
+    import contextlib
+
+    from map_reduce_indexing_spark.operators import indexing as IX
+    from map_reduce_indexing_spark.sources.generations import (
+        SchemaEvolutionError,
+    )
+
+    ctx = using_backend(CASStoreIO()) if cas else contextlib.nullcontext()
+    with ctx:
+        path = str(tmp_path / "store")
+        append_rows(spark, path, spark.createDataFrame([(0,)], "id long"))
+        same = spark.createDataFrame([(1,)], "id long")
+        wide = spark.createDataFrame([(2, "x")], "id long, extra string")
+        orig = IX._chmod_staging
+        fired = []
+
+        def hook(staging):
+            orig(staging)
+            if not fired:
+                fired.append(1)
+                append_rows(spark, path, wide, schema_mode="evolve")
+
+        monkeypatch.setattr(IX, "_chmod_staging", hook)
+        # strict append raced an evolution: the fresh declared schema
+        # has the extra column, so the strict batch now drifts
+        with pytest.raises(SchemaEvolutionError):
+            append_rows(spark, path, same)
+        assert _ids(spark, path) == [0, 2]

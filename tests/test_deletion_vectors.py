@@ -238,6 +238,78 @@ def test_dv_on_evolved_store(spark, tmp_path):
     assert ids == list(range(10)) + [101, 103, 105]
 
 
+def test_dv_growth_triggers_autocompact(spark, tmp_path):
+    """A DV-ONLY workload within file bounds must still fire the fold
+    (r12 verdict, scale seam #1): `max_deleted_ratio` computes from
+    manifest metadata alone (vector row count vs physical footer
+    rows), and the fired optimize reads DV-filtered, so the vector
+    folds away physically."""
+    from map_reduce_indexing_spark.sources.generations import (
+        maybe_autocompact,
+        set_compaction_policy,
+    )
+
+    path = _build(spark, tmp_path)
+    set_compaction_policy(
+        path, max_files=100, n_files=2, max_deleted_ratio=0.2
+    )
+    delete_rows_dv(spark, path, [("id", "<", 3)])  # 3/30 = 0.1: within
+    assert maybe_autocompact(spark, path) is None
+    m = load_manifest(path)
+    assert m["gens"][str(m["head"])].get("dv")
+    delete_rows_dv(spark, path, [("id", "<", 8)])  # 8/30 > 0.2: fires
+    assert maybe_autocompact(spark, path) is not None
+    m = load_manifest(path)
+    g = m["gens"][str(m["head"])]
+    assert "dv" not in g  # folded away physically
+    assert len(g["files"]) <= 2
+    assert _ids(spark, path) == list(range(8, 30))
+    assert generation_row_count(path) == 22
+
+
+def test_dv_absolute_rows_trigger(spark, tmp_path):
+    """`max_dv_rows`: the absolute-vector-size form of the trigger."""
+    from map_reduce_indexing_spark.sources.generations import (
+        maybe_autocompact,
+        set_compaction_policy,
+    )
+
+    path = _build(spark, tmp_path)
+    set_compaction_policy(path, max_files=100, n_files=2, max_dv_rows=4)
+    delete_rows_dv(spark, path, [("id", "<", 3)])  # 3 <= 4: within
+    assert maybe_autocompact(spark, path) is None
+    delete_rows_dv(spark, path, [("id", "<", 6)])  # 6 > 4: fires
+    assert maybe_autocompact(spark, path) is not None
+    m = load_manifest(path)
+    assert "dv" not in m["gens"][str(m["head"])]
+    assert _ids(spark, path) == list(range(6, 30))
+
+
+def test_dv_anti_leaves_broadcast_above_guard(spark, tmp_path, monkeypatch):
+    """The read-path broadcast guard (r12 verdict, scale seam #1b): a
+    vector above DV_BROADCAST_MAX_ROWS anti-joins as a SHUFFLE hash
+    join — at 100 TB delete ratios an unconditional broadcast of a
+    multi-hundred-million-row sidecar is an OOM. Pinned by plan
+    assertion at a lowered threshold; values identical either way."""
+    from map_reduce_indexing_spark.sources import generations as G
+
+    path = _build(spark, tmp_path)
+    delete_rows_dv(spark, path, [("id", "<", 5)])
+    plan = (
+        read_generation(spark, path)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan  # small vector: broadcast path
+    monkeypatch.setattr(G, "DV_BROADCAST_MAX_ROWS", 0)
+    df = read_generation(spark, path)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+    assert sorted(r.id for r in df.collect()) == list(range(5, 30))
+
+
 def test_drop_columns_on_dv_store(spark, tmp_path):
     """drop_columns on a DV-bearing store (r12 advice, high): the
     rewrite's input must be the DV-FILTERED listing — a plain read

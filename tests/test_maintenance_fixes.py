@@ -422,3 +422,32 @@ def test_steal_hands_back_a_freshened_lease(tmp_path):
     io.lease_ttl = 100.0
     assert io._exclusive_held(path) is True
     assert os.path.exists(lease)
+
+
+def test_steal_restore_never_clobbers_a_new_lease(tmp_path):
+    """r12 advice (medium): the fresh-after-all restore must be
+    NON-CLOBBERING. If a waiter observed the lease missing during the
+    steal window and created a fresh one via O_CREAT|O_EXCL, a plain
+    rename restore would silently replace it — two processes then both
+    believe they hold the exclusive writer lease. The link-based
+    restore fails EEXIST and the claim discards instead."""
+    io = CASStoreIO()
+    path = str(tmp_path / "store")
+    os.makedirs(path)
+    lease = io._lease_path(path)
+    claimed = lease + ".steal.deadbeef"
+    with open(claimed, "w") as fh:
+        fh.write(json.dumps({"pid": 0}))  # the displaced holder's file
+    with open(lease, "w") as fh:
+        fh.write(json.dumps({"pid": 999}))  # another waiter's NEW lease
+    assert io._restore_claim(claimed, lease) is False
+    with open(lease) as fh:
+        assert json.load(fh)["pid"] == 999  # untouched, not clobbered
+    assert os.path.exists(claimed)  # caller removes it on False
+
+    # and with NO new lease present, the restore succeeds atomically
+    os.remove(lease)
+    assert io._restore_claim(claimed, lease) is True
+    with open(lease) as fh:
+        assert json.load(fh)["pid"] == 0
+    assert not os.path.exists(claimed)

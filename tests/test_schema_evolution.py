@@ -298,6 +298,32 @@ def test_register_store_and_store_sql(spark, tmp_path):
     assert (r.n_head, r.n_g1, r.n_tag) == (10, 6, 6)
 
 
+def test_store_sql_literals_and_comments_survive(spark, tmp_path):
+    """r12 advice: the name@selector rewrite must never touch string
+    literals or comments — a registered store name inside one is DATA,
+    and mangling it silently changes the predicate. The @999 selector
+    in the comment doubles as a tripwire: if the rewrite saw it,
+    register_store would raise (no such generation)."""
+    from map_reduce_indexing_spark.sources.catalog import store_sql
+
+    path = _build_evolved(spark, tmp_path)
+    df = store_sql(
+        spark,
+        """
+        -- a comment naming evostore@999 must not register a view
+        SELECT 'ping evostore@1' AS note,  /* nor evostore@999 here */
+               count(*) AS n_head,
+               (SELECT count(*) FROM evostore@1) AS n_g1
+        FROM evostore
+        WHERE 'it''s evostore@999' != 'x'
+        """,
+        {"evostore": path},
+    )
+    r = df.first()
+    assert r.note == "ping evostore@1"  # the literal survived verbatim
+    assert (r.n_head, r.n_g1) == (10, 6)  # real travel still resolves
+
+
 def test_drop_columns_rewrite(spark, tmp_path):
     from map_reduce_indexing_spark.sources.generations import (
         drop_columns,
