@@ -95,6 +95,7 @@ HEADLINE = [
     "rel_store_maintenance",   # maintain(): policy fold + residue vacuum (r12)
     "rel_delete_dv",           # merge-on-read DELETE: vector sidecar, 0 rewrites (r12)
     "rel_partition_evolution", # re-layout rewrite + append layout guard (r12)
+    "rel_schema_rename",       # metadata-only column rename via alias chain (r13)
 ]
 
 

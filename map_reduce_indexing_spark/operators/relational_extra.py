@@ -2495,6 +2495,93 @@ def q_rel_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_rename_demo(spark: SparkSession, sf_dir: str) -> str:
+    """Column RENAME end-to-end, built once per (application, corpus
+    content): orders land under `price_dec`, `rename_columns` retitles
+    it `amount_dec` METADATA-ONLY (the build asserts the head listing
+    is byte-identical — zero files rewritten), a strict append lands
+    under the new name, and the pinned pre-rename generation keeps the
+    old shape."""
+    from ..sources.generations import (
+        append_rows,
+        generation_head,
+        load_manifest,
+        read_generation,
+        rename_columns,
+        store_schema,
+    )
+    from .indexing import session_artifact_path
+
+    def build(path: str) -> None:
+        store = _os.path.join(path, "store")
+        base = load_table(spark, sf_dir, "orders")
+
+        def proj(df, money_name):
+            return df.select(
+                "o_orderkey",
+                "o_orderpriority",
+                dec("o_totalprice").alias(money_name),
+            )
+
+        is_late = F.col("o_orderkey") % 3 == 0
+        append_rows(spark, store, proj(base.filter(~is_late), "price_dec"))
+        pre = generation_head(store)
+        m0 = load_manifest(store)
+        files0 = m0["gens"][str(m0["head"])]["files"]
+        rename_columns(spark, store, {"price_dec": "amount_dec"})
+        m1 = load_manifest(store)
+        assert m1["gens"][str(m1["head"])]["files"] == files0  # no rewrite
+        assert store_schema(store).fieldNames() == [
+            "o_orderkey", "o_orderpriority", "amount_dec",
+        ]
+        # strict append under the NEW name; pinned pre-rename shape holds
+        append_rows(spark, store, proj(base.filter(is_late), "amount_dec"))
+        assert "price_dec" in read_generation(spark, store, at=pre).columns
+
+    return session_artifact_path(
+        spark, sf_dir, "orders_rename_demo", "orders.parquet", build
+    )
+
+
+@register(
+    "rel_schema_rename",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_amount
+        FROM orders
+        GROUP BY 1
+    """,
+    tier="relational",
+    doc="COLUMN RENAME via schema aliasing (round 13 — "
+    "generations.rename_columns): metadata-only — the manifest records "
+    "a {new: old} rename-chain step and a renamed schema over the SAME "
+    "listing (the build asserts zero files rewritten); reads resolve "
+    "the renamed logical column to the physical name pre-rename files "
+    "carry (parquet is name-addressed, so a drop+add rename would "
+    "serve NULL and lose history), a strict append lands under the new "
+    "name, and the pinned pre-rename generation keeps its old shape. "
+    "The oracle recomputes the aggregate from the raw table, so the "
+    "external hash pins that old files' values survived under the new "
+    "name through the union of both eras. Retired physical names can "
+    "never re-enter the schema — the name-reuse hazard Iceberg solves "
+    "with field ids, solved here by refusal (check_schema_evolution). "
+    "At 100 TB a rename costs one manifest write, not a table rewrite.",
+)
+def q_rel_schema_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.generations import read_generation
+
+    root = orders_rename_demo(spark, sf_dir)
+    df = read_generation(spark, _os.path.join(root, "store"))
+    return df.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("amount_dec", "total_amount"),
+    )
+
+
 def orders_dropcol_demo(spark: SparkSession, sf_dir: str) -> str:
     """Column retirement end-to-end, built once per (application,
     corpus content): orders land wide, `drop_columns` retires

@@ -306,11 +306,15 @@ def append_with_expectations(
         check_layout,
         check_schema_evolution,
         declared_schema,
+        retired_names,
     )
 
     m_pre = load_manifest(path)
     schema_sj = check_schema_evolution(
-        declared_schema(m_pre), df.schema.jsonValue(), schema_mode
+        declared_schema(m_pre),
+        df.schema.jsonValue(),
+        schema_mode,
+        retired_names(m_pre),
     )
     check_layout(m_pre, path, partition_by)
 
@@ -368,7 +372,10 @@ def append_with_expectations(
         # conflicting layout change or schema evolution that landed
         # since must refuse here, not publish a mixed store
         schema_sj = check_schema_evolution(
-            declared_schema(m), df.schema.jsonValue(), schema_mode
+            declared_schema(m),
+            df.schema.jsonValue(),
+            schema_mode,
+            retired_names(m),
         )
         check_layout(m, path, partition_by)
 

@@ -973,8 +973,21 @@ def _type_widens(old_t, new_t) -> bool:
     return old_t == "float" and new_t == "double"
 
 
+def retired_names(m: dict | None) -> set[str]:
+    """Physical column names RETIRED by a declared rename (the values
+    of the manifest's one-step {new: old} rename chain): these names
+    can never be re-added to the store — old files' footers still
+    carry them meaning the RENAMED column, so a new column reusing one
+    would silently alias historical data (the name-reuse hazard
+    Iceberg solves with field ids; this repo solves it by refusing)."""
+    return set(((m or {}).get("renames") or {}).values())
+
+
 def check_schema_evolution(
-    declared: dict | None, new_sj: dict, schema_mode: str = "strict"
+    declared: dict | None,
+    new_sj: dict,
+    schema_mode: str = "strict",
+    retired: set[str] | None = None,
 ) -> dict:
     """Validate a writer's batch schema against the store's DECLARED
     head schema and return the schema json to record with the publish.
@@ -990,8 +1003,10 @@ def check_schema_evolution(
     - differs under "evolve": allow ADDED columns (old files serve
       NULL) and WIDENED primitives (byte<short<integer<long,
       float->double; old files' values cast losslessly on read);
-      dropped columns and any other type change raise — removals and
-      lossy rewrites need an explicit full rewrite, not an append."""
+      dropped columns and any other type change raise — removals need
+      `drop_columns`, renames `rename_columns`, lossy type changes a
+      full rewrite, never an append. An added column whose name a past
+      RENAME retired is refused too (`retired` — see retired_names)."""
     if schema_mode not in ("strict", "evolve"):
         raise ValueError(
             f"schema_mode must be strict|evolve, got {schema_mode!r}"
@@ -1004,15 +1019,30 @@ def check_schema_evolution(
     problems = []
     for name, ot in old_f.items():
         if name not in new_f:
-            problems.append(f"column {name!r} dropped")
+            problems.append(
+                f"column {name!r} dropped (an explicit rewrite: use "
+                "drop_columns to remove it, rename_columns if this is "
+                "a rename)"
+            )
         elif new_f[name] != ot and not _type_widens(ot, new_f[name]):
             problems.append(
                 f"column {name!r} changed {ot!r} -> {new_f[name]!r} "
                 "(not a lossless widening)"
             )
     added = sorted(set(new_f) - set(old_f))
+    for a in added:
+        if a in (retired or set()):
+            problems.append(
+                f"column {a!r} re-adds a name a past rename retired "
+                "(old files' footers still carry it meaning the "
+                "renamed column); pick a different name"
+            )
     if schema_mode == "strict":
-        drift = problems + [f"column {a!r} added" for a in added]
+        drift = problems + [
+            f"column {a!r} added"
+            for a in added
+            if a not in (retired or set())
+        ]
         raise SchemaEvolutionError(
             "batch schema differs from the store's declared schema "
             f"({'; '.join(drift)}); pass schema_mode='evolve' to accept "
@@ -1156,6 +1186,124 @@ def drop_columns(spark: SparkSession, path: str, cols: list[str]) -> int:
         )
         IO.publish_swap(path, staging)
     return generation_head(path)
+
+
+def rename_columns(spark: SparkSession, path: str, mapping: dict[str, str]) -> int:
+    """RENAME columns of a generations store — METADATA-ONLY (round
+    13): no file is rewritten. Parquet is name-addressed, so a rename
+    spelled as drop+add would make old files silently serve NULL for
+    the new name, losing history; instead the manifest records a
+    {new: old} step in its rename chain and registers the renamed
+    schema with a new metadata-only generation (same listing, same
+    deletion vector). Readers resolve a logical column missing from an
+    old file group through the chain (`_physical_name` inside
+    `_align_to`), so pre-rename files serve their data under the new
+    name, cast/projected exactly like any other reconciled read;
+    pinned pre-rename generations keep their old shape (their declared
+    schemas still carry the old name). File-skipping stays lossless:
+    predicate pruning translates a renamed logical column to the
+    physical name footer stats were recorded under.
+
+    The soundness invariant the chain rests on: a RETIRED physical
+    name can never re-enter the schema — `check_schema_evolution`
+    refuses an added column named like one, and this verb refuses a
+    `new` name that collides with a live column or a retired name
+    (the name-reuse hazard Iceberg solves with field ids). Hive
+    partition columns are refused (directory-encoded names are
+    physical paths — re-layout with optimize_store first). Returns
+    the new head generation.
+
+    Reference basis: none (the reference has no schema at all,
+    SURVEY.md §2.12); Iceberg RENAME COLUMN is the public shape
+    (field-id indirection), reduced to a name-chain + reuse guard on
+    this repo's manifest."""
+    from ..operators.indexing import (
+        _recover_index_locked,
+        index_writer_lock,
+    )
+
+    if not mapping:
+        raise ValueError("rename_columns requires at least one mapping")
+    for old, new in mapping.items():
+        if not _TAG_RE.match(new or ""):
+            raise ValueError(f"invalid column name {new!r}")
+        if old == new:
+            raise ValueError(f"rename {old!r} -> {new!r} is a no-op")
+    with index_writer_lock(path):
+        _recover_index_locked(path)
+        m = load_manifest(path)
+        if m is None:
+            ensure_base_generation(path)
+            m = load_manifest(path)
+            if m is None:
+                raise ValueError(f"{path!r} has no data")
+        head = int(m["head"])
+        live = _data_files(path)
+        if set(live) != set(m["gens"][str(head)]["files"]):
+            head = _publish(path, head + 1, m)  # pin pending appends
+            m = load_manifest(path)
+        declared = declared_schema(m)
+        if declared is None:
+            # stores predating schema tracking: adopt the current
+            # physical schema as the baseline first, then rename
+            g = m["gens"][str(head)]
+            root = path if g["root"] == "." else os.path.join(path, g["root"])
+            declared = (
+                spark.read.option("basePath", root)
+                .parquet(*[os.path.join(root, r) for r in g["files"]])
+                .schema.jsonValue()
+            )
+        names = [f["name"] for f in declared["fields"]]
+        part_cols = {
+            k
+            for rel in m["gens"][str(head)]["files"]
+            for k in _partition_values(rel)
+        }
+        retired = retired_names(m)
+        for old, new in mapping.items():
+            if old not in names:
+                raise ValueError(
+                    f"column {old!r} not in {path!r}'s schema ({names})"
+                )
+            if old in part_cols:
+                raise ValueError(
+                    f"cannot rename partition column {old!r}; re-layout "
+                    "with optimize_store(partition_by=...) first"
+                )
+        targets = list(mapping.values())
+        if len(set(targets)) != len(targets):
+            raise ValueError("rename targets collide with each other")
+        surviving = [n for n in names if n not in mapping]
+        # every old name retires WITH this verb, so a target colliding
+        # with one (the a->b, b->c swap shape) is refused too — a name
+        # that is simultaneously retired and live would make physical
+        # short-circuiting in the chain serve the wrong column
+        now_retired = retired | set(mapping)
+        for new in targets:
+            if new in surviving:
+                raise ValueError(
+                    f"column {new!r} already exists in {path!r}"
+                )
+            if new in now_retired:
+                raise ValueError(
+                    f"column name {new!r} is retired by a rename (old "
+                    "files' footers still carry it); pick another"
+                )
+        new_sj = json.loads(json.dumps(declared))  # deep copy
+        for f in new_sj["fields"]:
+            if f["name"] in mapping:
+                f["name"] = mapping[f["name"]]
+        renames = dict(m.get("renames") or {})
+        for old, new in mapping.items():
+            renames[new] = old
+        return _publish(
+            path,
+            head + 1,
+            m,
+            add_files=[],  # metadata-only: same listing, same vector
+            schema=new_sj,
+            manifest_extra={"renames": renames},
+        )
 
 
 def store_schema(path: str, at: int | str | None = None):
@@ -1831,7 +1979,10 @@ def append_rows(
     # under, so no read breaks).
     m_pre = load_manifest(path)
     schema_sj = check_schema_evolution(
-        declared_schema(m_pre), df.schema.jsonValue(), schema_mode
+        declared_schema(m_pre),
+        df.schema.jsonValue(),
+        schema_mode,
+        retired_names(m_pre),
     )
     # layout guard (round 12): a mismatched partition_by would make
     # every later read fail on conflicting directory structures
@@ -1910,7 +2061,10 @@ def append_rows(
                 m_now = load_manifest(path)
                 check_layout(m_now, path, partition_by)
                 schema_sj = check_schema_evolution(
-                    declared_schema(m_now), df.schema.jsonValue(), schema_mode
+                    declared_schema(m_now),
+                    df.schema.jsonValue(),
+                    schema_mode,
+                    retired_names(m_now),
                 )
                 _place()
                 head = publish_generation(
@@ -1946,7 +2100,10 @@ def append_rows(
                 m_now = load_manifest(path)
                 check_layout(m_now, path, partition_by)
                 schema_sj = check_schema_evolution(
-                    declared_schema(m_now), df.schema.jsonValue(), schema_mode
+                    declared_schema(m_now),
+                    df.schema.jsonValue(),
+                    schema_mode,
+                    retired_names(m_now),
                 )
                 try:
                     head = publish_generation(
@@ -2141,6 +2298,7 @@ def plan_generation_scan(
                 where,
                 (stats.get(r) or {}).get("bloom"),
                 bloom_load,
+                m.get("renames"),
             )
         ]
     return root, [os.path.join(root, f) for f in rels], len(g["files"])
@@ -2387,7 +2545,10 @@ def generation_diff(
                 f
                 for f in delta
                 if _file_matches(
-                    f, (stats.get(f) or {}).get("cols") or {}, where
+                    f,
+                    (stats.get(f) or {}).get("cols") or {},
+                    where,
+                    renames=m.get("renames"),
                 )
             ]
             if not delta:
@@ -2617,7 +2778,12 @@ def delete_rows(spark: SparkSession, path: str, where) -> dict:
         affected = [
             r
             for r in live
-            if _file_matches(r, (stats.get(r) or {}).get("cols") or {}, where)
+            if _file_matches(
+                r,
+                (stats.get(r) or {}).get("cols") or {},
+                where,
+                renames=m.get("renames"),
+            )
         ]
         if not affected:
             return {
@@ -2740,7 +2906,12 @@ def delete_rows_dv(spark: SparkSession, path: str, where) -> dict:
         affected = [
             r
             for r in g["files"]
-            if _file_matches(r, (stats.get(r) or {}).get("cols") or {}, where)
+            if _file_matches(
+                r,
+                (stats.get(r) or {}).get("cols") or {},
+                where,
+                renames=m.get("renames"),
+            )
         ]
         report = {
             "generation": head,
@@ -3021,6 +3192,7 @@ def upsert_rows(
                 where,
                 (stats.get(r) or {}).get("bloom"),
                 bloom_load,
+                m.get("renames"),
             )
         ]
         # DV-bearing files must rewrite too: the merged head drops the
@@ -3564,7 +3736,12 @@ def generation_predicate_count(
     kept = [
         r
         for r in g["files"]
-        if _file_matches(r, (stats.get(r) or {}).get("cols") or {}, where)
+        if _file_matches(
+            r,
+            (stats.get(r) or {}).get("cols") or {},
+            where,
+            renames=m.get("renames"),
+        )
     ]
     full, boundary = [], []
     for r in kept:

@@ -120,3 +120,84 @@ def test_widening_is_a_strict_order():
     assert not _type_widens("long", "double")  # lossy: refused
     assert not _type_widens("integer", "double")
     assert not _type_widens("string", "long")
+
+
+# ---- rename algebra (round 13) ---------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(schemas(), st.data())
+def test_rename_chain_resolution(sj, data):
+    """_physical_name walks a linear rename chain from any later
+    logical name back to the physical name an old file carries;
+    un-renamed names short-circuit to themselves; unknown names
+    resolve to None (NULL-fill)."""
+    from map_reduce_indexing_spark.sources.generations import (
+        _physical_name,
+    )
+
+    names = [f["name"] for f in sj["fields"]]
+    orig = data.draw(st.sampled_from(names))
+    k = data.draw(st.integers(min_value=1, max_value=4))
+    renames = {}
+    cur = orig
+    for i in range(k):  # z-prefixed: disjoint from the a-h alphabet
+        nxt = f"z{i}_{orig}"
+        renames[nxt] = cur
+        cur = nxt
+    assert _physical_name(cur, names, renames) == orig
+    other = data.draw(st.sampled_from(names))
+    if other != orig:
+        assert _physical_name(other, names, renames) == other
+    assert _physical_name("qqqq", names, renames) is None
+
+
+@settings(max_examples=300, deadline=None)
+@given(schemas(), st.data())
+def test_rename_then_widen_composes(sj, data):
+    """rename . widen: the evolve gate accepts a widened batch against
+    the RENAMED declared schema, and the retired original name can
+    never re-enter."""
+    from hypothesis import assume
+
+    widenable = [
+        f
+        for f in sj["fields"]
+        if f["type"] in ("byte", "short", "integer", "float")
+    ]
+    assume(widenable)
+    fld = data.draw(st.sampled_from(widenable))
+    new_name = "zz_" + fld["name"]
+    renamed = {
+        "type": "struct",
+        "fields": [
+            {**f, "name": new_name if f["name"] == fld["name"] else f["name"]}
+            for f in sj["fields"]
+        ],
+    }
+    wider = {"byte": "long", "short": "long", "integer": "long",
+             "float": "double"}[fld["type"]]
+    widened = {
+        "type": "struct",
+        "fields": [
+            {**f, "type": wider if f["name"] == new_name else f["type"]}
+            for f in renamed["fields"]
+        ],
+    }
+    out = check_schema_evolution(
+        renamed, widened, "evolve", retired={fld["name"]}
+    )
+    assert _fields(out) == _fields(widened)
+    sneaky = {
+        "type": "struct",
+        "fields": widened["fields"]
+        + [{"name": fld["name"], "type": "string", "nullable": True,
+            "metadata": {}}],
+    }
+    try:
+        check_schema_evolution(
+            renamed, sneaky, "evolve", retired={fld["name"]}
+        )
+        raise AssertionError("retired name re-add must refuse")
+    except SchemaEvolutionError:
+        pass
