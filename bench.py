@@ -96,6 +96,7 @@ HEADLINE = [
     "rel_delete_dv",           # merge-on-read DELETE: vector sidecar, 0 rewrites (r12)
     "rel_partition_evolution", # re-layout rewrite + append layout guard (r12)
     "rel_schema_rename",       # metadata-only column rename via alias chain (r13)
+    "stream_store_cdf",        # change-feed subscription: bookmark-resumed CDF (r13)
 ]
 
 

