@@ -522,12 +522,22 @@ class VectorStore:
         n_files: int = 16,
         cluster_by: list[str] | None = None,
         min_file_bytes: int | None = None,
+        max_deleted_ratio: float | None = None,
+        max_dv_rows: int | None = None,
     ) -> None:
-        """Record the store's small-file policy (see IndexSession)."""
+        """Record the store's small-file + deletion-vector policy (see
+        IndexSession) — the DV triggers matter here: delete_ids(
+        mode='dv') accumulates vectors no file-count trigger sees."""
         from .sources.generations import set_compaction_policy
 
         set_compaction_policy(
-            self.path, max_files, n_files, cluster_by, min_file_bytes
+            self.path,
+            max_files,
+            n_files,
+            cluster_by,
+            min_file_bytes,
+            max_deleted_ratio=max_deleted_ratio,
+            max_dv_rows=max_dv_rows,
         )
 
     def maintain(self, vacuum_grace_seconds: float = 3600.0) -> dict:

@@ -84,7 +84,13 @@ PRIORITY_WINDOW = [
     # search_doc_tf_vector after 8 (TF accounting stays pinned by the
     # tokens-artifact equivalence tests + the sweep; its slot goes to
     # the round's new trainer class, text_classifier_train below)
-    "search_related_docs",
+    # (r13 rotation: search_related_docs retired after 5 stable rounds
+    # — posting-join TF-IDF similarity stays sweep-checked and the
+    # search family keeps term_lookup + topk_per_term external; sparse
+    # similarity arithmetic also rides the dedup/ANN tiers. Its slot
+    # carries round 12's partition evolution, judge-green in r12 but
+    # never external.)
+    "rel_partition_evolution",
     # relational: agg + join family (r6 rotation: rel_q3 retired — scan+
     # agg and multi-join stay covered by rel_q1/rel_q5; rel_join_outer
     # retired — semi/anti/theta/asof keep the join family external)
@@ -94,7 +100,13 @@ PRIORITY_WINDOW = [
     # rel_join_semi/asof, and the exchange-free rel_bucketed_join_agg
     # external; q5 stays sweep-checked. Its slot carries the round's
     # admission gate, rel_expectations_quarantine below.)
-    "rel_join_semi",
+    # (r13 rotation: rel_join_semi retired after 12 stable rounds —
+    # the join family keeps rel_join_asof external, and semi/anti
+    # semantics ride every DML path (upsert_rows' left-anti survivor
+    # join, the DV anti-join, generation_diff's key fallback), all
+    # driver-checked. Its slot carries round 12's merge-on-read
+    # DELETE, judge-green in r12 but never external.)
+    "rel_delete_dv",
     # (r10 rotation: rel_join_anti and rel_theta_join_bands retired
     # after 9 stable rounds — the join family keeps semi/asof/q5
     # external; anti-join semantics also ride every generation_diff
@@ -160,7 +172,12 @@ PRIORITY_WINDOW = [
     # external — distinct-count IVM (support-table maintenance, the
     # non-distributive aggregate), bloom-sidecar point lookup, and the
     # named-tag pinned read.
-    "rel_matview_distinct",
+    # (r13 rotation: rel_matview_distinct retired after 4 stable
+    # rounds — distinct-count IVM stays sweep-checked and the matview
+    # family keeps refresh/join_refresh/rollup_route/hist_quantile
+    # external. Its slot carries round 12's column-retirement rewrite,
+    # judge-green in r12 but never external.)
+    "rel_drop_columns",
     "rel_bloom_point_lookup",
     # (r12 rotation: rel_savepoint_pinned_read retired after 3 stable
     # rounds — pinned snapshot reads keep external cover via
@@ -320,7 +337,12 @@ PRIORITY_WINDOW = [
     # r9: text_lm_resample promoted — the round's headline scale fix
     # (broadcast percentile cutpoints + map-only decile assignment
     # replacing the global NTILE window) deserves external verification
-    "text_lm_resample",
+    # (r13 rotation: text_lm_resample retired after 4 stable rounds —
+    # the broadcast-cutpoint resample plan stays sweep-checked and the
+    # text tier keeps four external rows. Its slot carries round 13's
+    # metadata-only column rename, whose external hash pins that
+    # pre-rename files serve their history under the new name.)
+    "rel_schema_rename",
     # multimodal (r8 rotation: the binary metadata-parsing tier had
     # held one external row for 4 rounds — audio_meta joins embed;
     # r8 third batch: multimodal_embed retires — the declared-stub
@@ -349,7 +371,12 @@ PRIORITY_WINDOW = [
     # small-file policy firing optimize_store at publish time, round
     # 11's second store flagship.)
     "stream_autocompact_ingest",
-    "stream_stateful_user_stats",
+    # (r13 rotation: stream_stateful_user_stats retired after 6 stable
+    # rounds — the applyInPandasWithState family keeps its stricter
+    # consumer stream_heavy_hitters external. Its slot carries round
+    # 13's change-feed subscription: bookmark-resumed, exactly-once
+    # CDF consumption over a store, the r12 verdict's missing #1.)
+    "stream_store_cdf",
     # r8 third batch: stream_heavy_hitters promoted (mergeable MG
     # summaries in applyInPandasWithState — same state API family as
     # stateful_user_stats, the stricter consumer); the checkpointed

@@ -65,9 +65,12 @@ def test_window_exercises_round5_families():
     # (stream_session_windows rotated out in r11 — the streaming
     # family keeps six external rows incl. the stateful tier's
     # stream_stateful_user_stats; see round11 test)
+    # (stream_stateful_user_stats rotated out in r13 — the stateful
+    # family keeps its stricter consumer stream_heavy_hitters; see
+    # round13 test)
     assert {
         "rel_upsert_rows",
-        "stream_stateful_user_stats",
+        "stream_heavy_hitters",
     } <= w
     # family representatives that must stay
     # (dedup_simhash and rel_percentiles rotated out in r9 — pigeonhole
@@ -112,9 +115,10 @@ def test_window_exercises_round6_rotation():
     # (rel_q5_local_supplier rotated out in the r10 third batch after
     # 9 stable rounds — multi-join agg keeps rel_bucketed_join_agg)
     assert {"rel_q1_pricing_summary", "rel_bucketed_join_agg"} <= w  # scan+agg / multi-join
-    # (rel_join_anti and rel_theta_join_bands rotated out in r10 —
-    # the join family keeps semi/asof/q5; see round10 test)
-    assert {"rel_join_semi", "rel_join_asof"} <= w  # join family
+    # (rel_join_anti and rel_theta_join_bands rotated out in r10,
+    # rel_join_semi in r13 — the join family keeps rel_join_asof and
+    # the DML paths' semi/anti joins; see round10/round13 tests)
+    assert "rel_join_asof" in w  # join family
     # windows: rank_parts rotated out in r8, range_frame in r12; the
     # hist-quantile serving plan (three window specs) carries the tier
     assert "rel_matview_hist_quantile" in w
@@ -124,8 +128,9 @@ def test_window_exercises_round6_rotation():
     # (ann_ivf_trained_topk rotated out in r11 — train-then-serve
     # stays external via ann_ivf_pq_topk + ann_kmeans_train_k64)
     assert {"ann_kmeans_train_k64", "ann_ivf_pq_topk"} <= w
-    # streaming (cdc_upsert itself rotated out in r8; see round8 test)
-    assert "stream_stateful_user_stats" in w
+    # streaming (cdc_upsert rotated out in r8, stateful_user_stats in
+    # r13 — heavy_hitters is the stricter state-API consumer)
+    assert "stream_heavy_hitters" in w
 
 
 def test_window_exercises_round7_rotation():
@@ -252,10 +257,11 @@ def test_window_exercises_round8_rotation():
     # (ann_ivf_trained_topk and stream_session_windows rotated out in
     # r11 — train-then-serve stays external via ann_ivf_pq_topk +
     # ann_kmeans_train_k64, the streaming family keeps six rows)
+    # (stream_stateful_user_stats rotated out in r13; see round13 test)
     assert {
         "ann_ivf_pq_topk",
         "rel_upsert_rows",
-        "stream_stateful_user_stats",
+        "stream_heavy_hitters",
         "multimodal_audio_meta",
         "text_decontaminate",
     } <= w
@@ -278,8 +284,9 @@ def test_window_exercises_round8_rotation():
     # rel_window_range_frame in r12)
     assert {"rel_upsert_rows", "rel_matview_hist_quantile"} <= w
     # (stream_scd2_temporal_join itself rotated out in r10;
-    # stream_session_windows in r11 — the stateful tier carries)
-    assert {"stream_heavy_hitters", "stream_stateful_user_stats"} <= w
+    # stream_session_windows in r11; stateful_user_stats in r13 —
+    # heavy_hitters carries the state-API tier)
+    assert "stream_heavy_hitters" in w
     # (text_shuffle_shards out in the r10 third batch; pipeline row carries)
     assert "text_incremental_pipeline" in w
     assert "ann_ivf_pq_topk" in w  # (ann_recall_eval rotated out in r9)
@@ -311,8 +318,9 @@ def test_round8_third_batch_rotation():
     # (dedup_semantic_pairs rotated out in r11 — its exact-verify
     # cosine arithmetic stays external via ann_filtered_topk's pruned
     # cell scans; see round11 test)
+    # (search_related_docs rotated out in r13 — sparse similarity stays
+    # sweep-checked, the search family keeps term_lookup/topk_per_term)
     assert {
-        "search_related_docs",
         "text_classifier_train",
         "ann_filtered_topk",
         "rel_triangles_trade",
@@ -332,14 +340,14 @@ def test_round8_third_batch_rotation():
         q = registry.get(name)
         assert q.export and q.oracle is not None
     # each retired row's family keeps an in-window representative
-    assert {"search_topk_per_term", "search_related_docs"} <= w
+    assert {"search_term_lookup", "search_topk_per_term"} <= w
     # (rel_json_parse and dedup_simhash rotated out in r9;
     # dedup_semantic_pairs itself in r11 — cluster_keep_best carries
     # quality-aware resolution, ann_filtered_topk the cosine path)
     assert "dedup_cluster_keep_best" in w
     assert "multimodal_audio_meta" in w
     assert {"index_postings", "index_letter_histogram"} <= w
-    assert {"stream_stateful_user_stats", "stream_heavy_hitters"} <= w
+    assert "stream_heavy_hitters" in w
 
 
 def test_window_exercises_round9_rotation():
@@ -354,6 +362,8 @@ def test_window_exercises_round9_rotation():
     w = set(PRIORITY_WINDOW)
     # (ann_pq_train itself rotated out in r12 — PQ codebooks stay
     # external via ann_ivf_pq_topk; see round12 test)
+    # (text_lm_resample rotated out in r13 — the resample plan stays
+    # sweep-checked; see round13 test)
     assert {
         "ann_kmeans_train_k64",
         "dedup_jaccard_prefix_pairs",
@@ -361,7 +371,6 @@ def test_window_exercises_round9_rotation():
         "stream_funnel",
         "dedup_cluster_keep_best",
         "rel_profile_drift",
-        "text_lm_resample",
     } <= w
     retired = {
         "rel_percentiles",  # distribution stats: rel_profile_drift
@@ -424,8 +433,9 @@ def test_round9_third_batch_rotation():
     # (rel_savepoint_pinned_read itself rotated out in r12 — pinned
     # reads stay external via rel_snapshot_pruned_scan and the @1
     # time-travel reference in rel_store_sql_travel; see round12 test)
+    # (rel_matview_distinct rotated out in r13 — distinct-count IVM
+    # stays sweep-checked, the matview family keeps four external rows)
     assert {
-        "rel_matview_distinct",
         "rel_bloom_point_lookup",
         "stream_continuous_agg",
     } <= w
@@ -439,9 +449,9 @@ def test_round9_third_batch_rotation():
     for name in retired:
         q = registry.get(name)
         assert q.export and q.oracle is not None
-    # (stream_session_windows itself rotated out in r11 — the
-    # streaming family keeps six external rows)
-    assert {"stream_stateful_user_stats", "dedup_cluster_keep_best"} <= w
+    # (stream_session_windows rotated out in r11, stateful_user_stats
+    # in r13 — the streaming family keeps six external rows)
+    assert {"stream_heavy_hitters", "dedup_cluster_keep_best"} <= w
     # (ann_ivf_trained_topk rotated out in r11 — filtered_topk joins;
     # ann_pq_train out in r12 — PQ stays external via ann_ivf_pq_topk)
     assert {
@@ -451,12 +461,12 @@ def test_round9_third_batch_rotation():
     } <= w
     # (text_shuffle_shards itself rotated out in the r10 third batch —
     # the tier keeps five external rows incl. the pipeline)
+    # (text_lm_resample rotated out in r13)
     assert {
         "text_decontaminate",
         "text_incremental_pipeline",
         "text_classifier_train",
         "text_bpe_merges",
-        "text_lm_resample",
     } <= w
     # the new rows' own families
     assert {"rel_matview_refresh", "rel_snapshot_pruned_scan"} <= w
@@ -494,23 +504,25 @@ def test_round10_rotation():
         q = registry.get(name)
         assert q.export and q.oracle is not None
     # each retired row's family keeps an in-window representative
-    assert {"search_term_lookup", "search_topk_per_term",
-            "search_related_docs"} <= w
-    # (rel_q5_local_supplier itself rotated out in the r10 third batch)
-    assert {"rel_join_semi", "rel_join_asof",
-            "rel_q1_pricing_summary"} <= w
+    # (search_related_docs itself rotated out in r13)
+    assert {"search_term_lookup", "search_topk_per_term"} <= w
+    # (rel_q5_local_supplier rotated out in the r10 third batch,
+    # rel_join_semi in r13 — asof + the DML semi/anti paths carry)
+    assert {"rel_join_asof", "rel_q1_pricing_summary"} <= w
     # (rel_retention_cohorts itself rotated out in r11)
     assert {"stream_funnel", "rel_profile_drift"} <= w
     # (dedup_exact_kept itself rotated out in the r10 third batch)
     assert {"dedup_jaccard_prefix_pairs", "dedup_incremental_lsh_pairs"} <= w
     # (stream_session_windows itself rotated out in r11 — replaced in
     # the family by the two round-11 ingest rows)
+    # (stream_stateful_user_stats itself rotated out in r13 — the
+    # family keeps six external rows incl. stream_store_cdf)
     assert {
         "stream_continuous_agg",
         "stream_funnel",
         "stream_gated_ingest",
         "stream_autocompact_ingest",
-        "stream_stateful_user_stats",
+        "stream_store_cdf",
         "stream_heavy_hitters",
     } <= w
     # the lakehouse tier's full external surface
@@ -518,10 +530,10 @@ def test_round10_rotation():
     # — the store-level rel_upsert_rows is the stricter MERGE row)
     # (rel_savepoint_pinned_read itself rotated out in r12; see
     # round12 test)
+    # (rel_matview_distinct itself rotated out in r13)
     assert {
         "rel_snapshot_pruned_scan",
         "rel_matview_refresh",
-        "rel_matview_distinct",
         "rel_bloom_point_lookup",
         "rel_upsert_rows",
     } <= w
@@ -604,9 +616,9 @@ def test_round11_rotation():
         "dedup_incremental_lsh_pairs",
     } <= w
     assert {"ann_ivf_pq_topk", "ann_kmeans_train_k64"} <= w
+    # (stream_stateful_user_stats itself rotated out in r13)
     assert {
         "stream_continuous_agg",
-        "stream_stateful_user_stats",
         "stream_heavy_hitters",
     } <= w
     # the admission-gate family now has its full lifecycle external:
@@ -659,3 +671,69 @@ def test_round12_rotation():
     # family representatives for the retired rows
     assert {"rel_snapshot_pruned_scan", "ann_ivf_pq_topk"} <= w
     assert {"search_topk_per_term", "rel_matview_hist_quantile"} <= w
+
+
+def test_round13_rotation():
+    """Round-13 rotation (VERDICT r12 #4 + this round's builds): the
+    three judge-green-but-never-external round-12 verbs go external
+    (merge-on-read DELETE, partition evolution, column retirement)
+    plus round 13's two new flagships (metadata-only column rename,
+    the change-feed subscription). Every retired row stays registered
+    + oracle-backed and its family keeps another external
+    representative."""
+    w = set(PRIORITY_WINDOW)
+    assert {
+        "rel_delete_dv",
+        "rel_partition_evolution",
+        "rel_drop_columns",
+        "rel_schema_rename",
+        "stream_store_cdf",
+    } <= w
+    retired = {
+        # joins: asof stays; semi/anti ride upsert_rows' survivor
+        # anti-join, the DV anti-join, and generation_diff's fallback
+        "rel_join_semi",
+        # distinct-count IVM: matview family keeps four external rows
+        "rel_matview_distinct",
+        # sparse TF-IDF similarity: search keeps term_lookup + topk;
+        # similarity arithmetic rides the dedup/ANN tiers
+        "search_related_docs",
+        # broadcast-cutpoint resample: text tier keeps four rows
+        "text_lm_resample",
+        # state-API family: stream_heavy_hitters is the stricter
+        # applyInPandasWithState consumer
+        "stream_stateful_user_stats",
+    }
+    assert retired.isdisjoint(w)
+    for name in retired:
+        q = registry.get(name)
+        assert q.export and q.oracle is not None
+    # the promoted rows are exported and oracle-backed
+    for name in (
+        "rel_delete_dv",
+        "rel_partition_evolution",
+        "rel_drop_columns",
+        "rel_schema_rename",
+        "stream_store_cdf",
+    ):
+        q = registry.get(name)
+        assert q.export and q.oracle is not None
+    # family representatives for the retired rows
+    assert {"rel_join_asof", "rel_upsert_rows"} <= w
+    assert {"rel_matview_refresh", "rel_matview_hist_quantile",
+            "rel_matview_join_refresh", "rel_matview_rollup_route"} <= w
+    assert {"search_term_lookup", "search_topk_per_term"} <= w
+    assert {"text_decontaminate", "text_incremental_pipeline",
+            "text_classifier_train", "text_bpe_merges"} <= w
+    assert {"stream_heavy_hitters", "stream_continuous_agg"} <= w
+    # the store tier's full r12+r13 external surface
+    assert {
+        "rel_schema_evolution",
+        "rel_schema_rename",
+        "rel_drop_columns",
+        "rel_partition_evolution",
+        "rel_delete_dv",
+        "rel_store_sql_travel",
+        "rel_store_maintenance",
+        "stream_store_cdf",
+    } <= w
