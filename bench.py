@@ -97,6 +97,7 @@ HEADLINE = [
     "rel_partition_evolution", # re-layout rewrite + append layout guard (r12)
     "rel_schema_rename",       # metadata-only column rename via alias chain (r13)
     "stream_store_cdf",        # change-feed subscription: bookmark-resumed CDF (r13)
+    "rel_upsert_dv",           # merge-on-read MERGE: vector + append, 0 rewrites (r13)
 ]
 
 

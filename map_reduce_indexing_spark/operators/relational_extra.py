@@ -2689,6 +2689,68 @@ def q_rel_schema_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_dv_merge_demo(spark: SparkSession, sf_dir: str) -> str:
+    """Merge-on-read MERGE end-to-end, built once per (application,
+    corpus content): orders land as one generation, then
+    upsert_rows(mode='dv') reprices every seventh order — the build
+    asserts ZERO files rewritten (old images disappear as vector
+    positions, new images append) and a pure-update batch (no
+    inserts)."""
+    from ..sources.generations import append_rows, upsert_rows
+    from .indexing import session_artifact_path
+
+    def build(path: str) -> None:
+        store = _os.path.join(path, "store")
+        base = _orders_projected(spark, sf_dir)
+        append_rows(spark, store, base)
+        upd = base.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            "price_dec", (F.col("price_dec") * 2).cast("decimal(18,2)")
+        )
+        rep = upsert_rows(spark, store, upd, ["o_orderkey"], mode="dv")
+        assert rep["rewritten_files"] == 0, rep
+        assert rep["inserted_rows"] == 0 and rep["updated_rows"] > 0, rep
+
+    return session_artifact_path(
+        spark, sf_dir, "orders_dv_merge_demo", "orders.parquet", build
+    )
+
+
+@register(
+    "rel_upsert_dv",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN o_orderkey % 7 = 0
+                             THEN CAST(o_totalprice AS DECIMAL(18,2)) * 2
+                             ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
+                    AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY 1
+    """,
+    tier="relational",
+    doc="MERGE-ON-READ MERGE — upsert_rows(mode='dv') (round 13, "
+    "generations._upsert_dv): matched rows' old images disappear as "
+    "deletion-vector positions and the update rows append — zero data "
+    "rewritten (asserted in the build), completing the merge-on-read "
+    "DML pair with delete_rows_dv. The oracle recomputes the repriced "
+    "table from raw orders, so the hash pins that every seventh order "
+    "serves its NEW image and none serves both. At 100 TB, correcting "
+    "one day's rows costs the new rows plus a positions sidecar, not "
+    "a slice rewrite; the policy's DV triggers fold the vector later.",
+)
+def q_rel_upsert_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.generations import read_generation
+
+    root = orders_dv_merge_demo(spark, sf_dir)
+    df = read_generation(spark, _os.path.join(root, "store"))
+    return df.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("price_dec", "total_price"),
+    )
+
+
 def orders_dropcol_demo(spark: SparkSession, sf_dir: str) -> str:
     """Column retirement end-to-end, built once per (application,
     corpus content): orders land wide, `drop_columns` retires

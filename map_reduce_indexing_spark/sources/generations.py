@@ -3067,11 +3067,164 @@ def key_prune_where(
     return where
 
 
+def _upsert_dv(
+    spark: SparkSession,
+    path: str,
+    m: dict,
+    g: dict,
+    head: int,
+    live: list[str],
+    upd: DataFrame,
+    key_cols: list[str],
+    affected: list[str],
+    n_upd: int,
+) -> dict:
+    """upsert_rows(mode='dv') body — MERGE-ON-READ MERGE (round 13),
+    called under the writer lock with validation done: matched rows'
+    OLD images disappear by deletion-vector positions (accumulated
+    into a fresh self-contained sidecar, exactly delete_rows_dv's
+    shape) and EVERY update row appends as new files — zero data
+    rewritten. At 100 TB, correcting one day's rows against a
+    petabyte store costs the new rows plus a positions sidecar, not a
+    slice rewrite. Matched positions are found only among the
+    key-pruned candidate files, read per schema group with key
+    columns aligned through widening casts and the rename chain, and
+    LIVE-filtered against the previous vector (an already-deleted key
+    re-appearing in the updates is an INSERT, not an update).
+    Downstream semantics are the cow verb's: the span classifies as a
+    rewrite (vector changed), the CDF emits update pre/post images,
+    pinned readers keep the pre-merge snapshot, and the next
+    policy-fired fold lands everything clean."""
+    import uuid
+
+    from pyspark.sql.types import StructType
+
+    stats = g.get("stats") or {}
+    renames = m.get("renames") or {}
+    sid = g.get("schema_id")
+    sj = (m.get("schemas") or {}).get(str(sid)) if sid is not None else None
+    target = StructType.fromJson(sj) if sj else None
+    tfields = {f.name: f for f in (target.fields if target else [])}
+    prev_dv = g.get("dv")
+    prev_side = (
+        spark.read.parquet(os.path.join(path, prev_dv["file"]))
+        if prev_dv is not None
+        else None
+    )
+    groups: dict[object, list[str]] = {}
+    for rel in affected:
+        fsid = (stats.get(rel) or {}).get("schema_id")
+        groups.setdefault(fsid, []).append(rel)
+    matches = None
+    for fsid, fs in groups.items():
+        r = spark.read.option("basePath", path)
+        gsj = (
+            (m.get("schemas") or {}).get(str(fsid))
+            if fsid is not None
+            else None
+        )
+        if gsj is not None:
+            r = r.schema(StructType.fromJson(gsj))
+        df = r.parquet(*[os.path.join(path, f) for f in fs])
+        sel = [
+            F.col("_metadata.file_name").alias("fname"),
+            F.col("_metadata.row_index").alias("pos"),
+        ]
+        for k in key_cols:
+            phys = _physical_name(k, df.columns, renames)
+            if phys is None:
+                # this group predates the key column: no row can match
+                sel.append(
+                    F.lit(None)
+                    .cast(tfields[k].dataType if k in tfields else "string")
+                    .alias(k)
+                )
+            elif k in tfields:
+                sel.append(F.col(phys).cast(tfields[k].dataType).alias(k))
+            else:
+                sel.append(F.col(phys).alias(k))
+        one = (
+            df.select(*sel)
+            .join(upd.select(*key_cols), list(key_cols), "left_semi")
+            .select("fname", "pos")
+        )
+        matches = one if matches is None else matches.unionByName(one)
+    combined = None
+    n_matched = 0
+    if matches is not None:
+        if prev_side is not None:
+            matches = matches.join(
+                _dv_side_hinted(prev_side, int(prev_dv.get("rows") or 0)),
+                ["fname", "pos"],
+                "left_anti",
+            )
+            combined = matches.unionByName(prev_side).localCheckpoint(
+                eager=True
+            )
+            n_matched = combined.count() - int(prev_dv["rows"])
+        else:
+            combined = matches.localCheckpoint(eager=True)
+            n_matched = combined.count()
+    # land the update rows as NEW files (per-file placement is the
+    # parquet writer's task-UUID names; the precise add_files listing
+    # below is what publishes them — crash residue stays invisible)
+    before = set(_data_files(path))
+    part_cols = sorted({k for r in live for k in _partition_values(r)})
+    w = upd.write.mode("append")
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.parquet(path)
+    for f in os.listdir(path):  # Spark success markers
+        p = os.path.join(path, f)
+        if f.startswith("_") and os.path.isfile(p) and not f.endswith(".json"):
+            os.remove(p)
+    new_rels = [r for r in _data_files(path) if r not in before]
+    entry_extra = None
+    if n_matched > 0:
+        dv_rel = os.path.join(DV_DIR, f"g{head + 1}_{uuid.uuid4().hex[:8]}")
+        dv_abs = os.path.join(path, dv_rel)
+        combined.coalesce(1).write.parquet(dv_abs)
+        for f in os.listdir(dv_abs):
+            fp = os.path.join(dv_abs, f)
+            if f.startswith("_") and os.path.isfile(fp):
+                os.remove(fp)
+        per_file = {
+            r["fname"]: int(r["n"])
+            for r in combined.groupBy("fname")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        entry_extra = {
+            "dv": {
+                "file": dv_rel,
+                "rows": sum(per_file.values()),
+                "per_file": per_file,
+            }
+        }
+    # no new matches: _publish carries any previous vector forward
+    new_head = _publish(
+        path,
+        head + 1,
+        m,
+        spark=spark,
+        add_files=new_rels,
+        entry_extra=entry_extra,
+    )
+    return {
+        "generation": new_head,
+        "rewritten_files": 0,
+        "kept_files": len(live),
+        "updated_rows": int(n_matched),
+        "inserted_rows": n_upd - int(n_matched),
+    }
+
+
 def upsert_rows(
     spark: SparkSession,
     path: str,
     updates: DataFrame,
     key_cols: list[str],
+    mode: str = "cow",
 ) -> dict:
     """MERGE (upsert) as a STORE operation: for every row of `updates`
     whose key matches an existing row, REPLACE that row wholesale; the
@@ -3098,7 +3251,15 @@ def upsert_rows(
     by name), be key-UNIQUE, and have no NULL keys — the store tier's
     row-identity rules. Returns {"generation", "rewritten_files",
     "kept_files", "updated_rows", "inserted_rows"} with the row
-    counts metadata-exact (manifest + staged footers, no extra scan)."""
+    counts metadata-exact (manifest + staged footers, no extra scan).
+
+    `mode="dv"` (round 13) is the MERGE-ON-READ form: matched rows'
+    old images disappear by deletion-vector positions and the update
+    rows append as new files — ZERO data rewritten (see _upsert_dv),
+    the complement of delete_rows_dv that completes the
+    merge-on-read DML pair. Same results, same downstream semantics;
+    the next rewrite (or the policy's DV triggers) folds the vector
+    away."""
     import tempfile
 
     from ..operators.indexing import (
@@ -3110,6 +3271,8 @@ def upsert_rows(
 
     if not key_cols:
         raise ValueError("upsert_rows requires key_cols")
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"mode must be cow|dv, got {mode!r}")
     with index_writer_lock(path):
         _recover_index_locked(path)
         m = load_manifest(path)
@@ -3195,6 +3358,11 @@ def upsert_rows(
                 m.get("renames"),
             )
         ]
+        if mode == "dv":
+            return _upsert_dv(
+                spark, path, m, g, head, live, upd, key_cols, affected,
+                int(bounds["n"]),
+            )
         # DV-bearing files must rewrite too: the merged head drops the
         # vector, and hardlinking one would resurrect its deleted rows
         affected = sorted(

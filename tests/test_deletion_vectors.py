@@ -238,6 +238,108 @@ def test_dv_on_evolved_store(spark, tmp_path):
     assert ids == list(range(10)) + [101, 103, 105]
 
 
+def test_upsert_dv_mode_zero_rewrites(spark, tmp_path):
+    """upsert_rows(mode='dv') — merge-on-read MERGE (round 13): the
+    matched row's old image disappears by a vector position, the
+    update rows append, nothing rewrites, and every downstream
+    consumer sees an ordinary rewrite span."""
+    path = _build(spark, tmp_path)
+    m0 = load_manifest(path)
+    files0 = m0["gens"][str(m0["head"])]["files"]
+    upd = spark.createDataFrame([(7, 999), (500, 1)], "id long, k long")
+    rep = upsert_rows(spark, path, upd, ["id"], mode="dv")
+    assert rep["rewritten_files"] == 0
+    assert rep["updated_rows"] == 1 and rep["inserted_rows"] == 1
+    m = load_manifest(path)
+    g = m["gens"][str(m["head"])]
+    assert set(files0) <= set(g["files"])  # old files untouched
+    assert g["dv"]["rows"] == 1
+    rows = {r.id: r.k for r in read_generation(spark, path).collect()}
+    assert rows[7] == 999 and rows[500] == 1 and len(rows) == 31
+    assert generation_row_count(path) == 31  # metadata-exact
+    # pinned pre-merge snapshot unchanged
+    assert _ids(spark, path, at=rep["generation"] - 1) == list(range(30))
+    # downstream: rewrite span; the CDF emits exactly the merge images
+    kind, _ = diff_plan(path, rep["generation"] - 1, None)
+    assert kind == "antijoin"
+    ch = generation_changes(
+        spark, path, since=rep["generation"] - 1, key_cols=("id",)
+    )
+    got = {(r.change_type, r.id) for r in ch.collect()}
+    assert got == {
+        ("update_preimage", 7),
+        ("update_postimage", 7),
+        ("insert", 500),
+    }
+
+
+def test_upsert_dv_accumulates_and_folds(spark, tmp_path):
+    path = _build(spark, tmp_path)
+    delete_rows_dv(spark, path, [("id", "<", 5)])
+    # an already-DELETED key re-appearing in the updates is an INSERT
+    rep = upsert_rows(
+        spark,
+        path,
+        spark.createDataFrame([(2, 22), (7, 77)], "id long, k long"),
+        ["id"],
+        mode="dv",
+    )
+    assert rep["updated_rows"] == 1 and rep["inserted_rows"] == 1
+    rows = {r.id: r.k for r in read_generation(spark, path).collect()}
+    assert rows[2] == 22 and rows[7] == 77
+    assert set(rows) == set(range(5, 30)) | {2}
+    m = load_manifest(path)
+    assert m["gens"][str(m["head"])]["dv"]["rows"] == 6  # 5 + key 7
+    # a second DV merge updating a key whose live image is in an
+    # APPENDED file (position found there, not in the original)
+    rep2 = upsert_rows(
+        spark,
+        path,
+        spark.createDataFrame([(2, 222)], "id long, k long"),
+        ["id"],
+        mode="dv",
+    )
+    assert rep2["updated_rows"] == 1 and rep2["inserted_rows"] == 0
+    rows = {r.id: r.k for r in read_generation(spark, path).collect()}
+    assert rows[2] == 222
+    assert generation_row_count(path) == 26
+    # a rewrite folds everything clean
+    optimize_store(spark, path, cluster_by=["id"], n_files=2)
+    m = load_manifest(path)
+    assert "dv" not in m["gens"][str(m["head"])]
+    rows = {r.id: r.k for r in read_generation(spark, path).collect()}
+    assert rows[2] == 222 and rows[7] == 77 and len(rows) == 26
+
+
+def test_upsert_dv_on_renamed_store(spark, tmp_path):
+    """DV merge x rename: the key lives under an OLD physical name in
+    pre-rename files; position matching translates through the chain."""
+    from map_reduce_indexing_spark.sources.generations import (
+        rename_columns,
+    )
+
+    path = str(tmp_path / "store")
+    append_rows(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(10)], "ident long, v long"
+        ),
+    )
+    rename_columns(spark, path, {"ident": "id", "v": "val"})
+    rep = upsert_rows(
+        spark,
+        path,
+        spark.createDataFrame([(4, 444), (40, 400)], "id long, val long"),
+        ["id"],
+        mode="dv",
+    )
+    assert rep["rewritten_files"] == 0
+    assert rep["updated_rows"] == 1 and rep["inserted_rows"] == 1
+    rows = {r.id: r.val for r in read_generation(spark, path).collect()}
+    assert rows[4] == 444 and rows[40] == 400 and len(rows) == 11
+
+
 def test_dv_growth_triggers_autocompact(spark, tmp_path):
     """A DV-ONLY workload within file bounds must still fire the fold
     (r12 verdict, scale seam #1): `max_deleted_ratio` computes from
