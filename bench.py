@@ -98,6 +98,7 @@ HEADLINE = [
     "rel_schema_rename",       # metadata-only column rename via alias chain (r13)
     "stream_store_cdf",        # change-feed subscription: bookmark-resumed CDF (r13)
     "rel_upsert_dv",           # merge-on-read MERGE: vector + append, 0 rewrites (r13)
+    "rel_optimize_zorder",     # OPTIMIZE ZORDER: curve-clustered store rewrite (r13)
 ]
 
 

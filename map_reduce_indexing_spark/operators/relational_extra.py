@@ -2751,6 +2751,85 @@ def q_rel_upsert_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_zorder_demo(spark: SparkSession, sf_dir: str) -> str:
+    """OPTIMIZE ZORDER end-to-end, built once per (application, corpus
+    content): orders land unclustered, the store re-clusters on the
+    (o_orderkey, o_custkey) space-filling curve, and the build asserts
+    manifest file skipping prunes selective predicates on BOTH
+    dimensions — single-column clustering is blind on the second."""
+    from ..sources.generations import (
+        append_rows,
+        optimize_store,
+        plan_generation_scan,
+    )
+    from .indexing import session_artifact_path
+
+    def build(path: str) -> None:
+        store = _os.path.join(path, "store")
+        append_rows(
+            spark,
+            store,
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey",
+                "o_custkey",
+                "o_orderpriority",
+                dec("o_totalprice").alias("price_dec"),
+            ),
+        )
+        optimize_store(
+            spark, store, cluster_by=None, n_files=8,
+            zorder_by=["o_orderkey", "o_custkey"],
+        )
+        for col in ("o_orderkey", "o_custkey"):
+            _r, kept, total = plan_generation_scan(
+                store, None, [(col, "<", 100)]
+            )
+            assert len(kept) < total, (col, len(kept), total)
+
+    return session_artifact_path(
+        spark, sf_dir, "orders_zorder_demo", "orders.parquet", build
+    )
+
+
+@register(
+    "rel_optimize_zorder",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        GROUP BY 1
+    """,
+    tier="relational",
+    doc="OPTIMIZE ZORDER on a generations store (round 13 — "
+    "generations.optimize_store(zorder_by=...) over "
+    "layout.zorder_value's pure-JVM bit-interleaved curve): the "
+    "rewrite clusters files on the multi-dimensional curve so footer "
+    "min/max stay tight on EVERY listed column and manifest skipping "
+    "prunes selective predicates on any of them (asserted on both "
+    "dimensions in the build; single-column clustering is provably "
+    "blind on the second — tests/test_zorder_store.py). The exported "
+    "aggregate hash-matches the raw table, proving the re-clustering "
+    "rewrite preserved every row. At 100 TB this is Delta's OPTIMIZE "
+    "ZORDER: one curve exchange buys file skipping on the whole "
+    "predicate family.",
+)
+def q_rel_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.generations import read_generation
+
+    root = orders_zorder_demo(spark, sf_dir)
+    df = read_generation(spark, _os.path.join(root, "store"))
+    return df.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_custkey").alias("sum_cust"),
+        dsum("price_dec", "total_price"),
+    )
+
+
 def orders_dropcol_demo(spark: SparkSession, sf_dir: str) -> str:
     """Column retirement end-to-end, built once per (application,
     corpus content): orders land wide, `drop_columns` retires

@@ -3429,6 +3429,7 @@ def optimize_store(
     cluster_by: list[str] | None,
     n_files: int = 16,
     partition_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """OPTIMIZE ... CLUSTER BY as a store operation: rewrite the live
     data range-clustered on `cluster_by` (repartitionByRange + sort
@@ -3463,11 +3464,30 @@ def optimize_store(
     appender layout guard (`check_layout`) starts enforcing the new
     scheme — the verb a mismatched append's error message points at.
 
+    `zorder_by` (round 13) is OPTIMIZE ZORDER: the rewrite clusters on
+    the bit-interleaved space-filling curve over the named columns
+    (sources/layout.py:zorder_value — pure JVM bitwise expressions,
+    one range exchange), so footer min/max stay tight on EVERY listed
+    dimension and the manifest's file skipping prunes selective
+    predicates on any of them — where `cluster_by` makes one column's
+    bounds tight and leaves the others blind. Mutually exclusive with
+    `cluster_by`; needs >= 2 columns (one column IS cluster_by). On a
+    Hive-partitioned store the curve clusters within the partition
+    scheme (range-partitioned on (dirs..., curve)).
+
     Input is the HEAD GENERATION'S LISTING when the store has a
     manifest (precise — a crashed optimistic placement on the live
     listing is residue for vacuum_store, never input to the rewrite);
     manifest-less artifacts keep the live directory scan."""
     from ..operators.indexing import compact_artifact
+
+    if zorder_by is not None:
+        if cluster_by:
+            raise ValueError("pass cluster_by OR zorder_by, not both")
+        if len(zorder_by) < 2:
+            raise ValueError(
+                "zorder_by needs >= 2 columns (one column is cluster_by)"
+            )
 
     m0 = load_manifest(path)
     head_rels = (
@@ -3509,12 +3529,53 @@ def optimize_store(
             return _read_listing(spark_, path, g, m, rels, path)
         return spark_.read.parquet(path)
 
+    def _with_curve(df: DataFrame) -> DataFrame:
+        # the z-curve column: mins/maxes from one tiny broadcast
+        # aggregate (layout.write_zorder_clustered's shape), the curve
+        # itself pure JVM bitwise expressions in whole-stage codegen
+        from .layout import _scaled, zorder_value
+
+        bits = 16
+        aggs = []
+        for c in zorder_by:
+            aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+        bounds = df.agg(*aggs)
+        return df.crossJoin(F.broadcast(bounds)).withColumn(
+            "_z",
+            zorder_value(
+                [
+                    _scaled(
+                        F.col(c), F.col(f"_min_{c}"), F.col(f"_max_{c}"), bits
+                    )
+                    for c in zorder_by
+                ],
+                bits,
+            ),
+        )
+
     def rewrite(df: DataFrame, staging: str) -> None:
+        cols = df.columns
         if part_cols:
-            out = df.repartition(n_files, *part_cols)
-            if cluster_by:
-                out = out.sortWithinPartitions(*cluster_by)
+            if zorder_by:
+                out = (
+                    _with_curve(df)
+                    .repartitionByRange(n_files, *part_cols, "_z")
+                    .sortWithinPartitions(*part_cols, "_z")
+                    .select(*cols)
+                )
+            else:
+                out = df.repartition(n_files, *part_cols)
+                if cluster_by:
+                    out = out.sortWithinPartitions(*cluster_by)
             w = out.write.partitionBy(*part_cols)
+        elif zorder_by:
+            out = (
+                _with_curve(df)
+                .repartitionByRange(n_files, "_z")
+                .sortWithinPartitions("_z")
+                .select(*cols)
+            )
+            w = out.write
         elif cluster_by:
             out = df.repartitionByRange(
                 n_files, *cluster_by
