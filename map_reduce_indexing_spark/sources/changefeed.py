@@ -64,15 +64,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .generations import (
+    drop_tag,
     generation_changes,
     generation_head,
     load_manifest,
     publish_generation,
     read_generation,
+    tag_generation,
 )
 from .pipeline import _src_keys
 
 CHANGE_ORDER = ("insert", "delete", "update_preimage", "update_postimage")
+
+
+def feed_pin_name(dst_path: str) -> str:
+    """The SOURCE tag a feed re-points at its bookmark generation
+    (pin_source=True, the default): a named ref blocks retention
+    expiry (generations._expired), so a slow consumer can sleep past
+    GEN_TTL without losing its resume point — the matview pin-tag
+    pattern applied to subscriptions. Keyed by the destination's
+    realpath digest: many feeds of one source pin independently."""
+    import hashlib
+
+    return "cdcfeed_" + hashlib.md5(
+        os.path.realpath(dst_path).encode("utf-8")
+    ).hexdigest()[:12]
+
+
+def drop_feed_pin(src_path: str, dst_path: str) -> None:
+    """Unsubscribe: release the feed's source pin so its bookmark
+    generation re-enters normal retention (the feed itself keeps
+    working while the generation survives; after expiry it needs
+    on_expired='resync')."""
+    drop_tag(src_path, feed_pin_name(dst_path))
 
 
 def feed_bookmark(dst_path: str, src_path: str) -> int:
@@ -101,19 +125,23 @@ def _retained(path: str) -> list[int]:
 
 
 def _one_batch(
-    spark: SparkSession, path: str, g: int, key_cols, first: bool
+    spark: SparkSession, path: str, prev: int, g: int, key_cols
 ) -> DataFrame:
-    """Generation g's CDF as a DataFrame: the full snapshot as inserts
-    when it is the feed's FIRST batch and g is the oldest retained
-    generation (there is no g-1 to diff against), the ordinary
-    delta-sized generation_changes otherwise."""
-    if first:
+    """The (prev, g] span's CDF as a DataFrame: the full snapshot as
+    inserts when it is the feed's FIRST batch (prev == 0 — there is
+    nothing to diff against), the ordinary delta-sized
+    generation_changes otherwise. `prev` is the last CONSUMED
+    generation, not necessarily g-1: intermediate generations may have
+    aged out of retention between drains (the pinned bookmark survives,
+    the ones between it and the head need not), and one batch then
+    covers the whole gap exactly."""
+    if prev == 0:
         snap = read_generation(spark, path, at=g)
         return snap.select(
             "*", F.lit("insert").alias("change_type")
         )
     return generation_changes(
-        spark, path, since=g - 1, until=g, key_cols=tuple(key_cols)
+        spark, path, since=prev, until=g, key_cols=tuple(key_cols)
     )
 
 
@@ -152,8 +180,7 @@ def read_changes_stream(
     out = None
     prev = since
     for g in spans:
-        first = prev == 0
-        batch = _one_batch(spark, path, g, key_cols, first).withColumn(
+        batch = _one_batch(spark, path, prev, g, key_cols).withColumn(
             "_src_generation", F.lit(g)
         )
         out = batch if out is None else out.unionByName(batch)
@@ -169,6 +196,7 @@ def run_changes_feed(
     transform=None,
     max_batches: int | None = None,
     on_expired: str = "error",
+    pin_source: bool = True,
 ) -> dict:
     """Drain every pending source generation's CDF into `dst_path`,
     exactly once (see module docstring). `transform(df) -> df`
@@ -176,6 +204,13 @@ def run_changes_feed(
     `change_type` and `_src_generation` and must keep a DataFrame);
     `max_batches` bounds one drain (a scheduler tick); `on_expired`
     picks the aged-out-bookmark posture ("error" | "resync").
+    `pin_source` (default True) re-points a named source TAG at the
+    consumed generation after each drain, so retention can never
+    expire the feed's resume point — a consumer that sleeps for a
+    week resumes exactly instead of resyncing (drop_feed_pin
+    unsubscribes; the pin is taken AFTER the destination lock
+    releases, so feed graphs never deadlock on lock order, at the
+    cost of a one-drain pin lag after a crash in that window).
     Returns {"batches", "src_from", "src_to", "generation",
     "resynced"}."""
     if on_expired not in ("error", "resync"):
@@ -240,7 +275,7 @@ def run_changes_feed(
                     "*", F.lit("insert").alias("change_type")
                 )
             else:
-                batch = _one_batch(spark, src_path, g, key_cols, prev == 0)
+                batch = _one_batch(spark, src_path, prev, g, key_cols)
             batch = batch.withColumn("_src_generation", F.lit(g))
             if transform is not None:
                 batch = transform(batch)
@@ -282,4 +317,10 @@ def run_changes_feed(
                 "resynced": resync,
             }
             prev = g
-        return result
+    # pin OUTSIDE the destination lock (src tagging takes the source's
+    # writer lock; ordered acquisition across a feed graph could
+    # deadlock) — a crash here lags the pin one drain, re-pointed by
+    # the next run
+    if pin_source and result["batches"] > 0:
+        tag_generation(src_path, feed_pin_name(dst_path), at=result["src_to"])
+    return result

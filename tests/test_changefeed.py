@@ -132,6 +132,49 @@ def test_feed_advances_over_metadata_only_spans(spark, tmp_path):
     assert read_generation(spark, dst).count() == 3
 
 
+def test_feed_pin_survives_retention_churn(spark, tmp_path, monkeypatch):
+    """The default source pin (pin_source=True): a slow consumer's
+    bookmark generation survives GEN_RETAIN=1 / zero-TTL churn because
+    the feed's named tag blocks expiry — the resume is exact, never a
+    resync."""
+    from map_reduce_indexing_spark.sources import generations as G
+    from map_reduce_indexing_spark.sources.changefeed import (
+        drop_feed_pin,
+        feed_pin_name,
+    )
+    from map_reduce_indexing_spark.sources.generations import list_tags
+
+    monkeypatch.setattr(G, "GEN_RETAIN", 1)
+    monkeypatch.setattr(G, "GEN_TTL_SECONDS", 0.0)
+    src = str(tmp_path / "src")
+    append_rows(spark, src, _frame(spark, 0, 3))
+    dst = str(tmp_path / "dst")
+    run_changes_feed(spark, src, dst, ["id"])
+    assert list_tags(src)[feed_pin_name(dst)] == 1
+    # heavy churn: without the pin, generation 1 would age out
+    for lo in (10, 20, 30):
+        append_rows(spark, src, _frame(spark, lo, 1))
+    retained = sorted(int(k) for k in load_manifest(src)["gens"])
+    assert 1 in retained  # the pin held it
+    assert 2 not in retained  # the intermediates expired (RETAIN=1)
+    rep = run_changes_feed(spark, src, dst, ["id"])
+    # the resume is exact — ONE gap-spanning batch (1 -> head], since
+    # the generations between the pinned bookmark and the head expired
+    assert rep["batches"] == 1 and not rep["resynced"]
+    assert read_generation(spark, dst).count() == 6
+    got = {
+        (r.change_type, r.id)
+        for r in read_generation(spark, dst)
+        .filter(F.col("_src_generation") == rep["src_to"])
+        .collect()
+    }
+    assert got == {("insert", 10), ("insert", 20), ("insert", 30)}
+    assert list_tags(src)[feed_pin_name(dst)] == 4  # pin moved forward
+    # unsubscribing releases the generation back to retention
+    drop_feed_pin(src, dst)
+    assert feed_pin_name(dst) not in list_tags(src)
+
+
 def test_feed_expired_bookmark_errors_then_resyncs(spark, tmp_path, monkeypatch):
     from map_reduce_indexing_spark.sources import generations as G
 
@@ -140,7 +183,7 @@ def test_feed_expired_bookmark_errors_then_resyncs(spark, tmp_path, monkeypatch)
     src = str(tmp_path / "src")
     append_rows(spark, src, _frame(spark, 0, 3))
     dst = str(tmp_path / "dst")
-    run_changes_feed(spark, src, dst, ["id"])
+    run_changes_feed(spark, src, dst, ["id"], pin_source=False)
     # churn the source past retention of the bookmark generation
     append_rows(spark, src, _frame(spark, 10, 1))
     append_rows(spark, src, _frame(spark, 20, 1))
@@ -148,8 +191,10 @@ def test_feed_expired_bookmark_errors_then_resyncs(spark, tmp_path, monkeypatch)
     retained = sorted(int(k) for k in load_manifest(src)["gens"])
     assert 1 not in retained
     with pytest.raises(ValueError, match="aged out"):
-        run_changes_feed(spark, src, dst, ["id"])
-    rep = run_changes_feed(spark, src, dst, ["id"], on_expired="resync")
+        run_changes_feed(spark, src, dst, ["id"], pin_source=False)
+    rep = run_changes_feed(
+        spark, src, dst, ["id"], on_expired="resync", pin_source=False
+    )
     assert rep["resynced"] and rep["batches"] == 1
     # the resync batch is the full head as inserts, flagged in lineage
     m = load_manifest(dst)
