@@ -324,3 +324,32 @@ def run_changes_feed(
     if pin_source and result["batches"] > 0:
         tag_generation(src_path, feed_pin_name(dst_path), at=result["src_to"])
     return result
+
+
+def feed_runs(spark: SparkSession, dst_path: str) -> DataFrame:
+    """The destination's consumption history as a DataFrame — one row
+    per feed-published generation: (generation, src, since, until,
+    resync). ONE manifest read, no data files opened — the lineage
+    answer ('what did this consumer ingest, and did it ever restart')
+    served from metadata, the pipeline_runs companion for
+    subscriptions."""
+    m = load_manifest(dst_path)
+    rows = []
+    for g in sorted((m or {"gens": {}})["gens"], key=int):
+        e = (m["gens"][g]).get("changefeed")
+        if not e:
+            continue
+        rows.append(
+            (
+                int(g),
+                e["src"],
+                int(e["since"]),
+                int(e["until"]),
+                bool(e.get("resync")),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "generation long, src string, since long, until long, "
+        "resync boolean",
+    )

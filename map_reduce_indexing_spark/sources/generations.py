@@ -3858,7 +3858,8 @@ def describe_generations(spark: SparkSession, path: str) -> DataFrame:
             if r is None:
                 rows_known = False
             else:
-                n_rows += int(r)
+                n_rows += int(r) - _dv_count(g, rel)
+        dv = g.get("dv")
         rows.append(
             (
                 int(k),
@@ -3868,6 +3869,8 @@ def describe_generations(spark: SparkSession, path: str) -> DataFrame:
                 len(g["files"]),
                 n_rows if rows_known else None,
                 total_bytes,
+                int(dv["rows"]) if dv else 0,
+                g.get("schema_id"),
                 ",".join(sorted(by_gen.get(int(k), []))) or None,
                 int(k) == head,
             )
@@ -3875,7 +3878,8 @@ def describe_generations(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(
         rows,
         "generation int, published timestamp_ntz, n_files int, "
-        "n_rows long, bytes long, tags string, is_head boolean",
+        "n_rows long, bytes long, n_deleted long, schema_id int, "
+        "tags string, is_head boolean",
     )
 
 

@@ -239,3 +239,22 @@ def test_feed_transform_reshapes_batches(spark, tmp_path):
     rows = read_generation(spark, dst).collect()
     assert sorted(r.id for r in rows) == [0, 1]
     assert feed_bookmark(dst, src) == 4
+
+
+def test_feed_runs_lineage(spark, tmp_path):
+    """feed_runs: consumption history from one manifest read — the
+    pipeline_runs companion for subscriptions."""
+    from map_reduce_indexing_spark.sources.changefeed import feed_runs
+
+    src = _build_src(spark, tmp_path)
+    dst = str(tmp_path / "dst")
+    run_changes_feed(spark, src, dst, ["id"], max_batches=2)
+    run_changes_feed(spark, src, dst, ["id"])
+    rows = feed_runs(spark, dst).orderBy("generation").collect()
+    assert [(r.since, r.until, r.resync) for r in rows] == [
+        (0, 1, False),
+        (1, 2, False),
+        (2, 3, False),
+        (3, 4, False),
+    ]
+    assert all(r.src == os.path.realpath(src) for r in rows)

@@ -172,3 +172,27 @@ def test_describe_generations_metadata_table(spark, tmp_path):
     assert (d[1].is_head, d[2].is_head) == (False, True)
     assert d[1].bytes > 0 and d[2].bytes > d[1].bytes
     assert d[1].published <= d[2].published
+
+
+def test_describe_generations_dv_and_schema_columns(spark, tmp_path):
+    """Round 13: the snapshots table reports LOGICAL rows (physical
+    minus deletion-vector entries, matching generation_row_count),
+    the vector size, and the declared schema id."""
+    from map_reduce_indexing_spark.sources.generations import (
+        append_rows,
+        delete_rows_dv,
+        describe_generations,
+    )
+
+    base = str(tmp_path / "b")
+    append_rows(
+        spark,
+        base,
+        spark.createDataFrame([(i, i) for i in range(20)], "id long, v long"),
+    )
+    delete_rows_dv(spark, base, [("id", "<", 4)])
+    d = {r.generation: r for r in describe_generations(spark, base).collect()}
+    assert d[1].n_rows == 20 and d[1].n_deleted == 0
+    assert d[2].n_rows == 16 and d[2].n_deleted == 4  # logical rows
+    assert d[1].schema_id is not None
+    assert d[2].schema_id == d[1].schema_id
