@@ -82,22 +82,48 @@ def recount_candidates(
     phi_den: int = PHI_DEN,
 ) -> DataFrame:
     """Pass 2, shared with the streaming sketch (stream_heavy_hitters):
-    exact COUNT of candidate values only (broadcast left-semi prune)
+    exact COUNT of candidate values only (broadcast candidate prune)
     + the integer-ceil support threshold. Candidate SOURCE differs
     (per-partition MG vs per-key-range stream state); the recount and
     threshold must be one code path or the two operators drift from
-    the shared full-histogram oracle."""
-    total = items.agg(F.count(F.lit(1)).alias("n_total"))
-    counts = (
-        items.join(F.broadcast(cands), col, "left_semi")
-        .groupBy(col)
+    the shared full-histogram oracle.
+
+    ONE pass over `items` (r14; previously two — a count(*) for the
+    threshold plus a semi-join recount): non-candidates fold into a
+    single NULL group (map-side combined, so the tail still never
+    crosses the shuffle un-aggregated), making n_total = SUM(cnt) over
+    the <= k+1 groups — exact, from the same scan. The total rides a
+    single-partition window over those k+1 rows instead of a second
+    corpus aggregate."""
+    from pyspark.sql import Window
+
+    # distinct: a duplicate candidate under a plain (non-semi) join
+    # would fan out item rows and corrupt both cnt and the total
+    marked = items.join(
+        F.broadcast(
+            cands.select(col).distinct().withColumn("__cand", F.lit(1))
+        ),
+        col,
+        "left",
+    )
+    grouped = (
+        marked.groupBy(
+            F.when(F.col("__cand").isNotNull(), F.col(col)).alias(col)
+        )
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
     return (
-        counts.crossJoin(F.broadcast(total))  # 1-row scalar frame
+        grouped.withColumn(
+            "n_total", F.sum("cnt").over(Window.partitionBy())
+        )
         .filter(
-            F.col("cnt")
-            >= F.expr(f"(n_total * {phi_num} + {phi_den - 1}) div {phi_den}")
+            F.col(col).isNotNull()
+            & (
+                F.col("cnt")
+                >= F.expr(
+                    f"(n_total * {phi_num} + {phi_den - 1}) div {phi_den}"
+                )
+            )
         )
         .select(col, "cnt")
     )

@@ -132,7 +132,10 @@ def read_index(spark: SparkSession, path: str) -> DataFrame:
     dv = (g or {}).get("dv")
     if dv:
         side = spark.read.parquet(os.path.join(path, dv["file"]))
-        df = _dv_anti(df, side)
+        # Manifest-exact vector size: a small sidecar broadcasts (no
+        # exchange of the index scan); only a vector past the guard
+        # degrades to a shuffle-hash anti-join.
+        df = _dv_anti(df, side, int(dv.get("rows") or 0))
     return df
 
 
@@ -275,7 +278,7 @@ def compact_artifact(spark: SparkSession, path: str, rewrite, df_source=None) ->
             dv = (g0 or {}).get("dv")
             if dv:
                 side = spark.read.parquet(os.path.join(path, dv["file"]))
-                df = _dv_anti(df, side)
+                df = _dv_anti(df, side, int(dv.get("rows") or 0))
         staging = tempfile.mkdtemp(
             prefix="mri_compact_", dir=os.path.dirname(path) or "."
         )

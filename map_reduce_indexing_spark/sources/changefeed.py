@@ -161,8 +161,9 @@ def read_changes_stream(
     belongs to the caller)."""
     retained = _retained(path)
     head = generation_head(path) if until is None else int(until)
-    if since >= head:
-        base = read_generation(spark, path, at=head)
+
+    def _empty(at: int) -> DataFrame:
+        base = read_generation(spark, path, at=at)
         return (
             base.select(
                 "*",
@@ -170,6 +171,9 @@ def read_changes_stream(
                 F.lit(0).alias("_src_generation"),
             ).limit(0)
         )
+
+    if since >= head:
+        return _empty(head)
     if since > 0 and since not in retained:
         raise ValueError(
             f"bookmark generation {since} of {path!r} aged out of "
@@ -177,13 +181,37 @@ def read_changes_stream(
             "feed must resume from, or re-sync from the head"
         )
     spans = [g for g in retained if since < g <= head]
+    if not spans:
+        # `until` names a generation with no retained generations in
+        # (since, until]: same empty-schema frame as the since >= head
+        # case, not None. Schema comes from the nearest retained
+        # generation at or before `until` (any retained one if all are
+        # later — the frame is empty either way).
+        at = max((g for g in retained if g <= head), default=min(retained))
+        return _empty(at)
+    if not key_cols and (since > 0 or len(spans) > 1):
+        # every span past the first needs a diff batch, and diffing
+        # requires the row-identity key — fail here with the real
+        # reason instead of deep inside generation_changes
+        raise ValueError(
+            "read_changes_stream needs key_cols to diff generations "
+            f"(since={since}, spans={spans}); only the initial "
+            "full-snapshot batch (since=0, single span) works without"
+        )
     out = None
     prev = since
     for g in spans:
         batch = _one_batch(spark, path, prev, g, key_cols).withColumn(
             "_src_generation", F.lit(g)
         )
-        out = batch if out is None else out.unionByName(batch)
+        # allowMissingColumns: a peek window spanning a schema change
+        # (added/renamed column) aligns batches by name with null-fill,
+        # matching run_changes_feed's per-generation publish behavior.
+        out = (
+            batch
+            if out is None
+            else out.unionByName(batch, allowMissingColumns=True)
+        )
         prev = g
     return out
 

@@ -1337,6 +1337,15 @@ DV_DIR = "_dv"  # deletion-vector sidecars (underscore: invisible to scans)
 DV_BROADCAST_MAX_ROWS = 1_000_000
 
 
+def _dv_write_partitions(n_rows: int) -> int:
+    """Sidecar file count for an n_rows deletion vector: one file while
+    the vector is broadcast-sized, one file per DV_BROADCAST_MAX_ROWS
+    above that — so a single huge correction batch does not funnel its
+    whole vector through one write task (the reader already reads the
+    sidecar directory, so the file count is invisible to queries)."""
+    return max(1, -(-n_rows // DV_BROADCAST_MAX_ROWS))
+
+
 def _dv_refs(gens: dict) -> set[str]:
     """Sidecar directories some retained generation's deletion vector
     references (GC protection, same shape as _bloom_refs)."""
@@ -2982,10 +2991,11 @@ def delete_rows_dv(spark: SparkSession, path: str, where) -> dict:
             combined = matches.unionByName(prev_side).localCheckpoint(
                 eager=True
             )
-            n_new = combined.count() - int(prev_dv["rows"])
+            n_total = combined.count()
+            n_new = n_total - int(prev_dv["rows"])
         else:
             combined = matches.localCheckpoint(eager=True)
-            n_new = combined.count()
+            n_total = n_new = combined.count()
         if n_new == 0:
             return report
         # self-contained sidecar for THIS generation (old generations
@@ -2993,7 +3003,7 @@ def delete_rows_dv(spark: SparkSession, path: str, where) -> dict:
         # then flip the manifest — the object-store publish order.
         dv_rel = os.path.join(DV_DIR, f"g{head + 1}_{uuid.uuid4().hex[:8]}")
         dv_abs = os.path.join(path, dv_rel)
-        combined.coalesce(1).write.parquet(dv_abs)
+        combined.coalesce(_dv_write_partitions(n_total)).write.parquet(dv_abs)
         for f in os.listdir(dv_abs):
             fp = os.path.join(dv_abs, f)
             if f.startswith("_") and os.path.isfile(fp):
@@ -3161,10 +3171,11 @@ def _upsert_dv(
             combined = matches.unionByName(prev_side).localCheckpoint(
                 eager=True
             )
-            n_matched = combined.count() - int(prev_dv["rows"])
+            n_total = combined.count()
+            n_matched = n_total - int(prev_dv["rows"])
         else:
             combined = matches.localCheckpoint(eager=True)
-            n_matched = combined.count()
+            n_total = n_matched = combined.count()
     # land the update rows as NEW files (per-file placement is the
     # parquet writer's task-UUID names; the precise add_files listing
     # below is what publishes them — crash residue stays invisible)
@@ -3183,7 +3194,7 @@ def _upsert_dv(
     if n_matched > 0:
         dv_rel = os.path.join(DV_DIR, f"g{head + 1}_{uuid.uuid4().hex[:8]}")
         dv_abs = os.path.join(path, dv_rel)
-        combined.coalesce(1).write.parquet(dv_abs)
+        combined.coalesce(_dv_write_partitions(n_total)).write.parquet(dv_abs)
         for f in os.listdir(dv_abs):
             fp = os.path.join(dv_abs, f)
             if f.startswith("_") and os.path.isfile(fp):
@@ -3535,7 +3546,12 @@ def optimize_store(
         # itself pure JVM bitwise expressions in whole-stage codegen
         from .layout import _scaled, zorder_value
 
-        bits = 16
+        # Adapt the per-column bit width so the interleaved key always
+        # fits a signed long (zorder_value asserts bits*ncols <= 63):
+        # 16 bits up to 3 columns, narrower beyond — locality, not
+        # uniformity, is what the curve needs, so fewer bits per
+        # column is the right degradation for wide zorder_by lists.
+        bits = min(16, 63 // len(zorder_by))
         aggs = []
         for c in zorder_by:
             aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
