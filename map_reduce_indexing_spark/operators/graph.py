@@ -90,15 +90,29 @@ def pagerank(
         # normalization subtree re-plans per iteration (3 joins/round
         # instead of 2, measured ~25% of the fixture query's wall)
         e = e.localCheckpoint(eager=False)
-    has_dangling = (
-        nodes.join(out, nodes.node == out.src, "left_anti").limit(1).count()
-        > 0
-    )
-    n1 = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    ranks = nodes.crossJoin(F.broadcast(n1)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("r")
-    )
-    base = F.lit(1.0 - damping) / F.col("n")
+    # ONE bounded probe job for BOTH graph scalars (r14; was an
+    # anti-join probe job for danglingness plus a per-round
+    # crossJoin(broadcast(n1)) 1-row aggregate): N and the dangling
+    # count come from a single left-join aggregate, and every rank
+    # expression that used the broadcast n column becomes a driver
+    # literal — the SAME IEEE double ops on the same operands (1.0/N
+    # and (1-d)/N are one correctly-rounded division either side of
+    # the driver boundary), so ranks are bit-identical while the plan
+    # drops rounds+1 BroadcastNestedLoopJoins and their 1-row
+    # broadcast exchanges. N is a single long — the bounded
+    # model-fetch discipline (k-means collects k rows; this collects
+    # one).
+    probe = nodes.join(out, nodes.node == out.src, "left").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.count(F.when(F.col("src").isNull(), F.lit(1))).alias("n_dang"),
+    ).collect()[0]
+    n_nodes = int(probe["n_nodes"])
+    has_dangling = int(probe["n_dang"]) > 0
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(0.0).alias("r"))
+    n = float(n_nodes)
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
+    base = F.lit((1.0 - damping) / n)
     for _ in range(rounds):
         if checkpoint and has_dangling:
             ranks = ranks.localCheckpoint(eager=True)
@@ -108,9 +122,7 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("t").alias("s"))
         )
-        nxt = nodes.join(contrib, nodes.node == contrib.dst, "left").crossJoin(
-            F.broadcast(n1)
-        )
+        nxt = nodes.join(contrib, nodes.node == contrib.dst, "left")
         if has_dangling:
             dangling = (
                 ranks.join(out, ranks.node == out.src, "left_anti")
@@ -123,7 +135,7 @@ def pagerank(
             )
             new_r = (
                 base
-                + F.lit(damping) * (F.col("dm") / F.col("n"))
+                + F.lit(damping) * (F.col("dm") / F.lit(n))
                 + F.lit(damping)
                 * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
             )

@@ -89,18 +89,19 @@ def test_pagerank_iteration_plan_discipline(spark):
     single-reference lazy shape: ONE plan holding all 6 rounds as a
     LINEAR join-agg chain over the checkpointed edge table (Scan
     ExistingRDD leaves — without the edge checkpoint each round would
-    re-embed the 5-join lineitem pipeline), per-round scalars broadcast
-    (one BroadcastNestedLoopJoin per round, no dangling-mass joins),
-    and nothing degenerates to a cartesian product."""
+    re-embed the 5-join lineitem pipeline). Since r14 the graph
+    scalars (N, danglingness) come from one bounded probe job and ride
+    as driver literals, so NO per-round 1-row broadcast remains: zero
+    BroadcastNestedLoopJoins, and nothing degenerates to a cartesian
+    product."""
     q = registry.get("rel_pagerank_trade")
     df = q.fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Scan ExistingRDD") >= 1, plan  # checkpointed edges
     assert "lineitem" not in plan, plan  # edge derivation ran ONCE, before
-    # one n-scalar broadcast per round plus the uniform-r0 one, and
-    # nothing else nested-loops (no dangling-mass joins)
-    assert plan.count("BroadcastNestedLoopJoin") == 7, plan
+    # scalars are literals since r14: no 1-row nested-loop broadcasts
+    assert plan.count("BroadcastNestedLoopJoin") == 0, plan
 
 
 def test_pagerank_dangling_path_checkpoints_per_round(spark):
@@ -113,8 +114,9 @@ def test_pagerank_dangling_path_checkpoints_per_round(spark):
     df = pagerank(nodes, edges, rounds=3)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
-    # exactly the FINAL round is visible: its two scalar broadcasts
-    assert plan.count("BroadcastNestedLoopJoin") == 2, plan
+    # exactly the FINAL round is visible: its dangling-mass broadcast
+    # (the N scalar is a driver literal since r14)
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
 
 
 def test_registered_trade_pagerank_is_deterministic(spark):
