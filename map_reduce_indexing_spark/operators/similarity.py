@@ -2318,6 +2318,83 @@ _HOT_CELLS: dict[tuple[str, str, str], list[int]] = {}
 _HOT_CELLS_LOCK = __import__("threading").Lock()
 
 
+def _cold_pair_scores(cold: DataFrame, threshold: float) -> DataFrame:
+    """Within-cell pair cosines for the cold (non-hot) cells as ONE
+    grouped Arrow pass (r14): each cell's vectors cross the Python
+    boundary once — not once per pair — and the pair dot products are
+    a per-dimension elementwise accumulation, fl(acc + fl(a_d * b_d))
+    per step, the SAME 0.0-seeded left-to-right fold as SPARK_DOT;
+    cosine = dot / (nrm_a * nrm_b) in that operation order, with the
+    nrm column computed by the JVM exactly as before. Every emitted
+    cosine is therefore bit-identical to the join+fold form (the
+    assign_nearest broadcast-path discipline applied to pair scoring;
+    equality pinned in tests/test_semantic_dedup.py). Replaces a
+    64-term interpreted aggregate(zip_with(...)) per pair
+    (CodegenFallback, measured ~7 us/pair — ~2 s of the query at
+    sf0.1) with vectorized numpy, and replaces the self-join's two
+    passes over the assigned frame with one. The candidate set
+    (within-cell pairs, a.vec_id < b.vec_id) is unchanged; rows are
+    pre-filtered at `threshold` (callers re-filter, a no-op here).
+    Row-chunked so the (chunk, n) accumulator stays a few MB
+    regardless of cell size; genuinely huge cells are the hot-cell
+    sub-bucket branch's job, not this one's."""
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+
+    def score(pdf: pd.DataFrame):
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "vec_a": np.empty(0, dtype=np.int64),
+                "vec_b": np.empty(0, dtype=np.int64),
+                "cell": np.empty(0, dtype=np.int64),
+                "cosine": np.empty(0, dtype=np.float64),
+            }
+        )
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id", ignore_index=True)
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        cell = int(pdf["cell"].iloc[0])
+        dim = V.shape[1]
+        outs = []
+        chunk = max(1, (1 << 22) // n)  # accumulator cells per block
+        for lo in range(0, n - 1, chunk):
+            hi = min(lo + chunk, n - 1)
+            acc = np.zeros((hi - lo, n), dtype=np.float64)
+            for d in range(dim):
+                # fl(acc + fl(a_d * b_d)): one rounding per step, the
+                # exact SPARK_DOT fold order
+                acc += np.outer(V[lo:hi, d], V[:, d])
+            cos = acc / np.outer(nrm[lo:hi], nrm)
+            ii, jj = np.nonzero(cos >= thr)
+            ia = ii + lo
+            keep = jj > ia  # upper triangle: vec_a < vec_b by sort order
+            ia, jj = ia[keep], jj[keep]
+            if len(ia):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": ids[ia],
+                            "vec_b": ids[jj],
+                            "cell": np.full(len(ia), cell, dtype=np.int64),
+                            "cosine": cos[ia - lo, jj],
+                        }
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return cold.select("vec_id", "v", "cell", "nrm").groupBy(
+        "cell"
+    ).applyInPandas(
+        score, schema="vec_a long, vec_b long, cell long, cosine double"
+    )
+
+
 def _pair_cosine_select(joined: DataFrame) -> DataFrame:
     return joined.select(
         F.col("a.vec_id").alias("vec_a"),
@@ -2486,14 +2563,9 @@ def semantic_cell_pairs(
             for r in counts.filter(F.col("cell_n") >= hot_min).collect()
         ]
     cold = e.filter(~F.col("cell").isin(hot_cells)) if hot_cells else e
-    a, b = cold.alias("a"), cold.alias("b")
-    cold_pairs = _pair_cosine_select(
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-    )
+    # One grouped Arrow pass instead of the cell-id self-join: same
+    # candidate set, bit-identical cosines (see _cold_pair_scores)
+    cold_pairs = _cold_pair_scores(cold, threshold)
     if hot_cells:
         hot = e.filter(F.col("cell").isin(hot_cells))
         cold_pairs = cold_pairs.unionByName(
@@ -2533,16 +2605,20 @@ def semantic_cell_pairs(
     "within trained k-means cells) — the train-then-dedup composition: "
     "the memoized Lloyd quantizer (trained_quantizer, the same model "
     "ann_ivf_trained_topk serves) assigns every embedding its cell in "
-    "one map-only pass, candidates come from an equi SELF-JOIN on the "
-    "cell id, and the exact fold cosine verifies each candidate — the "
+    "one map-only pass, and within-cell candidates are scored by ONE "
+    "grouped Arrow pass per cell (r14; each cell's vectors cross the "
+    "Python boundary once, and the pair dots replay the exact "
+    "SPARK_DOT fold order elementwise — bit-identical cosines, pinned "
+    "in tests/test_semantic_dedup.py — where the former cell-id "
+    "self-join paid a ~7us interpreted fold per pair) — the "
     "Abbas-et-al SemDeDup recipe (cluster the embedding space, prune "
     "within clusters) as a first-class operator. Distinct from "
     "dedup_embedding_pairs the way SemDeDup differs from random-"
     "hyperplane LSH: the blocking key is LEARNED from the corpus, so "
     "cells track the data's density rather than fixed random cuts. At "
     "100 TB the cell id is the store's partition key (VectorStore "
-    "layout='ivf' with trained centroids), making the join partition-"
-    "local. Candidate-set size is controlled by training k in "
+    "layout='ivf' with trained centroids), making the pairing "
+    "partition-local. Candidate-set size is controlled by training k in "
     "PROPORTION to the corpus — cells stay bounded-size, which is what "
     "the large-k broadcast assignment path exists for (swept to k=1024 "
     "in SCALING.md; the fixture's k=8 is coarse-quantizer scale) — "
@@ -2566,6 +2642,11 @@ def q_dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents,
         out_col="cell",
     ).withColumn("nrm", F.expr(f"sqrt({SPARK_DOT.format(a='v', b='v')})"))
+    # The assigned frame feeds the hot-cell count (first call only) and
+    # the pair scorer: materialize it once instead of re-running the
+    # scan + assignment per consumer (r14; same values, so the oracle
+    # hash is untouched).
+    e = e.localCheckpoint(eager=True)
     # Hot-cell detection memoized per (app, corpus content) like the
     # quantizer itself: the counting job runs once, repeat calls plan
     # the same branches without re-counting.

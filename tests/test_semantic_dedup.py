@@ -75,11 +75,16 @@ def test_precision_one_and_recall_floor(spark):
     assert want and len(got) / len(want) >= 0.3
 
 
-def test_plan_is_equi_join_no_python(spark):
-    """Candidates must come from an equi self-join on the cell key (no
-    CartesianProduct / BroadcastNestedLoopJoin), and at coarse-
-    quantizer k the assignment is the literal map-only path — no
-    Python (mapInPandas) anywhere in the plan."""
+def test_plan_is_cell_grouped_no_cartesian(spark):
+    """Candidates must stay cell-blocked: no CartesianProduct /
+    BroadcastNestedLoopJoin anywhere, and at coarse-quantizer k the
+    assignment is the literal map-only path (no MapInPandas). Since
+    r14 the cold-cell pair scorer is ONE grouped Arrow pass per cell
+    (exactly one FlatMapGroupsInPandas — each cell's vectors cross the
+    Python boundary once, never once per pair) instead of the cell-id
+    self-join whose per-pair interpreted fold dominated the query;
+    bit-equality of every cosine with the join+fold form is pinned by
+    test_cold_scorer_bitequal_to_join below."""
     df = _pairs(spark)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
@@ -87,7 +92,58 @@ def test_plan_is_equi_join_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "MapInPandas" not in plan
-    assert "FlatMapGroupsInPandas" not in plan
+    # exactly one grouped-pass node ("formatted" lists each node twice:
+    # once in the tree — "FlatMapGroupsInPandas (n)" — once as "(n) ...")
+    assert plan.count("FlatMapGroupsInPandas (") == 1
+
+
+def test_cold_scorer_bitequal_to_join(spark):
+    """The grouped-Arrow pair scorer must emit the EXACT pair set and
+    bit-identical cosines of the r8 cell-id self-join + SPARK_DOT fold
+    (the fold-order replay argument: fl(acc + fl(a_d*b_d)) per step,
+    0.0-seeded, then dot / (nrm_a * nrm_b) in that operation order)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_indexing_spark.operators.similarity import (
+        SEMANTIC_COSINE,
+        _cold_pair_scores,
+        _pair_cosine_select,
+    )
+
+    e = _assigned(spark).localCheckpoint(eager=True)
+    a, b = e.alias("a"), e.alias("b")
+    old = _pair_cosine_select(
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+    ).filter(F.col("cosine") >= SEMANTIC_COSINE)
+    new = _cold_pair_scores(e, SEMANTIC_COSINE).filter(
+        F.col("cosine") >= SEMANTIC_COSINE
+    )
+    j = old.alias("o").join(
+        new.alias("n"),
+        (F.col("o.vec_a") == F.col("n.vec_a"))
+        & (F.col("o.vec_b") == F.col("n.vec_b")),
+        "full",
+    )
+    assert (
+        j.filter(
+            F.col("o.vec_a").isNull() | F.col("n.vec_a").isNull()
+        ).count()
+        == 0
+    )
+    assert (
+        j.filter(
+            F.expr(
+                "o.cosine IS DISTINCT FROM n.cosine"
+                " OR o.cell IS DISTINCT FROM n.cell"
+            )
+        ).count()
+        == 0
+    )
+    assert old.count() > 0
 
 
 def test_blocking_key_is_the_served_model(spark):
