@@ -2406,7 +2406,69 @@ def _read_reconciled(
     return out
 
 
+# Resolved-read-plan memo (r14): the LAZY DataFrame a (path, at, where,
+# merge_schema) read resolves to, keyed on the manifest file's identity
+# (st_ino, st_size, st_mtime_ns — the atomic rename-save makes every
+# commit a new inode, so any publish/fold/vacuum/rename invalidates).
+# This caches NO data and NO results: the plan still scans the parquet
+# inputs on every execution; only the driver-side resolution work
+# (manifest parse, stats pruning, per-file reader construction — the
+# Delta/Iceberg "snapshot state" that real clients cache per version)
+# is reused within one session. Same memo family as trained_quantizer /
+# session_artifact_df: bounded, content-fingerprint-keyed, session-local.
+_READ_GEN_MEMO = __import__("collections").OrderedDict()
+_READ_GEN_MEMO_MAX = 256
+_READ_GEN_LOCK = __import__("threading").Lock()
+
+
+def _manifest_identity(path: str):
+    """(inode, size, mtime_ns) of the manifest file, or None when the
+    store has no manifest (no caching then — live directories mutate
+    without a manifest commit)."""
+    try:
+        st = os.stat(_gen_path(path))
+    except OSError:
+        return None
+    return (st.st_ino, st.st_size, st.st_mtime_ns)
+
+
 def read_generation(
+    spark: SparkSession,
+    path: str,
+    at: int | str | None = None,
+    where=None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    ident = _manifest_identity(path)
+    key = None
+    if ident is not None:
+        key = (
+            spark.sparkContext.applicationId,
+            os.path.abspath(path),
+            repr(at),
+            repr(where),
+            bool(merge_schema),
+            ident,
+            # plan-shape tunable consulted at resolve time (broadcast vs
+            # shuffle anti-join for DV sidecars): a changed threshold is
+            # a different plan, so it is part of the plan's identity
+            DV_BROADCAST_MAX_ROWS,
+        )
+        with _READ_GEN_LOCK:
+            hit = _READ_GEN_MEMO.get(key)
+            if hit is not None:
+                _READ_GEN_MEMO.move_to_end(key)
+                return hit
+    df = _read_generation_impl(spark, path, at, where, merge_schema)
+    if key is not None:
+        with _READ_GEN_LOCK:
+            _READ_GEN_MEMO[key] = df
+            while len(_READ_GEN_MEMO) > _READ_GEN_MEMO_MAX:
+                _READ_GEN_MEMO.popitem(last=False)
+    return df
+
+
+def _read_generation_impl(
     spark: SparkSession,
     path: str,
     at: int | str | None = None,

@@ -1240,8 +1240,13 @@ def funnel_stream(ev: DataFrame, steps: tuple[str, ...]) -> DataFrame:
             if not len(pdf):
                 continue
             n += len(pdf)
+            # one numpy pass per batch instead of a pandas .loc mask
+            # per step (r14): same sorted-distinct sets, less per-key
+            # Python overhead — this function runs once per user
+            et = pdf["event_type"].to_numpy()
+            ts_all = pdf["ts_us"].to_numpy()
             for i, step in enumerate(steps):
-                ts = pdf.loc[pdf["event_type"] == step, "ts_us"]
+                ts = ts_all[et == step]
                 if len(ts):
                     sets[i] = sorted(
                         set(sets[i]).union(int(t) for t in ts)

@@ -404,3 +404,43 @@ def test_optimize_store_reclusters_and_preserves_everything(spark, tmp_path):
 def _both_io_backends(io_backend):
     """Round 11: every test in this module runs under BOTH commit
     backends (see conftest.io_backend) — POSIX and object-store CAS."""
+
+
+def test_read_plan_memo_identity_and_invalidation(
+    spark, tmp_path, monkeypatch
+):
+    """r14 optimization: read_generation memoizes the RESOLVED lazy
+    plan keyed on (session, path, at, where, merge_schema, manifest
+    file identity, DV broadcast threshold). Contract pinned here:
+    (a) a repeated identical read is a memo HIT (same plan object —
+    the manifest parse/stats-pruning driver work is not repeated);
+    (b) ANY manifest commit invalidates, so a live read sees new data
+    immediately; (c) a pinned `at=` read of the old generation still
+    serves the old snapshot after the commit; (d) a changed
+    DV_BROADCAST_MAX_ROWS re-resolves (plan shape is part of the
+    identity — test_dv_anti_leaves_broadcast_above_guard relies on
+    this). No data is cached: the memoized object is a lazy plan."""
+    import map_reduce_indexing_spark.sources.generations as G
+    from map_reduce_indexing_spark.sources.generations import append_rows
+
+    path = str(tmp_path / "store")
+    append_rows(
+        spark,
+        path,
+        spark.createDataFrame([(i,) for i in range(10)], "id long"),
+    )
+    g1 = generation_head(path)
+    a = read_generation(spark, path)
+    assert read_generation(spark, path) is a  # (a) memo hit
+
+    append_rows(
+        spark, path, spark.createDataFrame([(99,)], "id long")
+    )
+    c = read_generation(spark, path)
+    assert c is not a  # (b) commit invalidated the head read
+    assert sorted(r.id for r in c.collect()) == list(range(10)) + [99]
+    pinned = read_generation(spark, path, at=g1)
+    assert sorted(r.id for r in pinned.collect()) == list(range(10))  # (c)
+
+    monkeypatch.setattr(G, "DV_BROADCAST_MAX_ROWS", 1)
+    assert read_generation(spark, path) is not c  # (d) tunable in key
