@@ -1794,19 +1794,41 @@ def train_kmeans_frame(
         assigned = assign_nearest(
             vecs, cents, out_col="cluster", method=assign
         )
-        stats = assigned.groupBy("cluster").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum(F.col("v")[d].cast(_KM_DEC)).alias(f"s{d}")
-                for d in range(DIM)
-            ],
+        # Update step as ONE single-sum aggregation over the exploded
+        # (cluster, dimension, value) rows instead of 64 separate
+        # decimal aggregate columns (r14): DECIMAL(38,12) addition is
+        # EXACT, so summing the identical cast values in any grouping
+        # order yields the bit-identical sum — the determinism contract
+        # above is untouched — while the generated aggregate shrinks
+        # from 65 codegen'd columns to 2 (the 64-column form spent
+        # ~1.0 s/round in plan/codegen alone at ANY data size; this
+        # form ~0.35 s — measured sf0.1, 2 000 vectors). The shuffle
+        # carries k*DIM rows per partition after map-side combine
+        # (vs k rows x 65 columns — same bytes), and the model fetch
+        # is <= k*DIM rows, still the bounded-collect discipline.
+        # n rides per-dimension counts: embeddings are fixed-DIM
+        # non-null vectors (the corpus contract every consumer and
+        # the DuckDB oracle already assume), so count(x) per (cluster,
+        # d) equals the cluster's row count.
+        stats = (
+            assigned.select("cluster", F.posexplode("v").alias("d", "x"))
+            .groupBy("cluster", "d")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("x").cast(_KM_DEC)).alias("s"),
+            )
         )
         new = list(cents)
-        for r in stats.collect():  # <= k rows: the bounded model fetch
-            new[int(r["cluster"]) - 1] = [
-                round(float(r[f"s{d}"]) / r["n"], KMEANS_ROUND)
-                for d in range(DIM)
-            ]
+        upd: dict[int, list] = {}
+        for r in stats.collect():  # <= k*DIM rows: the bounded fetch
+            cl = int(r["cluster"])
+            if cl not in upd:
+                upd[cl] = list(cents[cl - 1])
+            upd[cl][int(r["d"])] = round(
+                float(r["s"]) / r["n"], KMEANS_ROUND
+            )
+        for cl, c in upd.items():
+            new[cl - 1] = c
         cents = new
     return cents
 
