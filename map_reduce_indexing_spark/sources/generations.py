@@ -2714,6 +2714,53 @@ def generation_changes(
     key_cols: tuple[str, ...] = (),
     compare_cols: tuple[str, ...] = (),
 ) -> DataFrame:
+    """Memoizing wrapper over :func:`_generation_changes_impl` — the
+    same resolved-plan memo discipline as read_generation (r14): the
+    CDF plan for a (since, until, keys) span is deterministic given
+    the manifest file's identity, so repeat calls within a session
+    reuse the LAZY frame instead of re-walking the manifest and
+    re-building the two restricted readers + full-outer join. No data
+    and no results are cached; any commit is a new manifest inode and
+    re-resolves."""
+    ident = _manifest_identity(path)
+    if ident is None:
+        return _generation_changes_impl(
+            spark, path, since, until, key_cols, compare_cols
+        )
+    key = (
+        "changes",
+        spark.sparkContext.applicationId,
+        os.path.abspath(path),
+        repr(since),
+        repr(until),
+        tuple(key_cols),
+        tuple(compare_cols),
+        ident,
+        DV_BROADCAST_MAX_ROWS,
+    )
+    with _READ_GEN_LOCK:
+        hit = _READ_GEN_MEMO.get(key)
+        if hit is not None:
+            _READ_GEN_MEMO.move_to_end(key)
+            return hit
+    df = _generation_changes_impl(
+        spark, path, since, until, key_cols, compare_cols
+    )
+    with _READ_GEN_LOCK:
+        _READ_GEN_MEMO[key] = df
+        while len(_READ_GEN_MEMO) > _READ_GEN_MEMO_MAX:
+            _READ_GEN_MEMO.popitem(last=False)
+    return df
+
+
+def _generation_changes_impl(
+    spark: SparkSession,
+    path: str,
+    since: int | str,
+    until: int | str | None = None,
+    key_cols: tuple[str, ...] = (),
+    compare_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Row-level CHANGE FEED between two snapshots (the Delta CDF
     shape): classify every row as insert / delete / update between
     generations `since` and `until` (head when None) by a single

@@ -169,3 +169,41 @@ def test_change_feed_restriction_handles_pure_append_and_pure_rewrite(
     ch2 = generation_changes(spark, base, since=2, key_cols=("rid",))
     assert ch2.filter(ch2.change_type != "delete").count() == 0
     assert ch2.count() == 11
+
+
+def test_changes_plan_memo_identity_and_invalidation(spark, tmp_path):
+    """r14 optimization: generation_changes memoizes the resolved CDF
+    plan per (span, keys, manifest identity) — the read_generation
+    memo discipline applied to the change feed. A repeated identical
+    call is a memo HIT (no manifest re-walk, no reader rebuild); any
+    commit invalidates so the next call resolves the new head; a
+    pinned span keeps serving the same frame. The memoized object is
+    LAZY — no data or results are cached."""
+    base = str(tmp_path / "b")
+    _write_rows(spark, base, [(1, "a", 1), (2, "b", 2)])
+    publish_generation(base)
+    _write_rows(spark, base, [(3, "c", 3)], mode="append")
+    publish_generation(base)
+
+    a = generation_changes(spark, base, since=1, until=2, key_cols=("k",))
+    b = generation_changes(spark, base, since=1, until=2, key_cols=("k",))
+    assert b is a  # memo hit on the identical span
+    assert sorted((r.k, r.change_type) for r in a.collect()) == [
+        (3, "insert")
+    ]
+    # different args are different plans
+    c = generation_changes(
+        spark, base, since=1, until=2, key_cols=("k",), compare_cols=("val",)
+    )
+    assert c is not a
+
+    # a commit invalidates: same call re-resolves against the new manifest
+    _write_rows(spark, base, [(4, "d", 4)], mode="append")
+    publish_generation(base)
+    d = generation_changes(spark, base, since=1, until=2, key_cols=("k",))
+    assert d is not a
+    e = generation_changes(spark, base, since=1, key_cols=("k",))
+    assert sorted((r.k, r.change_type) for r in e.collect()) == [
+        (3, "insert"),
+        (4, "insert"),
+    ]
