@@ -761,9 +761,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(F.col("l.lab"), F.coalesce(F.col("n.nlab"), F.col("l.lab"))).alias("lab"),
                 F.col("l.lab").alias("old"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        converged = new.filter(F.col("lab") != F.col("old")).limit(1).count() == 0
+        # ONE job per round (r14; was two — an eager-checkpoint
+        # materialization plus a limit(1) probe): the full count over
+        # the changed-rows filter computes EVERY partition, which
+        # materializes the lazy checkpoint as a side effect, and its
+        # result IS the convergence test (count==0 <=> no row passed
+        # the limit(1) probe). Same rounds, same labels.
+        converged = new.filter(F.col("lab") != F.col("old")).count() == 0
         labels = new.select("node", "lab")
         if converged:
             break
