@@ -1405,17 +1405,30 @@ def q_text_pmi_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ws")
         .filter(F.size("ws") > 0)
     )
+    # The grouped pair table is materialized ONCE (r14) and feeds both
+    # the PMI join and the n_pairs total: every exploded pair row lands
+    # in exactly one (w1, w2) group, so SUM(d_pair) over the grouped
+    # table IS the pair total — the same exact BIGINT the old per-row
+    # size(windowed_pair_expr()) sum produced — and the checkpoint
+    # guarantees the corpus-sized explode runs once (AQE stage reuse
+    # does NOT fire across these consumers — verified in the executed
+    # plan: without the checkpoint the explode subtree executes per
+    # consumer, exactly the below-the-exchange hazard the note above
+    # records). One corpus pass building pair arrays instead of two;
+    # the materialized frame is the aggregated pair-count table, the
+    # same bytes the shuffle already carried. n_tokens keeps its own
+    # lightweight ws pass — sizing token arrays, never building pairs.
     pairs = (
         ws.select(F.explode(F.expr(windowed_pair_expr())).alias("p"))
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("d_pair"))
+        .localCheckpoint(eager=True)
     )
     uni = lm_slice(spark, sf_dir, 1).select(F.col("g").alias("w"), "c")
-    totals = ws.select(
-        F.size("ws").alias("nt"),
-        F.size(F.expr(windowed_pair_expr())).alias("np"),
-    ).agg(F.sum("nt").alias("n_tokens"), F.sum("np").alias("n_pairs"))
+    totals = ws.agg(F.sum(F.size("ws")).alias("n_tokens")).crossJoin(
+        pairs.agg(F.sum("d_pair").alias("n_pairs"))
+    )
     c1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     c2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
     return (

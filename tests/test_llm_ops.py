@@ -85,21 +85,26 @@ def test_pmi_windowed_pair_generation_is_linear(spark):
 
 
 def test_pmi_windowed_plan_has_no_recomputed_totals(spark):
-    """r7 end-state shape: ZERO corpus scans (r6 had 4 pinned
-    tokenizing corpus scans) and ONE explode (r7 round one had 3).
-    The unigram count table is the persisted LM artifact's k=1 slice
-    (two pruned reads, one per join side) instead of a per-call token
-    explode+aggregation; scalar totals come from the lightweight
-    array-sizing read, not from re-aggregating the exploded pair
-    stream (exchange reuse provably does not fire across the differing
-    aggregates). Pin: 0 corpus scans, 2 tokens-artifact scans (pairs,
-    totals), 2 lm_counts scans, 1 explode, no tokenizer regex."""
+    """r14 end-state shape: ZERO corpus scans (r6 had 4 pinned
+    tokenizing corpus scans), and the corpus-sized pair explode runs
+    ONCE, at checkpoint time — the grouped pair table is materialized
+    and feeds both the PMI join and the n_pairs total (SUM(d_pair)
+    over the groups is exactly the old per-row array-sizing sum,
+    without building every row's pair array a second time; AQE stage
+    reuse verifiably does NOT fire across those consumers, so the
+    checkpoint is what guarantees the single pass). Pin: 0 corpus
+    scans, exactly ONE tokens-artifact scan left in the final plan
+    (the lightweight n_tokens sizing read), 2 lm_counts scans (one per
+    join side), ZERO explodes in the final plan (it ran at checkpoint
+    time — the pair table enters as the materialized RDD), no
+    tokenizer regex."""
     df = registry.get("text_pmi_windowed").fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("documents.parquet") == 0, plan
-    assert plan.count("mri_session_tokens") == 2, plan
+    assert plan.count("mri_session_tokens") == 1, plan
     assert plan.count("mri_session_lm_counts") == 2, plan
-    assert plan.count("Generate explode") == 1, plan
+    assert plan.count("Generate explode") == 0, plan
+    assert "ExistingRDD" in plan, plan  # the checkpointed pair table
     assert "regexp_replace" not in plan, plan
 
 
