@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..localrel import local_rows_df
 from ..plans.registry import register
 from .indexing import TOKENS_SQL
 
@@ -197,6 +198,8 @@ def train_bpe_merges(
             for r in bpe_vocab(spark, sf_dir).select("word", "freq").collect()
         }
         return train_bpe_merges_from_vocab(vocab, n_merges)
+    from ..checkpoints import release_local_checkpoint
+
     vocab = bpe_vocab(spark, sf_dir).localCheckpoint(eager=True)
     merges: list[dict] = []
     for r in range(n_merges):
@@ -211,9 +214,17 @@ def train_bpe_merges(
         merges.append(
             {"rank": r, "a": a, "b": b, "merged": a + b, "cnt": cnt}
         )
+        prev = vocab
         vocab = vocab.withColumn(
             "seq", F.expr(_spark_merge_fold("seq", a, b))
         ).localCheckpoint(eager=True)
+        # the new round is materialized; the previous round's blocks are
+        # no longer reachable from anything this function returns (r15:
+        # bounded storage per call instead of one pinned copy per round)
+        release_local_checkpoint(prev)
+    # the returned value is the driver-side merge list — the last
+    # vocab checkpoint is not referenced by it either
+    release_local_checkpoint(vocab)
     return merges
 
 
@@ -296,7 +307,7 @@ def _duck_bpe_merges_sql(n_merges: int = N_BPE_MERGES) -> str:
 )
 def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = train_bpe_merges(spark, sf_dir)
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [
             (m["rank"], m["a"], m["b"], m["merged"], m["cnt"])
             for m in merges
@@ -319,7 +330,7 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_bpe_merges_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = train_bpe_merges(spark, sf_dir, driver_local=True)
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [
             (m["rank"], m["a"], m["b"], m["merged"], m["cnt"])
             for m in merges

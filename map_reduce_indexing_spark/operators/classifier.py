@@ -56,6 +56,7 @@ import threading
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..localrel import local_rows_df
 from ..plans.registry import register
 from .dedup import DUCK_TOKENS_LIST
 from .textstats import _vote
@@ -518,7 +519,7 @@ def q_text_classifier_train(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     w = train_classifier(spark, sf_dir)
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [(j, CLF_FEATURES[j], w[j]) for j in range(_D)],
         "feature_id long, feature string, weight double",
     )

@@ -539,7 +539,11 @@ SIMHASH_BLOCK_BITS = SIMHASH_BITS // N_SIMHASH_BLOCKS
     "is localCheckpointed so both join sides reuse one computation.",
 )
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = simhash_docs(spark, sf_dir).localCheckpoint(eager=True)
+    from ..checkpoints import rotating_local_checkpoint
+
+    s = rotating_local_checkpoint(
+        simhash_docs(spark, sf_dir), "dedup.simhash.signatures"
+    )
     block_vals = F.array(
         *[
             F.expr(
@@ -736,6 +740,8 @@ def _verified_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_clusters_star variant converges in O(log n) rounds.",
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..checkpoints import release_local_checkpoint
+
     edges = _verified_dup_edges(spark, sf_dir)
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -743,6 +749,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lab", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    prev_ckpt = labels  # released once the next round is materialized
     max_rounds, converged = 50, False
     for _ in range(max_rounds):
         neigh = (
@@ -770,6 +777,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # result IS the convergence test (count==0 <=> no row passed
         # the limit(1) probe). Same rounds, same labels.
         converged = new.filter(F.col("lab") != F.col("old")).count() == 0
+        # `new` is materialized by the count above; the previous round's
+        # checkpoint is no longer reachable from it (lineage truncated),
+        # so its blocks can be released now — bounded per-call storage
+        # instead of one pinned copy per round (r15, guide §5).
+        release_local_checkpoint(prev_ckpt)
+        prev_ckpt = new
         labels = new.select("node", "lab")
         if converged:
             break
@@ -781,6 +794,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{max_rounds} rounds (component diameter too large — switch "
             "to the large-star/small-star variant)"
         )
+    # the returned labels read only the final round's materialized
+    # checkpoint; the verified-edge checkpoint is unreachable from it
+    release_local_checkpoint(edges)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
     )
@@ -838,12 +854,18 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 30) -> DataFra
             .distinct()
         )
 
+    from ..checkpoints import release_local_checkpoint
+
     converged = False
     for _ in range(max_rounds):
         new = star(star(e, large=True), large=False).localCheckpoint(eager=True)
         changed = (
             new.exceptAll(e).limit(1).count() + e.exceptAll(new).limit(1).count()
         ) > 0
+        # the convergence probe above was the last reader of the previous
+        # round's edge set; release its blocks (r15, bounded per-call
+        # storage — the returned labels only reference the FINAL e)
+        release_local_checkpoint(e)
         e = new
         if not changed:
             converged = True

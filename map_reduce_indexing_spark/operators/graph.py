@@ -111,11 +111,21 @@ def pagerank(
     if n_nodes == 0:
         return nodes.select("node", F.lit(0.0).alias("r"))
     n = float(n_nodes)
+    from ..checkpoints import release_local_checkpoint
+
     ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
     base = F.lit((1.0 - damping) / n)
+    prev_ckpt = None
     for _ in range(rounds):
         if checkpoint and has_dangling:
             ranks = ranks.localCheckpoint(eager=True)
+            # this round's checkpoint was materialized FROM the previous
+            # one; the previous round's blocks are now unreachable from
+            # anything downstream — release them (r15, bounded per-call
+            # storage instead of one pinned copy per round)
+            if prev_ckpt is not None:
+                release_local_checkpoint(prev_ckpt)
+            prev_ckpt = ranks
         contrib = (
             ranks.join(e, ranks.node == e.src)
             .select("dst", (F.col("r") * F.col("p")).cast(_TERM_DEC).alias("t"))
@@ -356,9 +366,13 @@ def triangle_counts(und: DataFrame) -> DataFrame:
     checkpoint/cache `und` — it feeds the degree table, the orientation,
     and three legs of the wedge join. (tools/triangles_scale.py drives
     this on synthesized graphs for the scaling curve.)"""
+    # One pass over the edge set instead of two: explode([u, v]) feeds
+    # the same multiset of endpoints to the SAME count aggregate the
+    # unionAll fed (each edge contributes u once and v once either way),
+    # so degrees are identical — but the corpus-sized edge scan runs
+    # once, not per union branch (r15; guide §2.4).
     deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
+        und.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -391,10 +405,15 @@ def triangle_counts(und: DataFrame) -> DataFrame:
             F.col("e2.b").alias("z"),
         )
     )
+    # The wedge/closure join is the expensive subtree (E^1.5 fan-out at
+    # scale): the union-of-three-projections form re-executed it once
+    # PER BRANCH (3 SortMergeJoin pairs in the executed plan — the
+    # checkpointed `oe` feeds the join, but the join itself is above
+    # the checkpoint, so nothing deduplicates it). explode([x, y, z])
+    # emits the identical node multiset from ONE evaluation (r15;
+    # guide §1.2 "don't compute things you throw away", §2.4).
     tn = (
-        tri.select(F.col("x").alias("node"))
-        .unionAll(tri.select(F.col("y").alias("node")))
-        .unionAll(tri.select(F.col("z").alias("node")))
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("t"))
     )

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..localrel import local_rows_df
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -227,7 +228,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
     )
-    rates = spark.createDataFrame(
+    rates = local_rows_df(spark, 
         list(_STRATA_PCT), "flag: string, pct: int"
     )
     return (

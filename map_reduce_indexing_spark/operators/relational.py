@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..localrel import local_rows_df
 from ..plans.registry import register
 from ..sources.tables import load_table, register_views
 
@@ -409,7 +410,7 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_theta_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(
+    bands = local_rows_df(spark, 
         [("small", 0, 100000), ("medium", 100000, 300000), ("large", 300000, 1000000)],
         "band string, lo long, hi long",
     )

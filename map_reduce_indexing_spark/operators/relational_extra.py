@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..localrel import local_rows_df
 from ..plans.registry import register
 from ..sources.tables import load_table, register_views
 from .relational import dec, dsum, sql_dec, sql_dsum
@@ -1492,7 +1493,7 @@ def q_rel_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _os.path.join(root, "base")
     n_pinned = generation_row_count(base, at="train-v1")
     n_head = generation_row_count(base)
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [(n_pinned, n_head)], "n_pinned long, n_head long"
     )
 
@@ -1630,7 +1631,7 @@ def q_rel_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = orders_gated_store(spark, sf_dir)
     audit = expectation_audit(path)
     rows = sorted(audit["violations"].items())
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows, "expectation string, n_violations long"
     )
 
@@ -1926,7 +1927,7 @@ def q_rel_metadata_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         datetime.datetime.fromisoformat(dmin),
         datetime.datetime.fromisoformat(dmax),
     )
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [row],
         "n_rows long, min_key long, max_key long, "
         "first_date timestamp, last_date timestamp",
@@ -1977,7 +1978,7 @@ def q_rel_metadata_count_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     bounded = rep["files_metadata"] >= 1 and rep["files_scanned"] <= 3
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [(rep["count"], bounded)],
         "n_orders long, bounded_plan boolean",
     )

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..checkpoints import rotating_local_checkpoint
 from ..plans.registry import register
 from .indexing import POSTINGS_SQL, indexed_postings
 
@@ -683,14 +684,16 @@ def q_search_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.log(F.col("n_docs").cast("double") / F.col("df"))
             ).alias("wt"),
         )
-        # w feeds FOUR consumers (both self-join sides + both norm
-        # lookups): materialize it once instead of re-running the
-        # posting scan + df aggregation per consumer — the plan drops
-        # from 12 parquet scans / ~23 exchanges to one scan chain
-        # (r14; the GraphX reuse discipline pagerank already applies).
-        # Same values, so the oracle hash is untouched.
-        .localCheckpoint(eager=True)
     )
+    # w feeds FOUR consumers (both self-join sides + both norm
+    # lookups): materialize it once instead of re-running the
+    # posting scan + df aggregation per consumer — the plan drops
+    # from 12 parquet scans / ~23 exchanges to one scan chain
+    # (r14; the GraphX reuse discipline pagerank already applies).
+    # Same values, so the oracle hash is untouched. Rotated (r15):
+    # repeat calls unpersist older generations instead of pinning one
+    # materialized copy per call for the session's lifetime.
+    w = rotating_local_checkpoint(w, "search.related_docs.w")
     nm = w.groupBy("doc_id").agg(
         F.sqrt(
             F.sum(F.expr(f"cast(wt * wt as {_SIM_DEC})")).cast("double")

@@ -27,6 +27,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..localrel import local_rows_df
 from ..plans.registry import register
 from ..sources.tables import load_table
 from .dedup import (
@@ -1815,18 +1816,43 @@ def train_kmeans_frame(
             .groupBy("cluster", "d")
             .agg(
                 F.count(F.lit(1)).alias("n"),
+                F.count("x").alias("nx"),  # non-null elements (guard)
                 F.sum(F.col("x").cast(_KM_DEC)).alias("s"),
             )
         )
         new = list(cents)
         upd: dict[int, list] = {}
+        seen: dict[int, dict[int, int]] = {}
         for r in stats.collect():  # <= k*DIM rows: the bounded fetch
             cl = int(r["cluster"])
+            if r["nx"] != r["n"]:
+                raise ValueError(
+                    "train_kmeans_frame: NULL vector element in cluster "
+                    f"{cl} dim {int(r['d'])} — the corpus violates the "
+                    "fixed-DIM non-null vector contract (the exploded "
+                    "aggregate would silently skew that dimension's mean)"
+                )
+            seen.setdefault(cl, {})[int(r["d"])] = int(r["n"])
             if cl not in upd:
                 upd[cl] = list(cents[cl - 1])
             upd[cl][int(r["d"])] = round(
                 float(r["s"]) / r["n"], KMEANS_ROUND
             )
+        # Fixed-DIM guard (r15, zero extra jobs: validated on the rows
+        # the update already fetches): every non-empty cluster must
+        # cover every dimension with the SAME row count — a short or
+        # ragged vector breaks one of the two, and would otherwise
+        # silently shift means where the old 65-column aggregate form
+        # nulled the sum.
+        for cl, dmap in seen.items():
+            if set(dmap) != set(range(DIM)) or len(set(dmap.values())) > 1:
+                raise ValueError(
+                    f"train_kmeans_frame: cluster {cl} has ragged vector "
+                    f"dimensions (covered dims {len(dmap)}/{DIM}, "
+                    f"per-dim counts {sorted(set(dmap.values()))}) — the "
+                    "corpus violates the fixed-DIM non-null vector "
+                    "contract"
+                )
         for cl, c in upd.items():
             new[cl - 1] = c
         cents = new
@@ -2519,7 +2545,7 @@ def subbucket_candidates(e: DataFrame, threshold: float) -> DataFrame:
     dirs = _hot_cell_directions(e)
     spark = e.sparkSession
     schema = "cell long, w1 array<double>, w2 array<double>"
-    wf = spark.createDataFrame(
+    wf = local_rows_df(spark, 
         [(int(c), w1, w2) for c, (w1, w2) in dirs.items()], schema
     )
     proj = (
@@ -2667,8 +2693,11 @@ def q_dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The assigned frame feeds the hot-cell count (first call only) and
     # the pair scorer: materialize it once instead of re-running the
     # scan + assignment per consumer (r14; same values, so the oracle
-    # hash is untouched).
-    e = e.localCheckpoint(eager=True)
+    # hash is untouched). Rotated (r15): repeat calls release older
+    # generations instead of pinning one copy per call.
+    from ..checkpoints import rotating_local_checkpoint
+
+    e = rotating_local_checkpoint(e, "similarity.semantic_pairs.assigned")
     # Hot-cell detection memoized per (app, corpus content) like the
     # quantizer itself: the counting job runs once, repeat calls plan
     # the same branches without re-counting.

@@ -1392,14 +1392,18 @@ def q_text_pmi_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   uni   : the k=1 slice of the persisted LM count table — the
     #           unigram explode+aggregation this query re-ran per call
     #           until the lm_counts artifact existed
-    #   totals: one lightweight ws read sizing the per-row arrays.
-    #           (NOT closed-form from n_norm_tokens: windowed_pair_expr
-    #           drops same-word pairs — `w1 <> w2` — so the pair count
-    #           is data-dependent, verified the hard way.)
-    # Totals stay a 1-row broadcast; re-aggregating the exploded pair
-    # stream instead would re-explode and re-shuffle it (exchange reuse
-    # provably does not fire across differing aggregates — plan-audited
-    # in tests/test_llm_ops.py).
+    #   totals: n_tokens from one lightweight ws read sizing the token
+    #           arrays; n_pairs = SUM(d_pair) over the CHECKPOINTED
+    #           grouped pair table (r14 — safe precisely because the
+    #           checkpoint materializes the group table once; the r7
+    #           form this replaced re-aggregated the lazy exploded
+    #           stream, which re-ran the corpus explode per consumer
+    #           since exchange reuse provably does not fire across
+    #           differing aggregates — plan-audited in
+    #           tests/test_llm_ops.py).
+    #           (n_pairs is NOT closed-form from n_norm_tokens:
+    #           windowed_pair_expr drops same-word pairs — `w1 <> w2` —
+    #           so the pair count is data-dependent.)
     ws = (
         tokenized_docs(spark, sf_dir)
         .select("ws")
@@ -1418,12 +1422,14 @@ def q_text_pmi_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the materialized frame is the aggregated pair-count table, the
     # same bytes the shuffle already carried. n_tokens keeps its own
     # lightweight ws pass — sizing token arrays, never building pairs.
-    pairs = (
+    from ..checkpoints import rotating_local_checkpoint
+
+    pairs = rotating_local_checkpoint(
         ws.select(F.explode(F.expr(windowed_pair_expr())).alias("p"))
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("d_pair"))
-        .localCheckpoint(eager=True)
+        .agg(F.count(F.lit(1)).alias("d_pair")),
+        "textstats.pmi_windowed.pairs",
     )
     uni = lm_slice(spark, sf_dir, 1).select(F.col("g").alias("w"), "c")
     totals = ws.agg(F.sum(F.size("ws")).alias("n_tokens")).crossJoin(

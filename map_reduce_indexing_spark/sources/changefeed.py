@@ -63,6 +63,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..localrel import local_rows_df
 from .generations import (
     drop_tag,
     generation_changes,
@@ -376,7 +377,7 @@ def feed_runs(spark: SparkSession, dst_path: str) -> DataFrame:
                 bool(e.get("resync")),
             )
         )
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows,
         "generation long, src string, since long, until long, "
         "resync boolean",

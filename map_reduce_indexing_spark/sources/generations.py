@@ -79,6 +79,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..localrel import local_rows_df
 from .commitio import MANIFEST_NAME as GEN_FILE  # noqa: E402 — one name
 GEN_DIR = "_gen"  # underscore: invisible to Spark directory scans
 # File-skipping stats: per-file column [min, max] harvested from the
@@ -4000,7 +4001,7 @@ def describe_generations(spark: SparkSession, path: str) -> DataFrame:
                 int(k) == head,
             )
         )
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows,
         "generation int, published timestamp_ntz, n_files int, "
         "n_rows long, bytes long, n_deleted long, schema_id int, "

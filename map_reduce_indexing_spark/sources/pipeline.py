@@ -71,6 +71,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..localrel import local_rows_df
 from .generations import (
     diff_plan,
     generation_diff,
@@ -471,7 +472,7 @@ def pipeline_runs(spark: SparkSession, dst_path: str) -> DataFrame:
                 int(exp["rows_appended"]) if "rows_appended" in exp else None,
             )
         )
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows,
         "generation long, src string, since long, until long, "
         "mode string, gated_rows_in long, gated_rows_appended long",

@@ -174,6 +174,21 @@ def test_window_exercises_round7_rotation():
     assert "dedup_lsh_recall_eval" in w
 
 
+def test_coverage_doc_export_count():
+    """COVERAGE.md's export count must match the live registry (r15 —
+    the r13/r14 verdicts caught the doc drifting from 184 to the real
+    194; this pin makes the line self-verifying)."""
+    import os
+    import re
+
+    doc = open(
+        os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    ).read()
+    m = re.search(r"`queries\(\)` exports (\d+) entries", doc)
+    assert m, "COVERAGE.md lost its export-count line"
+    assert int(m.group(1)) == len(entrymod.queries())
+
+
 def test_every_exported_query_has_an_oracle():
     oracles = entrymod.oracle_sql()
     for name in entrymod.queries():
