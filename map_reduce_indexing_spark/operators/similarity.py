@@ -1824,6 +1824,15 @@ def train_kmeans_frame(
         upd: dict[int, list] = {}
         seen: dict[int, dict[int, int]] = {}
         for r in stats.collect():  # <= k*DIM rows: the bounded fetch
+            if r["cluster"] is None:
+                # a short/null vector makes the argmin NULL — the
+                # corpus violates the fixed-DIM contract
+                raise ValueError(
+                    "train_kmeans_frame: NULL cluster assignment — a "
+                    "vector shorter than DIM (or null) reached the "
+                    "update step; the corpus violates the fixed-DIM "
+                    "non-null vector contract"
+                )
             cl = int(r["cluster"])
             if r["nx"] != r["n"]:
                 raise ValueError(

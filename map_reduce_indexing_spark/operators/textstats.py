@@ -12,7 +12,7 @@ aggregates — at 100 TB these run as a single map pass over the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..plans.registry import register
 from ..sources.tables import load_table
@@ -417,6 +417,33 @@ def _gram_occurrences(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     matter). A per-row comprehension over the stored token array
     (tokens.gram_rows) — no tokenization, no doc_id window shuffle."""
     return gram_rows(spark, sf_dir, k, distinct=False, out_col="g")
+
+
+def _bigram_occurrences_with_w1(
+    spark: SparkSession, sf_dir: str, with_w2: bool = False
+) -> DataFrame:
+    """(doc_id, g, w1[, w2]): bigram occurrences with the member words
+    taken straight from the token ARRAY during the same per-row
+    comprehension that builds g — not split() back out of the g string
+    (r15): split re-scanned every bigram string once per word column,
+    a bytes-proportional cost at scale. Identity: tokens are [a-z]+
+    (tokenizer contract, no embedded spaces), so
+    split(concat_ws(' ', slice(ws, i, 2)), ' ') == [ws[i], ws[i+1]] ==
+    [element_at(ws, i), element_at(ws, i + 1)] exactly."""
+    fields = "concat_ws(' ', slice(ws, i, 2)) AS g, element_at(ws, i) AS w1"
+    cols = ["doc_id", "p.g", "p.w1"]
+    if with_w2:
+        fields += ", element_at(ws, i + 1) AS w2"
+        cols.append("p.w2")
+    pair = (
+        "if(size(ws) >= 2, transform(sequence(1, size(ws) - 1), "
+        f"i -> struct({fields})), array())"
+    )
+    return (
+        tokenized_docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.expr(pair)).alias("p"))
+        .select(*cols)
+    )
 
 
 def _run_stats_expr(a: str) -> str:
@@ -905,25 +932,28 @@ def compact_lm_counts(spark: SparkSession, sf_dir: str) -> None:
     "(shuffle join); a pruned 100k-word model would broadcast instead.",
 )
 def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bg = _gram_occurrences(spark, sf_dir, 2).select(
-        "doc_id", "g", F.split("g", " ")[0].alias("w1")
-    )
+    bg = _bigram_occurrences_with_w1(spark, sf_dir)
     # Pruned + merged artifact slices (PartitionFilters on k; partial
     # rows from incremental appends summed per gram), not re-aggregation
     # of the corpus. The merge agg's exchange is on `g` — exactly the
-    # join key — so the join reuses it.
+    # join key — so the join reuses it. V rides the unigram table as a
+    # single-partition window (r15): the count over the vocab-sized ugc
+    # rows IS the old separate vocab-aggregate subtree's value, so one
+    # artifact scan + broadcast build disappears; the window's
+    # single-partition exchange moves a table that is broadcast-bounded
+    # anyway.
     bgc = lm_slice(spark, sf_dir, 2).select("g", F.col("c").alias("cg"))
-    ugc = lm_slice(spark, sf_dir, 1).select(
-        F.col("g").alias("w"), F.col("c").alias("cw")
+    ugc = (
+        lm_slice(spark, sf_dir, 1)
+        .select(F.col("g").alias("w"), F.col("c").alias("cw"))
+        .withColumn("v", F.count(F.lit(1)).over(Window.partitionBy()))
     )
-    vocab = lm_slice(spark, sf_dir, 1).agg(F.count(F.lit(1)).alias("v"))
     logp = F.expr(
         "CAST(ln(CAST(cg + 1 AS DOUBLE) / CAST(cw + v AS DOUBLE)) AS DECIMAL(28,12))"
     )
     return (
         bg.join(bgc, "g")
         .join(ugc, bg.w1 == ugc.w)
-        .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -994,9 +1024,7 @@ _KN_TERM = (
 def q_text_lm_score_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     split1 = F.split("g", " ")[0]
     split2 = F.split("g", " ")[1]
-    bg = _gram_occurrences(spark, sf_dir, 2).select(
-        "doc_id", "g", split1.alias("w1"), split2.alias("w2")
-    )
+    bg = _bigram_occurrences_with_w1(spark, sf_dir, with_w2=True)
     s2 = lm_slice(spark, sf_dir, 2)
     bgc = s2.select("g", F.col("c").alias("cg"))
     ugc = lm_slice(spark, sf_dir, 1).select(

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 
@@ -23,10 +25,17 @@ TABLES = (
 
 @pytest.fixture(scope="session")
 def spark():
+    # Core count env-tunable (r15). Measured on the slowest slice
+    # (matview_hist + fuzz pipeline + parametric funnel): local[4]
+    # 148 s, local[6] 147 s, local[8] 260 s — the suite is overhead-
+    # bound, not parallelism-bound, so the default stays 4 and the
+    # wall-time work targets per-test structure instead
+    # (OPTIMIZATION_r15.md).
+    cpus = int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "4"))
     s = get_spark(
         app_name="mri-tests",
-        master="local[4]",
-        shuffle_partitions=4,
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
         driver_memory="4g",
     )
     yield s

@@ -3,7 +3,12 @@ switch-from-the-reference story, and they drift silently otherwise
 (round 6 caught a stale column name in a .show() chain this way).
 
 Each runs as a subprocess at the tiny fixture scale with its own
-SparkSession; failures surface the example's stderr tail.
+SparkSession; failures surface the example's stderr tail. The
+subprocesses launch CONCURRENTLY from a module-scoped fixture (r15):
+they are independent JVMs, so running them 5 at a time cuts this
+file's wall time from ~5 min (the single largest block in the suite)
+to roughly the slowest example, without weakening any assertion —
+each parametrized test still checks its own example's exit status.
 """
 
 from __future__ import annotations
@@ -11,6 +16,7 @@ from __future__ import annotations
 import os
 import subprocess
 import sys
+from concurrent.futures import ThreadPoolExecutor
 
 import pytest
 
@@ -30,15 +36,32 @@ EXAMPLES = [
 ]
 
 
-@pytest.mark.parametrize("script,args", EXAMPLES, ids=[e[0] for e in EXAMPLES])
-def test_example_runs_clean(script, args):
+def _run_one(entry):
+    script, args = entry
+    # cap each example JVM's core count so five concurrent sessions
+    # don't oversubscribe the box (the scripts default to local[ncpu])
+    env = {**os.environ}
+    env.setdefault("SPARK_GRAFT_CPUS", "8")
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, script), *args],
         capture_output=True,
         text=True,
         timeout=300,
         cwd=REPO,
+        env=env,
     )
+    return script, proc
+
+
+@pytest.fixture(scope="module")
+def example_results():
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        return dict(pool.map(_run_one, EXAMPLES))
+
+
+@pytest.mark.parametrize("script,args", EXAMPLES, ids=[e[0] for e in EXAMPLES])
+def test_example_runs_clean(script, args, example_results):
+    proc = example_results[script]
     assert proc.returncode == 0, (
         f"{script} exited {proc.returncode}\n--- stderr tail ---\n"
         + proc.stderr[-2000:]

@@ -175,3 +175,26 @@ def test_triangles_plan_has_no_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_triangles_wedge_join_evaluates_once(spark):
+    """r15: the per-node triangle counts aggregate explode([x, y, z])
+    over ONE evaluation of the wedge/closure join — the prior
+    union-of-three-projections form re-executed the two-join closure
+    subtree once per branch (6 inner joins in the plan instead of 2,
+    i.e. 3x the most expensive work in the query)."""
+    df = registry.get("rel_triangles_trade").fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    inner = sum(
+        1
+        for line in plan.splitlines()
+        if "Inner" in line
+        and any(
+            j in line
+            for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        )
+    )
+    assert inner == 2, f"wedge-closure joins duplicated: {inner}\n{plan}"
+    # both unions replaced: endpoints and triangle corners explode
+    assert plan.count("Generate explode") == 2, plan
+    assert "Union" not in plan, plan

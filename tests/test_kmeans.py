@@ -123,6 +123,34 @@ def test_plan_shape(spark):
     assert plan.count("Exchange") == 1  # the groupBy(cluster_id) only
 
 
+def test_train_rejects_ragged_or_null_vectors(spark):
+    """r15 guard: the exploded per-(cluster, d) update assumes the
+    fixed-DIM non-null vector contract; a corpus violating it must
+    fail loudly instead of silently shifting means (the old 65-column
+    aggregate nulled the sum instead)."""
+    from map_reduce_indexing_spark.operators.similarity import (
+        train_kmeans_frame,
+    )
+
+    init = [[float(j == d) for d in range(DIM)] for j in range(2)]
+    good = [(i, [float(i % 5)] * DIM) for i in range(8)]
+
+    short = spark.createDataFrame(
+        good + [(99, [1.0] * (DIM - 3))], "vec_id long, v array<double>"
+    )
+    with pytest.raises(ValueError, match="fixed-DIM"):
+        train_kmeans_frame(short, init, iters=1)
+
+    # a null ELEMENT also nulls the assignment dot product, so it is
+    # caught by the same contract guard (either message is a loud fail)
+    nullelem = spark.createDataFrame(
+        good + [(98, [1.0] * (DIM - 1) + [None])],
+        "vec_id long, v array<double>",
+    )
+    with pytest.raises(ValueError, match="contract"):
+        train_kmeans_frame(nullelem, init, iters=1)
+
+
 def test_empty_cluster_keeps_previous_centroid(spark):
     # On the fixture, at least one init centroid captures <= 1 point;
     # the model and engine agree (test above). Here pin the invariant

@@ -87,6 +87,79 @@ def test_constructed_near_and_far_cases(spark):
     assert bin(fps[1] ^ fps[3]).count("1") > PH_HAMMING_MAX
 
 
+def test_vectorized_phash_bitequal_to_rowwise(spark):
+    """r15: the batch-decoded dHash must equal a per-document reference
+    replay of the original loop (decode -> gray -> grid -> per-bit
+    compare) on the real corpus, bit for bit."""
+    import numpy as np
+
+    from map_reduce_indexing_spark.operators.multimodal import (
+        PH_COLS,
+        PH_H,
+        PH_ROWS,
+        PH_W,
+        decode_ppm,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    blobs = with_phash_blob(docs)
+    got = {
+        r["doc_id"]: r["ph"]
+        for r in phash_fingerprints(blobs).collect()
+    }
+    rr = [(i * PH_H) // PH_ROWS for i in range(PH_ROWS)]
+    cc = [(j * PH_W) // PH_COLS for j in range(PH_COLS)]
+    n_checked = 0
+    for row in blobs.collect():
+        arr = decode_ppm(bytes(row["blob"]))
+        gray = arr.astype(np.int64).sum(axis=2)
+        grid = gray[np.ix_(rr, cc)]
+        ph = 0
+        for i in range(PH_ROWS):
+            for j in range(PH_COLS - 1):
+                if grid[i, j + 1] > grid[i, j]:
+                    ph |= 1 << (i * 8 + j)
+        assert got[row["doc_id"]] == ph, row["doc_id"]
+        n_checked += 1
+    assert n_checked == len(got) > 0
+
+
+def test_variable_dim_blobs_take_the_rowwise_fallback(spark):
+    """Blobs that are not the fixed phash shape (different dims, so a
+    different header) must still hash correctly through the per-row
+    decode path the batch op falls back to."""
+    import numpy as np
+
+    from map_reduce_indexing_spark.operators.multimodal import (
+        PH_COLS,
+        PH_ROWS,
+        decode_ppm,
+    )
+
+    from map_reduce_indexing_spark.operators.multimodal import PH_H, PH_W
+
+    # a 20x14 PPM — parses fine, but fails the fixed-dim header check
+    w, h = 20, 14
+    payload = bytes((i * 37) % 256 for i in range(w * h * 3))
+    blob = f"P6\n{w} {h}\n255\n".encode() + payload
+    df = spark.createDataFrame([(7, bytearray(blob))], "doc_id long, blob binary")
+    got = phash_fingerprints(df).collect()[0]["ph"]
+    # the fallback replays the original loop, whose sample grid is
+    # anchored to the FIXED phash dims (a sub-grid of a larger image)
+    rr = [(i * PH_H) // PH_ROWS for i in range(PH_ROWS)]
+    cc = [(j * PH_W) // PH_COLS for j in range(PH_COLS)]
+    gray = decode_ppm(blob).astype(np.int64).sum(axis=2)
+    grid = gray[np.ix_(rr, cc)]
+    want = 0
+    for i in range(PH_ROWS):
+        for j in range(PH_COLS - 1):
+            if grid[i, j + 1] > grid[i, j]:
+                want |= 1 << (i * 8 + j)
+    assert got == want
+
+
 def test_blob_is_a_real_fixed_dim_ppm(spark):
     from map_reduce_indexing_spark.operators.multimodal import decode_ppm
 
