@@ -2422,6 +2422,26 @@ _READ_GEN_MEMO_MAX = 256
 _READ_GEN_LOCK = __import__("threading").Lock()
 
 
+def _plan_memo_lookup(key):
+    """Shared get half of the resolved-plan memo (r15 — factored out of
+    read_generation / generation_changes so the memo discipline lives
+    in one place; ADVICE r14)."""
+    with _READ_GEN_LOCK:
+        hit = _READ_GEN_MEMO.get(key)
+        if hit is not None:
+            _READ_GEN_MEMO.move_to_end(key)
+        return hit
+
+
+def _plan_memo_store(key, df):
+    """Shared put half: insert + LRU-evict past the bound."""
+    with _READ_GEN_LOCK:
+        _READ_GEN_MEMO[key] = df
+        while len(_READ_GEN_MEMO) > _READ_GEN_MEMO_MAX:
+            _READ_GEN_MEMO.popitem(last=False)
+    return df
+
+
 def _manifest_identity(path: str):
     """(inode, size, mtime_ns) of the manifest file, or None when the
     store has no manifest (no caching then — live directories mutate
@@ -2455,17 +2475,12 @@ def read_generation(
             # a different plan, so it is part of the plan's identity
             DV_BROADCAST_MAX_ROWS,
         )
-        with _READ_GEN_LOCK:
-            hit = _READ_GEN_MEMO.get(key)
-            if hit is not None:
-                _READ_GEN_MEMO.move_to_end(key)
-                return hit
+        hit = _plan_memo_lookup(key)
+        if hit is not None:
+            return hit
     df = _read_generation_impl(spark, path, at, where, merge_schema)
     if key is not None:
-        with _READ_GEN_LOCK:
-            _READ_GEN_MEMO[key] = df
-            while len(_READ_GEN_MEMO) > _READ_GEN_MEMO_MAX:
-                _READ_GEN_MEMO.popitem(last=False)
+        _plan_memo_store(key, df)
     return df
 
 
@@ -2568,6 +2583,44 @@ def diff_plan(
 
 
 def generation_diff(
+    spark: SparkSession,
+    path: str,
+    since: int | str,
+    until: int | str | None = None,
+    key_cols: tuple[str, ...] = (),
+    where=None,
+) -> DataFrame:
+    """Memoizing wrapper over :func:`_generation_diff_impl` — the same
+    resolved-plan memo discipline as read_generation / generation_changes
+    (r15): the delta plan for a (since, until, keys, where) span is
+    deterministic given the manifest file's identity, so repeat calls
+    (the nightly incremental-dedup span, a pipeline's resume span)
+    reuse the LAZY frame instead of re-walking the manifest and
+    re-building the delta reader. No data and no results cached; any
+    commit is a new manifest inode and re-resolves."""
+    ident = _manifest_identity(path)
+    if ident is None:
+        return _generation_diff_impl(spark, path, since, until, key_cols, where)
+    key = (
+        "diff",
+        spark.sparkContext.applicationId,
+        os.path.abspath(path),
+        repr(since),
+        repr(until),
+        tuple(key_cols),
+        repr(where),
+        ident,
+        DV_BROADCAST_MAX_ROWS,
+    )
+    hit = _plan_memo_lookup(key)
+    if hit is not None:
+        return hit
+    return _plan_memo_store(
+        key, _generation_diff_impl(spark, path, since, until, key_cols, where)
+    )
+
+
+def _generation_diff_impl(
     spark: SparkSession,
     path: str,
     since: int | str,
@@ -2739,19 +2792,15 @@ def generation_changes(
         ident,
         DV_BROADCAST_MAX_ROWS,
     )
-    with _READ_GEN_LOCK:
-        hit = _READ_GEN_MEMO.get(key)
-        if hit is not None:
-            _READ_GEN_MEMO.move_to_end(key)
-            return hit
-    df = _generation_changes_impl(
-        spark, path, since, until, key_cols, compare_cols
+    hit = _plan_memo_lookup(key)
+    if hit is not None:
+        return hit
+    return _plan_memo_store(
+        key,
+        _generation_changes_impl(
+            spark, path, since, until, key_cols, compare_cols
+        ),
     )
-    with _READ_GEN_LOCK:
-        _READ_GEN_MEMO[key] = df
-        while len(_READ_GEN_MEMO) > _READ_GEN_MEMO_MAX:
-            _READ_GEN_MEMO.popitem(last=False)
-    return df
 
 
 def _generation_changes_impl(

@@ -207,3 +207,28 @@ def test_changes_plan_memo_identity_and_invalidation(spark, tmp_path):
         (3, "insert"),
         (4, "insert"),
     ]
+
+
+def test_diff_plan_memo_identity_and_invalidation(spark, tmp_path):
+    """r15: generation_diff joins the same resolved-plan memo family —
+    hit on the identical span, invalidated by any commit, lazy only."""
+    from map_reduce_indexing_spark.sources.generations import (
+        generation_diff,
+    )
+
+    base = str(tmp_path / "d")
+    _write_rows(spark, base, [(1, "a", 1), (2, "b", 2)])
+    publish_generation(base)
+    _write_rows(spark, base, [(3, "c", 3)], mode="append")
+    publish_generation(base)
+
+    a = generation_diff(spark, base, since=1, until=2)
+    b = generation_diff(spark, base, since=1, until=2)
+    assert b is a  # memo hit
+    assert sorted(r.k for r in a.collect()) == [3]
+    # a commit invalidates; the open-ended span sees the new delta
+    _write_rows(spark, base, [(4, "d", 4)], mode="append")
+    publish_generation(base)
+    c = generation_diff(spark, base, since=1, until=2)
+    assert c is not a
+    assert sorted(r.k for r in generation_diff(spark, base, since=1).collect()) == [3, 4]
