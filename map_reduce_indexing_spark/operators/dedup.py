@@ -716,7 +716,23 @@ def _verified_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(inter.cast("double") / (F.col("na") + F.col("nb") - inter) >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
     )
-    edges = pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst")
+    # Symmetrize via explode, not union-of-swapped-projection: the
+    # union form re-executed the candidate+verify join once per branch
+    # (the most expensive subtree in the query, twice); explode emits
+    # both directions from ONE evaluation — identical edge multiset
+    # (r15; the triangles-tn discipline).
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                ),
+                F.struct(
+                    F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     return edges.localCheckpoint(eager=True)  # pair mining runs once, not per round
 
 
@@ -831,7 +847,17 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 30) -> DataFra
     )
 
     def star(e: DataFrame, large: bool) -> DataFrame:
-        n = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # both directions from one evaluation of e (the inner star's
+        # whole subtree when phases chain) — same multiset as the old
+        # union-of-swapped-projection, evaluated once (r15)
+        n = e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("p")
+        ).select("p.u", "p.v")
         m = (
             n.groupBy("u")
             .agg(F.min("v").alias("mv"))

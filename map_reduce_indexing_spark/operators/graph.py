@@ -191,6 +191,39 @@ def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trade graph served from a once-per-(application, corpus
+    content) persisted artifact — the same build-then-query lifecycle
+    the tokens/postings/signature artifacts already follow (r15). Both
+    graph-analytics queries (PageRank, triangles) consume the SAME
+    derived edge set; re-deriving it from the five raw tables per call
+    re-ran the star join every time (~40% of each query's wall at
+    sf0.1, a full fact-table pass at 100 TB — where a maintained graph
+    is an extraction artifact, not a per-query join). The fingerprint
+    covers every input table, so any fixture change rebuilds. Values
+    identical by construction: the artifact is trade_edges()'s own
+    rows round-tripped through parquet (BIGINT/strings, exact)."""
+    from .indexing import session_artifact_path
+
+    def build(path: str) -> None:
+        trade_edges(spark, sf_dir).coalesce(1).write.parquet(path)
+
+    p = session_artifact_path(
+        spark,
+        sf_dir,
+        "trade_edges",
+        (
+            "lineitem.parquet",
+            "orders.parquet",
+            "customer.parquet",
+            "supplier.parquet",
+            "nation.parquet",
+        ),
+        build,
+    )
+    return spark.read.parquet(p)
+
+
 def _duck_pagerank_ctes(rounds: int, damping: float) -> str:
     """The oracle's unrolled power iteration — one CTE per round, the
     same expression tree the Spark side builds (decimal-summed
@@ -259,12 +292,13 @@ def _duck_pagerank_ctes(rounds: int, damping: float) -> str:
     "fixture's trade graph.",
 )
 def q_rel_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Checkpoint the edge table HERE so the node-set derivation reads
-    # the materialized ≤ N² rows — deriving nodes from the lazy frame
-    # would re-run the whole lineitem pipeline a second time when the
-    # iteration checkpoints it (measured: half the query's wall).
-    edges = trade_edges(spark, sf_dir).localCheckpoint(eager=False)
-    nodes = edges.select("src").union(edges.select("dst")).distinct().select(
+    # Served from the session trade-edges artifact (r15); the lazy
+    # checkpoint still keeps per-round lineage flat so the node-set
+    # derivation and every iteration read the materialized ≤ N² rows.
+    edges = session_trade_edges(spark, sf_dir).localCheckpoint(eager=False)
+    nodes = edges.select(
+        F.explode(F.array("src", "dst")).alias("src")
+    ).distinct().select(
         F.col("src").alias("node")
     )
     ranks = pagerank(nodes, edges)
@@ -348,7 +382,7 @@ def q_rel_triangles_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and three legs of the wedge join — a lazy frame would re-run the
     # whole lineitem pipeline for each reference.
     und = (
-        trade_edges(spark, sf_dir)
+        session_trade_edges(spark, sf_dir)
         .filter(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("u"),

@@ -476,9 +476,20 @@ def session_artifact_path(
     which is only readable by executors in local mode. Either way the
     directory is removed at interpreter exit.
     """
-    src = os.path.join(os.path.realpath(sf_dir), source_file)
+    # source_file may be a tuple of files (r15): an artifact derived
+    # from SEVERAL fixture tables (the trade graph joins five)
+    # fingerprints every input, so a change to any of them rebuilds.
+    if isinstance(source_file, (tuple, list)):
+        srcs = tuple(
+            os.path.join(os.path.realpath(sf_dir), s) for s in source_file
+        )
+        src = srcs
+        fingerprint = tuple(_content_fingerprint(s) for s in srcs)
+    else:
+        src = os.path.join(os.path.realpath(sf_dir), source_file)
+        fingerprint = _content_fingerprint(src)
     app = spark.sparkContext.applicationId
-    key = (app, kind, src, _content_fingerprint(src))
+    key = (app, kind, src, fingerprint)
     head_key = (app, kind, src)
     with _ARTIFACTS_LOCK:
         path = _ARTIFACTS.get(key)
@@ -494,7 +505,11 @@ def session_artifact_path(
         # built, not an in-memory guess), and the artifact path is
         # REUSED — consumers re-discover it with the appended rows.
         # Any modified or removed file falls through to a full rebuild.
-        if delta_build is not None and os.path.isdir(src):
+        if (
+            delta_build is not None
+            and isinstance(src, str)
+            and os.path.isdir(src)
+        ):
             prev_path = _ARTIFACT_HEADS.get(head_key)
             if prev_path is not None and os.path.isdir(prev_path):
                 consumed = _load_sources(prev_path)
@@ -582,7 +597,9 @@ def session_artifact_path(
         # takes the (always-correct) full rebuild.
         listing = (
             _data_listing(src)
-            if delta_build is not None and os.path.isdir(src)
+            if delta_build is not None
+            and isinstance(src, str)
+            and os.path.isdir(src)
             else None
         )
         build(path)
