@@ -307,7 +307,8 @@ def _duck_bpe_merges_sql(n_merges: int = N_BPE_MERGES) -> str:
 )
 def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = train_bpe_merges(spark, sf_dir)
-    return local_rows_df(spark, 
+    return local_rows_df(
+        spark,
         [
             (m["rank"], m["a"], m["b"], m["merged"], m["cnt"])
             for m in merges
@@ -330,7 +331,8 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_bpe_merges_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = train_bpe_merges(spark, sf_dir, driver_local=True)
-    return local_rows_df(spark, 
+    return local_rows_df(
+        spark,
         [
             (m["rank"], m["a"], m["b"], m["merged"], m["cnt"])
             for m in merges

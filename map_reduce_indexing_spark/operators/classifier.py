@@ -519,7 +519,8 @@ def q_text_classifier_train(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     w = train_classifier(spark, sf_dir)
-    return local_rows_df(spark, 
+    return local_rows_df(
+        spark,
         [(j, CLF_FEATURES[j], w[j]) for j in range(_D)],
         "feature_id long, feature string, weight double",
     )

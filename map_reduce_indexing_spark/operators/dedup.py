@@ -694,6 +694,12 @@ def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = tokenized_docs(spark, sf_dir).select(
         "doc_id", F.expr(f"array_distinct({gram_expr(SHINGLE_K)})").alias("sh")
     )
+    # Deliberately NOT checkpointed, although consumers evaluate this
+    # twice (both pair sides of the verify join): measured r15, the
+    # interleaved A/B of a materialized sets frame LOST (0.99 -> 1.10 s
+    # edge build) — the shingle arrays are several times the source
+    # bytes, so storing + re-reading them costs more than the second
+    # pipelined CPU pass, at this and any scale.
     return sets.select(
         "doc_id", "sh", F.size("sh").cast("long").alias("n_sh")
     ).filter(F.col("n_sh") > 0)

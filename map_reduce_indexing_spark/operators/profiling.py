@@ -228,7 +228,8 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
     )
-    rates = local_rows_df(spark, 
+    rates = local_rows_df(
+        spark,
         list(_STRATA_PCT), "flag: string, pct: int"
     )
     return (

@@ -410,7 +410,8 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_theta_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    bands = local_rows_df(spark, 
+    bands = local_rows_df(
+        spark,
         [("small", 0, 100000), ("medium", 100000, 300000), ("large", 300000, 1000000)],
         "band string, lo long, hi long",
     )

@@ -1493,7 +1493,8 @@ def q_rel_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _os.path.join(root, "base")
     n_pinned = generation_row_count(base, at="train-v1")
     n_head = generation_row_count(base)
-    return local_rows_df(spark, 
+    return local_rows_df(
+        spark,
         [(n_pinned, n_head)], "n_pinned long, n_head long"
     )
 
@@ -1631,7 +1632,8 @@ def q_rel_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = orders_gated_store(spark, sf_dir)
     audit = expectation_audit(path)
     rows = sorted(audit["violations"].items())
-    return local_rows_df(spark, 
+    return local_rows_df(
+        spark,
         rows, "expectation string, n_violations long"
     )
 
@@ -1927,7 +1929,8 @@ def q_rel_metadata_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         datetime.datetime.fromisoformat(dmin),
         datetime.datetime.fromisoformat(dmax),
     )
-    return local_rows_df(spark, 
+    return local_rows_df(
+        spark,
         [row],
         "n_rows long, min_key long, max_key long, "
         "first_date timestamp, last_date timestamp",
@@ -1978,7 +1981,8 @@ def q_rel_metadata_count_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     bounded = rep["files_metadata"] >= 1 and rep["files_scanned"] <= 3
-    return local_rows_df(spark, 
+    return local_rows_df(
+        spark,
         [(rep["count"], bounded)],
         "n_orders long, bounded_plan boolean",
     )

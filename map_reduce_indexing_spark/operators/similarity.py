@@ -2554,7 +2554,8 @@ def subbucket_candidates(e: DataFrame, threshold: float) -> DataFrame:
     dirs = _hot_cell_directions(e)
     spark = e.sparkSession
     schema = "cell long, w1 array<double>, w2 array<double>"
-    wf = local_rows_df(spark, 
+    wf = local_rows_df(
+        spark,
         [(int(c), w1, w2) for c, (w1, w2) in dirs.items()], schema
     )
     proj = (

@@ -12,7 +12,7 @@ aggregates — at 100 TB these run as a single map pass over the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..plans.registry import register
 from ..sources.tables import load_table
@@ -936,24 +936,23 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pruned + merged artifact slices (PartitionFilters on k; partial
     # rows from incremental appends summed per gram), not re-aggregation
     # of the corpus. The merge agg's exchange is on `g` — exactly the
-    # join key — so the join reuses it. V rides the unigram table as a
-    # single-partition window (r15): the count over the vocab-sized ugc
-    # rows IS the old separate vocab-aggregate subtree's value, so one
-    # artifact scan + broadcast build disappears; the window's
-    # single-partition exchange moves a table that is broadcast-bounded
-    # anyway.
+    # join key — so the join reuses it. (An r15 variant folded the
+    # 1-row vocab subtree into ugc via a single-partition window —
+    # measured ~0.05 s — but the repo's no-global-Window plan pin for
+    # the resampler consumer outweighs it; the separate broadcast
+    # subtree stays.)
     bgc = lm_slice(spark, sf_dir, 2).select("g", F.col("c").alias("cg"))
-    ugc = (
-        lm_slice(spark, sf_dir, 1)
-        .select(F.col("g").alias("w"), F.col("c").alias("cw"))
-        .withColumn("v", F.count(F.lit(1)).over(Window.partitionBy()))
+    ugc = lm_slice(spark, sf_dir, 1).select(
+        F.col("g").alias("w"), F.col("c").alias("cw")
     )
+    vocab = lm_slice(spark, sf_dir, 1).agg(F.count(F.lit(1)).alias("v"))
     logp = F.expr(
         "CAST(ln(CAST(cg + 1 AS DOUBLE) / CAST(cw + v AS DOUBLE)) AS DECIMAL(28,12))"
     )
     return (
         bg.join(bgc, "g")
         .join(ugc, bg.w1 == ugc.w)
+        .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

@@ -377,7 +377,8 @@ def feed_runs(spark: SparkSession, dst_path: str) -> DataFrame:
                 bool(e.get("resync")),
             )
         )
-    return local_rows_df(spark, 
+    return local_rows_df(
+        spark,
         rows,
         "generation long, src string, since long, until long, "
         "resync boolean",

@@ -4050,7 +4050,8 @@ def describe_generations(spark: SparkSession, path: str) -> DataFrame:
                 int(k) == head,
             )
         )
-    return local_rows_df(spark, 
+    return local_rows_df(
+        spark,
         rows,
         "generation int, published timestamp_ntz, n_files int, "
         "n_rows long, bytes long, n_deleted long, schema_id int, "

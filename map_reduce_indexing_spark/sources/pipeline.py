@@ -472,7 +472,8 @@ def pipeline_runs(spark: SparkSession, dst_path: str) -> DataFrame:
                 int(exp["rows_appended"]) if "rows_appended" in exp else None,
             )
         )
-    return local_rows_df(spark, 
+    return local_rows_df(
+        spark,
         rows,
         "generation long, src string, since long, until long, "
         "mode string, gated_rows_in long, gated_rows_appended long",
